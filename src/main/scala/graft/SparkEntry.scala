@@ -1,13 +1,569 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{BalancedRepartition, Dedup, Multimodal, Recode, Similarity}
+import graft.pipeline.CensoPipeline
+import graft.sources.SchemaCsv
+import graft.streaming.EventStreams
+
+/** Driver contract — one `queries` entry per operator in SURVEY.md §2, with
+  * a DuckDB-equivalent `oracleSql` wherever the semantics are
+  * SQL-expressible. Column names and row order are made to match the oracle
+  * exactly (aliases identical on both sides; every checked query totally
+  * ordered; doubles rounded so .01-grained money sums are order-insensitive).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship: 5-way star join with broadcast dims (sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q5StarJoin(spark, "/root/testdata/sf0.001")
+
+  // ----------------------------------------------------------- B: queries
+
+  private def revenue = round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+
+  private def q5StarJoin(s: SparkSession, dir: String): DataFrame =
+    F.broadcast(t(s, dir, "region"))
+      .join(F.broadcast(t(s, dir, "nation")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("r_name", "n_name")
+      .agg(revenue.as("revenue"), countDistinct("o_orderkey").as("n_orders"))
+      .orderBy("r_name", "n_name")
+
+  // --------------------------------------------------------------- map
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== A: reference ETL surface =====
+
+    "a1_csv_schema_read" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty"), col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+      val path = Tables.scratch("a1_csv_" + new java.io.File(dir).getName)
+      li.write.mode("overwrite")
+        .options(Map("header" -> "true", "delimiter" -> "|")).csv(path)
+      val schema = SchemaCsv.schemaFromJson(
+        """{"type":"struct","fields":[
+          |{"name":"l_orderkey","type":"long","nullable":true,"metadata":{}},
+          |{"name":"l_linenumber","type":"integer","nullable":true,"metadata":{}},
+          |{"name":"qty","type":"integer","nullable":true,"metadata":{}},
+          |{"name":"l_returnflag","type":"string","nullable":true,"metadata":{}},
+          |{"name":"ship","type":"string","nullable":true,"metadata":{}}]}""".stripMargin)
+      SchemaCsv.read(s, path, schema)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), sum("qty").as("sum_qty"),
+          min("ship").as("min_ship"))
+        .orderBy("l_returnflag")
+    }),
+
+    "a2_recode_map" -> ((s, dir) => {
+      val recoded = Recode.recodeWithMap(
+        t(s, dir, "lineitem"), "l_returnflag", CensoPipeline.retMap)
+      recoded.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    "a3_recode_bool" -> ((s, dir) => {
+      val flagged = t(s, dir, "orders").withColumn("IN_OPEN",
+        when(col("o_orderstatus") === "O", "1").otherwise("0"))
+      Recode.recodeBoolean(flagged, Seq("IN_OPEN"))
+        .groupBy("IN_OPEN").agg(count(lit(1)).as("cnt")).orderBy("IN_OPEN")
+    }),
+
+    "a4_cast_int" -> ((s, dir) => {
+      val stringly = t(s, dir, "lineitem").withColumn("NU_QTY",
+        col("l_quantity").cast("int").cast("string"))
+      Recode.castInts(stringly, _.startsWith("NU"))
+        .groupBy("l_returnflag").agg(sum("NU_QTY").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "a5_parse_date" -> ((s, dir) => {
+      val strs = t(s, dir, "lineitem").select(
+        date_format(col("l_shipdate"), "dd/MM/yyyy").as("s1"),
+        concat(upper(date_format(col("l_shipdate"), "ddMMMyyyy")),
+          lit(":00:00:00")).as("s2"))
+      val p1 = Recode.parseDateFlex(strs, "s1", year = 2020)   // modern form
+      val p2 = Recode.parseDateFlex(p1, "s2", year = 2011)     // SAS form
+      p2.groupBy(year(col("s1")).as("yr"))
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("s1") === col("s2"), 1)).as("n_match"))
+        .orderBy("yr")
+    }),
+
+    "a6_derive_or" -> ((s, dir) => {
+      val df0 = t(s, dir, "lineitem").select(col("l_orderkey"),
+        when(col("l_quantity") > 25, "1").otherwise("0").as("IN_HEAVY"),
+        when(col("l_discount") > 0.05, "1").otherwise("0").as("IN_DISC"))
+      val b = Recode.recodeBoolean(df0, Seq("IN_HEAVY", "IN_DISC"))
+      Recode.deriveOr(b, "IN_EITHER", "IN_HEAVY", "IN_DISC")
+        .groupBy("IN_EITHER").agg(count(lit(1)).as("cnt")).orderBy("IN_EITHER")
+    }),
+
+    "a7_prefix_cols" -> ((s, dir) =>
+      Recode.withPrefix(t(s, dir, "nation"), "dim")
+        .select("dim_n_nationkey", "dim_n_name")
+        .orderBy("dim_n_nationkey")),
+
+    "a8_union_regions" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val shards = (0 until 3).map { r =>
+        val sh = li.where(pmod(col("l_orderkey"), lit(3)) === r)
+        // reverse one shard's column order: unionByName must realign
+        if (r == 1) sh.select(sh.columns.reverse.map(col).toSeq: _*) else sh
+      }
+      Recode.unionAll(shards)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("int")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "a9_balanced_repartition" -> ((s, dir) => {
+      val rep = BalancedRepartition(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), rowsPerFile = 1000L)
+      rep.select(spark_partition_id().as("pid"))
+        .groupBy("pid").agg(count(lit(1)).as("part_rows"))
+        .agg(count(lit(1)).as("n_parts"), sum("part_rows").as("total_rows"),
+          max("part_rows").as("max_part_rows"))
+    }),
+
+    "a10_partitioned_sink" -> ((s, dir) => {
+      val path = Tables.scratch("a10_sink_" + new java.io.File(dir).getName)
+      SchemaCsv.writePartitioned(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_quantity").cast("int").as("qty"), col("l_returnflag")),
+        path, Seq("l_returnflag"))
+      SchemaCsv.readPartitioned(s, path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), sum("qty").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "a11_censo_pipeline" -> ((s, dir) => {
+      val out = CensoPipeline.run(
+        CensoPipeline.censoLike(t(s, dir, "lineitem")), year = 2020)
+      out.groupBy(col("TP_RETURN"), year(col("DT_SHIP")).as("yr"), col("IN_ANY"))
+        .agg(count(lit(1)).as("cnt"), sum("NU_QTY").as("sum_qty"))
+        .orderBy("TP_RETURN", "yr", "IN_ANY")
+    }),
+
+    // ===== B: query engine =====
+
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          revenue.as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q3_join_topk" -> ((s, dir) =>
+      t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+
+    "q5_star_join" -> ((s, dir) => q5StarJoin(s, dir)),
+
+    "b4_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          row_number().over(w).as("rn"),
+          round(sum("o_totalprice").over(ws), 2).as("run_sum"))
+        .where(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "b5_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "b6_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("int")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "b7_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"), count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    "b8_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+          count(when(col("o_orderpriority") === "5-LOW", 1)).as("n_low"),
+          round(sum(when(col("o_orderpriority") === "1-URGENT",
+            col("o_totalprice")).otherwise(0)), 2).as("urgent_value"))
+        .orderBy("o_orderstatus")),
+
+    "b9_exists" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgDf = cust.agg(avg("c_acctbal").as("avg_bal"))
+      cust
+        .join(t(s, dir, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .crossJoin(F.broadcast(avgDf))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_rich"))
+        .orderBy("c_nationkey")
+    }),
+
+    "b10_json_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    // ===== C: LLM-data operators =====
+
+    "c1_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("fingerprint")),
+
+    "c2_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withCopies = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.minhashDedupPairs(withCopies, "text", "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "c3_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withCopies = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.simhashDedupPairs(withCopies, "text", "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "c4_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withCopies = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.ngramJaccardPairs(withCopies, "text", "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "c5_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val withCopies = emb.unionByName(
+        emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      Similarity.embeddingNearDupPairs(withCopies, "vec_id", "embedding")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "c6_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "c7_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "c8_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"),
+          col("lang").as("lang_label"))
+        .orderBy("doc_id")),
+
+    "c9_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "c10_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("ws_tokens"),
+          TextFunctions.bpeishTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "c11_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    "c12_multimodal" -> ((s, dir) => {
+      val packed = Multimodal.packMedia(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeStub(s, packed)
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy("media_id")
+    }),
+
+    // ===== D: streaming =====
+
+    "d1_stream_window" -> ((s, dir) =>
+      EventStreams.hourlyAgg(t(s, dir, "events"))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    "d2_sessionize" -> ((s, dir) =>
+      EventStreams.sessionize(t(s, dir, "events"))
+        .orderBy("user_id", "session_idx"))
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+
+    "a1_csv_schema_read" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       sum(CAST(l_quantity AS INT)) AS sum_qty,
+        |       min(strftime(l_shipdate, '%Y-%m-%d')) AS min_ship
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a2_recode_map" ->
+      """SELECT CASE l_returnflag WHEN 'A' THEN 'Accepted'
+        |            WHEN 'N' THEN 'None' WHEN 'R' THEN 'Refused' END
+        |         AS l_returnflag,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a3_recode_bool" ->
+      """SELECT (o_orderstatus = 'O') AS IN_OPEN, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a4_cast_int" ->
+      """SELECT l_returnflag,
+        |       sum(CAST(CAST(CAST(l_quantity AS INT) AS VARCHAR) AS INT))
+        |         AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a5_parse_date" ->
+      """SELECT year(CAST(l_shipdate AS DATE)) AS yr, count(*) AS cnt,
+        |       count(*) AS n_match
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a6_derive_or" ->
+      """SELECT (l_quantity > 25 OR l_discount > 0.05) AS IN_EITHER,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a7_prefix_cols" ->
+      """SELECT n_nationkey AS dim_n_nationkey, n_name AS dim_n_name
+        |FROM nation ORDER BY 1""".stripMargin,
+
+    "a8_union_regions" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       sum(CAST(l_quantity AS INT)) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a10_partitioned_sink" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       sum(CAST(l_quantity AS INT)) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a11_censo_pipeline" ->
+      """SELECT CASE l_returnflag WHEN 'A' THEN 'Accepted'
+        |            WHEN 'N' THEN 'None' WHEN 'R' THEN 'Refused' END
+        |         AS TP_RETURN,
+        |       year(CAST(l_shipdate AS DATE)) AS yr,
+        |       (l_quantity > 25 OR l_discount > 0.05) AS IN_ANY,
+        |       count(*) AS cnt, sum(CAST(l_quantity AS INT)) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_join_topk" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_star_join" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(DISTINCT o_orderkey) AS n_orders
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "b4_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |           AS run_sum
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "b5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "b6_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       sum(CAST(l_quantity AS INT)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "b7_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "b8_pivot" ->
+      """SELECT o_orderstatus,
+        |       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+        |         AS n_urgent,
+        |       count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low,
+        |       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                      THEN o_totalprice ELSE 0 END), 2) AS urgent_value
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "b9_exists" ->
+      """SELECT c_nationkey, count(*) AS n_rich FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "b10_json_events" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(props->>'$.k' AS INT)) AS sum_k,
+        |       max(CAST(props->>'$.k' AS INT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c1_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |         AS fingerprint,
+        |       min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c6_cosine_topk" ->
+      """SELECT query_id, neighbor_id, round(cos, 6) AS cos, rnk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                CAST(q.embedding AS DOUBLE[])) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(
+        |                 CAST(c.embedding AS DOUBLE[]),
+        |                 CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "c9_quality" ->
+      """SELECT doc_id,
+        |round(greatest(0.0, least(1.0,
+        |  (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.6
+        |  + (CASE WHEN (length(regexp_replace(text, '\s', '', 'g'))
+        |       / CAST(greatest(
+        |           CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+        |           1) AS DOUBLE))
+        |       BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+        |  - (length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+        |  - ((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+        |)), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "c10_tokens" ->
+      """SELECT doc_id,
+        |       CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |         AS ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+        |         AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "c11_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |         AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d1_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "d2_sessionize" ->
+      """SELECT user_id, session_idx, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value,
+        |       min(sec) AS start_sec, max(sec) AS end_sec
+        |FROM (
+        |  SELECT user_id, event_id, value, sec,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id, value, sec,
+        |           CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+        |                THEN 1 ELSE 0 END AS is_new
+        |    FROM (
+        |      SELECT user_id, event_id, value,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |             lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |               OVER (PARTITION BY user_id
+        |                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+        |               AS prev_sec
+        |      FROM events) a) b) c
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
 }

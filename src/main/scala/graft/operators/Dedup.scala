@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for LLM training-data pipelines, smallest-cost
+  * first: exact (one shuffle on a 16-byte key), then candidate-generation
+  * schemes (MinHash-LSH, SimHash) whose shuffles are keyed on small bucket
+  * ids, then exact verification only on candidate pairs. Nothing here ever
+  * materializes an O(n²) cross product — at 100 TB the candidate-pair volume
+  * is what decides whether near-dedup is feasible at all.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on normalized text: groupBy(md5(normalized)) keeping the
+    * smallest id. One shuffle, map-side combined. Returns
+    * (fingerprint, keep_id, dup_count).
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+        TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"),
+        col(idCol))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** w-word shingles of the normalized text, as distinct xxhash64 values.
+    * Documents shorter than w words hash the whole text as one shingle.
+    */
+  def shingleHashes(c: Column, w: Int = 3): Column = {
+    val toks = TextFunctions.wsTokens(TextFunctions.normalize(c))
+    val shingled = transform(
+      sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
+      i => xxhash64(concat_ws(" ", slice(toks, i, lit(w)))))
+    array_distinct(shingled)
+  }
+
+  /** Exact Jaccard similarity of two shingle-hash arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0d, lit(0.0d)).otherwise(inter / uni)
+  }
+
+  // ---------------------------------------------------------- MinHash+LSH
+
+  /** k universal-ish hash functions h_i(x) = a_i·x + b_i (wrapping Long
+    * arithmetic — fine for min-wise hashing). Seeded: deterministic across
+    * runs and task retries.
+    */
+  private def minhashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** MinHash signature (length k) of a shingle-hash array column. */
+  def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
+    array(minhashParams(k, seed).map { case (a, b) =>
+      array_min(transform(shingles, x => x * lit(a) + lit(b)))
+    }: _*)
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle → k-minhash → `bands` bands of r = k/bands rows; docs sharing
+    * any band land in the same bucket (shuffle keyed on (band, bucketHash) —
+    * never on raw text). Candidates are then verified with EXACT Jaccard on
+    * the shingle sets and filtered at `threshold`.
+    *
+    * Default k=64, bands=16 (r=4) → LSH s-curve threshold (1/16)^(1/4) ≈ 0.5.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashDedupPairs(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val withSig = df.select(
+        col(idCol).as("id"),
+        shingleHashes(col(textCol)).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), k, seed))
+
+    val banded = withSig.select(
+      col("id"), col("shingles"),
+      posexplode(array((0 until bands).map(j =>
+        xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*))
+        .as(Seq("band", "bucket")))
+
+    val left = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val right = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+
+    left.join(right, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy("id_a", "id_b")
+      .agg(round(max("jaccard"), 6).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the whitespace tokens: per-token xxhash64, bit-wise
+    * ±1 vote accumulation in ONE aggregate pass (array accumulator), sign →
+    * bit.
+    */
+  def simhash64(c: Column): Column = {
+    val hashes = transform(TextFunctions.wsTokens(TextFunctions.normalize(c)),
+      t => xxhash64(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(
+        acc,
+        array((0 until 64).map(b =>
+          shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)): _*),
+        (x, y) => x + y))
+    (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      acc.bitwiseOR(
+        when(element_at(votes, b + 1) > 0L, lit(1L << b)).otherwise(lit(0L)))
+    }
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming.
+    * Candidate generation: split the 64-bit simhash into 4 16-bit bands —
+    * any pair within Hamming ≤ 3 shares at least one exact band (pigeonhole)
+    * — bucket-join on (band, value), verify with bit_count(xor).
+    * Returns (id_a, id_b, hamming).
+    */
+  def simhashDedupPairs(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      simhash64(col(textCol)).as("simhash"))
+    val banded = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")))
+    val left = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val right = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    left.join(right, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Distinct character n-gram hashes of normalized text. */
+  def charNgramHashes(c: Column, n: Int = 3): Column = {
+    val norm = TextFunctions.normalize(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+      i => xxhash64(norm.substr(i, lit(n)))))
+  }
+
+  /** Character n-gram Jaccard over candidate pairs blocked on a cheap prefix
+    * key (xxhash of the first `prefixLen` normalized chars + length bucket).
+    * Blocking bounds the pair count; verification is exact Jaccard.
+    * Returns (id_a, id_b, ngram_jaccard).
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        prefixLen: Int = 24): DataFrame = {
+    val norm = TextFunctions.normalize(col(textCol))
+    val keyed = df.select(
+      col(idCol).as("id"),
+      xxhash64(substring(norm, 1, prefixLen)).as("block"),
+      charNgramHashes(col(textCol), n).as("grams"))
+    val left = keyed.select(col("block"), col("id").as("id_a"),
+      col("grams").as("g_a"))
+    val right = keyed.select(col("block"), col("id").as("id_b"),
+      col("grams").as("g_b"))
+    left.join(right, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("g_a"), col("g_b")), 6).as("ngram_jaccard"))
+      .where(col("ngram_jaccard") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("ngram_jaccard").as("ngram_jaccard"))
+  }
+}

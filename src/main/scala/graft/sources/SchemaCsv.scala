@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Schema-driven delimited-text source + partitioned parquet sink — the
+  * engine's ingest/egress surface, re-expressing the reference's
+  * `load_csv` / `save` (/root/reference/etl/censo_escolar/transform/
+  * transform.py:53-65,172-175).
+  *
+  * The schema arrives as StructType JSON (same format the reference keeps
+  * under transform/schemas/) so ingestion never infers types — at 100 TB a
+  * schema-inference pass is a full extra read of the data.
+  */
+object SchemaCsv {
+
+  def schemaFromJson(json: String): StructType =
+    DataType.fromJson(json).asInstanceOf[StructType]
+
+  /** Read `|`-delimited (or any delimiter) CSV with an explicit schema.
+    * PERMISSIVE mode + a corrupt-record column would be the production
+    * setting; FAILFAST here so tests catch schema drift loudly.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType,
+           delimiter: String = "|", header: Boolean = true,
+           encoding: String = "UTF-8", mode: String = "FAILFAST"): DataFrame =
+    spark.read
+      .options(Map(
+        "header" -> header.toString,
+        "delimiter" -> delimiter,
+        "encoding" -> encoding,
+        "mode" -> mode))
+      .schema(schema)
+      .csv(path)
+
+  /** Hive-partitioned parquet sink (transform.py:172-175): snappy parquet,
+    * directory-partitioned on low-cardinality keys. Combine with
+    * [[graft.operators.BalancedRepartition]] upstream so each task writes
+    * one ≈uniform file per (partition, salt) group.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write
+      .partitionBy(partitionCols: _*)
+      .option("compression", "snappy")
+      .mode(mode)
+      .parquet(path)
+
+  /** Partition-discovery read of a hive-partitioned dataset — the engine-side
+    * equivalent of the reference's BigQuery external tables
+    * (load/load_external_tables.sql: `WITH PARTITION COLUMNS`).
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

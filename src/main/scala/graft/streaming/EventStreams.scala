@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Event-stream operators. Each has a batch form (oracle-checkable) and a
+  * Structured Streaming form sharing the same aggregation logic — the
+  * streaming plan adds only watermark + state management.
+  */
+object EventStreams {
+
+  /** Batch tumbling-window aggregate: events per (hour, event_type).
+    * Whole-second flooring keeps the oracle engine-agnostic.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        approx_count_distinct("user_id").as("approx_users"))
+
+  /** Streaming twin of [[hourlyAgg]]: file source → watermark → windowed
+    * state → append. Used by the streaming spec with Trigger.AvailableNow.
+    */
+  def hourlyAggStream(spark: SparkSession, dir: String,
+                      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization (batch): a new session starts when the gap to
+    * the previous event of the same user exceeds `gapSeconds`. Timestamps
+    * are floored to whole seconds BEFORE the gap compare so the DuckDB
+    * oracle computes bit-identical breaks. Returns one row per session.
+    *
+    * Scale: one shuffle on user_id (the window partition); session ids are
+    * running sums inside the partition — no self-join, no iteration.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val sessions = events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev_sec", lag("sec", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull ||
+          (col("sec") - col("prev_sec")) > gapSeconds, 1).otherwise(0))
+      .withColumn("session_idx", sum("is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        min("sec").as("start_sec"), max("sec").as("end_sec"))
+  }
+
+  /** Streaming sessionization via session_window — state-backed native
+    * session windows with watermark eviction (the streaming-scale answer;
+    * the batch twin above is the oracle-checkable one).
+    */
+  def sessionizeStream(spark: SparkSession, dir: String, schema: StructType,
+                       gap: String = "30 minutes"): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+}
