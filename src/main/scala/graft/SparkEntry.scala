@@ -239,7 +239,7 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
-    "b10_json_events" -> ((s, dir) =>
+    "b10_events_window" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
@@ -352,7 +352,7 @@ object SparkEntry {
 
     "a1_csv_schema_read" ->
       """SELECT l_returnflag, count(*) AS cnt,
-        |       sum(CAST(l_quantity AS INT)) AS sum_qty,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
         |       min(strftime(l_shipdate, '%Y-%m-%d')) AS min_ship
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -369,8 +369,8 @@ object SparkEntry {
 
     "a4_cast_int" ->
       """SELECT l_returnflag,
-        |       sum(CAST(CAST(CAST(l_quantity AS INT) AS VARCHAR) AS INT))
-        |         AS sum_qty
+        |       CAST(sum(CAST(CAST(CAST(l_quantity AS INT) AS VARCHAR) AS INT))
+        |            AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a5_parse_date" ->
@@ -389,12 +389,12 @@ object SparkEntry {
 
     "a8_union_regions" ->
       """SELECT l_returnflag, count(*) AS cnt,
-        |       sum(CAST(l_quantity AS INT)) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a10_partitioned_sink" ->
       """SELECT l_returnflag, count(*) AS cnt,
-        |       sum(CAST(l_quantity AS INT)) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a11_censo_pipeline" ->
@@ -403,7 +403,8 @@ object SparkEntry {
         |         AS TP_RETURN,
         |       year(CAST(l_shipdate AS DATE)) AS yr,
         |       (l_quantity > 25 OR l_discount > 0.05) AS IN_ANY,
-        |       count(*) AS cnt, sum(CAST(l_quantity AS INT)) AS sum_qty
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q1_agg" ->
@@ -455,7 +456,7 @@ object SparkEntry {
 
     "b6_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |       sum(CAST(l_quantity AS INT)) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
@@ -479,9 +480,9 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "b10_json_events" ->
+    "b10_events_window" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(props->>'$.k' AS INT)) AS sum_k,
+        |       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
         |       max(CAST(props->>'$.k' AS INT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -549,9 +550,10 @@ object SparkEntry {
         |       min(sec) AS start_sec, max(sec) AS end_sec
         |FROM (
         |  SELECT user_id, event_id, value, sec,
-        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id
+        |             ORDER BY sec, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS session_idx
+        |           AS BIGINT) AS session_idx
         |  FROM (
         |    SELECT user_id, event_id, value, sec,
         |           CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800

@@ -1,13 +1,37 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Test-table access. All graft operators are table-agnostic; this is just
   * the harness-side loader for the driver-generated TPC-H-ish parquet.
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, s"$dir/events.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries INT64 TIMESTAMP(NANOS,false), which Spark 4's
+    * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Ingestion path:
+    * read the nanos as raw longs (legacy nanosAsLong), then convert to
+    * micros-precision timestamps with integer arithmetic — `ts div 1000`
+    * stays in Long (double division would lose precision above 2^53, and
+    * epoch-nanos are ~1.7e18).
+    */
+  def events(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withTsFromNanos(spark.read.parquet(path))
+  }
+
+  /** ns-long `ts` → micros timestamp; no-op if `ts` is already a timestamp.
+    * Shared by the batch loader and the streaming sources.
+    */
+  def withTsFromNanos(df: DataFrame): DataFrame =
+    if (df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
 
   /** Scratch dir for sink/roundtrip operators (kept inside the repo tree). */
   def scratch(sub: String): String = {
