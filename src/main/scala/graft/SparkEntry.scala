@@ -253,11 +253,18 @@ object SparkEntry {
       Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("fingerprint")),
 
+    // The c2–c5 checked queries plant one exact copy of every document
+    // (id + 1e6) and emit the found (original, its-copy) pairs — recall on
+    // planted duplicates is deterministic (identical inputs always share
+    // every LSH bucket), so the DuckDB oracle knows the full expected
+    // output. General near-dup discovery (non-identical pairs) is locked by
+    // the ScalaTest specs with planted near-duplicates instead.
     "c2_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val withCopies = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
       Dedup.minhashDedupPairs(withCopies, "text", "doc_id")
+        .where(col("id_b") - col("id_a") === 1000000L)
         .orderBy("id_a", "id_b")
     }),
 
@@ -266,6 +273,7 @@ object SparkEntry {
       val withCopies = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
       Dedup.simhashDedupPairs(withCopies, "text", "doc_id")
+        .where(col("id_b") - col("id_a") === 1000000L)
         .orderBy("id_a", "id_b")
     }),
 
@@ -274,6 +282,7 @@ object SparkEntry {
       val withCopies = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
       Dedup.ngramJaccardPairs(withCopies, "text", "doc_id")
+        .where(col("id_b") - col("id_a") === 1000000L)
         .orderBy("id_a", "id_b")
     }),
 
@@ -282,6 +291,7 @@ object SparkEntry {
       val withCopies = emb.unionByName(
         emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
       Similarity.embeddingNearDupPairs(withCopies, "vec_id", "embedding")
+        .where(col("id_b") - col("id_a") === 1000000L)
         .orderBy("id_a", "id_b")
     }),
 
@@ -491,6 +501,29 @@ object SparkEntry {
         |         AS fingerprint,
         |       min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Planted-duplicate oracles: every doc/vec has one exact copy at
+    // id + 1e6; identical inputs share all LSH buckets, so the expected
+    // output is exactly one pair per original with similarity 1 / hamming 0.
+    "c2_minhash_lsh" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |       CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    "c3_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |       CAST(0 AS INTEGER) AS hamming
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    "c4_ngram_jaccard" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |       CAST(1.0 AS DOUBLE) AS ngram_jaccard
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    "c5_embed_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        |       CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings ORDER BY 1""".stripMargin,
 
     "c6_cosine_topk" ->
       """SELECT query_id, neighbor_id, round(cos, 6) AS cos, rnk FROM (

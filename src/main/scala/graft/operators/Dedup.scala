@@ -48,27 +48,25 @@ object Dedup {
 
   // ---------------------------------------------------------- MinHash+LSH
 
-  /** k universal-ish hash functions h_i(x) = a_i·x + b_i (wrapping Long
-    * arithmetic — fine for min-wise hashing). Seeded: deterministic across
-    * runs and task retries.
+  /** MinHash signature (length k) of a shingle-hash array column.
+    * Hash family: h_i(x) = xxhash64(i, x) — ANSI-safe (Spark 4 defaults
+    * spark.sql.ansi.enabled=true, so the classic wrapping a·x+b family
+    * throws ARITHMETIC_OVERFLOW), seeded, deterministic across runs and
+    * task retries.
     */
-  private def minhashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
-  }
-
-  /** MinHash signature (length k) of a shingle-hash array column. */
-  def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
-    array(minhashParams(k, seed).map { case (a, b) =>
-      array_min(transform(shingles, x => x * lit(a) + lit(b)))
-    }: _*)
+  def minhashSignature(shingles: Column, k: Int = 64): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingles, x => xxhash64(lit(i), x)))): _*)
 
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle → k-minhash → `bands` bands of r = k/bands rows; docs sharing
     * any band land in the same bucket (shuffle keyed on (band, bucketHash) —
-    * never on raw text). Candidates are then verified with EXACT Jaccard on
-    * the shingle sets and filtered at `threshold`.
+    * never on raw text). Candidate id pairs are DISTINCT'd first and only
+    * then joined back to the shingle sets for exact-Jaccard verification —
+    * the band shuffle carries (id, band, bucket) triples, never the shingle
+    * arrays (at 100 TB shipping each doc's shingles ×bands through the
+    * shuffle is the difference between GBs and TBs of shuffle IO).
     *
     * Default k=64, bands=16 (r=4) → LSH s-curve threshold (1/16)^(1/4) ≈ 0.5.
     *
@@ -76,32 +74,30 @@ object Dedup {
     */
   def minhashDedupPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, bands: Int = 16,
-                        threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+                        threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val withSig = df.select(
-        col(idCol).as("id"),
-        shingleHashes(col(textCol)).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), k, seed))
+    val shingled = df.select(
+      col(idCol).as("id"), shingleHashes(col(textCol)).as("shingles"))
+    val banded = shingled
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(j =>
+          xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*))
+          .as(Seq("band", "bucket")))
 
-    val banded = withSig.select(
-      col("id"), col("shingles"),
-      posexplode(array((0 until bands).map(j =>
-        xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*))
-        .as(Seq("band", "bucket")))
-
-    val left = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val right = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-
-    left.join(right, Seq("band", "bucket"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("band", "bucket"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .where(col("id_a") < col("id_b"))
+      .distinct()
+
+    candidates
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .groupBy("id_a", "id_b")
-      .agg(round(max("jaccard"), 6).as("jaccard"))
   }
 
   // -------------------------------------------------------------- SimHash
