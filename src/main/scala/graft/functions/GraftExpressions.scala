@@ -1,0 +1,349 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions (with `doGenCode`) for the hot inner loops
+  * the built-in higher-order functions handle badly: 64-bit SimHash over a
+  * token array, cosine over `array<float>`, and sign-LSH plane projections.
+  *
+  * Rationale: the declarative forms (`transform`/`zip_with`/`aggregate`)
+  * materialize a fresh 64-element array per token / per element pair, which
+  * at 100 TB is pure GC pressure. These expressions keep the arithmetic in
+  * tight scalar loops inside whole-stage codegen — same semantics, ~constant
+  * memory per row.
+  */
+object GraftExpressions {
+
+  private def c(e: Expression): Column = GraftColumnBridge.column(e)
+  private def x(col: Column): Expression = GraftColumnBridge.expression(col)
+
+  /** 64-bit SimHash of a token array (see [[SimHash64Expr]]). */
+  def simhash64(tokens: Column): Column = c(SimHash64Expr(x(tokens)))
+
+  /** Cosine similarity of two float vectors (see [[FloatCosineExpr]]). */
+  def floatCosine(a: Column, b: Column): Column =
+    c(FloatCosineExpr(x(a), x(b)))
+
+  /** Sign-LSH bucket ids, one per table (see [[PlaneSignBucketsExpr]]). */
+  def planeSignBuckets(v: Column, planes: Array[Array[Double]],
+                       tables: Int, bitsPerTable: Int): Column =
+    c(PlaneSignBucketsExpr(x(v), planes, tables, bitsPerTable))
+
+  /** k-MinHash signature over w-token shingles (see [[MinHashSigExpr]]). */
+  def minhashSignature(tokens: Column, shingleWidth: Int, k: Int): Column =
+    c(MinHashSigExpr(x(tokens), shingleWidth, k))
+}
+
+/** SimHash64(tokens): per-token xxhash64 (seed 42, identical to the
+  * `xxhash64` SQL function on strings), ±1 vote per bit across tokens,
+  * sign(vote) → bit. One tight loop, no per-token array churn — replaces a
+  * `transform`+`aggregate`+`zip_with` pipeline that allocated a 64-long
+  * array per token (the round-1 bench's single slowest operator).
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** FloatCosine(a, b): cosine similarity of two `array<float>` vectors,
+  * accumulated in double, 0.0 when either norm is 0. Single loop over the
+  * shorter length; replaces cast-to-double + three `zip_with`/`aggregate`
+  * passes (each of which allocated an intermediate double array per row).
+  */
+case class FloatCosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"floatCosine expects two array<float>, got ${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = xs.getFloat(i).toDouble
+      val yv = ys.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatCosineExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** PlaneSignBuckets(v): projects a float vector onto `tables ×
+  * bitsPerTable` fixed hyperplanes and packs the sign bits into one bucket
+  * id per table — the whole banded sign-LSH signature in a single pass.
+  * Returns array<int> of length `tables` (each in [0, 2^bitsPerTable)).
+  * The plane matrix rides along as a referenced object (driver-broadcast
+  * with the serialized plan), so the generated loop reads it directly.
+  */
+case class PlaneSignBucketsExpr(child: Expression,
+                                planes: Array[Array[Double]],
+                                tables: Int, bitsPerTable: Int)
+    extends UnaryExpression {
+  require(planes.length == tables * bitsPerTable,
+    s"need ${tables * bitsPerTable} planes, got ${planes.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"planeSignBuckets expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def bucketsOf(v: ArrayData): Array[Int] = {
+    val out = new Array[Int](tables)
+    val n = v.numElements()
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var b = 0
+      while (b < bitsPerTable) {
+        val plane = planes(t * bitsPerTable + b)
+        var dot = 0.0
+        var i = 0
+        val m = math.min(n, plane.length)
+        while (i < m) { dot += v.getFloat(i) * plane(i); i += 1 }
+        if (dot >= 0.0) bucket |= (1 << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bucketsOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket")
+      val plane = ctx.freshName("plane")
+      val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+      s"""
+         |int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $bucket = 0;
+         |  for (int $b = 0; $b < $bitsPerTable; $b++) {
+         |    double[] $plane = $planesRef[$t * $bitsPerTable + $b];
+         |    double $dot = 0.0;
+         |    int $m = Math.min($v.numElements(), $plane.length);
+         |    for (int $i = 0; $i < $m; $i++) {
+         |      $dot += (double) $v.getFloat($i) * $plane[$i];
+         |    }
+         |    if ($dot >= 0.0) $bucket |= (1 << $b);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneSignBucketsExpr =
+    copy(child = newChild)
+}
+
+/** MinHashSig(tokens): k-MinHash signature over w-token shingles in one
+  * pass — token xxhash64 (seed 42), shingle hash chained via
+  * XXH64.hashLong over the window, then h_i(shingle) = hashLong(shingle,
+  * hashInt(i, 42)) with a running minimum per i. Replaces k separate
+  * `transform`+`array_min` passes (k=64 array materializations per row —
+  * exactly the constant-factor disease the round-1 SimHash had). The hash
+  * family is ANSI-safe: no wrapping arithmetic, so no ARITHMETIC_OVERFLOW
+  * under Spark 4's default ANSI mode.
+  */
+case class MinHashSigExpr(child: Expression, shingleWidth: Int, k: Int)
+    extends UnaryExpression {
+  require(shingleWidth > 0 && k > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhashSignature expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // per-hash-function seeds: hashInt(i, 42), matching xxhash64(lit(i), x)
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    val minima = Array.fill(k)(Long.MaxValue)
+    val nShingles = math.max(n - shingleWidth + 1, 1)
+    var s = 0
+    while (s < nShingles) {
+      var sh = 42L
+      var j = s
+      val end = math.min(s + shingleWidth, n)
+      while (j < end) { sh = XXH64.hashLong(th(j), sh); j += 1 }
+      var f = 0
+      while (f < k) {
+        val v = XXH64.hashLong(sh, seeds(f))
+        if (v < minima(f)) minima(f) = v
+        f += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(minima)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+      val n = ctx.freshName("n")
+      val th = ctx.freshName("th")
+      val i = ctx.freshName("i")
+      val minima = ctx.freshName("minima")
+      val nSh = ctx.freshName("nSh")
+      val s = ctx.freshName("s")
+      val sh = ctx.freshName("sh")
+      val j = ctx.freshName("j")
+      val end = ctx.freshName("end")
+      val f = ctx.freshName("f")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $th = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $th[$i] = $arr.isNullAt($i) ? 42L
+         |    : $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |}
+         |long[] $minima = new long[$k];
+         |java.util.Arrays.fill($minima, Long.MAX_VALUE);
+         |int $nSh = Math.max($n - $shingleWidth + 1, 1);
+         |for (int $s = 0; $s < $nSh; $s++) {
+         |  long $sh = 42L;
+         |  int $end = Math.min($s + $shingleWidth, $n);
+         |  for (int $j = $s; $j < $end; $j++) {
+         |    $sh = $xxh.hashLong($th[$j], $sh);
+         |  }
+         |  for (int $f = 0; $f < $k; $f++) {
+         |    long $v = $xxh.hashLong($sh, $seedsRef[$f]);
+         |    if ($v < $minima[$f]) $minima[$f] = $v;
+         |  }
+         |}
+         |${ev.value} = new $gad($minima);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}

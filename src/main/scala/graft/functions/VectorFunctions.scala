@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` columns with higher-order Catalyst
-  * functions — no UDFs, no per-row JVM object churn beyond the array itself.
-  * Used by similarity search and embedding dedup.
+/** Dense-vector math as declarative higher-order Catalyst functions.
+  * The hot path uses the codegen'd [[GraftExpressions.floatCosine]]
+  * instead; these forms are the engine-independent reference the specs
+  * cross-check that expression against.
   */
 object VectorFunctions {
 
@@ -20,10 +21,4 @@ object VectorFunctions {
     val denom = norm(a) * norm(b)
     when(denom === 0.0d, lit(0.0d)).otherwise(dot(a, b) / denom)
   }
-
-  /** Dot product against a constant plane (Scala-side weights become an
-    * array literal — Catalyst constant-folds the whole rhs).
-    */
-  def dotConst(v: Column, weights: Array[Double]): Column =
-    dot(v.cast("array<double>"), array(weights.map(lit).toSeq: _*))
 }

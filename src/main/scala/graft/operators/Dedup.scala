@@ -48,16 +48,6 @@ object Dedup {
 
   // ---------------------------------------------------------- MinHash+LSH
 
-  /** MinHash signature (length k) of a shingle-hash array column.
-    * Hash family: h_i(x) = xxhash64(i, x) — ANSI-safe (Spark 4 defaults
-    * spark.sql.ansi.enabled=true, so the classic wrapping a·x+b family
-    * throws ARITHMETIC_OVERFLOW), seeded, deterministic across runs and
-    * task retries.
-    */
-  def minhashSignature(shingles: Column, k: Int = 64): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingles, x => xxhash64(lit(i), x)))): _*)
-
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle → k-minhash → `bands` bands of r = k/bands rows; docs sharing
@@ -79,8 +69,14 @@ object Dedup {
     val r = k / bands
     val shingled = df.select(
       col(idCol).as("id"), shingleHashes(col(textCol)).as("shingles"))
-    val banded = shingled
-      .withColumn("sig", minhashSignature(col("shingles"), k))
+    // signature via the one-pass codegen'd MinHashSigExpr (tokens → shingle
+    // chain-hash → k running minima); the string-shingle arrays above are
+    // only ever joined to the DISTINCT'd candidate pairs for verification
+    val tokens = TextFunctions.wsTokens(TextFunctions.normalize(col(textCol)))
+    val banded = df
+      .select(col(idCol).as("id"),
+        graft.functions.GraftExpressions
+          .minhashSignature(tokens, 3, k).as("sig"))
       .select(col("id"),
         posexplode(array((0 until bands).map(j =>
           xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*))
@@ -103,25 +99,14 @@ object Dedup {
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the whitespace tokens: per-token xxhash64, bit-wise
-    * ±1 vote accumulation in ONE aggregate pass (array accumulator), sign →
-    * bit.
+    * ±1 vote accumulation, sign → bit. Computed by the codegen'd
+    * [[graft.functions.SimHash64Expr]] — the declarative
+    * `aggregate`/`zip_with` form allocated a 64-long array per token and
+    * was the single slowest operator in the round-1 bench (19 s of 44).
     */
-  def simhash64(c: Column): Column = {
-    val hashes = transform(TextFunctions.wsTokens(TextFunctions.normalize(c)),
-      t => xxhash64(t))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(
-        acc,
-        array((0 until 64).map(b =>
-          shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)): _*),
-        (x, y) => x + y))
-    (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      acc.bitwiseOR(
-        when(element_at(votes, b + 1) > 0L, lit(1L << b)).otherwise(lit(0L)))
-    }
-  }
+  def simhash64(c: Column): Column =
+    graft.functions.GraftExpressions.simhash64(
+      TextFunctions.wsTokens(TextFunctions.normalize(c)))
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming.
     * Candidate generation: split the 64-bit simhash into 4 16-bit bands —

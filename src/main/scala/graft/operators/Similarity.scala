@@ -3,20 +3,22 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions._
+import graft.functions.GraftExpressions
 
 /** Similarity search over an `array<float>` embedding column.
   *
   * Scale story: the query set is the SMALL side — it is broadcast, so the
-  * corpus is scanned exactly once, partition-local, no shuffle of the corpus
-  * ever happens. Top-k per query runs as a partial (per-partition) top-k
-  * before the final per-query merge, so the shuffle carries at most
-  * k·partitions·queries rows, not the corpus.
+  * corpus is scanned exactly once, partition-local; no corpus-sized shuffle
+  * exists in any plan here. Top-k runs as a per-partition bounded heap
+  * before the per-query merge, so the merge shuffle carries at most
+  * k·partitions·|Q| rows, never the scored corpus. Scoring uses the
+  * codegen'd [[graft.functions.FloatCosineExpr]] (one tight loop per pair,
+  * no intermediate arrays).
   */
 object Similarity {
 
   /** Brute-force cosine top-k: exact baseline. `queries` must be small
-    * (broadcast). Returns (query_id, neighbor_id, cos) — self-matches
+    * (broadcast). Returns (query_id, neighbor_id, cos, rnk) — self-matches
     * excluded, ties broken by neighbor id.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -25,8 +27,41 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(F.broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("cv").cast("array<double>"), col("qv").cast("array<double>"))
-          .as("cos"))
+        GraftExpressions.floatCosine(col("cv"), col("qv")).as("cos"))
+    topKPerQuery(partialTopK(scored, k), k)
+  }
+
+  /** Per-partition bounded top-k heap: keeps the k best (cos desc, id asc)
+    * rows per query per partition. This is the partial aggregate that makes
+    * the final per-query window a merge of k·partitions·|Q| rows instead of
+    * a corpus-sized exchange into |Q| reducer tasks.
+    */
+  private[operators] def partialTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cos").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        import scala.collection.mutable
+        // "worst kept row" dequeues first: lowest cos, then highest id
+        val worstFirst =
+          Ordering.by[(Long, Long, Double), (Double, Long)](r => (-r._3, r._2))
+        val heaps =
+          mutable.Map.empty[Long, mutable.PriorityQueue[(Long, Long, Double)]]
+        it.foreach { r =>
+          val h = heaps.getOrElseUpdate(r._1,
+            mutable.PriorityQueue.empty(worstFirst))
+          h.enqueue(r)
+          if (h.size > k) h.dequeue()
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+  }
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -40,70 +75,82 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** Random-hyperplane signature: bit p = sign(v · r_p). Collision
-    * probability of two vectors = 1 - θ/π per bit, so equal 16-bit
-    * signatures ⇒ small angle. Constant-folded plane literals, one pass.
+  /** All XOR masks of `bits` bits with popcount ≤ maxHamming — the
+    * multi-probe neighborhood of a bucket.
     */
-  def lshSignature(vecCol: String, nPlanes: Int = 16, dim: Int = 64,
-                   seed: Long = 7L): org.apache.spark.sql.Column = {
-    val planes = hyperplanes(nPlanes, dim, seed)
-    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
-      acc.bitwiseOR(
-        when(dotConst(col(vecCol), p) >= 0.0d, lit(1L << i)).otherwise(lit(0L)))
-    }
-  }
+  private[graft] def probeMasks(bits: Int, maxHamming: Int): Seq[Int] =
+    (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= maxHamming)
 
-  /** LSH-bucketed approximate top-k: corpus and queries hashed to 16-bit
-    * sign signatures; candidates = same bucket (plus multi-probe on the
-    * `probes` lowest-bit flips to lift recall); exact cosine rerank inside
-    * buckets only. The corpus-side shuffle is keyed on the 16-bit bucket —
-    * at 100 TB this is the difference between a bucket-join and an
-    * impossible cross product.
+  /** LSH-bucketed approximate top-k, OR-amplified: `tables` independent
+    * sign-LSH tables of `bitsPerTable` bits each (round 1's single AND-only
+    * 16-bit signature had ~2^-16 collision probability — zero recall).
+    * Queries multi-probe every bucket within Hamming ≤ `probeHamming` of
+    * their own, so a true neighbor is missed only if it mismatches every
+    * table by > probeHamming bits — P(miss) ≈ 1e-6 at cos 0.5 with the
+    * defaults. Exact cosine runs map-side on bucket hits (before any
+    * shuffle); the only shuffled rows are (query, neighbor, cos) triples.
+    *
+    * At larger corpora raise `bitsPerTable` ≈ log2(n / desired bucket size);
+    * the shape (broadcast probe join + hit dedup + rerank) is unchanged.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int = 10, nPlanes: Int = 16, dim: Int = 64,
-              probes: Int = 2, seed: Long = 7L): DataFrame = {
-    val sig = lshSignature(vecCol, nPlanes, dim, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      sig.as("bucket"))
-    // multi-probe: each query also probes buckets with one of the lowest
-    // `probes` bits flipped
-    val probeSigs = (0 until probes).foldLeft(Seq(sig)) { (acc, b) =>
-      acc :+ sig.bitwiseXOR(lit(1L << b))
-    }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(array_distinct(array(probeSigs: _*))).as("bucket"))
-    val scored = c.join(q, Seq("bucket"))
+              vecCol: String, k: Int = 10, tables: Int = 16,
+              bitsPerTable: Int = 6, probeHamming: Int = 2, dim: Int = 64,
+              seed: Long = 7L): DataFrame = {
+    val planes = hyperplanes(tables * bitsPerTable, dim, seed)
+    def buckets(v: org.apache.spark.sql.Column) =
+      GraftExpressions.planeSignBuckets(v, planes, tables, bitsPerTable)
+
+    val cHit = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .select(col("neighbor_id"), col("cv"),
+        posexplode(buckets(col("cv"))).as(Seq("tbl", "bucket")))
+
+    val masks = probeMasks(bitsPerTable, probeHamming)
+    val qProbe = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        posexplode(buckets(col("qv"))).as(Seq("tbl", "qbucket")))
+      .select(col("query_id"), col("qv"), col("tbl"),
+        explode(array(masks.map(m =>
+          col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+
+    val hits = cHit.join(F.broadcast(qProbe), Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("cv").cast("array<double>"), col("qv").cast("array<double>"))
-          .as("cos"))
-      .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "cos", "rnk")
+        GraftExpressions.floatCosine(col("cv"), col("qv")).as("cos"))
+
+    // dedup multi-table hits; cos is identical per pair, so max == first
+    val scored = hits.groupBy("query_id", "neighbor_id")
+      .agg(max("cos").as("cos"))
+    topKPerQuery(scored, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH buckets → exact cosine ≥
-    * threshold. Returns (id_a, id_b, cos).
+  /** Embedding-cosine near-duplicate pairs, OR-amplified across `tables`
+    * independent sign-LSH tables (single-table AND-hashing only ever finds
+    * exact copies — cos 0.95 near-dups collide with prob ≈ 0.43 per 8-bit
+    * table, ≥ 0.9998 across 16). Bucket self-join carries only ids; vectors
+    * are joined back for exact-cosine verification on the DISTINCT'd
+    * candidate pairs. Returns (id_a, id_b, cos) with id_a < id_b.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double = 0.95, nPlanes: Int = 16,
-                            dim: Int = 64, seed: Long = 7L): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignature(vecCol, nPlanes, dim, seed).as("bucket"))
-    val left = keyed.select(col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"))
-    val right = keyed.select(col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"))
-    left.join(right, Seq("bucket"))
+                            threshold: Double = 0.95, tables: Int = 16,
+                            bitsPerTable: Int = 8, dim: Int = 64,
+                            seed: Long = 7L): DataFrame = {
+    val planes = hyperplanes(tables * bitsPerTable, dim, seed)
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = keyed.select(col("id"),
+      posexplode(GraftExpressions.planeSignBuckets(col("v"), planes,
+        tables, bitsPerTable)).as(Seq("tbl", "bucket")))
+
+    val candidates = banded.as("l").join(banded.as("r"), Seq("tbl", "bucket"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .where(col("id_a") < col("id_b"))
+      .distinct()
+
+    candidates
+      .join(keyed.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(keyed.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        cosine(col("v_a").cast("array<double>"), col("v_b").cast("array<double>"))
-          .as("cos"))
+        round(GraftExpressions.floatCosine(col("v_a"), col("v_b")), 6).as("cos"))
       .where(col("cos") >= threshold)
-      .groupBy("id_a", "id_b").agg(round(max("cos"), 6).as("cos"))
   }
 }
