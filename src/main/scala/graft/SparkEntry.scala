@@ -131,13 +131,15 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Row-invariance through the salted repartition (no row lost or
+    // duplicated, per key) — the exact invariant the reference's replayable
+    // salt bug violated. The balance bound (max (key, salt) group size)
+    // is asserted in BalancedRepartitionSpec.
     "a9_balanced_repartition" -> ((s, dir) => {
       val rep = BalancedRepartition(t(s, dir, "lineitem"),
         Seq("l_returnflag"), rowsPerFile = 1000L)
-      rep.select(spark_partition_id().as("pid"))
-        .groupBy("pid").agg(count(lit(1)).as("part_rows"))
-        .agg(count(lit(1)).as("n_parts"), sum("part_rows").as("total_rows"),
-          max("part_rows").as("max_part_rows"))
+      rep.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
     }),
 
     "a10_partitioned_sink" -> ((s, dir) => {
@@ -402,6 +404,10 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "a9_balanced_repartition" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "a10_partitioned_sink" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
@@ -553,6 +559,28 @@ object SparkEntry {
         |  FROM embeddings c, embeddings q
         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Exact DuckDB replica of the stopword-argmax heuristic (ties resolve
+    // to the greatest lang code in both engines: array_max on structs /
+    // list_aggregate 'max'). Note the corpus's `lang` labels are random
+    // metadata on synthetic text, so label-accuracy is not a usable oracle;
+    // per-doc prediction equality is the stronger check.
+    "c8_lang_id" ->
+      """SELECT doc_id,
+        |  list_aggregate([
+        |    {'hits': len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |       t -> list_contains(['der','die','und','in','den','von','zu','das','mit','sich'], t))), 'lang': 'de'},
+        |    {'hits': len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |       t -> list_contains(['the','and','of','to','in','is','that','it','for','with'], t))), 'lang': 'en'},
+        |    {'hits': len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |       t -> list_contains(['de','la','que','el','en','y','los','del','se','las'], t))), 'lang': 'es'},
+        |    {'hits': len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |       t -> list_contains(['de','la','le','et','les','des','en','du','un','que'], t))), 'lang': 'fr'},
+        |    {'hits': len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |       t -> list_contains(['de','que','e','o','a','do','da','em','um','para'], t))), 'lang': 'pt'}
+        |  ], 'max').lang AS lang_pred,
+        |  lang AS lang_label
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "c9_quality" ->
       """SELECT doc_id,

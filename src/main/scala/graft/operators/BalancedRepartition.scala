@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * Re-expression of the reference's `get_partition_balanced`
   * (/root/reference/etl/censo_escolar/transform/transform.py:155-169), with
-  * two scale fixes:
+  * three scale fixes:
   *   - the per-key count frame is tiny (one row per partition value), so we
   *     BROADCAST it back instead of shuffling the full fact table through a
   *     sort-merge join as the reference does;
-  *   - rand() is seeded, so the plan is deterministic and retryable (a task
-  *     retry in the reference can double/lose rows because the salt is
-  *     non-deterministic across replays).
+  *   - the salt is a content hash (`xxhash64` over the row) mod the key's
+  *     group count, not `rand()`: fully deterministic under task retries,
+  *     speculative execution, and AQE re-planning — the reference's
+  *     non-deterministic salt can double or lose rows when a task replays;
+  *   - the count join uses null-safe equality, so null-keyed rows survive
+  *     (an inner EqualTo join silently drops every null partition key).
   *
   * At 100 TB the shuffle this produces is keyed on (partition cols, salt) —
   * uniform ≤ rowsPerFile-sized reducer inputs regardless of skew.
@@ -22,15 +25,21 @@ import org.apache.spark.sql.functions._
 object BalancedRepartition {
 
   def apply(df: DataFrame, partitionCols: Seq[String],
-            rowsPerFile: Long = 2000000L, seed: Long = 42L): DataFrame = {
+            rowsPerFile: Long = 2000000L): DataFrame = {
     val keyCols = partitionCols.map(col)
     val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__key_count"))
-    val salted = df
-      .join(F.broadcast(counts), partitionCols)
-      .withColumn("__salt",
-        (rand(seed) * col("__key_count") / rowsPerFile).cast("int"))
-    salted
+    val countsAliased = counts.select(
+      (partitionCols.map(c => col(c).as(s"__k_$c")) :+ col("__key_count")): _*)
+    val joinCond = partitionCols
+      .map(c => col(c) <=> col(s"__k_$c"))
+      .reduce(_ && _)
+    val nGroups = greatest(
+      ceil(col("__key_count").cast("double") / rowsPerFile.toDouble), lit(1.0))
+      .cast("long")
+    val rowHash = xxhash64(df.columns.map(col).toSeq: _*)
+    df.join(F.broadcast(countsAliased), joinCond)
+      .withColumn("__salt", pmod(rowHash, nGroups))
       .repartition((keyCols :+ col("__salt")): _*)
-      .drop("__key_count", "__salt")
+      .drop((partitionCols.map(c => s"__k_$c") :+ "__key_count" :+ "__salt"): _*)
   }
 }
