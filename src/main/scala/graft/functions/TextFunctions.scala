@@ -94,18 +94,19 @@ object TextFunctions {
     array_max(array(scored: _*)).getField("lang")
   }
 
-  /** Rolling polynomial hash over the normalized text's characters (base
-    * 257, modulus 2^61-1 via Long arithmetic) — the classic Rabin-Karp
-    * document fingerprint, computed with higher-order array functions
-    * entirely inside codegen. Engine-native (rows-only checked).
+  /** Rolling polynomial hash over the normalized text's characters — the
+    * classic Rabin-Karp document fingerprint, computed with higher-order
+    * array functions entirely inside codegen. Base 257 mod the Mersenne
+    * prime 2^31-1: the accumulator stays < 2^40, so the fold is safe under
+    * Spark 4's default ANSI mode (a wrapping-Long variant throws
+    * ARITHMETIC_OVERFLOW). Engine-native (spec-checked).
     */
   def rollingHash(c: Column): Column = {
     val norm = normalize(c)
-    // fold over code points: h = h * 257 + cp  (wrapping Long arithmetic)
     aggregate(
       transform(split(norm, ""), ch => ascii(ch).cast("long")),
       lit(0L),
-      (acc, cp) => acc * lit(257L) + cp
+      (acc, cp) => (acc * lit(257L) + cp) % lit(2147483647L)
     )
   }
 }

@@ -37,9 +37,18 @@ object BalancedRepartition {
       ceil(col("__key_count").cast("double") / rowsPerFile.toDouble), lit(1.0))
       .cast("long")
     val rowHash = xxhash64(df.columns.map(col).toSeq: _*)
+    // Shuffle-partition count = the number of (key, salt) groups, so each
+    // group ≈ one reducer ≈ one output file regardless of
+    // spark.sql.shuffle.partitions (the reference inherits whatever the
+    // session default is — 200 groups into 200 partitions only by luck).
+    // The count is a one-row driver-side scalar, same class of action as
+    // AQE's statistics collection.
+    val totalGroups = counts.agg(
+      sum(greatest(ceil(col("__key_count").cast("double") / rowsPerFile.toDouble),
+        lit(1.0))).cast("long")).head().getLong(0).toInt.max(1)
     df.join(F.broadcast(countsAliased), joinCond)
       .withColumn("__salt", pmod(rowHash, nGroups))
-      .repartition((keyCols :+ col("__salt")): _*)
+      .repartition(totalGroups, (keyCols :+ col("__salt")): _*)
       .drop((partitionCols.map(c => s"__k_$c") :+ "__key_count" :+ "__salt"): _*)
   }
 }

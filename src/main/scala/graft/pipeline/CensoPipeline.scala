@@ -28,6 +28,34 @@ object CensoPipeline {
   val retMap: Map[String, String] =
     Map("A" -> "Accepted", "N" -> "None", "R" -> "Refused")
 
+  /** The reference's year-conditional escolas column rules, re-expressed
+    * verbatim (transform.py:112-137 join_columns + rename_columns):
+    * pre-2019 files OR-merge the ONG/OSCIP maintainer flags and the two
+    * fossa columns; the merged parts are dropped unconditionally. The
+    * reference then copies IN_ALOJAM_* to IN_DORMITORIO_* and immediately
+    * drops the copies (a self-canceling rename — reproduced as-is so
+    * outputs match), leaving CO_LINGUA_INDIGENA_1 as the only rename that
+    * survives.
+    */
+  def escolasYearRules(df: DataFrame, year: Int): DataFrame = {
+    val merged =
+      if (year < 2019)
+        df.withColumn("IN_MANT_ESCOLA_PRIV_ONG_OSCIP",
+            col("IN_MANT_ESCOLA_PRIVADA_ONG") || col("IN_MANT_ESCOLA_PRIVADA_OSCIP"))
+          .withColumn("IN_ESGOTO_FOSSA",
+            col("IN_ESGOTO_FOSSA_SEPTICA") || col("IN_ESGOTO_FOSSA_COMUM"))
+      else df
+    val dropped = merged.drop("IN_MANT_ESCOLA_PRIVADA_ONG",
+      "IN_MANT_ESCOLA_PRIVADA_OSCIP", "IN_ESGOTO_FOSSA_SEPTICA",
+      "IN_ESGOTO_FOSSA_COMUM")
+    val renamed =
+      if (year < 2019)
+        dropped.withColumn("CO_LINGUA_INDIGENA_1", col("CO_LINGUA_INDIGENA"))
+      else dropped
+    renamed.drop("IN_DORMITORIO_ALUNO", "IN_DORMITORIO_PROFESSOR",
+      "CO_LINGUA_INDIGENA")
+  }
+
   /** transform(): the full recode chain with censo column-prefix
     * conventions (TP_/CO_ categorical, IN_ boolean, NU_/QT_ integer,
     * DT_ date).

@@ -46,6 +46,32 @@ object SchemaCsv {
       .mode(mode)
       .parquet(path)
 
+  /** Idempotent partitioned sink: appends new partition values, but
+    * re-running the SAME partition value REPLACES it instead of
+    * duplicating rows (dynamic partition overwrite — only partitions
+    * present in `df` are touched). The reference gets idempotence only
+    * from an Airflow-side diff of years already in the bucket
+    * (etl/dags/censo_escolar.py:39-48) and silently double-loads if that
+    * guard is bypassed; here a replayed year is safe by construction.
+    */
+  def writePartitionedIdempotent(df: DataFrame, path: String,
+                                 partitionCols: Seq[String]): Unit = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try
+      df.write
+        .partitionBy(partitionCols: _*)
+        .option("compression", "snappy")
+        .mode("overwrite")
+        .parquet(path)
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   /** Partition-discovery read of a hive-partitioned dataset — the engine-side
     * equivalent of the reference's BigQuery external tables
     * (load/load_external_tables.sql: `WITH PARTITION COLUMNS`).

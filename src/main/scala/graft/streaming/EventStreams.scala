@@ -67,6 +67,9 @@ object EventStreams {
   def sessionizeStream(spark: SparkSession, dir: String, schema: StructType,
                        gap: String = "30 minutes"): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+      // floor to whole seconds BEFORE windowing, same as the batch twin —
+      // keeps session boundaries bit-identical between the two forms
+      .withColumn("ts", date_trunc("second", col("ts")))
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),

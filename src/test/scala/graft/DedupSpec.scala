@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Near-duplicate detection on PLANTED near-dups (the oracle-checked
+  * queries only lock recall on identical copies; these lock the
+  * non-identical behavior).
+  */
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  // 60-token base doc; near = last 5 tokens replaced (shingle Jaccard ≈ .84)
+  private val base = (1 to 60).map(i => s"word$i").mkString(" ")
+  private val nearTail =
+    ((1 to 55).map(i => s"word$i") ++ (1 to 5).map(i => s"other$i")).mkString(" ")
+  private val unrelated = (1 to 60).map(i => s"zzz$i").mkString(" ")
+
+  private def docs = Seq(
+    (1L, base), (2L, nearTail), (3L, unrelated),
+    (4L, "Base   COPY with weird spacing"), (5L, "base copy with weird spacing")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups whitespace/case variants under one fingerprint") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id").collect()
+    assert(out.length === 4) // 4 distinct normalized texts
+    val dupGroup = out.filter(_.getAs[Long]("dup_count") == 2L)
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head.getAs[Long]("keep_id") === 4L)
+  }
+
+  test("minhashDedupPairs finds the planted near-dup and nothing else") {
+    val pairs = Dedup.minhashDedupPairs(docs, "text", "doc_id", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (4L, 5L)))
+    val near = pairs.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(near._3 > 0.7 && near._3 < 1.0) // genuinely near, not identical
+    val exact = pairs.find(p => p._1 == 4L && p._2 == 5L).get
+    assert(exact._3 === 1.0)
+  }
+
+  test("simhashDedupPairs finds small-perturbation dups within hamming bound") {
+    val oneWordOff = ((1 to 59).map(i => s"word$i") :+ "changed").mkString(" ")
+    val df = Seq((1L, base), (2L, oneWordOff), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashDedupPairs(df, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs verifies candidates sharing a prefix block") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (4L, 5L)))
+    assert(pairs.forall(_._3 >= 0.5))
+  }
+
+  test("jaccard: exact set similarity on hash arrays") {
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L))).toDF("a", "b")
+    val j = df.select(Dedup.jaccard(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(j - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("shingle-based signatures are deterministic across evaluations") {
+    val sig = graft.functions.GraftExpressions.minhashSignature(
+      split(col("text"), " "), 3, 64)
+    val a = docs.select(sig.as("s")).collect().map(_.getSeq[Long](0))
+    val b = docs.select(sig.as("s")).collect().map(_.getSeq[Long](0))
+    assert(a.map(_.toVector).toSeq === b.map(_.toVector).toSeq)
+    assert(a.forall(_.length === 64))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming twins run with Trigger.AvailableNow against a
+  * parquet copy of the events table, then compared row-for-row with the
+  * (DuckDB-oracle-checked) batch forms. Append mode: the watermark ends at
+  * max(event time) - 2h, so a tail of unfinalized windows is legitimately
+  * absent — every EMITTED row must match the batch twin exactly.
+  */
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val events = Tables(spark, sfDir(), "events")
+
+  private lazy val stagedDir: String = {
+    val d = Files.createTempDirectory("graft_stream_events").toString
+    events.write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def runToCompletion(stream: org.apache.spark.sql.DataFrame,
+                              name: String): org.apache.spark.sql.DataFrame = {
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("hourlyAggStream(AvailableNow) rows all match the batch twin") {
+    val schema = events.schema
+    val streamed = runToCompletion(
+      EventStreams.hourlyAggStream(spark, stagedDir, schema), "hourly_mem")
+    val batch = EventStreams.hourlyAgg(events)
+      .select("hour", "event_type", "n_events", "sum_value")
+    val n = streamed.count()
+    assert(n > 0, "no finalized windows emitted")
+    val unmatched = streamed.join(batch,
+      Seq("hour", "event_type", "n_events", "sum_value"), "left_anti").count()
+    assert(unmatched === 0L)
+    // watermark holdback only: batch row count bounds the streamed one
+    assert(n <= batch.count())
+  }
+
+  test("sessionizeStream(AvailableNow) sessions match the batch twin") {
+    val schema = events.schema
+    val streamed = runToCompletion(
+      EventStreams.sessionizeStream(spark, stagedDir, schema), "sessions_mem")
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_sec"),
+        col("n_events"), col("sum_value"))
+    val batch = EventStreams.sessionize(events)
+      .select("user_id", "start_sec", "n_events", "sum_value")
+    val n = streamed.count()
+    assert(n > 0, "no finalized sessions emitted")
+    val unmatched = streamed.join(batch,
+      Seq("user_id", "start_sec", "n_events", "sum_value"), "left_anti").count()
+    assert(unmatched === 0L)
+  }
+}

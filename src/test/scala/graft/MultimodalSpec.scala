@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = Tables(spark, sfDir(), "documents").limit(50)
+  private lazy val packed = Multimodal.packMedia(docs, "doc_id", "text")
+
+  test("packMedia: opaque binary payload + typed prunable metadata") {
+    val schema = packed.schema
+    assert(schema("media").dataType.typeName === "binary")
+    val metaFields = schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields ===
+      Multimodal.mediaMetaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // metadata-only query never touches payload bytes
+    val widths = packed.select("meta.width").collect().map(_.getInt(0))
+    assert(widths.forall(w => w >= 16 && w < 80))
+  }
+
+  test("sampleFrames: every stride-th of n_frames byte slices") {
+    val frames = Multimodal.sampleFrames(packed, stride = 2)
+    val perDoc = frames.groupBy("media_id").count()
+      .join(packed.select(col("media_id"), col("meta.n_frames").as("nf")), "media_id")
+      .collect()
+    perDoc.foreach { r =>
+      val got = r.getAs[Long]("count")
+      val nf = r.getAs[Int]("nf")
+      assert(got === (nf + 1) / 2, s"media ${r.get(0)}: $got frames of $nf")
+    }
+    assert(frames.schema("frame").dataType.typeName === "binary")
+  }
+
+  test("decodeStub: batched partition-local decode keeps schema contract") {
+    val out = Multimodal.decodeStub(spark, packed, batchSize = 16)
+    val rows = out.collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      val feats = r.getSeq[Double](2)
+      assert(feats.length === 16)
+      assert(math.abs(feats.sum - 1.0) < 1e-9) // L1-normalized histogram
+      assert(r.getInt(1) > 0)
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftExpressions, VectorFunctions}
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private def fvec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  private def pad64(head: Double*): Seq[Float] =
+    (head ++ Seq.fill(64 - head.length)(0.0)).map(_.toFloat)
+
+  test("floatCosine matches the declarative higher-order-function cosine") {
+    val emb = Tables(spark, sfDir(), "embeddings").limit(100)
+    val both = emb.select(
+      GraftExpressions.floatCosine(col("embedding"), reverse(col("embedding")))
+        .as("fast"),
+      VectorFunctions.cosine(col("embedding").cast("array<double>"),
+        reverse(col("embedding")).cast("array<double>")).as("ref"))
+    val maxDiff = both.select(max(abs(col("fast") - col("ref")))).head.getDouble(0)
+    assert(maxDiff < 1e-9)
+  }
+
+  test("cosineTopK: hand-checkable tiny corpus") {
+    val corpus = Seq(
+      (0L, fvec(1, 0)), (1L, fvec(0.9, 0.1)), (2L, fvec(0, 1)),
+      (3L, fvec(-1, 0))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, fvec(1, 0))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(corpus, queries, "vec_id", "embedding", k = 2)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 1L))
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(out(1).getDouble(2) - 0.9 / math.sqrt(0.82)) < 1e-9)
+  }
+
+  test("cosineTopK partial top-k equals a full-window reference") {
+    val emb = Tables(spark, sfDir(), "embeddings")
+    val queries = emb.where(col("vec_id") < 8)
+    val fast = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rnk")
+    // reference: no partial top-k, plain global window
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val ref = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftExpressions.floatCosine(col("cv"), col("qv")).as("cos"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk")
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+  }
+
+  test("lshTopK recall vs exact brute force is >= 0.9") {
+    val emb = Tables(spark, sfDir(), "embeddings")
+    val queries = emb.where(col("vec_id") < 8)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val nExact = exact.count()
+    val hits = exact.intersect(approx).count()
+    assert(nExact === 40L)
+    assert(hits.toDouble / nExact >= 0.9, s"recall $hits/$nExact")
+  }
+
+  test("embeddingNearDupPairs finds non-identical near-dups (cos ≈ .995)") {
+    val df = Seq(
+      (1L, pad64(1.0)),           // e1
+      (2L, pad64(1.0, 0.1)),      // cos(1,2) = 1/sqrt(1.01) ≈ 0.995
+      (3L, pad64(0.0, 1.0)),      // orthogonal to 1
+      (4L, pad64(0.0, 1.0, 0.1))  // cos(3,4) ≈ 0.995
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("SimHash64Expr matches an independent reimplementation") {
+    val tokens = Seq("hello", "world", "hello", "spark")
+    val expected = {
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
+        (0 until 64).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val got = Seq(Tuple1(tokens)).toDF("toks")
+      .select(GraftExpressions.simhash64(col("toks"))).head.getLong(0)
+    assert(got === expected)
+  }
+
+  test("probeMasks covers the multi-probe Hamming ball") {
+    val masks = Similarity.probeMasks(6, 2)
+    assert(masks.length === 1 + 6 + 15)
+    assert(masks.forall(m => Integer.bitCount(m) <= 2 && m < 64))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("t").select(c).head.get(0)
+
+  test("token counting: whitespace and BPE-ish") {
+    assert(one("a b  c", TextFunctions.tokenCount(col("t"))) === 3)
+    assert(one("", TextFunctions.tokenCount(col("t"))) === 0)
+    assert(one("   ", TextFunctions.tokenCount(col("t"))) === 0)
+    // runs: "ab" "12" "," "cd" -> 4
+    assert(one("ab12,cd", TextFunctions.bpeishTokenCount(col("t"))) === 4)
+  }
+
+  test("qualityScore is bounded and orders clean text above digit soup") {
+    val clean = one("The quick brown fox jumps over the lazy dog",
+      TextFunctions.qualityScore(col("t"))).asInstanceOf[Double]
+    val soup = one("00 11 2345 678 999 000 1 2 3 44 5555",
+      TextFunctions.qualityScore(col("t"))).asInstanceOf[Double]
+    assert(clean >= 0.0 && clean <= 1.0 && soup >= 0.0 && soup <= 1.0)
+    assert(clean > soup)
+  }
+
+  test("fingerprintMd5 equals JVM md5 of the normalized text") {
+    val text = "  Hello   WORLD  "
+    val norm = "hello world"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(one(text, TextFunctions.fingerprintMd5(col("t"))) === md)
+  }
+
+  test("rollingHash: known value, deterministic, ANSI-safe on long text") {
+    // "ab" -> ((0*257+97) % M)*257 + 98) % M = 25027
+    assert(one("ab", TextFunctions.rollingHash(col("t"))) === 25027L)
+    val long = ("x" * 100000)
+    val h1 = one(long, TextFunctions.rollingHash(col("t")))
+    val h2 = one(long, TextFunctions.rollingHash(col("t")))
+    assert(h1 === h2) // and no ARITHMETIC_OVERFLOW on 100k chars
+  }
+
+  test("fingerprint64 is stable across whitespace/case variants") {
+    val a = one("Hello   World", TextFunctions.fingerprint64(col("t")))
+    val b = one("hello world", TextFunctions.fingerprint64(col("t")))
+    assert(a === b)
+  }
+
+  test("langId classifies unambiguous stopword-rich sentences") {
+    val cases = Seq(
+      "the cat and the dog is in that house for it with them" -> "en",
+      "la que el en y los del se las casa" -> "es",
+      "le et les des du un homme que la de" -> "fr",
+      "der die und den von zu das mit sich haus" -> "de",
+      "de que e o a do da em um para" -> "pt")
+    cases.foreach { case (text, expected) =>
+      assert(one(text, TextFunctions.langId(col("t"))) === expected,
+        s"for: $text")
+    }
+    // all-zero tie resolves to the greatest lang code deterministically
+    assert(one("qwx zzz", TextFunctions.langId(col("t"))) === "pt")
+  }
+}
