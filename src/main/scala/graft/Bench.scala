@@ -28,9 +28,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup on the smallest SF so headline timings measure the
-    // query, not JIT + first-time codegen compilation.
-    SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001").count()
+    // JVM/codegen warmup: run every headline query once at the smallest SF
+    // so the timed runs measure execution, not JIT + first-time whole-stage
+    // codegen compilation of each plan shape.
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
+      }
+    }
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
@@ -46,7 +52,14 @@ object Bench {
       "\"%s\":%.3f".formatLocal(Locale.ROOT, k, v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalStr = "%.3f".formatLocal(Locale.ROOT, total)
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also land the JSON in a file: the stdout line gets buried in sbt
+    // [info] noise and the driver's parser then records parsed:null
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
   }
 }

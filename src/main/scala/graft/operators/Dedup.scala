@@ -28,16 +28,14 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** w-word shingles of the normalized text, as distinct xxhash64 values.
-    * Documents shorter than w words hash the whole text as one shingle.
+  /** w-word shingles of the normalized text, as sorted distinct chain-hash
+    * values (codegen'd [[graft.functions.ShingleHashesExpr]] — the same
+    * hash universe the MinHash signature is built from). Documents shorter
+    * than w words hash the whole text as one shingle.
     */
-  def shingleHashes(c: Column, w: Int = 3): Column = {
-    val toks = TextFunctions.wsTokens(TextFunctions.normalize(c))
-    val shingled = transform(
-      sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
-      i => xxhash64(concat_ws(" ", slice(toks, i, lit(w)))))
-    array_distinct(shingled)
-  }
+  def shingleHashes(c: Column, w: Int = 3): Column =
+    graft.functions.GraftExpressions.shingleHashes(
+      TextFunctions.wsTokens(TextFunctions.normalize(c)), w)
 
   /** Exact Jaccard similarity of two shingle-hash arrays. */
   def jaccard(a: Column, b: Column): Column = {
