@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.{BalancedRepartition, Dedup, Multimodal, Recode, Similarity}
 import graft.pipeline.CensoPipeline
-import graft.sources.SchemaCsv
+import graft.sources.{CatalogTables, SchemaCsv}
 import graft.streaming.EventStreams
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2, with
@@ -162,6 +162,21 @@ object SparkEntry {
         .orderBy("TP_RETURN", "yr", "IN_ANY")
     }),
 
+    // A12: partitioned sink → catalog registration (DROP + CREATE + MSCK)
+    // → SQL over the registered table with a partition-pruned filter.
+    "a12_catalog_table" -> ((s, dir) => {
+      val path = Tables.scratch("a12_catalog_" + new java.io.File(dir).getName)
+      SchemaCsv.writePartitioned(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_quantity").cast("int").as("qty"), col("l_returnflag")),
+        path, Seq("l_returnflag"))
+      CatalogTables.registerExternal(s, "graft_lineitem_ext", path,
+        Seq("l_returnflag"))
+      s.sql("""SELECT l_returnflag, count(*) AS cnt, sum(qty) AS sum_qty
+              |FROM graft_lineitem_ext WHERE l_returnflag <> 'N'
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // ===== B: query engine =====
 
     "q1_agg" -> ((s, dir) =>
@@ -241,6 +256,26 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    "b11_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "b12_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25D)"), 2).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75D)"), 2).as("p75"))
+        .orderBy("l_returnflag")),
+
     "b10_events_window" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -311,6 +346,22 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rnk")
+    }),
+
+    // c13: near-dup pairs → connected components → one survivor per
+    // cluster. Checked on the planted (original, copy) pairs so the
+    // expected clusters are deterministic; multi-node chain/star
+    // components are locked by DedupSpec.
+    "c13_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withCopies = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val planted = Dedup.minhashDedupPairs(withCopies, "text", "doc_id")
+        .where(col("id_b") - col("id_a") === 1000000L)
+      Dedup.dupClusters(planted)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"), max("id").as("max_id"))
+        .orderBy("cluster_id")
     }),
 
     "c8_lang_id" -> ((s, dir) =>
@@ -423,6 +474,12 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    "a12_catalog_table" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_returnflag <> 'N'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
@@ -496,6 +553,21 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "b11_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "b12_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "b10_events_window" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
@@ -530,6 +602,11 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         |       CAST(1.0 AS DOUBLE) AS cos
         |FROM embeddings ORDER BY 1""".stripMargin,
+
+    "c13_dup_clusters" ->
+      """SELECT doc_id AS cluster_id, CAST(2 AS BIGINT) AS cluster_size,
+        |       doc_id + 1000000 AS max_id
+        |FROM documents ORDER BY 1""".stripMargin,
 
     "c6_cosine_topk" ->
       """SELECT query_id, neighbor_id, round(cos, 6) AS cos, rnk FROM (

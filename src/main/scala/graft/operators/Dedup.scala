@@ -132,6 +132,54 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
+  // ------------------------------------------------ duplicate clustering
+
+  /** Connected components over a near-duplicate pair list → duplicate
+    * clusters, so a pipeline can keep ONE canonical document per cluster
+    * (`cluster_id` = smallest member id = the survivor).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Near-dup graphs are unions of small
+    * cliques/chains, so 2-4 rounds in practice; `maxIter` bounds
+    * pathological chains. Each round is one shuffle keyed on node id;
+    * frames are persisted per round so lineage doesn't grow with the loop
+    * (the convergence check is a driver-side scalar count, same class of
+    * action as ML iteration convergence tests).
+    *
+    * Returns (cluster_id, id) — one row per member, cluster_id ≤ id.
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a",
+                  idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nbr")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("label").as("cluster_id"), col("id"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Distinct character n-gram hashes of normalized text. */

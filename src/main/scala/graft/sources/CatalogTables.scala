@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Catalog registration over hive-partitioned parquet — the Spark-native
+  * equivalent of the reference's load step (/root/reference/etl/
+  * censo_escolar/load/load_external_tables.sql: DROP TABLE + CREATE
+  * EXTERNAL TABLE ... WITH PARTITION COLUMNS over the processing bucket).
+  *
+  * DROP + CREATE + recoverPartitions is idempotent: re-running after new
+  * partitions land re-discovers them, exactly like the reference's
+  * scheduled reload. The table is external (LOCATION-backed): dropping it
+  * never touches data files.
+  */
+object CatalogTables {
+
+  /** Register `path` (parquet, optionally hive-partitioned on
+    * `partitionCols`) as external table `name`. Schema and partition
+    * values are discovered from the files; partition columns become
+    * catalog partitions (partition pruning applies to `WHERE` filters on
+    * them).
+    */
+  def registerExternal(spark: SparkSession, name: String, path: String,
+                       partitionCols: Seq[String] = Nil): Unit = {
+    val discovered = spark.read.parquet(path)
+    val missing = partitionCols.filterNot(discovered.columns.contains)
+    require(missing.isEmpty, s"partition columns not present in data: $missing")
+
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val colsDdl = discovered.schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val partDdl =
+      if (partitionCols.isEmpty) ""
+      else partitionCols.mkString("PARTITIONED BY (`", "`, `", "`)")
+    spark.sql(
+      s"CREATE TABLE `$name` ($colsDdl) USING PARQUET $partDdl LOCATION '$path'")
+    if (partitionCols.nonEmpty) spark.catalog.recoverPartitions(name)
+  }
+}

@@ -33,6 +33,31 @@ object SchemaCsv {
       .schema(schema)
       .csv(path)
 
+  /** Production ingest mode: PERMISSIVE parse with the raw line of every
+    * malformed record captured in `_corrupt_record` — bad rows become
+    * data you can count/quarantine instead of a failed 100 TB job (the
+    * FAILFAST variant above is for tests, where schema drift should be
+    * loud). Callers filter `col("_corrupt_record").isNotNull` into a
+    * quarantine sink and drop the column on the clean path. Note Spark
+    * refuses projections that reference ONLY `_corrupt_record` straight
+    * off raw files — persist the parsed frame first (one pass), then
+    * split clean/quarantine from the cached result.
+    */
+  def readPermissive(spark: SparkSession, path: String, schema: StructType,
+                     delimiter: String = "|", header: Boolean = true,
+                     encoding: String = "UTF-8"): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .options(Map(
+        "header" -> header.toString,
+        "delimiter" -> delimiter,
+        "encoding" -> encoding,
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record"))
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
   /** Hive-partitioned parquet sink (transform.py:172-175): snappy parquet,
     * directory-partitioned on low-cardinality keys. Combine with
     * [[graft.operators.BalancedRepartition]] upstream so each task writes

@@ -65,6 +65,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(j - 2.0 / 6.0) < 1e-12)
   }
 
+  test("dupClusters resolves chains, stars and singleton pairs") {
+    // components: chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap // id -> cluster_id
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(clusters(_) == 10L))
+    assert(Seq(20L, 21L).forall(clusters(_) == 20L))
+    assert(clusters.size === 10)
+  }
+
   test("shingle-based signatures are deterministic across evaluations") {
     val sig = graft.functions.GraftExpressions.minhashSignature(
       split(col("text"), " "), 3, 64)
