@@ -406,7 +406,23 @@ object SparkEntry {
 
     "d2_sessionize" -> ((s, dir) =>
       EventStreams.sessionize(t(s, dir, "events"))
-        .orderBy("user_id", "session_idx"))
+        .orderBy("user_id", "session_idx")),
+
+    // batch twin of the flatMapGroupsWithState custom-state stream
+    // (EventStreamsSpec proves the streaming form emits identical totals)
+    "d3_user_totals" -> ((s, dir) =>
+      EventStreams.userTotals(t(s, dir, "events"))
+        .orderBy("user_id")),
+
+    // IVF at nProbe = nLists is exhaustive (exact top-k) — that mode is
+    // oracle-checked; partial-probe recall is locked in SimilaritySpec.
+    "c14_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nLists = 16, nProbe = 16)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rnk")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -691,6 +707,24 @@ object SparkEntry {
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |         AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d3_user_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c14_ivf_topk" ->
+      """SELECT query_id, neighbor_id, round(cos, 6) AS cos, rnk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                CAST(q.embedding AS DOUBLE[])) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(
+        |                 CAST(c.embedding AS DOUBLE[]),
+        |                 CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "d1_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -124,6 +124,55 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path alongside sign-LSH: corpus vectors are assigned to their most
+    * similar of `nLists` centroids (one pass, codegen'd cosine against
+    * centroid literals, no shuffle); each query probes only its `nProbe`
+    * closest lists, so the scan fraction is ≈ nProbe/nLists of the corpus.
+    * Exact cosine reranks inside the probed lists.
+    *
+    * Centroids are a deterministic hash-ordered sample of the corpus
+    * (Faiss-style random init, seeded) collected to the driver — nLists ×
+    * dim floats, i.e. KBs; the assignment itself is fully distributed.
+    * nProbe = nLists degenerates to the exact brute-force answer — that
+    * configuration is what the DuckDB oracle checks; recall at partial
+    * nProbe is asserted in SimilaritySpec.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10, nLists: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Column
+    val centroids: Array[Array[Float]] = corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")))
+      .limit(nLists)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+    def centroidSims(v: Column): Seq[Column] = centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct(GraftExpressions.floatCosine(v, typedLit(c.toSeq)).as("cos"),
+          lit(i).as("list"))
+    }.toSeq
+    def bestList(v: Column): Column =
+      array_max(array(centroidSims(v): _*)).getField("list")
+    def probeLists(v: Column, n: Int): Column =
+      transform(slice(reverse(array_sort(array(centroidSims(v): _*))), 1, n),
+        s => s.getField("list"))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("list", bestList(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(probeLists(col("qv"), math.min(nProbe, nLists))).as("list"))
+
+    val scored = c.join(F.broadcast(q), Seq("list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftExpressions.floatCosine(col("cv"), col("qv")).as("cos"))
+    topKPerQuery(partialTopK(scored, k), k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, OR-amplified across `tables`
     * independent sign-LSH tables (single-table AND-hashing only ever finds
     * exact copies — cos 0.95 near-dups collide with prob ≈ 0.43 per 8-bit

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Event-stream operators. Each has a batch form (oracle-checkable) and a
@@ -58,6 +59,38 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         round(sum("value"), 2).as("sum_value"),
         min("sec").as("start_sec"), max("sec").as("end_sec"))
+  }
+
+  /** Batch twin of [[userTotalsStream]]: lifetime per-user totals. */
+  def userTotals(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+
+  /** Custom-state streaming aggregation: per-user lifetime totals kept in
+    * a `GroupState[(count, sum)]` via `flatMapGroupsWithState` — the
+    * pattern for state Spark's built-in aggregates can't express (decayed
+    * counters, per-key ML state, custom eviction). Update mode: each
+    * trigger emits the refreshed totals for the users it saw; state size
+    * is O(distinct users), partitioned by the group key across executors.
+    */
+  def userTotalsStream(spark: SparkSession, dir: String,
+                       schema: StructType): DataFrame = {
+    import spark.implicits._
+    spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) => {
+          var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; sum += r._2 }
+          state.update((n, sum))
+          Iterator((uid, n, sum))
+        })
+      .toDF("user_id", "n_events", "sum_raw")
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_raw"), 2).as("sum_value"))
   }
 
   /** Streaming sessionization via session_window — state-backed native

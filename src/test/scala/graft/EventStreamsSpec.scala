@@ -50,6 +50,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(n <= batch.count())
   }
 
+  test("userTotalsStream custom state equals the batch totals exactly") {
+    val schema = events.schema
+    val streamed = runToCompletion2(
+      EventStreams.userTotalsStream(spark, stagedDir, schema),
+      "user_totals_mem", "update")
+    val batch = EventStreams.userTotals(events)
+    // single AvailableNow batch → one final state emission per user
+    assert(streamed.count() === batch.count())
+    val unmatched = streamed.join(batch,
+      Seq("user_id", "n_events", "sum_value"), "left_anti").count()
+    assert(unmatched === 0L)
+  }
+
+  private def runToCompletion2(stream: org.apache.spark.sql.DataFrame,
+                               name: String, mode: String): org.apache.spark.sql.DataFrame = {
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
   test("sessionizeStream(AvailableNow) sessions match the batch twin") {
     val schema = events.schema
     val streamed = runToCompletion(

@@ -102,6 +102,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
   }
 
+  test("ivfTopK: full probe equals exact; partial probe keeps recall") {
+    val emb = Tables(spark, sfDir(), "embeddings")
+    val queries = emb.where(col("vec_id") < 8)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 16, nProbe = 16).select("query_id", "neighbor_id")
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+
+    val partial = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 16, nProbe = 6).select("query_id", "neighbor_id")
+    val hits = exact.intersect(partial).count()
+    assert(hits.toDouble / 40.0 >= 0.5,
+      s"partial-probe recall $hits/40 (uniform random vectors scatter " +
+        "across lists; real clustered embeddings recall far higher)")
+  }
+
   test("probeMasks covers the multi-probe Hamming ball") {
     val masks = Similarity.probeMasks(6, 2)
     assert(masks.length === 1 + 6 + 15)
