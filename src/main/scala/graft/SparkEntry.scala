@@ -276,6 +276,19 @@ object SparkEntry {
           round(expr("percentile(l_extendedprice, 0.75D)"), 2).as("p75"))
         .orderBy("l_returnflag")),
 
+    // Salted skew join: correctness contract is exact row multiplicity —
+    // the aggregate must match a plain join bit-for-bit.
+    "b13_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "orderkey")
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedInnerJoin(li, ords, "orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), revenue.as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     "b10_events_window" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -388,11 +401,14 @@ object SparkEntry {
           TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // The oracle checks what IS engine surface — payload byte counts and
+    // feature-vector shape surviving the pack → batched-decode round trip;
+    // the stub codec's feature VALUES are locked by MultimodalSpec.
     "c12_multimodal" -> ((s, dir) => {
       val packed = Multimodal.packMedia(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeStub(s, packed)
         .select(col("media_id"), col("n_bytes"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+          size(col("features")).as("n_features"))
         .orderBy("media_id")
     }),
 
@@ -577,6 +593,12 @@ object SparkEntry {
         |                        (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "b13_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "b12_percentiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
@@ -618,6 +640,11 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         |       CAST(1.0 AS DOUBLE) AS cos
         |FROM embeddings ORDER BY 1""".stripMargin,
+
+    "c12_multimodal" ->
+      """SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS n_bytes,
+        |       CAST(16 AS INT) AS n_features
+        |FROM documents ORDER BY 1""".stripMargin,
 
     "c13_dup_clusters" ->
       """SELECT doc_id AS cluster_id, CAST(2 AS BIGINT) AS cluster_size,

@@ -27,7 +27,10 @@ object BalancedRepartition {
   def apply(df: DataFrame, partitionCols: Seq[String],
             rowsPerFile: Long = 2000000L): DataFrame = {
     val keyCols = partitionCols.map(col)
+    // tiny (one row per key value); persisted because it feeds BOTH the
+    // group-count scalar below and the broadcast join
     val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__key_count"))
+      .persist()
     val countsAliased = counts.select(
       (partitionCols.map(c => col(c).as(s"__k_$c")) :+ col("__key_count")): _*)
     val joinCond = partitionCols

@@ -46,6 +46,23 @@ class BalancedRepartitionSpec extends AnyFunSuite with SparkSpec {
     assert(perPart.length >= expectedGroups / 2)
   }
 
+  test("saltedInnerJoin preserves exact row multiplicity under skew") {
+    // heavy skew: key 1 dominates; include duplicate large-side rows
+    val large = ((1 to 1000).map(_ => (1L, "dup")) ++
+      Seq((2L, "x"), (2L, "x"), (3L, "y"))).toDF("k", "payload")
+    val small = Seq((1L, "one"), (2L, "two"), (4L, "four")).toDF("k", "name")
+    val salted = graft.operators.SkewJoin.saltedInnerJoin(large, small, "k", salts = 8)
+    val plain = large.join(small, "k")
+    assert(salted.count() === plain.count()) // 1000 + 2 matches
+    assert(salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 1000L, 2L -> 2L))
+    // and the hot key actually spreads across salt groups — random salt
+    // spreads even bit-identical duplicate rows
+    val spread = large.withColumn("__salt", (rand(42L) * 8).cast("int"))
+      .where(col("k") === 1L).select("__salt").distinct().count()
+    assert(spread >= 4L)
+  }
+
   test("salting is deterministic across runs (retry/replay safety)") {
     val li = Tables(spark, sfDir(), "lineitem")
     def layout() = BalancedRepartition(li, Seq("l_returnflag"), 500L)
