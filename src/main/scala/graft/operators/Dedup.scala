@@ -165,15 +165,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nbr")), "dst")
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
+      // carry prev alongside so the convergence count reuses this cached
+      // frame instead of a second join against the old labels
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).count()
+      changed = next.where(col("label") =!= col("prev")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "label")
       iter += 1
     }
     edges.unpersist()

@@ -53,6 +53,20 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(a === b)
   }
 
+  test("approx sketches track exact answers within tolerance") {
+    val li = Tables(spark, sfDir(), "lineitem")
+    val row = li.agg(
+      countDistinct("l_partkey").as("exact_d"),
+      approx_count_distinct("l_partkey").as("approx_d"),
+      expr("percentile(l_extendedprice, 0.5D)").as("exact_p50"),
+      expr("approx_percentile(l_extendedprice, 0.5D, 1000)").as("approx_p50"))
+      .head
+    val (ed, ad) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(ad - ed) / ed < 0.05, s"distinct $ad vs $ed")
+    val (ep, ap) = (row.getDouble(2), row.getDouble(3))
+    assert(math.abs(ap - ep) / ep < 0.05, s"p50 $ap vs $ep")
+  }
+
   test("langId classifies unambiguous stopword-rich sentences") {
     val cases = Seq(
       "the cat and the dog is in that house for it with them" -> "en",
