@@ -56,12 +56,15 @@ object Recode {
     df.select(cols.toSeq: _*)
   }
 
-  /** Cast all columns matching `pred` (reference: NU_ / QT_ prefixes) to int
-    * (transform.py:95-101).
+  /** Cast all columns matching `pred` (reference: NU_ / QT_ prefixes) to
+    * int (transform.py:95-101). `try_cast`, not `cast`: the reference ran
+    * Spark 3 non-ANSI where malformed numerics became null; under Spark
+    * 4's default ANSI mode a plain cast would kill a 100 TB load on the
+    * first dirty cell. try_cast preserves the null-on-garbage contract.
     */
   def castInts(df: DataFrame, pred: String => Boolean): DataFrame = {
     val cols = df.columns.map { c =>
-      if (pred(c)) col(c).cast(IntegerType).as(c) else col(c)
+      if (pred(c)) col(c).try_cast(IntegerType).as(c) else col(c)
     }
     df.select(cols.toSeq: _*)
   }
@@ -72,22 +75,29 @@ object Recode {
   ).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
 
   /** SAS-style `ddMMMyyyy:HH:mm:ss` (e.g. `01JAN2015:00:00:00`) → date.
-    * Implemented with substrings + a month-abbrev map literal so parsing is
-    * locale- and case-insensitive (Java's MMM parser is neither).
+    * Implemented with substrings + a month-abbrev map literal so parsing
+    * is locale- and case-insensitive (Java's MMM parser is neither).
+    * try_* variants throughout: malformed strings → null, never an ANSI
+    * runtime error mid-load.
     */
-  def parseSasDate(c: Column): Column =
-    make_date(
-      substring(c, 6, 4).cast(IntegerType),
-      element_at(monthAbbrev, upper(substring(c, 3, 3))),
-      substring(c, 1, 2).cast(IntegerType)
-    )
+  def parseSasDate(c: Column): Column = {
+    val y = substring(c, 6, 4)
+    val m = try_element_at(monthAbbrev, upper(substring(c, 3, 3))).cast("string")
+    val d = substring(c, 1, 2)
+    // null-propagating concat (NOT concat_ws, which would skip null parts
+    // and mis-align fields) + try_to_timestamp: any malformed component —
+    // bad month code, day 99, alpha year — yields null, never an ANSI
+    // error (make_date THROWS on out-of-range parts under ANSI)
+    try_to_timestamp(
+      concat(y, lit("-"), m, lit("-"), d), lit("y-M-d"))
+  }
 
   /** Year-dependent date parse (transform.py:41-50): censo years after 2014
-    * ship `dd/MM/yyyy` strings, older years the SAS datetime form.
+    * ship `dd/M/yyyy` strings, older years the SAS datetime form.
     */
   def parseDateFlex(df: DataFrame, column: String, year: Int): DataFrame = {
     val parsed =
-      if (year > 2014) to_date(col(column), "d/M/yyyy")
+      if (year > 2014) try_to_timestamp(col(column), lit("d/M/yyyy"))
       else parseSasDate(col(column))
     df.withColumn(column, parsed.cast(DateType))
   }

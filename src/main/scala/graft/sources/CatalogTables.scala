@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Catalog registration over hive-partitioned parquet — the Spark-native
   * equivalent of the reference's load step (/root/reference/etl/
@@ -36,4 +36,21 @@ object CatalogTables {
       s"CREATE TABLE `$name` ($colsDdl) USING PARQUET $partDdl LOCATION '$path'")
     if (partitionCols.nonEmpty) spark.catalog.recoverPartitions(name)
   }
+
+  /** Bucketed catalog table for repeated co-located joins: two tables
+    * bucketed by the same key into the same bucket count join with NO
+    * shuffle exchange on either side — at 100 TB, pre-bucketing the fact
+    * tables turns every subsequent key join from a full-corpus shuffle
+    * into a bucket-wise merge (pay the shuffle once at write time,
+    * amortize over every downstream join). `sortBy` additionally lets the
+    * merge skip the per-task sort.
+    */
+  def writeBucketed(df: DataFrame, name: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(name)
 }

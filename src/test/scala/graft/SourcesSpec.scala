@@ -38,6 +38,32 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(SchemaCsv.readPartitioned(spark, dir).count() === 4L)
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    val li = Tables(spark, sfDir(), "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ords = Tables(spark, sfDir(), "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    CatalogTables.writeBucketed(li, "graft_li_bkt", "l_orderkey", 8)
+    CatalogTables.writeBucketed(ords, "graft_ord_bkt", "l_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_li_bkt")
+        .join(spark.table("graft_ord_bkt"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(2000)}")
+      // and it still computes the right thing
+      val expected = li.join(ords, "l_orderkey").count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_li_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_ord_bkt")
+    }
+  }
+
   test("readPermissive captures malformed rows instead of failing the job") {
     val dir = Files.createTempDirectory("graft_permissive").toString
     Files.writeString(java.nio.file.Paths.get(dir, "in.csv"),
