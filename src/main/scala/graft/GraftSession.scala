@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session factory: the configuration this engine expects at
+  * scale, in code instead of tribal knowledge. Local runs pass a
+  * `local[n]` master; on a cluster the same builder applies with master
+  * left to spark-submit.
+  */
+object GraftSession {
+
+  def builder(appName: String, master: Option[String] = None,
+              shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      // AQE re-plans at runtime: coalesces small shuffle partitions,
+      // splits skewed ones — both essential when input stats are wrong
+      // by 100x, which at 100 TB they always are somewhere
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 256 MB scan splits: big enough to amortize parquet footer/dict
+      // overhead, small enough that one task's columnar batches fit in
+      // executor memory alongside shuffle buffers
+      .config("spark.sql.files.maxPartitionBytes", "256m")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.sql.session.timeZone", "UTC")
+    master.foreach(b.master)
+    shufflePartitions.foreach(n =>
+      b.config("spark.sql.shuffle.partitions", n.toString))
+    b
+  }
+}

@@ -28,7 +28,7 @@ object EventStreams {
     */
   def hourlyAggStream(spark: SparkSession, dir: String,
                       schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+    graft.Tables.withTsFromNanos(spark.readStream.schema(schema).parquet(dir))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -99,7 +99,7 @@ object EventStreams {
     */
   def sessionizeStream(spark: SparkSession, dir: String, schema: StructType,
                        gap: String = "30 minutes"): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+    graft.Tables.withTsFromNanos(spark.readStream.schema(schema).parquet(dir))
       // floor to whole seconds BEFORE windowing, same as the batch twin —
       // keeps session boundaries bit-identical between the two forms
       .withColumn("ts", date_trunc("second", col("ts")))

@@ -18,10 +18,20 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
 
   private lazy val events = Tables(spark, sfDir(), "events")
 
+  // stage the RAW nanosecond parquet (byte-for-byte copy): the streaming
+  // sources must eat the same INT64 TIMESTAMP(NANOS) files the batch
+  // loader does, via nanosAsLong + in-plan conversion
   private lazy val stagedDir: String = {
-    val d = Files.createTempDirectory("graft_stream_events").toString
-    events.write.mode("overwrite").parquet(d)
-    d
+    val d = Files.createTempDirectory("graft_stream_events")
+    Files.copy(java.nio.file.Paths.get(sfDir(), "events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  // schema as the raw file presents under nanosAsLong: ts is LongType
+  private lazy val rawSchema = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(stagedDir).schema
   }
 
   private def runToCompletion(stream: org.apache.spark.sql.DataFrame,
@@ -36,9 +46,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("hourlyAggStream(AvailableNow) rows all match the batch twin") {
-    val schema = events.schema
     val streamed = runToCompletion(
-      EventStreams.hourlyAggStream(spark, stagedDir, schema), "hourly_mem")
+      EventStreams.hourlyAggStream(spark, stagedDir, rawSchema), "hourly_mem")
     val batch = EventStreams.hourlyAgg(events)
       .select("hour", "event_type", "n_events", "sum_value")
     val n = streamed.count()
@@ -51,9 +60,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("userTotalsStream custom state equals the batch totals exactly") {
-    val schema = events.schema
     val streamed = runToCompletion2(
-      EventStreams.userTotalsStream(spark, stagedDir, schema),
+      EventStreams.userTotalsStream(spark, stagedDir, rawSchema),
       "user_totals_mem", "update")
     val batch = EventStreams.userTotals(events)
     // single AvailableNow batch → one final state emission per user
@@ -75,9 +83,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("sessionizeStream(AvailableNow) sessions match the batch twin") {
-    val schema = events.schema
     val streamed = runToCompletion(
-      EventStreams.sessionizeStream(spark, stagedDir, schema), "sessions_mem")
+      EventStreams.sessionizeStream(spark, stagedDir, rawSchema), "sessions_mem")
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("start_sec"),
         col("n_events"), col("sum_value"))
