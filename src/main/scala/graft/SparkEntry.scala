@@ -276,6 +276,39 @@ object SparkEntry {
           round(expr("percentile(l_extendedprice, 0.75D)"), 2).as("p75"))
         .orderBy("l_returnflag")),
 
+    "b14_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"),
+            lag("o_orderdate", 1).over(w)).as("days_since_prev"),
+          ntile(4).over(Window.orderBy(col("o_totalprice").desc,
+            col("o_orderkey"))).as("price_quartile"))
+        .where(col("days_since_prev").isNotNull)
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "b15_set_ops" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      def custsWith(status: String) =
+        orders.where(col("o_orderstatus") === status).select("o_custkey")
+      custsWith("O").intersect(custsWith("F"))
+        .except(custsWith("P"))
+        .orderBy("o_custkey")
+    }),
+
+    // typed JSON path: from_json to a struct (columnar, prunable), not
+    // per-field get_json_object string probing (that's b10's variant)
+    "b16_json_struct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+        .groupBy("event_type")
+        .agg(count(col("p.k")).as("n_k"), sum("p.k").as("sum_k"),
+          round(avg("p.k"), 4).as("avg_k"))
+        .orderBy("event_type")),
+
     // Salted skew join: correctness contract is exact row multiplicity —
     // the aggregate must match a plain join bit-for-bit.
     "b13_salted_join" -> ((s, dir) => {
@@ -592,6 +625,34 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "b14_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, days_since_prev, price_quartile FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(date_diff('day',
+        |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+        |    CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+        |      AS INT) AS price_quartile
+        |  FROM orders) t
+        |WHERE days_since_prev IS NOT NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "b15_set_ops" ->
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "b16_json_struct" ->
+      """SELECT event_type,
+        |       count(CAST(props->>'$.k' AS INT)) AS n_k,
+        |       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+        |       round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "b13_salted_join" ->
       """SELECT o_orderpriority, count(*) AS cnt,
