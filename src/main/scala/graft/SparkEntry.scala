@@ -410,6 +410,14 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // deterministic content-hash train/val/test split — assignment is a
+    // pure function of text bytes, so DuckDB reproduces it exactly
+    "c15_hash_split" -> ((s, dir) =>
+      graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "text")
+        .groupBy("split").agg(count(lit(1)).as("cnt"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("split")),
+
     "c8_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"),
@@ -701,6 +709,15 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         |       CAST(1.0 AS DOUBLE) AS cos
         |FROM embeddings ORDER BY 1""".stripMargin,
+
+    "c15_hash_split" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS cnt, count(DISTINCT lang) AS n_langs
+        |FROM (SELECT lang,
+        |        CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "c12_multimodal" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS n_bytes,

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * The split is a pure function of row CONTENT (md5 prefix mod 100), not
+  * of row order, partitioning, or a random seed: re-running on re-shuffled
+  * or incrementally-grown data keeps every existing document in the same
+  * split — the property that keeps eval sets uncontaminated across
+  * pipeline re-runs. Cross-engine reproducible (md5 is md5 everywhere),
+  * so the assignment itself is DuckDB-oracle-checked.
+  *
+  * The 16-bit prefix mod 100 is non-uniform by < 0.2% (65536 % 100 ≠ 0) —
+  * irrelevant for split sizing, and the determinism is worth it.
+  */
+object Sampling {
+
+  /** Percentile bucket [0,100) from the md5 of `key`'s string form. */
+  def hashBucket(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100)
+
+  /** train/val/test label with the given integer percentages. */
+  def splitCol(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct + valPct <= 100)
+    val b = hashBucket(key)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  def hashSplit(df: DataFrame, keyCol: String, trainPct: Int = 80,
+                valPct: Int = 10): DataFrame =
+    df.withColumn("split", splitCol(col(keyCol), trainPct, valPct))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.TypedDocs
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  test("hashSplit is content-deterministic and order-invariant") {
+    val docs = Tables(spark, sfDir(), "documents")
+    val a = Sampling.hashSplit(docs, "text")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same rows, different order and partitioning → identical assignment
+    val b = Sampling.hashSplit(docs.orderBy(desc("doc_id")).repartition(7), "text")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // roughly 80/10/10 (binomial tolerance on 500 docs)
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes("train") > 350 && sizes("train") < 450, sizes.toString)
+    assert(sizes.getOrElse("val", 0) + sizes.getOrElse("test", 0) ===
+      500 - sizes("train"))
+  }
+
+  test("growing the corpus never reassigns existing documents") {
+    val docs = Tables(spark, sfDir(), "documents")
+    val half = docs.where(col("doc_id") < 250)
+    val fromHalf = Sampling.hashSplit(half, "text")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fromFull = Sampling.hashSplit(docs, "text")
+      .where(col("doc_id") < 250)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fromHalf === fromFull)
+  }
+
+  test("TypedDocs: case-class pipeline keeps values consistent with columns") {
+    val docs = Tables(spark, sfDir(), "documents").limit(50)
+      .select("doc_id", "text", "lang").as[TypedDocs.Document]
+    val scored = TypedDocs.score(docs)
+    val kept = TypedDocs.keepQuality(scored, 0.5)
+    val rows = scored.collect()
+    assert(rows.length === 50)
+    assert(rows.forall(r => r.quality >= 0.0 && r.quality <= 1.0))
+    assert(rows.forall(r => Set("train", "val", "test").contains(r.split)))
+    assert(kept.collect().forall(_.quality >= 0.5))
+    // the typed filter must remain a column predicate (pushdown-friendly):
+    // no DeserializeToObject / mapelements in the plan
+    val plan = kept.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("deserializetoobject"), plan.take(400))
+  }
+}
