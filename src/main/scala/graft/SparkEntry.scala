@@ -278,12 +278,15 @@ object SparkEntry {
 
     "b14_lead_lag" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      // ntile scoped per order-priority: an UNpartitioned ranking window
+      // is a single-task global sort — the one shape that cannot scale
+      val wq = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           datediff(col("o_orderdate"),
             lag("o_orderdate", 1).over(w)).as("days_since_prev"),
-          ntile(4).over(Window.orderBy(col("o_totalprice").desc,
-            col("o_orderkey"))).as("price_quartile"))
+          ntile(4).over(wq).as("price_quartile"))
         .where(col("days_since_prev").isNotNull)
         .orderBy("o_custkey", "o_orderkey")
     }),
@@ -641,7 +644,8 @@ object SparkEntry {
         |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
         |          ORDER BY o_orderdate, o_orderkey) AS DATE),
         |      CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
-        |    CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+        |    CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey)
         |      AS INT) AS price_quartile
         |  FROM orders) t
         |WHERE days_since_prev IS NOT NULL
