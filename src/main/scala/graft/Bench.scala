@@ -13,8 +13,9 @@ object Bench {
     "q1_agg", "q3_join_topk", "q5_star_join", "b4_window_rank",
     "b7_distinct", "b11_grouping_sets", "a11_censo_pipeline",
     "a9_balanced_repartition", "c1_exact_dedup", "c2_minhash_lsh",
-    "c3_simhash", "c6_cosine_topk", "c7_lsh_topk", "c13_dup_clusters",
-    "c14_ivf_topk", "c10_tokens", "d2_sessionize", "d3_user_totals")
+    "c3_simhash", "c4_ngram_jaccard", "c6_cosine_topk", "c7_lsh_topk",
+    "c13_dup_clusters", "c14_ivf_topk", "c10_tokens", "d2_sessionize",
+    "d3_user_totals")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -37,12 +37,12 @@ object Dedup {
     graft.functions.GraftExpressions.shingleHashes(
       TextFunctions.wsTokens(TextFunctions.normalize(c)), w)
 
-  /** Exact Jaccard similarity of two shingle-hash arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
-    when(uni === 0.0d, lit(0.0d)).otherwise(inter / uni)
-  }
+  /** Exact Jaccard similarity of two SORTED DISTINCT hash arrays (the
+    * form [[shingleHashes]] and [[charNgramHashes]] emit) — one merge
+    * pass, no intermediate arrays.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.GraftExpressions.sortedJaccard(a, b)
 
   // ---------------------------------------------------------- MinHash+LSH
 
@@ -182,13 +182,13 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** Distinct character n-gram hashes of normalized text. */
-  def charNgramHashes(c: Column, n: Int = 3): Column = {
-    val norm = TextFunctions.normalize(c)
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
-      i => xxhash64(norm.substr(i, lit(n)))))
-  }
+  /** Sorted distinct character n-gram hashes of normalized text
+    * (codegen'd [[graft.functions.CharNgramHashesExpr]] — the declarative
+    * substr-per-position form cost 35 s at sf0.1).
+    */
+  def charNgramHashes(c: Column, n: Int = 3): Column =
+    graft.functions.GraftExpressions.charNgramHashes(
+      TextFunctions.normalize(c), n)
 
   /** Character n-gram Jaccard over candidate pairs blocked on a cheap prefix
     * key (xxhash of the first `prefixLen` normalized chars + length bucket).

@@ -164,7 +164,8 @@ object Similarity {
       .withColumn("list", bestList(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"),
-        explode(probeLists(col("qv"), math.min(nProbe, nLists))).as("list"))
+        explode(probeLists(col("qv"),
+          math.min(nProbe, centroids.length))).as("list"))
 
     val scored = c.join(F.broadcast(q), Seq("list"))
       .where(col("neighbor_id") =!= col("query_id"))

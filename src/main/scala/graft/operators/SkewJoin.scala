@@ -30,6 +30,8 @@ object SkewJoin {
   def saltedInnerJoin(large: DataFrame, small: DataFrame, key: String,
                       salts: Int = 8, seed: Long = 42L): DataFrame = {
     require(salts > 0)
+    require(large.columns.contains(key) && small.columns.contains(key),
+      s"join key '$key' must exist on both sides")
     val saltedLarge = large.withColumn("__salt",
       (rand(seed) * salts).cast("int"))
     val replicatedSmall = small.withColumn("__salt",

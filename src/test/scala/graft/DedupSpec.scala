@@ -59,10 +59,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.forall(_._3 >= 0.5))
   }
 
-  test("jaccard: exact set similarity on hash arrays") {
-    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L))).toDF("a", "b")
-    val j = df.select(Dedup.jaccard(col("a"), col("b"))).head.getDouble(0)
-    assert(math.abs(j - 2.0 / 6.0) < 1e-12)
+  test("jaccard: exact set similarity on sorted hash arrays") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L), Seq(1L, 2L))).toDF("a", "b")
+    val js = df.select(Dedup.jaccard(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(js(0) - 2.0 / 6.0) < 1e-12)
+    assert(js(1) === 0.0)
+    assert(js(2) === 1.0)
   }
 
   test("dupClusters resolves chains, stars and singleton pairs") {
