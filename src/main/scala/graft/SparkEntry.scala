@@ -177,6 +177,11 @@ object SparkEntry {
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    "a16_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+        .orderBy("column")),
+
     // ===== B: query engine =====
 
     "q1_agg" -> ((s, dir) =>
@@ -549,6 +554,32 @@ object SparkEntry {
         |       count(*) AS cnt,
         |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "a16_profile" ->
+      """WITH s AS (SELECT * FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_orderkey' AS "column",
+        |    count(l_orderkey) AS n_non_null,
+        |    count(*) - count(l_orderkey) AS n_nulls,
+        |    count(DISTINCT l_orderkey) AS n_distinct,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM s
+        |  UNION ALL
+        |  SELECT 'l_linenumber', count(l_linenumber),
+        |    count(*) - count(l_linenumber), count(DISTINCT l_linenumber),
+        |    CAST(min(l_linenumber) AS VARCHAR),
+        |    CAST(max(l_linenumber) AS VARCHAR) FROM s
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(l_quantity),
+        |    count(*) - count(l_quantity), count(DISTINCT l_quantity),
+        |    CAST(min(l_quantity) AS VARCHAR),
+        |    CAST(max(l_quantity) AS VARCHAR) FROM s
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(l_returnflag),
+        |    count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
+        |    CAST(min(l_returnflag) AS VARCHAR),
+        |    CAST(max(l_returnflag) AS VARCHAR) FROM s
+        |) ORDER BY "column"""".stripMargin,
 
     "a12_catalog_table" ->
       """SELECT l_returnflag, count(*) AS cnt,

@@ -64,6 +64,22 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("profile: single-pass stats handle nulls and constant columns") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("id", "tag")
+    val prof = graft.operators.Profile.profile(df, Seq("id", "tag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(prof("id") === ((3L, 0L, 3L, "1")))
+    assert(prof("tag") === ((2L, 1L, 1L, "a")))
+    // one scan: the plan must contain exactly one relation read
+    val plan = graft.operators.Profile.profile(df, Seq("id", "tag"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), "profiler must not self-join per column")
+  }
+
   test("readPermissive captures malformed rows instead of failing the job") {
     val dir = Files.createTempDirectory("graft_permissive").toString
     Files.writeString(java.nio.file.Paths.get(dir, "in.csv"),
