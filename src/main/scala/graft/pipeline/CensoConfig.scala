@@ -36,6 +36,35 @@ object CensoConfig {
     parseMaps(new String(Files.readAllBytes(Paths.get(path)),
       StandardCharsets.UTF_8))
 
+  /** Rebuild a recode dictionary from a raw lookup table (the CSVs under
+    * transform/tables/ — the inputs the reference's maps.ipynb bakes into
+    * maps.json offline). First column = code, second = label;
+    * rows with an empty code are dropped. `floatKeys = true` reproduces
+    * the notebook's pandas artifact of float-formatted codes
+    * ("30" → "30.0") — with it, the rebuilt CO_LINGUA_INDIGENA dictionary
+    * is entry-for-entry identical to the shipped maps.json (spec-locked).
+    * Spark parses the CSV (quoted labels contain commas); the collect is
+    * a KB-sized dictionary.
+    */
+  def loadLookupCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+                    floatKeys: Boolean = true): Map[String, String] =
+    spark.read
+      .options(Map("header" -> "true", "quote" -> "\""))
+      .csv(path)
+      .collect()
+      .iterator
+      .flatMap { r =>
+        val code = Option(r.getString(0)).map(_.trim).filter(_.nonEmpty)
+        val label = Option(r.getString(1)).getOrElse("")
+        code.flatMap { c =>
+          if (!floatKeys) Some(c -> label)
+          else scala.util.Try(
+            "%.1f".formatLocal(java.util.Locale.ROOT, c.toDouble)).toOption
+            .map(_ -> label)
+        }
+      }
+      .toMap
+
   /** Parse a StructType JSON schema (PySpark `StructType.jsonValue()`). */
   def parseSchema(json: String): StructType =
     DataType.fromJson(json).asInstanceOf[StructType]

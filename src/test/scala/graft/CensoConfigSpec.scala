@@ -29,6 +29,16 @@ class CensoConfigSpec extends AnyFunSuite with SparkSpec {
     assert(maps("TP_LOCALIZACAO") === Map("1" -> "Urbana", "2" -> "Rural"))
   }
 
+  test("lookup CSV rebuilds the shipped maps.json dictionary exactly") {
+    val rebuilt = CensoConfig.loadLookupCsv(spark,
+      s"$refDir/tables/CO_LINGUA_INDIGENA.csv")
+    assert(rebuilt.size === 327)
+    assert(rebuilt === maps("CO_LINGUA_INDIGENA_1"))
+    // and the notebook aliased the same dict to slots 2 and 3
+    assert(maps("CO_LINGUA_INDIGENA_2") === rebuilt)
+    assert(maps("CO_LINGUA_INDIGENA_3") === rebuilt)
+  }
+
   test("escolas schema parses: 241 string fields") {
     assert(escolasSchema.fields.length === 241)
     assert(escolasSchema.fieldNames.contains("NU_ANO_CENSO"))
