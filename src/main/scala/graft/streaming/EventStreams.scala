@@ -93,6 +93,46 @@ object EventStreams {
         round(col("sum_raw"), 2).as("sum_value"))
   }
 
+  /** [[userTotalsStream]] with EVENT-TIME TTL eviction — the pattern that
+    * bounds state size on an unbounded key space (users churn; their
+    * state must not live forever). State idle past `ttl` of event time is
+    * dropped when the watermark passes it, emitting one final row with
+    * `evicted = true`. Takes the (streaming) events frame as an argument
+    * so tests can drive it from a MemoryStream with controlled
+    * watermarks.
+    */
+  def userTotalsStreamTtl(events: DataFrame,
+                          ttlMillis: Long = 3600000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"),
+        col("ts").cast("timestamp"))
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+         state: GroupState[(Long, Double, Long)]) => {
+          if (state.hasTimedOut) {
+            val (n, sum, _) = state.get
+            state.remove()
+            Iterator((uid, n, sum, true))
+          } else {
+            var (n, sum, maxTs) = state.getOption.getOrElse((0L, 0.0, 0L))
+            rows.foreach { r =>
+              n += 1; sum += r._2; maxTs = math.max(maxTs, r._3.getTime)
+            }
+            state.update((n, sum, maxTs))
+            state.setTimeoutTimestamp(maxTs + ttlMillis)
+            Iterator((uid, n, sum, false))
+          }
+        })
+      .toDF("user_id", "n_events", "sum_raw", "evicted")
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_raw"), 2).as("sum_value"), col("evicted"))
+  }
+
   /** Streaming sessionization via session_window — state-backed native
     * session windows with watermark eviction (the streaming-scale answer;
     * the batch twin above is the oracle-checkable one).

@@ -82,6 +82,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     spark.table(name)
   }
 
+  test("userTotalsStreamTtl evicts idle state when the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    val input = MemoryStream[(Long, Double, java.sql.Timestamp)]
+    val stream = EventStreams.userTotalsStreamTtl(
+      input.toDF().toDF("user_id", "value", "ts"), ttlMillis = 3600000L)
+    val q = stream.writeStream.format("memory").queryName("ttl_mem")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 10.0, ts(10)), (1L, 5.0, ts(10, 30)))
+      q.processAllAvailable() // watermark → 10:30; user 1 timeout = 11:30
+      input.addData((2L, 7.0, ts(14)))
+      q.processAllAvailable() // watermark → 14:00 (checked NEXT batch)
+      input.addData((2L, 1.0, ts(14, 5)))
+      q.processAllAvailable() // timeout fires: watermark 14:00 > 11:30
+      val out = spark.table("ttl_mem").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      val evicted = out.filter(_._4)
+      assert(evicted.toSeq === Seq((1L, 2L, 15.0, true)),
+        s"got: ${out.toSeq}")
+      // user 2 is live, never evicted
+      assert(out.filter(r => r._1 == 2L).forall(!_._4))
+    } finally q.stop()
+  }
+
   test("sessionizeStream(AvailableNow) sessions match the batch twin") {
     val streamed = runToCompletion(
       EventStreams.sessionizeStream(spark, stagedDir, rawSchema), "sessions_mem")
