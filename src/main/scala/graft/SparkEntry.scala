@@ -272,14 +272,18 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
-    "b12_percentiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25D)"), 2).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75D)"), 2).as("p75"))
-        .orderBy("l_returnflag")),
+    // percentile_disc, not interpolated percentile: discrete quantiles
+    // return an ACTUAL data element, so both engines agree bit-for-bit —
+    // linear interpolation rounds differently at ULP boundaries (found as
+    // a 0.01 flake at sf0.001)
+    "b12_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_b12_li")
+      s.sql("""SELECT l_returnflag,
+              |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+              |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+              |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
+              |FROM graft_b12_li GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
 
     "b14_lead_lag" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -705,9 +709,9 @@ object SparkEntry {
 
     "b12_percentiles" ->
       """SELECT l_returnflag,
-        |       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+        |       quantile_disc(l_extendedprice, 0.25) AS p25,
+        |       quantile_disc(l_extendedprice, 0.5) AS p50,
+        |       quantile_disc(l_extendedprice, 0.75) AS p75
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "b10_events_window" ->
