@@ -27,12 +27,25 @@ object BalancedRepartition {
   def apply(df: DataFrame, partitionCols: Seq[String],
             rowsPerFile: Long = 2000000L): DataFrame = {
     val keyCols = partitionCols.map(col)
-    // tiny (one row per key value); persisted because it feeds BOTH the
-    // group-count scalar below and the broadcast join
-    val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__key_count"))
-      .persist()
-    val countsAliased = counts.select(
-      (partitionCols.map(c => col(c).as(s"__k_$c")) :+ col("__key_count")): _*)
+    // one aggregation job; the per-key counts land on the driver (one row
+    // per partition value — partition columns are low-cardinality by
+    // contract, same assumption hive-partitioning itself makes). The
+    // collected rows come back as a local relation, so the join below
+    // broadcasts driver-local data: no cache to leak, no second job.
+    val spark = df.sparkSession
+    val countRows = df.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__key_count")).collect()
+    val countSchema = org.apache.spark.sql.types.StructType(
+      df.select(keyCols: _*).schema.fields.map(f =>
+        f.copy(name = s"__k_${f.name}")) :+
+        org.apache.spark.sql.types.StructField("__key_count",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val countsLocal = spark.createDataFrame(
+      java.util.Arrays.asList(countRows: _*), countSchema)
+    def groupsOf(n: Long): Long = math.max((n + rowsPerFile - 1) / rowsPerFile, 1L)
+    val totalGroups = countRows.map(r =>
+      groupsOf(r.getLong(r.length - 1))).sum.toInt.max(1)
+
     val joinCond = partitionCols
       .map(c => col(c) <=> col(s"__k_$c"))
       .reduce(_ && _)
@@ -40,16 +53,15 @@ object BalancedRepartition {
       ceil(col("__key_count").cast("double") / rowsPerFile.toDouble), lit(1.0))
       .cast("long")
     val rowHash = xxhash64(df.columns.map(col).toSeq: _*)
-    // Shuffle-partition count = the number of (key, salt) groups, so each
-    // group ≈ one reducer ≈ one output file regardless of
+    // Shuffle-partition count = the number of (key, salt) groups, sized so
+    // reducers ≈ output files of ≈ rowsPerFile rows regardless of
     // spark.sql.shuffle.partitions (the reference inherits whatever the
-    // session default is — 200 groups into 200 partitions only by luck).
-    // The count is a one-row driver-side scalar, same class of action as
-    // AQE's statistics collection.
-    val totalGroups = counts.agg(
-      sum(greatest(ceil(col("__key_count").cast("double") / rowsPerFile.toDouble),
-        lit(1.0))).cast("long")).head().getLong(0).toInt.max(1)
-    df.join(F.broadcast(countsAliased), joinCond)
+    // session default is). Hash collisions can co-locate a minority of
+    // groups (bounded small multiple of rowsPerFile — spec-checked);
+    // note bit-identical duplicate rows share a salt by construction —
+    // determinism over spread is the right trade HERE because the salt
+    // decides output file placement under replay (contrast SkewJoin).
+    df.join(F.broadcast(countsLocal), joinCond)
       .withColumn("__salt", pmod(rowHash, nGroups))
       .repartition(totalGroups, (keyCols :+ col("__salt")): _*)
       .drop((partitionCols.map(c => s"__k_$c") :+ "__key_count" :+ "__salt"): _*)

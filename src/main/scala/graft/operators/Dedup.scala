@@ -86,12 +86,22 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .distinct()
 
+    // verification shingles are computed ONLY for documents that appear in
+    // some candidate pair (semi-join pushes the filter below the shingle
+    // projection) — at 100 TB the near-dup fraction is small, so the
+    // expensive text work runs once corpus-wide (inside the signature
+    // scan) plus once over the candidate subset, never 3x corpus-wide
+    val candIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
+    val shingledCand = shingled.join(candIds, Seq("id"), "left_semi")
+
     candidates
-      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(shingledCand.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingledCand.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold) // exact value, THEN display rounding
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // -------------------------------------------------------------- SimHash
@@ -148,6 +158,11 @@ object Dedup {
     * action as ML iteration convergence tests).
     *
     * Returns (cluster_id, id) — one row per member, cluster_id ≤ id.
+    * Throws IllegalStateException if maxIter rounds don't converge — a
+    * silently split cluster (multiple "canonical" survivors of one true
+    * duplicate group) is worse than a loud failure. The returned frame
+    * stays persisted (its lineage spans every round); callers running in
+    * a long-lived session should `unpersist()` it when done.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -156,9 +171,12 @@ object Dedup {
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    // track the persisted handle explicitly: unpersist() on a projection
+    // of a cached frame does not release the underlying cache entry
+    var persisted = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -172,11 +190,17 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.where(col("label") =!= col("prev")).count()
-      labels.unpersist()
+      persisted.unpersist()
+      persisted = next
       labels = next.select("id", "label")
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "maxIter; raise it or pre-split the pair graph")
     labels.select(col("label").as("cluster_id"), col("id"))
   }
 
@@ -210,8 +234,9 @@ object Dedup {
     left.join(right, Seq("block"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("g_a"), col("g_b")), 6).as("ngram_jaccard"))
-      .where(col("ngram_jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(max("ngram_jaccard").as("ngram_jaccard"))
+        jaccard(col("g_a"), col("g_b")).as("ngram_jaccard"))
+      .where(col("ngram_jaccard") >= threshold) // exact, THEN display rounding
+      .groupBy("id_a", "id_b")
+      .agg(round(max("ngram_jaccard"), 6).as("ngram_jaccard"))
   }
 }

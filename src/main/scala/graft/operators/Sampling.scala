@@ -22,11 +22,16 @@ object Sampling {
     (conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
       .cast("int") % 100)
 
-  /** train/val/test label with the given integer percentages. */
+  /** train/val/test label with the given integer percentages. Null keys
+    * route to "train" EXPLICITLY: an unkeyable row must never land in an
+    * eval split (silent null-propagation through when() would have sent
+    * every null-text document to "test", skewing eval toward garbage).
+    */
   def splitCol(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     require(trainPct + valPct <= 100)
     val b = hashBucket(key)
-    when(b < trainPct, "train")
+    when(key.isNull, "train")
+      .when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }

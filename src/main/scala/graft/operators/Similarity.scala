@@ -35,30 +35,45 @@ object Similarity {
     * rows per query per partition. This is the partial aggregate that makes
     * the final per-query window a merge of k·partitions·|Q| rows instead of
     * a corpus-sized exchange into |Q| reducer tasks.
+    *
+    * The typed heap requires integral ids and non-null scores; for other
+    * id types it degrades to a no-op — correctness is unaffected (the
+    * final window computes the same top-k) and Spark's own
+    * WindowGroupLimit(Partial) still pre-limits each partition before the
+    * exchange. Rows with a null id/score carry no ranking information and
+    * are dropped (a null embedding scores null).
     */
   private[operators] def partialTopK(scored: DataFrame, k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    scored
-      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
-        col("cos").cast("double"))
-      .as[(Long, Long, Double)]
-      .mapPartitions { it =>
-        import scala.collection.mutable
-        // "worst kept row" dequeues first: lowest cos, then highest id
-        val worstFirst =
-          Ordering.by[(Long, Long, Double), (Double, Long)](r => (-r._3, r._2))
-        val heaps =
-          mutable.Map.empty[Long, mutable.PriorityQueue[(Long, Long, Double)]]
-        it.foreach { r =>
-          val h = heaps.getOrElseUpdate(r._1,
-            mutable.PriorityQueue.empty(worstFirst))
-          h.enqueue(r)
-          if (h.size > k) h.dequeue()
+    val integral = Set("byte", "short", "integer", "long")
+    val idsIntegral = Seq("query_id", "neighbor_id").forall(c =>
+      integral.contains(scored.schema(c).dataType.typeName))
+    if (!idsIntegral) scored
+    else {
+      val spark = scored.sparkSession
+      import spark.implicits._
+      scored
+        .where(col("query_id").isNotNull && col("neighbor_id").isNotNull &&
+          col("cos").isNotNull)
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+          col("cos").cast("double"))
+        .as[(Long, Long, Double)]
+        .mapPartitions { it =>
+          import scala.collection.mutable
+          // "worst kept row" dequeues first: lowest cos, then highest id
+          val worstFirst =
+            Ordering.by[(Long, Long, Double), (Double, Long)](r => (-r._3, r._2))
+          val heaps =
+            mutable.Map.empty[Long, mutable.PriorityQueue[(Long, Long, Double)]]
+          it.foreach { r =>
+            val h = heaps.getOrElseUpdate(r._1,
+              mutable.PriorityQueue.empty(worstFirst))
+            h.enqueue(r)
+            if (h.size > k) h.dequeue()
+          }
+          heaps.valuesIterator.flatMap(_.iterator)
         }
-        heaps.valuesIterator.flatMap(_.iterator)
-      }
-      .toDF("query_id", "neighbor_id", "cos")
+        .toDF("query_id", "neighbor_id", "cos")
+    }
   }
 
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
@@ -200,7 +215,8 @@ object Similarity {
       .join(keyed.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(keyed.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(GraftExpressions.floatCosine(col("v_a"), col("v_b")), 6).as("cos"))
-      .where(col("cos") >= threshold)
+        GraftExpressions.floatCosine(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= threshold) // exact value, THEN display rounding
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 }

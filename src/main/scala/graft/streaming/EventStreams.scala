@@ -23,12 +23,25 @@ object EventStreams {
         round(sum("value"), 2).as("sum_value"),
         approx_count_distinct("user_id").as("approx_users"))
 
+  /** Streaming parquet source that accepts the raw ns-timestamp files:
+    * sets the nanosAsLong conf (required at scan planning, not just
+    * conversion time) and converts ts in-plan. Schemas with a proper
+    * timestamp ts pass through untouched.
+    */
+  private def eventsSource(spark: SparkSession, dir: String,
+                           schema: StructType): DataFrame = {
+    if (schema.fieldNames.contains("ts") &&
+        schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.withTsFromNanos(spark.readStream.schema(schema).parquet(dir))
+  }
+
   /** Streaming twin of [[hourlyAgg]]: file source → watermark → windowed
     * state → append. Used by the streaming spec with Trigger.AvailableNow.
     */
   def hourlyAggStream(spark: SparkSession, dir: String,
                       schema: StructType): DataFrame =
-    graft.Tables.withTsFromNanos(spark.readStream.schema(schema).parquet(dir))
+    eventsSource(spark, dir, schema)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -76,7 +89,7 @@ object EventStreams {
   def userTotalsStream(spark: SparkSession, dir: String,
                        schema: StructType): DataFrame = {
     import spark.implicits._
-    spark.readStream.schema(schema).parquet(dir)
+    eventsSource(spark, dir, schema)
       .select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
       .groupByKey(_._1)
@@ -139,7 +152,7 @@ object EventStreams {
     */
   def sessionizeStream(spark: SparkSession, dir: String, schema: StructType,
                        gap: String = "30 minutes"): DataFrame =
-    graft.Tables.withTsFromNanos(spark.readStream.schema(schema).parquet(dir))
+    eventsSource(spark, dir, schema)
       // floor to whole seconds BEFORE windowing, same as the batch twin —
       // keeps session boundaries bit-identical between the two forms
       .withColumn("ts", date_trunc("second", col("ts")))

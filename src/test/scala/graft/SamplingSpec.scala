@@ -26,6 +26,13 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       500 - sizes("train"))
   }
 
+  test("null keys route to train, never contaminating eval splits") {
+    val df = Seq(Some("some text"), None, Some("other"), None).toDF("text")
+    val out = graft.operators.Sampling.hashSplit(df, "text")
+      .where(col("text").isNull).select("split").collect().map(_.getString(0))
+    assert(out.length === 2 && out.forall(_ == "train"))
+  }
+
   test("growing the corpus never reassigns existing documents") {
     val docs = Tables(spark, sfDir(), "documents")
     val half = docs.where(col("doc_id") < 250)

@@ -59,6 +59,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
   }
 
+  test("cosineTopK works with non-integral ids (heap degrades to window)") {
+    val corpus = Seq(
+      ("a", fvec(1, 0)), ("b", fvec(0.9, 0.1)), ("c", fvec(0, 1)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq(("q1", fvec(1, 0))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(corpus, queries, "vec_id", "embedding", k = 2)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("a", "b"))
+  }
+
   test("lshTopK recall vs exact brute force is >= 0.9") {
     val emb = Tables(spark, sfDir(), "embeddings")
     val queries = emb.where(col("vec_id") < 8)

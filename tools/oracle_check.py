@@ -57,6 +57,5 @@ for name in sorted(oracle):
         dt = f" spark_dtypes={dict(c1.dtypes.astype(str))} oracle_dtypes={dict(c2.dtypes.astype(str))}"
         fails += 1
     print(f"{name:25s} rows={rows_ok}({len(spark_df)}/{len(ora_df)}) schema={schema_ok} hash={h1==h2}{dt}")
-missing_oracle = [n for n in json.load(open(f'{outdir}/oracle_sql.json'))]
 print(f"\n{'FAIL' if fails else 'ALL GREEN'} ({fails} failures)")
 sys.exit(1 if fails else 0)
