@@ -86,18 +86,17 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .distinct()
 
-    // verification shingles are computed ONLY for documents that appear in
-    // some candidate pair (semi-join pushes the filter below the shingle
-    // projection) — at 100 TB the near-dup fraction is small, so the
-    // expensive text work runs once corpus-wide (inside the signature
-    // scan) plus once over the candidate subset, never 3x corpus-wide
-    val candIds = candidates.select(col("id_a").as("id"))
-      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
-    val shingledCand = shingled.join(candIds, Seq("id"), "left_semi")
-
+    // candidates (ids only) join BACK to the shingle sets — the arrays
+    // never ride the ×bands bucket shuffle, only the two id-keyed verify
+    // joins. The shingle projection re-runs once per verify side; when
+    // the duplicate fraction is tiny, a `left_semi` of `shingled` against
+    // the candidate ids (or persisting `candidates`) trims that to the
+    // candidate subset — measured here, the extra shuffles/cache
+    // boundaries cost more than they save below ~10M docs, so the simple
+    // shape stays the default.
     candidates
-      .join(shingledCand.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(shingledCand.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold) // exact value, THEN display rounding
