@@ -20,8 +20,22 @@ object Tables {
     * epoch-nanos are ~1.7e18).
     */
   def events(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    withTsFromNanos(spark.read.parquet(path))
+    // Scope the legacy conf to schema inference only: set → read (inference
+    // captures ts as LongType) → restore. Leaving it set session-wide would
+    // silently change how every later parquet read in the session interprets
+    // TIMESTAMP(NANOS) columns. Execution after restore is safe — the
+    // resolved schema travels with the plan (verified empirically).
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.read.parquet(path)
+      df.schema // force inference while the conf is in effect
+      withTsFromNanos(df)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** ns-long `ts` → micros timestamp; no-op if `ts` is already a timestamp.

@@ -33,8 +33,16 @@ object BalancedRepartition {
     // collected rows come back as a local relation, so the join below
     // broadcasts driver-local data: no cache to leak, no second job.
     val spark = df.sparkSession
+    // Fail fast on high-cardinality keys BEFORE collecting: cap the count
+    // frame at maxKeys+1 rows so a mis-chosen partition column (say, a
+    // document id) aborts with a clear message instead of OOMing the driver.
+    val maxKeys = 100000
     val countRows = df.groupBy(keyCols: _*)
-      .agg(count(lit(1)).as("__key_count")).collect()
+      .agg(count(lit(1)).as("__key_count")).limit(maxKeys + 1).collect()
+    require(countRows.length <= maxKeys,
+      s"BalancedRepartition: > $maxKeys distinct values in partition " +
+        s"columns ${partitionCols.mkString(",")} — partition columns must " +
+        "be low-cardinality (hive-partitioning contract)")
     val countSchema = org.apache.spark.sql.types.StructType(
       df.select(keyCols: _*).schema.fields.map(f =>
         f.copy(name = s"__k_${f.name}")) :+
@@ -43,8 +51,10 @@ object BalancedRepartition {
     val countsLocal = spark.createDataFrame(
       java.util.Arrays.asList(countRows: _*), countSchema)
     def groupsOf(n: Long): Long = math.max((n + rowsPerFile - 1) / rowsPerFile, 1L)
-    val totalGroups = countRows.map(r =>
-      groupsOf(r.getLong(r.length - 1))).sum.toInt.max(1)
+    // toIntExact: an Int overflow here must fail loudly — a silent wrap
+    // once collapsed this to 1 shuffle partition (the opposite of balance)
+    val totalGroups = math.toIntExact(
+      countRows.map(r => groupsOf(r.getLong(r.length - 1))).sum).max(1)
 
     val joinCond = partitionCols
       .map(c => col(c) <=> col(s"__k_$c"))

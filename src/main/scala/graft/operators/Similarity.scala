@@ -37,23 +37,24 @@ object Similarity {
     * a corpus-sized exchange into |Q| reducer tasks.
     *
     * The typed heap requires integral ids and non-null scores; for other
-    * id types it degrades to a no-op — correctness is unaffected (the
-    * final window computes the same top-k) and Spark's own
+    * id types it degrades to a pass-through — correctness is unaffected
+    * (the final window computes the same top-k) and Spark's own
     * WindowGroupLimit(Partial) still pre-limits each partition before the
     * exchange. Rows with a null id/score carry no ranking information and
-    * are dropped (a null embedding scores null).
+    * are dropped ON BOTH PATHS (a null embedding scores null), so the
+    * result never depends on which path ran.
     */
   private[operators] def partialTopK(scored: DataFrame, k: Int): DataFrame = {
     val integral = Set("byte", "short", "integer", "long")
     val idsIntegral = Seq("query_id", "neighbor_id").forall(c =>
       integral.contains(scored.schema(c).dataType.typeName))
-    if (!idsIntegral) scored
+    val nonNull = scored.where(col("query_id").isNotNull &&
+      col("neighbor_id").isNotNull && col("cos").isNotNull)
+    if (!idsIntegral) nonNull
     else {
       val spark = scored.sparkSession
       import spark.implicits._
-      scored
-        .where(col("query_id").isNotNull && col("neighbor_id").isNotNull &&
-          col("cos").isNotNull)
+      nonNull
         .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
           col("cos").cast("double"))
         .as[(Long, Long, Double)]

@@ -24,9 +24,15 @@ object EventStreams {
         approx_count_distinct("user_id").as("approx_users"))
 
   /** Streaming parquet source that accepts the raw ns-timestamp files:
-    * sets the nanosAsLong conf (required at scan planning, not just
-    * conversion time) and converts ts in-plan. Schemas with a proper
-    * timestamp ts pass through untouched.
+    * sets the nanosAsLong conf and converts ts in-plan. Schemas with a
+    * proper timestamp ts pass through untouched.
+    *
+    * NOTE the conf change is deliberately session-wide and NOT restored
+    * here (unlike the scoped batch loader in [[graft.Tables.events]]): a
+    * streaming query snapshots the session conf when `.start()` runs,
+    * which is after this function returns — restoring earlier would make
+    * every microbatch reject the NANOS files. Callers that mix ns-long and
+    * true-timestamp parquet streams in one session must account for this.
     */
   private def eventsSource(spark: SparkSession, dir: String,
                            schema: StructType): DataFrame = {
