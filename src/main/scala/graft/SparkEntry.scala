@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
-import graft.operators.{BalancedRepartition, Dedup, Multimodal, Recode, Similarity}
+import graft.functions.{QualityFilters, TextFunctions}
+import graft.operators.{AsofJoin, BalancedRepartition, Clustering, Dedup, Multimodal, Recode, Similarity}
 import graft.pipeline.CensoPipeline
 import graft.sources.{CatalogTables, SchemaCsv}
 import graft.streaming.EventStreams
@@ -342,6 +342,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // As-of join: each event picks up the most recent order of the same
+    // customer at or before the event time (inclusive). The right side is
+    // first reduced to one row per (custkey, orderdate) — max-orderkey row
+    // wins — because as-of semantics are tie-ambiguous otherwise; the
+    // DuckDB oracle applies the identical reduction before its native
+    // ASOF LEFT JOIN.
+    "b18_asof_join" -> ((s, dir) => {
+      val ro = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate"))
+        .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
+        .select(col("k"), col("o_orderdate"),
+          col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_totalprice").as("o_totalprice"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("k"), col("ts"), col("event_type"))
+      AsofJoin.asof(ev, ro, Seq("k"), "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("o_orderkey")).as("n_matched"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("event_type")
+    }),
+
     // ===== C: LLM-data operators =====
 
     "c1_exact_dedup" -> ((s, dir) =>
@@ -471,7 +496,67 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Gopher/C4-style repetition + quality gates, per document.
+    "c17_gopher_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        QualityFilters.nWords(col("text")).as("n_words"),
+        round(QualityFilters.dupWordFrac(col("text")), 4).as("dup_word_frac"),
+        round(QualityFilters.topBigramFrac(col("text")), 4).as("top_bigram_frac"),
+        round(QualityFilters.meanWordLen(col("text")), 4).as("mean_word_len"),
+        QualityFilters.keep(col("text")).as("keep"))
+        .orderBy("doc_id")),
+
+    // PII scrub: deterministic synthetic PII (email + IPv4 + intl phone,
+    // derived from doc_id) is injected, then counted and redacted; the
+    // oracle applies the byte-identical RE2-safe regexes and checks the
+    // md5 of the scrubbed text.
+    "c18_pii_scrub" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").withColumn("text2",
+        concat(col("text"), lit(" Contact u"), col("doc_id").cast("string"),
+          lit("@ex"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".org or 10."), pmod(col("doc_id"), lit(200)).cast("string"),
+          lit(".0.3 or call +55 11 9"),
+          pmod(col("doc_id"), lit(10)).cast("string"), lit("00-0000.")))
+      withPii.select(col("doc_id"),
+        TextFunctions.countMatches(col("text2"), TextFunctions.emailPattern).as("n_emails"),
+        TextFunctions.countMatches(col("text2"), TextFunctions.ipv4Pattern).as("n_ips"),
+        TextFunctions.countMatches(col("text2"), TextFunctions.phonePattern).as("n_phones"),
+        md5(TextFunctions.scrubPii(col("text2"))).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // k-means assignment pass (iters=1: centroids are raw corpus vectors,
+    // bit-identical across engines, so the distributed argmax is
+    // oracle-checked exactly; Lloyd UPDATE convergence is locked in
+    // ClusteringSpec where cross-engine float drift can't flake the gate).
+    "c19_kmeans" -> ((s, dir) =>
+      Clustering.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 1)
+        .groupBy("list")
+        .agg(count(lit(1)).as("n_vecs"), round(avg("cos"), 6).as("mean_cos"))
+        .orderBy("list")),
+
+    // deterministic per-language downsampling quotas (hash-bucket filter)
+    "c20_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(t(s, dir, "documents"),
+          "lang", "text", Map("en" -> 80, "fr" -> 50, "de" -> 30),
+          defaultPct = 10)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")),
+
     // ===== D: streaming =====
+
+    // batch twin of dropDuplicatesWithinWatermark: at-least-once delivery
+    // simulated by a full self-union; dedup must collapse it exactly
+    // (event_id is the delivery key; retransmissions are byte-identical).
+    "d5_stream_dedup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      EventStreams.dedupEvents(ev.unionByName(ev))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
 
     "d1_stream_window" -> ((s, dir) =>
       EventStreams.hourlyAgg(t(s, dir, "events"))
@@ -724,6 +809,116 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
         |       max(CAST(props->>'$.k' AS INT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union-and-carry
+    // implementation; the right side is reduced to one row per (key, time)
+    // identically on both sides (max-orderkey row wins).
+    "b18_asof_join" ->
+      """WITH ro AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey AS k, o_orderdate, o_orderkey, o_totalprice,
+        |           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |               ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       count(r.o_orderkey) AS n_matched,
+        |       count(DISTINCT r.o_orderkey) AS n_orders,
+        |       round(sum(r.o_totalprice), 2) AS sum_price
+        |FROM events e ASOF LEFT JOIN ro r
+        |  ON e.user_id = r.k AND e.ts >= r.o_orderdate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c17_gopher_quality" ->
+      """WITH m AS (
+        |  SELECT doc_id, length(trim(text)) AS lt,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |m2 AS (
+        |  SELECT doc_id, lt, t,
+        |         CASE WHEN lt = 0 OR len(t) < 2 THEN NULL
+        |              ELSE list_transform(range(1, len(t)),
+        |                                  i -> t[i] || ' ' || t[i+1]) END AS bg
+        |  FROM m),
+        |m3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lt = 0 THEN 0 ELSE len(t) END AS n_words,
+        |    CASE WHEN lt = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+        |    END AS dwf,
+        |    CASE WHEN bg IS NULL THEN 0.0
+        |         ELSE CAST(list_max(list_transform(list_distinct(bg),
+        |                x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+        |              / (len(t) - 1)
+        |    END AS tbf,
+        |    CASE WHEN lt = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(t, x -> length(x)))
+        |                AS DOUBLE) / len(t)
+        |    END AS mwl
+        |  FROM m2)
+        |SELECT doc_id, n_words, round(dwf, 4) AS dup_word_frac,
+        |       round(tbf, 4) AS top_bigram_frac, round(mwl, 4) AS mean_word_len,
+        |       (n_words >= 5 AND mwl BETWEEN 3.0 AND 12.0
+        |          AND dwf <= 0.6 AND tbf <= 0.18) AS keep
+        |FROM m3 ORDER BY doc_id""".stripMargin,
+
+    "c18_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' Contact u' || CAST(doc_id AS VARCHAR)
+        |           || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+        |           || '.org or 10.' || CAST(doc_id % 200 AS VARCHAR)
+        |           || '.0.3 or call +55 11 9' || CAST(doc_id % 10 AS VARCHAR)
+        |           || '00-0000.' AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text2,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text2,
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text2, '\+[0-9][0-9 -]{6,}[0-9]')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text2,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // same md5-ordered deterministic init as Clustering.initCentroids;
+    // argmax tie-break (max cos, then max list) matches array_max on
+    // (cos, list) structs
+    "c19_kmeans" ->
+      """WITH cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |                            CAST(vec_id AS VARCHAR)) - 1 AS list,
+        |         embedding
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+        |        LIMIT 8)),
+        |scored AS (
+        |  SELECT e.vec_id, c.list,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings e CROSS JOIN cent c),
+        |best AS (
+        |  SELECT vec_id, list, cos,
+        |         row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY cos DESC, list DESC) AS rn
+        |  FROM scored)
+        |SELECT list, count(*) AS n_vecs, round(avg(cos), 6) AS mean_cos
+        |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c20_stratified_sample" ->
+      """SELECT lang, count(*) AS cnt FROM (
+        |  SELECT lang,
+        |         CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 AS b
+        |  FROM documents WHERE text IS NOT NULL) s
+        |WHERE b < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 50
+        |               WHEN 'de' THEN 30 ELSE 10 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d5_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "c1_exact_dedup" ->

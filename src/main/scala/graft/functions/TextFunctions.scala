@@ -94,6 +94,32 @@ object TextFunctions {
     array_max(array(scored: _*)).getField("lang")
   }
 
+  // ------------------------------------------------------------------ PII
+  // Redaction patterns kept RE2-compatible (no backreferences/lookaround)
+  // so the DuckDB oracle applies the byte-identical regex; replacement
+  // order is email → IPv4 → phone on both sides (a later pattern must
+  // never see text a former one should have consumed).
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  /** International-format only (leading +): unambiguous against ids/zips. */
+  val phonePattern = "\\+[0-9][0-9 -]{6,}[0-9]"
+
+  def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Scrub emails, IPv4 addresses, and international phone numbers to
+    * typed placeholder tokens — the standard pre-training PII pass. One
+    * projection, three codegen'd regex rewrites; at 100 TB this is a
+    * map-only stage with no shuffle.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
   /** Rolling polynomial hash over the normalized text's characters — the
     * classic Rabin-Karp document fingerprint, computed with higher-order
     * array functions entirely inside codegen. Base 257 mod the Mersenne

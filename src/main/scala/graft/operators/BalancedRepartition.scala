@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object BalancedRepartition {
 
   def apply(df: DataFrame, partitionCols: Seq[String],
-            rowsPerFile: Long = 2000000L): DataFrame = {
+            rowsPerFile: Long = 2000000L, maxKeys: Int = 100000): DataFrame = {
     val keyCols = partitionCols.map(col)
     // one aggregation job; the per-key counts land on the driver (one row
     // per partition value — partition columns are low-cardinality by
@@ -36,7 +36,6 @@ object BalancedRepartition {
     // Fail fast on high-cardinality keys BEFORE collecting: cap the count
     // frame at maxKeys+1 rows so a mis-chosen partition column (say, a
     // document id) aborts with a clear message instead of OOMing the driver.
-    val maxKeys = 100000
     val countRows = df.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("__key_count")).limit(maxKeys + 1).collect()
     require(countRows.length <= maxKeys,

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftExpressions
+
+/** Distributed spherical k-means over an `array<float>` embedding column —
+  * the clustering pass data-curation pipelines use for semantic
+  * stratification, topic balancing, and cluster-level dedup/sampling.
+  *
+  * Lloyd's iterations, Spark-shaped:
+  *   - ASSIGN is a single codegen'd projection — the k centroids are
+  *     driver-local literals (k·dim floats, KBs) compiled into the plan, so
+  *     the corpus is scanned once per iteration with NO shuffle and no
+  *     join; argmax-by-cosine via array_max over (cos, list) structs.
+  *   - UPDATE shuffles only (list, dim, partial-sum) triples — posexplode
+  *     to (list, dim, value), one map-side-combined aggregation, k·dim
+  *     result rows collected to the driver for the next iteration's
+  *     literals. The corpus-sized frame never shuffles.
+  *
+  * Init is a deterministic md5-ordered sample of the corpus (seed-free,
+  * content-addressed — reruns and engine ports agree), the same init the
+  * DuckDB oracle reproduces.
+  *
+  * At 100 TB: cost per iteration = one corpus scan + one (k·dim)-row
+  * aggregate; centroid state is O(k·dim) on the driver, same contract as
+  * Spark MLlib's KMeans but with the assignment kept as a relational
+  * column (composable with every other operator here).
+  */
+object Clustering {
+
+  /** Deterministic initial centroids: the k corpus vectors with the
+    * smallest md5(id) — content-addressed, so any engine reproduces them.
+    */
+  def initCentroids(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): Array[Array[Float]] =
+    df.select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .orderBy(md5(col("id")), col("id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  private def assignStruct(v: Column, centroids: Array[Array[Float]]): Column =
+    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(GraftExpressions.floatCosine(v, typedLit(c.toSeq)).as("cos"),
+        lit(i).as("list"))
+    }.toIndexedSeq: _*))
+
+  /** One Lloyd UPDATE: per-cluster per-dimension means of the assigned
+    * vectors. Shuffles (list, dim, value) triples only.
+    */
+  private def updateCentroids(assigned: DataFrame,
+                              centroids: Array[Array[Float]]): Array[Array[Float]] = {
+    val dims = assigned
+      .select(col("list"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("list", "dim").agg(avg("x").as("m"))
+      .collect()
+    val next = centroids.map(_.clone())
+    dims.foreach { r =>
+      next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+    }
+    next
+  }
+
+  /** Run `iters` assignment passes with an UPDATE between consecutive
+    * ones (iters = 1 ⇒ pure initial assignment). Returns one row per
+    * input row: (id, list, cos) — cluster index and cosine to the final
+    * centroid set.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, iters: Int = 1): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var centroids = initCentroids(df, idCol, vecCol, k)
+    for (_ <- 1 until iters) {
+      val assigned = keyed.withColumn("list",
+        assignStruct(col("v"), centroids).getField("list"))
+      centroids = updateCentroids(assigned, centroids)
+    }
+    keyed
+      .withColumn("best", assignStruct(col("v"), centroids))
+      .select(col("id"), col("best.list").as("list"), col("best.cos").as("cos"))
+  }
+}

@@ -39,4 +39,25 @@ object Sampling {
   def hashSplit(df: DataFrame, keyCol: String, trainPct: Int = 80,
                 valPct: Int = 10): DataFrame =
     df.withColumn("split", splitCol(col(keyCol), trainPct, valPct))
+
+  /** Deterministic stratified downsampling: keep a row iff its content
+    * hash-bucket falls below the stratum's percentage — per-language (or
+    * any stratum) quotas with the SAME determinism contract as
+    * [[hashSplit]]: order-invariant, growth-stable (a kept document stays
+    * kept when the corpus grows), seed-free, cross-engine reproducible.
+    * Strata missing from `pctByStratum` fall back to `defaultPct`;
+    * null keys are never kept (an unkeyable row has no stable identity).
+    *
+    * One codegen'd filter over a map literal — no shuffle, no sampleBy
+    * RNG (whose output depends on partitioning and retries).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       pctByStratum: Map[String, Int],
+                       defaultPct: Int = 0): DataFrame = {
+    require((pctByStratum.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100))
+    val pct = coalesce(
+      try_element_at(typedLit(pctByStratum), col(strataCol)),
+      lit(defaultPct))
+    df.where(col(keyCol).isNotNull && hashBucket(col(keyCol)) < pct)
+  }
 }

@@ -152,6 +152,26 @@ object EventStreams {
         round(col("sum_raw"), 2).as("sum_value"), col("evicted"))
   }
 
+  /** Batch twin of [[dedupStream]]: keep one row per event_id. Rows
+    * sharing an event_id are byte-identical retransmissions (at-least-once
+    * delivery), so which survives is immaterial.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  /** Streaming exact dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    * keeps an event_id in state only until the watermark passes its event
+    * time — the at-least-once → exactly-once repair that plain
+    * dropDuplicates (state grows forever on an unbounded stream) cannot
+    * provide. Takes the streaming frame as an argument so tests drive it
+    * from a MemoryStream with controlled duplicate injection.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming sessionization via session_window — state-backed native
     * session windows with watermark eviction (the streaming-scale answer;
     * the batch twin above is the oracle-checkable one).

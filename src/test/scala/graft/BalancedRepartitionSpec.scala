@@ -46,6 +46,14 @@ class BalancedRepartitionSpec extends AnyFunSuite with SparkSpec {
     assert(perPart.length >= expectedGroups / 2)
   }
 
+  test("high-cardinality partition column fails fast, never OOMs the driver") {
+    val li = Tables(spark, sfDir(), "lineitem")
+    val e = intercept[IllegalArgumentException] {
+      BalancedRepartition(li, Seq("l_orderkey"), rowsPerFile = 10L, maxKeys = 50)
+    }
+    assert(e.getMessage.contains("low-cardinality"))
+  }
+
   test("saltedInnerJoin preserves exact row multiplicity under skew") {
     // heavy skew: key 1 dominates; include duplicate large-side rows
     val large = ((1 to 1000).map(_ => (1L, "dup")) ++

@@ -112,6 +112,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops within-watermark duplicates across microbatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = EventStreams.dedupStream(
+      input.toDF().toDF("event_id", "ts", "value"), watermark = "2 hours")
+    val q = stream.writeStream.format("memory").queryName("dedup_mem")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(10), 1.0), (2L, ts(10, 30), 2.0), (1L, ts(10), 1.0))
+      q.processAllAvailable()
+      // retransmission of 1 and 2 in a LATER microbatch, still in watermark
+      input.addData((1L, ts(10), 1.0), (2L, ts(10, 30), 2.0), (3L, ts(11), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_mem").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L),
+        "each event_id must be emitted exactly once")
+    } finally q.stop()
+  }
+
+  test("batch dedup twin collapses an exact self-union") {
+    val doubled = events.unionByName(events)
+    val deduped = EventStreams.dedupEvents(doubled)
+    assert(deduped.count() === events.count())
+  }
+
   test("sessionizeStream(AvailableNow) sessions match the batch twin") {
     val streamed = runToCompletion(
       EventStreams.sessionizeStream(spark, stagedDir, rawSchema), "sessions_mem")
