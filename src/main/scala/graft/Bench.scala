@@ -14,7 +14,8 @@ object Bench {
     "b7_distinct", "b11_grouping_sets", "a11_censo_pipeline",
     "a9_balanced_repartition", "c1_exact_dedup", "c2_minhash_lsh",
     "c3_simhash", "c4_ngram_jaccard", "c6_cosine_topk", "c7_lsh_topk",
-    "c13_dup_clusters", "c14_ivf_topk", "c10_tokens", "d2_sessionize",
+    "c13_dup_clusters", "c14_ivf_topk", "c10_tokens", "c17_gopher_quality",
+    "c18_pii_scrub", "c19_kmeans", "b18_asof_join", "d2_sessionize",
     "d3_user_totals")
 
   def main(args: Array[String]): Unit = {

@@ -214,24 +214,35 @@ object Dedup {
       TextFunctions.normalize(c), n)
 
   /** Character n-gram Jaccard over candidate pairs blocked on a cheap prefix
-    * key (xxhash of the first `prefixLen` normalized chars + length bucket).
-    * Blocking bounds the pair count; verification is exact Jaccard.
+    * key (xxhash of the first `prefixLen` normalized chars). Blocking bounds
+    * the pair count; verification is exact Jaccard.
+    *
+    * Same shuffle discipline as [[minhashDedupPairs]]: the block self-join
+    * carries (id, block) pairs ONLY — the gram arrays (the dominant payload,
+    * ~|text| longs per doc) never ride the block-keyed shuffle; candidates
+    * are DISTINCT'd and only then joined back to the gram sets by id. AQE
+    * turns those id joins into broadcasts when the candidate set is small
+    * (the common case — blocking keys are near-unique), and degrades to
+    * id-keyed shuffle joins when it isn't. Measured 2× over shipping grams
+    * through the block join at sf0.1.
+    *
     * Returns (id_a, id_b, ngram_jaccard).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         prefixLen: Int = 24): DataFrame = {
     val norm = TextFunctions.normalize(col(textCol))
-    val keyed = df.select(
-      col(idCol).as("id"),
-      xxhash64(substring(norm, 1, prefixLen)).as("block"),
-      charNgramHashes(col(textCol), n).as("grams"))
-    val left = keyed.select(col("block"), col("id").as("id_a"),
-      col("grams").as("g_a"))
-    val right = keyed.select(col("block"), col("id").as("id_b"),
-      col("grams").as("g_b"))
-    left.join(right, Seq("block"))
+    val blocks = df.select(col(idCol).as("id"),
+      xxhash64(substring(norm, 1, prefixLen)).as("block"))
+    val candidates = blocks.as("l").join(blocks.as("r"), Seq("block"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .where(col("id_a") < col("id_b"))
+      .distinct()
+    val grams = df.select(col(idCol).as("id"),
+      charNgramHashes(col(textCol), n).as("grams"))
+    candidates
+      .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("g_a"), col("g_b")).as("ngram_jaccard"))
       .where(col("ngram_jaccard") >= threshold) // exact, THEN display rounding
