@@ -342,6 +342,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // Relational upsert: price revisions for open orders + a batch of new
+    // rows, merged into the snapshot by key (replace-else-insert).
+    "a17_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val revisions = o.where(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      val inserts = o.where(col("o_orderstatus") === "F")
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      graft.operators.Upsert
+        .upsert(o, revisions.unionByName(inserts), Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Bucketed range join: quantity deciles + one full-width band (spans
+    // all 5 buckets — exercises the interval explosion) joined to
+    // lineitem as an equi-join on bucket id, residual BETWEEN exact.
+    "b19_range_join" -> ((s, dir) => {
+      val bands = s.range(5).select(col("id").cast("int").as("band_id"),
+          (col("id") * 10 + 1).as("lo"), (col("id") * 10 + 10).as("hi"))
+        .unionByName(s.range(1).select(lit(9).as("band_id"),
+          lit(1L).as("lo"), lit(50L).as("hi")))
+      graft.operators.RangeJoin.pointInInterval(
+          t(s, dir, "lineitem"), bands, "l_quantity", "lo", "hi",
+          bucketWidth = 10L)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("int")).as("sum_qty"))
+        .orderBy("band_id")
+    }),
+
     // As-of join: each event picks up the most recent order of the same
     // customer at or before the event time (inclusive). The right side is
     // first reduced to one row per (custkey, orderdate) — max-orderkey row
@@ -810,6 +845,32 @@ object SparkEntry {
         |       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
         |       max(CAST(props->>'$.k' AS INT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a17_upsert" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        |  FROM o WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, 'N', o_totalprice
+        |  FROM o WHERE o_orderstatus = 'F'),
+        |merged AS (
+        |  SELECT * FROM o
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "b19_range_join" ->
+      """WITH bands AS (
+        |  SELECT band_id, band_id * 10 + 1 AS lo, band_id * 10 + 10 AS hi
+        |  FROM (VALUES (0), (1), (2), (3), (4)) t(band_id)
+        |  UNION ALL SELECT 9, 1, 50)
+        |SELECT band_id, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union-and-carry
     // implementation; the right side is reduced to one row per (key, time)

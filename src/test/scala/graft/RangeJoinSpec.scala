@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{RangeJoin, Upsert}
+
+class RangeJoinSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  test("bucketed range join equals the naive non-equi join, exactly once") {
+    val points = (1L to 100L).map(i => (i, i % 37)).toDF("pid", "x")
+    val intervals = Seq(
+      (0L, 0L, 9L), (1L, 5L, 14L),     // overlapping intervals
+      (2L, 30L, 36L), (3L, 0L, 36L),   // wide interval spans all buckets
+      (4L, 35L, 35L), (5L, 40L, 50L)   // point interval; empty interval
+    ).toDF("iid", "lo", "hi")
+    val bucketed = RangeJoin
+      .pointInInterval(points, intervals, "x", "lo", "hi", bucketWidth = 7L)
+      .select("pid", "iid")
+    val naive = points.join(intervals,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid")
+    assert(bucketed.count() === naive.count())
+    assert(bucketed.distinct().count() === bucketed.count(),
+      "a (point, interval) pair must appear exactly once")
+    assert(bucketed.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(bucketed).count() === 0L)
+  }
+
+  test("interval ends are inclusive on both sides") {
+    val points = Seq((1L, 10L), (2L, 20L), (3L, 9L), (4L, 21L)).toDF("pid", "x")
+    val intervals = Seq((0L, 10L, 20L)).toDF("iid", "lo", "hi")
+    val hits = RangeJoin
+      .pointInInterval(points, intervals, "x", "lo", "hi", bucketWidth = 100L)
+      .select("pid").collect().map(_.getLong(0)).sorted
+    assert(hits.toSeq === Seq(1L, 2L))
+  }
+
+  test("range join is an equi-join on bucket: no nested-loop in the plan") {
+    val points = (1L to 50L).map(i => (i, i)).toDF("pid", "x")
+    val intervals = Seq((0L, 0L, 25L), (1L, 26L, 50L)).toDF("iid", "lo", "hi")
+    val plan = RangeJoin
+      .pointInInterval(points, intervals, "x", "lo", "hi", bucketWidth = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("upsert: existing keys replace, new keys insert, others untouched") {
+    val target = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "status", "v")
+    val updates = Seq((2L, "B", 20.0), (4L, "d", 4.0)).toDF("k", "status", "v")
+    val out = Upsert.upsert(target, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out === Map(
+      1L -> ("a", 1.0), 2L -> ("B", 20.0), 3L -> ("c", 3.0), 4L -> ("d", 4.0)))
+  }
+
+  test("upsert: a null in the update row wins (whole-row replace)") {
+    val target = Seq((1L, Some("a"))).toDF("k", "status")
+    val updates = Seq((1L, None: Option[String])).toDF("k", "status")
+    val out = Upsert.upsert(target, updates, Seq("k")).collect()
+    assert(out.length === 1 && out.head.isNullAt(1),
+      "per-column coalesce semantics would wrongly resurrect the old value")
+  }
+
+  test("upsert is idempotent: applying the same batch twice is a no-op") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "status")
+    val updates = Seq((2L, "B"), (3L, "c")).toDF("k", "status")
+    val once = Upsert.upsert(target, updates, Seq("k"))
+    val twice = Upsert.upsert(once, updates, Seq("k"))
+    assert(twice.exceptAll(once).count() === 0L)
+    assert(once.exceptAll(twice).count() === 0L)
+  }
+}
