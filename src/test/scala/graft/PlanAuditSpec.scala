@@ -37,4 +37,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p = plan("a10_partitioned_sink")
     assert(p.contains("PartitionFilters"), p.take(500))
   }
+
+  test("c17/c18: per-doc text metrics prune the scan to the used columns") {
+    val p17 = plan("c17_gopher_quality")
+    assert(p17.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "quality metrics must not drag unused columns through the scan")
+    val p18 = plan("c18_pii_scrub")
+    assert(p18.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("c19: k-means assignment is a joinless scan, one exchange to agg") {
+    val p = plan("c19_kmeans")
+    assert(!p.contains("Join"),
+      "centroids must be plan literals, not a joined frame")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"assignment must not shuffle the corpus:\n${p.take(600)}")
+  }
+
+  test("b19: range join runs as equi-join, never nested-loop/cartesian") {
+    val p = plan("b19_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("a17: upsert anti-join stays a hash join, no full-outer") {
+    val p = plan("a17_upsert")
+    assert(p.contains("LeftAnti"), p.take(500))
+    assert(!p.contains("FullOuter"))
+  }
 }
