@@ -579,6 +579,28 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
         .orderBy("lang")),
 
+    // context-length chunking: 32-token windows advancing by 24 (8-token
+    // overlap); chunk content checked via md5 of the re-joined tokens
+    "c21_chunking" -> ((s, dir) =>
+      graft.operators.Chunking.chunkTokens(
+          t(s, dir, "documents").select("doc_id", "text"), "text",
+          chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // concat-and-cut sequence packing, sharded by lang (the shard key is
+    // what parallelizes the inherently sequential running sum)
+    "c22_sequence_pack" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("nt"))
+      graft.operators.Chunking
+        .packSequences(toks, "doc_id", "nt", "lang", budget = 512L)
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("sum_tokens"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // ===== D: streaming =====
 
     // batch twin of dropDuplicatesWithinWatermark: at-least-once delivery
@@ -976,6 +998,38 @@ object SparkEntry {
         |WHERE b < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 50
         |               WHEN 'de' THEN 30 ELSE 10 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c21_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (
+        |  SELECT doc_id, t,
+        |         CAST(greatest(ceil((len(t) - 8) / 24.0), 1.0) AS INT) AS nc
+        |  FROM d),
+        |e AS (SELECT doc_id, t, unnest(range(0, nc)) AS j FROM n)
+        |SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+        |       CAST(len(list_slice(t, j*24 + 1,
+        |                least(j*24 + 32, len(t)))) AS INT) AS chunk_tokens,
+        |       md5(array_to_string(list_slice(t, j*24 + 1,
+        |                least(j*24 + 32, len(t))), ' ')) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "c22_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |           AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, nt,
+        |         sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT lang, CAST(floor((cum - nt) / 512.0) AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d5_stream_dedup" ->
       """SELECT event_type, count(*) AS n_events,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document chunking and sequence packing — the two transforms between a
+  * cleaned corpus and a training batch: long documents are split into
+  * bounded token windows (context-length fit), and the resulting pieces
+  * are packed into fixed-token-budget training sequences.
+  *
+  * Both are pure relational transforms: chunking is a projection +
+  * posexplode (map-only, no shuffle); packing is one window pass
+  * partitioned by a shard key, so the cumulative-sum state never
+  * serializes through a single task at corpus scale.
+  */
+object Chunking {
+
+  /** Split each document into whitespace-token windows of `chunkSize`
+    * tokens advancing by `chunkSize - overlap` (so consecutive chunks
+    * share `overlap` tokens). The last window may be short; documents of
+    * ≤ chunkSize tokens yield exactly one chunk; empty/blank docs yield
+    * none. Emits (…, chunk_idx, chunk_tokens, chunk_text).
+    *
+    * One posexplode over an in-expression sequence — no shuffle, no UDF;
+    * at 100 TB this is a flat map whose output rows ≈ input tokens /
+    * (chunkSize − overlap).
+    */
+  def chunkTokens(df: DataFrame, textCol: String, chunkSize: Int = 512,
+                  overlap: Int = 64): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      "need chunkSize > overlap >= 0")
+    val step = chunkSize - overlap
+    val toks = TextFunctions.wsTokens(col(textCol))
+    val n = size(toks)
+    // ceil((n - overlap) / step), at least 1 — integer inputs are far
+    // below 2^53, so the double division is exact and engine-agnostic
+    val nChunks = greatest(
+      ceil((n - lit(overlap)).cast("double") / lit(step.toDouble)), lit(1.0))
+      .cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), j =>
+      concat_ws(" ", slice(toks, j * step + 1, lit(chunkSize))))
+    df.where(length(trim(col(textCol))) > 0)
+      .select(df.columns.map(col) :+
+        posexplode(chunks).as(Seq("chunk_idx", "chunk_text")): _*)
+      .withColumn("chunk_tokens", size(TextFunctions.wsTokens(col("chunk_text"))))
+  }
+
+  /** Concat-and-cut sequence packing: within each shard, documents are
+    * laid end-to-end in `orderCol` order and the stream is cut every
+    * `budget` tokens; a document belongs to the pack where it STARTS
+    * (GPT-style packing, where sequences may span cut points). Adds
+    * `pack_id`, consecutive from 0 per shard.
+    *
+    * The shard column is what makes this scale: packing is sequential by
+    * nature (a running sum), so the corpus is packed per shard in
+    * parallel — one window exchange keyed on the shard, never a global
+    * single-task sort. Determinism comes from (shardCol, orderCol) being
+    * a total order.
+    */
+  def packSequences(df: DataFrame, orderCol: String, tokensCol: String,
+                    shardCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col(tokensCol)) / lit(budget.toDouble)).cast("long"))
+      .drop("__cum")
+  }
+}

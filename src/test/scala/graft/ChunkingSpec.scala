@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Chunking
+
+class ChunkingSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  test("hand-checkable windows: size 4, overlap 1 over 10 tokens") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = Chunking.chunkTokens(Seq((1L, text)).toDF("doc_id", "text"),
+        "text", chunkSize = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_text").collect().map(_.getString(0))
+    assert(out.toSeq === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+  }
+
+  test("short and empty documents: one chunk / no chunk") {
+    val df = Seq((1L, "a b c"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = Chunking.chunkTokens(df, "text", chunkSize = 4, overlap = 1)
+      .select("doc_id", "chunk_text").collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L && out.head.getString(1) === "a b c")
+  }
+
+  test("every token is covered; consecutive chunks overlap exactly") {
+    val docs = Tables(spark, sfDir(), "documents").limit(50)
+    val chunked = Chunking.chunkTokens(docs.select("doc_id", "text"), "text",
+      chunkSize = 32, overlap = 8).collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    chunked.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val toks = texts(id).trim.split("\\s+").toSeq
+      val chunks = rows.sortBy(_.getInt(2))
+        .map(_.getString(3).split(" ").toSeq)
+      // reconstruction: first chunk + the post-overlap tail of the rest
+      val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(8))
+      assert(rebuilt === toks, s"doc $id")
+      chunks.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(0).takeRight(8) === pair(1).take(8), s"doc $id")
+      }
+    }
+  }
+
+  test("packSequences: a document packs where it starts") {
+    val docs = Seq((1L, "x", 300), (2L, "x", 300), (3L, "x", 300),
+      (4L, "y", 600)).toDF("doc_id", "lang", "nt")
+    val out = Chunking.packSequences(docs, "doc_id", "nt", "lang", 512L)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shard x offsets: 0, 300, 600 → packs 0, 0, 1; shard y restarts at 0
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("packSequences invariants on real data: starts fall inside the pack") {
+    val toks = Tables(spark, sfDir(), "documents").select(col("doc_id"),
+      col("lang"), graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+    val packed = Chunking.packSequences(toks, "doc_id", "nt", "lang", 512L)
+    assert(packed.count() === toks.count(), "packing must not drop documents")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bad = packed
+      .withColumn("start", coalesce(sum("nt").over(w), lit(0L)))
+      .where(col("start") < col("pack_id") * 512 ||
+        col("start") >= (col("pack_id") + 1) * 512)
+    assert(bad.count() === 0L)
+  }
+}
