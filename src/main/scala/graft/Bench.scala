@@ -15,7 +15,8 @@ object Bench {
     "a9_balanced_repartition", "c1_exact_dedup", "c2_minhash_lsh",
     "c3_simhash", "c4_ngram_jaccard", "c6_cosine_topk", "c7_lsh_topk",
     "c13_dup_clusters", "c14_ivf_topk", "c10_tokens", "c17_gopher_quality",
-    "c18_pii_scrub", "c19_kmeans", "b18_asof_join", "d2_sessionize",
+    "c18_pii_scrub", "c19_kmeans", "c21_chunking", "c22_sequence_pack",
+    "b18_asof_join", "b19_range_join", "a17_upsert", "d2_sessionize",
     "d3_user_totals")
 
   def main(args: Array[String]): Unit = {
