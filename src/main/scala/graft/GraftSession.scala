@@ -13,6 +13,8 @@ object GraftSession {
               shufflePartitions: Option[Int] = None): SparkSession.Builder = {
     val b = SparkSession.builder()
       .appName(appName)
+      // engine Catalyst extensions (e.g. non-equi range-join rewrite)
+      .withExtensions(new graft.plans.GraftExtensions)
       // AQE re-plans at runtime: coalesces small shuffle partitions,
       // splits skewed ones — both essential when input stats are wrong
       // by 100x, which at 100 TB they always are somewhere

@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+
+/** Catalyst optimizer rule: rewrite a non-equi point-in-interval join
+  * (`lo ≤ p AND p ≤ hi`, no usable equi key) into the bucketed equi-join
+  * of [[graft.operators.RangeJoin]] — automatically, so users can write
+  * the naive `BETWEEN` join and still get a shuffle-partitionable plan.
+  *
+  * Without this rule Spark plans such joins as BroadcastNestedLoopJoin
+  * (when one side fits in memory) or CartesianProduct (when neither
+  * does — quadratic, fatal at scale). The rewrite:
+  *
+  *   point side    → Project (+ `floor(p / w)` bucket column)
+  *   interval side → Generate (explode of the covering bucket range)
+  *   join          → bucket equality + the ORIGINAL condition as residual
+  *
+  * Every matched pair survives exactly once (a pair co-occurs only in the
+  * point's bucket); the residual keeps exactness.
+  *
+  * Fires only when ALL hold, so it can never regress a plan:
+  *   - inner/cross join with a condition containing a lower AND an upper
+  *     bound on the same numeric point expression, bounds from the other
+  *     side;
+  *   - no equi conjunct (those already hash-join; this also makes the
+  *     rule idempotent — its own output contains one);
+  *   - neither side is broadcastable under the current threshold (a
+  *     BNLJ that broadcasts a dim table is already the right plan).
+  *
+  * Bucket width comes from `spark.graft.rangeJoin.bucketWidth` (default
+  * 16, in point-column units) — pick ≈ the median interval span.
+  * Registered through [[GraftExtensions]]
+  * (`SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`).
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] {
+
+  private val WidthConf = "spark.graft.rangeJoin.bucketWidth"
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** (point, bound) pairs normalized so the pair means point ≥/≤ bound. */
+  private def lowerPairs(c: Expression): Seq[(Expression, Expression)] = c match {
+    case GreaterThanOrEqual(p, b) => Seq((p, b))
+    case GreaterThan(p, b) => Seq((p, b))
+    case LessThanOrEqual(b, p) => Seq((p, b))
+    case LessThan(b, p) => Seq((p, b))
+    case _ => Seq.empty
+  }
+  private def upperPairs(c: Expression): Seq[(Expression, Expression)] = c match {
+    case LessThanOrEqual(p, b) => Seq((p, b))
+    case LessThan(p, b) => Seq((p, b))
+    case GreaterThanOrEqual(b, p) => Seq((p, b))
+    case GreaterThan(b, p) => Seq((p, b))
+    case _ => Seq.empty
+  }
+
+  private def numeric(e: Expression): Boolean =
+    e.dataType.isInstanceOf[NumericType]
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner | Cross, Some(cond), hint) =>
+      val cs = conjuncts(cond)
+
+      val hasEquiKey = cs.exists {
+        case EqualTo(a, b) => splitsAcross(a, b, j)
+        case EqualNullSafe(a, b) => splitsAcross(a, b, j)
+        case _ => false
+      }
+      val thr = conf.autoBroadcastJoinThreshold
+      val broadcastable = thr >= 0 &&
+        (left.stats.sizeInBytes <= thr || right.stats.sizeInBytes <= thr)
+
+      if (hasEquiKey || broadcastable) j
+      else {
+        // a (point, lo, hi) triple: point's references on one side, both
+        // bounds' references on the other
+        val candidate = (for {
+          (p1, lo) <- cs.flatMap(lowerPairs)
+          (p2, hi) <- cs.flatMap(upperPairs)
+          if p1.semanticEquals(p2) && numeric(p1) && numeric(lo) && numeric(hi)
+          sides <- sidesOf(p1, lo, hi, left, right)
+        } yield (p1, lo, hi, sides)).headOption
+
+        candidate match {
+          case None => j
+          case Some((p, lo, hi, pointSideIsLeft)) =>
+            val w = conf.getConfString(WidthConf, "16").toDouble
+            require(w > 0, s"$WidthConf must be positive")
+            def bucket(e: Expression): Expression =
+              Cast(Floor(Divide(Cast(e, DoubleType), Literal(w))), LongType)
+
+            val pAlias = Alias(bucket(p), "__graft_bucket_p")()
+            // Sequence is timezone-aware (date/time sequences share the
+            // expression), so a resolved tz id is required even for longs;
+            // the generator output attr must match the element type AND
+            // nullability (sequence arrays have containsNull = false) or
+            // the Generate node stays unresolved
+            val iAttr =
+              AttributeReference("__graft_bucket_i", LongType, nullable = false)()
+            def withPointBucket(side: LogicalPlan) =
+              Project(side.output :+ pAlias, side)
+            def withIntervalBuckets(side: LogicalPlan) =
+              Generate(
+                Explode(Sequence(bucket(lo), bucket(hi), Some(Literal(1L)),
+                  Some(conf.sessionLocalTimeZone))),
+                unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                generatorOutput = Seq(iAttr), child = side)
+
+            val (newLeft, newRight) =
+              if (pointSideIsLeft) (withPointBucket(left), withIntervalBuckets(right))
+              else (withIntervalBuckets(left), withPointBucket(right))
+            val newCond = And(EqualTo(pAlias.toAttribute, iAttr), cond)
+            Project(j.output,
+              Join(newLeft, newRight, Inner, Some(newCond), hint))
+        }
+      }
+  }
+
+  /** a and b reference opposite join sides (either orientation). */
+  private def splitsAcross(a: Expression, b: Expression, j: Join): Boolean = {
+    val l = j.left.outputSet
+    val r = j.right.outputSet
+    (a.references.nonEmpty && b.references.nonEmpty) &&
+      ((a.references.subsetOf(l) && b.references.subsetOf(r)) ||
+        (a.references.subsetOf(r) && b.references.subsetOf(l)))
+  }
+
+  /** Some(true) if point refs ⊆ left and bounds ⊆ right; Some(false) for
+    * the mirror; None if the triple straddles sides any other way.
+    */
+  private def sidesOf(p: Expression, lo: Expression, hi: Expression,
+                      left: LogicalPlan, right: LogicalPlan): Option[Boolean] = {
+    val l = left.outputSet
+    val r = right.outputSet
+    val boundsRefs = lo.references ++ hi.references
+    if (p.references.nonEmpty && boundsRefs.nonEmpty &&
+      p.references.subsetOf(l) && boundsRefs.subsetOf(r)) Some(true)
+    else if (p.references.nonEmpty && boundsRefs.nonEmpty &&
+      p.references.subsetOf(r) && boundsRefs.subsetOf(l)) Some(false)
+    else None
+  }
+}
+
+/** Engine extension entry point: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectOptimizerRule(_ => RangeJoinRewrite)
+}
