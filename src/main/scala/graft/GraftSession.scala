@@ -27,6 +27,13 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "256m")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.session.timeZone", "UTC")
+      // ENGINE POLICY for INT64 TIMESTAMP(NANOS) parquet (Spark 4 rejects
+      // it outright): such columns surface as raw nanos longs and are
+      // converted in-plan (Tables.withTsFromNanos). Deciding this once at
+      // session build means no operator ever mutates session conf at
+      // runtime — previously the streaming source had to set this
+      // session-wide mid-flight, silently changing later reads.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     master.foreach(b.master)
     shufflePartitions.foreach(n =>
       b.config("spark.sql.shuffle.partitions", n.toString))

@@ -23,24 +23,20 @@ object EventStreams {
         round(sum("value"), 2).as("sum_value"),
         approx_count_distinct("user_id").as("approx_users"))
 
-  /** Streaming parquet source that accepts the raw ns-timestamp files:
-    * sets the nanosAsLong conf and converts ts in-plan. Schemas with a
-    * proper timestamp ts pass through untouched.
+  /** Streaming parquet source that accepts the raw ns-timestamp files and
+    * converts ts in-plan. Schemas with a proper timestamp ts pass through
+    * untouched.
     *
-    * NOTE the conf change is deliberately session-wide and NOT restored
-    * here (unlike the scoped batch loader in [[graft.Tables.events]]): a
-    * streaming query snapshots the session conf when `.start()` runs,
-    * which is after this function returns — restoring earlier would make
-    * every microbatch reject the NANOS files. Callers that mix ns-long and
-    * true-timestamp parquet streams in one session must account for this.
+    * Reading TIMESTAMP(NANOS) parquet relies on the engine's session-level
+    * `nanosAsLong` policy ([[graft.GraftSession]]) — a streaming query
+    * snapshots session conf at `.start()`, so the policy MUST be a
+    * session-build decision; this function performs no conf mutation
+    * (earlier revisions set it here session-wide mid-flight, silently
+    * changing every later parquet read).
     */
   private def eventsSource(spark: SparkSession, dir: String,
-                           schema: StructType): DataFrame = {
-    if (schema.fieldNames.contains("ts") &&
-        schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                           schema: StructType): DataFrame =
     graft.Tables.withTsFromNanos(spark.readStream.schema(schema).parquet(dir))
-  }
 
   /** Streaming twin of [[hourlyAgg]]: file source → watermark → windowed
     * state → append. Used by the streaming spec with Trigger.AvailableNow.

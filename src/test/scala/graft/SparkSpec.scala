@@ -10,13 +10,11 @@ trait SparkSpec { self: Suite =>
 }
 
 object SparkSpec {
+  // the engine's own factory: specs run against the DEFAULT session an
+  // engine user gets (extensions, AQE, nanos policy) — not a bespoke one
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    val s = GraftSession
+      .builder("graft-test", Some("local[4]"), Some(4))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
