@@ -42,4 +42,42 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Broadcast variant for DIM-SIZED interval tables: no bucket explode, no
+    * shuffle at all — the interval table ships to every executor and the
+    * point side is streamed through a BroadcastNestedLoopJoin with the raw
+    * `BETWEEN` predicate. Cheaper than the bucketed form whenever the
+    * interval side fits the broadcast threshold: the bucketed form pays an
+    * interval-row blowup (span / bucketWidth) plus a full two-sided shuffle
+    * to win shuffle-partitionability the broadcast case never needed.
+    * Never use for big-to-big (per-row interval scan is O(|I|) without an
+    * index; that's what the bucketed form is for).
+    */
+  def pointInIntervalBroadcast(points: DataFrame, intervals: DataFrame,
+                               pointCol: String, loCol: String,
+                               hiCol: String): DataFrame =
+    points.join(broadcast(intervals),
+      col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+
+  /** Size-dispatched entry point: broadcast-NLJ when Catalyst's estimate of
+    * the interval side fits the session's broadcast threshold, bucketed
+    * equi-join otherwise — the same decision [[graft.plans.RangeJoinRewrite]]
+    * makes for auto-rewritten SQL joins (it declines to fire when a side is
+    * broadcastable, leaving Spark's own BNLJ-broadcast plan standing).
+    */
+  def pointInIntervalAuto(points: DataFrame, intervals: DataFrame,
+                          pointCol: String, loCol: String, hiCol: String,
+                          bucketWidth: Long): DataFrame = {
+    val thr = points.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold")
+    val thrBytes = // "-1" disables broadcasting; sizes may carry a unit
+      if (thr.trim.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thr)
+    val ivBytes =
+      intervals.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thrBytes >= 0 && ivBytes <= thrBytes)
+      pointInIntervalBroadcast(points, intervals, pointCol, loCol, hiCol)
+    else
+      pointInInterval(points, intervals, pointCol, loCol, hiCol, bucketWidth)
+  }
 }

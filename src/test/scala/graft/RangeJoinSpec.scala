@@ -49,6 +49,46 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(600))
   }
 
+  test("broadcast variant: same rows, no explode, no shuffle in the plan") {
+    val points = (1L to 100L).map(i => (i, i % 37)).toDF("pid", "x")
+    val intervals = Seq((0L, 0L, 9L), (1L, 5L, 14L), (2L, 30L, 36L),
+      (3L, 0L, 36L), (4L, 35L, 35L), (5L, 40L, 50L)).toDF("iid", "lo", "hi")
+    val bc = RangeJoin
+      .pointInIntervalBroadcast(points, intervals, "x", "lo", "hi")
+      .select("pid", "iid")
+    val bucketed = RangeJoin
+      .pointInInterval(points, intervals, "x", "lo", "hi", bucketWidth = 7L)
+      .select("pid", "iid")
+    assert(bc.exceptAll(bucketed).count() === 0L)
+    assert(bucketed.exceptAll(bc).count() === 0L)
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(!plan.contains("Generate") && !plan.contains("Exchange hashpartitioning"),
+      s"dim-sized interval side must not pay the explode or a shuffle: ${plan.take(600)}")
+  }
+
+  test("auto dispatch: broadcast for a dim-sized side, bucketed when disabled") {
+    val points = (1L to 100L).map(i => (i, i % 37)).toDF("pid", "x")
+    val intervals = Seq((0L, 0L, 9L), (1L, 10L, 36L)).toDF("iid", "lo", "hi")
+    val auto = RangeJoin
+      .pointInIntervalAuto(points, intervals, "x", "lo", "hi", bucketWidth = 7L)
+    assert(auto.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      // threshold disabled → the big-to-big-safe bucketed equi-join
+      val forced = RangeJoin
+        .pointInIntervalAuto(points, intervals, "x", "lo", "hi", bucketWidth = 7L)
+      val plan = forced.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(600))
+      assert(forced.select("pid", "iid").exceptAll(
+        auto.select("pid", "iid")).count() === 0L)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("upsert: existing keys replace, new keys insert, others untouched") {
     val target = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
       .toDF("k", "status", "v")
