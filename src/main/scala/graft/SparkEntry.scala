@@ -377,6 +377,33 @@ object SparkEntry {
         .orderBy("band_id")
     }),
 
+    // Mergeable t-digest quantile sketch (B20/B22): per-group digests built
+    // map-side, merged associatively, interrogated for 3 quantiles. The
+    // gate is the sketch's CONTRACT — rank error ≤ 0.02 at δ=200 — checked
+    // in-plan: each estimate is joined back against the group's rows to
+    // measure its true rank; only the bound booleans are hash-compared
+    // (estimates themselves legitimately vary with distributed merge order
+    // WITHIN the bound; bit-exactness would gate on shuffle scheduling).
+    "b20_quantile_sketch" -> ((s, dir) => {
+      val qsArr = Seq(0.1, 0.5, 0.9)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val sk = li.groupBy("l_returnflag")
+        .agg(graft.operators.Sketches
+            .tdigestQuantiles(col("l_extendedprice"), qsArr, 200).as("est_q"),
+          count(lit(1)).as("n"))
+      val est = sk.select(col("l_returnflag"), col("n"),
+        posexplode(col("est_q")).as(Seq("qi", "est")))
+      val target = element_at(array(qsArr.map(lit): _*), col("qi") + 1)
+      est.join(li, Seq("l_returnflag"))
+        .groupBy("l_returnflag", "qi", "n", "est")
+        .agg(sum(when(col("l_extendedprice") <= col("est"), 1L)
+          .otherwise(0L)).as("rk"))
+        .select(col("l_returnflag"), col("qi").cast("long").as("qi"),
+          (abs(col("rk") / col("n") - target) <= lit(0.02)).as("rank_ok"))
+        .orderBy("l_returnflag", "qi")
+    }),
+
     // As-of join: each event picks up the most recent order of the same
     // customer at or before the event time (inclusive). The right side is
     // first reduced to one row per (custkey, orderdate) — max-orderkey row
@@ -902,6 +929,15 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // b20's gate is the rank-error bound (see the queries entry): Spark
+    // measures each estimate's true rank in-plan; the oracle pins the
+    // deterministic part — one row per (returnflag, quantile), bound held.
+    "b20_quantile_sketch" ->
+      """SELECT l_returnflag, qi, true AS rank_ok
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+        |CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) t(qi)
+        |ORDER BY l_returnflag, qi""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union-and-carry
     // implementation; the right side is reduced to one row per (key, time)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Locks the physical-plan properties the 100 TB story depends on — a
@@ -64,5 +65,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p = plan("a17_upsert")
     assert(p.contains("LeftAnti"), p.take(500))
     assert(!p.contains("FullOuter"))
+  }
+
+  test("AQE splits a skewed join partition at runtime (hot-key insurance)") {
+    // The 100 TB skew story is two-layered: SkewJoin (B13) salts known-hot
+    // keys at plan time, and AQE re-splits whatever skew remains at RUNTIME.
+    // This locks the second layer actually firing in the engine's default
+    // session: thresholds are scaled down so toy data reproduces the
+    // trigger condition (one partition > factor × median AND > threshold),
+    // exactly the shape a 1000-executor job sees when one user/orderkey
+    // holds half the data.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 200k rows, 70% on key 0 (the hot key), rest uniform over 1k keys;
+      // padded so the hot shuffle partition clears the (scaled) threshold.
+      // NOTE: the consumer must not require the join's partitioning (a
+      // groupBy on the key would make AQE decline the split rather than
+      // add a shuffle) — same rule as in production: skew-split protects
+      // joins feeding sinks/projections, salting (B13) covers join+agg.
+      val left = spark.range(200000).select(
+        when($"id" % 10 < 7, 0L).otherwise($"id" % 1000).as("k"),
+        $"id".as("v"), lpad(lit("x"), 64, "x").as("pad"))
+      val right = spark.range(1000).select($"id".as("k"), rand(7).as("w"))
+      val joined = left.join(right, "k").select("k", "v")
+      joined.collect() // AQE decides splits at runtime → materialize first
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE skew-join split did not fire:\n${p.take(1200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }

@@ -34,6 +34,54 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
       s"median rank $rank of ${vals.length}, tol $tol")
   }
 
+  // ---- t-digest (graft's own mergeable quantile sketch, B20) ----------
+
+  private def rankErr(vals: Array[Double], est: Double, q: Double): Double = {
+    val rank = vals.count(_ <= est).toDouble / vals.length
+    math.abs(rank - q)
+  }
+
+  test("t-digest: rank error within 1% across the quantile range") {
+    import graft.operators.Sketches
+    val vals = li.select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val est = li.repartition(7) // force a real distributed merge tree
+      .agg(Sketches.tdigestQuantiles(col("l_extendedprice"), qs, 200).as("e"))
+      .head.getSeq[Double](0)
+    qs.zip(est).foreach { case (q, e) =>
+      val err = rankErr(vals, e, q)
+      assert(err <= 0.01, s"q=$q est=$e rank error $err > 0.01")
+    }
+  }
+
+  test("t-digest: per-group sketches merge to the global answer") {
+    import graft.operators.Sketches
+    val vals = li.select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    // shard → sketch bytes → re-aggregate the BYTES (the 100 TB shape:
+    // daily partials merged without touching raw data)
+    val perGroup = li.groupBy("l_returnflag")
+      .agg(Sketches.tdigestSketch(col("l_extendedprice"), 200).as("sk"))
+    val merged = perGroup
+      .agg(Sketches.tdigestMerge(col("sk"), 200).as("sk"))
+      .select(Sketches.quantilesFromSketch(col("sk"), Seq(0.1, 0.5, 0.9)))
+      .head.getSeq[Double](0)
+    Seq(0.1, 0.5, 0.9).zip(merged).foreach { case (q, e) =>
+      val err = rankErr(vals, e, q)
+      assert(err <= 0.015, s"merged q=$q est=$e rank error $err > 0.015")
+    }
+  }
+
+  test("t-digest: state stays KB-bounded regardless of input size") {
+    import graft.operators.Sketches
+    val sk = li.agg(Sketches.tdigestSketch(col("l_extendedprice"), 200).as("s"))
+      .head.getAs[Array[Byte]](0)
+    // ≤ ~2δ centroids × 16 bytes + 12-byte header: the whole point of the
+    // sketch — per-group state independent of group size
+    assert(sk.length <= 2 * 200 * 16 + 12, s"sketch ${sk.length} bytes")
+    val d = graft.operators.TDigest.deserialize(sk)
+    assert(math.abs(d.total - li.count()) < 0.5, "total weight = row count")
+  }
+
   test("sketches merge: per-group partials equal the direct global sketch") {
     // same sketch computed globally vs merged from a pre-aggregation by
     // an unrelated key — HLL registers are deterministic, so equality is
