@@ -377,6 +377,25 @@ object SparkEntry {
         .orderBy("band_id")
     }),
 
+    // REAL image codec (C12, full path): deterministic PNGs are encoded
+    // executor-side (javax.imageio), decoded back through the batched
+    // decode, and the decoded mean-RGB features are oracle-checked — the
+    // DuckDB side recomputes the same means from the pixel FORMULA, so a
+    // codec that lied about a single pixel would hash-mismatch. PNG is
+    // lossless and the sums are exact-integer, so equality is bit-exact.
+    "c12_image_codec" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val imgs = Multimodal.packImages(s, docs, "doc_id")
+      Multimodal.decodeImages(s, imgs)
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(element_at(col("features"), 1), 6).as("mean_r"),
+          round(element_at(col("features"), 2), 6).as("mean_g"),
+          round(element_at(col("features"), 3), 6).as("mean_b"))
+        .orderBy("media_id")
+    }),
+
     // Mergeable t-digest quantile sketch (B20/B22): per-group digests built
     // map-side, merged associatively, interrogated for 3 quantiles. The
     // gate is the sketch's CONTRACT — rank error ≤ 0.02 at δ=200 — checked
@@ -929,6 +948,26 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB recomputes the decoded-image features from the pixel formula
+    // ((id*1103515245 + x*31 + y*131) & 0xFFFFFF per (x,y)) — the Spark
+    // side must round-trip those pixels through a real PNG encode/decode
+    // to produce the same exact-integer channel sums.
+    "c12_image_codec" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 64 + 16 AS w,
+        |         doc_id % 48 + 16 AS h
+        |  FROM documents),
+        |xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM ids),
+        |px AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |v AS (SELECT media_id, w, h,
+        |        ((media_id * 1103515245 + x * 31 + y * 131) & 16777215) AS v
+        |      FROM px)
+        |SELECT media_id, w AS width, h AS height,
+        |       round(sum((v >> 16) & 255) / (w * h * 255.0), 6) AS mean_r,
+        |       round(sum((v >> 8) & 255) / (w * h * 255.0), 6) AS mean_g,
+        |       round(sum(v & 255) / (w * h * 255.0), 6) AS mean_b
+        |FROM v GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
 
     // b20's gate is the rank-error bound (see the queries entry): Spark
     // measures each estimate's true rank in-plan; the oracle pins the

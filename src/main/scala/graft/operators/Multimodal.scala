@@ -56,13 +56,126 @@ object Multimodal {
 
   private val histBins = 16
 
+  /** Generate REAL PNG payloads (deterministic pixels from the id) through
+    * the same batched mapPartitions shape the decode path uses — the codec
+    * (`javax.imageio`, pure JVM) runs executor-side, driver never sees
+    * bytes. Dimensions follow the same formula as [[packMedia]] so metadata
+    * stays the prunable source of truth.
+    */
+  def packImages(spark: SparkSession, df: DataFrame, idCol: String,
+                 batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", mediaMetaSchema)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 64 + 16).toInt
+          val h = (id % 48 + 16).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // deterministic pseudo-content: id-seeded per-pixel mix
+              val v = (id * 1103515245L + x * 31L + y * 131L) & 0xFFFFFF
+              img.setRGB(x, y, v.toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray,
+            Row("image/png", w, h, 1))
+        }
+      }
+    }(enc)
+  }
+
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+
+  /** Decode + feature-extract with a REAL codec (`javax.imageio`, PNG/BMP
+    * — pure JVM, no native deps), batched per partition. Payloads that are
+    * not a supported image (no PNG/BMP magic, or codec failure) fall back
+    * to the byte-histogram stub features with null dimensions — the same
+    * quarantine-not-crash posture as PERMISSIVE ingest (A13).
+    *
+    * Output: (media_id, n_bytes, width, height, features[3] = mean RGB in
+    * [0,1]). Scale note: the per-image codec call IS the hot path — batch
+    * boundaries exist so a vectorized/Arrow transport (mapInArrow on the
+    * PySpark side) or a pooled native codec slots in without changing the
+    * plan shape; everything around the codec is straight-line primitive
+    * code, no per-pixel boxing (grabs the raster once per image).
+    */
+  def decodeImages(spark: SparkSession, packed: DataFrame,
+                   batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("features", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = packed.select(col("media_id").cast("long"), col("media"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val isImage = bytes.length > 4 &&
+            ((bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
+              bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)) ||
+             (bytes(0) == 'B' && bytes(1) == 'M'))
+          val decoded =
+            if (!isImage) null
+            else try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (decoded != null) {
+            val w = decoded.getWidth; val h = decoded.getHeight
+            // one raster grab per image; tight primitive loop over pixels
+            val px = decoded.getRGB(0, 0, w, h, null, 0, w)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              i += 1
+            }
+            val n = math.max(px.length, 1) * 255.0
+            Row(id, bytes.length, w, h,
+              Seq(sr / n, sg / n, sb / n))
+          } else {
+            val hist = new Array[Double](histBins)
+            var i = 0
+            while (i < bytes.length) {
+              hist((bytes(i) & 0xFF) * histBins / 256) += 1.0
+              i += 1
+            }
+            val total = math.max(bytes.length, 1).toDouble
+            Row(id, bytes.length, null, null, hist.map(_ / total).toSeq)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Decode + feature-extract, batched per partition.
     *
-    * >>> STUB CODEC <<< — a real implementation would decode `media` with an
-    * image/audio library and emit embeddings; container has no codecs, so
-    * features are a deterministic byte histogram (16 bins, L1-normalized)
-    * + payload length. The Spark-side contract (schema, batching,
-    * partition-locality, no shuffle) is the real, tested part.
+    * >>> STUB CODEC <<< — kept as the declared stand-in for codecs the
+    * container lacks (JPEG/video/audio): features are a deterministic byte
+    * histogram (16 bins, L1-normalized) + payload length. For PNG/BMP the
+    * REAL codec path is [[decodeImages]] (javax.imageio). The Spark-side
+    * contract (schema, batching, partition-locality, no shuffle) is
+    * identical in both.
     */
   def decodeStub(spark: SparkSession, packed: DataFrame,
                  batchSize: Int = 64): DataFrame = {

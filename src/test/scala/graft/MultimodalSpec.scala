@@ -36,6 +36,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(frames.schema("frame").dataType.typeName === "binary")
   }
 
+  test("real codec: packImages round-trips PNG bytes to correct dimensions") {
+    val imgs = Multimodal.packImages(spark, docs, "doc_id", batchSize = 16)
+    val out = Multimodal.decodeImages(spark, imgs, batchSize = 16)
+      .join(imgs.select(col("media_id"), col("meta.width").as("mw"),
+        col("meta.height").as("mh")), "media_id")
+    val rows = out.collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      // decoded-by-codec dimensions must equal the metadata ground truth
+      assert(r.getAs[Int]("width") === r.getAs[Int]("mw"))
+      assert(r.getAs[Int]("height") === r.getAs[Int]("mh"))
+      val feats = r.getAs[scala.collection.Seq[Double]]("features")
+      assert(feats.length === 3) // mean RGB
+      assert(feats.forall(f => f >= 0.0 && f <= 1.0))
+      assert(r.getAs[Int]("n_bytes") > 8) // a real PNG, not raw text
+    }
+    // the payloads really are PNGs: magic bytes present
+    imgs.select("media").limit(5).collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](0)
+      assert(b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+    }
+  }
+
+  test("real codec: non-image payloads quarantine to stub features") {
+    val out = Multimodal.decodeImages(spark, packed, batchSize = 16)
+    val rows = out.collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3), "no fake dimensions")
+      val feats = r.getAs[scala.collection.Seq[Double]]("features")
+      assert(feats.length === 16 && math.abs(feats.sum - 1.0) < 1e-9)
+    }
+  }
+
   test("decodeStub: batched partition-local decode keeps schema contract") {
     val out = Multimodal.decodeStub(spark, packed, batchSize = 16)
     val rows = out.collect()
