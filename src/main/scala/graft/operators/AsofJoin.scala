@@ -76,4 +76,92 @@ object AsofJoin {
     val outPay = rightPayload.map(c => col("__asof").getField(c).as(c))
     carried.select(outLeft ++ outPay: _*)
   }
+
+  /** Skew-proof variant for heavy-tailed keys. The plain form sorts all
+    * |L|+|R| rows of a key in ONE task; when one user holds half the
+    * events, that task is the job. Here the carry is computed per
+    * (key, TIME-BUCKET) — the hot key spreads across buckets — and bucket
+    * boundaries are stitched by a carry-in table with one row per
+    * (key, bucket): its size is bounded by keys × active buckets,
+    * INDEPENDENT of events-per-key, so the per-key window over it cannot
+    * be hot. Three exchanges instead of one, all keyed (key, bucket)
+    * except the tiny boundary table — the classic salting trade: pay a
+    * bounded extra shuffle to cap the max task.
+    *
+    * Semantics are IDENTICAL to [[asof]] (spec-locked): within a bucket
+    * the window carry applies; a left row with no earlier right row in
+    * its own bucket falls back to the last right payload of any earlier
+    * bucket (strictly — same-bucket-later right rows can't leak in,
+    * because the boundary table is consulted only for buckets < b).
+    *
+    * @param bucketOf maps a time column to a bucket id — e.g.
+    *        `c => (unix_timestamp(c) / 86400).cast("long")` for daily
+    *        buckets. Pick a width so a hot key's per-bucket row count is
+    *        task-sized; at 100 TB that's the skew knob.
+    */
+  def asofBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   rightPayload: Seq[String],
+                   bucketOf: Column => Column): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+    val leftStruct = struct(leftCols.map(col): _*)
+    val leftType = left.select(leftStruct).schema.head.dataType
+
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__src"),
+        payloadStruct.as("__pay"),
+        lit(null).cast(leftType).as("__lrow")): _*)
+      .withColumn("__b", bucketOf(col("__t")))
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__src"),
+        lit(null).cast(payloadType).as("__pay"),
+        leftStruct.as("__lrow")): _*)
+      .withColumn("__b", bucketOf(col("__t")))
+
+    // boundary table: last right payload per (key, bucket) — the max of
+    // (__t, __pay) structs picks the latest row (right side unique per
+    // (key, time) by the operator's contract)
+    val rBuckLast = rTagged
+      .groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg(max(struct(col("__t"), col("__pay"))).as("__m"))
+      .select(keys.map(col) ++ Seq(col("__b"),
+        lit(0).as("__bsrc"), col("__m.__pay").as("__bpay")): _*)
+    // one marker per distinct LEFT (key, bucket); sorts BEFORE same-bucket
+    // right rows so the carry-in it picks up is strictly from buckets < b
+    val lBuckMarks = lTagged
+      .select(keys.map(col) :+ col("__b"): _*).distinct()
+      .select(keys.map(col) ++ Seq(col("__b"),
+        lit(1).as("__bsrc"), lit(null).cast(payloadType).as("__bpay")): _*)
+    // NOTE __bsrc inverted vs the row-level __src: the marker must see
+    // only EARLIER buckets, so it sorts first (-1 excludes same-bucket
+    // right aggregates that come after it)
+    val wKey = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__b").asc, col("__bsrc").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = rBuckLast.unionByName(lBuckMarks)
+      .withColumn("__cin", last(col("__bpay"), ignoreNulls = true).over(wKey))
+      .where(col("__bsrc") === 1)
+      .select(keys.map(c => col(c).as(s"__ck_$c")) ++
+        Seq(col("__b").as("__ck_b"), col("__cin")): _*)
+
+    // main pass: carry WITHIN (key, bucket) — the hot key is spread
+    val wBuck = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__t").asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joinCond = keys.map(c => col(c) <=> col(s"__ck_$c"))
+      .reduce(_ && _) && (col("__b") <=> col("__ck_b"))
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn("__within", last(col("__pay"), ignoreNulls = true).over(wBuck))
+      .where(col("__src") === 1)
+      .join(carryIn, joinCond, "left")
+      .withColumn("__asof", coalesce(col("__within"), col("__cin")))
+
+    val outLeft = leftCols.map(c => col("__lrow").getField(c).as(c))
+    val outPay = rightPayload.map(c => col("__asof").getField(c).as(c))
+    carried.select(outLeft ++ outPay: _*)
+  }
 }

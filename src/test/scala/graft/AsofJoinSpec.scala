@@ -46,6 +46,46 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     assert(joined.size === 6, "no left row lost or duplicated")
   }
 
+  test("bucketed variant: identical output on the edge-case table") {
+    val bucketOf = (c: org.apache.spark.sql.Column) =>
+      (unix_timestamp(c) / 250L).cast("long") // buckets split the fixture
+    val plain = AsofJoin
+      .asof(left, right, Seq("k"), "t", "rt", Seq("rid", "price"))
+    val bucketed = AsofJoin
+      .asofBucketed(left, right, Seq("k"), "t", "rt", Seq("rid", "price"),
+        bucketOf)
+    assert(bucketed.count() === plain.count())
+    assert(bucketed.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(bucketed).count() === 0L)
+  }
+
+  test("bucketed variant: one hot user with 50% of events, same answer") {
+    // heavy-tailed fixture: user 0 holds half of 20k events; right-side
+    // state changes are sparse (one per 100s per user) — the shape where
+    // the plain form's single hot task is the whole job at scale
+    val n = 20000
+    val hotLeft = spark.range(n).select(
+      when($"id" % 2 === 0, 0L).otherwise($"id" % 50).as("k"),
+      // event times interleave across users; seconds 0..9999
+      ($"id" % 10000).cast("long").as("sec"),
+      concat(lit("e"), $"id").as("tag"))
+      .withColumn("t", timestamp_seconds($"sec")).drop("sec")
+    val hotRight = spark.range(100).select(
+      ($"id" % 50).as("k"),
+      timestamp_seconds(($"id" / 50) * 5000 + ($"id" % 50) * 7).as("rt"),
+      $"id".as("rid"))
+    val bucketOf = (c: org.apache.spark.sql.Column) =>
+      (unix_timestamp(c) / 1000L).cast("long")
+    val plain = AsofJoin
+      .asof(hotLeft, hotRight, Seq("k"), "t", "rt", Seq("rid"))
+    val bucketed = AsofJoin
+      .asofBucketed(hotLeft, hotRight, Seq("k"), "t", "rt", Seq("rid"),
+        bucketOf)
+    assert(bucketed.count() === n.toLong)
+    assert(bucketed.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(bucketed).count() === 0L)
+  }
+
   test("plan contains no join: one exchange keyed on the join key") {
     val out = AsofJoin.asof(left, right, Seq("k"), "t", "rt", Seq("rid"))
     val plan = out.queryExecution.executedPlan.toString
