@@ -377,6 +377,32 @@ object SparkEntry {
         .orderBy("band_id")
     }),
 
+    // REAL BPE tokenizer (C23): merges trained driver-side on a bounded
+    // deterministic sample (orderBy + limit — the same contract as c19's
+    // centroid literals: KB-scale driver state, never data), applied
+    // distributed via the codegen'd BpeTokensExpr. The gate checks the
+    // tokenizer CONTRACT per document, in-plan: losslessness (token
+    // concatenation reproduces the text minus whitespace — the invariant
+    // a real vocab must keep) and count bounds (n_words ≤ n_tokens ≤
+    // n_non-space chars). Exact token arrays are spec-locked against an
+    // independent reference implementation in BpeSpec.
+    "c23_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sample = docs.orderBy("doc_id").limit(100)
+        .select("text").collect().map(_.getString(0)).toSeq
+      val merges = graft.functions.Bpe.train(sample, 200)
+      val noWs = regexp_replace(col("text"), "\\s+", "")
+      docs.select(col("doc_id"),
+          graft.functions.Bpe.tokens(col("text"), merges).as("toks"),
+          col("text"))
+        .select(col("doc_id"),
+          (concat_ws("", col("toks")) === noWs).as("lossless_ok"),
+          (size(col("toks")) <= length(noWs) &&
+            size(col("toks")) >= size(split(trim(col("text")), "\\s+")))
+            .as("bounds_ok"))
+        .orderBy("doc_id")
+    }),
+
     // REAL image codec (C12, full path): deterministic PNGs are encoded
     // executor-side (javax.imageio), decoded back through the batched
     // decode, and the decoded mean-RGB features are oracle-checked — the
@@ -948,6 +974,13 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // c23's gate is contract-shaped (see the queries entry): Spark checks
+    // losslessness + count bounds of the learned vocab in-plan; the oracle
+    // pins one all-green row per document.
+    "c23_bpe_tokens" ->
+      """SELECT doc_id, true AS lossless_ok, true AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // DuckDB recomputes the decoded-image features from the pixel formula
     // ((id*1103515245 + x*31 + y*131) & 0xFFFFFF per (x,y)) — the Spark
