@@ -247,6 +247,12 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct()
+    // NO semi-join prune here, unlike the MinHash verifier: measured at
+    // 100k docs (10x replica) the prune LOSES (best-of-3 10.2 s vs 7.0 s)
+    // because prefix blocking puts most docs in some candidate pair —
+    // pruning to ~everything saves nothing and pays an extra blocks pass.
+    // The prune pays off only when the candidate fraction is small (c2's
+    // banded LSH); here the gram projection must run corpus-wide anyway.
     val grams = df.select(col(idCol).as("id"),
       charNgramHashes(col(textCol), n).as("grams"))
     candidates
