@@ -19,7 +19,8 @@ object Bench {
     "c13_dup_clusters", "c14_ivf_topk", "c10_tokens", "c17_gopher_quality",
     "c18_pii_scrub", "c19_kmeans", "c21_chunking", "c22_sequence_pack",
     "b18_asof_join", "b19_range_join", "a17_upsert", "d2_sessionize",
-    "d3_user_totals")
+    "d3_user_totals", "b20_quantile_sketch", "c23_bpe_tokens",
+    "c12_image_codec")
 
   /** Queries re-timed on the 10x replica for the scaling ratios. */
   val scalingProbe: Seq[String] =
