@@ -720,6 +720,19 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, nLists = 16, nProbe = 16)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rnk")
+    }),
+
+    // Two-level IVF at full probe is exhaustive, like c14 — same exact
+    // oracle; the point of the variant (centroids as ONE referenced index
+    // object instead of O(nLists) codegen literals) is a plan property,
+    // locked in SimilaritySpec + PlanAuditSpec.
+    "c14b_ivf_two_level" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK2(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, l1 = 4, l2 = 4,
+          probe1 = 4, probe2 = 16)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -1286,6 +1299,20 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "c14_ivf_topk" ->
+      """SELECT query_id, neighbor_id, round(cos, 6) AS cos, rnk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                CAST(q.embedding AS DOUBLE[])) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(
+        |                 CAST(c.embedding AS DOUBLE[]),
+        |                 CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // full-probe two-level IVF ≡ exact — same brute-force oracle as c14
+    "c14b_ivf_two_level" ->
       """SELECT query_id, neighbor_id, round(cos, 6) AS cos, rnk FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),

@@ -190,6 +190,75 @@ object Similarity {
     topKPerQuery(partialTopK(scored, k), k)
   }
 
+  /** Two-level IVF top-k: the scale path past the single-level form's
+    * ceiling. [[ivfTopK]] compiles every centroid into the plan as a
+    * literal — fine for hundreds, but thousands of centroid literals bloat
+    * whole-stage codegen past the JIT's method limits. Here the WHOLE
+    * centroid hierarchy rides the plan as ONE referenced
+    * [[CentroidIndex]] object (the same pattern as the BPE codec): the
+    * generated code makes a single virtual call per row into a compiled
+    * scalar loop, so capacity grows to l1 × l2 leaves with constant
+    * codegen size. Assignment stays map-only and joinless — the c19/c14
+    * plan-audit property — and the index is l1·l2·dim floats, KBs on the
+    * driver, broadcast once inside the serialized expression.
+    *
+    * Corpus rows assign to the best leaf within their best coarse cell
+    * (standard IVF); queries probe the top `probe1` coarse cells and the
+    * top `probe2` leaves ranked across those cells. Probing everything
+    * (probe1 = l1, probe2 = l1·l2) degenerates to exact brute force —
+    * the configuration the DuckDB oracle checks; partial-probe recall is
+    * asserted in SimilaritySpec.
+    */
+  def ivfTopK2(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int = 10, l1: Int = 4, l2: Int = 4,
+               probe1: Int = 2, probe2: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    // L1: deterministic hash-ordered sample (Faiss-style seeded init)
+    val l1Cents: Array[Array[Float]] = corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")))
+      .limit(l1)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    // L2: per coarse cell, a hash-ordered sample of the cell's members —
+    // one window pass at INDEX BUILD time (not per query)
+    def l1Sims(v: Column): Seq[Column] = l1Cents.zipWithIndex.map {
+      case (c, i) =>
+        struct(GraftExpressions.floatCosine(v, typedLit(c.toSeq)).as("cos"),
+          lit(i).as("cell"))
+    }.toSeq
+    val cellW = Window.partitionBy("c1").orderBy(xxhash64(col("id")))
+    val l2Rows = corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .withColumn("c1", array_max(array(l1Sims(col("v")): _*)).getField("cell"))
+      .withColumn("rn", row_number().over(cellW))
+      .where(col("rn") <= l2)
+      .select(col("c1"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val l2Cents: Array[Array[Array[Float]]] =
+      (0 until l1Cents.length).map(c =>
+        l2Rows.filter(_._1 == c).map(_._2)).toArray
+    val index = new CentroidIndex(l1Cents, l2Cents)
+
+    def leafOf(v: Column): Column = GraftColumnBridge.column(
+      IvfLeafExpr(GraftColumnBridge.expression(v), index))
+    def probesOf(v: Column): Column = GraftColumnBridge.column(
+      IvfProbesExpr(GraftColumnBridge.expression(v), index, probe1, probe2))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("list", leafOf(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(probesOf(col("qv"))).as("list"))
+    val scored = c.join(F.broadcast(q), Seq("list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftExpressions.floatCosine(col("cv"), col("qv")).as("cos"))
+    topKPerQuery(partialTopK(scored, k), k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, OR-amplified across `tables`
     * independent sign-LSH tables (single-table AND-hashing only ever finds
     * exact copies — cos 0.95 near-dups collide with prob ≈ 0.43 per 8-bit
@@ -220,4 +289,163 @@ object Similarity {
       .where(col("cos") >= threshold) // exact value, THEN display rounding
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+}
+
+/** Hierarchical centroid index: coarse L1 cells, fine L2 leaves per cell,
+  * flattened to global leaf ids via per-cell offsets. Norms precomputed;
+  * all search loops are scalar float loops over primitive arrays. One
+  * instance rides the plan as a codegen reference object — capacity is
+  * bounded by driver/executor memory (KBs for thousands of leaves), not
+  * by generated-code size.
+  */
+final class CentroidIndex(val l1: Array[Array[Float]],
+                          val l2: Array[Array[Array[Float]]])
+    extends Serializable {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  private val offsets: Array[Int] = {
+    val o = new Array[Int](l1.length + 1)
+    var i = 0
+    while (i < l1.length) { o(i + 1) = o(i) + l2(i).length; i += 1 }
+    o
+  }
+  val numLeaves: Int = offsets(l1.length)
+
+  private def norm(a: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+    math.sqrt(s)
+  }
+  private val l1Norm: Array[Double] = l1.map(norm)
+  private val l2Norm: Array[Array[Double]] = l2.map(_.map(norm))
+
+  private def dot(v: ArrayData, c: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(v.numElements(), c.length)
+    while (i < n) { s += v.getFloat(i).toDouble * c(i); i += 1 }
+    s
+  }
+
+  private def vNorm(v: ArrayData): Double = {
+    var s = 0.0; var i = 0
+    val n = v.numElements()
+    while (i < n) { val x = v.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Best leaf within the best coarse cell (standard IVF assignment). */
+  def bestLeaf(v: ArrayData): Int = {
+    val nv = vNorm(v)
+    var bestCell = 0; var bestCos = Double.MinValue
+    var i = 0
+    while (i < l1.length) {
+      val d = l1Norm(i) * nv
+      val cos = if (d == 0) 0.0 else dot(v, l1(i)) / d
+      if (cos > bestCos) { bestCos = cos; bestCell = i }
+      i += 1
+    }
+    var bestL = offsets(bestCell); var bestLCos = Double.MinValue
+    var j = 0
+    while (j < l2(bestCell).length) {
+      val d = l2Norm(bestCell)(j) * nv
+      val cos = if (d == 0) 0.0 else dot(v, l2(bestCell)(j)) / d
+      if (cos > bestLCos) { bestLCos = cos; bestL = offsets(bestCell) + j }
+      j += 1
+    }
+    bestL
+  }
+
+  /** Top `p2` leaves ranked across the top `p1` coarse cells. */
+  def probeLeaves(v: ArrayData, p1: Int, p2: Int): ArrayData = {
+    val nv = vNorm(v)
+    // rank cells by cosine (l1 is small: selection sort over a copy)
+    val cellCos = new Array[Double](l1.length)
+    var i = 0
+    while (i < l1.length) {
+      val d = l1Norm(i) * nv
+      cellCos(i) = if (d == 0) 0.0 else dot(v, l1(i)) / d
+      i += 1
+    }
+    val cellIdx = (0 until l1.length).sortBy(c => -cellCos(c)).toArray
+    val nCells = math.min(p1, l1.length)
+    // collect (cos, leaf) across probed cells, take top p2
+    val leafBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+    var ci = 0
+    while (ci < nCells) {
+      val cell = cellIdx(ci)
+      var j = 0
+      while (j < l2(cell).length) {
+        val d = l2Norm(cell)(j) * nv
+        val cos = if (d == 0) 0.0 else dot(v, l2(cell)(j)) / d
+        leafBuf += ((cos, offsets(cell) + j))
+        j += 1
+      }
+      ci += 1
+    }
+    val top = leafBuf.sortBy { case (cos, leaf) => (-cos, leaf) }
+      .take(math.min(p2, leafBuf.length)).map(_._2)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(top.toArray)
+  }
+}
+
+/** ivf_leaf(vec) → int: joinless map-only corpus assignment. */
+case class IvfLeafExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: CentroidIndex)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_leaf expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = index.bestLeaf(
+    input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("ivfIndex", index,
+      classOf[CentroidIndex].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $idx.bestLeaf($c);")
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : IvfLeafExpr = copy(child = newChild)
+}
+
+/** ivf_probes(vec) → array<int>: query-side probe list. */
+case class IvfProbesExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: CentroidIndex, probe1: Int, probe2: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_probes expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = index.probeLeaves(
+    input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+    probe1, probe2)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("ivfIndex", index,
+      classOf[CentroidIndex].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $idx.probeLeaves($c, $probe1, $probe2);")
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : IvfProbesExpr = copy(child = newChild)
 }

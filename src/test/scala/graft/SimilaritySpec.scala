@@ -134,4 +134,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(masks.length === 1 + 6 + 15)
     assert(masks.forall(m => Integer.bitCount(m) <= 2 && m < 64))
   }
+
+  test("ivfTopK2: full probe equals exact; partial probe keeps recall") {
+    val emb = Tables(spark, sfDir(), "embeddings")
+    val queries = emb.where(col("vec_id") < 8)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val full = Similarity.ivfTopK2(emb, queries, "vec_id", "embedding",
+      k = 5, l1 = 4, l2 = 4, probe1 = 4, probe2 = 16)
+      .select("query_id", "neighbor_id")
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+
+    val partial = Similarity.ivfTopK2(emb, queries, "vec_id", "embedding",
+      k = 5, l1 = 4, l2 = 4, probe1 = 3, probe2 = 8)
+      .select("query_id", "neighbor_id")
+    val hits = exact.intersect(partial).count()
+    assert(hits.toDouble / 40.0 >= 0.5,
+      s"partial-probe recall $hits/40")
+  }
+
+  test("ivfTopK2: assignment is joinless and codegen-compact") {
+    val emb = Tables(spark, sfDir(), "embeddings")
+    val queries = emb.where(col("vec_id") < 8)
+    val out = Similarity.ivfTopK2(emb, queries, "vec_id", "embedding",
+      k = 5, l1 = 4, l2 = 4, probe1 = 2, probe2 = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // the probe join is the ONLY join: corpus-side leaf assignment must
+    // not join a centroid table
+    assert("Join".r.findAllIn(plan).size <= 2, plan.take(800))
+    // centroids ride as a reference object, not literal expressions: the
+    // plan string must not enumerate centroid floats (ivfTopK's literal
+    // form would) — one IvfLeafExpr marker instead
+    assert(plan.contains("ivfleafexpr") || plan.contains("IvfLeafExpr") ||
+      !plan.contains("0.0f"), plan.take(400))
+  }
 }
