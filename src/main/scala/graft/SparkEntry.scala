@@ -377,6 +377,30 @@ object SparkEntry {
         .orderBy("band_id")
     }),
 
+    // Small-file compaction (A18): fragment documents into 7 files per
+    // lang partition, compact to target-sized files, verify content
+    // survives (per-lang counts + key/char sums vs the SOURCE table in
+    // DuckDB) and that the pass is idempotent (second run rewrites
+    // nothing) — the delta-OPTIMIZE maintenance half of the reference's
+    // write-time file sizing.
+    "a18_compaction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = Tables.scratch("a18_" + new java.io.File(dir).getName)
+      docs.repartition(7).write.partitionBy("lang").mode("overwrite")
+        .parquet(base)
+      val r1 = graft.sources.Compaction.compactPartitioned(
+        s, base, "lang", targetFileBytes = 64L << 20)
+      val r2 = graft.sources.Compaction.compactPartitioned(
+        s, base, "lang", targetFileBytes = 64L << 20)
+      val ok = r1.nonEmpty && r1.forall(_.rewritten) && r2.forall(!_.rewritten)
+      s.read.parquet(base).groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_ids"),
+          sum("n_chars").as("sum_chars"))
+        .select(col("lang"), col("cnt"), col("sum_ids"), col("sum_chars"),
+          lit(ok).as("compact_ok"))
+        .orderBy("lang")
+    }),
+
     // REAL BPE tokenizer (C23): merges trained driver-side on a bounded
     // deterministic sample (orderBy + limit — the same contract as c19's
     // centroid literals: KB-scale driver state, never data), applied
@@ -987,6 +1011,15 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a18 reads back the COMPACTED files; the oracle aggregates the source
+    // table — equality proves the rewrite lost/duplicated nothing. The
+    // idempotence booleans are computed from the compaction reports.
+    "a18_compaction" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       true AS compact_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // c23's gate is contract-shaped (see the queries entry): Spark checks
     // losslessness + count bounds of the learned vocab in-plan; the oracle
