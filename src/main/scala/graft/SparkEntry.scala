@@ -746,6 +746,19 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Decontamination (C24): docs sharing any 8-word shingle with the
+    // (deterministic) eval subset are flagged with their overlap count.
+    // DuckDB replicates the whole computation from gram STRINGS — the
+    // Spark side runs on codegen'd shingle hashes, so the oracle also
+    // guards the hash layer's distinctness semantics.
+    "c24_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") % 97 === 0)
+      graft.operators.Decontaminate
+        .flagContaminated(docs, evalSet, "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // Two-level IVF at full probe is exhaustive, like c14 — same exact
     // oracle; the point of the variant (centroids as ONE referenced index
     // object instead of O(nLists) codegen literals) is a plan property,
@@ -1343,6 +1356,33 @@ object SparkEntry {
         |  FROM embeddings c, embeddings q
         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Full string-level replica of the shingle-overlap check. Docs shorter
+    // than the shingle width hash their whole text as one shingle — the
+    // UNION ALL branch mirrors that contract.
+    "c24_decontamination" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |           ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        |  FROM w, unnest(generate_series(1, len(words) - 7)) t(i)
+        |  WHERE len(words) >= 8
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(words, ' ') AS gram
+        |  FROM w WHERE len(words) < 8),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM g),
+        |eg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+        |ov AS (SELECT dg.doc_id, count(*) AS n_overlap
+        |       FROM dg JOIN eg USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |       COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN ov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // full-probe two-level IVF ≡ exact — same brute-force oracle as c14
     "c14b_ivf_two_level" ->
