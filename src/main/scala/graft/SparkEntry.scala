@@ -720,6 +720,13 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // batch twin of the stream-stream interval join: purchases attributed
+    // to same-user views in the trailing 30 min (floored seconds, oracle
+    // parity); the streaming twin's pair-level equality is spec-locked.
+    "d6_attribution" -> ((s, dir) =>
+      EventStreams.attributionBatch(t(s, dir, "events"))
+        .orderBy("purchase_id")),
+
     "d1_stream_window" -> ((s, dir) =>
       EventStreams.hourlyAgg(t(s, dir, "events"))
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -1211,6 +1218,21 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d6_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS vsec
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS psec, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, count(v.view_id) AS n_views,
+        |       round(max(p.value), 2) AS value
+        |FROM p LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.vsec BETWEEN p.psec - 1800 AND p.psec
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "c1_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))

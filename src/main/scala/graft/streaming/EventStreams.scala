@@ -168,6 +168,62 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Batch twin of [[attributionStream]]: every purchase joined to the
+    * same user's views in the preceding `windowSeconds` (inclusive both
+    * ends), left-outer so zero-view purchases survive with n_views = 0.
+    * Timestamps floor to whole seconds (unix_timestamp) so the DuckDB
+    * oracle computes bit-identical window edges — same contract as
+    * [[sessionize]].
+    *
+    * Scale: one shuffle of each side keyed on user_id; the range predicate
+    * rides as a join residual. AQE skew handling applies to the exchange;
+    * a per-user time sort never concentrates in one task beyond that
+    * user's own events (and the streaming form bounds it further).
+    */
+  def attributionBatch(events: DataFrame,
+                       windowSeconds: Long = 1800L): DataFrame = {
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id").as("vuid"), col("event_id").as("view_id"),
+        unix_timestamp(col("ts")).as("vsec"))
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_timestamp(col("ts")).as("psec"), col("value"))
+    p.join(v, col("user_id") === col("vuid") &&
+        col("vsec") >= col("psec") - windowSeconds &&
+        col("vsec") <= col("psec"), "left")
+      .groupBy("purchase_id")
+      .agg(count(col("view_id")).as("n_views"),
+        round(max("value"), 2).as("value"))
+  }
+
+  /** Stream-stream INTERVAL join: purchases stream ⋈ views stream on
+    * user within a trailing event-time window — the missing two-stream
+    * shape next to the one-stream aggregations above. Both sides carry a
+    * watermark and the join condition bounds event-time distance, so
+    * Spark derives a state watermark for EACH side: view state older than
+    * (watermark − windowSeconds) and purchase state older than the
+    * watermark are evicted — bounded state on two unbounded streams.
+    * Inner join (append-safe): pairs emit as both sides arrive.
+    */
+  def attributionStream(spark: SparkSession, dir: String, schema: StructType,
+                        windowSeconds: Long = 1800L,
+                        watermark: String = "2 hours"): DataFrame = {
+    val v = eventsSource(spark, dir, schema)
+      .where(col("event_type") === "view")
+      .select(col("user_id").as("vuid"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    val p = eventsSource(spark, dir, schema)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("puid"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    p.join(v, col("puid") === col("vuid") &&
+        col("vts") >= col("pts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("vts") <= col("pts"))
+      .select(col("purchase_id"), col("view_id"))
+  }
+
   /** Streaming sessionization via session_window — state-backed native
     * session windows with watermark eviction (the streaming-scale answer;
     * the batch twin above is the oracle-checkable one).

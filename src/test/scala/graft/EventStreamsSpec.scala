@@ -144,6 +144,26 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(deduped.count() === events.count())
   }
 
+  test("attributionStream pairs equal the raw-timestamp batch join") {
+    val streamed = runToCompletion(
+      EventStreams.attributionStream(spark, stagedDir, rawSchema),
+      "attr_mem")
+    // reference with the SAME raw (micros) timestamps the stream joins on
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id").as("vuid"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("puid"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val ref = p.join(v, col("puid") === col("vuid") &&
+        col("vts") >= col("pts") - expr("INTERVAL 1800 SECONDS") &&
+        col("vts") <= col("pts"))
+      .select("purchase_id", "view_id")
+    assert(streamed.count() > 0, "no attribution pairs emitted")
+    assert(streamed.exceptAll(ref).count() === 0L, "stream emitted extras")
+    assert(ref.exceptAll(streamed).count() === 0L, "stream missed pairs")
+  }
+
   test("sessionizeStream(AvailableNow) sessions match the batch twin") {
     val streamed = runToCompletion(
       EventStreams.sessionizeStream(spark, stagedDir, rawSchema), "sessions_mem")

@@ -82,6 +82,24 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(d.total - li.count()) < 0.5, "total weight = row count")
   }
 
+  test("profileWithQuantiles: one scan, digest quartiles within bounds") {
+    import graft.operators.Profile
+    val out = Profile.profileWithQuantiles(li,
+      Seq("l_extendedprice", "l_returnflag")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val price = out("l_extendedprice")
+    val vals = li.select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    Seq(0.25 -> price.getDouble(6), 0.5 -> price.getDouble(7),
+      0.75 -> price.getDouble(8)).foreach { case (q, est) =>
+      val err = rankErr(vals, est, q)
+      assert(err <= 0.015, s"q=$q est=$est rank error $err")
+    }
+    val flag = out("l_returnflag")
+    assert(flag.isNullAt(6) && flag.isNullAt(7) && flag.isNullAt(8),
+      "non-numeric columns must carry null quartiles")
+    assert(flag.getLong(2) === 0L) // no nulls in the fixture column
+  }
+
   test("sketches merge: per-group partials equal the direct global sketch") {
     // same sketch computed globally vs merged from a pre-aggregation by
     // an unrelated key — HLL registers are deterministic, so equality is
