@@ -22,9 +22,13 @@ object Bench {
     "d3_user_totals", "b20_quantile_sketch", "c23_bpe_tokens",
     "c12_image_codec")
 
-  /** Queries re-timed on the 10x replica for the scaling ratios. */
+  /** Queries re-timed on the 10x replica for the scaling ratios — one
+    * scan-bound agg, one multi-join, two dedup candidate generators, and
+    * the iterative connected-components resolver.
+    */
   val scalingProbe: Seq[String] =
-    Seq("q1_agg", "q5_star_join", "c2_minhash_lsh", "c3_simhash")
+    Seq("q1_agg", "q5_star_join", "c2_minhash_lsh", "c3_simhash",
+      "c13_dup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
