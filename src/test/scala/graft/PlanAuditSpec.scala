@@ -67,6 +67,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("FullOuter"))
   }
 
+  test("b20: the t-digest builds MAP-SIDE partials (mergeable-agg path)") {
+    val p = plan("b20_quantile_sketch")
+    assert(p.contains("partial_tdigestquantilesagg"),
+      "sketch must pre-aggregate before the exchange — that partial-merge " +
+        s"path IS the 100 TB claim:\n${p.take(600)}")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double,l_returnflag:string>"),
+      "scan must prune to the sketched columns")
+  }
+
+  test("c24: eval grams broadcast; corpus text scanned once, pruned") {
+    val p = plan("c24_decontamination")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"eval-gram set and per-doc overlaps must both broadcast:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in this plan should shuffle-join the corpus")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("d6: event-type filters push to the scans; agg is partial-first") {
+    val p = plan("d6_attribution")
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+      p.contains("EqualTo(event_type,view)"), p.take(500))
+    assert(p.contains("partial_count"),
+      "per-purchase counts must combine map-side")
+  }
+
   test("AQE splits a skewed join partition at runtime (hot-key insurance)") {
     // The 100 TB skew story is two-layered: SkewJoin (B13) salts known-hot
     // keys at plan time, and AQE re-splits whatever skew remains at RUNTIME.
