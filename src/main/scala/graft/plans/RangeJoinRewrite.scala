@@ -152,8 +152,59 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
 /** Engine extension entry point: `spark.sql.extensions=graft.plans.GraftExtensions`
   * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * Injects the optimizer rule (range-join rewrite) and registers the
+  * engine's custom codegen expressions as SQL functions, so `spark.sql`
+  * users get the same surface the Column API exposes:
+  * `simhash64(tokens)`, `float_cosine(a, b)`, `sorted_jaccard(a, b)`,
+  * `shingle_hashes(tokens, w)`, `tdigest_quantiles(sketch, q, ...)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getName, name)
+
+  private def litInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: argument must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+  private def litDouble(e: Expression, fn: String): Double = {
+    require(e.foldable, s"$fn: argument must be a literal")
+    e.eval() match { // SQL fractional literals arrive as Decimal under ANSI
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected a numeric literal, got $other")
+    }
+  }
+
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => RangeJoinRewrite)
+
+    extensions.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", classOf[graft.functions.SimHash64Expr]),
+      (args: Seq[Expression]) => graft.functions.SimHash64Expr(args.head)))
+
+    extensions.injectFunction((FunctionIdentifier("float_cosine"),
+      info("float_cosine", classOf[graft.functions.FloatCosineExpr]),
+      (args: Seq[Expression]) =>
+        graft.functions.FloatCosineExpr(args(0), args(1))))
+
+    extensions.injectFunction((FunctionIdentifier("sorted_jaccard"),
+      info("sorted_jaccard", classOf[graft.functions.SortedJaccardExpr]),
+      (args: Seq[Expression]) =>
+        graft.functions.SortedJaccardExpr(args(0), args(1))))
+
+    extensions.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", classOf[graft.functions.ShingleHashesExpr]),
+      (args: Seq[Expression]) => graft.functions.ShingleHashesExpr(
+        args(0), litInt(args(1), "shingle_hashes"))))
+
+    extensions.injectFunction((FunctionIdentifier("tdigest_quantiles"),
+      info("tdigest_quantiles", classOf[graft.operators.TDigestQuantilesExpr]),
+      (args: Seq[Expression]) => graft.operators.TDigestQuantilesExpr(
+        args.head, args.tail.map(litDouble(_, "tdigest_quantiles")))))
+  }
 }

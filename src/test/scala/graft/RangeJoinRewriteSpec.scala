@@ -27,6 +27,39 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkSpec {
     try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("custom expressions are SQL functions in the default session") {
+    // the same codegen expressions the Column API exposes, via spark.sql —
+    // registered by GraftExtensions, so any SQL client gets them
+    val sh = spark.sql(
+      "SELECT simhash64(array('the', 'quick', 'fox')) AS h").head.getLong(0)
+    val sh2 = spark.sql(
+      "SELECT simhash64(array('the', 'quick', 'fox')) AS h").head.getLong(0)
+    assert(sh === sh2)
+    assert(sh !== 0L)
+
+    val cos = spark.sql(
+      """SELECT float_cosine(CAST(array(1.0, 0.0) AS array<float>),
+        |                    CAST(array(1.0, 0.0) AS array<float>)) AS c"""
+        .stripMargin).head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
+
+    val j = spark.sql(
+      """SELECT sorted_jaccard(shingle_hashes(array('a','b','c','d'), 2),
+        |                      shingle_hashes(array('a','b','c','d'), 2)) AS j"""
+        .stripMargin).head.getDouble(0)
+    assert(j === 1.0)
+
+    // build a sketch with the Column API, interrogate it from SQL
+    import graft.operators.Sketches
+    spark.range(1, 1001).select(col("id").cast("double").as("v"))
+      .agg(Sketches.tdigestSketch(col("v")).as("sk"))
+      .createOrReplaceTempView("sk_view")
+    val med = spark.sql(
+      "SELECT tdigest_quantiles(sk, 0.5)[0] AS m FROM sk_view")
+      .head.getDouble(0)
+    assert(math.abs(med - 500.0) < 15.0, s"median estimate $med")
+  }
+
   test("non-broadcastable BETWEEN join rewrites to a bucketed equi-join") {
     withThreshold("-1") {
       val df = naiveJoin
