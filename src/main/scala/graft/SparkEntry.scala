@@ -498,6 +498,46 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // skew-proof as-of variant against the SAME DuckDB ASOF oracle as
+    // b18 — proving the (key, time-bucket) carry + boundary handoff is
+    // semantics-identical on real data, not just on the spec fixtures
+    // (weekly buckets split the order/event history many times per key)
+    "b18b_asof_bucketed" -> ((s, dir) => {
+      val ro = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate"))
+        .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
+        .select(col("k"), col("o_orderdate"),
+          col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_totalprice").as("o_totalprice"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("k"), col("ts"), col("event_type"))
+      AsofJoin.asofBucketed(ev, ro, Seq("k"), "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"),
+          c => (unix_timestamp(c) / 604800L).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("o_orderkey")).as("n_matched"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("event_type")
+    }),
+
+    // auto-dispatched range join (broadcast path for this dim-sized band
+    // table) against b19's oracle — same rows as the bucketed form
+    "b19b_range_join_auto" -> ((s, dir) => {
+      val bands = s.range(5).select(col("id").cast("int").as("band_id"),
+          (col("id") * 10 + 1).as("lo"), (col("id") * 10 + 10).as("hi"))
+        .unionByName(s.range(1).select(lit(9).as("band_id"),
+          lit(1L).as("lo"), lit(50L).as("hi")))
+      graft.operators.RangeJoin.pointInIntervalAuto(
+          t(s, dir, "lineitem"), bands, "l_quantity", "lo", "hi",
+          bucketWidth = 10L)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("int")).as("sum_qty"))
+        .orderBy("band_id")
+    }),
+
     // ===== C: LLM-data operators =====
 
     "c1_exact_dedup" -> ((s, dir) =>
@@ -1093,6 +1133,34 @@ object SparkEntry {
         |       round(sum(r.o_totalprice), 2) AS sum_price
         |FROM events e ASOF LEFT JOIN ro r
         |  ON e.user_id = r.k AND e.ts >= r.o_orderdate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical oracle to b18 — the bucketed variant must be
+    // semantics-identical
+    "b18b_asof_bucketed" ->
+      """WITH ro AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey AS k, o_orderdate, o_orderkey, o_totalprice,
+        |           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |               ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       count(r.o_orderkey) AS n_matched,
+        |       count(DISTINCT r.o_orderkey) AS n_orders,
+        |       round(sum(r.o_totalprice), 2) AS sum_price
+        |FROM events e ASOF LEFT JOIN ro r
+        |  ON e.user_id = r.k AND e.ts >= r.o_orderdate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical oracle to b19 — dispatch must not change results
+    "b19b_range_join_auto" ->
+      """WITH bands AS (
+        |  SELECT band_id, band_id * 10 + 1 AS lo, band_id * 10 + 10 AS hi
+        |  FROM (VALUES (0), (1), (2), (3), (4)) t(band_id)
+        |  UNION ALL SELECT 9, 1, 50)
+        |SELECT band_id, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "c17_gopher_quality" ->
