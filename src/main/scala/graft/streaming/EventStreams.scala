@@ -203,11 +203,16 @@ object EventStreams {
     * Spark derives a state watermark for EACH side: view state older than
     * (watermark − windowSeconds) and purchase state older than the
     * watermark are evicted — bounded state on two unbounded streams.
-    * Inner join (append-safe): pairs emit as both sides arrive.
+    * Inner join (the default) is append-safe: pairs emit as both sides
+    * arrive. `leftOuter` additionally emits (purchase_id, null) for a
+    * purchase once the watermark proves no matching view can still
+    * arrive — the streaming twin of the batch form's zero-view rows,
+    * delayed by exactly the watermark.
     */
   def attributionStream(spark: SparkSession, dir: String, schema: StructType,
                         windowSeconds: Long = 1800L,
-                        watermark: String = "2 hours"): DataFrame = {
+                        watermark: String = "2 hours",
+                        joinType: String = "inner"): DataFrame = {
     val v = eventsSource(spark, dir, schema)
       .where(col("event_type") === "view")
       .select(col("user_id").as("vuid"), col("event_id").as("view_id"),
@@ -220,7 +225,7 @@ object EventStreams {
       .withWatermark("pts", watermark)
     p.join(v, col("puid") === col("vuid") &&
         col("vts") >= col("pts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
-        col("vts") <= col("pts"))
+        col("vts") <= col("pts"), joinType)
       .select(col("purchase_id"), col("view_id"))
   }
 

@@ -164,6 +164,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(ref.exceptAll(streamed).count() === 0L, "stream missed pairs")
   }
 
+  test("attributionStream leftOuter emits sound null rows for zero-view buys") {
+    val streamed = runToCompletion(
+      EventStreams.attributionStream(spark, stagedDir, rawSchema,
+        joinType = "leftOuter"), "attr_outer_mem")
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id").as("vuid"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("puid"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val refPairs = p.join(v, col("puid") === col("vuid") &&
+        col("vts") >= col("pts") - expr("INTERVAL 1800 SECONDS") &&
+        col("vts") <= col("pts"))
+      .select("purchase_id", "view_id")
+    // matched pairs must equal the inner reference exactly
+    val matched = streamed.where(col("view_id").isNotNull)
+    assert(matched.exceptAll(refPairs).count() === 0L)
+    assert(refPairs.exceptAll(matched).count() === 0L)
+    // null rows: only for purchases with genuinely no view in the window
+    // (the watermark delays SOME of them past end-of-stream — soundness,
+    // not completeness, is the streaming-outer contract)
+    val nulls = streamed.where(col("view_id").isNull).select("purchase_id")
+    val zeroView = p.join(v, col("puid") === col("vuid") &&
+        col("vts") >= col("pts") - expr("INTERVAL 1800 SECONDS") &&
+        col("vts") <= col("pts"), "left_anti")
+      .select("purchase_id")
+    assert(nulls.count() > 0, "watermark passed most of the stream — " +
+      "outer results must have flushed")
+    assert(nulls.exceptAll(zeroView).count() === 0L,
+      "a null row for a purchase that HAS a view is unsound")
+  }
+
   test("sessionizeStream(AvailableNow) sessions match the batch twin") {
     val streamed = runToCompletion(
       EventStreams.sessionizeStream(spark, stagedDir, rawSchema), "sessions_mem")
