@@ -498,6 +498,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Bucketed co-located join (B17): both sides bucketed on the join key
+    // at write time, so the join itself runs with NO shuffle exchange —
+    // verified in-plan (colocated_ok) with broadcast disabled, values
+    // verified against a plain DuckDB join of the source tables.
+    "b17_bucketed_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val ords = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      CatalogTables.writeBucketed(li, "graft_b17_li", "l_orderkey", 8)
+      CatalogTables.writeBucketed(ords, "graft_b17_ord", "l_orderkey", 8)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = s.table("graft_b17_li")
+          .join(s.table("graft_b17_ord"), "l_orderkey")
+        val colocated = !joined.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning")
+        joined.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("int")).as("sum_qty"))
+          .withColumn("colocated_ok", lit(colocated))
+          .orderBy("o_orderpriority")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
     // skew-proof as-of variant against the SAME DuckDB ASOF oracle as
     // b18 — proving the (key, time-bucket) carry + boundary handoff is
     // semantics-identical on real data, not just on the spec fixtures
@@ -1133,6 +1158,16 @@ object SparkEntry {
         |       round(sum(r.o_totalprice), 2) AS sum_price
         |FROM events e ASOF LEFT JOIN ro r
         |  ON e.user_id = r.k AND e.ts >= r.o_orderdate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bucketing is invisible to values: a plain join over the source
+    // tables is the oracle; the no-shuffle property is the Spark-side
+    // boolean
+    "b17_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+        |       true AS colocated_ok
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical oracle to b18 — the bucketed variant must be
