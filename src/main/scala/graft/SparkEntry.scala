@@ -377,6 +377,29 @@ object SparkEntry {
         .orderBy("band_id")
     }),
 
+    // Sharded JSONL export (A19): the interchange format training
+    // pipelines actually consume. Size-balanced shards via
+    // BalancedRepartition, gzip text JSON lines; the gate reads the
+    // export BACK through Spark's JSON reader and aggregates against the
+    // SOURCE table in DuckDB — field fidelity (ids, chars, text bytes via
+    // md5) must survive the round trip.
+    "a19_jsonl_export" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "lang", "text", "n_chars")
+      val base = Tables.scratch("a19_" + new java.io.File(dir).getName)
+      graft.operators.BalancedRepartition(docs, Seq("lang"), 1000L)
+        .write.mode("overwrite").option("compression", "gzip")
+        .partitionBy("lang").json(base)
+      s.read.json(base)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum("doc_id").as("sum_ids"),
+          sum("n_chars").as("sum_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("md5_probe"))
+        .orderBy("lang")
+    }),
+
     // Small-file compaction (A18): fragment documents into 7 files per
     // lang partition, compact to target-sized files, verify content
     // survives (per-lang counts + key/char sums vs the SOURCE table in
@@ -1096,6 +1119,17 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a19 reads back the JSONL export; the oracle aggregates the source
+    // table — the md5 hex-prefix sum is the text-content probe (any
+    // mangled character in the round trip shifts it)
+    "a19_jsonl_export" ->
+      """SELECT lang, count(*) AS cnt,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+        |            AS BIGINT) AS md5_probe
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // a18 reads back the COMPACTED files; the oracle aggregates the source
     // table — equality proves the rewrite lost/duplicated nothing. The

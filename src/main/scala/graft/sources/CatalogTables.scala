@@ -46,11 +46,20 @@ object CatalogTables {
     * merge skip the per-task sort.
     */
   def writeBucketed(df: DataFrame, name: String, bucketCol: String,
-                    nBuckets: Int): Unit =
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // a previous SESSION may have left the managed location on disk with
+    // no catalog entry — saveAsTable refuses that orphan; remove it
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .format("parquet")
       .mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(name)
+  }
 }
