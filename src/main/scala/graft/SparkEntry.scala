@@ -841,6 +841,22 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Weighted source mixing (C25): kept token mass follows the target
+    // weights at the largest supportable total. The ENTIRE computation —
+    // per-source token totals, the scarcity constant k, per-source rates,
+    // the content-hash filter — replays in DuckDB, so the oracle checks
+    // the mixing math, not just the filter.
+    "c25_source_mixing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
+        "src3" -> 0.10)
+      val nt = TextFunctions.tokenCount(col("text"))
+      graft.operators.Sampling.mixSources(docs, "source", "text", nt, w)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"), sum(nt).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
     // Decontamination (C24): docs sharing any 8-word shingle with the
     // (deterministic) eval subset are flagged with their overlap count.
     // DuckDB replicates the whole computation from gram STRINGS — the
@@ -1515,6 +1531,36 @@ object SparkEntry {
         |  FROM embeddings c, embeddings q
         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Full replica of the mixing computation: totals → k → rates →
+    // content-hash filter, all in SQL. Arithmetic shape matches the Scala
+    // side exactly (((k*w)/toks)*10000, left-assoc; weights cast to
+    // DOUBLE) so the floor() lands on identical IEEE doubles.
+    "c25_source_mixing" ->
+      """WITH d AS (
+        |  SELECT source, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |           AS nt
+        |  FROM documents),
+        |w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+        |                            ('src2', 0.15), ('src3', 0.10))
+        |      t(source, wt)),
+        |tot AS (SELECT source, CAST(sum(nt) AS DOUBLE) AS toks
+        |        FROM d GROUP BY 1),
+        |k AS (SELECT min(toks / CAST(wt AS DOUBLE)) AS k
+        |      FROM tot JOIN w USING (source)),
+        |rates AS (
+        |  SELECT source,
+        |         CAST(floor(k.k * CAST(wt AS DOUBLE) / toks * 10000) AS INT)
+        |           AS rate
+        |  FROM tot JOIN w USING (source), k)
+        |SELECT d.source, count(*) AS kept_docs,
+        |       CAST(sum(d.nt) AS BIGINT) AS kept_tokens
+        |FROM d JOIN rates ON d.source = rates.source
+        |WHERE CAST(concat('0x', substr(md5(d.text), 1, 6)) AS BIGINT)
+        |        % 10000 < rate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Full string-level replica of the shingle-overlap check. Docs shorter
     // than the shingle width hash their whole text as one shingle — the

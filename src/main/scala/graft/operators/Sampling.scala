@@ -60,4 +60,49 @@ object Sampling {
       lit(defaultPct))
     df.where(col(keyCol).isNotNull && hashBucket(col(keyCol)) < pct)
   }
+
+  /** Fine [0, 10000) bucket — rate-style sampling needs more resolution
+    * than the percentile split (a 24-bit md5 prefix mod 10⁴).
+    */
+  def hashBucket10k(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 6), 16, 10)
+      .cast("long") % 10000)
+
+  /** Weighted source mixing (Pile/Dolma-style): downsample each stratum so
+    * the KEPT token mass follows `weights`, at the largest total the
+    * corpus supports — the stratum scarcest relative to its weight keeps
+    * everything (k = min over strata of tokens_s / w_s; rate_s =
+    * k·w_s / tokens_s), every other stratum downsamples to match.
+    * Strata not in `weights` are dropped. The filter is the same
+    * content-hash determinism contract as [[stratifiedSample]]
+    * (order-invariant, seed-free, cross-engine reproducible), so the
+    * whole computation — totals, k, rates, filter — is
+    * DuckDB-oracle-replicable.
+    *
+    * Scale shape: one map-side-combined aggregate for the per-stratum
+    * token totals (rows = |strata|, driver-bounded like
+    * BalancedRepartition's counts), then one codegen'd filter over a rate
+    * map literal — no shuffle of the corpus, no RNG.
+    */
+  def mixSources(df: DataFrame, strataCol: String, keyCol: String,
+                 tokensCol: Column, weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixSources: weights must be positive")
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(tokensCol).as("__toks"))
+      .collect()
+      .flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getLong(1).toDouble))
+      .toMap
+    val missing = weights.keySet.filterNot(s => totals.getOrElse(s, 0.0) > 0)
+    require(missing.isEmpty,
+      s"mixSources: strata with no tokens in the data: $missing")
+    val k = weights.map { case (s, w) => totals(s) / w }.min
+    val rates: Map[String, Int] = weights.map { case (s, w) =>
+      s -> math.floor(k * w / totals(s) * 10000).toInt
+    }
+    df.where(col(strataCol).isin(weights.keySet.toSeq: _*) &&
+      col(keyCol).isNotNull &&
+      hashBucket10k(col(keyCol)) <
+        coalesce(try_element_at(typedLit(rates), col(strataCol)), lit(0)))
+  }
 }

@@ -44,6 +44,47 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(fromHalf === fromFull)
   }
 
+  test("mixSources: kept token mass tracks the target weights") {
+    import graft.functions.TextFunctions
+    import graft.operators.Sampling
+    // sf0.1: 250 docs per source — the hash filter's doc-granularity
+    // noise at 25 docs/source would swamp a meaningful tolerance
+    val docs = Tables(spark, sfDir("sf0.1"), "documents")
+    val w = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15, "src3" -> 0.10)
+    val nt = TextFunctions.tokenCount(col("text"))
+    val kept = Sampling.mixSources(docs, "source", "text", nt, w)
+      .groupBy("source").agg(sum(nt).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val total = kept.values.sum
+    // the scarcest-relative-to-weight source keeps ALL its tokens
+    val totals = docs.groupBy("source").agg(sum(nt).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val scarcest = w.keys.minBy(s => totals(s) / w(s))
+    assert(kept(scarcest) === totals(scarcest),
+      s"$scarcest must keep everything")
+    // achieved proportions within doc-granularity tolerance of targets
+    w.foreach { case (s, target) =>
+      val got = kept(s) / total
+      assert(math.abs(got - target) < 0.05,
+        s"source $s: got $got of token mass, want $target")
+    }
+    // unknown sources are dropped entirely
+    val sources = Sampling.mixSources(docs, "source", "text", nt, w)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(sources === w.keySet)
+  }
+
+  test("mixSources: unknown strata in weights fail loudly") {
+    import graft.functions.TextFunctions
+    import graft.operators.Sampling
+    val docs = Tables(spark, sfDir(), "documents")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.mixSources(docs, "source", "text",
+        TextFunctions.tokenCount(col("text")), Map("no_such_source" -> 1.0))
+    }
+    assert(ex.getMessage.contains("no tokens"))
+  }
+
   test("TypedDocs: case-class pipeline keeps values consistent with columns") {
     val docs = Tables(spark, sfDir(), "documents").limit(50)
       .select("doc_id", "text", "lang").as[TypedDocs.Document]
