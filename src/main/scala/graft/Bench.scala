@@ -20,7 +20,8 @@ object Bench {
     "c18_pii_scrub", "c19_kmeans", "c21_chunking", "c22_sequence_pack",
     "b18_asof_join", "b19_range_join", "a17_upsert", "d2_sessionize",
     "d3_user_totals", "b20_quantile_sketch", "c23_bpe_tokens",
-    "c12_image_codec")
+    "c12_image_codec", "c24_decontamination", "c25_source_mixing",
+    "d6_attribution", "c14b_ivf_two_level")
 
   /** Queries re-timed on the 10x replica for the scaling ratios — one
     * scan-bound agg, one multi-join, two dedup candidate generators, and
