@@ -33,6 +33,27 @@ object SchemaCsv {
       .schema(schema)
       .csv(path)
 
+  /** Streaming twin of [[read]] — the reference's file-arrival model
+    * (yearly census drops landing in a bucket, detected by an Airflow
+    * diff) expressed Spark-native: new files in `path` flow through the
+    * SAME transform chain incrementally. Every censo transform is a pure
+    * projection, so [[graft.pipeline.CensoPipeline.run]] applies to this
+    * streaming frame verbatim (spec-locked equal to the batch result);
+    * pair with an append parquet sink + checkpoint for exactly-once
+    * ingest of each drop, replacing the external orchestrator's
+    * bookkeeping.
+    */
+  def readStream(spark: SparkSession, path: String, schema: StructType,
+                 delimiter: String = "|", header: Boolean = true,
+                 encoding: String = "UTF-8"): DataFrame =
+    spark.readStream
+      .options(Map(
+        "header" -> header.toString,
+        "delimiter" -> delimiter,
+        "encoding" -> encoding))
+      .schema(schema)
+      .csv(path)
+
   /** Production ingest mode: PERMISSIVE parse with the raw line of every
     * malformed record captured in `_corrupt_record` — bad rows become
     * data you can count/quarantine instead of a failed 100 TB job (the

@@ -80,6 +80,33 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Join"), "profiler must not self-join per column")
   }
 
+  test("streaming censo ingest equals the batch transform row-for-row") {
+    import graft.pipeline.CensoPipeline
+    val li = Tables(spark, sfDir(), "lineitem").limit(500)
+    val censo = CensoPipeline.censoLike(li)
+    val dir = Files.createTempDirectory("graft_censo_stream").toString
+    censo.write.mode("overwrite")
+      .options(Map("header" -> "true", "delimiter" -> "|")).csv(dir)
+    // schema as the CSV presents: all strings (censoLike emits strings)
+    val schema = org.apache.spark.sql.types.StructType(censo.schema.fields
+      .map(f => f.copy(dataType = org.apache.spark.sql.types.StringType)))
+
+    val streamed = CensoPipeline.run(
+      SchemaCsv.readStream(spark, dir, schema), year = 2020)
+    val q = streamed.writeStream.format("memory").queryName("censo_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("censo_stream")
+
+    val batch = CensoPipeline.run(
+      SchemaCsv.read(spark, dir, schema), year = 2020)
+    assert(got.count() === 500L)
+    assert(got.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(got).count() === 0L)
+  }
+
   test("readPermissive captures malformed rows instead of failing the job") {
     val dir = Files.createTempDirectory("graft_permissive").toString
     Files.writeString(java.nio.file.Paths.get(dir, "in.csv"),
