@@ -82,6 +82,34 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(d.total - li.count()) < 0.5, "total weight = row count")
   }
 
+  test("t-digest: heavy ties and tails stay monotone and in-range") {
+    import graft.operators.Sketches
+    // l_quantity: ~50 distinct integer values over thousands of rows —
+    // the tie-heavy distribution that breaks naive centroid interpolation
+    val vals = li.select(col("l_quantity").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val qs = Seq(0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999)
+    val est = li.repartition(5)
+      .agg(Sketches.tdigestQuantiles(col("l_quantity").cast("double"),
+        qs, 200).as("e")).head.getSeq[Double](0)
+    est.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b + 1e-9, s"quantile estimates must be monotone: $est")
+    }
+    est.foreach { e =>
+      assert(e >= vals.head - 1e-9 && e <= vals.last + 1e-9,
+        s"estimate $e outside data range [${vals.head}, ${vals.last}]")
+    }
+    // tie-aware rank error: a tied value OWNS a rank interval
+    // [rank(<v)/n, rank(<=v)/n]; the estimate is exact if q lands inside
+    // it (plain rank error would charge the digest the whole tie mass)
+    qs.zip(est).foreach { case (q, e) =>
+      val lo = vals.count(_ < e).toDouble / vals.length
+      val hi = vals.count(_ <= e).toDouble / vals.length
+      val err = if (q < lo) lo - q else if (q > hi) q - hi else 0.0
+      assert(err <= 0.02, s"q=$q est=$e rank span [$lo,$hi] under ties")
+    }
+  }
+
   test("profileWithQuantiles: one scan, digest quartiles within bounds") {
     import graft.operators.Profile
     val out = Profile.profileWithQuantiles(li,
