@@ -85,11 +85,23 @@ object Sampling {
     * map literal — no shuffle of the corpus, no RNG.
     */
   def mixSources(df: DataFrame, strataCol: String, keyCol: String,
-                 tokensCol: Column, weights: Map[String, Double]): DataFrame = {
+                 tokensCol: Column, weights: Map[String, Double],
+                 maxStrata: Int = 10000): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixSources: weights must be positive")
-    val totals = df.groupBy(col(strataCol))
+    // The weights map IS the strata universe: restrict BEFORE the totals
+    // aggregate so the collect below is bounded by |weights| regardless of
+    // the column's true cardinality (a caller pointing this at a document-id
+    // column must not collect the corpus to the driver). Belt-and-braces:
+    // cap the weights map itself and the collected row count, mirroring
+    // BalancedRepartition's fail-fast guard.
+    require(weights.size <= maxStrata,
+      s"mixSources: ${weights.size} weights exceed maxStrata=$maxStrata — " +
+        "source mixing is a per-corpus operation, not a per-document one")
+    val inWeights = col(strataCol).isin(weights.keySet.toSeq: _*)
+    val totals = df.where(inWeights).groupBy(col(strataCol))
       .agg(sum(tokensCol).as("__toks"))
+      .limit(maxStrata + 1)
       .collect()
       .flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getLong(1).toDouble))
       .toMap
@@ -100,7 +112,7 @@ object Sampling {
     val rates: Map[String, Int] = weights.map { case (s, w) =>
       s -> math.floor(k * w / totals(s) * 10000).toInt
     }
-    df.where(col(strataCol).isin(weights.keySet.toSeq: _*) &&
+    df.where(inWeights &&
       col(keyCol).isNotNull &&
       hashBucket10k(col(keyCol)) <
         coalesce(try_element_at(typedLit(rates), col(strataCol)), lit(0)))

@@ -85,6 +85,30 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("no tokens"))
   }
 
+  test("mixSources: high-cardinality strata column stays driver-bounded; " +
+       "oversized weights map fails loudly") {
+    import graft.functions.TextFunctions
+    import graft.operators.Sampling
+    val docs = Tables(spark, sfDir(), "documents")
+    // strata column = doc_id string (500 distinct values): the totals
+    // aggregate must be restricted to the weights keys BEFORE the collect,
+    // so this runs in bounded driver memory and only the named strata survive
+    val byId = docs.withColumn("k", col("doc_id").cast("string"))
+    val nt = TextFunctions.tokenCount(col("text"))
+    val kept = Sampling.mixSources(byId, "k", "text", nt,
+      Map("1" -> 0.5, "2" -> 0.5))
+    assert(kept.select("k").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("1", "2")))
+    // the scarcest stratum keeps everything → at least one of the two ids
+    assert(kept.count() >= 1)
+    // a weights map the size of the corpus is a mis-use: fail before any job
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.mixSources(byId, "k", "text", nt,
+        (0 until 50).map(i => i.toString -> 1.0).toMap, maxStrata = 10)
+    }
+    assert(ex.getMessage.contains("maxStrata"))
+  }
+
   test("TypedDocs: case-class pipeline keeps values consistent with columns") {
     val docs = Tables(spark, sfDir(), "documents").limit(50)
       .select("doc_id", "text", "lang").as[TypedDocs.Document]
