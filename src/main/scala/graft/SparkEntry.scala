@@ -469,6 +469,24 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // batched-codec transport variant: same pixels, same features, same
+    // oracle — the per-image ImageIO overhead (temp-file cache, per-call
+    // reader/writer instantiation, per-pixel color-model conversion) is
+    // amortized per partition instead (MultimodalSpec locks payload
+    // byte-equality between the two paths)
+    "c12b_image_codec_batched" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val imgs = Multimodal.packImagesBatched(s, docs, "doc_id")
+      Multimodal.decodeImagesBatched(s, imgs)
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(element_at(col("features"), 1), 6).as("mean_r"),
+          round(element_at(col("features"), 2), 6).as("mean_g"),
+          round(element_at(col("features"), 3), 6).as("mean_b"))
+        .orderBy("media_id")
+    }),
+
     // Mergeable t-digest quantile sketch (B20/B22): per-group digests built
     // map-side, merged associatively, interrogated for 3 quantiles. The
     // gate is the sketch's CONTRACT — rank error ≤ 0.02 at δ=200 — checked
@@ -814,6 +832,14 @@ object SparkEntry {
     "d6_attribution" -> ((s, dir) =>
       EventStreams.attributionBatch(t(s, dir, "events"))
         .orderBy("purchase_id")),
+
+    // pair-level LEFT-OUTER form: the null view_id rows (zero-view
+    // purchases) are first-class output here, not an aggregate count —
+    // the oracle checks the exact row set the streaming leftOuter join
+    // must converge to (EventStreamsSpec locks the streaming side)
+    "d6b_attribution_outer" -> ((s, dir) =>
+      EventStreams.attributionPairs(t(s, dir, "events"))
+        .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)),
 
     "d1_stream_window" -> ((s, dir) =>
       EventStreams.hourlyAgg(t(s, dir, "events"))
@@ -1183,6 +1209,24 @@ object SparkEntry {
         |       round(sum(v & 255) / (w * h * 255.0), 6) AS mean_b
         |FROM v GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
 
+    // identical pixel formula — the batched transport must hit the same
+    // bit-exact means as the per-call codec path
+    "c12b_image_codec_batched" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 64 + 16 AS w,
+        |         doc_id % 48 + 16 AS h
+        |  FROM documents),
+        |xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM ids),
+        |px AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |v AS (SELECT media_id, w, h,
+        |        ((media_id * 1103515245 + x * 31 + y * 131) & 16777215) AS v
+        |      FROM px)
+        |SELECT media_id, w AS width, h AS height,
+        |       round(sum((v >> 16) & 255) / (w * h * 255.0), 6) AS mean_r,
+        |       round(sum((v >> 8) & 255) / (w * h * 255.0), 6) AS mean_g,
+        |       round(sum(v & 255) / (w * h * 255.0), 6) AS mean_b
+        |FROM v GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
+
     // b20's gate is the rank-error bound (see the queries entry): Spark
     // measures each estimate's true rank in-plan; the oracle pins the
     // deterministic part — one row per (returnflag, quantile), bound held.
@@ -1386,6 +1430,20 @@ object SparkEntry {
         |FROM p LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.vsec BETWEEN p.psec - 1800 AND p.psec
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d6b_attribution_outer" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS vsec
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS psec
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, v.view_id
+        |FROM p LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.vsec BETWEEN p.psec - 1800 AND p.psec
+        |ORDER BY 1, 2 NULLS FIRST""".stripMargin,
 
     "c1_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))

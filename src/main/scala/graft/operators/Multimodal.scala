@@ -168,6 +168,174 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[packImages]] with the per-image codec overhead stripped out — the
+    * "vectorized transport" the r4 review asked for, in the form the JVM
+    * actually rewards:
+    *   - `ImageIO.setUseCache(false)`: the default ImageIO path spools
+    *     every encode/decode through a TEMP FILE on disk; per-partition
+    *     in-memory streams remove a file create+write+delete per image;
+    *   - ONE `ImageWriter` instance per partition (`ImageIO.write` scans
+    *     the registry and instantiates a fresh writer per call);
+    *   - pixels written straight into the image's backing `int[]`
+    *     (`DataBufferInt`) instead of per-pixel `setRGB` calls — for
+    *     TYPE_INT_RGB `setRGB` stores the same int, so the payload is
+    *     BIT-IDENTICAL, minus a virtual call + bounds check per pixel.
+    * An Arrow/ColumnarBatch transport would change how rows REACH this
+    * loop, not the codec cost inside it — batching stays at the
+    * mapPartitions boundary, which is where a columnar exchange would
+    * plug in.
+    *
+    * The codec stage is additionally sized by CORES, not by the source
+    * file's split count: a codec is CPU-bound per row, so partitioning
+    * inherited from a small parquet scan (one split for a sub-128 MB
+    * file) would serialize the whole stage behind one task. The id frame
+    * is widened to defaultParallelism when narrower — a shuffle of bare
+    * longs, nothing next to the per-image work it unlocks. (Downstream
+    * [[decodeImagesBatched]] inherits this partitioning and stays
+    * payload-local.)
+    */
+  def packImagesBatched(spark: SparkSession, df: DataFrame, idCol: String,
+                        batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", mediaMetaSchema)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val narrow = df.select(col(idCol).cast("long").as("media_id"))
+    val target = spark.sparkContext.defaultParallelism
+    val in = if (narrow.rdd.getNumPartitions < target)
+      narrow.repartition(target) else narrow
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 64 + 16).toInt
+          val h = (id % 48 + 16).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferInt].getData
+          var y = 0
+          while (y < h) {
+            var x = 0
+            val row = y * w
+            while (x < w) {
+              px(row + x) =
+                ((id * 1103515245L + x * 31L + y * 131L) & 0xFFFFFF).toInt
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
+          Row(id, bos.toByteArray, Row("image/png", w, h, 1))
+        }
+      }
+    }(enc)
+  }
+
+  /** [[decodeImages]] with the same per-partition codec amortization as
+    * [[packImagesBatched]]: no ImageIO temp-file cache, ONE reused
+    * `ImageReader` per partition, and channel sums taken straight off the
+    * decoded raster's backing byte/int array (PNG decodes to
+    * TYPE_3BYTE_BGR on the JDK codec; `getRGB` would re-convert every
+    * pixel through the color model). Output and quarantine semantics are
+    * identical to [[decodeImages]] — same bit-exact DuckDB oracle.
+    */
+  def decodeImagesBatched(spark: SparkSession, packed: DataFrame,
+                          batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("features", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = packed.select(col("media_id").cast("long"), col("media"))
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val pngReader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val isPng = bytes.length > 4 &&
+            bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
+            bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
+          val isBmp = bytes.length > 4 && bytes(0) == 'B' && bytes(1) == 'M'
+          val decoded =
+            if (isPng) {
+              try {
+                val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                pngReader.setInput(iis, true, true)
+                val img = pngReader.read(0)
+                iis.close()
+                img
+              } catch { case _: java.io.IOException => null }
+            } else if (isBmp) {
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+            } else null
+          if (decoded != null) {
+            val w = decoded.getWidth; val h = decoded.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            decoded.getRaster.getDataBuffer match {
+              case db: java.awt.image.DataBufferByte
+                  if decoded.getType ==
+                    java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+                val a = db.getData
+                var i = 0
+                while (i < a.length) {
+                  sb += a(i) & 0xFF; sg += a(i + 1) & 0xFF; sr += a(i + 2) & 0xFF
+                  i += 3
+                }
+              case db: java.awt.image.DataBufferInt
+                  if decoded.getType ==
+                    java.awt.image.BufferedImage.TYPE_INT_RGB =>
+                val a = db.getData
+                var i = 0
+                while (i < a.length) {
+                  val p = a(i)
+                  sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                  i += 1
+                }
+              case _ =>
+                val px = decoded.getRGB(0, 0, w, h, null, 0, w)
+                var i = 0
+                while (i < px.length) {
+                  val p = px(i)
+                  sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                  i += 1
+                }
+            }
+            val n = math.max(w * h, 1) * 255.0
+            Row(id, bytes.length, w, h, Seq(sr / n, sg / n, sb / n))
+          } else {
+            val hist = new Array[Double](histBins)
+            var i = 0
+            while (i < bytes.length) {
+              hist((bytes(i) & 0xFF) * histBins / 256) += 1.0
+              i += 1
+            }
+            val total = math.max(bytes.length, 1).toDouble
+            Row(id, bytes.length, null, null, hist.map(_ / total).toSeq)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Decode + feature-extract, batched per partition.
     *
     * >>> STUB CODEC <<< — kept as the declared stand-in for codecs the

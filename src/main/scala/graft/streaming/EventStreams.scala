@@ -196,6 +196,31 @@ object EventStreams {
         round(max("value"), 2).as("value"))
   }
 
+  /** Pair-level LEFT-OUTER batch twin of [[attributionStream]]'s
+    * `leftOuter` mode: one row per (purchase, matching view) plus a
+    * (purchase_id, NULL) row for zero-view purchases — exactly the row
+    * set the streaming outer join converges to once the watermark passes
+    * every purchase. [[attributionBatch]] aggregates this shape away
+    * (n_views = 0), so the null rows themselves — the part whose
+    * emission timing is the hard streaming problem — were previously
+    * only spec-checked; this form puts them under the DuckDB oracle.
+    * Second-floored timestamps, same cross-engine contract as
+    * [[attributionBatch]].
+    */
+  def attributionPairs(events: DataFrame,
+                       windowSeconds: Long = 1800L): DataFrame = {
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id").as("vuid"), col("event_id").as("view_id"),
+        unix_timestamp(col("ts")).as("vsec"))
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_timestamp(col("ts")).as("psec"))
+    p.join(v, col("user_id") === col("vuid") &&
+        col("vsec") >= col("psec") - windowSeconds &&
+        col("vsec") <= col("psec"), "left")
+      .select(col("purchase_id"), col("view_id"))
+  }
+
   /** Stream-stream INTERVAL join: purchases stream ⋈ views stream on
     * user within a trailing event-time window — the missing two-stream
     * shape next to the one-stream aggregations above. Both sides carry a

@@ -59,6 +59,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("batched codec transport is bit-identical to the per-call path") {
+    // encode: same deterministic pixels → byte-identical PNG payloads
+    val slow = Multimodal.packImages(spark, docs, "doc_id", batchSize = 16)
+      .select(col("media_id"), md5(col("media")).as("m"))
+    val fast = Multimodal.packImagesBatched(spark, docs, "doc_id", batchSize = 16)
+      .select(col("media_id"), md5(col("media")).as("m"))
+    assert(slow.join(fast, Seq("media_id", "m")).count() === 50,
+      "batched encoder must produce byte-identical PNGs")
+    // decode: identical features from either decoder over either payload
+    val imgs = Multimodal.packImagesBatched(spark, docs, "doc_id")
+    val a = Multimodal.decodeImages(spark, imgs, batchSize = 16)
+    val b = Multimodal.decodeImagesBatched(spark, imgs, batchSize = 16)
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L,
+      "raster-direct decode must match the getRGB path exactly")
+    // quarantine posture identical too: non-image payloads → stub histogram
+    val q = Multimodal.decodeImagesBatched(spark, packed, batchSize = 16)
+    val qa = Multimodal.decodeImages(spark, packed, batchSize = 16)
+    assert(q.exceptAll(qa).count() === 0L && qa.exceptAll(q).count() === 0L)
+  }
+
   test("real codec: non-image payloads quarantine to stub features") {
     val out = Multimodal.decodeImages(spark, packed, batchSize = 16)
     val rows = out.collect()
