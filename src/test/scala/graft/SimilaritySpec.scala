@@ -153,6 +153,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"partial-probe recall $hits/40")
   }
 
+  test("ivfTopK2 at 1024 leaves: constant codegen size, exact full probe, " +
+       "partial-probe recall") {
+    // sf0.1: 2000 vectors — enough corpus to populate 32×32 = 1024 leaves
+    val emb = Tables(spark, sfDir("sf0.1"), "embeddings")
+    val queries = emb.where(col("vec_id") < 8)
+    val small = Similarity.ivfTopK2(emb, queries, "vec_id", "embedding",
+      k = 5, l1 = 4, l2 = 4, probe1 = 2, probe2 = 4)
+    val big = Similarity.ivfTopK2(emb, queries, "vec_id", "embedding",
+      k = 5, l1 = 32, l2 = 32, probe1 = 16, probe2 = 512)
+    // 64× the leaves must NOT grow the generated plan: the whole hierarchy
+    // rides as one reference object. (Single-level ivfTopK enumerates a
+    // literal struct per centroid — its plan string scales with nLists.)
+    val smallLen = small.queryExecution.executedPlan.toString.length
+    val bigLen = big.queryExecution.executedPlan.toString.length
+    assert(bigLen <= smallLen * 11 / 10 + 500,
+      s"plan grew with leaf count: $smallLen -> $bigLen chars")
+    // full probe over all 32 cells / all leaves degenerates to exact
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val full = Similarity.ivfTopK2(emb, queries, "vec_id", "embedding",
+      k = 5, l1 = 32, l2 = 32, probe1 = 32, probe2 = 1024)
+      .select("query_id", "neighbor_id")
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+    // half-the-index probe keeps recall (uniform random vectors are the
+    // adversarial case for IVF — clustered real embeddings recall higher)
+    val hits = exact.intersect(
+      big.select("query_id", "neighbor_id")).count()
+    assert(hits.toDouble / 40.0 >= 0.5, s"1024-leaf recall $hits/40")
+  }
+
   test("ivfTopK2: assignment is joinless and codegen-compact") {
     val emb = Tables(spark, sfDir(), "embeddings")
     val queries = emb.where(col("vec_id") < 8)
