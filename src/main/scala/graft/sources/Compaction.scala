@@ -30,6 +30,58 @@ object Compaction {
   case class PartitionReport(partition: String, filesBefore: Int,
                              bytes: Long, rewritten: Boolean)
 
+  /** [[vacuum]] accounting: every orphan found, and the subset actually
+    * deleted (the rest are younger than the retention window).
+    */
+  case class VacuumReport(orphansFound: Seq[String], removed: Seq[String],
+                          retentionMs: Long)
+
+  /** Orphan-file GC — the delta-VACUUM maintenance pass, without a
+    * transaction log. For plain parquet tables the reader's visibility
+    * rule IS the manifest: partition discovery skips paths whose name
+    * starts with `_` or `.` (Spark/Hive hidden-path convention), and the
+    * Hadoop commit protocol stages every in-flight task's output under
+    * `_temporary/` until job commit. So an ABORTED write leaves its
+    * partial files exactly there: invisible to every reader, but billed
+    * and listed forever until someone deletes them.
+    *
+    * vacuum removes hidden orphans (staging dirs, stray hidden files —
+    * never `_SUCCESS`) whose modification time is older than
+    * `retentionMs`. The retention window is the correctness guard: a
+    * RUNNING job's `_temporary` is younger than any sane retention, so
+    * in-flight writers are never broken — same contract as delta's
+    * VACUUM grace period. Data files are untouched: visible-file deletion
+    * without a log would be guesswork, and compaction already handles
+    * visible small-file debt.
+    */
+  def vacuum(spark: SparkSession, root: String,
+             retentionMs: Long = 7L * 24 * 3600 * 1000,
+             dryRun: Boolean = false): VacuumReport = {
+    val rootPath = new Path(root)
+    val fs = FileSystem.get(rootPath.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    def isHiddenOrphan(name: String): Boolean =
+      (name.startsWith("_") || name.startsWith(".")) && name != "_SUCCESS"
+    // one level of partition dirs is enough for the hive layout this
+    // engine writes (root/_temporary, root/col=v/_temporary, hidden strays)
+    def candidates(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val entries = fs.listStatus(dir).toSeq
+      val here = entries.filter(s => isHiddenOrphan(s.getPath.getName))
+      val below = entries
+        .filter(s => s.isDirectory && !isHiddenOrphan(s.getPath.getName))
+        .flatMap(s => fs.listStatus(s.getPath).toSeq
+          .filter(c => isHiddenOrphan(c.getPath.getName)))
+      here ++ below
+    }
+    val orphans = if (fs.exists(rootPath)) candidates(rootPath) else Seq.empty
+    val expired = orphans.filter(_.getModificationTime < cutoff)
+    if (!dryRun) expired.foreach(s => fs.delete(s.getPath, true))
+    VacuumReport(orphans.map(_.getPath.toString),
+      if (dryRun) Seq.empty else expired.map(_.getPath.toString),
+      retentionMs)
+  }
+
   /** Compact every `col=value` partition whose parquet-file count exceeds
     * both `minFiles` and what `targetFileBytes` would need.
     *

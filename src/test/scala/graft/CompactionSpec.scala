@@ -56,6 +56,53 @@ class CompactionSpec extends AnyFunSuite with SparkSpec {
     assert(langs.map(l => parquetFiles(base, s"lang=$l")) === filesAfter1)
   }
 
+  test("vacuum removes expired aborted-write staging, never live data " +
+       "or young staging, and readers never saw the orphan") {
+    val docs = Tables(spark, sfDir("sf0.01"), "documents")
+    val base = Tables.scratch("vacuum_spec")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(base)
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cleanCount = spark.read.parquet(base).count()
+
+    // plant an aborted write: task output stranded under _temporary at
+    // the root AND inside a partition dir, plus a hidden stray file —
+    // exactly what a killed job leaves behind under the v1 committer
+    val orphan1 = new Path(base, "_temporary/0/task_000/part-0.parquet")
+    val orphan2 = new Path(base, "lang=en/_temporary/0/part-1.parquet")
+    val stray = new Path(base, ".part-dead.parquet.inprogress")
+    Seq(orphan1, orphan2, stray).foreach { p =>
+      val out = fs.create(p, true)
+      out.write("not a real parquet file".getBytes)
+      out.close()
+    }
+    // readers never see committer staging or hidden files — the planted
+    // garbage changes nothing even BEFORE vacuum (this is the visibility
+    // rule that makes log-less vacuum sound)
+    assert(spark.read.parquet(base).count() === cleanCount)
+
+    // young orphans survive a 7-day retention (in-flight writer guard)
+    val kept = Compaction.vacuum(spark, base)
+    assert(kept.orphansFound.size === 3, kept.orphansFound.toString)
+    assert(kept.removed.isEmpty, "young staging must survive retention")
+    assert(fs.exists(orphan1) && fs.exists(orphan2) && fs.exists(stray))
+
+    // age them past the window; dryRun reports but deletes nothing
+    val old = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+    Seq(new Path(base, "_temporary"), new Path(base, "lang=en/_temporary"),
+      stray).foreach(p => fs.setTimes(p, old, -1))
+    val dry = Compaction.vacuum(spark, base, dryRun = true)
+    assert(dry.orphansFound.size === 3 && fs.exists(orphan1))
+
+    val swept = Compaction.vacuum(spark, base)
+    assert(swept.removed.size === 3, swept.removed.toString)
+    assert(!fs.exists(new Path(base, "_temporary")) &&
+      !fs.exists(new Path(base, "lang=en/_temporary")) && !fs.exists(stray))
+    // _SUCCESS markers and every data file are untouched
+    assert(fs.exists(new Path(base, "_SUCCESS")))
+    assert(spark.read.parquet(base).count() === cleanCount)
+  }
+
   test("only fragmented partitions are rewritten; compact ones keep files") {
     val docs = Tables(spark, sfDir("sf0.01"), "documents")
     val base = Tables.scratch("compaction_partial")
