@@ -435,9 +435,11 @@ object SparkEntry {
     // independent reference implementation in BpeSpec.
     "c23_bpe_tokens" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val sample = docs.orderBy("doc_id").limit(100)
-        .select("text").collect().map(_.getString(0)).toSeq
-      val merges = graft.functions.Bpe.train(sample, 200)
+      // sample/merge bounds are ARGUMENTS of the training entry point
+      // (driver-memory contract documented there); 100×200 keeps the gate
+      // cheap — BpeSpec proves the same contract at 1000 docs/500 merges
+      val merges = graft.functions.Bpe.trainFromCorpus(
+        docs, "text", "doc_id", sampleDocs = 100, numMerges = 200)
       val noWs = regexp_replace(col("text"), "\\s+", "")
       docs.select(col("doc_id"),
           graft.functions.Bpe.tokens(col("text"), merges).as("toks"),

@@ -79,6 +79,37 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(bad === 0L)
   }
 
+  test("the training contract holds beyond the toy bound: 1000 docs, " +
+       "500 merges") {
+    // sf0.1: 5000 docs — a 1000-doc deterministic sample through the
+    // corpus-level entry point (the gate's 100-doc bound is a cheapness
+    // choice, not a ceiling)
+    val docs = Tables(spark, sfDir("sf0.1"), "documents")
+    val merges = Bpe.trainFromCorpus(docs, "text", "doc_id",
+      sampleDocs = 1000, numMerges = 500)
+    // the synthetic corpus draws from a small word vocabulary, so the
+    // trainer's min-count cutoff converges well before 500 merges (~90:
+    // every frequent word fully merged) — the bound is the BUDGET, the
+    // cutoff decides how much of it the data supports
+    assert(merges.length >= 80, s"vocab too small: ${merges.length}")
+    // same determinism as the small bound
+    assert(Bpe.trainFromCorpus(docs, "text", "doc_id", 1000, 500).toSeq
+      === merges.toSeq)
+    // lossless across the FULL corpus, through the codegen apply
+    val bad = docs.select(
+        Bpe.tokens(col("text"), merges).as("toks"), col("text"))
+      .where(concat_ws("", col("toks")) =!=
+        regexp_replace(col("text"), "\\s+", ""))
+      .count()
+    assert(bad === 0L)
+    // a bigger vocab on more data compresses at least as well as the gate's
+    val r = docs.select(
+        sum(size(Bpe.tokens(col("text"), merges))).as("toks"),
+        sum(length(regexp_replace(col("text"), "\\s+", ""))).as("chars"))
+      .head
+    assert(r.getLong(0).toDouble / r.getLong(1) < 0.6)
+  }
+
   test("a trained vocab actually compresses: tokens well under chars") {
     val docs = Tables(spark, sfDir(), "documents")
     val sample = docs.orderBy("doc_id").limit(100)
