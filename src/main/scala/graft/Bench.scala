@@ -20,16 +20,29 @@ object Bench {
     "c18_pii_scrub", "c19_kmeans", "c21_chunking", "c22_sequence_pack",
     "b18_asof_join", "b19_range_join", "a17_upsert", "d2_sessionize",
     "d3_user_totals", "b20_quantile_sketch", "c23_bpe_tokens",
-    "c12_image_codec", "c24_decontamination", "c25_source_mixing",
-    "d6_attribution", "c14b_ivf_two_level")
+    "c12_image_codec", "c12b_image_codec_batched", "c24_decontamination",
+    "c25_source_mixing", "d6_attribution", "d6b_attribution_outer",
+    "c14b_ivf_two_level")
 
-  /** Queries re-timed on the 10x replica for the scaling ratios — one
-    * scan-bound agg, one multi-join, two dedup candidate generators, and
-    * the iterative connected-components resolver.
+  /** Queries re-timed on the 10x replica for the scaling ratios: the r4
+    * five (scan-bound agg, multi-join, two dedup candidate generators,
+    * iterative resolver) plus the heavy tail — the most expensive bench
+    * entries must carry a scaling number, not just the photogenic ones.
+    * Queries on tables the replica does not scale (events-based, and the
+    * ones whose cost is driver-bounded state) are the non-probed
+    * remainder; Bench logs exactly which these are each run.
     */
   val scalingProbe: Seq[String] =
     Seq("q1_agg", "q5_star_join", "c2_minhash_lsh", "c3_simhash",
-      "c13_dup_clusters")
+      "c13_dup_clusters", "c4_ngram_jaccard", "a9_balanced_repartition",
+      "c12_image_codec", "c12b_image_codec_batched", "b20_quantile_sketch",
+      "c24_decontamination", "c14b_ivf_two_level")
+
+  /** The decade past the 10x probe: a 100-copy replica re-times a
+    * scan-agg + a candidate generator, showing the ratios hold one more
+    * order of magnitude (~170 MB of documents — still trivially local).
+    */
+  val scaling100Probe: Seq[String] = Seq("q5_star_join", "c2_minhash_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,15 +94,25 @@ object Bench {
     // scales linearly by construction) and re-times the probe queries.
     // ratio ≈ 10 · (per-row cost unchanged) = near-linear scaling; the
     // judge-facing evidence that the sf0.1 plans are the 100 TB plans.
+    val base = results.toMap
     val scaleJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") ""
       else try {
+        // no silent caps: name the headline queries WITHOUT a scaling
+        // number (events-table queries — the replica scales the TPC-H +
+        // documents + embeddings tables — and the cheap long tail)
+        val notProbed = headline.filterNot(scalingProbe.contains)
+        System.err.println(
+          s"[bench] scaling probe covers ${scalingProbe.size} of " +
+            s"${headline.size} headline queries; not probed: " +
+            notProbed.mkString(", "))
         val scaleDir = ScaleReplica.ensure(spark, sfDir, copies = 10)
-        val base = results.toMap
         val entries = scalingProbe.map { name =>
           val t10 = {
             val a = timed(name, scaleDir)
-            val b = if (a >= 0) timed(name, scaleDir) else -1.0
+            // second run only when the first is cheap — the heavy entries'
+            // decade signal doesn't need a best-of-2 at 40 s a run
+            val b = if (a >= 0 && a < 10.0) timed(name, scaleDir) else a
             if (a >= 0 && b >= 0) math.min(a, b) else -1.0
           }
           val t1 = base.getOrElse(name, -1.0)
@@ -103,8 +126,28 @@ object Bench {
         ""
       }
 
+    // ---- 100x probe: one more decade for a scan-agg + a generator ----
+    val scale100Json =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") ""
+      else try {
+        val dir100 = ScaleReplica.ensure(spark, sfDir, copies = 100,
+          tables = Seq("lineitem", "orders", "customer", "region",
+            "nation", "documents"))
+        val entries = scaling100Probe.map { name =>
+          val t100 = timed(name, dir100) // single run: the decade signal
+          val t1 = base.getOrElse(name, -1.0)
+          val ratio = if (t1 > 0 && t100 > 0) t100 / t1 else -1.0
+          "\"%s\":{\"base\":%.3f,\"x100\":%.3f,\"ratio\":%.2f}"
+            .formatLocal(Locale.ROOT, name, t1, t100, ratio)
+        }
+        ",\"scaling100\":" + entries.mkString("{\"copies\":100,", ",", "}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] 100x probe failed: ${e.getMessage}")
+        ""
+      }
+
     val json =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson$scale100Json}"""
     println(json)
     // also land the JSON in a file: the stdout line gets buried in sbt
     // [info] noise and the driver's parser then records parsed:null
@@ -127,10 +170,18 @@ object ScaleReplica {
   private val keyShift = 1000000000L // orders/customer/lineitem key space
   private val docShift = 10000000L   // documents: clears the +1e6 planted band
 
-  def ensure(spark: SparkSession, baseDir: String, copies: Int): String = {
+  val defaultTables: Seq[String] = Seq("lineitem", "orders", "customer",
+    "region", "nation", "documents", "embeddings")
+
+  def ensure(spark: SparkSession, baseDir: String, copies: Int,
+             tables: Seq[String] = defaultTables): String = {
     val dir = s"/root/repo/target/scale${copies}_${new java.io.File(baseDir).getName}"
+    // marker records WHICH tables the replica holds — adding a table to a
+    // probe invalidates a stale replica instead of failing on a missing file
     val marker = new java.io.File(s"$dir/_GRAFT_OK")
-    if (marker.exists()) return dir
+    val want = tables.sorted.mkString(",") + "\n"
+    if (marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath) == want) return dir
 
     def replicate(name: String, copyFn: (DataFrame, Int) => DataFrame): Unit = {
       val base = Tables(spark, baseDir, name)
@@ -140,23 +191,39 @@ object ScaleReplica {
     def shifted(cols: String*)(df: DataFrame, i: Int): DataFrame =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * keyShift)))
 
-    replicate("lineitem", shifted("l_orderkey"))
-    replicate("orders", shifted("o_orderkey", "o_custkey"))
-    replicate("customer", shifted("c_custkey"))
-    replicate("region", (df, i) => if (i == 0) df else df.limit(0))
-    replicate("nation", (df, i) => if (i == 0) df else df.limit(0))
-    // rotate a 10-letter high-frequency alphabet per copy: text length and
-    // tokenization are untouched (ratios stay honest), but nearly every
-    // shingle hash changes, so copies are not near-dups of each other
-    replicate("documents", (df, i) => {
-      val alpha = "etaoinshrd"
-      val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
-      df.withColumn("doc_id", col("doc_id") + lit(i * docShift))
-        .withColumn("text",
-          if (i == 0) col("text") else translate(col("text"), alpha, rot))
-    })
+    val builders: Map[String, () => Unit] = Map(
+      "lineitem" -> (() => replicate("lineitem", shifted("l_orderkey"))),
+      "orders" -> (() => replicate("orders", shifted("o_orderkey", "o_custkey"))),
+      "customer" -> (() => replicate("customer", shifted("c_custkey"))),
+      "region" -> (() => replicate("region",
+        (df, i) => if (i == 0) df else df.limit(0))),
+      "nation" -> (() => replicate("nation",
+        (df, i) => if (i == 0) df else df.limit(0))),
+      // two independent letter-rotation stages cover 100 distinct
+      // substitutions (i%10 on one alphabet, i/10%10 on another): text
+      // length and tokenization are untouched (ratios stay honest), but
+      // nearly every shingle hash changes per copy, so no two copies are
+      // near-dups of each other — a single 10-letter rotation would
+      // alias copies i and i+10 and manufacture quadratic cross-copy
+      // candidates at 100 copies
+      "documents" -> (() => replicate("documents", (df, i) => {
+        val a1 = "etaoinshrd"; val a2 = "lcumwfgypb"
+        def rot(a: String, k: Int) = a.drop(k % a.length) + a.take(k % a.length)
+        val from = a1 + a2
+        val to = rot(a1, i % 10) + rot(a2, (i / 10) % 10)
+        df.withColumn("doc_id", col("doc_id") + lit(i * docShift))
+          .withColumn("text",
+            if (i == 0) col("text") else translate(col("text"), from, to))
+      })),
+      // ids shift; vectors stay — copies co-assign to the same IVF leaves,
+      // which is the realistic shape (real corpora cluster) and scales
+      // every leaf uniformly
+      "embeddings" -> (() => replicate("embeddings",
+        (df, i) => df.withColumn("vec_id", col("vec_id") + lit(i * docShift)))))
+
+    tables.foreach(t => builders(t)())
     marker.getParentFile.mkdirs()
-    java.nio.file.Files.writeString(marker.toPath, "ok\n")
+    java.nio.file.Files.writeString(marker.toPath, want)
     dir
   }
 }
