@@ -360,6 +360,39 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Merge with change data feed (A23): one merge emits the snapshot AND
+    // the delta-CDF diff (insert / update_preimage / update_postimage /
+    // delete). The batch mixes changed rows, NO-OP rows (matched but
+    // identical — must emit nothing), brand-new keys, and deletes; the
+    // result aggregates the feed per change kind plus the merged
+    // snapshot, and the oracle rebuilds the same classification
+    // relationally in DuckDB.
+    "a23_cdf_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val changed = o.where(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      val noop = o.where(col("o_orderkey") % 89 === 0 &&
+        col("o_orderkey") % 97 =!= 0)
+      val inserts = o.where(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      val deletes = o.where(col("o_orderkey") % 103 === 0 &&
+          col("o_orderkey") % 97 =!= 0 && col("o_orderkey") % 89 =!= 0)
+        .select("o_orderkey")
+      val res = graft.operators.Upsert.upsertWithChanges(o,
+        changed.unionByName(noop).unionByName(inserts),
+        Seq("o_orderkey"), Some(deletes))
+      val feed = res.changes.groupBy(col("_change_type").as("kind"))
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("sum_keys"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+      val snap = res.merged.agg(count(lit(1)).as("cnt"),
+          sum("o_orderkey").as("sum_keys"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .select(lit("merged_snapshot").as("kind"), col("cnt"),
+          col("sum_keys"), col("sum_price"))
+      feed.unionByName(snap).orderBy("kind")
+    }),
+
     // Bucketed range join: quantity deciles + one full-width band (spans
     // all 5 buckets — exercises the interval explosion) joined to
     // lineitem as an equi-join on bucket id, residual BETWEEN exact.
@@ -422,6 +455,37 @@ object SparkEntry {
         .select(col("lang"), col("cnt"), col("sum_ids"), col("sum_chars"),
           lit(ok).as("compact_ok"))
         .orderBy("lang")
+    }),
+
+    // Zone-map data skipping (A22): the stats half of a transaction log,
+    // lifted once from parquet FOOTERS only (no data scan) into a
+    // queryable manifest. A date-clustered copy of lineitem is manifested,
+    // then one quarter's revenue is computed through the pruned read.
+    // Gates: skip_ok proves pruning actually excluded files yet read at
+    // least one, in-plan; the aggregate must equal DuckDB's full-scan
+    // answer — skipping may change cost, never results.
+    "a22_data_skipping" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship"),
+          col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      val base = Tables.scratch("a22_" + new java.io.File(dir).getName)
+      li.repartitionByRange(8, col("ship")).sortWithinPartitions("ship")
+        .write.mode("overwrite").parquet(base)
+      val stats = graft.sources.DataSkipping.collectStats(s, base,
+        Seq("ship"))
+      val pr = graft.sources.DataSkipping.readPrunedDate(s, base,
+        stats.toDF, "ship", java.sql.Date.valueOf("1996-01-01"),
+        java.sql.Date.valueOf("1996-03-31"))
+      val skipOk = pr.report.filesSkipped > 0 &&
+        pr.report.filesRead < pr.report.filesTotal &&
+        pr.report.filesRead > 0
+      pr.df.where(col("ship").between("1996-01-01", "1996-03-31"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            2).as("revenue"))
+        .select(col("cnt"), col("sum_qty"), col("revenue"),
+          lit(skipOk).as("skip_ok"))
     }),
 
     // REAL BPE tokenizer (C23): merges trained driver-side on a bounded
@@ -1154,6 +1218,56 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS sum_price
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // a23: DuckDB rebuilds the merge + feed classification relationally —
+    // inserts (anti-join), changed matches (null-safe row diff, pre+post),
+    // deletes (semi-join), the no-op slice contributing NOTHING, and the
+    // merged snapshot; kind-level aggregates must agree with Spark's feed.
+    "a23_cdf_merge" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM o WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT * FROM o WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+        |  FROM o WHERE o_orderkey % 101 = 0),
+        |del AS (
+        |  SELECT o_orderkey FROM o
+        |  WHERE o_orderkey % 103 = 0 AND o_orderkey % 97 <> 0
+        |    AND o_orderkey % 89 <> 0),
+        |matched AS (
+        |  SELECT t.o_orderkey, t.o_custkey AS t_ck, t.o_totalprice AS t_tp,
+        |         u.o_custkey AS u_ck, u.o_totalprice AS u_tp
+        |  FROM o t JOIN upd u USING (o_orderkey)
+        |  WHERE t.o_custkey IS DISTINCT FROM u.o_custkey
+        |     OR t.o_totalprice IS DISTINCT FROM u.o_totalprice),
+        |feed AS (
+        |  SELECT 'insert' AS kind, o_orderkey, o_totalprice
+        |  FROM upd ANTI JOIN o USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_orderkey, t_tp FROM matched
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_orderkey, u_tp FROM matched
+        |  UNION ALL
+        |  SELECT 'delete', o_orderkey, o_totalprice
+        |  FROM o SEMI JOIN del USING (o_orderkey)),
+        |merged AS (
+        |  SELECT o_orderkey, o_totalprice FROM o
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |  UNION ALL SELECT o_orderkey, o_totalprice FROM upd)
+        |SELECT kind, count(*) AS cnt,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM feed GROUP BY 1
+        |UNION ALL
+        |SELECT 'merged_snapshot', count(*),
+        |       CAST(sum(o_orderkey) AS BIGINT),
+        |       round(sum(o_totalprice), 2)
+        |FROM merged
+        |ORDER BY 1""".stripMargin,
+
     "b19_range_join" ->
       """WITH bands AS (
         |  SELECT band_id, band_id * 10 + 1 AS lo, band_id * 10 + 10 AS hi
@@ -1183,6 +1297,18 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       true AS compact_ok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // a22 aggregates through the PRUNED read of the date-clustered copy;
+    // the oracle full-scans the source table — equality proves skipping
+    // never changes results. skip_ok (files actually excluded) is
+    // computed in-plan from the prune report.
+    "a22_data_skipping" ->
+      """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       true AS skip_ok
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE)
+        |      BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'""".stripMargin,
 
     // c23's gate is contract-shaped (see the queries entry): Spark checks
     // losslessness + count bounds of the learned vocab in-plan; the oracle
