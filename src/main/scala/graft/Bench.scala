@@ -51,6 +51,11 @@ object Bench {
       .builder("graft-bench", Some(s"local[$cpus]"), Some(cpus.toInt))
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
+      // a single-JVM bench never hits the default 30-MINUTE periodic
+      // cleaner GC, so broadcast/shuffle state from earlier queries (and
+      // the in-process replica builds) accumulates for the whole run;
+      // 60 s keeps the ContextCleaner actually reclaiming
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -65,6 +70,12 @@ object Bench {
     }
 
     def timed(name: String, dir: String): Double = {
+      // drop frames leaked across runs (dupClusters returns a persisted
+      // frame by contract — its caller here can only count() it), so run
+      // N never pays run N-1's cache-eviction pressure. r5 lesson: the
+      // shipped artifact measured c2's 10x probe at 23.1x where a clean
+      // JVM measures 2.1x — ALL of it JVM-state pollution, not the plan.
+      spark.sqlContext.clearCache()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, dir).count()
             (System.nanoTime() - t0) / 1e9 }
@@ -107,6 +118,7 @@ object Bench {
             s"${headline.size} headline queries; not probed: " +
             notProbed.mkString(", "))
         val scaleDir = ScaleReplica.ensure(spark, sfDir, copies = 10)
+        ScaleReplica.drainBuildState(spark)
         val entries = scalingProbe.map { name =>
           val t10 = {
             val a = timed(name, scaleDir)
@@ -133,6 +145,7 @@ object Bench {
         val dir100 = ScaleReplica.ensure(spark, sfDir, copies = 100,
           tables = Seq("lineitem", "orders", "customer", "region",
             "nation", "documents"))
+        ScaleReplica.drainBuildState(spark)
         val entries = scaling100Probe.map { name =>
           val t100 = timed(name, dir100) // single run: the decade signal
           val t1 = base.getOrElse(name, -1.0)
@@ -172,6 +185,19 @@ object ScaleReplica {
 
   val defaultTables: Seq[String] = Seq("lineitem", "orders", "customer",
     "region", "nation", "documents", "embeddings")
+
+  /** Release JVM state a fresh-replica build leaves behind before any
+    * timing runs: cached frames, and — via an explicit GC — the
+    * weak-reference queue the ContextCleaner needs to see before it
+    * reclaims the build's broadcasts and shuffle files. Measured effect
+    * (r5→r6): the 10x probes after an in-process build of 7 tables read
+    * 23.1x (c2) / 22.9x (a9) where a clean JVM reads 2.1x / 2.3x — the
+    * build's debris, not the probed plans, was the entire regression.
+    */
+  def drainBuildState(spark: SparkSession): Unit = {
+    spark.sqlContext.clearCache()
+    System.gc()
+  }
 
   def ensure(spark: SparkSession, baseDir: String, copies: Int,
              tables: Seq[String] = defaultTables): String = {
