@@ -973,6 +973,20 @@ object SparkEntry {
           probe1 = 4, probe2 = 16)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rnk")
+    }),
+
+    // C26: product-quantization ADC top-k — the compressed-domain scan
+    // (m bytes per vector instead of 4·dim: 32x at dim=64, m=8). The
+    // oracle replicates the ENTIRE pipeline — md5-ordered codebook sample,
+    // per-subspace argmin encode, ADC lookup-sum — exactly: every float→
+    // double cast is exact, both engines sum sub-distances ascending, and
+    // rank orders by round(adc, 6) so a 1-ulp summation difference can't
+    // flip the compare. PQ-vs-exact recall is asserted in SimilaritySpec.
+    "c26_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 8, m = 8, kCodes = 16)
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -1788,6 +1802,50 @@ object SparkEntry {
         |  FROM embeddings c, embeddings q
         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // full PQ replica: same md5-ordered codebook sample as pqTopK, encode
+    // = per-(vec, subspace) argmin over codewords (ties → lowest index),
+    // ADC = sum of per-subspace distances between the query sub-vector
+    // and the ASSIGNED codeword; round(adc, 6) before ranking on both
+    // engines (quantized ordering — see the queries entry)
+    "c26_pq_topk" ->
+      """WITH corp AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |samp AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |                            CAST(vec_id AS VARCHAR)) - 1 AS cw, v
+        |  FROM (SELECT vec_id, v FROM corp
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+        |        LIMIT 16)),
+        |subs AS (SELECT unnest(range(0, 8)) AS sub),
+        |cb AS (
+        |  SELECT s.sub, p.cw,
+        |         list_slice(p.v, s.sub*8 + 1, s.sub*8 + 8) AS cvec
+        |  FROM samp p CROSS JOIN subs s),
+        |enc AS (
+        |  SELECT vec_id, sub, cw FROM (
+        |    SELECT c.vec_id, b.sub, b.cw,
+        |           row_number() OVER (PARTITION BY c.vec_id, b.sub
+        |             ORDER BY list_distance(
+        |                 list_slice(c.v, b.sub*8 + 1, b.sub*8 + 8), b.cvec),
+        |               b.cw) AS rn
+        |    FROM corp c CROSS JOIN cb b) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         round(sum(list_distance(
+        |             list_slice(q.qv, e.sub*8 + 1, e.sub*8 + 8), b.cvec)), 6)
+        |           AS adc
+        |  FROM q CROSS JOIN enc e
+        |  JOIN cb b ON b.sub = e.sub AND b.cw = e.cw
+        |  WHERE e.vec_id <> q.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adc, rnk FROM (
+        |  SELECT query_id, neighbor_id, adc,
+        |         row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adc, neighbor_id) AS rnk
+        |  FROM adc) r
+        |WHERE rnk <= 8 ORDER BY query_id, rnk""".stripMargin,
 
     "d1_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -259,6 +259,81 @@ object Similarity {
     topKPerQuery(partialTopK(scored, k), k)
   }
 
+  /** Product-quantization ADC top-k — the compressed-domain scale path.
+    *
+    * PQ splits each dim-d vector into `m` subspaces of d/m floats and
+    * replaces each sub-vector with the index of its nearest of `kCodes`
+    * codewords: the corpus shrinks from 4·d bytes to m bytes per vector
+    * (32x at d=64, m=8), which at 100 TB is the difference between an
+    * embedding store that fits executor memory and one that doesn't.
+    * Search is ADC (asymmetric distance computation): each query
+    * precomputes an m×kCodes lookup table of exact sub-distances, and the
+    * corpus scan sums m table lookups per encoded vector — never touching
+    * the original floats.
+    *
+    * Spark shape: codebooks ride the plan as ONE codegen reference object
+    * ([[PqIndex]], same pattern as [[CentroidIndex]]); encoding is a
+    * map-only projection ([[PqEncodeExpr]] → array<byte>); the query set
+    * (small by contract) carries its LUT as a column ([[PqLutExpr]],
+    * computed once per query row) and is BROADCAST, so the compressed
+    * corpus is scanned partition-local exactly once and only
+    * (query, neighbor, adc) triples reach the top-k merge.
+    *
+    * Codebooks here are a deterministic md5-ordered corpus sample (k-means
+    * init; the same cross-engine-reproducible idiom as c19's centroids) so
+    * the DuckDB oracle can replicate encode+ADC bit-for-bit; a production
+    * index would refine them with [[Clustering]] Lloyd rounds — the scan
+    * shape is identical.
+    *
+    * Distance: per-subspace Euclidean (sqrt'd, double accumulation),
+    * ADC = Σ_j l2(q_sub_j, codeword_j[code_j]). Rank orders by
+    * round(adc, 6) then neighbor id — quantized ordering, so a 1-ulp
+    * cross-engine summation difference cannot flip the oracle compare.
+    * Returns (query_id, neighbor_id, adc, rnk).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int = 10, m: Int = 8,
+             kCodes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    require(kCodes <= 128, "byte codes: kCodes must be <= 128")
+    // deterministic md5-ordered sample → per-subspace codebooks (KBs)
+    val sample: Array[Array[Float]] = corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .orderBy(md5(col("id")), col("id"))
+      .limit(kCodes)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "pqTopK: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val codebooks: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(j => sample.map(_.slice(j * dsub, (j + 1) * dsub)))
+    val index = new PqIndex(codebooks)
+
+    def codesOf(v: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      PqEncodeExpr(GraftColumnBridge.expression(v), index))
+    def lutOf(v: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      PqLutExpr(GraftColumnBridge.expression(v), index))
+    def adcOf(codes: org.apache.spark.sql.Column,
+              lut: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      PqAdcExpr(GraftColumnBridge.expression(codes),
+        GraftColumnBridge.expression(lut)))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      codesOf(col(vecCol)).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      lutOf(col(vecCol)).as("lut"))
+    val scored = c.join(F.broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(adcOf(col("codes"), col("lut")), 6).as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "adc", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs, OR-amplified across `tables`
     * independent sign-LSH tables (single-table AND-hashing only ever finds
     * exact copies — cos 0.95 near-dups collide with prob ≈ 0.43 per 8-bit
@@ -386,6 +461,172 @@ final class CentroidIndex(val l1: Array[Array[Float]],
       .take(math.min(p2, leafBuf.length)).map(_._2)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(top.toArray)
   }
+}
+
+/** Per-subspace PQ codebooks: [m][kCodes][dsub] floats. One instance rides
+  * encode/LUT plans as a codegen reference object — m·kCodes·dsub floats
+  * (KBs), constant generated-code size. All loops are scalar double
+  * accumulations over primitive arrays; sub-distance is Euclidean with a
+  * final sqrt (ascending-index summation, matching DuckDB's
+  * `list_distance`, so oracle compares are bit-honest).
+  */
+final class PqIndex(val codebooks: Array[Array[Array[Float]]])
+    extends Serializable {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  val m: Int = codebooks.length
+  val kCodes: Int = codebooks.head.length
+  val dsub: Int = codebooks.head.head.length
+
+  private def subDist(v: ArrayData, off: Int, cw: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < cw.length) {
+      val d = v.getFloat(off + i).toDouble - cw(i).toDouble
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Nearest codeword per subspace (min distance, ties → lowest index). */
+  def encode(v: ArrayData): ArrayData = {
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < kCodes) {
+        val d = subDist(v, j * dsub, codebooks(j)(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Query-side ADC lookup table: [m][kCodes] exact sub-distances. */
+  def lut(v: ArrayData): ArrayData = {
+    val rows = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val r = new Array[Double](kCodes)
+      var c = 0
+      while (c < kCodes) { r(c) = subDist(v, j * dsub, codebooks(j)(c)); c += 1 }
+      rows(j) = new GenericArrayData(r)
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+object PqIndex {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** ADC distance: m array lookups + adds — the whole per-row scan cost. */
+  def adc(codes: ArrayData, lut: ArrayData): Double = {
+    var s = 0.0; var j = 0
+    val m = codes.numElements()
+    while (j < m) {
+      s += lut.getArray(j).getDouble(codes.getByte(j).toInt & 0xFF)
+      j += 1
+    }
+    s
+  }
+}
+
+/** pq_encode(vec) → array<byte>: map-only corpus compression (4·d → m bytes). */
+case class PqEncodeExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: PqIndex)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = index.encode(
+    input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("pqIndex", index, classOf[PqIndex].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $idx.encode($c);")
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : PqEncodeExpr = copy(child = newChild)
+}
+
+/** pq_lut(vec) → array<array<double>>: per-query ADC table (|Q| rows only). */
+case class PqLutExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: PqIndex)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = index.lut(
+    input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("pqIndex", index, classOf[PqIndex].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $idx.lut($c);")
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : PqLutExpr = copy(child = newChild)
+}
+
+/** pq_adc(codes, lut) → double: compressed-domain distance (m lookups). */
+case class PqAdcExpr(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc expects (array<byte>, array<array<double>>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(codes: Any, lut: Any): Any = PqIndex.adc(
+    codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+    lut.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val pq = classOf[PqIndex].getName
+    nullSafeCodeGen(ctx, ev,
+      (c, l) => s"${ev.value} = $pq$$.MODULE$$.adc($c, $l);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression)
+      : PqAdcExpr = copy(left = newLeft, right = newRight)
 }
 
 /** ivf_leaf(vec) → int: joinless map-only corpus assignment. */
