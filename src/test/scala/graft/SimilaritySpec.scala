@@ -183,6 +183,68 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hits.toDouble / 40.0 >= 0.5, s"1024-leaf recall $hits/40")
   }
 
+  test("pqTopK: corpus == codebook sample ranks exactly like brute-force L2") {
+    // when the corpus is exactly the 16-vector codebook sample, every
+    // vector encodes to itself (sub-distance 0 per subspace), so ADC
+    // equals the true sum-of-subspace distances and the ranking is exact
+    val emb = Tables(spark, sfDir(), "embeddings")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id").cast("string"))
+      .limit(16)
+    val queries = emb.limit(3)
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, m = 8, kCodes = 16).select("query_id", "neighbor_id", "rnk")
+    // driver-side exact reference (16×3 pairs): sum of per-subspace L2s
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def subL2(a: Array[Float], b: Array[Float], j: Int): Double = {
+      var s = 0.0
+      (j * 8 until (j + 1) * 8).foreach { i =>
+        val d = a(i).toDouble - b(i).toDouble; s += d * d
+      }
+      math.sqrt(s)
+    }
+    val qids = queries.collect().map(_.getLong(0))
+    val expected = qids.flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (q, n,
+          BigDecimal((0 until 8).map(j => subL2(vecs(q), vecs(n), j)).sum)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (_, n, d) => (d, n) }.take(5).zipWithIndex
+        .map { case ((qq, n, _), i) => (qq, n, i + 1) }
+    }.toSet
+    val got = pq.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+  }
+
+  test("pqTopK: map-only compressed scan retrieves planted duplicates at rank 1") {
+    // corpus = embeddings ∪ id-shifted exact copies (the c5 planting). A
+    // copy encodes to the same m bytes as its original, and a query's own
+    // code vector minimizes ADC by construction (code_j = argmin of the
+    // query's LUT row j), so the copy MUST surface at rank 1 — the
+    // retrieval contract that matters for near-dup search. (Plain top-k
+    // recall on uniform random vectors is meaningless for any quantizer:
+    // pairwise distances concentrate, so the true ranking is noise.)
+    val emb = Tables(spark, sfDir(), "embeddings")
+    val corpus = emb.unionByName(
+      emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val queries = emb.where(col("vec_id") < 8)
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+      k = 3, m = 8, kCodes = 16)
+    // encoding is map-only: the only join in the plan is the broadcast
+    // query side (compression contract: array<byte>, m per vector, is
+    // locked by the exactness test above feeding ADC from codes alone)
+    val plan = pq.queryExecution.executedPlan.toString
+    assert("Join".r.findAllIn(plan).size <= 1, plan.take(800))
+    val rank1 = pq.where(col("rnk") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 8L).foreach { q =>
+      assert(rank1.get(q).contains(q + 1000000L),
+        s"query $q rank-1 neighbor ${rank1.get(q)} != planted copy")
+    }
+  }
+
   test("ivfTopK2: assignment is joinless and codegen-compact") {
     val emb = Tables(spark, sfDir(), "embeddings")
     val queries = emb.where(col("vec_id") < 8)
