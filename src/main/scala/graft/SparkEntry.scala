@@ -580,6 +580,20 @@ object SparkEntry {
         .orderBy("l_returnflag", "qi")
     }),
 
+    // B22: heavy hitters over a skewed long key via the built-in mergeable
+    // count-min sketch. The key plants one hot value (-1 for every 4th
+    // order's lineitems, ~25% of rows) over a 50-value background; at
+    // minShare=0.01 all 51 keys are heavy. Gate = CMS contract booleans
+    // (never undercounts; overcount ≤ eps·N) + exact counts; the oracle
+    // computes the same heavy set exactly and expects TRUE booleans.
+    "b22_heavy_hitters" -> ((s, dir) => {
+      val keyed = t(s, dir, "lineitem").select(
+        when(pmod(col("l_orderkey"), lit(4)) === 0, lit(-1L))
+          .otherwise(pmod(col("l_partkey"), lit(50)).cast("long")).as("hh_key"))
+      graft.operators.CmsHeavyHitters(keyed, "hh_key", minShare = 0.01)
+        .orderBy("item")
+    }),
+
     // As-of join: each event picks up the most recent order of the same
     // customer at or before the event time (inclusive). The right side is
     // first reduced to one row per (custkey, orderdate) — max-orderkey row
@@ -987,6 +1001,20 @@ object SparkEntry {
       Similarity.pqTopK(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", k = 8, m = 8, kCodes = 16)
         .orderBy("query_id", "rnk")
+    }),
+
+    // C27: duplicated-span scan (exact substring dedup at 16-word
+    // granularity, stride 1). Every 10th document gets a planted
+    // id-shifted copy, so dup spans exist deterministically; natural
+    // within-corpus 16-gram repeats are counted too (both engines see
+    // the same ones — the hash is md5 of the joined window).
+    "c27_span_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.duplicatedSpans(corpus, "text", "doc_id", w = 16)
+        .orderBy("id")
     })
   )
 
@@ -1377,6 +1405,20 @@ object SparkEntry {
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
         |CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) t(qi)
         |ORDER BY l_returnflag, qi""".stripMargin,
+
+    // exact heavy-hitter replica; the CMS booleans are expected TRUE (the
+    // sketch's deterministic never-undercount property and the eps·N
+    // overcount bound at fixed seed + fixed data)
+    "b22_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN CAST(-1 AS BIGINT)
+        |              ELSE CAST(l_partkey % 50 AS BIGINT) END AS item
+        |  FROM lineitem),
+        |t AS (SELECT item, count(*) AS true_cnt FROM k GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM k)
+        |SELECT item, true_cnt, TRUE AS est_ge_true, TRUE AS err_within_eps
+        |FROM t, tot WHERE true_cnt >= ceil(0.01 * n)
+        |ORDER BY item""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union-and-carry
     // implementation; the right side is reduced to one row per (key, time)
@@ -1846,6 +1888,29 @@ object SparkEntry {
         |             ORDER BY adc, neighbor_id) AS rnk
         |  FROM adc) r
         |WHERE rnk <= 8 ORDER BY query_id, rnk""".stripMargin,
+
+    // full span-dedup replica: same window enumeration (stride 1, 1-based
+    // inclusive slices), same md5-of-joined-window hash, same planted
+    // every-10th-doc copies
+    "c27_span_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |      FROM corpus WHERE length(trim(text)) > 0),
+        |s AS (SELECT doc_id, t, unnest(range(0, len(t) - 16 + 1)) AS pos
+        |      FROM d WHERE len(t) >= 16),
+        |h AS (SELECT doc_id, pos,
+        |             md5(array_to_string(list_slice(t, pos + 1, pos + 16), ' '))
+        |               AS h
+        |      FROM s),
+        |c AS (SELECT h, count(*) AS n_occ FROM h GROUP BY 1)
+        |SELECT doc_id AS id, count(*) AS n_spans,
+        |       CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_spans
+        |FROM h JOIN c USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d1_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -220,6 +220,44 @@ object Dedup {
     labels.select(col("label").as("cluster_id"), col("id"))
   }
 
+  // ------------------------------------------------- duplicated-span scan
+
+  /** Corpus-level duplicated-span detection — exact substring dedup at
+    * word-window granularity (the "dedup training data at the ~50-token
+    * span level" recipe; cf. reference near-dup surface, plus Lee et al.
+    * 2022, public): every w-token window of every document is hashed
+    * (stride 1 — the real algorithm, not a sampled approximation), and a
+    * span is DUPLICATED if its hash occurs at any other (doc, pos) in the
+    * corpus. Returns per-document (doc id, n_spans, n_dup_spans).
+    *
+    * Scale shape: the window enumeration is a map-only
+    * posexplode (no shuffle); the only corpus-sized shuffle is the span
+    * count, keyed on a 32-byte hash with map-side combine; the flag join
+    * is hash-keyed and AQE-broadcastable when the duplicated set is small
+    * (the common case). Nothing here is quadratic in pair count — unlike
+    * pairwise near-dup, span dedup cost is linear in total token count,
+    * which is why it is the only dedup that stays feasible when a 100 TB
+    * corpus has pathological template repetition.
+    *
+    * Docs shorter than w tokens contribute no spans (standard contract:
+    * whole-doc dedup for shorts is [[exactDedup]]'s job).
+    */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                      w: Int = 16): DataFrame = {
+    val toks = TextFunctions.wsTokens(col(textCol))
+    val spans = df
+      .where(length(trim(col(textCol))) > 0 && size(toks) >= w)
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), size(toks) - w), i =>
+          md5(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+          .as(Seq("pos", "h")))
+    val counts = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    spans.join(counts, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Sorted distinct character n-gram hashes of normalized text

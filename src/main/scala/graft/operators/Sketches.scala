@@ -252,6 +252,74 @@ class TDigestBuildAgg(compression: Int)
 }
 
 /** serialized sketches → merged serialized sketch (re-aggregation). */
+/** Heavy-hitter detection over a long key via Spark's built-in mergeable
+  * count-min sketch (`functions.count_min_sketch` — map-side partials,
+  * associative merge, eps/confidence-sized counter grid; Cormode &
+  * Muthukrishnan 2005, public).
+  *
+  * 100 TB shape: the corpus-sized work is ONE pass building the sketch —
+  * a constant-size (depth × width counters) partial per task, merged up;
+  * no per-key shuffle touches the full key universe. Candidate heavy keys
+  * are then probed against the sketch driver-side — the candidate set is
+  * provably ≤ 1/minShare keys, a bounded collect by construction.
+  *
+  * This entry point doubles as its own correctness gate (the c7/c23
+  * pattern for non-SQL-replicable state): alongside each heavy key's
+  * exact count it emits the two CMS contract booleans — `est_ge_true`
+  * (a count-min estimate NEVER undercounts — deterministic property) and
+  * `err_within_eps` (overcount ≤ eps·N, holds with the configured
+  * confidence; fixed seed + fixed data ⇒ stable across runs). The DuckDB
+  * oracle computes the exact heavy-hitter set and expects both booleans
+  * TRUE; a sketch regression flips a boolean and fails the hash compare.
+  */
+object CmsHeavyHitters {
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  def apply(df: DataFrame, keyCol: String, minShare: Double,
+            eps: Double = 0.0001, confidence: Double = 0.999,
+            seed: Int = 42): DataFrame = {
+    require(minShare > 0 && minShare <= 1, "minShare in (0, 1]")
+    val spark = df.sparkSession
+    val key = col(keyCol).cast("long")
+    // one distributed pass: sketch bytes + total count together
+    val agg = df.agg(
+      count_min_sketch(key, lit(eps), lit(confidence), lit(seed)).as("cms"),
+      count(key).as("n")).head()
+    val bytes = agg.getAs[Array[Byte]](0)
+    val n = agg.getLong(1)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    // exact candidate counts: bounded by construction (≤ 1/minShare heavy
+    // keys can exist); the limit+require makes the bound loud, not trusted
+    val maxKeys = math.ceil(1.0 / minShare).toInt
+    val threshold = math.ceil(minShare * n).toLong
+    // null keys are outside the contract on BOTH passes: the sketch agg
+    // and count(key) above skip nulls, so the exact side must too
+    val heavy = df.where(key.isNotNull).groupBy(key.as("item"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .where(col("true_cnt") >= threshold)
+      .limit(maxKeys + 1).collect()
+    require(heavy.length <= maxKeys,
+      s"CmsHeavyHitters: > $maxKeys keys above share $minShare — impossible " +
+        "unless the share threshold was applied to a different total")
+    val out = heavy.map { r =>
+      val item = r.getLong(0); val trueCnt = r.getLong(1)
+      val est = cms.estimateCount(java.lang.Long.valueOf(item))
+      Row(item, trueCnt, est >= trueCnt,
+        est <= trueCnt + math.ceil(eps * n).toLong)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(
+        StructField("item", LongType),
+        StructField("true_cnt", LongType, nullable = false),
+        StructField("est_ge_true", BooleanType, nullable = false),
+        StructField("err_within_eps", BooleanType, nullable = false))))
+  }
+}
+
 class TDigestMergeAgg(compression: Int)
     extends Aggregator[Array[Byte], TDigest, Array[Byte]] {
   def zero: TDigest = new TDigest(compression)

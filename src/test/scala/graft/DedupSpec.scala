@@ -84,6 +84,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(clusters.size === 10)
   }
 
+  test("duplicatedSpans flags shared windows, skips short docs, counts repeats") {
+    // a/b share the SAME 20-token prefix → windows 0..4 of each (w=16)
+    // are corpus-duplicated; their tails differ. c is unrelated; d is
+    // shorter than w (no spans); e repeats ITS OWN window (intra-doc
+    // repetition is duplication too — positions differ).
+    val prefix = (1 to 20).map(i => s"p$i").mkString(" ")
+    val spanDocs = Seq(
+      (1L, prefix + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, prefix + " " + (1 to 10).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" ")),
+      (4L, "too short for any span"),
+      (5L, ((1 to 16) ++ (1 to 16)).map(i => s"e$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(spanDocs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1/2: 15 windows each (30 tokens, w=16); the 5 prefix-anchored
+    // windows (positions 0..4) are identical across the pair
+    assert(out(1L) === ((15L, 5L)) && out(2L) === ((15L, 5L)))
+    assert(out(3L) === ((15L, 0L)))
+    assert(!out.contains(4L)) // < w tokens → no spans
+    // doc 5: 32 tokens → 17 windows; window 0 (e1..e16) recurs at
+    // position 16 — exactly those two positions are duplicated
+    assert(out(5L) === ((17L, 2L)))
+  }
+
   test("shingle-based signatures are deterministic across evaluations") {
     val sig = graft.functions.GraftExpressions.minhashSignature(
       split(col("text"), " "), 3, 64)

@@ -128,6 +128,28 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(flag.getLong(2) === 0L) // no nulls in the fixture column
   }
 
+  test("CmsHeavyHitters: exact heavy set, contract booleans, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    // 1000 'hot' (=7), 100 each of 3 warm keys, 300 singletons
+    val rows = Seq.fill(1000)(7L) ++
+      (1 to 3).flatMap(k => Seq.fill(100)(k.toLong)) ++
+      (1000L to 1299L)
+    val df = rows.toDF("k")
+    val out = graft.operators.CmsHeavyHitters(df, "k", minShare = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    // N = 1600, threshold = 80: hot + the three warm keys qualify
+    assert(out.keySet === Set(7L, 1L, 2L, 3L))
+    assert(out(7L)._1 === 1000L && out(1L)._1 === 100L)
+    assert(out.values.forall(v => v._2 && v._3), s"CMS contract violated: $out")
+    // sketch counters are sums — the estimate cannot depend on layout
+    val repartitioned = graft.operators.CmsHeavyHitters(
+      df.repartition(17, col("k")), "k", minShare = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repartitioned === out.view.mapValues(_._1).toMap)
+  }
+
   test("sketches merge: per-group partials equal the direct global sketch") {
     // same sketch computed globally vs merged from a pre-aggregation by
     // an unrelated key — HLL registers are deterministic, so equality is
