@@ -393,6 +393,29 @@ object SparkEntry {
       feed.unionByName(snap).orderBy("kind")
     }),
 
+    // A24: SCD2 dimension history — customer segment (order priority)
+    // versioned by order date. Applied in TWO batches (pre/post 1997) to
+    // exercise the history-merge path; batch-vs-one-shot equivalence is
+    // the UpsertSpec lock. Timestamps stringified so both engines hash
+    // the same representation.
+    "a24_scd2" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def ev(f: org.apache.spark.sql.DataFrame) = f.select(
+        col("o_custkey"), col("o_orderpriority").as("segment"),
+        col("o_orderdate"))
+      val hist0 = graft.operators.Upsert.scd2Apply(None,
+        ev(o.where(year(col("o_orderdate")) < 1997)),
+        Seq("o_custkey"), "o_orderdate", Seq("segment"))
+      val fin = graft.operators.Upsert.scd2Apply(Some(hist0),
+        ev(o.where(year(col("o_orderdate")) >= 1997)),
+        Seq("o_custkey"), "o_orderdate", Seq("segment"))
+      fin.select(col("o_custkey"), col("segment"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("o_custkey", "valid_from")
+    }),
+
     // Bucketed range join: quantity deciles + one full-width band (spans
     // all 5 buckets — exercises the interval explosion) joined to
     // lineitem as an equi-join on bucket id, residual BETWEEN exact.
@@ -1309,6 +1332,31 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2)
         |FROM merged
         |ORDER BY 1""".stripMargin,
+
+    // SCD2 replica: same-instant dedup (max attribute wins), change-only
+    // version compaction, lead() close-out. The batch split in the Spark
+    // query is invisible here because ordered batches are equivalent to
+    // one-shot processing (the operator's contract).
+    "a24_scd2" ->
+      """WITH ev AS (
+        |  SELECT o_custkey AS k, o_orderdate AS vf,
+        |         max(o_orderpriority) AS seg
+        |  FROM orders GROUP BY 1, 2),
+        |chg AS (
+        |  SELECT k, vf, seg,
+        |         lag(seg) OVER (PARTITION BY k ORDER BY vf) AS prev
+        |  FROM ev),
+        |keep AS (SELECT k, vf, seg FROM chg
+        |         WHERE prev IS NULL OR seg <> prev),
+        |fin AS (
+        |  SELECT k, seg, vf,
+        |         lead(vf) OVER (PARTITION BY k ORDER BY vf) AS vt
+        |  FROM keep)
+        |SELECT k AS o_custkey, seg AS segment,
+        |       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |       vt IS NULL AS is_current
+        |FROM fin ORDER BY 1, 3""".stripMargin,
 
     "b19_range_join" ->
       """WITH bands AS (

@@ -34,6 +34,53 @@ object Upsert {
       .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates)
 
+  /** Slowly-changing-dimension type-2 apply: fold a batch of attribute
+    * observations into a versioned history — one row per (key, version)
+    * with `valid_from` / `valid_to` / `is_current`, a new version opened
+    * only when the tracked attributes actually changed (consecutive
+    * identical observations compact away). The incremental counterpart of
+    * the reference's full-snapshot dimension reload: re-running a year
+    * revises history instead of duplicating it.
+    *
+    * Contract: each batch's observations for a key must be at-or-after
+    * that key's latest `valid_from` (the standard forward-in-time CDC
+    * feed). Under that contract, applying batches incrementally is
+    * EXACTLY equivalent to one-shot processing of all events (spec-locked
+    * in UpsertSpec) — the compaction of closed versions loses nothing
+    * because later batches never interleave before them. Late-arriving
+    * history needs a replay from the event log, as in every SCD2 store.
+    *
+    * Same-instant duplicate observations resolve deterministically
+    * (max attribute struct wins). Scale shape: one shuffle keyed on
+    * (keys, valid_from) for the dedup and one keyed on (keys) for the
+    * versioning windows; per-key state after compaction is version
+    * counts, not observation counts, so the window partitions stay small
+    * no matter how hot a key's feed is.
+    */
+  def scd2Apply(history: Option[DataFrame], updates: DataFrame,
+                keys: Seq[String], effectiveCol: String,
+                attrCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val u = updates.select(
+      keyCols ++ attrCols.map(col) :+ col(effectiveCol).as("valid_from"): _*)
+    val ev = history.fold(u)(h => h.select(
+      keyCols ++ attrCols.map(col) :+ col("valid_from"): _*).unionByName(u))
+    val attrStruct = struct(attrCols.map(col): _*)
+    val uniq = ev.groupBy(keyCols :+ col("valid_from"): _*)
+      .agg(max(attrStruct).as("__a"))
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("valid_from"))
+    val changes = uniq
+      .withColumn("__prev", lag(col("__a"), 1).over(w))
+      .where(col("__prev").isNull || !(col("__a") <=> col("__prev")))
+    changes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(keyCols ++
+        attrCols.map(a => col("__a").getField(a).as(a)) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
   /** `merged` is the post-merge snapshot; `changes` is the CDF frame:
     * target schema plus `_change_type`.
     */

@@ -88,4 +88,39 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     val plain = Upsert.upsert(target, updates, Seq("k"))
     assert(viaCdf.exceptAll(plain).isEmpty && plain.exceptAll(viaCdf).isEmpty)
   }
+
+  test("scd2Apply: change-only versions, close-out, same-instant dedup") {
+    // key 1: a→a (compacts)→b→a: 3 versions; key 2: single version;
+    // key 3: two observations at the SAME instant (max attr wins)
+    val obs = Seq(
+      (1L, "a", 10), (1L, "a", 20), (1L, "b", 30), (1L, "a", 40),
+      (2L, "x", 10),
+      (3L, "m", 10), (3L, "z", 10)
+    ).toDF("k", "seg", "ts")
+    val hist = Upsert.scd2Apply(None, obs, Seq("k"), "ts", Seq("seg"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4))).toSet
+    assert(hist === Set(
+      (1L, "a", 10, 30, false), (1L, "b", 30, 40, false),
+      (1L, "a", 40, -1, true),
+      (2L, "x", 10, -1, true),
+      (3L, "z", 10, -1, true)))
+  }
+
+  test("scd2Apply: ordered incremental batches equal one-shot processing") {
+    val all = Seq(
+      (1L, "a", 10), (1L, "b", 20), (1L, "b", 30), (1L, "c", 40),
+      (2L, "x", 10), (2L, "x", 40), (3L, "q", 35)
+    ).toDF("k", "seg", "ts")
+    val oneShot = Upsert.scd2Apply(None, all, Seq("k"), "ts", Seq("seg"))
+    val b1 = Upsert.scd2Apply(None, all.where(col("ts") < 30),
+      Seq("k"), "ts", Seq("seg"))
+    val b2 = Upsert.scd2Apply(Some(b1), all.where(col("ts") >= 30),
+      Seq("k"), "ts", Seq("seg"))
+    assert(b2.exceptAll(oneShot).isEmpty && oneShot.exceptAll(b2).isEmpty)
+    // idempotence: re-applying an already-folded batch changes nothing
+    val again = Upsert.scd2Apply(Some(b2), all.where(col("ts") >= 30),
+      Seq("k"), "ts", Seq("seg"))
+    assert(again.exceptAll(oneShot).isEmpty && oneShot.exceptAll(again).isEmpty)
+  }
 }
