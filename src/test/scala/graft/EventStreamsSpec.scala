@@ -112,6 +112,50 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("StateMetrics proves TTL eviction bounds state (pull + listener paths)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StateMetrics
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    val listener = new StateMetrics.Listener
+    s.streams.addListener(listener)
+    val input = MemoryStream[(Long, Double, java.sql.Timestamp)]
+    val stream = EventStreams.userTotalsStreamTtl(
+      input.toDF().toDF("user_id", "value", "ts"), ttlMillis = 3600000L)
+    val q = stream.writeStream.format("memory").queryName("state_metrics_mem")
+      .outputMode("update").start()
+    try {
+      // 3 users accumulate state, then go idle past TTL while user 4 stays
+      input.addData((1L, 1.0, ts(10)), (2L, 2.0, ts(10)), (3L, 3.0, ts(10, 30)))
+      q.processAllAvailable() // watermark → 10:30; timeouts ≈ 11:00-11:30
+      input.addData((4L, 4.0, ts(14)))
+      q.processAllAvailable() // watermark advances to 14:00
+      input.addData((4L, 5.0, ts(14, 5)))
+      q.processAllAvailable() // eviction fires for users 1-3
+      val ss = StateMetrics.samples(q.recentProgress.toSeq)
+      assert(ss.nonEmpty, "no state operator reported progress")
+      assert(ss.exists(_.numRowsRemoved > 0), s"no eviction recorded: $ss")
+      val (peak, fin) = StateMetrics.peakAndFinal(ss).values.head
+      assert(peak >= 3, s"state never held the 3 idle users (peak $peak)")
+      assert(fin < peak,
+        s"state did not shrink after eviction (peak $peak, final $fin)")
+      assert(fin == 1, s"only user 4 should remain, final=$fin")
+      // listener path: same samples arrive asynchronously — poll
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (listener.samples.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(listener.samples.exists(_.numRowsTotal >= 3),
+        "listener never observed the state peak")
+    } finally {
+      q.stop()
+      s.streams.removeListener(listener)
+    }
+  }
+
   test("dedupStream drops within-watermark duplicates across microbatches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
