@@ -130,4 +130,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // Third layer of the join-scale story (after broadcast dims and AQE
+    // skew splits): when BOTH sides are too big to broadcast, Spark's
+    // InjectRuntimeFilter builds a bloom filter from the dim's selective
+    // predicate and pushes a might_contain prune into the fact scan — at
+    // 100 TB this is what keeps a 1%-selective dim join from shuffling
+    // the other 99% of the fact table. Thresholds are scaled so toy data
+    // reproduces the trigger (the application-side size gate defaults to
+    // 10 GB); the property locked is the rule firing on our join shape.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables(spark, sfDir(), "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val o = Tables(spark, sfDir(), "orders")
+        .where($"o_orderpriority" === "1-URGENT").select("o_orderkey")
+      val joined = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("might_contain"),
+        s"runtime bloom filter did not inject:\n${p.take(1200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
