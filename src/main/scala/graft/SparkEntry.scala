@@ -1026,6 +1026,19 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // C28: IVFPQ — coarse cells over PQ codes, the faiss-shape ANN
+    // composition. Full probe (nProbe = nLists) degenerates to exactly
+    // the brute-force ADC scan, so the oracle is the same encode+ADC
+    // replica as c26 (cell routing cannot change a full scan's result);
+    // partial-probe retrieval is locked in SimilaritySpec.
+    "c28_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfpqTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 6, nLists = 8, nProbe = 8,
+          m = 8, kCodes = 16)
+        .orderBy("query_id", "rnk")
+    }),
+
     // C27: duplicated-span scan (exact substring dedup at 16-word
     // granularity, stride 1). Every 10th document gets a planted
     // id-shifted copy, so dup spans exist deterministically; natural
@@ -1936,6 +1949,47 @@ object SparkEntry {
         |             ORDER BY adc, neighbor_id) AS rnk
         |  FROM adc) r
         |WHERE rnk <= 8 ORDER BY query_id, rnk""".stripMargin,
+
+    // c28 at full probe == the c26 ADC replica (same md5 codebook sample,
+    // same encode, same summed-subspace ADC), only k differs
+    "c28_ivfpq_topk" ->
+      """WITH corp AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |samp AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |                            CAST(vec_id AS VARCHAR)) - 1 AS cw, v
+        |  FROM (SELECT vec_id, v FROM corp
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+        |        LIMIT 16)),
+        |subs AS (SELECT unnest(range(0, 8)) AS sub),
+        |cb AS (
+        |  SELECT s.sub, p.cw,
+        |         list_slice(p.v, s.sub*8 + 1, s.sub*8 + 8) AS cvec
+        |  FROM samp p CROSS JOIN subs s),
+        |enc AS (
+        |  SELECT vec_id, sub, cw FROM (
+        |    SELECT c.vec_id, b.sub, b.cw,
+        |           row_number() OVER (PARTITION BY c.vec_id, b.sub
+        |             ORDER BY list_distance(
+        |                 list_slice(c.v, b.sub*8 + 1, b.sub*8 + 8), b.cvec),
+        |               b.cw) AS rn
+        |    FROM corp c CROSS JOIN cb b) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         round(sum(list_distance(
+        |             list_slice(q.qv, e.sub*8 + 1, e.sub*8 + 8), b.cvec)), 6)
+        |           AS adc
+        |  FROM q CROSS JOIN enc e
+        |  JOIN cb b ON b.sub = e.sub AND b.cw = e.cw
+        |  WHERE e.vec_id <> q.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adc, rnk FROM (
+        |  SELECT query_id, neighbor_id, adc,
+        |         row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adc, neighbor_id) AS rnk
+        |  FROM adc) r
+        |WHERE rnk <= 6 ORDER BY query_id, rnk""".stripMargin,
 
     // full span-dedup replica: same window enumeration (stride 1, 1-based
     // inclusive slices), same md5-of-joined-window hash, same planted

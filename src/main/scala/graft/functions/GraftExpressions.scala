@@ -47,6 +47,9 @@ object GraftExpressions {
   def charNgramHashes(text: Column, n: Int): Column =
     c(CharNgramHashesExpr(x(text), n))
 
+  /** md5 hex of every w-token window (see [[SpanMd5sExpr]]). */
+  def spanMd5s(tokens: Column, w: Int): Column = c(SpanMd5sExpr(x(tokens), w))
+
   /** Exact Jaccard of two SORTED DISTINCT long arrays (see
     * [[SortedJaccardExpr]]).
     */
@@ -426,6 +429,93 @@ case class ShingleHashesExpr(child: Expression, shingleWidth: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
+}
+
+/** SpanMd5s(tokens, w): md5 hex digest of every w-token window of the
+  * array, bit-identical to
+  * `transform(sequence(0, n-w), i -> md5(concat_ws(" ", slice(toks, i+1, w))))`
+  * (null tokens skipped concat_ws-style) but computed by feeding the
+  * digest token-by-token — no per-window slice ArrayData, no joined
+  * UTF8String, no sequence array. The declarative form was the most
+  * expensive bench entry at 5.1 s (sf0.1); the window hashing is
+  * inherently O(n·w) with a cryptographic hash, but the allocation
+  * overhead is not. Arrays shorter than w yield an empty result (callers
+  * filter those; short-doc dedup is whole-text fingerprinting's job).
+  */
+case class SpanMd5sExpr(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"spanMd5s expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private[functions] def compute(arr: ArrayData): Array[org.apache.spark.unsafe.types.UTF8String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = arr.numElements()
+    if (n < w) return Array.empty
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = SpanMd5sExpr.digest.get()
+    val out = new Array[UTF8String](n - w + 1)
+    var s = 0
+    while (s <= n - w) {
+      md.reset()
+      var first = true
+      var j = s
+      while (j < s + w) {
+        if (toks(j) != null) {
+          if (!first) md.update(' '.toByte)
+          md.update(toks(j))
+          first = false
+        }
+        j += 1
+      }
+      out(s) = UTF8String.fromBytes(SpanMd5sExpr.hex(md.digest()))
+      s += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val ref = ctx.addReferenceObj("spanner", this, classOf[SpanMd5sExpr].getName)
+      val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+      s"${ev.value} = new $gad($ref.compute($arr));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SpanMd5sExpr =
+    copy(child = newChild)
+}
+
+object SpanMd5sExpr {
+  // MessageDigest is stateful and not thread-safe; expression instances
+  // are shared across a local-mode executor's task threads
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".getBytes
+  private def hex(d: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexChars((d(i) >> 4) & 0xF)
+      out(i * 2 + 1) = hexChars(d(i) & 0xF)
+      i += 1
+    }
+    out
+  }
 }
 
 /** CharNgramHashes(text): SORTED DISTINCT xxhash64 values of every n-char

@@ -248,8 +248,12 @@ object Dedup {
     val spans = df
       .where(length(trim(col(textCol))) > 0 && size(toks) >= w)
       .select(col(idCol).as("id"),
-        posexplode(transform(sequence(lit(0), size(toks) - w), i =>
-          md5(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+        // codegen'd one-pass window digest — bit-identical to
+        // transform(sequence(0, n-w), i -> md5(concat_ws(" ", slice(toks,
+        // i+1, w)))) but without the per-window slice/concat/sequence
+        // allocations (the declarative form was the most expensive bench
+        // entry at 5.1 s; see SpanMd5sExpr)
+        posexplode(graft.functions.GraftExpressions.spanMd5s(toks, w))
           .as(Seq("pos", "h")))
     val counts = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
     spans.join(counts, "h")

@@ -334,6 +334,74 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc", "rnk")
   }
 
+  /** IVFPQ top-k — the faiss-shape composition of the two ANN scale
+    * levers: an IVF coarse quantizer restricts each query's scan to
+    * `nProbe` of `nLists` cells, and inside the probed cells the scan
+    * runs over PQ codes (m bytes/vector) via ADC — so at a billion
+    * vectors the per-query work is (nProbe/nLists) of the corpus × m
+    * byte-lookups, and the whole index (cells + codes) is a fraction of
+    * the raw float store.
+    *
+    * Consistent L2 metric end-to-end: cell assignment minimizes Euclidean
+    * distance to the cell centroid ([[L2CellsExpr]]/[[L2ProbesExpr]] —
+    * centroids ride as ONE codegen reference object, assignment map-only
+    * and joinless), and ranking is the same summed-subspace ADC as
+    * [[pqTopK]]. Probing every cell (nProbe = nLists) degenerates to
+    * exactly the brute-force ADC scan — the configuration the DuckDB
+    * oracle checks (cell routing cannot change a full scan's result);
+    * partial-probe retrieval is spec-locked on planted copies, which
+    * share their query's cell by construction.
+    */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int = 10, nLists: Int = 8,
+                nProbe: Int = 2, m: Int = 8, kCodes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    require(kCodes <= 128, "byte codes: kCodes must be <= 128")
+    // both codebooks from the same deterministic md5-ordered sample pool
+    val pool: Array[Array[Float]] = corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .orderBy(md5(col("id")), col("id"))
+      .limit(math.max(kCodes, nLists))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(pool.nonEmpty, "ivfpqTopK: empty corpus")
+    val dim = pool.head.length
+    require(dim % m == 0, s"ivfpqTopK: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val pq = new PqIndex(Array.tabulate(m)(j =>
+      pool.take(kCodes).map(_.slice(j * dsub, (j + 1) * dsub))))
+    val cells = new L2Cells(pool.take(nLists))
+
+    def cellOf(v: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      L2CellsExpr(GraftColumnBridge.expression(v), cells))
+    def probesOf(v: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      L2ProbesExpr(GraftColumnBridge.expression(v), cells,
+        math.min(nProbe, nLists)))
+    def codesOf(v: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      PqEncodeExpr(GraftColumnBridge.expression(v), pq))
+    def lutOf(v: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      PqLutExpr(GraftColumnBridge.expression(v), pq))
+    def adcOf(codes: org.apache.spark.sql.Column,
+              lut: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      PqAdcExpr(GraftColumnBridge.expression(codes),
+        GraftColumnBridge.expression(lut)))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      cellOf(col(vecCol)).as("cell"), codesOf(col(vecCol)).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      lutOf(col(vecCol)).as("lut"),
+      explode(probesOf(col(vecCol))).as("cell"))
+    val scored = c.join(F.broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(adcOf(col("codes"), col("lut")), 6).as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "adc", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs, OR-amplified across `tables`
     * independent sign-LSH tables (single-table AND-hashing only ever finds
     * exact copies — cos 0.95 near-dups collide with prob ≈ 0.43 per 8-bit
@@ -533,6 +601,99 @@ object PqIndex {
     }
     s
   }
+}
+
+/** Euclidean coarse-quantizer cells for IVFPQ: nLists × dim floats riding
+  * plans as one codegen reference object. Scalar double loops; min-L2
+  * assignment, ties → lowest cell index (matching PQ encode's tie rule).
+  */
+final class L2Cells(val cents: Array[Array[Float]]) extends Serializable {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private def dist(v: ArrayData, c: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(v.numElements(), c.length)
+    while (i < n) {
+      val d = v.getFloat(i).toDouble - c(i).toDouble
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  def best(v: ArrayData): Int = {
+    var b = 0; var bd = Double.MaxValue; var i = 0
+    while (i < cents.length) {
+      val d = dist(v, cents(i))
+      if (d < bd) { bd = d; b = i }
+      i += 1
+    }
+    b
+  }
+
+  /** The `n` nearest cells, ascending distance (ties → lower index). */
+  def probes(v: ArrayData, n: Int): ArrayData = {
+    val ds = Array.tabulate(cents.length)(i => (dist(v, cents(i)), i))
+    new GenericArrayData(
+      ds.sortBy { case (d, i) => (d, i) }.take(n).map(_._2))
+  }
+}
+
+/** l2_cell(vec) → int: joinless map-only IVFPQ cell assignment. */
+case class L2CellsExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    cells: L2Cells)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"l2_cell expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = cells.best(
+    input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("l2cells", cells, classOf[L2Cells].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $c.best($v);")
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : L2CellsExpr = copy(child = newChild)
+}
+
+/** l2_probes(vec, n) → array<int>: query-side nearest-cells probe list. */
+case class L2ProbesExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    cells: L2Cells, nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"l2_probes expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = cells.probes(
+    input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("l2cells", cells, classOf[L2Cells].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $c.probes($v, $nProbe);")
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : L2ProbesExpr = copy(child = newChild)
 }
 
 /** pq_encode(vec) → array<byte>: map-only corpus compression (4·d → m bytes). */

@@ -109,6 +109,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(5L) === ((17L, 2L)))
   }
 
+  test("SpanMd5sExpr is bit-identical to the declarative slice/concat/md5 form") {
+    // the declarative form IS the oracle's definition — this parity is
+    // what keeps the c27 DuckDB replica valid for the fast expression
+    val w = 4
+    val fixture = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "exactly four tokens here"),
+      (3L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val toks = split(trim(col("text")), "\\s+")
+    val fast = fixture.select(col("doc_id"),
+      graft.functions.GraftExpressions.spanMd5s(toks, w).as("hs"))
+    val slow = fixture.select(col("doc_id"),
+      transform(sequence(lit(0), size(toks) - w), i =>
+        md5(concat_ws(" ", slice(toks, i + 1, lit(w))))).as("hs"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
   test("shingle-based signatures are deterministic across evaluations") {
     val sig = graft.functions.GraftExpressions.minhashSignature(
       split(col("text"), " "), 3, 64)

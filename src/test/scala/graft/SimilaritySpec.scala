@@ -245,6 +245,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivfpqTopK: full probe equals the plain PQ scan; partial probe finds " +
+       "planted copies in one cell") {
+    val emb = Tables(spark, sfDir(), "embeddings")
+    val queries = emb.where(col("vec_id") < 8)
+    // full probe == pqTopK exactly (cell routing can't change a full scan)
+    val full = Similarity.ivfpqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 8).select("query_id", "neighbor_id", "rnk")
+    val flat = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 5).select("query_id", "neighbor_id", "rnk")
+    assert(full.exceptAll(flat).isEmpty && flat.exceptAll(full).isEmpty)
+    // partial probe: an exact copy shares its query's cell (identical
+    // vector → identical assignment) and minimizes ADC → rank 1 even at
+    // nProbe = 1
+    val corpus = emb.unionByName(
+      emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val rank1 = Similarity.ivfpqTopK(corpus, queries, "vec_id", "embedding",
+      k = 3, nLists = 8, nProbe = 1)
+      .where(col("rnk") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 8L).foreach { q =>
+      assert(rank1.get(q).contains(q + 1000000L),
+        s"query $q rank-1 ${rank1.get(q)} != planted copy at nProbe=1")
+    }
+  }
+
   test("ivfTopK2: assignment is joinless and codegen-compact") {
     val emb = Tables(spark, sfDir(), "embeddings")
     val queries = emb.where(col("vec_id") < 8)
