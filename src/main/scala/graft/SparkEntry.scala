@@ -1051,6 +1051,20 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
       Dedup.duplicatedSpans(corpus, "text", "doc_id", w = 16)
         .orderBy("id")
+    }),
+
+    // C29: duplicated-span REMOVAL over the same planted corpus as c27 —
+    // canonical (first) occurrences survive, every other occurrence's
+    // tokens are dropped and the rewritten text is md5-fingerprinted.
+    // Planted copies must come out empty (kept_tokens = 0): every window
+    // of a copy duplicates its original.
+    "c29_span_removal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.removeDuplicatedSpans(corpus, "text", "doc_id", w = 16)
+        .orderBy("id")
     })
   )
 
@@ -2013,6 +2027,44 @@ object SparkEntry {
         |         AS n_dup_spans
         |FROM h JOIN c USING (h)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full removal replica: same windows/hashes as c27, canonical = min
+    // over the doc·2^31+pos encoding, positions of non-canonical
+    // duplicate occurrences dropped, kept tokens re-joined in order
+    "c29_span_removal" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |      FROM corpus WHERE length(trim(text)) > 0),
+        |s AS (SELECT doc_id, t, unnest(range(0, len(t) - 16 + 1)) AS pos
+        |      FROM d WHERE len(t) >= 16),
+        |h AS (SELECT doc_id, pos,
+        |             md5(array_to_string(list_slice(t, pos + 1, pos + 16), ' '))
+        |               AS h
+        |      FROM s),
+        |m AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos,
+        |               count(*) OVER (PARTITION BY h) AS n_occ,
+        |               min(doc_id * 2147483648 + pos) OVER (PARTITION BY h)
+        |                 AS canon
+        |        FROM h) x
+        |      WHERE n_occ > 1 AND doc_id * 2147483648 + pos <> canon),
+        |rem AS (SELECT DISTINCT doc_id, pos + u.i AS tp
+        |        FROM m, (SELECT unnest(range(0, 16)) AS i) u),
+        |tokp AS (SELECT doc_id, unnest(range(0, len(t))) AS tp, t FROM d),
+        |kept AS (SELECT k.doc_id, k.tp, k.t[k.tp + 1] AS tok
+        |         FROM tokp k ANTI JOIN rem r
+        |           ON k.doc_id = r.doc_id AND k.tp = r.tp),
+        |reb AS (SELECT doc_id, count(*) AS kept_tokens,
+        |               md5(string_agg(tok, ' ' ORDER BY tp)) AS clean_md5
+        |        FROM kept GROUP BY 1)
+        |SELECT d.doc_id AS id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |       coalesce(reb.kept_tokens, 0) AS kept_tokens,
+        |       coalesce(reb.clean_md5, md5('')) AS clean_md5
+        |FROM d LEFT JOIN reb USING (doc_id)
+        |ORDER BY 1""".stripMargin,
 
     "d1_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -262,6 +262,68 @@ object Dedup {
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
   }
 
+  /** Duplicated-span REMOVAL — the rewrite pass completing
+    * [[duplicatedSpans]]'s detection: every w-token window that occurs
+    * elsewhere in the corpus keeps exactly ONE canonical occurrence (the
+    * lexicographically smallest (doc, pos)); the token positions covered
+    * by every other occurrence are dropped from their documents, and the
+    * surviving tokens are re-joined in order. This is the span-level
+    * dedup of Lee et al. 2022 ("train on each repeated substring once"),
+    * as a deterministic distributed rewrite.
+    *
+    * Canonical choice rides a single BIGINT encoding (doc·2³¹ + pos),
+    * identical in the DuckDB replica — no cross-engine struct-ordering
+    * subtleties. Bounds: pos < 2³¹ (a 2-billion-token document does not
+    * exist; chunk first — [[Chunking]]) and doc ids < 2³², both beyond
+    * any real id space this engine feeds.
+    *
+    * Scale shape: one hash-keyed window pass marks duplicate occurrences
+    * (shuffle carries (id, pos, h) triples); the w-fold position explode
+    * happens ONLY for marked occurrences, so removal work is
+    * proportional to duplicated volume, not corpus volume; the rebuild
+    * is one id-keyed aggregation whose per-group state is a document's
+    * own tokens. Returns (id, n_tokens, kept_tokens, clean_md5) — the
+    * rewritten text is md5-fingerprinted so the gate checks content, not
+    * just counts; callers wanting the text itself re-join identically.
+    */
+  def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                            w: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFunctions.wsTokens(col(textCol))
+    val base = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("id"), toks.as("toks"))
+    val spans = base.where(size(col("toks")) >= w)
+      .select(col("id"),
+        posexplode(graft.functions.GraftExpressions.spanMd5s(col("toks"), w))
+          .as(Seq("pos", "h")))
+    val enc = col("id") * lit(2147483648L) + col("pos")
+    val byHash = Window.partitionBy("h")
+    val marked = spans
+      .withColumn("__enc", enc)
+      .withColumn("__n", count(lit(1)).over(byHash))
+      .withColumn("__canon", min(col("__enc")).over(byHash))
+      .where(col("__n") > 1 && col("__enc") =!= col("__canon"))
+    val removedPos = marked
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("tp"))
+      .distinct()
+    val tokenPos = base
+      .select(col("id"), posexplode(col("toks")).as(Seq("tp", "tok")))
+    val rebuilt = tokenPos
+      .join(removedPos, Seq("id", "tp"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok")), " ")).as("clean_md5"))
+    base
+      .select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Sorted distinct character n-gram hashes of normalized text

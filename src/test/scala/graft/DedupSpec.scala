@@ -109,6 +109,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(5L) === ((17L, 2L)))
   }
 
+  test("removeDuplicatedSpans keeps canonical occurrences, empties full copies") {
+    val prefix = (1 to 20).map(i => s"p$i").mkString(" ")
+    val x30 = (1 to 30).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, prefix + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, prefix + " " + (1 to 10).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" ")),
+      (10L, x30),
+      (11L, x30) // full copy — every window duplicates doc 10's
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 holds the canonical copy of every shared window → untouched;
+    // doc 2 loses exactly the 20 shared-prefix tokens (windows 0..4 cover
+    // positions 0..19), keeping its 10-token tail
+    assert(out(1L) === ((30L, 30L)))
+    assert(out(2L) === ((30L, 10L)))
+    assert(out(3L) === ((30L, 30L)))
+    assert(out(10L) === ((30L, 30L)))
+    assert(out(11L) === ((30L, 0L)))
+    // rewritten doc 2 == its tail, fingerprint-checked
+    val md5s = Dedup.removeDuplicatedSpans(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val tailB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val expected = docs.sparkSession.sql(
+      s"SELECT md5('$tailB')").head.getString(0)
+    assert(md5s(2L) === expected)
+  }
+
   test("SpanMd5sExpr is bit-identical to the declarative slice/concat/md5 form") {
     // the declarative form IS the oracle's definition — this parity is
     // what keeps the c27 DuckDB replica valid for the fast expression
