@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Event-stream operators. Each has a batch form (oracle-checkable) and a
@@ -147,6 +147,42 @@ object EventStreams {
       .select(col("user_id"), col("n_events"),
         round(col("sum_raw"), 2).as("sum_value"), col("evicted"))
   }
+
+  /** Exactly-once micro-batch delivery into a partitioned parquet table:
+    * each epoch (micro-batch) lands in its own `__epoch=<batchId>`
+    * partition via dynamic-overwrite, so a REPLAYED epoch — Structured
+    * Streaming's failure contract is at-least-once re-delivery of the
+    * last uncommitted batch — overwrites its own partition with identical
+    * content instead of appending duplicates. Idempotence by construction,
+    * no transaction log: the (checkpoint, epoch-partition) pair is the
+    * commit protocol, the same recipe the Delta sink implements with a
+    * log. Readers see each input row exactly once
+    * ([[SchemaCsv.readPartitioned]] over the table; drop `__epoch`).
+    *
+    * At scale each epoch write is one partition directory — no
+    * read-modify-write of the table, no contention with readers, and
+    * compaction of old epochs is A18's job.
+    */
+  def epochIdempotentSink(batch: DataFrame, batchId: Long,
+                          path: String): Unit =
+    graft.sources.SchemaCsv.writePartitionedIdempotent(
+      batch.withColumn("__epoch", lit(batchId)), path, Seq("__epoch"))
+
+  /** Wire [[epochIdempotentSink]] under a streaming query (foreachBatch).
+    * The spec drives replay explicitly by invoking the sink function
+    * twice with one batch id — the failure case a running query only
+    * exhibits under an injected crash.
+    */
+  def exactlyOnceFileSink(stream: DataFrame, path: String,
+                          checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        epochIdempotentSink(b, id, path))
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Batch twin of [[dedupStream]]: keep one row per event_id. Rows
     * sharing an event_id are byte-identical retransmissions (at-least-once
