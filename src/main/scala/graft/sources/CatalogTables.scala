@@ -62,4 +62,21 @@ object CatalogTables {
       .sortBy(bucketCol)
       .saveAsTable(name)
   }
+
+  /** Collect table + column statistics into the catalog (ANALYZE TABLE
+    * … COMPUTE STATISTICS [FOR COLUMNS …]) — what turns Spark's
+    * cost-based optimizer on for this table. Without stats the planner
+    * sees only file sizes; with rowCount + per-column NDV/min/max it can
+    * pick broadcast sides after selective filters, reorder multi-way
+    * joins, and size shuffles — at 100 TB the difference between the
+    * plan you'd write by hand and the one a cold catalog produces.
+    * Stats-driven broadcast flipping is locked in `SourcesSpec`.
+    */
+  def analyze(spark: SparkSession, name: String,
+              columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR COLUMNS " +
+        columns.map(c => s"`$c`").mkString(", "))
+  }
 }

@@ -131,6 +131,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("c27/c29: span scans prune to doc_id+text through union and explode") {
+    val p27 = plan("c27_span_dedup")
+    assert(p27.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "span detection must not drag unused document columns through the scan")
+    val p29 = plan("c29_span_removal")
+    assert(p29.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "span removal must not drag unused document columns through the scan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // Third layer of the join-scale story (after broadcast dims and AQE
     // skew splits): when BOTH sides are too big to broadcast, Spark's
