@@ -30,6 +30,16 @@ def canon(df):
                 vals.append(f"{v:.6f}")
             elif v is None or v != v:
                 vals.append("NULL")
+            elif hasattr(v, "strftime"):
+                # normalize date/datetime representations: Spark DATE
+                # columns arrive as datetime.date objects while DuckDB
+                # yields pandas Timestamps — str() of those differ
+                # ('2024-01-01' vs '2024-01-01 00:00:00') even when the
+                # values match; format both as a full timestamp
+                try:
+                    vals.append(v.strftime("%Y-%m-%d %H:%M:%S"))
+                except Exception:
+                    vals.append(v.strftime("%Y-%m-%d") + " 00:00:00")
             else:
                 vals.append(str(v))
         rows.append("|".join(vals))
