@@ -1118,6 +1118,11 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(10)) === 0)
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
       Dedup.removeDuplicatedSpans(corpus, "text", "doc_id", w = 16)
+        // always-true filter on COMPUTED columns: without it a bare
+        // count() action (the bench) lets Catalyst drop the unique-key
+        // left join and skip the entire span/removal pipeline — the
+        // bench would time a document count, not the operator
+        .where(col("n_tokens") + col("kept_tokens") >= 0)
         .orderBy("id")
     })
   )
@@ -2136,10 +2141,12 @@ object SparkEntry {
         |reb AS (SELECT doc_id, count(*) AS kept_tokens,
         |               md5(string_agg(tok, ' ' ORDER BY tp)) AS clean_md5
         |        FROM kept GROUP BY 1)
-        |SELECT d.doc_id AS id, CAST(len(d.t) AS BIGINT) AS n_tokens,
-        |       coalesce(reb.kept_tokens, 0) AS kept_tokens,
-        |       coalesce(reb.clean_md5, md5('')) AS clean_md5
-        |FROM d LEFT JOIN reb USING (doc_id)
+        |SELECT id, n_tokens, kept_tokens, clean_md5 FROM (
+        |  SELECT d.doc_id AS id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |         coalesce(reb.kept_tokens, 0) AS kept_tokens,
+        |         coalesce(reb.clean_md5, md5('')) AS clean_md5
+        |  FROM d LEFT JOIN reb USING (doc_id)) x
+        |WHERE n_tokens + kept_tokens >= 0
         |ORDER BY 1""".stripMargin,
 
     "d1_stream_window" ->
