@@ -998,6 +998,16 @@ object SparkEntry {
       EventStreams.attributionPairs(t(s, dir, "events"))
         .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)),
 
+    // batch twin of the stream-static enrichment join (D9): events
+    // broadcast-joined to the customer dimension, aggregated per
+    // (hour, segment); the streaming twin's row-level equality and its
+    // broadcast (stateless) join are spec-locked in EventStreamsSpec
+    "d9_enriched_segments" -> ((s, dir) =>
+      EventStreams.enrichedHourly(t(s, dir, "events"), t(s, dir, "customer"))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("segment"), col("n_events"), col("sum_value"))
+        .orderBy("hour", "segment")),
+
     "d1_stream_window" -> ((s, dir) =>
       EventStreams.hourlyAgg(t(s, dir, "events"))
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -2148,6 +2158,13 @@ object SparkEntry {
         |  FROM d LEFT JOIN reb USING (doc_id)) x
         |WHERE n_tokens + kept_tokens >= 0
         |ORDER BY 1""".stripMargin,
+
+    "d9_enriched_segments" ->
+      """SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       c.c_mktsegment AS segment, count(*) AS n_events,
+        |       round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d1_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -304,4 +304,41 @@ object EventStreams {
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),
         round(sum("value"), 2).as("sum_value"))
+
+  /** Batch twin of [[enrichedHourlyStream]]: events enriched against the
+    * customer dimension — the stream-static join, the single most common
+    * production streaming shape — then aggregated per (hour, market
+    * segment).
+    *
+    * Scale: the dimension side is broadcast, so the fact side never
+    * shuffles for the join (a dimension of millions of rows is still MBs
+    * next to a 100 TB fact stream); the only exchange is the final
+    * (hour, segment) aggregate over a tiny key space, map-side combined.
+    */
+  def enrichedHourly(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+
+  /** Streaming stream-static enrichment: the file-source event stream
+    * joins the static customer dimension inside each micro-batch —
+    * stateless for the join (the engine re-plans the static side per
+    * batch; broadcast keeps it shuffle-free), state only in the
+    * watermarked windowed aggregate that finalizes (hour, segment) rows
+    * in append mode. Unlike stream-stream joins (D6) no watermark is
+    * needed on the dimension: static rows never expire.
+    */
+  def enrichedHourlyStream(spark: SparkSession, dir: String,
+                           schema: StructType, dim: DataFrame): DataFrame =
+    eventsSource(spark, dir, schema)
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("hour"),
+        col("c_mktsegment").as("segment"),
+        col("n_events"), col("sum_value"))
 }

@@ -274,6 +274,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "a null row for a purchase that HAS a view is unsound")
   }
 
+  test("enrichedHourlyStream (stream-static join) matches the batch twin " +
+      "and broadcasts the dimension") {
+    val dim = Tables(spark, sfDir(), "customer")
+    val streamDf = EventStreams.enrichedHourlyStream(
+      spark, stagedDir, rawSchema, dim)
+    val streamed = runToCompletion(streamDf, "enrich_mem")
+    val batch = EventStreams.enrichedHourly(events, dim)
+      .select("hour", "segment", "n_events", "sum_value")
+    val n = streamed.count()
+    assert(n > 0, "no finalized enriched windows emitted")
+    val unmatched = streamed.join(batch,
+      Seq("hour", "segment", "n_events", "sum_value"), "left_anti").count()
+    assert(unmatched === 0L)
+    assert(n <= batch.count())
+    // the join must be stateless + shuffle-free for the stream: broadcast
+    // hash join, no SortMergeJoin, and no stream-stream join state store
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), "dimension join must broadcast")
+    assert(!streamDf.queryExecution.analyzed.toString
+      .contains("stream-stream"), "join must be stream-static, not " +
+      "stream-stream (no join state store)")
+  }
+
   test("sessionizeStream(AvailableNow) sessions match the batch twin") {
     val streamed = runToCompletion(
       EventStreams.sessionizeStream(spark, stagedDir, rawSchema), "sessions_mem")
