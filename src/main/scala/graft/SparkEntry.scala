@@ -647,6 +647,21 @@ object SparkEntry {
       est.unionByName(allRow).orderBy("l_returnflag")
     }),
 
+    // B25: edit-distance similarity self-join on customer names
+    // (deletion-neighborhood blocking + exact levenshtein verify — never
+    // a cross join). Output aggregated per left id so its size stays
+    // bounded by n; the oracle is an O(n²) brute-force levenshtein join,
+    // which the operator must reproduce EXACTLY (the blocking is
+    // lossless, so this is an equality gate, not a recall gate).
+    "b25_fuzzy_join" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.editDistanceSelfJoin(
+          t(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
+        .groupBy("id_a")
+        .agg(count(lit(1)).as("n_matches"),
+          sum("id_b").as("sum_ids"),
+          max("dist").as("max_dist"))
+        .orderBy("id_a")),
+
     // A25: source-format parity — the same frame written to ORC and
     // JSON-lines, read back, and aggregated identically; the oracle
     // computes the same aggregate from the parquet original, so any
@@ -1573,6 +1588,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'ALL', count(DISTINCT l_partkey), TRUE FROM lineitem
         |ORDER BY 1""".stripMargin,
+
+    // brute-force quadratic levenshtein join — fine as an ORACLE at the
+    // verify SF; the operator itself must never do this
+    "b25_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, count(*) AS n_matches,
+        |       CAST(sum(b.c_custkey) AS BIGINT) AS sum_ids,
+        |       CAST(max(levenshtein(a.c_name, b.c_name)) AS INT) AS max_dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // format parity: the parquet original is the oracle's source — both
     // format columns must reproduce it exactly

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join (entity resolution / fuzzy matching) —
+  * the approximate-string counterpart of the exact joins in the engine.
+  *
+  * Blocking is the deletion neighborhood (the SymSpell scheme): every
+  * string emits the hash of itself and of each variant obtainable by
+  * deleting up to `maxDist` characters. Two strings within Levenshtein
+  * distance k ALWAYS share a depth-k deletion variant (delete the edited
+  * positions from whichever side carries them), so the blocking is
+  * lossless — unlike q-gram blocking there is no recall knob to tune.
+  * Candidates then verify with the exact codegen'd `levenshtein`.
+  *
+  * Scale shape (the reason this isn't a cross join):
+  *  - variant generation is a map-only projection of built-in codegen
+  *    expressions (sequence/transform/substring/md5) — no UDF;
+  *  - the only wide exchange is keyed on the variant hash and carries
+  *    (id, hash) rows: n·(len+1) rows at k=1, n·O(len²) at k=2 — linear
+  *    in data, never quadratic;
+  *  - candidate pairs are DISTINCT'd before strings are joined back, so
+  *    the verify work is bounded by the true-ish candidate count (the
+  *    same shape as [[Dedup.minhashDedupPairs]]'s verify stage);
+  *  - hash collisions can only ADD candidates (removed by the exact
+  *    verify), never drop a true pair — the result is exactly the
+  *    distance-≤k pair set.
+  *
+  * Intended for short strings (names, titles, codes): the deletion
+  * neighborhood is O(len^k) per row, so document-sized text belongs with
+  * the MinHash/SimHash family instead.
+  */
+object FuzzyJoin {
+
+  /** Hashes of all deletion variants of `c` up to depth `maxDist`,
+    * including the string itself (depth 0). Pure built-in expressions.
+    */
+  private def variantHashes(s: String, maxDist: Int): Column = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (deletion-neighborhood size is O(len^k)), got $maxDist")
+    val d1 =
+      s"""transform(sequence(1, length($s)),
+         |  i -> concat(substring($s, 1, i-1), substring($s, i+1)))""".stripMargin
+    val all =
+      if (maxDist == 1) s"concat(array($s), $d1)"
+      else
+        s"""concat(array($s), $d1,
+           |  flatten(transform($d1,
+           |    d -> transform(sequence(1, length(d)),
+           |      i -> concat(substring(d, 1, i-1), substring(d, i+1))))))""".stripMargin
+    expr(s"transform(array_distinct($all), v -> md5(v))")
+  }
+
+  /** All pairs (id_a < id_b) of rows whose `strCol` values are within
+    * Levenshtein distance `maxDist`, with both strings carried for the
+    * caller. Exact: blocking is lossless, verification is exact.
+    */
+  def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
+                           maxDist: Int = 1): DataFrame = {
+    val base = df.select(col(idCol).as("fj_id"), col(strCol).as("fj_str"))
+      .where(col("fj_str").isNotNull)
+    val variants = base.select(col("fj_id"),
+      explode(variantHashes("fj_str", maxDist)).as("vh"))
+    val cands = variants.as("a")
+      .join(variants.as("b"), col("a.vh") === col("b.vh"))
+      .where(col("a.fj_id") < col("b.fj_id"))
+      .select(col("a.fj_id").as("id_a"), col("b.fj_id").as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("fj_id").as("id_a"), col("fj_str").as("str_a")), "id_a")
+      .join(base.select(col("fj_id").as("id_b"), col("fj_str").as("str_b")), "id_b")
+      .where(levenshtein(col("str_a"), col("str_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"),
+        levenshtein(col("str_a"), col("str_b")).as("dist"))
+  }
+}
