@@ -1149,6 +1149,21 @@ object SparkEntry {
         // bench would time a document count, not the operator
         .where(col("n_tokens") + col("kept_tokens") >= 0)
         .orderBy("id")
+    }),
+
+    // C30: n-gram LM perplexity filter (CCNet-style) — bigram model
+    // trained on the corpus itself, every doc scored by smoothed bigram
+    // perplexity, kept under a fixed threshold. The whole pipeline
+    // (tokenize → counts → joins → exp(−mean ln p)) is replicated in
+    // DuckDB, so model training and scoring are BOTH under the oracle.
+    "c30_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.LanguageModel.train(docs, "text")
+      graft.operators.LanguageModel.perplexity(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("ppl"), 3).as("ppl"),
+          (col("ppl") <= 30.5).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2184,6 +2199,38 @@ object SparkEntry {
         |  FROM d LEFT JOIN reb USING (doc_id)) x
         |WHERE n_tokens + kept_tokens >= 0
         |ORDER BY 1""".stripMargin,
+
+    // full LM replica: same tokenization (c8's contract), same counts,
+    // same add-α smoothing formula — training AND scoring both replayed
+    "c30_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS cu
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |pairs AS (
+        |  SELECT doc_id, p.w1 AS w1, p.bg AS bg
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t)),
+        |            i -> {'w1': t[i], 'bg': t[i] || ' ' || t[i + 1]})) AS p
+        |        FROM toks WHERE len(t) >= 2)),
+        |bi AS (SELECT bg, CAST(count(*) AS DOUBLE) AS cb
+        |       FROM pairs GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         ln((b.cb + 0.5) / (u.cu + 0.5 * (s.v + 1.0))) AS lp
+        |  FROM pairs p JOIN bi b USING (bg) JOIN uni u ON p.w1 = u.w
+        |  CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         exp(-sum(lp) / count(*)) AS ppl
+        |  FROM scored GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |       round(a.ppl, 3) AS ppl, a.ppl <= 30.5 AS keep
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d9_enriched_segments" ->
       """SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour,
