@@ -1151,6 +1151,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // C31: SemDeDup — semantic dedup confined inside k-means clusters.
+    // Copies of every 5th vector are planted; with the corpus's max
+    // natural pairwise cosine at ~0.51, τ=0.9 is crossed ONLY by the
+    // planted identical pairs, so the drop set is exact in both engines
+    // (the same boundary-safety argument as c5); non-identical near-dup
+    // behavior is locked in ClusteringSpec.
+    "c31_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val withCopies = emb.unionByName(
+        emb.where(pmod(col("vec_id"), lit(5)) === 0)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      graft.operators.Clustering.semDedup(
+          withCopies, "vec_id", "embedding", k = 8, tau = 0.9)
+        .groupBy("list")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("dropped"), col("id")).otherwise(0L)).as("dropped_id_sum"))
+        .orderBy("list")
+    }),
+
     // C30: n-gram LM perplexity filter (CCNet-style) — bigram model
     // trained on the corpus itself, every doc scored by smoothed bigram
     // perplexity, kept under a fixed threshold. The whole pipeline
@@ -2199,6 +2219,48 @@ object SparkEntry {
         |  FROM d LEFT JOIN reb USING (doc_id)) x
         |WHERE n_tokens + kept_tokens >= 0
         |ORDER BY 1""".stripMargin,
+
+    // full SemDeDup replica: same md5-ordered centroid init as c19, same
+    // argmax (tie → greatest list), pairwise cosine within cluster,
+    // min-id keep rule
+    "c31_semdedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id % 5 = 0),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |                            CAST(vec_id AS VARCHAR)) - 1 AS list,
+        |         embedding
+        |  FROM (SELECT vec_id, embedding FROM corpus
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+        |        LIMIT 8)),
+        |scored AS (
+        |  SELECT e.vec_id, c.list,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM corpus e CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT s.vec_id, s.list, e.embedding FROM (
+        |    SELECT vec_id, list,
+        |           row_number() OVER (PARTITION BY vec_id
+        |               ORDER BY cos DESC, list DESC) AS rn
+        |    FROM scored) s JOIN corpus e USING (vec_id)
+        |  WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.list = b.list AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.9)
+        |SELECT a.list, count(*) AS n_vecs,
+        |       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_dropped,
+        |       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN a.vec_id
+        |                ELSE 0 END) AS BIGINT) AS dropped_id_sum
+        |FROM assigned a LEFT JOIN dropped d USING (vec_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // full LM replica: same tokenization (c8's contract), same counts,
     // same add-α smoothing formula — training AND scoring both replayed

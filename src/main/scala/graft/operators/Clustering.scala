@@ -81,4 +81,38 @@ object Clustering {
       .withColumn("best", assignStruct(col("v"), centroids))
       .select(col("id"), col("best.list").as("list"), col("best.cos").as("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication with the pairwise cosine confined INSIDE k-means
+    * clusters — the trick that makes embedding dedup tractable at
+    * corpus scale. A row is dropped iff some same-cluster row with a
+    * smaller id is within cosine ≥ `tau` of it (deterministic
+    * keep-first, the engine-wide c1 contract; a transitive chain keeps
+    * exactly its minimum id, since every later member has that smaller
+    * partner... each dropped row names SOME smaller kept-or-dropped
+    * partner, and the minimum survives).
+    *
+    * Scale shape: assignment is the [[kmeansAssign]] scan (no shuffle,
+    * centroid literals); the pair join shuffles vectors keyed on the
+    * cluster index, so per-task work is O(cluster²·dim) — k is the knob
+    * that bounds cluster size (the paper runs k ≈ 10⁵ on web corpora;
+    * the toy default 8 matches the oracle-replicable init). Returns
+    * (id, list, dropped).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               k: Int = 8, tau: Double = 0.9): DataFrame = {
+    val centroids = initCentroids(df, idCol, vecCol, k)
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("list", assignStruct(col("v"), centroids).getField("list"))
+    val l = assigned.select(col("list"), col("id").as("id_a"), col("v").as("va"))
+    val r = assigned.select(col("list"), col("id").as("id_b"), col("v").as("vb"))
+    val dropped = l.join(r, "list")
+      .where(col("id_a") < col("id_b"))
+      .where(GraftExpressions.floatCosine(col("va"), col("vb")) >= lit(tau))
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("list"))
+      .join(dropped.withColumn("dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("list"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
 }

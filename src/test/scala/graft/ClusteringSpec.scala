@@ -62,4 +62,34 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(lists.subsetOf((0 until 8).toSet), lists.toString)
   }
+
+  // ---- SemDeDup: non-identical near-dups, chains, and the keep rule
+  // (the oracle-checked c31 query locks only exact-copy drops)
+
+  private def unit(xs: Double*): Seq[Float] = {
+    val n = math.sqrt(xs.map(x => x * x).sum)
+    xs.map(x => (x / n).toFloat)
+  }
+
+  test("semDedup drops non-identical near-dups and keeps the min id of a chain") {
+    // cluster A: 1 ≈ 2 ≈ 3 (chain: cos(1,2), cos(2,3) ≥ .9 — 1 survives);
+    // 4 is same-cluster but dissimilar; 5 is a far-away singleton
+    val vecs = Seq(
+      (1L, unit(1, 0.00, 0)), (2L, unit(1, 0.10, 0)), (3L, unit(1, 0.20, 0)),
+      (4L, unit(1, 2.00, 0)), (5L, unit(0, 0.00, 1))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.semDedup(vecs, "vec_id", "embedding", k = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) === false, "chain minimum must survive")
+    assert(out(2L) === true && out(3L) === true, "chain tail must drop")
+    assert(out(4L) === false, "dissimilar same-cluster row must survive")
+    assert(out(5L) === false, "singleton must survive")
+  }
+
+  test("semDedup row count and cluster ids are preserved") {
+    val out = Clustering.semDedup(emb, "vec_id", "embedding", k = 8, tau = 0.9)
+    assert(out.count() === emb.count())
+    assert(out.where(col("dropped")).count() === 0L,
+      "no natural pair in the corpus reaches τ=0.9 (max ≈ 0.51)")
+  }
 }
