@@ -1151,6 +1151,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // C32: Unicode text normalization (codegen'd NormalizeTextExpr: NFC
+    // composition + control-strip + whitespace collapse + trim). The
+    // corpus text is ASCII, so non-trivial inputs are PLANTED around it:
+    // a combining accent that must compose, a tab, a BEL control, double
+    // spaces, and a precomposed é that must pass through — md5 of the
+    // normalized text makes any byte-level divergence fatal.
+    "c32_normalize" -> ((s, dir) => {
+      val raw = concat(lit("  á\tb "), col("text"),
+        lit(" xy  café é  "))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftExpressions.normalizeText(raw).as("norm"))
+        .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+          length(col("norm")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // C31: SemDeDup — semantic dedup confined inside k-means clusters.
     // Copies of every 5th vector are planted; with the corpus's max
     // natural pairwise cosine at ~0.51, τ=0.9 is crossed ONLY by the
@@ -2219,6 +2236,24 @@ object SparkEntry {
         |  FROM d LEFT JOIN reb USING (doc_id)) x
         |WHERE n_tokens + kept_tokens >= 0
         |ORDER BY 1""".stripMargin,
+
+    // byte-level replica of NormalizeTextExpr: DuckDB's nfc_normalize is
+    // the same Unicode NFC; planted chars built with chr() so the SQL
+    // stays ASCII-safe through the JSON hand-off
+    "c32_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         '  a' || chr(769) || chr(9) || 'b ' || text ||
+        |         ' x' || chr(7) || 'y  cafe' || chr(769) || ' ' ||
+        |         chr(233) || '  ' AS r
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(nfc_normalize(r),
+        |           '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS n
+        |  FROM raw)
+        |SELECT doc_id, md5(n) AS norm_md5, CAST(length(n) AS INT) AS n_chars
+        |FROM norm ORDER BY doc_id""".stripMargin,
 
     // full SemDeDup replica: same md5-ordered centroid init as c19, same
     // argmax (tie → greatest list), pairwise cosine within cluster,

@@ -55,6 +55,9 @@ object GraftExpressions {
     */
   def sortedJaccard(a: Column, b: Column): Column =
     c(SortedJaccardExpr(x(a), x(b)))
+
+  /** Unicode-normalized text (see [[NormalizeTextExpr]]). */
+  def normalizeText(text: Column): Column = c(NormalizeTextExpr(x(text)))
 }
 
 /** SimHash64(tokens): per-token xxhash64 (seed 42, identical to the
@@ -621,4 +624,62 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedJaccardExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** NormalizeText(text): Unicode NFC composition, then every C0/C1-range
+  * control character (U+0000–U+001F, U+007F) becomes a space, runs of
+  * spaces collapse to one, and the result is trimmed — the canonical
+  * text-cleanup pass before fingerprinting/dedup, as one codegen'd
+  * expression instead of a normalizer UDF (Spark has no built-in Unicode
+  * normalizer). Exactly replicable in DuckDB as
+  * `trim(regexp_replace(regexp_replace(nfc_normalize(t),
+  * '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))` — note ASCII
+  * tab/newline/CR are themselves C0 controls, so after step 2 the only
+  * whitespace left to collapse is the plain space; non-ASCII spaces
+  * (NBSP…) pass through untouched by both engines, a stated contract.
+  */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"normalizeText expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+
+  private[functions] def compute(
+      input: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val nfc = java.text.Normalizer.normalize(
+      input.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var prevSpace = false
+    var i = 0
+    while (i < nfc.length) {
+      val ch0 = nfc.charAt(i)
+      val ch = if (ch0 < 0x20 || ch0 == 0x7f) ' ' else ch0
+      if (ch == ' ') {
+        if (!prevSpace && sb.length > 0) sb.append(' ')
+        prevSpace = true
+      } else {
+        sb.append(ch)
+        prevSpace = false
+      }
+      i += 1
+    }
+    var end = sb.length
+    while (end > 0 && sb.charAt(end - 1) == ' ') end -= 1
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.substring(0, end))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("norm", this, classOf[NormalizeTextExpr].getName)
+      s"${ev.value} = $ref.compute($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
 }

@@ -81,4 +81,29 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     // all-zero tie resolves to the greatest lang code deterministically
     assert(one("qwx zzz", TextFunctions.langId(col("t"))) === "pt")
   }
+
+  test("normalizeText: NFC composition, control strip, collapse, trim") {
+    def norm(s: String): Any =
+      one(s, graft.functions.GraftExpressions.normalizeText(col("t")))
+    // decomposed e + U+0301 composes to the precomposed é
+    assert(norm("café") === "café")
+    // precomposed input passes through unchanged
+    assert(norm("café") === "café")
+    // controls (tab, newline, CR, BEL, DEL) become spaces and collapse
+    assert(norm("a\t\nbc") === "a b c")
+    assert(norm("  a   b  ") === "a b")
+    // NBSP is NOT ASCII whitespace: stated pass-through contract
+    assert(norm("a b") === "a b")
+    // idempotence
+    assert(norm("  x́  y\t ") ===
+      one("  x́  y\t ", graft.functions.GraftExpressions.normalizeText(
+        graft.functions.GraftExpressions.normalizeText(col("t")))))
+    assert(norm("") === "")
+    assert(norm(" \t ") === "")
+    // null-safe
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(graft.functions.GraftExpressions.normalizeText(col("t")))
+      .head.isNullAt(0)
+    assert(n)
+  }
 }
