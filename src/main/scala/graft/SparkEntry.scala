@@ -511,6 +511,58 @@ object SparkEntry {
           lit(skipOk).as("skip_ok"))
     }),
 
+    // Z-order clustering (A27): the multi-dimensional completion of A22 —
+    // the same lineitem projection written twice, linear (sorted by ship
+    // day) and z-ordered over (shipdays, price); both manifested, both
+    // pruned under the same ~25% x ~25% two-column predicate. Gates,
+    // in-plan: zskip_ok (the z layout actually skipped files yet read
+    // some) and beats_linear (the z layout reads STRICTLY fewer files —
+    // in the date-sorted layout every file spans the whole price domain,
+    // so the second conjunct prunes nothing there). The aggregate must
+    // equal DuckDB's full scan: layout and pruning change cost, never
+    // results.
+    "a27_zorder" -> ((s, dir) => {
+      import graft.sources.{DataSkipping, ZOrder}
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        unix_date(col("l_shipdate").cast("date")).as("shipdays"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity"))
+      val tag = new java.io.File(dir).getName
+      val linBase = Tables.scratch("a27lin_" + tag)
+      val zBase = Tables.scratch("a27z_" + tag)
+      li.repartitionByRange(16, col("shipdays"))
+        .sortWithinPartitions("shipdays")
+        .write.mode("overwrite").parquet(linBase)
+      ZOrder.clusteredWrite(li, Seq("shipdays", "price"), zBase,
+        numFiles = 16)
+      val zoneCols = Seq("shipdays", "price")
+      val statsLin = DataSkipping.collectStats(s, linBase, zoneCols).toDF
+      val statsZ = DataSkipping.collectStats(s, zBase, zoneCols).toDF
+      val dLo = java.time.LocalDate.parse("1996-01-01").toEpochDay
+      val dHi = java.time.LocalDate.parse("1997-08-31").toEpochDay
+      val ranges = Seq(
+        DataSkipping.LongRange("shipdays", dLo, dHi),
+        DataSkipping.DoubleRange("price", 26000.0, 52000.0))
+      val prZ = DataSkipping.readPrunedMulti(s, zBase, statsZ, ranges)
+      val zOk = prZ.report.filesSkipped > 0 && prZ.report.filesRead > 0
+      // beats_linear isolates the z-curve's payoff: on the NON-LEADING
+      // column the date-sorted layout can prune nothing (every file
+      // spans the full price domain); the z layout skips on it
+      val priceOnly = Seq(ranges(1))
+      val pLin = DataSkipping.readPrunedMulti(s, linBase, statsLin,
+        priceOnly)
+      val pZ = DataSkipping.readPrunedMulti(s, zBase, statsZ, priceOnly)
+      val beats = pZ.report.filesRead < pLin.report.filesRead
+      prZ.df.where(col("shipdays").between(dLo, dHi) &&
+          col("price").between(26000.0, 52000.0))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("price")), 2).as("sum_price"))
+        .select(col("cnt"), col("sum_qty"), col("sum_price"),
+          lit(zOk).as("zskip_ok"), lit(beats).as("beats_linear"))
+    }),
+
     // REAL BPE tokenizer (C23): merges trained driver-side on a bounded
     // deterministic sample (orderBy + limit — the same contract as c19's
     // centroid literals: KB-scale driver state, never data), applied
@@ -1562,6 +1614,21 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE)
         |      BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'""".stripMargin,
+
+    // a27 aggregates through the pruned read of the Z-ORDERED layout; the
+    // oracle full-scans the source table under the same two-column
+    // predicate — equality proves the curve layout + multi-column pruning
+    // never change results. zskip_ok / beats_linear (z-layout skips
+    // files AND reads strictly fewer than the linear layout) come from
+    // the in-plan prune reports.
+    "a27_zorder" ->
+      """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       true AS zskip_ok, true AS beats_linear
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE)
+        |      BETWEEN DATE '1996-01-01' AND DATE '1997-08-31'
+        |  AND l_extendedprice BETWEEN 26000 AND 52000""".stripMargin,
 
     // c23's gate is contract-shaped (see the queries entry): Spark checks
     // losslessness + count bounds of the learned vocab in-plan; the oracle

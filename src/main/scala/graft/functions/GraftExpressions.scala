@@ -58,6 +58,10 @@ object GraftExpressions {
 
   /** Unicode-normalized text (see [[NormalizeTextExpr]]). */
   def normalizeText(text: Column): Column = c(NormalizeTextExpr(x(text)))
+
+  /** Morton z-value of N numeric dimensions (see [[ZValueExpr]]). */
+  def zValue(dims: Column, boundaries: Array[Array[Double]],
+             bits: Int): Column = c(ZValueExpr(x(dims), boundaries, bits))
 }
 
 /** SimHash64(tokens): per-token xxhash64 (seed 42, identical to the
@@ -681,5 +685,78 @@ case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
+}
+
+/** ZValue(dims): Morton (bit-interleaved) z-value of N numeric dimensions
+  * for multi-column clustering (delta/iceberg OPTIMIZE ZORDER semantics).
+  * Each dimension is first bucketized EQUI-DEPTH against its sorted
+  * boundary array (`boundaries(c)` = up to 2^bits-1 interior quantiles —
+  * KB-scale driver state riding the plan as one reference object, the
+  * same contract as k-means centroid literals), then the bucket indices
+  * interleave round-robin, low bit first: z bit `i*N + c` = bit `i` of
+  * dimension c's bucket. Sorting by the result gives every dimension
+  * locality proportional to its bit share, which is what makes file-level
+  * min/max zone maps selective on ALL the z-ordered columns instead of
+  * just the leading sort key.
+  *
+  * Contracts: a null dimension buckets to 0 (nulls-first, like
+  * delta); equi-depth (not equi-width) bucketization keeps skewed
+  * columns balanced — a hot value occupies few buckets instead of
+  * squeezing the rest of the data into one; boundaries must be sorted
+  * and deduplicated (fewer than 2^bits-1 after dedup is fine — buckets
+  * just end early). Bucketization is a binary search, so the whole
+  * z-value costs O(N·bits) per row inside whole-stage codegen.
+  */
+case class ZValueExpr(child: Expression, boundaries: Array[Array[Double]],
+                      bits: Int) extends UnaryExpression {
+  require(bits >= 1 && boundaries.nonEmpty &&
+    bits * boundaries.length <= 63,
+    s"zValue needs 1..63 total bits, got $bits x ${boundaries.length} dims")
+  require(boundaries.forall(_.length <= (1 << bits) - 1),
+    s"at most ${(1 << bits) - 1} boundaries per dimension at bits=$bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"zValue expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+
+  private[functions] def compute(dims: ArrayData): Long = {
+    val n = boundaries.length
+    require(dims.numElements() == n,
+      s"zValue got ${dims.numElements()} dims, boundaries cover $n")
+    var z = 0L
+    var c = 0
+    while (c < n) {
+      val bucket =
+        if (dims.isNullAt(c)) 0
+        else {
+          val v = dims.getDouble(c)
+          val idx = java.util.Arrays.binarySearch(boundaries(c), v)
+          // value == boundary goes UP (bucket idx+1); miss → insertion pt
+          if (idx >= 0) idx + 1 else -(idx + 1)
+        }
+      var i = 0
+      while (i < bits) {
+        z |= ((bucket >> i) & 1L) << (i * n + c)
+        i += 1
+      }
+      c += 1
+    }
+    z
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("zval", this, classOf[ZValueExpr].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ZValueExpr =
     copy(child = newChild)
 }

@@ -64,6 +64,19 @@ object DataSkipping {
 
   case class PrunedRead(df: DataFrame, report: PruneReport)
 
+  /** One conjunct of a multi-column range predicate (see
+    * [[readPrunedMulti]]). The family tag picks which normalized stats
+    * the bound compares against — the same three families
+    * [[collectStats]] writes.
+    */
+  sealed trait ColRange { def column: String }
+  final case class LongRange(column: String, lo: Long, hi: Long)
+      extends ColRange
+  final case class DoubleRange(column: String, lo: Double, hi: Double)
+      extends ColRange
+  final case class StringRange(column: String, lo: String, hi: String)
+      extends ColRange
+
   /** Build the zone-map manifest for `columns` of the parquet table at
     * `root`: one footer read per file, fanned out across the cluster
     * (files are driver-listed — the same listing Spark's own FileIndex
@@ -114,6 +127,37 @@ object DataSkipping {
     readPrunedLong(spark, root, stats, column,
       lo.toLocalDate.toEpochDay, hi.toLocalDate.toEpochDay)
 
+  /** Prune under a CONJUNCTION of range predicates: a file is skipped
+    * when ANY conjunct proves it disjoint — the multi-column payoff of a
+    * z-ordered layout (every z-ordered column's zones are tight, so each
+    * conjunct skips independently). Same correctness contract as the
+    * single-column paths: pruning can change cost, never results.
+    */
+  def readPrunedMulti(spark: SparkSession, root: String, stats: DataFrame,
+                      ranges: Seq[ColRange]): PrunedRead = {
+    require(ranges.nonEmpty, "readPrunedMulti needs at least one range")
+    val skipCond = ranges.map {
+      case LongRange(c, lo, hi) =>
+        skipFor(c, "long", "minLong", "maxLong", lit(lo), lit(hi))
+      case DoubleRange(c, lo, hi) =>
+        skipFor(c, "double", "minDouble", "maxDouble", lit(lo), lit(hi))
+      case StringRange(c, lo, hi) =>
+        skipFor(c, "string", "minString", "maxString", lit(lo), lit(hi))
+    }.reduce(_ || _)
+    readKeeping(spark, root, stats, skipCond)
+  }
+
+  /** Skip condition for one manifest row under `lo <= column <= hi`. */
+  private def skipFor(column: String, family: String,
+                      minName: String, maxName: String,
+                      lo: Column, hi: Column): Column = {
+    val mn = col(minName)
+    val mx = col(maxName)
+    val disjoint = mn.isNull || mx < lo || mn > hi
+    col("column") === column && col("hasStats") &&
+      (col("family") === "unknown" || (col("family") === family && disjoint))
+  }
+
   /** Decide skippability IN SPARK over the manifest (the manifest can be
     * millions of rows at warehouse scale; only the skipped paths come
     * back to the driver — bounded by the table's file count, the same
@@ -123,14 +167,14 @@ object DataSkipping {
   private def readPruned(spark: SparkSession, root: String,
                          stats: DataFrame, column: String, family: String,
                          minName: String, maxName: String,
-                         lo: Column, hi: Column): PrunedRead = {
-    val mn = col(minName)
-    val mx = col(maxName)
-    val disjoint = mn.isNull || mx < lo || mn > hi
-    val skipCond = col("hasStats") &&
-      (col("family") === "unknown" || (col("family") === family && disjoint))
+                         lo: Column, hi: Column): PrunedRead =
+    readKeeping(spark, root, stats,
+      skipFor(column, family, minName, maxName, lo, hi))
+
+  private def readKeeping(spark: SparkSession, root: String,
+                          stats: DataFrame, skipCond: Column): PrunedRead = {
     val skipped = stats
-      .where(col("column") === column && skipCond)
+      .where(skipCond)
       .select(col("file"))
       .collect().map(_.getString(0)).toSet
     val all = listVisibleParquet(spark, root)
