@@ -416,6 +416,46 @@ object SparkEntry {
         .orderBy("o_custkey", "valid_from")
     }),
 
+    // Incremental materialized-view maintenance (B26): a grouped
+    // count/sum view advanced by the A23 change feed ALONE — no base
+    // rescan. The batch moves %97 orders into a brand-new 'Z' status
+    // group (cross-group movement: the pre-image decrements the old
+    // group while the post-image opens the new one), %101 keys insert,
+    // %103 delete. incr_ok proves in-plan that the maintained view
+    // EXACTLY equals a rebuild from the merged snapshot (decimal sums —
+    // equality, not float tolerance); the oracle rebuilds the merged
+    // snapshot relationally and aggregates it.
+    "b26_incremental_mv" -> ((s, dir) => {
+      import graft.operators.MaterializedView
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val changed = o.where(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("o_orderstatus", lit("Z"))
+      val noop = o.where(col("o_orderkey") % 89 === 0 &&
+        col("o_orderkey") % 97 =!= 0)
+      val inserts = o.where(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      val deletes = o.where(col("o_orderkey") % 103 === 0 &&
+          col("o_orderkey") % 97 =!= 0 && col("o_orderkey") % 89 =!= 0)
+        .select("o_orderkey")
+      val res = graft.operators.Upsert.upsertWithChanges(o,
+        changed.unionByName(noop).unionByName(inserts),
+        Seq("o_orderkey"), Some(deletes))
+      val grp = Seq("o_orderstatus")
+      val ms = Seq("o_totalprice")
+      val inc = MaterializedView.applyChanges(
+        MaterializedView.build(o, grp, ms), res.changes, grp, ms)
+      val rebuilt = MaterializedView.build(res.merged, grp, ms)
+      val ok = inc.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(inc).isEmpty
+      inc.select(col("o_orderstatus"), col("__mv_n").as("cnt"),
+          round(col("__mv_sum_o_totalprice"), 2).cast("double")
+            .as("sum_price"),
+          lit(ok).as("incr_ok"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Bucketed range join: quantity deciles + one full-width band (spans
     // all 5 buckets — exercises the interval explosion) joined to
     // lineitem as an equi-join on bucket id, residual BETWEEN exact.
@@ -1547,6 +1587,37 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2)
         |FROM merged
         |ORDER BY 1""".stripMargin,
+
+    // b26's oracle rebuilds the merged snapshot relationally (same
+    // change families as a23, plus the 'Z' status flip) and aggregates
+    // it directly — the incremental path exists only on the Spark side,
+    // where incr_ok locks it to the rebuild.
+    "b26_incremental_mv" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'Z' AS o_orderstatus,
+        |         o_totalprice + 1000.0 AS o_totalprice
+        |  FROM o WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT * FROM o WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        |  FROM o WHERE o_orderkey % 101 = 0),
+        |del AS (
+        |  SELECT o_orderkey FROM o
+        |  WHERE o_orderkey % 103 = 0 AND o_orderkey % 97 <> 0
+        |    AND o_orderkey % 89 <> 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM o
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2)
+        |            AS DOUBLE) AS sum_price,
+        |       true AS incr_ok
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // SCD2 replica: same-instant dedup (max attribute wins), change-only
     // version compaction, lead() close-out. The batch split in the Spark

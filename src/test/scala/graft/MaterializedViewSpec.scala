@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MaterializedView, Upsert}
+
+/** Incremental view maintenance is an IDENTITY, not an approximation:
+  * for any CDF batch, applyChanges(build(t), feed) == build(merge(t))
+  * exactly — including updates that move rows across groups, groups
+  * emptied by deletes (they leave the view), all-null measure groups
+  * (sums normalized to 0 on both paths), and chained batches.
+  */
+class MaterializedViewSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val keys = Seq("g")
+  private val ms = Seq("v")
+
+  private def eq(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  private def base = Seq(
+    (1L, "a", Some(10.0)), (2L, "a", Some(20.0)), (3L, "b", Some(30.0)),
+    (4L, "b", Some(40.0)), (5L, "c", Some(50.0)),
+    (6L, "n", None: Option[Double]), (7L, "n", None))
+    .toDF("k", "g", "v")
+
+  test("maintained view equals rebuild under a group-moving mixed batch") {
+    // 2 moves a→b with a new value, 3 is a no-op, 9 inserts a NEW group,
+    // 5 deletes (emptying group c), 6 deletes one of the all-null rows
+    val updates = Seq(
+      (2L, "b", Some(25.0)), (3L, "b", Some(30.0)), (9L, "z", Some(90.0)))
+      .toDF("k", "g", "v")
+    val deletes = Seq(Tuple1(5L), Tuple1(6L)).toDF("k")
+    val r = Upsert.upsertWithChanges(base, updates, Seq("k"), Some(deletes))
+
+    val inc = MaterializedView.applyChanges(
+      MaterializedView.build(base, keys, ms), r.changes, keys, ms)
+    val rebuilt = MaterializedView.build(r.merged, keys, ms)
+    assert(eq(inc, rebuilt))
+
+    // group c was emptied by the delete: gone from the maintained view
+    assert(inc.where(col("g") === "c").isEmpty)
+    // the all-null group survives with one row and a 0 (not null) sum
+    val n = inc.where(col("g") === "n")
+      .select(col("__mv_n"), col("__mv_sum_v").cast("double"))
+      .as[(Long, Double)].head()
+    assert(n === ((1L, 0.0)))
+    // the moved row landed: group b gained 2's row, group a lost it
+    val counts = inc.select(col("g"), col("__mv_n")).as[(String, Long)]
+      .collect().toMap
+    assert(counts("a") === 1L && counts("b") === 3L && counts("z") === 1L)
+  }
+
+  test("an empty feed leaves the view bit-identical") {
+    val r = Upsert.upsertWithChanges(base,
+      Seq((3L, "b", Some(30.0))).toDF("k", "g", "v"), Seq("k"))
+    assert(r.changes.isEmpty, "identical update must emit nothing")
+    val v0 = MaterializedView.build(base, keys, ms)
+    assert(eq(MaterializedView.applyChanges(v0, r.changes, keys, ms), v0))
+  }
+
+  test("chained batches: two incremental applies equal one rebuild") {
+    val r1 = Upsert.upsertWithChanges(base,
+      Seq((1L, "b", Some(11.0)), (8L, "d", Some(80.0))).toDF("k", "g", "v"),
+      Seq("k"), Some(Seq(Tuple1(4L)).toDF("k")))
+    val r2 = Upsert.upsertWithChanges(r1.merged,
+      Seq((8L, "d", Some(88.0)), (2L, "d", Some(2.0))).toDF("k", "g", "v"),
+      Seq("k"), Some(Seq(Tuple1(3L)).toDF("k")))
+    val inc = MaterializedView.applyChanges(
+      MaterializedView.applyChanges(
+        MaterializedView.build(base, keys, ms), r1.changes, keys, ms),
+      r2.changes, keys, ms)
+    assert(eq(inc, MaterializedView.build(r2.merged, keys, ms)))
+  }
+}
