@@ -23,7 +23,9 @@ object Bench {
     "c12_image_codec", "c12b_image_codec_batched", "c24_decontamination",
     "c25_source_mixing", "d6_attribution", "d6b_attribution_outer",
     "c14b_ivf_two_level", "c26_pq_topk", "c27_span_dedup",
-    "b22_heavy_hitters", "a24_scd2", "c28_ivfpq_topk", "c29_span_removal")
+    "b22_heavy_hitters", "a24_scd2", "c28_ivfpq_topk", "c29_span_removal",
+    "b25_fuzzy_join", "c30_perplexity", "c31_semdedup", "c32_normalize",
+    "d9_enriched_segments", "b26_incremental_mv", "c33_seeded_shuffle")
 
   /** Queries re-timed on the 10x replica for the scaling ratios: the r4
     * five (scan-bound agg, multi-join, two dedup candidate generators,
@@ -38,7 +40,9 @@ object Bench {
       "c13_dup_clusters", "c4_ngram_jaccard", "a9_balanced_repartition",
       "c12_image_codec", "c12b_image_codec_batched", "b20_quantile_sketch",
       "c24_decontamination", "c14b_ivf_two_level", "c26_pq_topk",
-      "c27_span_dedup", "a24_scd2", "c29_span_removal")
+      "c27_span_dedup", "a24_scd2", "c29_span_removal",
+      "b25_fuzzy_join", "c30_perplexity", "c31_semdedup",
+      "b26_incremental_mv", "c33_seeded_shuffle")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -309,6 +309,25 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // Time-RANGE window frame (B27): trailing-90-day order count and
+    // revenue per customer — a VALUE-based frame (rangeBetween on epoch
+    // days), not a row count: gaps and same-day peer rows behave
+    // completely differently from b4/b14's ROWS frames, and peers all
+    // share one frame in both engines. Partitioned by customer — a
+    // range frame still sorts only within its key partition.
+    "b27_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("days")
+        .rangeBetween(-90, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_date(col("o_orderdate").cast("date")).as("days"),
+          col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("days"),
+          count(lit(1)).over(w).as("cnt_90"),
+          round(sum(col("o_totalprice")).over(w), 2).as("sum_90"))
+        .orderBy("o_orderkey")
+    }),
+
     // typed JSON path: from_json to a struct (columnar, prunable), not
     // per-field get_json_object string probing (that's b10's variant)
     "b16_json_struct" -> ((s, dir) =>
@@ -778,6 +797,37 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Schema-evolution read (A28): two parquet generations under one
+    // root — v1 lacks l_extendedprice, v2 added it — read back through
+    // mergeSchema into the union schema (old rows null-fill the new
+    // column). evolve_ok locks the read to the frame-level twin
+    // (unionByName allowMissingColumns) row-for-row; the oracle
+    // recomputes the generational split from lineitem, so a dropped or
+    // double-read generation fails the hash.
+    "a28_schema_evolution" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val v1 = li.where(col("l_orderkey") % 2 === 0)
+        .drop("l_extendedprice")
+      val v2 = li.where(col("l_orderkey") % 2 =!= 0)
+      val tag = new java.io.File(dir).getName
+      val root = Tables.scratch(s"a28_$tag")
+      v1.write.mode("overwrite").parquet(s"$root/gen=1")
+      v2.write.mode("overwrite").parquet(s"$root/gen=2")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$root/gen=1", s"$root/gen=2")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val twin = v1.unionByName(v2, allowMissingColumns = true)
+        .select(merged.columns.map(col): _*)
+      val ok = merged.exceptAll(twin).isEmpty && twin.exceptAll(merged).isEmpty
+      merged.agg(count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          count(col("l_extendedprice")).as("priced_rows"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .select(col("cnt"), col("sum_qty"), col("priced_rows"),
+          col("sum_price"), lit(ok).as("evolve_ok"))
+    }),
+
     // As-of join: each event picks up the most recent order of the same
     // customer at or before the event time (inclusive). The right side is
     // first reduced to one row per (custkey, orderdate) — max-orderkey row
@@ -970,6 +1020,33 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("cnt"),
           countDistinct("lang").as("n_langs"))
         .orderBy("split")),
+
+    // Deterministic seeded global shuffle (C33): the training-order
+    // randomizer. order_digest is md5 over the doc ids IN SHUFFLED
+    // ORDER per shard — the oracle recomputes the permutation
+    // independently, so a single transposition anywhere flips the hash.
+    // stable_ok proves order-invariance in-plan: the same seed over a
+    // re-partitioned, reverse-sorted input yields bit-identical
+    // (shard, pos, id) triples.
+    "c33_seeded_shuffle" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = t(s, dir, "documents").select("doc_id")
+      def digest(df: org.apache.spark.sql.DataFrame) =
+        Sampling.seededShuffle(df, "doc_id", "g6", 8)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("cnt"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("pos"),
+                col("doc_id").cast("string").as("id")))),
+              x => x.getField("id")), ",")).as("order_digest"))
+      val base = digest(docs)
+      val scrambled = digest(docs.repartition(13).orderBy(desc("doc_id")))
+      val ok = base.exceptAll(scrambled).isEmpty &&
+        scrambled.exceptAll(base).isEmpty
+      base.select(col("shard"), col("cnt"), col("order_digest"),
+          lit(ok).as("stable_ok"))
+        .orderBy("shard")
+    }),
 
     "c8_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1496,6 +1573,24 @@ object SparkEntry {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY o_custkey""".stripMargin,
 
+    // value-based RANGE frame over epoch days — identical frame
+    // semantics in both engines (peers share a frame; the bound is a
+    // day delta, not a row count)
+    "b27_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)
+        |           AS days,
+        |         o_totalprice
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, days,
+        |       count(*) OVER w AS cnt_90,
+        |       round(sum(o_totalprice) OVER w, 2) AS sum_90
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY days
+        |             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "b16_json_struct" ->
       """SELECT event_type,
         |       count(CAST(props->>'$.k' AS INT)) AS n_k,
@@ -1802,6 +1897,19 @@ object SparkEntry {
         |       CAST(sum(l_orderkey) AS BIGINT) AS keys_json
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the oracle recomputes the generational split (even keys shipped
+    // without l_extendedprice) straight from lineitem — priced_rows /
+    // sum_price cover exactly the v2 generation, cnt/sum_qty both
+    "a28_schema_evolution" ->
+      """SELECT count(*) AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       count(CASE WHEN l_orderkey % 2 <> 0
+        |                  THEN l_extendedprice END) AS priced_rows,
+        |       round(sum(CASE WHEN l_orderkey % 2 <> 0
+        |                      THEN l_extendedprice END), 2) AS sum_price,
+        |       true AS evolve_ok
+        |FROM lineitem""".stripMargin,
+
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union-and-carry
     // implementation; the right side is reduced to one row per (key, time)
     // identically on both sides (max-orderkey row wins).
@@ -2051,6 +2159,25 @@ object SparkEntry {
         |        CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 AS b
         |      FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle independently recomputes the whole permutation: shard
+    // from the seeded md5 prefix, order from (md5, id), digest over the
+    // ids in that order — any divergence anywhere flips a row hash
+    "c33_seeded_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5(concat('g6:', CAST(doc_id AS VARCHAR))) AS hx
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, hx,
+        |         CAST(CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % 8
+        |              AS INT) AS shard
+        |  FROM h)
+        |SELECT shard, count(*) AS cnt,
+        |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |           ORDER BY hx, CAST(doc_id AS VARCHAR))) AS order_digest,
+        |       true AS stable_ok
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "c12_multimodal" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS n_bytes,

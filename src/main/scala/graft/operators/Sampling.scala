@@ -117,4 +117,39 @@ object Sampling {
       hashBucket10k(col(keyCol)) <
         coalesce(try_element_at(typedLit(rates), col(strataCol)), lit(0)))
   }
+
+  /** Deterministic seeded global shuffle + sharding — the
+    * training-order randomizer. Every row gets a `shard` in [0,nShards)
+    * and a dense `pos` within its shard, both pure functions of
+    * (seed, id): re-running on re-partitioned, re-ordered, or re-read
+    * data reproduces the EXACT order (the property that makes a
+    * training run resumable and an ablation comparable), and changing
+    * the seed is a fresh permutation. md5-keyed, so the full assignment
+    * AND order are DuckDB-oracle-checkable like [[hashSplit]].
+    *
+    * Scale shape: the hash is a map-only projection; the only exchange
+    * keys on `shard` (nShards ≈ output file count), and `pos` is a
+    * per-shard window sort — there is deliberately NO global
+    * row_number/orderBy, which would serialize the corpus through one
+    * partition. Consumers read shards round-robin: concat(shard files)
+    * ordered by (shard, pos) is the permutation.
+    *
+    * `idCol` must be unique and non-null (it names the row's identity —
+    * same contract as [[hashSplit]]'s key); ties beyond an md5 collision
+    * are broken by the id itself, so the order is total either way.
+    */
+  def seededShuffle(df: DataFrame, idCol: String, seed: String,
+                    nShards: Int): DataFrame = {
+    require(nShards >= 1, "seededShuffle: nShards must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__graft_h"), col(idCol).cast("string"))
+    df.withColumn("__graft_h", h)
+      .withColumn("shard",
+        (conv(substring(col("__graft_h"), 1, 8), 16, 10)
+          .cast("long") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w) - 1)
+      .drop("__graft_h")
+  }
 }

@@ -184,6 +184,80 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The newest committed snapshot version strictly below `beforeEpoch`
+    * (None = newest overall) of a [[mergeEpoch]] table. Driver-side FS
+    * listing bounded by the epoch count — the same metadata-scan budget
+    * as [[graft.sources.Compaction]]; old versions are A21-vacuum fodder.
+    */
+  def readSnapshot(spark: SparkSession, tableRoot: String,
+                   beforeEpoch: Option[Long] = None)
+      : Option[(Long, DataFrame)] = {
+    val dirs = Option(new java.io.File(tableRoot).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.drop(2).toLong)
+      .filter(v => beforeEpoch.forall(v < _))
+    dirs.sorted.lastOption
+      .map(v => v -> spark.read.parquet(s"$tableRoot/v=$v"))
+  }
+
+  /** Streaming keyed MERGE sink (D10): fold one micro-batch of keyed
+    * updates into a TABLE — the upsert counterpart of
+    * [[epochIdempotentSink]]'s append-only delivery, for streams that
+    * revise rows (CDC tails, dimension feeds) instead of only adding
+    * them. Each epoch merges against the newest snapshot version BELOW
+    * its own id and writes snapshot `v=<batchId>` plus the A23 change
+    * feed for that epoch (feed partitioned by `__epoch`).
+    *
+    * Exactly-once by construction, same recipe as D8: a REPLAYED epoch
+    * (Structured Streaming's at-least-once failure contract) reads the
+    * same pre-state — versions below its id are immutable — recomputes
+    * the identical merge, and overwrites its own snapshot version and
+    * feed partition. No transaction log; the version directory IS the
+    * commit. Readers take the newest version for the current table or
+    * replay the feed (A23's contract) for row-level diffs.
+    *
+    * In-batch duplicates per key compact deterministically first
+    * (max-struct wins — the same-instant rule SCD2 uses): foreachBatch
+    * hands over raw at-least-once micro-batches, and
+    * [[graft.operators.Upsert.upsertWithChanges]] requires unique keys.
+    *
+    * At scale: the merge is A17/A23's key-partitioned join shape; each
+    * epoch rewrites the snapshot ONCE (sequential micro-batches, never
+    * concurrent), the feed write is batch-sized, and old versions are
+    * retention/vacuum work (A21), not read-path work.
+    */
+  def mergeEpoch(batch: DataFrame, batchId: Long, tableRoot: String,
+                 feedRoot: String, keys: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val dataCols = batch.columns.filterNot(keys.contains).toSeq
+    val updates = batch
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(dataCols.map(col): _*)).as("__m"))
+      .select(keys.map(col) ++
+        dataCols.map(c => col("__m").getField(c).as(c)): _*)
+    val target = readSnapshot(spark, tableRoot, Some(batchId))
+      .map(_._2.select(updates.columns.map(col): _*))
+      .getOrElse(updates.where(lit(false)))
+    val r = graft.operators.Upsert.upsertWithChanges(target, updates, keys)
+    r.merged.write.mode("overwrite").parquet(s"$tableRoot/v=$batchId")
+    epochIdempotentSink(r.changes, batchId, feedRoot)
+  }
+
+  /** Wire [[mergeEpoch]] under a streaming query. Spec-locked: the final
+    * snapshot equals a one-shot batch merge of the same updates, and an
+    * explicitly replayed epoch changes neither snapshot nor feed.
+    */
+  def mergeSink(stream: DataFrame, tableRoot: String, feedRoot: String,
+                keys: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        mergeEpoch(b, id, tableRoot, feedRoot, keys))
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Batch twin of [[dedupStream]]: keep one row per event_id. Rows
     * sharing an event_id are byte-identical retransmissions (at-least-once
     * delivery), so which survives is immaterial.

@@ -146,6 +146,61 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === Set((10L, "x"), (11L, "y")))
   }
 
+  test("merge sink: epochs fold forward, replay changes nothing, " +
+       "stream equals one-shot merge") {
+    val s = spark
+    import s.implicits._
+    val tableRoot = java.nio.file.Files
+      .createTempDirectory("graft_ms_table").toString
+    val feedRoot = java.nio.file.Files
+      .createTempDirectory("graft_ms_feed").toString
+    val b0 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    // epoch 1 revises k=1, inserts k=3 with an in-batch duplicate
+    // (max-struct compaction must keep 31.0), leaves k=2 untouched
+    val b1 = Seq((1L, "a", 11.0), (3L, "c", 30.0), (3L, "c", 31.0))
+      .toDF("k", "s", "v")
+    EventStreams.mergeEpoch(b0, 0L, tableRoot, feedRoot, Seq("k"))
+    EventStreams.mergeEpoch(b1, 1L, tableRoot, feedRoot, Seq("k"))
+
+    val (ver, snap) = EventStreams.readSnapshot(spark, tableRoot).get
+    assert(ver === 1L)
+    def canonSnap() = EventStreams.readSnapshot(spark, tableRoot).get._2
+      .select("k", "s", "v").as[(Long, String, Double)].collect().toSet
+    assert(canonSnap() === Set((1L, "a", 11.0), (2L, "b", 20.0),
+      (3L, "c", 31.0)))
+    def canonFeed() = spark.read.parquet(feedRoot)
+      .select("__epoch", "_change_type", "k", "v")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val feed = canonFeed()
+    assert(feed === Set(
+      (0L, "insert", 1L, 10.0), (0L, "insert", 2L, 20.0),
+      (1L, "update_preimage", 1L, 10.0), (1L, "update_postimage", 1L, 11.0),
+      (1L, "insert", 3L, 31.0)))
+
+    // at-least-once failure contract: epoch 1 re-delivered — the merge
+    // reads the immutable v=0 pre-state and overwrites itself
+    EventStreams.mergeEpoch(b1, 1L, tableRoot, feedRoot, Seq("k"))
+    assert(canonSnap() === Set((1L, "a", 11.0), (2L, "b", 20.0),
+      (3L, "c", 31.0)), "replayed epoch must not change the snapshot")
+    assert(canonFeed() === feed, "replayed epoch must not grow the feed")
+
+    // end-to-end wiring: a real streaming query through the same sink
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t2 = java.nio.file.Files.createTempDirectory("graft_ms_t2").toString
+    val f2 = java.nio.file.Files.createTempDirectory("graft_ms_f2").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ms_ckpt").toString
+    val input = MemoryStream[(Long, String, Double)]
+    input.addData((5L, "x", 1.0), (5L, "x", 2.0), (6L, "y", 3.0))
+    val q = EventStreams.mergeSink(input.toDF().toDF("k", "s", "v"),
+      t2, f2, Seq("k"), ckpt)
+    q.awaitTermination(120000)
+    val streamed = EventStreams.readSnapshot(spark, t2).get._2
+      .select("k", "s", "v").as[(Long, String, Double)].collect().toSet
+    assert(streamed === Set((5L, "x", 2.0), (6L, "y", 3.0)))
+  }
+
   test("StateMetrics proves TTL eviction bounds state (pull + listener paths)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StateMetrics

@@ -109,6 +109,29 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("maxStrata"))
   }
 
+  test("seededShuffle: a true permutation, partition-invariant, " +
+       "seed-sensitive") {
+    val ids = (1L to 500L).toDF("id")
+    val sh = Sampling.seededShuffle(ids, "id", "s1", 4)
+      .select("id", "shard", "pos")
+    val rows = sh.as[(Long, Int, Long)].collect()
+    // every row exactly once, shards in range, pos dense 0..n-1 per shard
+    assert(rows.map(_._1).sorted.toSeq === (1L to 500L))
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 4))
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq === (0L until g.length).toSeq)
+    }
+    // identical assignment no matter how the input arrives
+    val scrambled = Sampling
+      .seededShuffle(ids.repartition(7).orderBy(desc("id")), "id", "s1", 4)
+      .select("id", "shard", "pos")
+    assert(sh.exceptAll(scrambled).isEmpty && scrambled.exceptAll(sh).isEmpty)
+    // a different seed is a genuinely different permutation
+    val reseeded = Sampling.seededShuffle(ids, "id", "s2", 4)
+      .select("id", "shard", "pos")
+    assert(!sh.exceptAll(reseeded).isEmpty, "seed change must reshuffle")
+  }
+
   test("TypedDocs: case-class pipeline keeps values consistent with columns") {
     val docs = Tables(spark, sfDir(), "documents").limit(50)
       .select("doc_id", "text", "lang").as[TypedDocs.Document]
