@@ -328,6 +328,32 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Recursive CTE (B28): iterative graph expansion INSIDE the SQL
+    // surface (Spark 4's WITH RECURSIVE) — a synthetic bill-of-materials
+    // closure over part (binary-tree containment: part p contains 2p and
+    // 2p+1), per-root component counts and rolled-up prices. The same
+    // recursion c13's loop hand-drives, expressed declaratively; the
+    // depth guard bounds runaway recursion, and roots start at 1 so the
+    // 0→0 self-loop never enters the closure. DuckDB runs the identical
+    // recursive query as the oracle.
+    "b28_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "part").select("p_partkey", "p_retailprice")
+        .createOrReplaceTempView("graft_part_b28")
+      s.sql(
+        """WITH RECURSIVE bom(root, pk, depth) AS (
+          |  SELECT p_partkey, p_partkey, 0 FROM graft_part_b28
+          |  WHERE p_partkey BETWEEN 1 AND 8
+          |  UNION ALL
+          |  SELECT b.root, p.p_partkey, b.depth + 1
+          |  FROM bom b JOIN graft_part_b28 p
+          |    ON p.p_partkey = b.pk * 2 OR p.p_partkey = b.pk * 2 + 1
+          |  WHERE b.depth < 20)
+          |SELECT b.root, count(*) AS n_parts, max(b.depth) AS max_depth,
+          |       round(sum(p.p_retailprice), 2) AS sum_price
+          |FROM bom b JOIN graft_part_b28 p ON p.p_partkey = b.pk
+          |GROUP BY b.root ORDER BY b.root""".stripMargin)
+    }),
+
     // typed JSON path: from_json to a struct (columnar, prunable), not
     // per-field get_json_object string probing (that's b10's variant)
     "b16_json_struct" -> ((s, dir) =>
@@ -1048,6 +1074,38 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
+    // Cross-corpus bloom flagging (C34): yesterday's corpus summarized
+    // into one constant-size sketch, today's increment flagged map-only.
+    // The probe mixes true overlaps (doc_id%3==0, text unchanged) with
+    // novel docs (suffixed text); the gate is the bloom CONTRACT:
+    // flagged_true must EQUAL the independently-computed exact overlap
+    // (one-sided error — a single false negative breaks the hash), and
+    // the false-positive rate on novel docs stays within 5x the 1%
+    // build fpp (in-plan boolean).
+    "c34_bloom_flag" -> ((s, dir) => {
+      import graft.operators.BloomDedup
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val probe = docs.where(col("doc_id") % 3 === 0)
+        .withColumn("is_overlap", lit(true))
+        .unionByName(docs.where(col("doc_id") % 3 =!= 0)
+          .withColumn("text", concat(col("text"), lit(" ::novel")))
+          .withColumn("is_overlap", lit(false)))
+      val n = docs.count().max(1L)
+      val bloom = BloomDedup.bloomOf(docs, col("text"), n, fpp = 0.01)
+      val f = BloomDedup.flagOverlap(probe, col("text"), bloom)
+      val row = f.agg(
+          count(lit(1)).as("n_probe"),
+          sum(when(col("is_overlap"), 1L).otherwise(0L)).as("n_overlap"),
+          sum(when(col("is_overlap") && col("maybe_seen"), 1L)
+            .otherwise(0L)).as("flagged_true"),
+          sum(when(!col("is_overlap") && col("maybe_seen"), 1L)
+            .otherwise(0L)).as("__fp"),
+          sum(when(!col("is_overlap"), 1L).otherwise(0L)).as("__novel"))
+      row.select(col("n_probe"), col("n_overlap"), col("flagged_true"),
+        (col("__fp") <= col("__novel") * lit(0.05) + lit(5.0))
+          .as("fp_ok"))
+    }),
+
     "c8_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"),
@@ -1590,6 +1648,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY days
         |             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB runs the IDENTICAL recursive closure — same seed band,
+    // same OR-join expansion, same depth guard
+    "b28_recursive_cte" ->
+      """WITH RECURSIVE bom(root, pk, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part
+        |  WHERE p_partkey BETWEEN 1 AND 8
+        |  UNION ALL
+        |  SELECT b.root, p.p_partkey, b.depth + 1
+        |  FROM bom b JOIN part p
+        |    ON p.p_partkey = b.pk * 2 OR p.p_partkey = b.pk * 2 + 1
+        |  WHERE b.depth < 20)
+        |SELECT b.root, count(*) AS n_parts, max(b.depth) AS max_depth,
+        |       round(sum(p.p_retailprice), 2) AS sum_price
+        |FROM bom b JOIN part p ON p.p_partkey = b.pk
+        |GROUP BY b.root ORDER BY b.root""".stripMargin,
 
     "b16_json_struct" ->
       """SELECT event_type,
@@ -2159,6 +2233,16 @@ object SparkEntry {
         |        CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 AS b
         |      FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the exact overlap is recomputable (doc_id family); flagged_true
+    // MUST equal it (no false negatives — the bloom's one-sided-error
+    // contract), and the fp-rate bound is the in-plan boolean
+    "c34_bloom_flag" ->
+      """SELECT count(*) AS n_probe,
+        |       count(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS n_overlap,
+        |       count(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS flagged_true,
+        |       true AS fp_ok
+        |FROM documents""".stripMargin,
 
     // the oracle independently recomputes the whole permutation: shard
     // from the seeded md5 prefix, order from (md5, id), digest over the
