@@ -328,25 +328,47 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // UNPIVOT / melt (B29): wide-to-long reshaping via the native
+    // Dataset.unpivot — the inverse of b8's pivot; the oracle rebuilds
+    // the long form with explicit UNION ALL branches, so value routing
+    // (each measure to its own row, names preserved) is hash-checked.
+    "b29_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("price"),
+          round(sum("l_discount"), 2).as("disc"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    }),
+
     // Recursive CTE (B28): iterative graph expansion INSIDE the SQL
     // surface (Spark 4's WITH RECURSIVE) — a synthetic bill-of-materials
     // closure over part (binary-tree containment: part p contains 2p and
     // 2p+1), per-root component counts and rolled-up prices. The same
     // recursion c13's loop hand-drives, expressed declaratively; the
     // depth guard bounds runaway recursion, and roots start at 1 so the
-    // 0→0 self-loop never enters the closure. DuckDB runs the identical
-    // recursive query as the oracle.
+    // 0→0 self-loop never enters the closure. The edge table is
+    // INVERTED (child carries parent = pk div 2) so each recursive step
+    // is a hash EQUI-join — the natural `p_partkey IN (2·pk, 2·pk+1)`
+    // phrasing runs every iteration as a nested-loop join (measured 9.3 s
+    // vs 0.6 s at sf0.1), the one shape that cannot scale. DuckDB runs
+    // the identical recursion as the oracle.
     "b28_recursive_cte" -> ((s, dir) => {
       t(s, dir, "part").select("p_partkey", "p_retailprice")
         .createOrReplaceTempView("graft_part_b28")
       s.sql(
-        """WITH RECURSIVE bom(root, pk, depth) AS (
+        """WITH RECURSIVE edges AS (
+          |  SELECT p_partkey, p_partkey div 2 AS parent
+          |  FROM graft_part_b28 WHERE p_partkey >= 2),
+          |bom(root, pk, depth) AS (
           |  SELECT p_partkey, p_partkey, 0 FROM graft_part_b28
           |  WHERE p_partkey BETWEEN 1 AND 8
           |  UNION ALL
-          |  SELECT b.root, p.p_partkey, b.depth + 1
-          |  FROM bom b JOIN graft_part_b28 p
-          |    ON p.p_partkey = b.pk * 2 OR p.p_partkey = b.pk * 2 + 1
+          |  SELECT b.root, e.p_partkey, b.depth + 1
+          |  FROM bom b JOIN edges e ON e.parent = b.pk
           |  WHERE b.depth < 20)
           |SELECT b.root, count(*) AS n_parts, max(b.depth) AS max_depth,
           |       round(sum(p.p_retailprice), 2) AS sum_price
@@ -1106,6 +1128,15 @@ object SparkEntry {
           .as("fp_ok"))
     }),
 
+    // BM25 ranked retrieval (C35): keyword search with tf saturation +
+    // length normalization — the lexical complement of the ANN stack.
+    // The oracle recomputes the ENTIRE ranking (token tfs, corpus
+    // stats, idf, the full scoring formula, the rounded-score ordering)
+    // independently in DuckDB — scores and ranks must both match.
+    "c35_bm25" -> ((s, dir) =>
+      graft.operators.Bm25.rank(t(s, dir, "documents"),
+        "doc_id", "text", Seq("hash", "vector", "stream"), topK = 15)),
+
     "c8_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"),
@@ -1649,16 +1680,30 @@ object SparkEntry {
         |             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // explicit UNION ALL long-form rebuild — engine-agnostic unpivot
+    "b29_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+        |         round(sum(l_extendedprice), 2) AS price,
+        |         round(sum(l_discount), 2) AS disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'price', price FROM a
+        |UNION ALL SELECT l_returnflag, 'disc', disc FROM a
+        |ORDER BY 1, 2""".stripMargin,
+
     // DuckDB runs the IDENTICAL recursive closure — same seed band,
-    // same OR-join expansion, same depth guard
+    // same inverted-edge equi-join expansion, same depth guard
     "b28_recursive_cte" ->
-      """WITH RECURSIVE bom(root, pk, depth) AS (
+      """WITH RECURSIVE edges AS (
+        |  SELECT p_partkey, p_partkey // 2 AS parent
+        |  FROM part WHERE p_partkey >= 2),
+        |bom(root, pk, depth) AS (
         |  SELECT p_partkey, p_partkey, 0 FROM part
         |  WHERE p_partkey BETWEEN 1 AND 8
         |  UNION ALL
-        |  SELECT b.root, p.p_partkey, b.depth + 1
-        |  FROM bom b JOIN part p
-        |    ON p.p_partkey = b.pk * 2 OR p.p_partkey = b.pk * 2 + 1
+        |  SELECT b.root, e.p_partkey, b.depth + 1
+        |  FROM bom b JOIN edges e ON e.parent = b.pk
         |  WHERE b.depth < 20)
         |SELECT b.root, count(*) AS n_parts, max(b.depth) AS max_depth,
         |       round(sum(p.p_retailprice), 2) AS sum_price
@@ -2233,6 +2278,37 @@ object SparkEntry {
         |        CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 AS b
         |      FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full independent BM25 replica: same whitespace-token contract as
+    // c10, same stats, same formula, same rounded-score tie-break
+    "c35_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'hash')) AS tf0,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'vector')) AS tf1,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'stream')) AS tf2
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM tf)
+        |SELECT doc_id, score FROM (
+        |  SELECT doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sl / n)))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sl / n)))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sl / n))), 4) AS score
+        |  FROM tf, st)
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // the exact overlap is recomputable (doc_id family); flagged_true
     // MUST equal it (no false negatives — the bloom's one-sided-error

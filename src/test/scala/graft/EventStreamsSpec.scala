@@ -201,6 +201,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === Set((5L, "x", 2.0), (6L, "y", 3.0)))
   }
 
+  test("merge sink time travel: every snapshot version equals the feed " +
+       "replayed to that epoch") {
+    val s = spark
+    import s.implicits._
+    val tableRoot = java.nio.file.Files
+      .createTempDirectory("graft_tt_table").toString
+    val feedRoot = java.nio.file.Files
+      .createTempDirectory("graft_tt_feed").toString
+    val batches = Seq(
+      Seq((1L, 10.0), (2L, 20.0)),
+      Seq((1L, 11.0), (3L, 30.0)),
+      Seq((2L, 22.0), (4L, 40.0)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      EventStreams.mergeEpoch(b.toDF("k", "v"), i.toLong,
+        tableRoot, feedRoot, Seq("k"))
+    }
+    val feed = spark.read.parquet(feedRoot)
+    (0 until batches.size).foreach { e =>
+      // the CDF consumer rule, applied epoch-by-epoch from empty state
+      var state = Seq.empty[(Long, Double)].toDF("k", "v")
+      (0 to e).foreach { i =>
+        val ep = feed.where(col("__epoch") === i)
+        val drop = ep.where(col("_change_type")
+          .isin("delete", "update_preimage")).select("k")
+        val add = ep.where(col("_change_type")
+          .isin("insert", "update_postimage")).select("k", "v")
+        state = state.join(drop, Seq("k"), "left_anti").unionByName(add)
+      }
+      val snap = EventStreams.readSnapshot(spark, tableRoot,
+        Some(e + 1L)).get._2.select("k", "v")
+      assert(snap.exceptAll(state).isEmpty && state.exceptAll(snap).isEmpty,
+        s"version $e must equal the feed replay up to epoch $e")
+    }
+  }
+
   test("StateMetrics proves TTL eviction bounds state (pull + listener paths)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StateMetrics

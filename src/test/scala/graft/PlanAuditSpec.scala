@@ -171,4 +171,60 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("b28: each recursive step joins hash-equi, never nested-loop") {
+    // the natural `pk IN (2b, 2b+1)` phrasing made every iteration a
+    // BroadcastNestedLoopJoin (9.3 s vs 0.6 s per run at sf0.1); the
+    // inverted-edge equi-join must stay locked in
+    val p = plan("b28_recursive_cte")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"recursion re-planned as nested loop:\n${p.take(800)}")
+  }
+
+  test("c33: the seeded shuffle never funnels the corpus through one " +
+       "partition") {
+    val docs = Tables(spark, sfDir(), "documents").select("doc_id")
+    val p = graft.operators.Sampling.seededShuffle(docs, "doc_id", "s", 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(shard"),
+      s"the one exchange must key on shard:\n${p.take(600)}")
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("rangepartitioning"),
+      s"a global sort/row_number would serialize the corpus:\n${p.take(600)}")
+  }
+
+  test("c34: the bloom probe is a joinless, shuffle-free scan") {
+    val docs = Tables(spark, sfDir(), "documents").select("doc_id", "text")
+    val bloom = graft.operators.BloomDedup.bloomOf(
+      docs.limit(100), col("text"), 100L)
+    val p = graft.operators.BloomDedup
+      .flagOverlap(docs, col("text"), bloom)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("might_contain"), p.take(600))
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"the probe must stay map-only — the sketch rides the plan:\n" +
+        p.take(600))
+  }
+
+  test("b26: view maintenance aggregates the FEED, partial-first, " +
+       "and merges without nested loops") {
+    import graft.operators.{MaterializedView, Upsert}
+    val o = Tables(spark, sfDir(), "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val r = Upsert.upsertWithChanges(o,
+      o.where(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0)),
+      Seq("o_orderkey"))
+    val p = MaterializedView.applyChanges(
+        MaterializedView.build(o, Seq("o_orderstatus"), Seq("o_totalprice")),
+        r.changes, Seq("o_orderstatus"), Seq("o_totalprice"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      "HashAggregate".r.findAllIn(p).size >= 4,
+      s"delta and view aggregates must map-side combine:\n${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the view merge must stay a hash join:\n${p.take(800)}")
+  }
 }
