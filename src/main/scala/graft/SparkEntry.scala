@@ -1061,6 +1061,24 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // Quality-aware canonical selection (C36): each planted cluster is
+    // {original, degraded copy} (digits+punct appended — strictly lower
+    // quality score); the keep rule (max quality, ties to min id) must
+    // surface EXACTLY the originals with their c9-formula quality. A
+    // single degraded copy surviving anywhere shifts a doc_id row and
+    // breaks the hash.
+    "c36_quality_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val degraded = docs.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" 00 11 22 !!! ???")).as("text"))
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + lit(1000000L)).as("id_b"))
+      Dedup.keepBestPerCluster(docs.unionByName(degraded), pairs,
+          "doc_id", TextFunctions.qualityScore(col("text")))
+        .orderBy("doc_id")
+    }),
+
     // deterministic content-hash train/val/test split — assignment is a
     // pure function of text bytes, so DuckDB reproduces it exactly
     "c15_hash_split" -> ((s, dir) =>
@@ -2278,6 +2296,27 @@ object SparkEntry {
         |        CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 AS b
         |      FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the kept set must be exactly the originals (the degraded copies
+    // score strictly lower), each with its c9-formula quality
+    "c36_quality_keep" ->
+      """SELECT doc_id,
+        |round(greatest(0.0, least(1.0,
+        |  (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.6
+        |  + (CASE WHEN (length(regexp_replace(text, '\s', '', 'g'))
+        |       / CAST(greatest(
+        |           CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+        |           1) AS DOUBLE))
+        |       BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+        |  - (length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+        |  - ((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+        |)), 4) AS quality,
+        |CAST(2 AS BIGINT) AS cluster_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // full independent BM25 replica: same whitespace-token contract as
     // c10, same stats, same formula, same rounded-score tie-break

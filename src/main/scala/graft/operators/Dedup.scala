@@ -376,4 +376,35 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(round(max("ngram_jaccard"), 6).as("ngram_jaccard"))
   }
+
+  /** Quality-aware canonical selection (C36): resolve near-dup pairs
+    * into clusters ([[dupClusters]]) and keep the BEST member of each —
+    * highest `quality`, ties to the lowest id — instead of the
+    * arbitrary min-id survivor. This is what production dedup actually
+    * does (e.g. the C4/RefinedWeb pipelines keep the longest/cleanest
+    * copy): duplicates usually differ by truncation, boilerplate, or
+    * OCR damage, and dropping the good copy because it sorted second is
+    * a silent quality loss. Docs in no pair survive as their own
+    * singleton cluster.
+    *
+    * Scale shape: one left join of docs onto the (id → cluster) map —
+    * both sides keyed on id — then a map-combined max-struct argmax per
+    * cluster; the quality column is any deterministic projection
+    * (e.g. [[graft.functions.TextFunctions.qualityScore]]), evaluated
+    * once, map-only. No window over the corpus, no per-cluster sort.
+    *
+    * Returns one row per kept doc: (idCol, quality, cluster_size).
+    */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                         quality: Column): DataFrame = {
+    val clusters = dupClusters(pairs) // (id, cluster_id)
+    val scored = docs.select(col(idCol).as("__id"), quality.as("__q"))
+    scored.join(clusters.withColumnRenamed("id", "__id"), Seq("__id"), "left")
+      .withColumn("__cl", coalesce(col("cluster_id"), col("__id")))
+      .groupBy("__cl")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("__q"), (-col("__id")).as("__nid"))).as("__m"))
+      .select((-col("__m.__nid")).as(idCol), col("__m.__q").as("quality"),
+        col("cluster_size"))
+  }
 }

@@ -156,6 +156,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
+  test("keepBestPerCluster: best quality wins, ties to min id, " +
+       "singletons survive, chains collapse to one") {
+    val d = Seq(
+      (1L, 0.5), (2L, 0.9),            // pair: 2 wins on quality
+      (3L, 0.7), (4L, 0.7),            // pair: tie → min id 3
+      (5L, 0.1),                       // singleton: survives
+      (6L, 0.2), (7L, 0.8), (8L, 0.3)) // chain 6-7-8: one cluster, 7 wins
+      .toDF("id", "q")
+    val pairs = Seq((1L, 2L), (3L, 4L), (6L, 7L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val kept = graft.operators.Dedup
+      .keepBestPerCluster(d, pairs, "id", col("q"))
+      .select("id", "quality", "cluster_size")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(kept === Set((2L, 0.9, 2L), (3L, 0.7, 2L), (5L, 0.1, 1L),
+      (7L, 0.8, 3L)))
+  }
+
   test("shingle-based signatures are deterministic across evaluations") {
     val sig = graft.functions.GraftExpressions.minhashSignature(
       split(col("text"), " "), 3, 64)
