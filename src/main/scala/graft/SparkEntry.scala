@@ -328,6 +328,35 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // VARIANT semi-structured extraction (B30): Spark 4's schema-on-read
+    // path for JSON that from_json's fixed StructType (b16) can't serve
+    // — payload parsed ONCE into the binary VARIANT encoding, typed
+    // paths (nested field, array index) extracted lazily. The payloads
+    // are built from order columns, so the oracle aggregates the raw
+    // columns directly: every extracted value must round-trip
+    // build→parse→path-extract bit-exactly or the hash breaks.
+    "b30_variant" -> ((s, dir) => {
+      val j = t(s, dir, "orders").select(
+        to_json(struct(
+          col("o_orderstatus").as("status"),
+          struct(col("o_totalprice").as("total"),
+            col("o_orderpriority").as("prio")).as("meta"),
+          array(col("o_custkey"), col("o_orderkey")).as("ids")))
+          .as("payload"))
+      j.select(parse_json(col("payload")).as("v"))
+        .select(
+          expr("variant_get(v, '$.status', 'string')").as("status"),
+          expr("variant_get(v, '$.meta.total', 'double')").as("total"),
+          expr("variant_get(v, '$.ids[0]', 'bigint')").as("cust"),
+          expr("variant_get(v, '$.meta.prio', 'string')").as("prio"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("total")), 2).as("sum_total"),
+          sum(col("cust")).as("sum_cust"),
+          countDistinct(col("prio")).as("n_prio"))
+        .orderBy("status")
+    }),
+
     // UNPIVOT / melt (B29): wide-to-long reshaping via the native
     // Dataset.unpivot — the inverse of b8's pivot; the oracle rebuilds
     // the long form with explicit UNION ALL branches, so value routing
@@ -1697,6 +1726,15 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY days
         |             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle reads the raw columns — the Spark side must round-trip
+    // them through JSON → VARIANT → typed path extraction unchanged
+    "b30_variant" ->
+      """SELECT o_orderstatus AS status, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_total,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       count(DISTINCT o_orderpriority) AS n_prio
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // explicit UNION ALL long-form rebuild — engine-agnostic unpivot
     "b29_unpivot" ->
