@@ -213,7 +213,10 @@ object ScaleReplica {
     // marker records WHICH tables the replica holds — adding a table to a
     // probe invalidates a stale replica instead of failing on a missing file
     val marker = new java.io.File(s"$dir/_GRAFT_OK")
-    val want = tables.sorted.mkString(",") + "\n"
+    // v2: c_name gets a per-copy tag (see customer builder) — the
+    // version prefix invalidates v1 replicas whose identical cross-copy
+    // names made the b25 self-join quadratic in the copy count
+    val want = "v2:" + tables.sorted.mkString(",") + "\n"
     if (marker.exists() &&
         java.nio.file.Files.readString(marker.toPath) == want) return dir
 
@@ -228,7 +231,21 @@ object ScaleReplica {
     val builders: Map[String, () => Unit] = Map(
       "lineitem" -> (() => replicate("lineitem", shifted("l_orderkey"))),
       "orders" -> (() => replicate("orders", shifted("o_orderkey", "o_custkey"))),
-      "customer" -> (() => replicate("customer", shifted("c_custkey"))),
+      // names must NOT replicate verbatim: 10 identical copies of every
+      // c_name turn b25's edit-distance self-join quadratic in the copy
+      // count (measured 2.7 s → 117 s at 10x — a workload artifact, not
+      // the operator). A per-copy 4-char tag keeps within-copy distance
+      // structure intact while pushing every cross-copy pair to
+      // distance ≥ 2 > k, the same no-cross-copy-near-dups rule the
+      // documents substitution enforces for shingles.
+      "customer" -> (() => replicate("customer", (df, i) => {
+        val d = shifted("c_custkey")(df, i)
+        if (i == 0) d else {
+          val c1 = ('a' + i % 10).toChar
+          val c2 = ('a' + (i / 10) % 10).toChar
+          d.withColumn("c_name", concat(col("c_name"), lit(s"-$c1$c1$c2$c2")))
+        }
+      })),
       "region" -> (() => replicate("region",
         (df, i) => if (i == 0) df else df.limit(0))),
       "nation" -> (() => replicate("nation",
