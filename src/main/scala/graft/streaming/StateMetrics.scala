@@ -75,4 +75,40 @@ object StateMetrics {
     override def onQueryTerminated(
         e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
+
+  /** In-flight observed metrics (D11): `Dataset.observe` rides guard
+    * aggregates (row counts, null counts, domain sums) on the SAME pass
+    * as the real job — the data-quality hook that costs zero extra
+    * scans, where a separate validation query re-reads the table (at
+    * 100 TB, observe is free and the re-scan is not). Batch actions
+    * deliver them through a `QueryExecutionListener`
+    * ([[ObservedCollector]], async — poll [[ObservedCollector.metrics]]);
+    * streaming batches report them in each progress'
+    * `observedMetrics` map. EventStreamsSpec locks both paths: the
+    * observed row equals a directly-computed aggregate of the same
+    * input, and a streaming observe surfaces per-batch.
+    */
+  final class ObservedCollector
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, org.apache.spark.sql.Row)]()
+
+    /** Latest observed row per observation name, across completed
+      * actions so far. Listener delivery is asynchronous — poll.
+      */
+    def metrics: Map[String, org.apache.spark.sql.Row] = {
+      val it = buf.iterator()
+      var m = Map.empty[String, org.apache.spark.sql.Row]
+      while (it.hasNext) { val (k, v) = it.next(); m += (k -> v) }
+      m
+    }
+
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) => buf.add(name -> row) }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+  }
 }

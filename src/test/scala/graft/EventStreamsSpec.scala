@@ -201,6 +201,55 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === Set((5L, "x", 2.0), (6L, "y", 3.0)))
   }
 
+  test("observe: guard metrics ride the action's own pass, batch and " +
+       "streaming") {
+    import graft.streaming.StateMetrics
+    val s = spark
+    import s.implicits._
+    // batch: observed row must equal a direct aggregate of the input
+    val collector = new StateMetrics.ObservedCollector
+    s.listenerManager.register(collector)
+    try {
+      val docs = Tables(spark, sfDir(), "documents").limit(200)
+      val observed = docs.observe("guard",
+        count(lit(1)).as("rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_texts"),
+        sum(length(col("text"))).as("chars"))
+      observed.where(col("lang").isNotNull).count() // the real job
+      val direct = docs.agg(count(lit(1)), sum(when(col("text").isNull, 1L)
+        .otherwise(0L)), sum(length(col("text")))).head()
+      val deadline = System.currentTimeMillis() + 30000
+      var row: Option[org.apache.spark.sql.Row] = None
+      while (row.isEmpty && System.currentTimeMillis() < deadline) {
+        row = collector.metrics.get("guard")
+        if (row.isEmpty) Thread.sleep(100)
+      }
+      assert(row.isDefined, "observed metrics never arrived")
+      assert(row.get.getLong(0) === direct.getLong(0) &&
+        row.get.getLong(1) === direct.getLong(1) &&
+        row.get.getLong(2) === direct.getLong(2),
+        s"observed ${row.get} != direct $direct")
+    } finally s.listenerManager.unregister(collector)
+
+    // streaming: the same observe surfaces in per-batch progress
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a"), (2L, null), (3L, "c"))
+    val q = input.toDF().toDF("k", "v")
+      .observe("stream_guard", count(lit(1)).as("rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("null_vs"))
+      .writeStream.format("memory").queryName("observe_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val om = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("stream_guard"))).lastOption
+      assert(om.isDefined, "streaming observed metrics missing")
+      assert(om.get.getLong(0) === 3L && om.get.getLong(1) === 1L)
+    } finally q.stop()
+  }
+
   test("merge sink time travel: every snapshot version equals the feed " +
        "replayed to that epoch") {
     val s = spark
