@@ -26,7 +26,8 @@ object Bench {
     "b22_heavy_hitters", "a24_scd2", "c28_ivfpq_topk", "c29_span_removal",
     "b25_fuzzy_join", "c30_perplexity", "c31_semdedup", "c32_normalize",
     "d9_enriched_segments", "b26_incremental_mv", "c33_seeded_shuffle",
-    "c34_bloom_flag", "b28_recursive_cte", "c35_bm25", "c36_quality_keep")
+    "c34_bloom_flag", "b28_recursive_cte", "c35_bm25", "c36_quality_keep",
+    "c37_classifier_score")
 
   /** Queries re-timed on the 10x replica for the scaling ratios: the r4
     * five (scan-bound agg, multi-join, two dedup candidate generators,
@@ -44,7 +45,7 @@ object Bench {
       "c27_span_dedup", "a24_scd2", "c29_span_removal",
       "b25_fuzzy_join", "c30_perplexity", "c31_semdedup",
       "b26_incremental_mv", "c33_seeded_shuffle", "c34_bloom_flag",
-      "c35_bm25")
+      "c35_bm25", "c37_classifier_score")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

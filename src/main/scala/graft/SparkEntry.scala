@@ -1108,6 +1108,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C37 model-based quality filtering (fastText hashing trick): one
+    // map-only codegen pass — tokenize, md5-bucket, weight lookup, sum.
+    // Weights are quantized to k/1024 so every logit is a sum of
+    // exactly-representable doubles: the gate is hash-exact with NO
+    // rounding, and DuckDB rebuilds the identical model from the same
+    // two md5 calls. p_keep (sigmoid) is deliberately NOT gated —
+    // transcendental rounding is engine-specific; the keep verdict is
+    // gated on the exact logit instead.
+    "c37_classifier_score" -> ((s, dir) => {
+      import graft.functions.HashedClassifier
+      val w = HashedClassifier.hashWeights("g6w:", 4096).toSeq
+      HashedClassifier.score(t(s, dir, "documents"), "text", w, 4096)
+        .select(col("doc_id"), col("n_feats"), col("logit"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic content-hash train/val/test split — assignment is a
     // pure function of text bytes, so DuckDB reproduces it exactly
     "c15_hash_split" -> ((s, dir) =>
@@ -2355,6 +2371,40 @@ object SparkEntry {
         |)), 4) AS quality,
         |CAST(2 AS BIGINT) AS cluster_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full independent classifier replica: same token contract, same
+    // feature bag (unigrams + space-joined bigrams), bucket = first 32
+    // md5 bits mod 4096, weight = (md5('g6w:'||bucket) % 2049 - 1024)/1024
+    // — every term a multiple of 1/1024, so list_sum is order-proof and
+    // the logit comparison is exact
+    "c37_classifier_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |         END AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_concat(t,
+        |           CASE WHEN len(t) >= 2
+        |                THEN list_transform(range(1, len(t)),
+        |                       i -> t[i] || ' ' || t[i + 1])
+        |                ELSE CAST([] AS VARCHAR[]) END) AS feats
+        |  FROM tk),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST(len(feats) AS INT) AS n_feats,
+        |         coalesce(list_sum(list_transform(feats, x ->
+        |           ((CAST(concat('0x', substr(md5(concat('g6w:',
+        |               CAST(CAST(concat('0x', substr(md5(x), 1, 8))
+        |                         AS BIGINT) % 4096 AS VARCHAR))), 1, 8))
+        |                 AS BIGINT) % 2049) - 1024) / 1024.0)),
+        |           0.0) AS logit
+        |  FROM f)
+        |SELECT doc_id, n_feats, CAST(logit AS DOUBLE) AS logit,
+        |       logit > 0.0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     // full independent BM25 replica: same whitespace-token contract as
     // c10, same stats, same formula, same rounded-score tie-break
