@@ -405,6 +405,28 @@ object SparkEntry {
           |GROUP BY b.root ORDER BY b.root""".stripMargin)
     }),
 
+    // B31 correlated LATERAL subquery join — the declarative "top-N per
+    // outer row" shape. Spark 4 decorrelates the per-nation ORDER BY +
+    // LIMIT into WindowGroupLimit (a map-side partial top-k BELOW the
+    // exchange — each task forwards at most N rows per group) plus one
+    // broadcast hash join; never a per-row re-execution, never a
+    // nested loop. Plan-audited in PlanAuditSpec; DuckDB runs the
+    // identical LATERAL SQL. Ties at the LIMIT boundary are broken by
+    // name, so the row set is engine-independent.
+    "b31_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("graft_nation_b31")
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer_b31")
+      s.sql(
+        """SELECT n.n_name, t.c_name, t.c_acctbal
+          |FROM graft_nation_b31 n,
+          |LATERAL (
+          |  SELECT c_name, c_acctbal FROM graft_customer_b31 c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name
+          |  LIMIT 3) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+    }),
+
     // typed JSON path: from_json to a struct (columnar, prunable), not
     // per-field get_json_object string probing (that's b10's variant)
     "b16_json_struct" -> ((s, dir) =>
@@ -1781,6 +1803,18 @@ object SparkEntry {
         |       round(sum(p.p_retailprice), 2) AS sum_price
         |FROM bom b JOIN part p ON p.p_partkey = b.pk
         |GROUP BY b.root ORDER BY b.root""".stripMargin,
+
+    // identical LATERAL query — DuckDB executes the correlated subquery
+    // directly; the row set (incl. boundary ties) must match exactly
+    "b31_lateral_topn" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name
+        |  LIMIT 3) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
 
     "b16_json_struct" ->
       """SELECT event_type,

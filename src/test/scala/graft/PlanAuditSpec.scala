@@ -182,6 +182,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"recursion re-planned as nested loop:\n${p.take(800)}")
   }
 
+  test("b31: LATERAL top-N decorrelates to WindowGroupLimit + hash join") {
+    // the naive execution of a correlated LIMIT subquery is one
+    // re-execution per outer row; the locked-in plan is a map-side
+    // partial group-limit (WindowGroupLimit below the exchange) feeding
+    // ONE hash join — per-row lateral re-execution or a nested loop
+    // would be the 100 TB catastrophe
+    val p = plan("b31_lateral_topn")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group LIMIT must pre-limit map-side:\n${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"lateral planned as nested loop:\n${p.take(800)}")
+  }
+
   test("c33: the seeded shuffle never funnels the corpus through one " +
        "partition") {
     val docs = Tables(spark, sfDir(), "documents").select("doc_id")
