@@ -1382,6 +1382,26 @@ object SparkEntry {
       EventStreams.userTotals(t(s, dir, "events"))
         .orderBy("user_id")),
 
+    // D12 streaming heavy hitters: per-shard count-min sketches (the
+    // state layout the stream maintains — constant size, independent of
+    // key cardinality) merged into one sketch, probed against the exact
+    // heavy set with the B22 contract booleans. This batch-twin pipeline
+    // is what the gate checks; EventStreamsSpec locks the streaming form
+    // BYTE-identical to these shard sketches, including across multiple
+    // incremental batches. Key synthesizes a hot key (1/3 of rows) over
+    // a long tail, the b22 pattern on the events stream.
+    "d12_stream_heavy_hitters" -> ((s, dir) => {
+      import graft.streaming.SketchStream
+      val keyed = t(s, dir, "events").select(
+        when(pmod(col("event_id"), lit(3)) === 0, lit(-1L))
+          .otherwise(pmod(col("user_id"), lit(50)).cast("long")).as("hh_key"))
+      val shards = SketchStream.cmsShards(keyed, col("hh_key"), nShards = 8)
+      val (cms, n) = SketchStream.mergedSketch(shards)
+      graft.operators.CmsHeavyHitters
+        .probe(keyed, "hh_key", minShare = 0.01, cms, n, eps = 0.001)
+        .orderBy("item")
+    }),
+
     // IVF at nProbe = nLists is exhaustive (exact top-k) — that mode is
     // oracle-checked; partial-probe recall is locked in SimilaritySpec.
     "c14_ivf_topk" -> ((s, dir) => {
@@ -2314,6 +2334,19 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact heavy set over the same synthesized key; the CMS contract
+    // booleans must both hold or the hash breaks (the b22 gate shape)
+    "d12_stream_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN CAST(-1 AS BIGINT)
+        |              ELSE CAST(user_id % 50 AS BIGINT) END AS item
+        |  FROM events),
+        |t AS (SELECT item, count(*) AS true_cnt FROM k GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM k)
+        |SELECT item, true_cnt, TRUE AS est_ge_true, TRUE AS err_within_eps
+        |FROM t, tot WHERE true_cnt >= ceil(0.01 * n)
+        |ORDER BY item""".stripMargin,
 
     "d6_attribution" ->
       """WITH v AS (

@@ -291,6 +291,19 @@ object CmsHeavyHitters {
     val n = agg.getLong(1)
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(bytes))
+    probe(df, keyCol, minShare, cms, n, eps)
+  }
+
+  /** Probe a PRE-BUILT sketch (e.g. merged from streaming shard state —
+    * D12) against the exact heavy set of `df`, emitting the same contract
+    * booleans as the one-pass form.
+    */
+  def probe(df: DataFrame, keyCol: String, minShare: Double,
+            cms: org.apache.spark.util.sketch.CountMinSketch, n: Long,
+            eps: Double): DataFrame = {
+    require(minShare > 0 && minShare <= 1, "minShare in (0, 1]")
+    val spark = df.sparkSession
+    val key = col(keyCol).cast("long")
     // exact candidate counts: bounded by construction (≤ 1/minShare heavy
     // keys can exist); the limit+require makes the bound loud, not trusted
     val maxKeys = math.ceil(1.0 / minShare).toInt

@@ -437,6 +437,79 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "stream-stream (no join state store)")
   }
 
+  test("d12: streamed shard sketches are BYTE-identical to the batch " +
+       "CMS, and state stays nShards rows") {
+    import graft.streaming.SketchStream
+    val s = spark
+    // stream the staged events files; key = user_id (raw schema has ts
+    // as nanos long, irrelevant here — only user_id is read)
+    val streamSrc = graft.Tables.withTsFromNanos(
+      s.readStream.schema(rawSchema).parquet(stagedDir))
+    val streamed = SketchStream.cmsShardsStream(streamSrc,
+      col("user_id"), nShards = 8)
+    val q = streamed.writeStream.format("memory").queryName("cms_mem")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // one AvailableNow emission per shard = final state
+    val got = spark.table("cms_mem").collect()
+      .map(r => (r.getInt(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+    val batch = SketchStream.cmsShards(events, col("user_id"), nShards = 8)
+      .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+    assert(got.length === batch.length &&
+      got.length <= 8, "state must be bounded by nShards")
+    val batchByShard = batch.map(t => t._1 -> t).toMap
+    got.foreach { case (shard, bytes, n) =>
+      val (_, bBytes, bN) = batchByShard(shard)
+      assert(n === bN, s"shard $shard row count diverged")
+      assert(java.util.Arrays.equals(bytes, bBytes),
+        s"shard $shard sketch bytes diverged from the batch twin")
+    }
+    // merged estimates answer point queries like the batch sketch would
+    val (cms, n) = SketchStream.mergedSketch(
+      spark.table("cms_mem"))
+    assert(n === events.count())
+    val top = events.groupBy("user_id").count()
+      .orderBy(desc("count")).head()
+    assert(cms.estimateCount(top.getLong(0)) >= top.getLong(1),
+      "count-min must never undercount")
+  }
+
+  test("d12: incremental batches accumulate to the one-shot sketch") {
+    import graft.streaming.SketchStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Long]
+    val stream = SketchStream.cmsShardsStream(
+      input.toDF().toDF("k0"), col("k0"), nShards = 4)
+    val q = stream.writeStream.format("memory").queryName("cms_inc")
+      .outputMode("update").start()
+    try {
+      input.addData(1L, 2L, 3L, 1L, 1L)
+      q.processAllAvailable()
+      input.addData(1L, 4L, 2L, 2L)
+      q.processAllAvailable()
+      // latest emission per shard = the one with the largest n
+      val finals = spark.table("cms_inc").collect()
+        .map(r => (r.getInt(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+        .groupBy(_._1).map(_._2.maxBy(_._3)).toSeq
+      val oneShot = SketchStream.cmsShards(
+        Seq(1L, 2L, 3L, 1L, 1L, 1L, 4L, 2L, 2L).toDF("k0"),
+        col("k0"), nShards = 4)
+        .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+        .toSeq
+      assert(finals.map(_._3).sum === 9L)
+      val byShard = oneShot.map(t => t._1 -> t).toMap
+      finals.foreach { case (shard, bytes, n) =>
+        val (_, bBytes, bN) = byShard(shard)
+        assert(n === bN)
+        assert(java.util.Arrays.equals(bytes, bBytes),
+          s"shard $shard: two incremental batches != one-shot sketch")
+      }
+    } finally q.stop()
+  }
+
   test("sessionizeStream(AvailableNow) sessions match the batch twin") {
     val streamed = runToCompletion(
       EventStreams.sessionizeStream(spark, stagedDir, rawSchema), "sessions_mem")
