@@ -1146,6 +1146,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C38 DSIR importance weights: target = the English subcorpus, raw =
+    // everything; both models are D-bucket count vectors distilled to one
+    // log-ratio array literal, scoring is a joinless map-only pass. logw
+    // is rounded to 4 (ln differs ≤ 1 ulp/term across engines — the c30
+    // transcendental contract); n_feats and the keep verdict are exact.
+    // The Gumbel-top-k selection step is spec-locked (deterministic seeded
+    // noise, partition-invariant kept set).
+    "c38_dsir_score" -> ((s, dir) => {
+      import graft.operators.Dsir
+      val docs = t(s, dir, "documents")
+      val lr = Dsir.logRatios(docs.where(col("lang") === "en"), docs, "text")
+      Dsir.score(docs, "text", lr.toSeq)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("logw"), 4).as("logw"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic content-hash train/val/test split — assignment is a
     // pure function of text bytes, so DuckDB reproduces it exactly
     "c15_hash_split" -> ((s, dir) =>
@@ -2438,6 +2455,46 @@ object SparkEntry {
         |)), 4) AS quality,
         |CAST(2 AS BIGINT) AS cluster_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full independent DSIR replica: same feature/bucket contract as c37,
+    // target/raw counts rebuilt relationally, add-0.5 smoothing over 4096
+    // buckets, per-doc ln-ratio sum rounded to 4
+    "c38_dsir_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |         END AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |         list_concat(t,
+        |           CASE WHEN len(t) >= 2
+        |                THEN list_transform(range(1, len(t)),
+        |                       i -> t[i] || ' ' || t[i + 1])
+        |                ELSE CAST([] AS VARCHAR[]) END) AS feats
+        |  FROM tk),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |         CAST(CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
+        |              % 4096 AS INT) AS b
+        |  FROM (SELECT doc_id, lang, unnest(feats) AS x FROM f)),
+        |ct AS (SELECT b, count(*) AS c FROM fb WHERE lang = 'en' GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fb WHERE lang = 'en'),
+        |cr AS (SELECT b, count(*) AS c FROM fb GROUP BY 1),
+        |nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fb),
+        |sc AS (
+        |  SELECT fb.doc_id,
+        |         sum(ln((coalesce(ct.c, 0) + 0.5) / (nt.n + 0.5 * 4096))
+        |           - ln((cr.c + 0.5) / (nr.n + 0.5 * 4096))) AS logw
+        |  FROM fb LEFT JOIN ct USING (b) JOIN cr USING (b), nt, nr
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(f.feats) AS INT) AS n_feats,
+        |       round(coalesce(sc.logw, 0.0), 4) AS logw,
+        |       coalesce(sc.logw, 0.0) > 0.0 AS keep
+        |FROM documents d JOIN f USING (doc_id)
+        |LEFT JOIN sc ON sc.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // full independent classifier replica: same token contract, same
     // feature bag (unigrams + space-joined bigrams), bucket = first 32
