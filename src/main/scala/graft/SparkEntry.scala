@@ -1399,6 +1399,30 @@ object SparkEntry {
       EventStreams.userTotals(t(s, dir, "events"))
         .orderBy("user_id")),
 
+    // D13 streaming quantiles: per-shard t-digests (the D12 state layout
+    // with mergeable-quantile state), merged and rank-checked IN-PLAN
+    // against the full value set — the b20 gate contract (≤ 2% rank
+    // error per quantile). Batch twin here; EventStreamsSpec locks the
+    // streaming form to the same bound plus exact total weight.
+    "d13_stream_quantiles" -> ((s, dir) => {
+      import graft.streaming.SketchStream
+      val qsArr = Seq(0.1, 0.5, 0.9)
+      val ev = t(s, dir, "events").select(col("value"))
+      val shards = SketchStream.tdigestShards(ev, col("value"), nShards = 8)
+      val (td, _) = SketchStream.mergedDigest(shards)
+      import s.implicits._
+      val estDf = qsArr.zipWithIndex
+        .map { case (q, i) => (i.toLong, q, td.quantile(q)) }
+        .toDF("qi", "target", "est")
+      ev.crossJoin(F.broadcast(estDf))
+        .groupBy("qi", "target", "est")
+        .agg(sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("rk"),
+          count(lit(1)).as("n"))
+        .select(col("qi"),
+          (abs(col("rk") / col("n") - col("target")) <= lit(0.02)).as("rank_ok"))
+        .orderBy("qi")
+    }),
+
     // D12 streaming heavy hitters: per-shard count-min sketches (the
     // state layout the stream maintains — constant size, independent of
     // key cardinality) merged into one sketch, probed against the exact
@@ -2351,6 +2375,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the merged digest must place every quantile within 2% rank error
+    // of the true distribution (the b20 gate shape)
+    "d13_stream_quantiles" ->
+      """SELECT qi, true AS rank_ok
+        |FROM (VALUES (CAST(0 AS BIGINT)), (1), (2)) t(qi)
+        |ORDER BY qi""".stripMargin,
 
     // exact heavy set over the same synthesized key; the CMS contract
     // booleans must both hold or the hash breaks (the b22 gate shape)

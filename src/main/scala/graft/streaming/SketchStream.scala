@@ -74,6 +74,64 @@ object SketchStream {
       .toDF("shard", "cms", "n")
   }
 
+  /** D13 — streaming QUANTILES with the same sharded-state layout: each
+    * shard's GroupState holds one mergeable t-digest (KB-bounded,
+    * [[graft.operators.TDigest]]). Unlike count-min counters, t-digest
+    * centroid layout depends on insertion order, so stream and batch
+    * digests are NOT byte-identical — the locked contract is the b20 one:
+    * merged-estimate rank error ≤ 2%, total weight exactly the row count.
+    */
+  private def shardedValues(df: DataFrame, value: Column,
+                            nShards: Int): DataFrame =
+    df.select(pmod(hash(value), lit(nShards)).as("shard"),
+        value.cast("double").as("v"))
+      .where(col("v").isNotNull)
+
+  /** Batch twin: one t-digest + row count per shard. */
+  def tdigestShards(df: DataFrame, value: Column, nShards: Int,
+                    compression: Int = 200): DataFrame =
+    shardedValues(df, value, nShards)
+      .groupBy("shard")
+      .agg(graft.operators.Sketches.tdigestSketch(col("v"), compression)
+        .as("td"), count(col("v")).as("n"))
+
+  /** Streaming form: mapGroupsWithState, state = serialized digest + n. */
+  def tdigestShardsStream(df: DataFrame, value: Column, nShards: Int,
+                          compression: Int = 200): DataFrame = {
+    import graft.operators.TDigest
+    val spark = df.sparkSession
+    import spark.implicits._
+    shardedValues(df, value, nShards)
+      .as[(Int, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (shard: Int, rows: Iterator[(Int, Double)],
+         state: GroupState[(Array[Byte], Long)]) => {
+          val td = state.getOption.map(b => TDigest.deserialize(b._1))
+            .getOrElse(new TDigest(compression))
+          var n = state.getOption.map(_._2).getOrElse(0L)
+          rows.foreach { r => td.add(r._2); n += 1 }
+          val bytes = td.serialize()
+          state.update((bytes, n))
+          (shard, bytes, n)
+        })
+      .toDF("shard", "td", "n")
+  }
+
+  /** Merge per-shard digest rows into one digest (bounded collect). */
+  def mergedDigest(shards: DataFrame,
+                   compression: Int = 200): (graft.operators.TDigest, Long) = {
+    import graft.operators.TDigest
+    val rows = shards.select(col("td"), col("n")).collect()
+    var td = new TDigest(compression)
+    var n = 0L
+    rows.foreach { r =>
+      td = td.merge(TDigest.deserialize(r.getAs[Array[Byte]](0)))
+      n += r.getLong(1)
+    }
+    (td, n)
+  }
+
   /** Collapse per-shard sketch rows into the sketch of the whole stream.
     * Bounded collect by construction: nShards rows of constant size.
     */

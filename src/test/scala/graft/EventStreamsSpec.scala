@@ -510,6 +510,61 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("d13: streamed shard digests merge to <= 2% rank error and " +
+       "exact total weight") {
+    import graft.streaming.SketchStream
+    val s = spark
+    val streamSrc = graft.Tables.withTsFromNanos(
+      s.readStream.schema(rawSchema).parquet(stagedDir))
+    val streamed = SketchStream.tdigestShardsStream(streamSrc,
+      col("value"), nShards = 8)
+    val q = streamed.writeStream.format("memory").queryName("td_mem")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val shardRows = spark.table("td_mem")
+    assert(shardRows.count() <= 8, "state must be bounded by nShards")
+    val (td, n) = SketchStream.mergedDigest(shardRows)
+    val vals = events.select(col("value").cast("double"))
+      .where(col("value").isNotNull).collect().map(_.getDouble(0)).sorted
+    assert(n === vals.length.toLong, "merged weight must equal row count")
+    Seq(0.1, 0.5, 0.9).foreach { quant =>
+      val est = td.quantile(quant)
+      val rank = vals.count(_ <= est).toDouble / vals.length
+      assert(math.abs(rank - quant) <= 0.02,
+        f"q=$quant est=$est%.3f landed at rank $rank%.4f")
+    }
+  }
+
+  test("d13: incremental batches accumulate digest weight and accuracy") {
+    import graft.streaming.SketchStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Double]
+    val stream = SketchStream.tdigestShardsStream(
+      input.toDF().toDF("v0"), col("v0"), nShards = 4)
+    val q = stream.writeStream.format("memory").queryName("td_inc")
+      .outputMode("update").start()
+    try {
+      input.addData((1 to 50).map(_.toDouble): _*)
+      q.processAllAvailable()
+      input.addData((51 to 100).map(_.toDouble): _*)
+      q.processAllAvailable()
+      val finals = spark.table("td_inc").collect()
+        .map(r => (r.getInt(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+        .groupBy(_._1).map(_._2.maxBy(_._3)).toSeq
+      assert(finals.map(_._3).sum === 100L)
+      var td = new graft.operators.TDigest(200)
+      finals.foreach { case (_, b, _) =>
+        td = td.merge(graft.operators.TDigest.deserialize(b))
+      }
+      val med = td.quantile(0.5)
+      assert(med > 45.0 && med < 56.0,
+        s"median of 1..100 across two batches came out $med")
+    } finally q.stop()
+  }
+
   test("sessionizeStream(AvailableNow) sessions match the batch twin") {
     val streamed = runToCompletion(
       EventStreams.sessionizeStream(spark, stagedDir, rawSchema), "sessions_mem")
