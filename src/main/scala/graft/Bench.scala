@@ -28,7 +28,7 @@ object Bench {
     "d9_enriched_segments", "b26_incremental_mv", "c33_seeded_shuffle",
     "c34_bloom_flag", "b28_recursive_cte", "c35_bm25", "c36_quality_keep",
     "c37_classifier_score", "b31_lateral_topn", "d12_stream_heavy_hitters",
-    "c38_dsir_score", "d13_stream_quantiles")
+    "c38_dsir_score", "d13_stream_quantiles", "c39_curation_pipeline")
 
   /** Queries re-timed on the 10x replica for the scaling ratios: the r4
     * five (scan-bound agg, multi-join, two dedup candidate generators,
@@ -46,7 +46,8 @@ object Bench {
       "c27_span_dedup", "a24_scd2", "c29_span_removal",
       "b25_fuzzy_join", "c30_perplexity", "c31_semdedup",
       "b26_incremental_mv", "c33_seeded_shuffle", "c34_bloom_flag",
-      "c35_bm25", "c37_classifier_score")
+      "c35_bm25", "c37_classifier_score", "c38_dsir_score",
+      "c39_curation_pipeline")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
