@@ -75,7 +75,7 @@ object Bench {
     // codegen compilation of each plan shape.
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
-        try fn(spark, "/root/testdata/sf0.001").count()
+        try fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
         catch { case _: Throwable => () }
       }
     }
@@ -88,7 +88,12 @@ object Bench {
       // JVM measures 2.1x — ALL of it JVM-state pollution, not the plan.
       spark.sqlContext.clearCache()
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, dir).count()
+      // toRdd.count(), NOT count(): count() lets Catalyst prune every
+      // output column, so a projection-heavy query (per-doc text metrics,
+      // classifier scores) would be timed with its actual work optimized
+      // away — c17's real cost is ~15x its column-pruned count(). toRdd
+      // materializes every output row the way Verify's parquet write does.
+      try { SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
             (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }

@@ -1167,7 +1167,7 @@ object SparkEntry {
     "c38_dsir_score" -> ((s, dir) => {
       import graft.operators.Dsir
       val docs = t(s, dir, "documents")
-      val lr = Dsir.logRatios(docs.where(col("lang") === "en"), docs, "text")
+      val lr = Dsir.logRatiosByFlag(docs, col("lang") === "en", "text")
       Dsir.score(docs, "text", lr.toSeq)
         .select(col("doc_id"), col("n_feats"),
           round(col("logw"), 4).as("logw"), col("keep"))

@@ -37,14 +37,31 @@ object QualityFilters {
   /** Fraction of all word bigrams occupied by the single most frequent
     * bigram — the Gopher "top-2-gram fraction" repetition signal.
     * 0.0 for documents of fewer than two words.
+    *
+    * Shape matters here: bigrams come from `zip_with` over two token
+    * SLICES (HOF arguments — one evaluation), and the top count is the
+    * longest equal-run of the SORTED bigram array via one `aggregate`
+    * scan. The obvious count-each-distinct-bigram nesting references the
+    * bigram expression inside lambda bodies, where codegen performs no
+    * subexpression elimination — re-tokenizing the document once per
+    * element per comparison, O(words²) full splits per document (a
+    * measured 75x slowdown as the C39 gate).
     */
   def topBigramFrac(c: Column): Column = {
     val t = toks(c)
     val n = size(t)
-    val bigrams = transform(sequence(lit(1), n - 1), i =>
-      concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
-    val topCount = array_max(transform(array_distinct(bigrams), x =>
-      size(filter(bigrams, y => y === x))))
+    val bigrams = zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"))
+    val topCount = aggregate(array_sort(bigrams), zero,
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     when(length(trim(c)) === 0 || n < 2, lit(0.0))
       .otherwise(topCount.cast("double") / (n - 1).cast("double"))
   }

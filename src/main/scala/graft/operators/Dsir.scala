@@ -45,17 +45,50 @@ object Dsir {
   }
 
   /** Per-bucket ln(p_target) − ln(p_raw) under add-α smoothing — the whole
-    * importance model as D doubles.
+    * importance model as D doubles. For the common DSIR case where the
+    * target is a predicate over the raw corpus, use [[logRatiosByFlag]]
+    * (one corpus pass instead of two).
     */
   def logRatios(target: DataFrame, raw: DataFrame, textCol: String,
                 nBuckets: Int = 4096, alpha: Double = 0.5): Array[Double] = {
     val (ct, nt) = bucketCounts(target, textCol, nBuckets)
     val (cr, nr) = bucketCounts(raw, textCol, nBuckets)
+    ratios(ct, nt, cr, nr, nBuckets, alpha)
+  }
+
+  /** [[logRatios]] when target ⊆ raw is selected by a predicate: BOTH
+    * models come out of ONE tokenize+hash pass (a conditional count beside
+    * the raw count) — half the corpus scans, identical result
+    * (spec-locked equal to the two-pass form).
+    */
+  def logRatiosByFlag(docs: DataFrame, targetCond: Column, textCol: String,
+                      nBuckets: Int = 4096,
+                      alpha: Double = 0.5): Array[Double] = {
+    val rows = docs
+      .select(explode(HashedClassifier.features(col(textCol))).as("f"),
+        targetCond.as("is_t"))
+      .select(HashedClassifier.bucket(col("f"), nBuckets).cast("int").as("b"),
+        col("is_t"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val ct = Array.fill(nBuckets)(0L); val cr = Array.fill(nBuckets)(0L)
+    var nt = 0L; var nr = 0L
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      cr(b) = r.getLong(1); nr += r.getLong(1)
+      ct(b) = r.getLong(2); nt += r.getLong(2)
+    }
+    ratios(ct, nt, cr, nr, nBuckets, alpha)
+  }
+
+  private def ratios(ct: Array[Long], nt: Long, cr: Array[Long], nr: Long,
+                     nBuckets: Int, alpha: Double): Array[Double] =
     Array.tabulate(nBuckets) { j =>
       math.log((ct(j) + alpha) / (nt + alpha * nBuckets)) -
         math.log((cr(j) + alpha) / (nr + alpha * nBuckets))
     }
-  }
 
   /** Score a corpus against a prebuilt log-ratio model: adds `n_feats`,
     * `logw` (Σ logRatio(bucket(f)) over the feature bag; 0.0 for empty

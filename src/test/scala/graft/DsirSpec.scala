@@ -63,6 +63,14 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("one-pass logRatiosByFlag equals the two-pass form EXACTLY") {
+    val twoPass = Dsir.logRatios(corpus.where(col("doc_id") <= 3L),
+      corpus, "text", D)
+    val onePass = Dsir.logRatiosByFlag(corpus, col("doc_id") <= 3L,
+      "text", D)
+    assert(onePass.toSeq === twoPass.toSeq)
+  }
+
   test("target-flavored docs outscore off-target docs; empty doc is 0") {
     val lr = Dsir.logRatios(corpus.where(col("doc_id") <= 3L), corpus,
       "text", D)
