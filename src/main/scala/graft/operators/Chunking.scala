@@ -32,7 +32,11 @@ object Chunking {
     require(chunkSize > overlap && overlap >= 0,
       "need chunkSize > overlap >= 0")
     val step = chunkSize - overlap
-    val toks = TextFunctions.wsTokens(col(textCol))
+    // the token array must be a bound COLUMN before the slicing lambda
+    // references it: lambda bodies get no codegen subexpression
+    // elimination, so an inline tokenize expression would re-split the
+    // document once per chunk
+    val toks = col("__graft_toks")
     val n = size(toks)
     // ceil((n - overlap) / step), at least 1 — integer inputs are far
     // below 2^53, so the double division is exact and engine-agnostic
@@ -42,6 +46,7 @@ object Chunking {
     val chunks = transform(sequence(lit(0), nChunks - 1), j =>
       concat_ws(" ", slice(toks, j * step + 1, lit(chunkSize))))
     df.where(length(trim(col(textCol))) > 0)
+      .withColumn("__graft_toks", TextFunctions.wsTokens(col(textCol)))
       .select(df.columns.map(col) :+
         posexplode(chunks).as(Seq("chunk_idx", "chunk_text")): _*)
       .withColumn("chunk_tokens", size(TextFunctions.wsTokens(col("chunk_text"))))
