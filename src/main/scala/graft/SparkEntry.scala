@@ -405,6 +405,16 @@ object SparkEntry {
           |GROUP BY b.root ORDER BY b.root""".stripMargin)
     }),
 
+    // B32 exact Jaccard set-similarity self-join (prefix filtering —
+    // lossless blocking, so the oracle is the full O(n²) cross-join
+    // Jaccard pair set; one missed or phantom pair anywhere breaks it)
+    "b32_jaccard_join" -> ((s, dir) => {
+      graft.operators.SetSimJoin.jaccardSelfJoin(
+          t(s, dir, "part"), "p_partkey", "p_name", theta = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // B31 correlated LATERAL subquery join — the declarative "top-N per
     // outer row" shape. Spark 4 decorrelates the per-nation ORDER BY +
     // LIMIT into WindowGroupLimit (a map-side partial top-k BELOW the
@@ -1875,6 +1885,25 @@ object SparkEntry {
         |       round(sum(p.p_retailprice), 2) AS sum_price
         |FROM bom b JOIN part p ON p.p_partkey = b.pk
         |GROUP BY b.root ORDER BY b.root""".stripMargin,
+
+    // brute-force replica: every pair, exact set Jaccard, same threshold
+    "b32_jaccard_join" ->
+      """WITH s AS (
+        |  SELECT p_partkey AS id,
+        |         list_sort(list_distinct(
+        |           regexp_split_to_array(trim(lower(p_name)), '\s+'))) AS t
+        |  FROM part
+        |  WHERE len(regexp_split_to_array(trim(lower(p_name)), '\s+')) > 0
+        |    AND trim(p_name) <> ''),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         len(list_intersect(a.t, b.t)) AS inter,
+        |         len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS uni
+        |  FROM s a JOIN s b ON a.id < b.id)
+        |SELECT id_a, id_b,
+        |       round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // identical LATERAL query — DuckDB executes the correlated subquery
     // directly; the row set (incl. boundary ties) must match exactly
