@@ -405,6 +405,26 @@ object SparkEntry {
           |GROUP BY b.root ORDER BY b.root""".stripMargin)
     }),
 
+    // B33 forward-fill / gap-fill (time-series imputation): per-user
+    // last non-null reading carried forward in event-time order —
+    // last_value(IGNORE NULLS) over an unbounded-preceding frame. The
+    // sort never leaves the user partition (one keyed exchange, no
+    // global sort); nulls are planted deterministically so both engines
+    // fill the same gaps. Ties on ts are broken by event_id in BOTH the
+    // frame order and the output order.
+    "b33_gap_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("reading",
+          when(col("event_id") % 3 === 0, col("value")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("user_id"), col("event_id"),
+          round(coalesce(last("reading", ignoreNulls = true).over(w),
+            lit(0.0)), 2).as("filled"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // B32 exact Jaccard set-similarity self-join (prefix filtering —
     // lossless blocking, so the oracle is the full O(n²) cross-join
     // Jaccard pair set; one missed or phantom pair anywhere breaks it)
@@ -1897,6 +1917,18 @@ object SparkEntry {
         |       round(sum(p.p_retailprice), 2) AS sum_price
         |FROM bom b JOIN part p ON p.p_partkey = b.pk
         |GROUP BY b.root ORDER BY b.root""".stripMargin,
+
+    // identical IGNORE NULLS frame; DuckDB orders the frame the same way
+    "b33_gap_fill" ->
+      """SELECT user_id, event_id,
+        |       round(coalesce(last_value(reading IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 2)
+        |         AS filled
+        |FROM (SELECT user_id, event_id, ts,
+        |        CASE WHEN event_id % 3 = 0 THEN value END AS reading
+        |      FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // brute-force replica: every pair, exact set Jaccard, same threshold
     "b32_jaccard_join" ->

@@ -196,6 +196,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"lateral planned as nested loop:\n${p.take(800)}")
   }
 
+  test("b33: the gap-fill frame sorts inside the user partition") {
+    val p = plan("b33_gap_fill")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the window exchange must key on user_id:\n${p.take(600)}")
+    assert(p.contains("Window"), "fill must be a window, not a self-join")
+  }
+
   test("c33: the seeded shuffle never funnels the corpus through one " +
        "partition") {
     val docs = Tables(spark, sfDir(), "documents").select("doc_id")
