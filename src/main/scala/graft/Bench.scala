@@ -29,7 +29,7 @@ object Bench {
     "c34_bloom_flag", "b28_recursive_cte", "c35_bm25", "c36_quality_keep",
     "c37_classifier_score", "b31_lateral_topn", "d12_stream_heavy_hitters",
     "c38_dsir_score", "d13_stream_quantiles", "c39_curation_pipeline",
-    "b32_jaccard_join")
+    "b32_jaccard_join", "b33_gap_fill", "c40_corpus_stats")
 
   /** Queries re-timed on the 10x replica for the scaling ratios: the r4
     * five (scan-bound agg, multi-join, two dedup candidate generators,

@@ -1180,6 +1180,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C40 per-source corpus token statistics — the mixing-QA report
+    // (C25's input diagnostics): token mass, vocabulary size, type-token
+    // ratio and the modal term per source. One explode feeding ONE
+    // map-combined (source, token) count; everything downstream
+    // aggregates that counts table (vocab-sized, not corpus-sized) —
+    // the top-term window partitions by source over counts rows only.
+    "c40_corpus_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      val counts = toks.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("source")
+        .orderBy(desc("cnt"), col("tok"))
+      val top = counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("source"), col("tok").as("top_term"),
+          col("cnt").as("top_cnt"))
+      val stats = counts.groupBy("source").agg(
+        count(lit(1)).as("n_types"), sum("cnt").as("n_tokens"))
+      val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      nd.join(stats, Seq("source")).join(top, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6)
+            .as("ttr"),
+          col("top_term"), col("top_cnt"))
+        .orderBy("source")
+    }),
+
     // C39 composed curation pipeline: C17 gate → C1 dedup → C24
     // decontamination → C15 split as one plan; the oracle replays the
     // SAME chain from the per-stage replicas, and the per-(split, lang)
@@ -2570,6 +2600,30 @@ object SparkEntry {
         |)), 4) AS quality,
         |CAST(2 AS BIGINT) AS cluster_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same token contract, same tie-break (count desc, term asc)
+    "c40_corpus_stats" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |           AS tok
+        |  FROM documents),
+        |tk2 AS (SELECT source, tok FROM tk WHERE tok <> ''),
+        |c AS (SELECT source, tok, count(*) AS cnt FROM tk2 GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, tok AS top_term, cnt AS top_cnt,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY cnt DESC, tok) AS rn
+        |  FROM c),
+        |st AS (SELECT source, count(*) AS n_types,
+        |              CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |       FROM c GROUP BY 1),
+        |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT nd.source, nd.n_docs, st.n_tokens, st.n_types,
+        |       round(CAST(st.n_types AS DOUBLE) / st.n_tokens, 6) AS ttr,
+        |       top.top_term, top.top_cnt
+        |FROM nd JOIN st USING (source) JOIN top USING (source)
+        |WHERE top.rn = 1 ORDER BY nd.source""".stripMargin,
 
     // the full curation chain replayed from the per-stage replicas:
     // c17's gate metrics, c1's fingerprint, c24's string-gram overlap,
