@@ -28,8 +28,13 @@ object Bench {
     "d9_enriched_segments", "b26_incremental_mv", "c33_seeded_shuffle",
     "c34_bloom_flag", "b28_recursive_cte", "c35_bm25", "c36_quality_keep",
     "c37_classifier_score", "b31_lateral_topn", "d12_stream_heavy_hitters",
+    // b32_jaccard_join is deliberately NOT a headline entry: on TPC-H's
+    // 92-word p_name vocabulary the qualifying pair set itself is
+    // workload-quadratic (31k pairs at sf0.01 → 3.1M at sf0.1), so its
+    // bench time measures result volume, not the operator. Its gate
+    // runs at sf0.01 like every other query.
     "c38_dsir_score", "d13_stream_quantiles", "c39_curation_pipeline",
-    "b32_jaccard_join", "b33_gap_fill", "c40_corpus_stats")
+    "b33_gap_fill", "c40_corpus_stats")
 
   /** Queries re-timed on the 10x replica for the scaling ratios: the r4
     * five (scan-bound agg, multi-join, two dedup candidate generators,
