@@ -34,7 +34,7 @@ object Bench {
     // bench time measures result volume, not the operator. Its gate
     // runs at sf0.01 like every other query.
     "c38_dsir_score", "d13_stream_quantiles", "c39_curation_pipeline",
-    "b33_gap_fill", "c40_corpus_stats")
+    "b33_gap_fill", "c40_corpus_stats", "b34_densify")
 
   /** Queries re-timed on the 10x replica for the scaling ratios: the r4
     * five (scan-bound agg, multi-join, two dedup candidate generators,

@@ -405,6 +405,34 @@ object SparkEntry {
           |GROUP BY b.root ORDER BY b.root""".stripMargin)
     }),
 
+    // B34 time-series densification (the bucket-level complement of
+    // B33's row-level fill): every (hour, event_type) cell of the
+    // observed time range exists in the output, zero-filled where no
+    // events landed — dashboards and window models need the empty
+    // buckets. The hour grid is sequence(min, max, 1 hour) × the
+    // distinct-type dim (both dim-sized), left-joined to the hourly agg;
+    // bounds come from one 2-value agg collect.
+    "b34_densify" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourly = ev
+        .select(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"), col("value"))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+      val b = hourly.agg(min("hour"), max("hour")).head()
+      val (lo, hi) = (b.getTimestamp(0), b.getTimestamp(1))
+      val hoursDf = s.range(1).select(explode(
+        sequence(lit(lo), lit(hi), expr("interval 1 hour"))).as("hour"))
+      val grid = hoursDf.crossJoin(ev.select("event_type").distinct())
+      grid.join(hourly, Seq("hour", "event_type"), "left")
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
     // B33 forward-fill / gap-fill (time-series imputation): per-user
     // last non-null reading carried forward in event-time order —
     // last_value(IGNORE NULLS) over an unbounded-preceding frame. The
@@ -1947,6 +1975,27 @@ object SparkEntry {
         |       round(sum(p.p_retailprice), 2) AS sum_price
         |FROM bom b JOIN part p ON p.p_partkey = b.pk
         |GROUP BY b.root ORDER BY b.root""".stripMargin,
+
+    // same grid: generate_series over the observed hour range × the
+    // distinct types, zero-filled left join
+    "b34_densify" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+        |grid AS (
+        |  SELECT g.hour, t.event_type
+        |  FROM (SELECT unnest(generate_series((SELECT lo FROM b),
+        |          (SELECT hi FROM b), INTERVAL 1 HOUR)) AS hour) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+        |SELECT strftime(grid.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       grid.event_type,
+        |       coalesce(h.n_events, 0) AS n_events,
+        |       coalesce(h.sum_value, 0.0) AS sum_value
+        |FROM grid LEFT JOIN h
+        |  ON h.hour = grid.hour AND h.event_type = grid.event_type
+        |ORDER BY 1, 2""".stripMargin,
 
     // identical IGNORE NULLS frame; DuckDB orders the frame the same way
     "b33_gap_fill" ->
