@@ -433,6 +433,75 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    // B35 event funnel (signup → purchase conversion cohorts): the
+    // product-analytics shape BigQuery users express with correlated
+    // min() subqueries. Per user, the first purchase strictly after the
+    // first signup; conversion = within 24 h. Both sides of the join are
+    // keyed dim-sized aggregates of the event stream (one keyed exchange
+    // each), never an event×event self-join; hour arithmetic is exact
+    // integer micros diffed then divided, so both engines see identical
+    // doubles.
+    "b35_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signup = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min("ts").as("signup_ts"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val first = signup
+        .join(purch,
+          col("p_user") === col("user_id") && col("p_ts") > col("signup_ts"),
+          "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(min("p_ts").as("first_purch"))
+      val conv = col("first_purch").isNotNull &&
+        col("first_purch") <= col("signup_ts") + expr("interval 24 hours")
+      first.groupBy(to_date(col("signup_ts")).as("cohort_day"))
+        .agg(count(lit(1)).as("n_signups"),
+          count(when(conv, 1)).as("n_conv_24h"),
+          round(avg(when(conv,
+            (unix_micros(col("first_purch")) - unix_micros(col("signup_ts")))
+              / lit(3.6e9))), 4).as("avg_hours"))
+        .orderBy("cohort_day")
+    }),
+
+    // B36 statistical aggregates (corr / covariance / variance / OLS
+    // regression) — the profiling surface analysts reach for before any
+    // model. All are one-pass mergeable co-moment aggregates (map-side
+    // combined, one tiny exchange); definitions are the textbook ones
+    // both engines share. Moments beyond 2nd (skewness/kurtosis) are
+    // deliberately excluded: Spark reports population g1/g2 while DuckDB
+    // applies sample bias correction — same name, different estimator.
+    "b36_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+          round(covar_samp("l_quantity", "l_discount"), 6).as("covar_qty_disc"),
+          round(stddev_samp("l_extendedprice"), 4).as("sd_price"),
+          round(var_samp("l_quantity"), 6).as("var_qty"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope_price_on_qty"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2_price_on_qty"))
+        .orderBy("l_returnflag")),
+
+    // B37 sliding-window aggregation (2 h windows sliding every 1 h):
+    // unlike b10/b34's tumbling buckets each event lands in
+    // window/slide = 2 grid cells. Spark's window() expands to that
+    // small constant fan-out before the keyed agg — cost is 2× the
+    // event scan, never event×window; the DuckDB replica builds the
+    // same two aligned starts per event explicitly.
+    "b37_sliding_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          round(sum("value"), 2).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("n_events"), col("n_users"), col("sum_value"))
+        .orderBy("win_start")),
+
     // B33 forward-fill / gap-fill (time-series imputation): per-user
     // last non-null reading carried forward in event-time order —
     // last_value(IGNORE NULLS) over an unbounded-preceding frame. The
@@ -1996,6 +2065,54 @@ object SparkEntry {
         |FROM grid LEFT JOIN h
         |  ON h.hour = grid.hour AND h.event_type = grid.event_type
         |ORDER BY 1, 2""".stripMargin,
+
+    // same two keyed aggregates + left join; hours from exact integer
+    // micros so the doubles are bit-identical before rounding
+    "b35_funnel" ->
+      """WITH signup AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |fp AS (
+        |  SELECT s.user_id, s.signup_ts, min(e.ts) AS first_purch
+        |  FROM signup s LEFT JOIN events e
+        |    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+        |   AND e.ts > s.signup_ts
+        |  GROUP BY 1, 2)
+        |SELECT CAST(signup_ts AS DATE) AS cohort_day,
+        |       count(*) AS n_signups,
+        |       count(CASE WHEN first_purch IS NOT NULL
+        |                   AND first_purch <= signup_ts + INTERVAL 24 HOUR
+        |             THEN 1 END) AS n_conv_24h,
+        |       round(avg(CASE WHEN first_purch IS NOT NULL
+        |                       AND first_purch <= signup_ts + INTERVAL 24 HOUR
+        |             THEN (epoch_us(first_purch) - epoch_us(signup_ts))
+        |                  / 3600000000.0 END), 4) AS avg_hours
+        |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical textbook estimators (sample covariance/variance, OLS)
+    "b36_stats" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+        |       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |       round(var_samp(l_quantity), 6) AS var_qty,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4)
+        |         AS slope_price_on_qty,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6)
+        |         AS r2_price_on_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // each event expanded to its two aligned window starts, then the
+    // same keyed agg — the explicit form of Spark's window() fan-out
+    "b37_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 2) AS sum_value
+        |FROM (SELECT date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS ws,
+        |             user_id, value
+        |      FROM events, (SELECT unnest([0, 1]) AS o) o)
+        |GROUP BY ws ORDER BY 1""".stripMargin,
 
     // identical IGNORE NULLS frame; DuckDB orders the frame the same way
     "b33_gap_fill" ->
