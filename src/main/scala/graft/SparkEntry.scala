@@ -1277,6 +1277,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C43 semantic decontamination — the embedding-space complement of
+    // C24's n-gram check (paraphrased eval leakage has no shared
+    // shingles). Contamination is PLANTED in-plan: every 50th corpus
+    // vector, dim-0 nudged by +0.1f, becomes an eval item — on unit-norm
+    // vectors that pins the donor cosine at ≈0.995 while random 64-d
+    // cosines sit ≈0.4, and the single-precision add equals
+    // CAST(double-exact sum AS FLOAT), so DuckDB rebuilds the identical
+    // eval matrix bit-for-bit. Exactly the planted donors must flag at
+    // tau=0.95; the whole eval matrix rides the plan as ONE codegen
+    // reference object — map-only, joinless, no shuffle.
+    "c43_semantic_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val eval = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("eval_id"),
+          concat(
+            array((element_at(col("embedding"), 1) + lit(0.1f)).cast("float")),
+            slice(col("embedding"), 2, 63)).as("ev"))
+      graft.operators.Decontaminate
+        .semanticFlags(emb, eval, "vec_id", "embedding", "eval_id", "ev",
+          tau = 0.95)
+        .withColumn("max_cos", round(col("max_cos"), 6))
+        .orderBy("vec_id")
+    }),
+
+    // C42 HTML → text extraction: the crawl-curation stage UPSTREAM of
+    // every text operator here (quality, dedup, tokenization all assume
+    // extracted text). Synthetic pages are built IN-PLAN from document
+    // columns — script/style/comment blocks, nested tags, and all six
+    // standard entities — so the strip chain faces every case and the
+    // oracle rebuilds the identical page from the same columns. The gate
+    // hashes the extracted text: one mis-stripped tag or mis-ordered
+    // entity decode anywhere breaks it. Map-only codegen, no shuffle.
+    "c42_html_strip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2 && 3 > 0;</script>"),
+        lit("<style>p { color: red; }</style><title>"),
+        col("source"), lit(" #"), col("doc_id"),
+        lit("</title></head><body><!-- nav\nboilerplate --><h1 class=\"t\">"),
+        col("lang"), lit("</h1>\n<p>"), col("text"),
+        lit("</p>\n<p>5 &lt; 7 &amp;&amp; 8 &gt; 2, &quot;q&quot; &#39;s&nbsp;end &amp;lt;</p><div><br/></div></body></html>"))
+      docs.select(col("doc_id"), page.as("html"))
+        .select(col("doc_id"), length(col("html")).as("n_raw"),
+          TextFunctions.stripHtml(col("html")).as("clean"))
+        .select(col("doc_id"), col("n_raw"),
+          length(col("clean")).as("n_clean"), md5(col("clean")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // C40 per-source corpus token statistics — the mixing-QA report
     // (C25's input diagnostics): token mass, vocabulary size, type-token
     // ratio and the modal term per source. One explode feeding ONE
@@ -2766,6 +2815,61 @@ object SparkEntry {
         |)), 4) AS quality,
         |CAST(2 AS BIGINT) AS cluster_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical planted eval matrix (float nudge rebuilt bit-exactly),
+    // full corpus×eval scoring, argmax ties to the smallest eval id
+    "c43_semantic_decon" ->
+      """WITH ev AS (
+        |  SELECT vec_id AS eval_id,
+        |         list_prepend(CAST(embedding[1] + CAST(0.1 AS FLOAT) AS FLOAT),
+        |                      embedding[2:64]) AS ev
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |sc AS (
+        |  SELECT c.vec_id, e.eval_id,
+        |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                CAST(e.ev AS DOUBLE[])) AS cos
+        |  FROM embeddings c CROSS JOIN ev e),
+        |best AS (
+        |  SELECT vec_id, cos, eval_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY cos DESC, eval_id) AS rn
+        |  FROM sc)
+        |SELECT vec_id, round(cos, 6) AS max_cos, eval_id AS nearest_eval_id,
+        |       cos >= 0.95 AS flagged
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // identical page built from the same columns, identical strip chain
+    // (RE2 regexes, entity decode with &amp; last), md5 of the result
+    "c42_html_strip" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var x = 1 < 2 && 3 > 0;</script>'
+        |    || '<style>p { color: red; }</style><title>'
+        |    || source || ' #' || doc_id
+        |    || '</title></head><body><!-- nav' || chr(10)
+        |    || 'boilerplate --><h1 class="t">'
+        |    || lang || '</h1>' || chr(10) || '<p>'
+        |    || text
+        |    || '</p>' || chr(10)
+        |    || '<p>5 &lt; 7 &amp;&amp; 8 &gt; 2, &quot;q&quot; &#39;s&nbsp;end &amp;lt;</p><div><br/></div></body></html>'
+        |      AS html FROM documents),
+        |clean AS (
+        |  SELECT doc_id, length(html) AS n_raw,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS c
+        |  FROM page)
+        |SELECT doc_id, n_raw, length(c) AS n_clean, md5(c) AS fp
+        |FROM clean ORDER BY doc_id""".stripMargin,
 
     // same token contract, same tie-break (count desc, term asc)
     "c40_corpus_stats" ->

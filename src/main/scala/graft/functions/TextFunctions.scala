@@ -120,6 +120,34 @@ object TextFunctions {
         ipv4Pattern, "<IP>"),
       phonePattern, "<PHONE>")
 
+  /** HTML → text extraction (the boilerplate-strip pass every web-crawl
+    * curation pipeline runs before any quality/dedup stage): drop
+    * script/style blocks and comments wholesale, strip remaining tags,
+    * decode the six entities that survive text extraction (`&amp;` LAST —
+    * the standard order, so `&amp;lt;` decodes to the literal `&lt;` and
+    * never double-decodes), collapse whitespace. One chain of codegen'd
+    * regex/replace rewrites — map-only, no shuffle, RE2-compatible so the
+    * DuckDB oracle replays it verbatim.
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(
+              replace(noTags, lit("&lt;"), lit("<")),
+              lit("&gt;"), lit(">")),
+            lit("&quot;"), lit("\"")),
+          lit("&#39;"), lit("'")),
+        lit("&nbsp;"), lit(" ")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Rolling polynomial hash over the normalized text's characters — the
     * classic Rabin-Karp document fingerprint, computed with higher-order
     * array functions entirely inside codegen. Base 257 mod the Mersenne

@@ -40,4 +40,119 @@ object Decontaminate {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Semantic decontamination — the EMBEDDING-space complement of
+    * [[flagContaminated]]: an n-gram check misses paraphrased or
+    * translated eval leakage, so pipelines also flag corpus items whose
+    * embedding is within cosine `tau` of ANY eval item's embedding.
+    *
+    * Scale shape: eval sets are bounded by definition (a benchmark is
+    * KBs–MBs), so the whole eval matrix rides the plan as ONE codegen
+    * reference object ([[EvalIndex]] — the CentroidIndex/PqIndex
+    * pattern: constant generated-code size, one virtual call per row
+    * into a compiled scalar loop). The corpus is scanned once, map-only,
+    * joinless, no shuffle; per-row cost is |eval|·dim multiply-adds.
+    * The collect is guarded: an oversized eval frame fails loudly
+    * instead of OOMing the driver (the BalancedRepartition contract).
+    *
+    * Ties in the argmax resolve to the smallest eval id (the index is
+    * id-sorted and comparison is strict), so output is deterministic.
+    * Returns (idCol, max_cos, nearest_eval_id, flagged).
+    */
+  def semanticFlags(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    vecCol: String, evalIdCol: String, evalVecCol: String,
+                    tau: Double, maxEval: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    val rows = evalSet
+      .select(col(evalIdCol).cast("long"), col(evalVecCol))
+      .limit(maxEval + 1).collect()
+    require(rows.nonEmpty, "semanticFlags: eval set is empty")
+    require(rows.length <= maxEval,
+      s"semanticFlags: eval set exceeds maxEval=$maxEval rows; " +
+        "raise the bound explicitly if the eval frame is really this big")
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val index = new EvalIndex(sorted.map(_._1), sorted.map(_._2))
+    val best = GraftColumnBridge.column(
+      SemanticBestExpr(GraftColumnBridge.expression(col("__v")), index))
+    corpus.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__best", best)
+      .select(col(idCol),
+        col("__best.cos").as("max_cos"),
+        col("__best.eval_id").as("nearest_eval_id"),
+        (col("__best.cos") >= lit(tau)).as("flagged"))
+  }
+}
+
+/** Id-sorted eval-embedding matrix for [[Decontaminate.semanticFlags]].
+  * One instance rides the plan as a codegen reference object; `best` is a
+  * tight scalar loop (double accumulation, ascending index — the c6
+  * cosine contract, so the DuckDB replica is bit-honest before rounding).
+  */
+final class EvalIndex(val ids: Array[Long], val vecs: Array[Array[Float]])
+    extends Serializable {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  private val norms: Array[Double] = vecs.map { a =>
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** (max cosine, its eval id); ties keep the first (= smallest) id. */
+  def best(v: ArrayData): GenericInternalRow = {
+    var nv = 0.0
+    var i = 0
+    val n = v.numElements()
+    while (i < n) { val x = v.getFloat(i).toDouble; nv += x * x; i += 1 }
+    nv = math.sqrt(nv)
+    var bestCos = Double.MinValue
+    var bestId = ids(0)
+    var e = 0
+    while (e < vecs.length) {
+      val c = vecs(e)
+      var s = 0.0
+      var j = 0
+      val m = math.min(n, c.length)
+      while (j < m) { s += v.getFloat(j).toDouble * c(j); j += 1 }
+      val d = norms(e) * nv
+      val cos = if (d == 0) 0.0 else s / d
+      if (cos > bestCos) { bestCos = cos; bestId = ids(e) }
+      e += 1
+    }
+    new GenericInternalRow(Array[Any](bestCos, bestId))
+  }
+}
+
+/** semantic_best(vec) → struct<cos: double, eval_id: long>. */
+case class SemanticBestExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: EvalIndex)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"semantic_best expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("cos", DoubleType, nullable = false),
+    StructField("eval_id", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = index.best(
+    input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("evalIndex", index,
+      classOf[EvalIndex].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $idx.best($c);")
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : SemanticBestExpr = copy(child = newChild)
 }
