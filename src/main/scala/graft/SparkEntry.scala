@@ -1277,6 +1277,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C41 PageRank link-authority ranking (the crawl-curation centrality
+    // pass; the graph twin of C13's connected components). The link
+    // graph is synthesized IN-PLAN from documents — 3 out-edges per doc
+    // via an LCG hash mod n — so DuckDB rebuilds the identical graph and
+    // replays the identical 3 damped iterations, unrolled as CTEs. The
+    // engine-side loop shuffles the edge list ONCE (persisted
+    // pre-partitioned on the join key); per-round movement is the
+    // node-sized rank frame plus the keyed contribution aggregate.
+    "c41_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val nodes = docs.select(col("doc_id"))
+      val edges = nodes
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .select(col("src"),
+          pmod(col("src") * lit(1103515245L) + col("j") * lit(12345L),
+            lit(nDocs)).as("dst"))
+      graft.operators.PageRank
+        .pagerank(nodes, edges, "doc_id", "src", "dst",
+          iters = 3, damping = 0.85)
+        .withColumn("rank", round(col("rank"), 8))
+        .orderBy("doc_id")
+    }),
+
     // C43 semantic decontamination — the embedding-space complement of
     // C24's n-gram check (paraphrased eval leakage has no shared
     // shingles). Contamination is PLANTED in-plan: every 50th corpus
@@ -2815,6 +2840,49 @@ object SparkEntry {
         |)), 4) AS quality,
         |CAST(2 AS BIGINT) AS cluster_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical synthetic graph (same LCG mod-n edges), identical 3
+    // damped iterations unrolled as CTEs — mass leak semantics and all
+    "c41_pagerank" ->
+      """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                   count(*) AS nb FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src,
+        |         (doc_id * 1103515245 + j.j * 12345)
+        |           % (SELECT nb FROM nn) AS dst
+        |  FROM documents, (SELECT unnest([1, 2, 3]) AS j) j),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1),
+        |r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS r
+        |       FROM documents),
+        |r1 AS (
+        |  SELECT d.doc_id AS id,
+        |         0.15 / (SELECT n FROM nn)
+        |           + 0.85 * coalesce(sum(r0.r / od.od), 0) AS r
+        |  FROM documents d
+        |  LEFT JOIN e ON e.dst = d.doc_id
+        |  LEFT JOIN r0 ON r0.id = e.src
+        |  LEFT JOIN od ON od.src = e.src
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT d.doc_id AS id,
+        |         0.15 / (SELECT n FROM nn)
+        |           + 0.85 * coalesce(sum(r1.r / od.od), 0) AS r
+        |  FROM documents d
+        |  LEFT JOIN e ON e.dst = d.doc_id
+        |  LEFT JOIN r1 ON r1.id = e.src
+        |  LEFT JOIN od ON od.src = e.src
+        |  GROUP BY 1),
+        |r3 AS (
+        |  SELECT d.doc_id AS id,
+        |         0.15 / (SELECT n FROM nn)
+        |           + 0.85 * coalesce(sum(r2.r / od.od), 0) AS r
+        |  FROM documents d
+        |  LEFT JOIN e ON e.dst = d.doc_id
+        |  LEFT JOIN r2 ON r2.id = e.src
+        |  LEFT JOIN od ON od.src = e.src
+        |  GROUP BY 1)
+        |SELECT id AS doc_id, round(r, 8) AS rank
+        |FROM r3 ORDER BY doc_id""".stripMargin,
 
     // identical planted eval matrix (float nudge rebuilt bit-exactly),
     // full corpus×eval scoring, argmax ties to the smallest eval id
