@@ -1277,6 +1277,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // A29 write-audit-publish (the staged-commit discipline the
+    // reference's blind append sink lacks): a good batch stages, passes
+    // its audits, and publishes via per-file renames; a bad batch (null
+    // keys planted) is REFUSED — staging deleted, table bit-identical.
+    // The read-back aggregate is the proof: it must equal base + good
+    // batch exactly (a leaked bad batch double-counts and breaks the
+    // hash); the booleans pin both verdicts and staging hygiene.
+    "a29_wap" -> ((s, dir) => {
+      import org.apache.hadoop.fs.Path
+      import graft.sources.Wap
+      val path = Tables.scratch("a29_wap_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(path).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(path), true)
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus").map(col)
+      val orders = t(s, dir, "orders")
+      orders.where(col("o_orderkey") % 3 =!= 0).select(cols: _*)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      val good = orders.where(col("o_orderkey") % 3 === 0).select(cols: _*)
+      val r1 = Wap.writeAuditPublish(s, good, path, "o_orderstatus",
+        "batch001", Seq(Wap.minRows(1), Wap.noNulls("o_orderkey"),
+          Wap.uniqueKey("o_orderkey")))
+      val bad = good.withColumn("o_orderkey",
+        when(col("o_orderkey") % 9 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey")))
+      val r2 = Wap.writeAuditPublish(s, bad, path, "o_orderstatus",
+        "batch002", Seq(Wap.minRows(1), Wap.noNulls("o_orderkey")))
+      val stagingClean = !fs.exists(new Path(path, "_staging"))
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("good_published", lit(r1.published))
+        .withColumn("bad_blocked", lit(!r2.published))
+        .withColumn("staging_clean", lit(stagingClean))
+        .orderBy("o_orderstatus")
+    }),
+
     // C41 PageRank link-authority ranking (the crawl-curation centrality
     // pass; the graph twin of C13's connected components). The link
     // graph is synthesized IN-PLAN from documents — 3 out-edges per doc
@@ -2840,6 +2879,15 @@ object SparkEntry {
         |)), 4) AS quality,
         |CAST(2 AS BIGINT) AS cluster_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // base (keys % 3 != 0) + the good batch (% 3 == 0) = ALL orders; a
+    // leaked bad batch or a lost good batch breaks cnt/sum immediately
+    "a29_wap" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       true AS good_published, true AS bad_blocked,
+        |       true AS staging_clean
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical synthetic graph (same LCG mod-n edges), identical 3
     // damped iterations unrolled as CTEs — mass leak semantics and all

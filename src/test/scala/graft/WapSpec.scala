@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Wap
+
+class WapSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private def fs(p: String): FileSystem =
+    FileSystem.get(new Path(p).toUri, spark.sparkContext.hadoopConfiguration)
+
+  private def freshTable(name: String): String = {
+    val p = Tables.scratch(s"wap_spec_$name")
+    fs(p).delete(new Path(p), true)
+    Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0))
+      .toDF("k", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(p)
+    p
+  }
+
+  private def tableFiles(p: String): Set[String] = {
+    val f = fs(p)
+    f.listStatus(new Path(p))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .flatMap(d => f.listStatus(d.getPath))
+      .map(st => s"${st.getPath.getName}:${st.getLen}")
+      .toSet
+  }
+
+  test("failed audit leaves the table bit-identical and no staging") {
+    val p = freshTable("fail")
+    val before = tableFiles(p)
+    val bad = Seq[(java.lang.Long, String, Double)]((4L, "A", 1.0),
+        (null, "B", 2.0))
+      .toDF("k", "part", "v")
+    val r = Wap.writeAuditPublish(spark, bad, p, "part", "b1",
+      Seq(Wap.noNulls("k")))
+    assert(!r.published)
+    assert(r.failures.exists(_.contains("noNulls")))
+    assert(tableFiles(p) === before)
+    assert(!fs(p).exists(new Path(p, "_staging")))
+    assert(spark.read.parquet(p).count() === 3)
+  }
+
+  test("staged-but-unpublished data is invisible to readers") {
+    val p = freshTable("invisible")
+    // simulate an in-flight stage: data parked under the hidden dir
+    Seq((9L, "A", 99.0)).toDF("k", "part", "v")
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$p/_staging/inflight")
+    assert(spark.read.parquet(p).count() === 3)
+    assert(spark.read.parquet(p).agg(sum("k")).head().getLong(0) === 6L)
+  }
+
+  test("good batch publishes; replayed batchId does not duplicate") {
+    val p = freshTable("replay")
+    val batch = Seq((4L, "A", 40.0), (5L, "C", 50.0)).toDF("k", "part", "v")
+    val r1 = Wap.writeAuditPublish(spark, batch, p, "part", "b42",
+      Seq(Wap.minRows(1), Wap.noNulls("k"), Wap.uniqueKey("k")))
+    assert(r1.published && r1.stagedRows === 2 && r1.publishedFiles > 0)
+    assert(spark.read.parquet(p).count() === 5)
+    // at-least-once delivery: the SAME batch retried must overwrite
+    // itself (batchId-prefixed files replaced), never append twice
+    val r2 = Wap.writeAuditPublish(spark, batch, p, "part", "b42",
+      Seq(Wap.minRows(1), Wap.noNulls("k"), Wap.uniqueKey("k")))
+    assert(r2.published)
+    assert(spark.read.parquet(p).count() === 5)
+    assert(spark.read.parquet(p).where(col("part") === "C").count() === 1)
+  }
+
+  test("distinct batches accumulate") {
+    val p = freshTable("accumulate")
+    val b1 = Seq((4L, "A", 40.0)).toDF("k", "part", "v")
+    val b2 = Seq((5L, "B", 50.0)).toDF("k", "part", "v")
+    assert(Wap.writeAuditPublish(spark, b1, p, "part", "d1",
+      Seq(Wap.noNulls("k"))).published)
+    assert(Wap.writeAuditPublish(spark, b2, p, "part", "d2",
+      Seq(Wap.noNulls("k"))).published)
+    assert(spark.read.parquet(p).count() === 5)
+    assert(!fs(p).exists(new Path(p, "_staging")))
+  }
+}
