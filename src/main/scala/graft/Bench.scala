@@ -34,7 +34,9 @@ object Bench {
     // bench time measures result volume, not the operator. Its gate
     // runs at sf0.01 like every other query.
     "c38_dsir_score", "d13_stream_quantiles", "c39_curation_pipeline",
-    "b33_gap_fill", "c40_corpus_stats", "b34_densify")
+    "b33_gap_fill", "c40_corpus_stats", "b34_densify",
+    "b35_funnel", "b36_stats", "b37_sliding_window", "a29_wap",
+    "c41_pagerank", "c42_html_strip", "c43_semantic_decon")
 
   /** Queries re-timed on the 10x replica for the scaling ratios: the r4
     * five (scan-bound agg, multi-join, two dedup candidate generators,
@@ -53,7 +55,14 @@ object Bench {
       "b25_fuzzy_join", "c30_perplexity", "c31_semdedup",
       "b26_incremental_mv", "c33_seeded_shuffle", "c34_bloom_flag",
       "c35_bm25", "c37_classifier_score", "c38_dsir_score",
-      "c39_curation_pipeline")
+      "c39_curation_pipeline",
+      // c41's replica dst-space quirk is documented in SURVEY (ids shift,
+      // the LCG mod-n edge targets don't — per-iteration cost stays
+      // linear, which is what the probe measures). c43 is deliberately
+      // NOT probed: the replica grows the eval set with the corpus, so
+      // its cost is workload-quadratic under replication (real eval sets
+      // are fixed as the corpus grows — the b32 exclusion rule).
+      "c41_pagerank", "c42_html_strip", "b36_stats", "a29_wap")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
