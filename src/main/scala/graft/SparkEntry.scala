@@ -433,6 +433,48 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    // B38 distribution-position window functions (percent_rank /
+    // cume_dist / partition-constant nth_value): where does each row sit
+    // inside its group's distribution — the ranking surface b4/b14 don't
+    // cover. The window sort never leaves the key partition; the sampled
+    // output filter runs AFTER the window (position is over the FULL
+    // partition, then rows are thinned — order matters and both engines
+    // do it in that order). Tie-proof: the sort key is unique.
+    "b38_window_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("o_totalprice"), 3).over(wFull).as("third_lowest"))
+        .where(col("o_orderkey") % 101 === 0)
+        .orderBy("o_orderkey")
+    }),
+
+    // B39 array aggregation (the BigQuery ARRAY_AGG surface): per-group
+    // top-5 values materialized as an ARRAY inside the engine —
+    // collect_list is order-free, so the contract is sort_array + slice
+    // (deterministic regardless of partitioning); money goes through
+    // exact integer cents and the array leaves as a joined string so the
+    // gate is representation-proof. One keyed exchange, map-side
+    // combined collect.
+    "b39_array_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          slice(sort_array(collect_list(
+            round(col("o_totalprice") * 100).cast("long")), asc = false),
+            1, 5).as("top5"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"),
+          concat_ws(",", col("top5")).as("top5_cents"),
+          col("n_orders"))
+        .orderBy("o_orderpriority")),
+
     // B35 event funnel (signup → purchase conversion cohorts): the
     // product-analytics shape BigQuery users express with correlated
     // min() subqueries. Per user, the first purchase strictly after the
@@ -1676,6 +1718,18 @@ object SparkEntry {
           col("segment"), col("n_events"), col("sum_value"))
         .orderBy("hour", "segment")),
 
+    // D14 trending top-k (batch twin): hourly (hour, type) counts +
+    // rank-on-read. Ranking is deliberately NOT in the stream — a top-k
+    // is not incrementally emittable under append semantics — so the
+    // streaming half maintains the exactly-once counts table and the
+    // rank is a window over the DIM-SIZED counts (hours × types);
+    // EventStreamsSpec locks stream ≡ batch including the rank.
+    "d14_trending" -> ((s, dir) =>
+      EventStreams.trendingBatch(t(s, dir, "events"), k = 3)
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("rnk"), col("event_type"), col("n"))
+        .orderBy("hour", "rnk")),
+
     "d1_stream_window" -> ((s, dir) =>
       EventStreams.hourlyAgg(t(s, dir, "events"))
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -2178,6 +2232,33 @@ object SparkEntry {
         |FROM grid LEFT JOIN h
         |  ON h.hour = grid.hour AND h.event_type = grid.event_type
         |ORDER BY 1, 2""".stripMargin,
+
+    // identical window (unique sort key), position before thinning
+    "b38_window_stats" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       round(pr, 6) AS pr, round(cd, 6) AS cd, third_lowest
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    percent_rank() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice, o_orderkey) AS pr,
+        |    cume_dist() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice, o_orderkey) AS cd,
+        |    nth_value(o_totalprice, 3) OVER (
+        |        PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND UNBOUNDED FOLLOWING) AS third_lowest
+        |  FROM orders) t
+        |WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    // same exact-cents arrays, same sort/slice/join-string contract
+    "b39_array_agg" ->
+      """SELECT o_orderpriority,
+        |       array_to_string(
+        |         list_sort(list(CAST(round(o_totalprice * 100) AS BIGINT)),
+        |                   'DESC')[1:5], ',') AS top5_cents,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same two keyed aggregates + left join; hours from exact integer
     // micros so the doubles are bit-identical before rounding
@@ -3649,6 +3730,21 @@ object SparkEntry {
         |       event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same hourly counts, same rank window, same tie-break (n desc, type)
+    "d14_trending" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT hour, event_type, n,
+        |         row_number() OVER (PARTITION BY hour
+        |             ORDER BY n DESC, event_type) AS rnk
+        |  FROM c)
+        |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       rnk, event_type, n
+        |FROM r WHERE rnk <= 3 ORDER BY hour, rnk""".stripMargin,
 
     "d2_sessionize" ->
       """SELECT user_id, session_idx, count(*) AS n_events,

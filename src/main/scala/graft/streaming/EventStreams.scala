@@ -415,4 +415,42 @@ object EventStreams {
       .select(col("window.start").as("hour"),
         col("c_mktsegment").as("segment"),
         col("n_events"), col("sum_value"))
+
+  // ------------------------------------------------- D14: trending top-k
+
+  /** Rank-on-read finalizer over a (hour, event_type, n) counts table:
+    * top-`k` types per hour, ties broken by type name. The window
+    * partitions the DIM-SIZED counts table (hours × types), never the
+    * event stream.
+    */
+  def trendingOnRead(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("hour").orderBy(desc("n"), col("event_type"))
+    counts.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("hour"), col("rnk"), col("event_type"), col("n"))
+  }
+
+  /** Batch twin of the trending pipeline: hourly (hour, type) counts +
+    * [[trendingOnRead]].
+    */
+  def trendingBatch(events: DataFrame, k: Int = 3): DataFrame =
+    trendingOnRead(
+      events.groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n")), k)
+
+  /** Streaming half of the trending pipeline: watermarked hourly
+    * (hour, type) counts in APPEND mode. Ranking is deliberately NOT in
+    * the stream: a top-k is not incrementally emittable under append
+    * semantics (one late event can reorder a whole window), so the
+    * production shape is this exactly-once counts stream + rank-on-read
+    * — the same split D12/D13 use for sketch state vs probe.
+    */
+  def trendingCountsStream(spark: SparkSession, dir: String,
+                           schema: StructType): DataFrame =
+    eventsSource(spark, dir, schema)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
 }

@@ -437,6 +437,31 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "stream-stream (no join state store)")
   }
 
+  test("d14: trending counts stream + rank-on-read equals the batch " +
+       "top-k on every finalized hour") {
+    val streamedCounts = runToCompletion(
+      EventStreams.trendingCountsStream(spark, stagedDir, rawSchema),
+      "trend_mem")
+    val n = streamedCounts.count()
+    assert(n > 0, "no finalized hourly counts emitted")
+    // counts must be a subset of the batch hourly counts (watermark
+    // holdback only — no wrong or duplicated cells)
+    val batchCounts = events.groupBy(
+        date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamedCounts.join(batchCounts,
+      Seq("hour", "event_type", "n"), "left_anti").count() === 0L)
+    // a finalized hour carries ALL its types (the watermark finalizes
+    // whole windows), so rank-on-read over the streamed counts must
+    // equal the batch top-k restricted to the streamed hours
+    val hours = streamedCounts.select("hour").distinct()
+    val got = EventStreams.trendingOnRead(streamedCounts, k = 3)
+    val want = EventStreams.trendingBatch(events, k = 3)
+      .join(hours, Seq("hour"), "left_semi")
+    assert(got.exceptAll(want).count() === 0L, "rank-on-read extras")
+    assert(want.exceptAll(got).count() === 0L, "rank-on-read missing rows")
+  }
+
   test("d12: streamed shard sketches are BYTE-identical to the batch " +
        "CMS, and state stays nShards rows") {
     import graft.streaming.SketchStream

@@ -55,6 +55,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"assignment must not shuffle the corpus:\n${p.take(600)}")
   }
 
+  test("c42/c43: the map-only curation scans have NO exchange before " +
+       "the output sort, and c43's scan is joinless") {
+    // c42: strip chain is one projection pass — the only exchange allowed
+    // is the final presentation orderBy's range partitioning
+    val p42 = plan("c42_html_strip")
+    assert(!p42.contains("hashpartitioning"),
+      s"html strip must not shuffle:\n${p42.take(600)}")
+    assert(!p42.contains("Join"), "html strip must not join")
+    // c43: eval matrix is a reference object — no join, no hash exchange;
+    // the semantic_best call must be inside codegen, not a fallback eval
+    // (executed first: codegen spans only print in the FINAL adaptive plan)
+    val df43 = SparkEntry.queries("c43_semantic_decon")(spark, sfDir())
+    df43.queryExecution.toRdd.count()
+    val p43 = df43.queryExecution.executedPlan.toString
+    assert(!p43.contains("Join"),
+      "eval matrix must ride the plan, not a joined frame")
+    assert(!p43.contains("hashpartitioning"),
+      s"semantic scan must not shuffle:\n${p43.take(600)}")
+    // codegen'd operators print as "*(n) Project ..." in the final plan
+    assert("""\*\(\d+\) Project \[vec_id""".r.findFirstIn(p43).isDefined,
+      s"semantic_best must run inside whole-stage codegen:\n${p43.take(600)}")
+  }
+
   test("b19: range join runs as equi-join, never nested-loop/cartesian") {
     val p = plan("b19_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
