@@ -37,7 +37,8 @@ object Bench {
     "b33_gap_fill", "c40_corpus_stats", "b34_densify",
     "b35_funnel", "b36_stats", "b37_sliding_window", "a29_wap",
     "c41_pagerank", "c42_html_strip", "c43_semantic_decon",
-    "b38_window_stats", "b39_array_agg", "d14_trending")
+    "b38_window_stats", "b39_array_agg", "d14_trending",
+    "a30_ingest_ledger", "d15_zscore")
 
   /** Queries re-timed on the 10x replica for the scaling ratios: the r4
     * five (scan-bound agg, multi-join, two dedup candidate generators,

@@ -1319,6 +1319,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // A30 incremental ingest ledger — the reference DAG's idempotence
+    // rule (process only the years missing from the bucket) as an engine
+    // operator: the target's partition LAYOUT is the ledger. An initial
+    // load lands years ≤ 1997; ingestMissing adds exactly 1998+ (the
+    // pre-1998 rows in the source must NOT double-land — the read-back
+    // aggregate catches one extra row anywhere); a second ingestMissing
+    // finds nothing missing. The no-op path costs one FS listing + one
+    // guarded distinct — no table scan.
+    "a30_ingest_ledger" -> ((s, dir) => {
+      import org.apache.hadoop.fs.Path
+      import graft.sources.IngestLedger
+      val path = Tables.scratch("a30_ledger_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(path).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(path), true)
+      val src = t(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+      src.where(col("yr") <= 1997)
+        .write.mode("overwrite").partitionBy("yr").parquet(path)
+      val added = IngestLedger.ingestMissing(s, src, path, "yr")
+      val again = IngestLedger.ingestMissing(s, src, path, "yr")
+      s.read.parquet(path)
+        .groupBy(col("yr").cast("int").as("yr"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("added_years", lit(added.mkString(",")))
+        .withColumn("rerun_noop", lit(again.isEmpty))
+        .orderBy("yr")
+    }),
+
     // A29 write-audit-publish (the staged-commit discipline the
     // reference's blind append sink lacks): a good batch stages, passes
     // its audits, and publishes via per-file renames; a bad batch (null
@@ -1717,6 +1747,15 @@ object SparkEntry {
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("segment"), col("n_events"), col("sum_value"))
         .orderBy("hour", "segment")),
+
+    // D15 z-score anomaly scoring (batch twin): each event against the
+    // running mean/stddev of strictly earlier same-type events — the
+    // 1-PRECEDING frame. The streaming form holds (n, mean, M2) Welford
+    // state per type (constant per key) and scores before updating;
+    // EventStreamsSpec bounds stream-vs-batch drift at 1e-6.
+    "d15_zscore" -> ((s, dir) =>
+      EventStreams.zscoreBatch(t(s, dir, "events"))
+        .orderBy("event_id")),
 
     // D14 trending top-k (batch twin): hourly (hour, type) counts +
     // rank-on-read. Ranking is deliberately NOT in the stream — a top-k
@@ -2961,6 +3000,17 @@ object SparkEntry {
         |CAST(2 AS BIGINT) AS cluster_size
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // initial load + missing-years ingest = ALL orders exactly once; a
+    // double-landed year breaks cnt/sum for that year immediately
+    "a30_ingest_ledger" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       (SELECT string_agg(DISTINCT CAST(year(o_orderdate) AS VARCHAR), ','
+        |                          ORDER BY CAST(year(o_orderdate) AS VARCHAR))
+        |        FROM orders WHERE year(o_orderdate) > 1997) AS added_years,
+        |       true AS rerun_noop
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // base (keys % 3 != 0) + the good batch (% 3 == 0) = ALL orders; a
     // leaked bad batch or a lost good batch breaks cnt/sum immediately
     "a29_wap" ->
@@ -3730,6 +3780,20 @@ object SparkEntry {
         |       event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical 1-PRECEDING frame, identical null contract (first two
+    // of a type, or zero deviation, score null)
+    "d15_zscore" ->
+      """SELECT event_id, event_type,
+        |       CASE WHEN sd > 0 THEN round((value - mu) / sd, 4) END AS z
+        |FROM (
+        |  SELECT event_id, event_type, value,
+        |         avg(value) OVER w AS mu,
+        |         stddev_samp(value) OVER w AS sd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |) t ORDER BY event_id""".stripMargin,
 
     // same hourly counts, same rank window, same tie-break (n desc, type)
     "d14_trending" ->

@@ -439,6 +439,62 @@ object EventStreams {
           col("event_type"))
         .agg(count(lit(1)).as("n")), k)
 
+  /** Batch twin of [[zscoreStream]] (D15): each event scored against the
+    * running statistics of STRICTLY EARLIER same-type events — frame =
+    * unbounded preceding .. 1 preceding in (ts, event_id) order, so an
+    * event never sees itself and the first two of a type have no defined
+    * deviation (null z). The frame sort never leaves the type partition.
+    */
+  def zscoreBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.select(col("event_id"), col("event_type"), col("value"),
+        avg("value").over(w).as("mu"),
+        stddev_samp("value").over(w).as("sd"))
+      .select(col("event_id"), col("event_type"),
+        when(col("sd") > 0,
+          round((col("value") - col("mu")) / col("sd"), 4)).as("z"))
+  }
+
+  /** Streaming z-score anomaly scorer (D15): per-type Welford state
+    * (n, mean, M2 — 3 numbers per key, constant in stream length) in a
+    * GroupState; each event is scored against the state BEFORE its own
+    * update, the exact semantics of the batch twin's 1-PRECEDING frame.
+    * In-batch rows fold in (ts, event_id) order so replays are
+    * deterministic; Welford vs the window aggregate differ only in fp
+    * associativity (spec bounds the drift at 1e-6).
+    */
+  def zscoreStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id").cast("long"), col("event_type"),
+        col("value").cast("double"), col("ts").cast("timestamp"))
+      .as[(Long, String, Double, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (typ: String,
+         rows: Iterator[(Long, String, Double, java.sql.Timestamp)],
+         state: GroupState[(Long, Double, Double)]) => {
+          var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(r => (r._4.getTime, r._1)).map { r =>
+            val z: Option[Double] =
+              if (n >= 2) {
+                val sd = math.sqrt(m2 / (n - 1))
+                if (sd > 0) Some((r._3 - mean) / sd) else None
+              } else None
+            n += 1
+            val d = r._3 - mean
+            mean += d / n
+            m2 += d * (r._3 - mean)
+            (r._1, typ, z)
+          }
+          state.update((n, mean, m2))
+          out.iterator
+        })
+      .toDF("event_id", "event_type", "z")
+  }
+
   /** Streaming half of the trending pipeline: watermarked hourly
     * (hour, type) counts in APPEND mode. Ranking is deliberately NOT in
     * the stream: a top-k is not incrementally emittable under append

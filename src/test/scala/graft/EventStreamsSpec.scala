@@ -462,6 +462,35 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(want.exceptAll(got).count() === 0L, "rank-on-read missing rows")
   }
 
+  test("d15: streamed Welford z-scores match the batch 1-PRECEDING " +
+       "frame within fp drift") {
+    val src = graft.Tables.withTsFromNanos(
+      spark.readStream.schema(rawSchema).parquet(stagedDir))
+    val streamed = runToCompletion(EventStreams.zscoreStream(src), "z_mem")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // batch twin WITHOUT rounding (compare raw doubles at tolerance)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val batch = events.select(col("event_id"), col("value"),
+        avg("value").over(w).as("mu"),
+        stddev_samp("value").over(w).as("sd"))
+      .select(col("event_id"),
+        when(col("sd") > 0, (col("value") - col("mu")) / col("sd")).as("z"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed.count(_._2.isDefined) > 0, "no scored events")
+    batch.foreach { case (id, want) =>
+      (streamed(id), want) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) < 1e-6, s"event $id: $a vs $b")
+        case (a, b) => assert(a === b, s"event $id null contract")
+      }
+    }
+  }
+
   test("d12: streamed shard sketches are BYTE-identical to the batch " +
        "CMS, and state stays nShards rows") {
     import graft.streaming.SketchStream

@@ -150,6 +150,30 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exceptAll(got).count() === 0L)
   }
 
+  test("a30: ingest ledger is incremental, idempotent, and refuses a " +
+       "non-partition column") {
+    import graft.sources.IngestLedger
+    val p = Tables.scratch("ledger_spec")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(p).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    val src = Tables(spark, sfDir(), "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    src.where(col("yr") === 1995)
+      .write.mode("overwrite").partitionBy("yr").parquet(p)
+    val added = IngestLedger.ingestMissing(spark, src, p, "yr")
+    assert(added.nonEmpty && !added.contains("1995"))
+    assert(IngestLedger.ingestMissing(spark, src, p, "yr").isEmpty)
+    assert(spark.read.parquet(p).count() === src.count())
+    // high-cardinality column ⇒ loud failure, not a driver OOM
+    val e = intercept[IllegalArgumentException] {
+      IngestLedger.missingPartitions(spark, p, src, "o_orderkey",
+        maxPartitions = 10)
+    }
+    assert(e.getMessage.contains("not a partition column"))
+  }
+
   test("readPermissive captures malformed rows instead of failing the job") {
     val dir = Files.createTempDirectory("graft_permissive").toString
     Files.writeString(java.nio.file.Paths.get(dir, "in.csv"),
