@@ -38,7 +38,12 @@ object Bench {
     "b35_funnel", "b36_stats", "b37_sliding_window", "a29_wap",
     "c41_pagerank", "c42_html_strip", "c43_semantic_decon",
     "b38_window_stats", "b39_array_agg", "d14_trending",
-    "a30_ingest_ledger", "d15_zscore")
+    "a30_ingest_ledger", "d15_zscore", "c44_url_canonical",
+    // a31 is headline but NOT probed: its in-plan v2 derivation shifts
+    // added keys by +2e9, which lands inside the replica's per-copy
+    // key bands (i·1e9) — statuses would change, timings wouldn't
+    // (the join stays ~1:1); probing it would measure a different query
+    "a31_snapshot_diff")
 
   /** Queries re-timed on the 10x replica for the scaling ratios: the r4
     * five (scan-bound agg, multi-join, two dedup candidate generators,
@@ -64,7 +69,8 @@ object Bench {
       // NOT probed: the replica grows the eval set with the corpus, so
       // its cost is workload-quadratic under replication (real eval sets
       // are fixed as the corpus grows — the b32 exclusion rule).
-      "c41_pagerank", "c42_html_strip", "b36_stats", "a29_wap")
+      "c41_pagerank", "c42_html_strip", "b36_stats", "a29_wap",
+      "c44_url_canonical")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -1349,6 +1349,30 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // A31 snapshot diff / reconciliation — full-outer row-level compare
+    // of two table versions with a column-level change mask. v2 is
+    // derived in-plan (keys %7 removed, %5 reprice, %11 repriority —
+    // %55 rows carry BOTH changes — %13 key-shifted copies added) so the
+    // oracle rebuilds the identical v2 and replays the identical
+    // IS-DISTINCT-FROM mask. One full-outer hash join, mask map-side.
+    "a31_snapshot_diff" -> ((s, dir) => {
+      import graft.operators.TableDiff
+      val v1 = t(s, dir, "orders")
+      val changed = v1.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0, lit("Z"))
+            .otherwise(col("o_orderpriority")))
+      val added = v1.where(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+      TableDiff.diff(v1, changed.unionByName(added), Seq("o_orderkey"))
+        .groupBy("status", "changed_cols")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .orderBy("status", "changed_cols")
+    }),
+
     // A29 write-audit-publish (the staged-commit discipline the
     // reference's blind append sink lacks): a good batch stages, passes
     // its audits, and publishes via per-file renames; a bad batch (null
@@ -1445,6 +1469,47 @@ object SparkEntry {
     // oracle rebuilds the identical page from the same columns. The gate
     // hashes the extracted text: one mis-stripped tag or mis-ordered
     // entity decode anywhere breaks it. Map-only codegen, no shuffle.
+    // C44 URL canonicalization + domain blocklist (the crawl-curation
+    // stage upstream of every text op — FineWeb-shape pipelines dedup
+    // and filter BY canonical URL/registered domain first). Raw URLs are
+    // synthesized in-plan from document columns (the c42 pattern) so
+    // every case is exercised — mixed-case scheme/host, default vs
+    // non-default ports, www, tracking params amid kept ones, fragments,
+    // trailing slashes, two-label public suffixes — and the oracle
+    // rebuilds the identical raw URL and replays the identical
+    // RE2-safe/global rewrite chain. Map-only, zero shuffles.
+    "c44_url_canonical" -> ((s, dir) => {
+      import graft.functions.UrlFunctions
+      val docs = t(s, dir, "documents")
+      val schemeRaw = when(col("doc_id") % 2 === 0, lit("HTTPS"))
+        .otherwise(lit("http"))
+      val hostRaw = when(col("doc_id") % 5 === 0, lit("Tracker.AdNet.com"))
+        .when(col("doc_id") % 5 === 1, lit("WWW.News.co.uk"))
+        .when(col("doc_id") % 5 === 2, lit("Blog.Wiki.org"))
+        .when(col("doc_id") % 5 === 3, lit("www.SHOP.example.com"))
+        .otherwise(lit("Spammy.net"))
+      val port = when(col("doc_id") % 4 === 0, lit(":443"))
+        .when(col("doc_id") % 4 === 2, lit(":8080"))
+        .when(col("doc_id") % 4 === 3, lit(":80"))
+        .otherwise(lit(""))
+      val raw = concat(schemeRaw, lit("://"), hostRaw, port,
+        lit("/"), col("source"), lit("/Item/"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="), col("doc_id"), lit("&utm_campaign=x"),
+        when(col("doc_id") % 4 === 0, lit("&ref=r")).otherwise(lit("")),
+        lit("#sec"), col("doc_id") % 7)
+      docs.select(col("doc_id"), raw.as("url_raw"))
+        .select(col("doc_id"), col("url_raw"),
+          UrlFunctions.canonicalUrl(col("url_raw")).as("url_canonical"),
+          UrlFunctions.canonicalHost(col("url_raw")).as("host"))
+        .select(col("doc_id"), col("url_raw"), col("url_canonical"),
+          col("host"),
+          UrlFunctions.registeredDomain(col("host")).as("domain"),
+          UrlFunctions.domainBlocked(col("host"),
+            Seq("adnet.com", "spammy.net")).as("blocked"))
+        .orderBy("doc_id")
+    }),
+
     "c42_html_strip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val page = concat(
@@ -3000,6 +3065,49 @@ object SparkEntry {
         |CAST(2 AS BIGINT) AS cluster_size
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // identical v2 rebuilt in SQL, identical null-safe
+    // (IS DISTINCT FROM) per-column mask, same name-sorted mask order
+    "a31_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderdate,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN 'Z'
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000000, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |d AS (
+        |  SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+        |    CASE WHEN l.o_orderkey IS NULL THEN 'added'
+        |         WHEN r.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (l.o_custkey IS DISTINCT FROM r.o_custkey)
+        |           OR (l.o_orderdate IS DISTINCT FROM r.o_orderdate)
+        |           OR (l.o_orderpriority IS DISTINCT FROM r.o_orderpriority)
+        |           OR (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)
+        |           OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice)
+        |           THEN 'changed' ELSE 'same' END AS status,
+        |    concat_ws(',',
+        |      CASE WHEN l.o_custkey IS DISTINCT FROM r.o_custkey
+        |           THEN 'o_custkey' END,
+        |      CASE WHEN l.o_orderdate IS DISTINCT FROM r.o_orderdate
+        |           THEN 'o_orderdate' END,
+        |      CASE WHEN l.o_orderpriority IS DISTINCT FROM r.o_orderpriority
+        |           THEN 'o_orderpriority' END,
+        |      CASE WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+        |           THEN 'o_orderstatus' END,
+        |      CASE WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice
+        |           THEN 'o_totalprice' END) AS mask
+        |  FROM orders l FULL OUTER JOIN v2 r ON l.o_orderkey = r.o_orderkey)
+        |SELECT status,
+        |       CASE WHEN status = 'changed' THEN mask ELSE '' END
+        |         AS changed_cols,
+        |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // initial load + missing-years ingest = ALL orders exactly once; a
     // double-landed year breaks cnt/sum for that year immediately
     "a30_ingest_ledger" ->
@@ -3084,6 +3192,64 @@ object SparkEntry {
         |SELECT vec_id, round(cos, 6) AS max_cos, eval_id AS nearest_eval_id,
         |       cos >= 0.95 AS flagged
         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // identical raw URL rebuilt from the same columns, identical
+    // RE2-safe rewrite chain (global flags where Spark's always-global
+    // regexp_replace can match more than once)
+    "c44_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN 'Tracker.AdNet.com'
+        |             WHEN doc_id % 5 = 1 THEN 'WWW.News.co.uk'
+        |             WHEN doc_id % 5 = 2 THEN 'Blog.Wiki.org'
+        |             WHEN doc_id % 5 = 3 THEN 'www.SHOP.example.com'
+        |             ELSE 'Spammy.net' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+        |             WHEN doc_id % 4 = 2 THEN ':8080'
+        |             WHEN doc_id % 4 = 3 THEN ':80' ELSE '' END)
+        |    || '/' || source || '/Item/' || doc_id
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&id=' || doc_id || '&utm_campaign=x'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '&ref=r' ELSE '' END)
+        |    || '#sec' || (doc_id % 7) AS url_raw
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url_raw,
+        |    lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1)) AS sch,
+        |    lower(regexp_extract(url_raw, '^[A-Za-z]+://([^/?#]+)', 1))
+        |      AS hostport,
+        |    regexp_replace(regexp_extract(url_raw,
+        |        '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS pth,
+        |    regexp_replace(regexp_replace(
+        |        '&' || regexp_extract(url_raw, '[?]([^#]*)', 1) || '&',
+        |        '&(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+        |        '^&+|&+$', '', 'g') AS q
+        |  FROM raw),
+        |hosts AS (
+        |  SELECT *, regexp_replace(
+        |      CASE WHEN sch = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |           WHEN sch = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |           ELSE hostport END, '^www\.', '') AS host
+        |  FROM parts),
+        |dom AS (
+        |  SELECT *, CASE
+        |      WHEN regexp_matches(host,
+        |             '\.(co|com|org|net|gov|ac|edu)\.[a-z][a-z]$')
+        |        THEN regexp_extract(host,
+        |             '([^.]+\.(co|com|org|net|gov|ac|edu)\.[a-z][a-z])$', 1)
+        |      WHEN regexp_matches(host, '\.')
+        |        THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |      ELSE host END AS domain
+        |  FROM hosts)
+        |SELECT doc_id, url_raw,
+        |       sch || '://' || host || pth ||
+        |         (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+        |         AS url_canonical,
+        |       host, domain,
+        |       domain IN ('adnet.com', 'spammy.net') AS blocked
+        |FROM dom ORDER BY doc_id""".stripMargin,
 
     // identical page built from the same columns, identical strip chain
     // (RE2 regexes, entity decode with &amp; last), md5 of the result

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot reconciliation — row-level diff of two versions of a table
+  * sharing a key (the data-quality twin of the A17/A23 merge surface:
+  * merge WRITES a new version, diff EXPLAINS one).
+  *
+  * Output is one row per key present in either version: `status` ∈
+  * {added, removed, changed, same} and `changed_cols` — the
+  * comma-joined, name-sorted list of value columns whose NULL-SAFE
+  * comparison differs ('' unless status = changed). Column comparison
+  * is `<=>` so a null→value or value→null flip counts as a change and
+  * null==null does not.
+  *
+  * Plan shape: ONE full-outer hash join on the key — the only shuffle;
+  * presence flags and the per-column compare mask are map-side
+  * projections on the joined row. At 100 TB both sides shuffle once on
+  * the key (or zero times if the snapshots are bucketed on it — the B17
+  * layout); the change mask adds no exchange. This is the
+  * delta-lake-style `table_changes` answer computable WITHOUT a change
+  * feed — full-snapshot reconciliation when only the data survives.
+  */
+object TableDiff {
+
+  def diff(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = left.columns.toSeq.intersect(right.columns.toSeq)
+      .filterNot(keys.contains).sorted
+    val l = left.withColumn("__l", lit(true)).alias("l")
+    val r = right.withColumn("__r", lit(true)).alias("r")
+    val joinCond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val joined = l.join(r, joinCond, "full_outer")
+    val diffs = valueCols.map(c => !(col(s"l.$c") <=> col(s"r.$c")))
+    val anyDiff = diffs.reduceOption(_ || _).getOrElse(lit(false))
+    val status = when(col("l.__l").isNull, lit("added"))
+      .when(col("r.__r").isNull, lit("removed"))
+      .when(anyDiff, lit("changed"))
+      .otherwise(lit("same"))
+    val mask = concat_ws(",",
+      valueCols.zip(diffs).map { case (c, d) => when(d, lit(c)) }: _*)
+    joined.select(
+      keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k)) ++ Seq(
+        status.as("status"),
+        when(status === "changed", mask).otherwise(lit(""))
+          .as("changed_cols")): _*)
+  }
+}

@@ -106,4 +106,36 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       .head.isNullAt(0)
     assert(n)
   }
+
+  test("c44: URL canonicalization handles ports, www, tracking params, " +
+       "fragments, and public-suffix domains") {
+    import graft.functions.UrlFunctions
+    def canon(u: String): String =
+      one(u, UrlFunctions.canonicalUrl(col("t"))).asInstanceOf[String]
+    def domain(h: String): String =
+      one(h, UrlFunctions.registeredDomain(col("t"))).asInstanceOf[String]
+    // default port stripped iff it matches the scheme; www stripped;
+    // scheme+host lowercased; path case preserved
+    assert(canon("HTTPS://WWW.Example.COM:443/A/b") ===
+      "https://example.com/A/b")
+    assert(canon("http://site.org:80/x") === "http://site.org/x")
+    // non-default port survives
+    assert(canon("https://site.org:8080/x") === "https://site.org:8080/x")
+    // tracking-only query drops the '?' entirely; kept params keep order
+    assert(canon("http://a.com/p?utm_source=x&utm_medium=y#frag") ===
+      "http://a.com/p")
+    assert(canon("http://a.com/p?b=2&utm_source=x&a=1&gclid=z") ===
+      "http://a.com/p?b=2&a=1")
+    // trailing slashes strip (root path canonicalizes to empty)
+    assert(canon("http://a.com/") === "http://a.com")
+    assert(canon("http://a.com/x///") === "http://a.com/x")
+    // registered-domain heuristic: 2 labels, 3 under a 2-label suffix
+    assert(domain("tracker.ads.example.com") === "example.com")
+    assert(domain("news.bbc.co.uk") === "bbc.co.uk")
+    assert(domain("localhost") === "localhost")
+    assert(one("http://Sub.Spammy.NET/x",
+      UrlFunctions.domainBlocked(
+        UrlFunctions.canonicalHost(col("t")),
+        Seq("spammy.net"))).asInstanceOf[Boolean])
+  }
 }

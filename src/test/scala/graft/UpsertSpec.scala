@@ -123,4 +123,34 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
       Seq("k"), "ts", Seq("seg"))
     assert(again.exceptAll(oneShot).isEmpty && oneShot.exceptAll(again).isEmpty)
   }
+
+  test("a31 diff: statuses, name-sorted change mask, and null-safe " +
+       "column compare") {
+    import graft.operators.TableDiff
+    val v1 = Seq[(Long, Option[String], Option[Int])](
+      (1L, Some("a"), Some(10)),   // same
+      (2L, Some("b"), Some(20)),   // both cols change
+      (3L, None, Some(30)),        // null -> value flip on s
+      (4L, Some("d"), None),       // value -> null flip on n
+      (5L, Some("e"), Some(50))    // removed
+    ).toDF("k", "s", "n")
+    val v2 = Seq[(Long, Option[String], Option[Int])](
+      (1L, Some("a"), Some(10)),
+      (2L, Some("B"), Some(21)),
+      (3L, Some("c"), Some(30)),
+      (4L, Some("d"), Some(40)),
+      (6L, Some("f"), Some(60))    // added
+    ).toDF("k", "s", "n")
+    val got = TableDiff.diff(v1, v2, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got === Map(
+      1L -> ("same", ""), 2L -> ("changed", "n,s"),
+      3L -> ("changed", "s"), 4L -> ("changed", "n"),
+      5L -> ("removed", ""), 6L -> ("added", "")))
+    // null == null is NOT a change: identical all-null value rows
+    val w1 = Seq[(Long, Option[String])]((9L, None)).toDF("k", "s")
+    val w2 = Seq[(Long, Option[String])]((9L, None)).toDF("k", "s")
+    assert(TableDiff.diff(w1, w2, Seq("k")).head.getString(1) === "same")
+  }
 }
