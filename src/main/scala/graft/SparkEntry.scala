@@ -40,6 +40,14 @@ object SparkEntry {
       .agg(revenue.as("revenue"), countDistinct("o_orderkey").as("n_orders"))
       .orderBy("r_name", "n_name")
 
+  /** c45's per-query lexical term sets; lexical query i's vector twin is
+    * embeddings vec_id = i. Shared by the query and its generated oracle.
+    */
+  private val hybridTermSets: Seq[Seq[String]] = Seq(
+    Seq("hash", "vector", "stream"),
+    Seq("join", "sort", "merge"),
+    Seq("spark", "batch", "window"))
+
   // --------------------------------------------------------------- map
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1660,6 +1668,35 @@ object SparkEntry {
     "c35_bm25" -> ((s, dir) =>
       graft.operators.Bm25.rank(t(s, dir, "documents"),
         "doc_id", "text", Seq("hash", "vector", "stream"), topK = 15)),
+
+    // C45 hybrid retrieval: BM25 lexical lists (per-query term sets) +
+    // cosine vector lists fused by reciprocal rank — the composition
+    // that closes the retrieval stack (C35 lexical, C6 vector, here the
+    // production-shape combiner). Lexical query q's embedding twin is
+    // vec_id = q; both rank contracts are the already-oracle-proven
+    // ones (Bm25's rounded (score, id) order, cosineTopK's (cos, id)
+    // window), and rrf sums raw doubles in a fixed operand order so the
+    // fused ranking is bit-reproducible in DuckDB.
+    "c45_hybrid_retrieval" -> ((s, dir) => {
+      import graft.operators.{Bm25, HybridRetrieval, Similarity}
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = hybridTermSets.zipWithIndex.map { case (ts, i) =>
+        Bm25.rank(docs, "doc_id", "text", ts, topK = 20)
+          .withColumn("query_id", lit(i.toLong))
+      }.reduce(_ unionByName _)
+      val lw = Window.partitionBy("query_id")
+        .orderBy(desc("score"), col("doc_id"))
+      val lexRanked = lex.withColumn("rank", row_number().over(lw))
+        .select("query_id", "doc_id", "rank")
+      val vec = Similarity.cosineTopK(emb,
+          emb.where(col("vec_id") < hybridTermSets.size), "vec_id",
+          "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("rank"))
+      HybridRetrieval.rrfFuse(lexRanked, vec, k0 = 60, topK = 10)
+        .orderBy("query_id", "rank")
+    }),
 
     "c8_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3489,6 +3526,69 @@ object SparkEntry {
         |  FROM tf, st)
         |WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // full replica of BOTH candidate generators (the c35 BM25 CTE per
+    // term set, the c6 cosine window) + the fusion: identical rank
+    // contracts, identical fixed-order double rrf sum. Generated from
+    // the same hybridTermSets the query uses.
+    "c45_hybrid_retrieval" -> {
+      val blocks = hybridTermSets.zipWithIndex.map { case (ts, i) =>
+        val tfs = ts.zipWithIndex.map { case (term, j) =>
+          raw"""len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               |        x -> x = '$term')) AS tf$j""".stripMargin
+        }.mkString(",\n    ")
+        val dfs = ts.indices.map(j =>
+          s"sum(CASE WHEN tf$j > 0 THEN 1 ELSE 0 END) AS df$j").mkString(", ")
+        val score = ts.indices.map(j =>
+          s"""ln((n - df$j + 0.5) / (df$j + 0.5) + 1.0) * tf$j * 2.2
+             |        / (tf$j + 1.2 * (0.25 + 0.75 * dl / (sl / n)))""".stripMargin)
+          .mkString("\n      + ")
+        raw"""q${i}tf AS (
+             |  SELECT doc_id,
+             |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+             |    $tfs
+             |  FROM documents),
+             |q${i}st AS (
+             |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sl, $dfs
+             |  FROM q${i}tf),
+             |q${i}lex AS (
+             |  SELECT CAST($i AS BIGINT) AS query_id, doc_id, score FROM (
+             |    SELECT doc_id, round($score, 4) AS score
+             |    FROM q${i}tf, q${i}st) t
+             |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
+      }.mkString(",\n")
+      val lexUnion = hybridTermSets.indices
+        .map(i => s"SELECT * FROM q${i}lex").mkString(" UNION ALL ")
+      raw"""WITH $blocks,
+           |lex AS (
+           |  SELECT query_id, doc_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |             ORDER BY score DESC, doc_id) AS lr
+           |  FROM ($lexUnion)),
+           |vec AS (
+           |  SELECT query_id, doc_id, rnk AS vr FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |               ORDER BY list_cosine_similarity(
+           |                   CAST(c.embedding AS DOUBLE[]),
+           |                   CAST(q.embedding AS DOUBLE[])) DESC,
+           |               c.vec_id) AS rnk
+           |    FROM embeddings c, embeddings q
+           |    WHERE q.vec_id < ${hybridTermSets.size}
+           |      AND c.vec_id <> q.vec_id) t
+           |  WHERE rnk <= 20),
+           |fused AS (
+           |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+           |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+           |         coalesce(1.0 / (60 + l.lr), 0)
+           |           + coalesce(1.0 / (60 + v.vr), 0) AS rrf
+           |  FROM lex l FULL OUTER JOIN vec v
+           |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+           |SELECT query_id, doc_id, round(rrf, 6) AS rrf, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rrf DESC, doc_id) AS rank FROM fused) t
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
 
     // the exact overlap is recomputable (doc_id family); flagged_true
     // MUST equal it (no false negatives — the bloom's one-sided-error

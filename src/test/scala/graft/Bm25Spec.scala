@@ -54,4 +54,31 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must not global-sort the corpus:\n${p.take(600)}")
   }
+
+  test("c45 rrfFuse: single-list docs score one term, both-list docs " +
+       "sum, ties break to doc id, topK truncates per query") {
+    import graft.operators.HybridRetrieval
+    import org.apache.spark.sql.functions.col
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+                  (1L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((0L, 11L, 1), (0L, 13L, 2),
+                  (1L, 21L, 1)).toDF("query_id", "doc_id", "rank")
+    val got = HybridRetrieval.rrfFuse(lex, vec, k0 = 60, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3)))
+    val q0 = got.filter(_._1 == 0L).sortBy(_._4)
+    // doc 11: 1/62 + 1/61 = the only both-list doc — must rank first
+    assert(q0.map(_._2).toSeq === Seq(11L, 10L, 13L))
+    assert(math.abs(q0.head._3 - BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // lex rank-1 (1/61) beats vec rank-2 (1/62)
+    assert(q0(1)._2 === 10L && q0(1)._3 > q0(2)._3)
+    // doc 12 (rank 3 lexical only, 1/63) fell off at topK=3
+    assert(!q0.map(_._2).contains(12L))
+    // per-query independence
+    val q1 = got.filter(_._1 == 1L).sortBy(_._4)
+    assert(q1.map(_._2).toSeq === Seq(20L, 21L))
+    // a doc in NEITHER list never appears (full-outer, not cross)
+    assert(got.length === 5)
+  }
 }
