@@ -242,6 +242,33 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // B40 CUBE — all 2^n grouping combinations in one pass (rollup B6
+    // covers the hierarchy prefix only); gid = the grouping bit vector,
+    // computed as an explicit grouping() formula so both engines state
+    // the same bit order rather than trusting grouping_id() conventions
+    "b40_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("int")).as("sum_qty"),
+          (grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).cast("int").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // B41 windowed DISTINCT aggregation — running distinct-type count
+    // per user in event-time order. Spark has no DISTINCT window
+    // aggregates; the engine phrasing is size(collect_set() OVER w) —
+    // set state is bounded by the type cardinality per user, and the
+    // frame sort never leaves the user partition (one keyed exchange)
+    "b41_window_distinct" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+          size(collect_set("event_type").over(w)).as("n_types_seen"))
+        .orderBy("event_id")
+    }),
+
     "b7_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -1357,6 +1384,36 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // A32 declarative expectations — the validation gate between
+    // transform and publish (the reference has none): row-local checks
+    // fold into ONE agg pass, uniqueness is one keyed count, FK checks
+    // are anti-joins. range_l_quantity_le30 and unique_orderkey are
+    // deliberately VIOLATED so nonzero counts and false verdicts are
+    // exercised, not just all-green rows.
+    "a32_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations
+      import Expectations.RowCheck
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val row = Expectations.rowChecks(li, Seq(
+        RowCheck("not_null_l_orderkey", col("l_orderkey").isNotNull),
+        RowCheck("range_l_discount",
+          col("l_discount") >= 0 && col("l_discount") <= 0.1),
+        RowCheck("range_l_quantity_le30", col("l_quantity") <= 30),
+        RowCheck("set_l_returnflag",
+          col("l_returnflag").isin("A", "N", "R"))))
+      Expectations.report(Seq(row,
+          Expectations.uniqueKey(li, "unique_line",
+            Seq("l_orderkey", "l_linenumber")),
+          Expectations.uniqueKey(li, "unique_orderkey", Seq("l_orderkey")),
+          Expectations.referential(li, "l_orderkey", ord, "o_orderkey",
+            "fk_line_orders"),
+          Expectations.referential(ord, "o_custkey", cust, "c_custkey",
+            "fk_orders_cust")))
+        .orderBy("check_name")
+    }),
+
     // A31 snapshot diff / reconciliation — full-outer row-level compare
     // of two table versions with a column-level change mask. v2 is
     // derived in-plan (keys %7 removed, %5 reprice, %11 repriority —
@@ -2246,6 +2303,27 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    // same explicit grouping-bit formula, same NULLS FIRST order
+    "b40_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+        |            AS INT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST,
+        |         l_linestatus NULLS FIRST""".stripMargin,
+
+    // DuckDB's native DISTINCT window aggregate replays the identical
+    // frame; the (ts, event_id) order key makes the frame content —
+    // hence the running count — engine-independent
+    "b41_window_distinct" ->
+      """SELECT event_id, user_id,
+        |       CAST(count(DISTINCT event_type) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS INT) AS n_types_seen
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "b7_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(*) AS cnt
@@ -3101,6 +3179,43 @@ object SparkEntry {
         |)), 4) AS quality,
         |CAST(2 AS BIGINT) AS cluster_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every check recomputed relationally: null-is-violation CASE
+    // folds, grouped dup counts, NOT-EXISTS anti-joins
+    "a32_expectations" ->
+      """SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'not_null_l_orderkey' AS check_name,
+        |    CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END)
+        |         AS BIGINT) AS n_violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range_l_discount',
+        |    CAST(sum(CASE WHEN coalesce(l_discount >= 0
+        |          AND l_discount <= 0.1, false) THEN 0 ELSE 1 END)
+        |         AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range_l_quantity_le30',
+        |    CAST(sum(CASE WHEN coalesce(l_quantity <= 30, false)
+        |          THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'set_l_returnflag',
+        |    CAST(sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'),
+        |          false) THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique_line', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS n FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'unique_orderkey', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey)
+        |  UNION ALL
+        |  SELECT 'fk_line_orders', CAST(count(*) AS BIGINT)
+        |  FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'fk_orders_cust', CAST(count(*) AS BIGINT)
+        |  FROM orders r WHERE r.o_custkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey)
+        |) t ORDER BY check_name""".stripMargin,
 
     // identical v2 rebuilt in SQL, identical null-safe
     // (IS DISTINCT FROM) per-column mask, same name-sorted mask order
