@@ -1384,6 +1384,35 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // A33 targeted delete — GDPR-shape `DELETE WHERE key IN targets` on
+    // plain parquet, rewriting ONLY files whose A22 zone map admits a
+    // target. The table is range-partitioned on the key so the
+    // entity's keys (all ≤ 200) cluster in one file; the other 7 files
+    // must survive untouched (skipped_files gates filesRewritten <
+    // filesTotal). Read-back count/sum + the exact deleted-row count
+    // make a lost or resurrected row anywhere fatal.
+    "a33_targeted_delete" -> ((s, dir) => {
+      import graft.sources.TargetedDelete
+      import org.apache.hadoop.fs.Path
+      val path = Tables.scratch("a33_del_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(path).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(path), true)
+      val ord = t(s, dir, "orders")
+      ord.repartitionByRange(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(path)
+      val targets = ord.where(col("o_orderkey") <= 200)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      val rep = TargetedDelete.deleteKeys(s, path, "o_orderkey", targets,
+        batchId = "a33")
+      s.read.parquet(path)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("n_deleted", lit(rep.rowsDeleted))
+        .withColumn("skipped_files",
+          lit(rep.filesRewritten < rep.filesTotal))
+    }),
+
     // A32 declarative expectations — the validation gate between
     // transform and publish (the reference has none): row-local checks
     // fold into ONE agg pass, uniqueness is one keyed count, FK checks
@@ -3179,6 +3208,16 @@ object SparkEntry {
         |)), 4) AS quality,
         |CAST(2 AS BIGINT) AS cluster_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // survivors + the exact deleted count recomputed from the source
+    // table; skipped_files is the zone-map-pruning verdict
+    "a33_targeted_delete" ->
+      """SELECT count(*) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       (SELECT count(*) FROM orders WHERE o_orderkey <= 200)
+        |         AS n_deleted,
+        |       true AS skipped_files
+        |FROM orders WHERE o_orderkey > 200""".stripMargin,
 
     // every check recomputed relationally: null-is-violation CASE
     // folds, grouped dup counts, NOT-EXISTS anti-joins

@@ -138,4 +138,45 @@ class DataSkippingSpec extends AnyFunSuite with SparkSpec {
     assert(mismatch.report.filesSkipped === 0,
       "family mismatch proves nothing — every file must be read")
   }
+
+  test("a33 targeted delete: disjoint files keep their exact bytes, " +
+       "targets vanish, keepers survive, disjoint targets are a no-op") {
+    import graft.sources.TargetedDelete
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val dir = Tables.scratch("targeted_delete_spec")
+    val fs = FileSystem.get(new Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir), true)
+    // 4 range-clustered files over keys 0..399
+    spark.range(0, 400).toDF("k").withColumn("v", col("k") * 7)
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    def snapshot(): Map[String, Long] = fs.listStatus(new Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val before = snapshot()
+
+    // targets cluster in the first file's range
+    val rep = TargetedDelete.deleteKeys(spark, dir, "k",
+      Seq(3L, 17L, 42L), batchId = "t1")
+    assert(rep.rowsDeleted === 3L && rep.filesRewritten === 1 &&
+      rep.filesTotal === 4)
+    val after = snapshot()
+    // every surviving original file is untouched — same name, same mtime
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.size === 3, s"expected 3 untouched files: $after")
+    untouched.foreach(f => assert(before(f) === after(f),
+      s"file $f was rewritten despite being provably disjoint"))
+    val got = spark.read.parquet(dir)
+    assert(got.count() === 397L)
+    assert(got.where(col("k").isin(3L, 17L, 42L)).count() === 0L)
+    // keepers in the REWRITTEN file survived with their values
+    assert(got.where(col("k") === 5L).head.getLong(1) === 35L)
+
+    // a target set provably outside every zone rewrites nothing
+    val noop = TargetedDelete.deleteKeys(spark, dir, "k",
+      Seq(100000L), batchId = "t2")
+    assert(noop.filesRewritten === 0 && noop.rowsDeleted === 0L)
+    assert(spark.read.parquet(dir).count() === 397L)
+  }
 }
