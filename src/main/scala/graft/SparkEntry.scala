@@ -1767,13 +1767,9 @@ object SparkEntry {
       import graft.operators.{Bm25, HybridRetrieval, Similarity}
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
-      val lex = hybridTermSets.zipWithIndex.map { case (ts, i) =>
-        Bm25.rank(docs, "doc_id", "text", ts, topK = 20)
-          .withColumn("query_id", lit(i.toLong))
-      }.reduce(_ unionByName _)
-      val lw = Window.partitionBy("query_id")
-        .orderBy(desc("score"), col("doc_id"))
-      val lexRanked = lex.withColumn("rank", row_number().over(lw))
+      val lexRanked = Bm25.rankMany(docs, "doc_id", "text",
+          hybridTermSets.zipWithIndex
+            .map { case (ts, i) => i.toLong -> ts }.toMap, topK = 20)
         .select("query_id", "doc_id", "rank")
       val vec = Similarity.cosineTopK(emb,
           emb.where(col("vec_id") < hybridTermSets.size), "vec_id",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -69,5 +70,76 @@ object Bm25 {
       .where(col("score") > 0)
       .orderBy(desc("score"), col(idCol))
       .limit(topK)
+  }
+
+  /** Multi-query ranking in ONE corpus pass per stage instead of one
+    * [[rank]] call per query (N queries must not mean N corpus scans):
+    * the tf projection carries the UNION of all query term sets, the
+    * stats aggregate lands every term's df in the same single driver
+    * row, and per-query scores are `stack`ed to (query_id, doc_id,
+    * score) rows MAP-SIDE — constant fan-out of |queries| per doc,
+    * before any exchange. Per-query top-k then runs exactly like the
+    * ANN scan: per-partition bounded heaps ([[Similarity.partialTopK]])
+    * so the only shuffled rows are k·partitions·|queries| candidates,
+    * merged by one window over that dim-sized remainder.
+    *
+    * Scores are bit-identical to per-query [[rank]] calls (same stats,
+    * same formula, same rounding) — only the plan changes, which is why
+    * c45's oracle needs no knowledge of which entry point ran.
+    */
+  def rankMany(docs: DataFrame, idCol: String, textCol: String,
+               queries: Map[Long, Seq[String]], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "Bm25.rankMany: no queries")
+    queries.foreach { case (q, ts) =>
+      require(ts.nonEmpty && ts.distinct == ts,
+        s"Bm25.rankMany: query $q terms must be non-empty and distinct") }
+    val allTerms = queries.values.flatten.toSeq.distinct.sorted
+    require(allTerms.size <= 64,
+      "Bm25.rankMany: union of query terms must stay human-sized (<= 64)")
+    val termIdx = allTerms.zipWithIndex.toMap
+
+    val tf = docs.select(col(idCol),
+      TextFunctions.wsTokens(lower(col(textCol))).as("__toks"))
+      .withColumn("__len", size(col("__toks")))
+      .select(col(idCol) +: col("__len") +:
+        allTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === lit(t))).as(s"__tf_$i")
+        }: _*)
+    val st = tf.agg(
+      count(lit(1)).as("__n"),
+      (sum(col("__len")) +:
+        allTerms.indices.map(i => sum(when(col(s"__tf_$i") > 0, 1L)
+          .otherwise(0L)).as(s"__df_$i"))): _*).head()
+    val n = st.getAs[Long]("__n").max(1L)
+    val avgLen = st.getAs[Long](1).toDouble / n
+    val idf = allTerms.indices.map { i =>
+      val dfi = st.getAs[Long](s"__df_$i").toDouble
+      math.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0)
+    }
+    def scoreOf(terms: Seq[String]): Column = terms.map { t =>
+      val i = termIdx(t)
+      lit(idf(i)) * col(s"__tf_$i") * lit(k1 + 1.0) /
+        (col(s"__tf_$i") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("__len") / lit(avgLen)))
+    }.reduce(_ + _)
+
+    val qids = queries.keys.toSeq.sorted
+    val scored = tf.select(col(idCol) +: qids.map(q =>
+      round(scoreOf(queries(q)), 4).as(s"__s_$q")): _*)
+    val stacked = qids.map(q => s"CAST($q AS BIGINT), __s_$q").mkString(", ")
+    val long = scored.selectExpr(idCol,
+        s"stack(${qids.size}, $stacked) AS (query_id, score)")
+      .where(col("score") > 0)
+
+    val pruned = Similarity.partialTopK(
+      long.select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("score").as("cos")), topK)
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("neighbor_id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id").as(idCol),
+        col("cos").as("score"), col("rank"))
   }
 }

@@ -55,6 +55,29 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
       s"top-k must not global-sort the corpus:\n${p.take(600)}")
   }
 
+  test("rankMany == one rank() call per query, in a shared-scan plan") {
+    val docs = Tables(spark, sfDir(), "documents")
+    val queries = Map(0L -> Seq("hash", "vector", "stream"),
+      1L -> Seq("join", "sort", "merge"))
+    val many = graft.operators.Bm25.rankMany(docs, "doc_id", "text",
+      queries, topK = 12)
+    queries.foreach { case (qid, terms) =>
+      val single = Bm25.rank(docs, "doc_id", "text", terms, topK = 12)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val ours = many.where(org.apache.spark.sql.functions.col("query_id")
+          === qid).orderBy("rank")
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(ours.toSeq === single.toSeq,
+        s"query $qid diverges from the single-query entry point")
+    }
+    // the economics: one tf/score scan for ALL queries (plus the stats
+    // pass) — not one per query. partialTopK's mapPartitions sits
+    // between scan and exchange, so everything upstream is one pass.
+    val scans = many.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 1, s"scoring stage must scan the corpus once, saw $scans")
+  }
+
   test("c45 rrfFuse: single-list docs score one term, both-list docs " +
        "sum, ties break to doc id, topK truncates per query") {
     import graft.operators.HybridRetrieval
