@@ -40,7 +40,7 @@ object Bench {
     "b38_window_stats", "b39_array_agg", "d14_trending",
     "a30_ingest_ledger", "d15_zscore", "c44_url_canonical",
     "c45_hybrid_retrieval", "a32_expectations", "b40_cube",
-    "b41_window_distinct", "a33_targeted_delete",
+    "b41_window_distinct", "a33_targeted_delete", "d16_quality_gate",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't

@@ -1932,6 +1932,17 @@ object SparkEntry {
           col("segment"), col("n_events"), col("sum_value"))
         .orderBy("hour", "segment")),
 
+    // D16 quality-gated ingest (batch twin): the A32 row-check verdict
+    // on every event — error types, out-of-range values, and null-check
+    // failures quarantine; the streaming form routes each epoch's split
+    // to two exactly-once sinks (spec-locked: union == input, replay
+    // duplicates nothing on either path).
+    "d16_quality_gate" -> ((s, dir) =>
+      EventStreams.gateVerdict(t(s, dir, "events"))
+        .groupBy("quarantined", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("quarantined", "event_type")),
+
     // D15 z-score anomaly scoring (batch twin): each event against the
     // running mean/stddev of strictly earlier same-type events — the
     // 1-PRECEDING frame. The streaming form holds (n, mean, M2) Welford
@@ -4194,6 +4205,17 @@ object SparkEntry {
     "d1_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |       event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical verdict formula, identical null contract (a null under
+    // any check quarantines)
+    "d16_quality_gate" ->
+      """SELECT NOT coalesce(user_id IS NOT NULL
+        |           AND value >= 0 AND value <= 300
+        |           AND event_type IN ('click', 'view', 'purchase',
+        |                              'signup'), false) AS quarantined,
+        |       event_type, count(*) AS n,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

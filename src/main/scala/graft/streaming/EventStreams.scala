@@ -184,6 +184,50 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** D16 row-check verdict — the A32 expectation surface applied per
+    * event: pass = known non-error type AND value in [0, 300] AND a
+    * user to attribute to. `quarantined` is never null (a null under
+    * any check quarantines — the A32 null contract), so every row
+    * routes to exactly one sink.
+    */
+  def gateVerdict(events: DataFrame): DataFrame = {
+    val pass = col("user_id").isNotNull &&
+      col("value").between(0, 300) &&
+      col("event_type").isin("click", "view", "purchase", "signup")
+    events.withColumn("quarantined", !coalesce(pass, lit(false)))
+  }
+
+  /** D16 epoch body: one micro-batch split into table + dead-letter
+    * quarantine, EACH delivered with the D8 epoch-overwrite contract —
+    * a replayed epoch recomputes the identical split and overwrites
+    * both of its own partitions, so at-least-once redelivery converges
+    * to exactly-once on BOTH paths and a row can never land in neither
+    * or both. This is the DLT `expect ... ON VIOLATION` discipline as
+    * a log-less streaming sink: bad rows stay queryable for repair
+    * (the A13 quarantine rule) instead of poisoning the table or
+    * silently vanishing.
+    */
+  def gatedEpochSink(batch: DataFrame, batchId: Long,
+                     passDir: String, quarantineDir: String): Unit = {
+    val v = gateVerdict(batch)
+    epochIdempotentSink(v.where(!col("quarantined")).drop("quarantined"),
+      batchId, passDir)
+    epochIdempotentSink(v.where(col("quarantined")).drop("quarantined"),
+      batchId, quarantineDir)
+  }
+
+  /** Wire [[gatedEpochSink]] under a streaming query. */
+  def qualityGatedSink(stream: DataFrame, passDir: String,
+                       quarantineDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        gatedEpochSink(b, id, passDir, quarantineDir))
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** The newest committed snapshot version strictly below `beforeEpoch`
     * (None = newest overall) of a [[mergeEpoch]] table. Driver-side FS
     * listing bounded by the epoch count — the same metadata-scan budget

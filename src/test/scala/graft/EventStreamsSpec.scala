@@ -146,6 +146,45 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === Set((10L, "x"), (11L, "y")))
   }
 
+  test("d16: gated sink routes every event to exactly one sink, " +
+       "replay duplicates neither path, split matches the batch twin") {
+    val passDir = java.nio.file.Files
+      .createTempDirectory("graft_gate_pass").toString
+    val quarDir = java.nio.file.Files
+      .createTempDirectory("graft_gate_quar").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_gate_ckpt").toString
+    val src = graft.Tables.withTsFromNanos(
+      spark.readStream.schema(rawSchema).parquet(stagedDir))
+    val q = EventStreams.qualityGatedSink(src, passDir, quarDir, ckpt)
+    q.awaitTermination(120000)
+
+    val pass = spark.read.parquet(passDir).select("event_id")
+    val quar = spark.read.parquet(quarDir).select("event_id")
+    val twin = EventStreams.gateVerdict(events)
+    // exactly-one-sink: union == input, intersection empty
+    assert(pass.count() + quar.count() === events.count())
+    assert(pass.intersect(quar).count() === 0L)
+    // the split is the batch twin's verdict, id for id
+    val wantQuar = twin.where(col("quarantined")).select("event_id")
+    assert(quar.exceptAll(wantQuar).count() === 0L &&
+      wantQuar.exceptAll(quar).count() === 0L)
+    assert(quar.count() > 0L, "gate must actually quarantine something")
+
+    // at-least-once replay against fresh sinks: delivering one epoch
+    // TWICE must equal delivering it once — on both paths
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft_gate_p2").toString
+    val q2 = java.nio.file.Files
+      .createTempDirectory("graft_gate_q2").toString
+    val epoch = events.orderBy("event_id").limit(100)
+    EventStreams.gatedEpochSink(epoch, 0L, p2, q2)
+    EventStreams.gatedEpochSink(epoch, 0L, p2, q2)
+    assert(spark.read.parquet(p2).count() +
+      spark.read.parquet(q2).count() === 100L,
+      "replayed epoch must overwrite itself on both paths")
+  }
+
   test("merge sink: epochs fold forward, replay changes nothing, " +
        "stream equals one-shot merge") {
     val s = spark
