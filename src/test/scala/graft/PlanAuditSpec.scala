@@ -271,4 +271,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       !p.contains("CartesianProduct"),
       s"the view merge must stay a hash join:\n${p.take(800)}")
   }
+
+  test("c44: URL canonicalization is a joinless map-only scan — the " +
+       "regex chain never shuffles and the blocklist never joins") {
+    val p = plan("c44_url_canonical")
+    assert(!p.contains("Join"),
+      "the blocklist must be a literal IN set, not a joined frame")
+    assert(!p.contains("hashpartitioning"),
+      s"the rewrite chain must not shuffle:\n${p.take(600)}")
+  }
+
+  test("a31: snapshot diff is ONE join; the change mask adds no " +
+       "exchange beyond the key shuffle") {
+    val df = SparkEntry.queries("a31_snapshot_diff")(spark, sfDir())
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    // exactly one join node: the full-outer on the key
+    val joins = "Join".r.findAllIn(p).size
+    assert("FullOuter".r.findFirstIn(p).isDefined,
+      s"diff must be a full-outer join:\n${p.take(600)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"diff must stay a hash/sort-merge join:\n${p.take(600)}")
+    assert(joins <= 2, // SMJ prints 'SortMergeJoin(...) FullOuter' once;
+                       // the union'd v2 derivation must not add joins
+      s"expected one diff join, saw $joins:\n${p.take(800)}")
+  }
 }
