@@ -1621,6 +1621,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C46 per-document tf-idf keyword extraction — top-3 terms per doc
+    // by (tf/dl)·ln(N/df), the classic salience score (the c40 explode
+    // contract: ONE token table feeds every aggregate; tf/df/dl are all
+    // map-combined keyed counts of it, the top-k window partitions the
+    // counts table by doc, never the corpus). Ranked on raw doubles —
+    // identical op order both engines — rounded for display after.
+    "c46_tfidf_keywords" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs.count() // one scalar — the Bm25 stats contract
+      val scored = tf.join(dl, "doc_id").join(dft, "tok")
+        .withColumn("tfidf", (col("tf").cast("double") / col("dl")) *
+          log(lit(nDocs.toDouble) / col("df")))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("tok"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("doc_id"), col("tok").as("term"),
+          round(col("tfidf"), 6).as("tfidf"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // C40 per-source corpus token statistics — the mixing-QA report
     // (C25's input diagnostics): token mass, vocabulary size, type-token
     // ratio and the modal term per source. One explode feeding ONE
@@ -3483,6 +3508,33 @@ object SparkEntry {
         |FROM clean ORDER BY doc_id""".stripMargin,
 
     // same token contract, same tie-break (count desc, term asc)
+    // identical token table, identical score formula (same casts, same
+    // op order — the doubles are bit-identical), identical tie-break
+    "c46_tfidf_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |           AS tok
+        |  FROM documents),
+        |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk2 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |         (CAST(tf.tf AS DOUBLE) / dl.dl)
+        |           * ln(CAST((SELECT n FROM nd) AS DOUBLE) / df.df)
+        |           AS tfidf
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |          JOIN df ON tf.tok = df.tok)
+        |SELECT doc_id, tok AS term, round(tfidf, 6) AS tfidf,
+        |       CAST(rk AS INT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, tok) AS rk FROM sc) t
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
     "c40_corpus_stats" ->
       """WITH tk AS (
         |  SELECT source,
