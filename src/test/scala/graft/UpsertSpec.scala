@@ -153,4 +153,26 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     val w2 = Seq[(Long, Option[String])]((9L, None)).toDF("k", "s")
     assert(TableDiff.diff(w1, w2, Seq("k")).head.getString(1) === "same")
   }
+
+  test("snapshot-diff-derived change feed == the native A23 feed, " +
+       "row for row (including the no-op silence)") {
+    import graft.operators.TableDiff
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    // batch: revise k=1, no-op re-deliver k=2, insert k=5; delete k=4
+    val updates = Seq((1L, "a", 11.0), (2L, "b", 20.0), (5L, "e", 50.0))
+      .toDF("k", "s", "v")
+    val deletes = Seq(Tuple1(4L)).toDF("k")
+    val native = Upsert.upsertWithChanges(v1, updates, Seq("k"),
+      Some(deletes))
+    val derived = TableDiff.changeFeed(v1, native.merged, Seq("k"))
+    // identical multiset of feed rows — one divergence anywhere fails
+    assert(derived.exceptAll(native.changes).isEmpty &&
+      native.changes.exceptAll(derived).isEmpty,
+      s"derived:\n${derived.collect().mkString("\n")}\n" +
+        s"native:\n${native.changes.collect().mkString("\n")}")
+    // and the no-op really emitted nothing on either path
+    assert(derived.where(col("k") === 2L).isEmpty)
+    assert(derived.count() === 4L) // 1 insert + pre/post pair + 1 delete
+  }
 }
