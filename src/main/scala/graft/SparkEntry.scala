@@ -1160,6 +1160,30 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // B42 forward as-of: the NEXT order on/after each event's time per
+    // user (the b18 backward lookup mirrored); same one-exchange
+    // union-and-carry, carry direction reversed. Same right-side
+    // (key, time) uniqueness reduction; DuckDB's native ASOF with the
+    // inequality flipped is the oracle.
+    "b42_asof_forward" -> ((s, dir) => {
+      val ro = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate"))
+        .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
+        .select(col("k"), col("o_orderdate"),
+          col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_totalprice").as("o_totalprice"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("k"), col("ts"), col("event_type"))
+      AsofJoin.asofForward(ev, ro, Seq("k"), "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("o_orderkey")).as("n_matched"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("event_type")
+    }),
+
     // Bucketed co-located join (B17): both sides bucketed on the join key
     // at write time, so the join itself runs with NO shuffle exchange —
     // verified in-plan (colocated_ok) with broadcast disabled, values
@@ -2966,6 +2990,22 @@ object SparkEntry {
         |       round(sum(r.o_totalprice), 2) AS sum_price
         |FROM events e ASOF LEFT JOIN ro r
         |  ON e.user_id = r.k AND e.ts >= r.o_orderdate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the identical reduction, the inequality flipped: e.ts <= r.time
+    "b42_asof_forward" ->
+      """WITH ro AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey AS k, o_orderdate, o_orderkey, o_totalprice,
+        |           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |               ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       count(r.o_orderkey) AS n_matched,
+        |       count(DISTINCT r.o_orderkey) AS n_orders,
+        |       round(sum(r.o_totalprice), 2) AS sum_price
+        |FROM events e ASOF LEFT JOIN ro r
+        |  ON e.user_id = r.k AND e.ts <= r.o_orderdate
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // bucketing is invisible to values: a plain join over the source

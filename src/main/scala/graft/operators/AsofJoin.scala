@@ -45,7 +45,30 @@ object AsofJoin {
     */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
-           rightPayload: Seq[String]): DataFrame = {
+           rightPayload: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, rightPayload,
+      forward = false)
+
+  /** Forward as-of (B42): every left row matched to the single right row
+    * with the SMALLEST right-time ≥ the left row's time, per key — the
+    * "next scheduled event after" lookup (next maintenance window after
+    * a failure, next order on/after a touchpoint). Identical machinery
+    * to [[asof]] with the carry direction reversed: the union sorts
+    * time-DESCENDING so the window carries the nearest LATER payload
+    * backward onto each left row. Same single-exchange cost, same
+    * inclusive-at-equal-times rule (a right row AT t matches a left row
+    * AT t), same unique-per-(key, time) right-side contract.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightPayload: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, rightPayload,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       rightPayload: Seq[String],
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadStruct = struct(rightPayload.map(col): _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
@@ -63,9 +86,10 @@ object AsofJoin {
         lit(null).cast(payloadType).as("__pay"),
         leftStruct.as("__lrow")): _*)
 
-    // right rows first at equal __t: inclusive >= semantics
+    // right rows first at equal __t: inclusive (>= backward, <= forward)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__src").asc)
+      .orderBy(if (forward) col("__t").desc else col("__t").asc,
+        col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = rTagged.unionByName(lTagged)

@@ -93,4 +93,21 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 1, s"expected exactly one exchange:\n${plan.take(800)}")
   }
+
+  test("b42 forward: each left row matches the EARLIEST right row " +
+       "at-or-after its time; no later row -> null; still joinless") {
+    val fwd = AsofJoin
+      .asofForward(left, right, Seq("k"), "t", "rt", Seq("rid", "price"))
+    val got = fwd.collect()
+      .map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got("e1") === Some(10L), "next version after t=100 is rt=200")
+    assert(got("e2") === Some(10L), "equal timestamps match (inclusive)")
+    assert(got("e3") === Some(11L), "the NEXT version, not the previous")
+    assert(got("e4") === None, "nothing after the last right row")
+    assert(got("e5") === None, "right row at 400 is before t=500")
+    assert(got("e6") === None, "key absent from the right side")
+    val p = fwd.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(600))
+  }
 }
