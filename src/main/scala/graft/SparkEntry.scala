@@ -1408,6 +1408,32 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // A34 binary-file ingest — the multimodal upstream (C12 consumes
+    // packed payloads; THIS is where raw asset bytes enter the engine):
+    // Spark's binaryFile source over a directory of files, emitting
+    // (name, size, md5-of-bytes). Payload files are materialized from
+    // document text (ASCII, so byte length == char length — the c12
+    // rule), and the oracle recomputes every name/size/hash from the
+    // documents table without touching the filesystem.
+    "a34_binary_ingest" -> ((s, dir) => {
+      val path = Tables.scratch("a34_bin_" + new java.io.File(dir).getName)
+      val d = new java.io.File(path)
+      org.apache.commons.io.FileUtils.deleteQuietly(d)
+      d.mkdirs()
+      t(s, dir, "documents").where(col("doc_id") < 40)
+        .select("doc_id", "text").collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, s"${r.getLong(0)}.txt"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("h"))
+        .orderBy("fname")
+    }),
+
     // A33 targeted delete — GDPR-shape `DELETE WHERE key IN targets` on
     // plain parquet, rewriting ONLY files whose A22 zone map admits a
     // target. The table is range-partitioned on the key so the
@@ -3280,6 +3306,14 @@ object SparkEntry {
         |)), 4) AS quality,
         |CAST(2 AS BIGINT) AS cluster_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // names/sizes/hashes recomputed from the documents table alone —
+    // any byte lost or altered on the file round trip breaks the hash
+    "a34_binary_ingest" ->
+      """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS fname,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       md5(text) AS h
+        |FROM documents WHERE doc_id < 40 ORDER BY fname""".stripMargin,
 
     // survivors + the exact deleted count recomputed from the source
     // table; skipped_files is the zone-map-pruning verdict
