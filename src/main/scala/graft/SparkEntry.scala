@@ -269,6 +269,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // B43 trailing-window median (median-filter smoothing, the robust
+    // running statistic d15's mean/stddev can't give): exact
+    // interpolated percentile over a 100-row trailing frame per type.
+    // The frame is ROWS-bounded so the window state is O(frame), and
+    // the (ts, event_id) order key makes frame contents — hence the
+    // median — engine-independent; midpoints of 2-decimal values are
+    // ≥1e-3 off the 1e-4 rounding boundaries, so round(4) is fp-safe.
+    "b43_window_median" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-99, Window.currentRow)
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+          round(call_function("percentile", col("value"), lit(0.5))
+            .over(w), 4).as("med"))
+        .orderBy("event_id")
+    }),
+
     "b7_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -2433,6 +2450,14 @@ object SparkEntry {
         |         PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |       AS INT) AS n_types_seen
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // identical frame, identical linear-interpolation quantile
+    "b43_window_median" ->
+      """SELECT event_id, event_type,
+        |       round(quantile_cont(value, 0.5) OVER (
+        |         PARTITION BY event_type ORDER BY ts, event_id
+        |         ROWS BETWEEN 99 PRECEDING AND CURRENT ROW), 4) AS med
         |FROM events ORDER BY event_id""".stripMargin,
 
     "b7_distinct" ->
