@@ -301,6 +301,20 @@ object SparkEntry {
             col("o_totalprice")).otherwise(0)), 2).as("urgent_value"))
         .orderBy("o_orderstatus")),
 
+    // B44 native relational pivot — the Dataset.pivot operator proper
+    // (b8 keeps the conditional-agg phrasing; B29 unpivot is the
+    // inverse). The value list is EXPLICIT, which is the scale rule:
+    // without it Spark runs a values-discovery job over the fact table
+    // before it can even plan. Multi-agg per cell exercises the
+    // column-explosion naming (val_agg).
+    "b44_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
     "b9_exists" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val avgDf = cust.agg(avg("c_acctbal").as("avg_bal"))
@@ -2463,6 +2477,17 @@ object SparkEntry {
     "b7_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // conditional-agg replica with Spark's pivot column naming
+    "b44_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+        |    AS F_qty,
+        |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_cnt,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+        |    AS O_qty,
+        |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "b8_pivot" ->
