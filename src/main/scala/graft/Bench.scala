@@ -42,7 +42,7 @@ object Bench {
     "c45_hybrid_retrieval", "a32_expectations", "b40_cube",
     "b41_window_distinct", "a33_targeted_delete", "d16_quality_gate",
     "c46_tfidf_keywords", "b42_asof_forward", "b43_window_median",
-    "a34_binary_ingest", "b44_pivot",
+    "a34_binary_ingest", "b44_pivot", "a35_wap_time_travel",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't

@@ -1555,6 +1555,43 @@ object SparkEntry {
     // The read-back aggregate is the proof: it must equal base + good
     // batch exactly (a leaked bad batch double-counts and breaks the
     // hash); the booleans pin both verdicts and staging hygiene.
+    // A35 WAP time travel — the batch-prefixed layout IS the snapshot
+    // manifest: base load (no prefix) + two published batches, then
+    // three snapshot reads (as-of nothing / b1 / everything). Each
+    // version's count+sum must equal the corresponding key-split of the
+    // source table — a file misattributed to any snapshot breaks one
+    // version's row immediately.
+    "a35_wap_time_travel" -> ((s, dir) => {
+      import org.apache.hadoop.fs.Path
+      import graft.sources.Wap
+      val path = Tables.scratch("a35_tt_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(path).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(path), true)
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus").map(col)
+      val orders = t(s, dir, "orders")
+      orders.where(col("o_orderkey") % 3 === 1).select(cols: _*)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      val audits = Seq(Wap.minRows(1), Wap.noNulls("o_orderkey"))
+      Wap.writeAuditPublish(s,
+        orders.where(col("o_orderkey") % 3 === 2).select(cols: _*),
+        path, "o_orderstatus", "b1", audits)
+      Wap.writeAuditPublish(s,
+        orders.where(col("o_orderkey") % 3 === 0).select(cols: _*),
+        path, "o_orderstatus", "b2", audits)
+      val all = Seq("b1", "b2")
+      Seq("v0" -> Seq.empty[String], "v1" -> Seq("b1"), "v2" -> all)
+        .map { case (tag, vis) =>
+          Wap.readAsOf(s, path, all, vis)
+            .agg(count(lit(1)).as("cnt"),
+              round(sum("o_totalprice"), 2).as("sum_price"))
+            .withColumn("version", lit(tag))
+        }.reduce(_ unionByName _)
+        .select("version", "cnt", "sum_price")
+        .orderBy("version")
+    }),
+
     "a29_wap" -> ((s, dir) => {
       import org.apache.hadoop.fs.Path
       import graft.sources.Wap
@@ -3465,6 +3502,19 @@ object SparkEntry {
         |        FROM orders WHERE year(o_orderdate) > 1997) AS added_years,
         |       true AS rerun_noop
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // each snapshot version == the corresponding key-split aggregate
+    "a35_wap_time_travel" ->
+      """SELECT 'v0' AS version, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT 'v1', count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |UNION ALL
+        |SELECT 'v2', count(*), round(sum(o_totalprice), 2)
+        |FROM orders
+        |ORDER BY version""".stripMargin,
 
     // base (keys % 3 != 0) + the good batch (% 3 == 0) = ALL orders; a
     // leaked bad batch or a lost good batch breaks cnt/sum immediately

@@ -110,4 +110,38 @@ object Wap {
     dropStage()
     WapReport(batchId, published = true, stagedRows, failures, moved)
   }
+
+  /** Time-travel read of a WAP table: the table "as of" a subset of its
+    * published batches. The batchId-prefixed file names ARE the
+    * snapshot metadata (Iceberg keeps this mapping in manifest files;
+    * here the layout itself is the manifest — the same
+    * layout-as-ledger rule as A30): a file belongs to snapshot set V
+    * iff its name carries no known batch prefix (the base load) or a
+    * prefix in V. Cost is one FS listing of the partition dirs —
+    * file-count-sized metadata, no data read to decide visibility.
+    *
+    * `allBatches` must list every batch ever published (the caller's
+    * commit history); `visible` selects the snapshot. Unknown-prefix
+    * files are always included — conservative, like A22's unknown-file
+    * rule: forgetting a batch in `allBatches` can only ADD data to
+    * every snapshot, never silently drop committed rows from one.
+    */
+  def readAsOf(spark: SparkSession, root: String,
+               allBatches: Seq[String], visible: Seq[String]): DataFrame = {
+    val hidden = allBatches.toSet -- visible
+    val rootPath = new Path(root)
+    val fs = FileSystem.get(rootPath.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith("_"))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filterNot(f => hidden.exists(b =>
+        f.getPath.getName.startsWith(s"$b-")))
+      .map(_.getPath.toString).toSeq
+    if (files.isEmpty)
+      spark.read.parquet(root).where(lit(false))
+    else spark.read.option("basePath", root).parquet(files: _*)
+  }
 }

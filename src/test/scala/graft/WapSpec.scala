@@ -84,4 +84,30 @@ class WapSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(p).count() === 5)
     assert(!fs(p).exists(new Path(p, "_staging")))
   }
+
+  test("a35 readAsOf: snapshots see base + visible batches only; an " +
+       "unknown prefix is conservatively included") {
+    val p = freshTable("timetravel")
+    val all = Seq("t1", "t2")
+    Wap.writeAuditPublish(spark,
+      Seq((10L, "A", 1.0)).toDF("k", "part", "v"), p, "part", "t1",
+      Seq(Wap.minRows(1)))
+    Wap.writeAuditPublish(spark,
+      Seq((20L, "B", 2.0)).toDF("k", "part", "v"), p, "part", "t2",
+      Seq(Wap.minRows(1)))
+    def keys(vis: Seq[String]): Set[Long] =
+      Wap.readAsOf(spark, p, all, vis).select("k")
+        .collect().map(_.getLong(0)).toSet
+    assert(keys(Seq.empty) === Set(1L, 2L, 3L), "v0 = base only")
+    assert(keys(Seq("t1")) === Set(1L, 2L, 3L, 10L))
+    assert(keys(Seq("t2")) === Set(1L, 2L, 3L, 20L),
+      "visibility is per batch, not prefix-ordered")
+    assert(keys(all) === Set(1L, 2L, 3L, 10L, 20L))
+    // a batch NOT in allBatches (forgotten history) is included in
+    // every snapshot — conservative, never a silent drop
+    Wap.writeAuditPublish(spark,
+      Seq((30L, "A", 3.0)).toDF("k", "part", "v"), p, "part", "t9",
+      Seq(Wap.minRows(1)))
+    assert(keys(Seq.empty).contains(30L))
+  }
 }
