@@ -43,6 +43,7 @@ object Bench {
     "b41_window_distinct", "a33_targeted_delete", "d16_quality_gate",
     "c46_tfidf_keywords", "b42_asof_forward", "b43_window_median",
     "a34_binary_ingest", "b44_pivot", "a35_wap_time_travel",
+    "c47_cdc_chunking",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -75,7 +76,7 @@ object Bench {
       // are fixed as the corpus grows — the b32 exclusion rule).
       "c41_pagerank", "c42_html_strip", "b36_stats", "a29_wap",
       "c44_url_canonical", "c45_hybrid_retrieval", "a32_expectations",
-      "b40_cube", "c46_tfidf_keywords")
+      "b40_cube", "c46_tfidf_keywords", "c47_cdc_chunking")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

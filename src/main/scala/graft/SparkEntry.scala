@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QualityFilters, TextFunctions}
-import graft.operators.{AsofJoin, BalancedRepartition, Clustering, Dedup, Multimodal, Recode, Similarity}
+import graft.operators.{AsofJoin, BalancedRepartition, Chunking, Clustering, Dedup, Multimodal, Recode, Similarity}
 import graft.pipeline.CensoPipeline
 import graft.sources.{CatalogTables, SchemaCsv}
 import graft.streaming.EventStreams
@@ -1763,6 +1763,20 @@ object SparkEntry {
           round(col("tfidf"), 6).as("tfidf"), col("rk"))
         .orderBy("doc_id", "rk")
     }),
+
+    // C47 content-defined chunking (Rabin-style CDC, the storage-dedup
+    // chunker: boundaries where the rolling 8-token window digest ≡ 0
+    // mod 64, so chunk edges are INSERTION-STABLE — editing one
+    // paragraph re-chunks only its neighborhood, where C21's fixed
+    // windows shift every downstream chunk. Expected chunk ≈ 64+7
+    // tokens, tail chunk closes at n. Window digests via the codegen'd
+    // SpanMd5sExpr (the c27 engine rule: the lambda consumes BOUND
+    // columns only); boundary selection, segmentation and chunk
+    // fingerprints are pure array ops — map-only, fan-out = chunks).
+    "c47_cdc_chunking" -> ((s, dir) =>
+      Chunking.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+          w = 8, modulus = 64)
+        .orderBy("doc_id", "chunk_idx")),
 
     // C40 per-source corpus token statistics — the mixing-QA report
     // (C25's input diagnostics): token mass, vocabulary size, type-token
@@ -3682,6 +3696,40 @@ object SparkEntry {
         |FROM clean ORDER BY doc_id""".stripMargin,
 
     // same token contract, same tie-break (count desc, term asc)
+    // identical windows (the c27 slice contract), identical hex-parse
+    // boundary rule (the c33 contract), identical segmentation
+    "c47_cdc_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |w AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS p
+        |  FROM d WHERE len(t) >= 8),
+        |b AS (
+        |  SELECT doc_id, p + 7 AS e FROM w
+        |  WHERE CAST(concat('0x', substr(
+        |          md5(array_to_string(list_slice(t, p, p + 7), ' ')),
+        |          1, 8)) AS BIGINT) % 64 = 0),
+        |bl AS (SELECT doc_id, list(e ORDER BY e) AS lst FROM b GROUP BY 1),
+        |ends AS (
+        |  SELECT d.doc_id, d.t,
+        |         list_sort(list_distinct(list_append(
+        |           coalesce(bl.lst, CAST([] AS BIGINT[])),
+        |           CAST(len(d.t) AS BIGINT)))) AS ends
+        |  FROM d LEFT JOIN bl USING (doc_id)),
+        |ch AS (
+        |  SELECT doc_id, t, ends,
+        |         unnest(range(1, len(ends) + 1)) AS i
+        |  FROM ends)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+        |       CAST(ends[i] - (CASE WHEN i = 1 THEN 0
+        |                            ELSE ends[i - 1] END) AS INT)
+        |         AS n_tokens,
+        |       md5(array_to_string(list_slice(t,
+        |         (CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END) + 1,
+        |         ends[i]), ' ')) AS fp
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // identical token table, identical score formula (same casts, same
     // op order — the doubles are bit-identical), identical tie-break
     "c46_tfidf_keywords" ->

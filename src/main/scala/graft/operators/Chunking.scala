@@ -64,6 +64,48 @@ object Chunking {
     * single-task sort. Determinism comes from (shardCol, orderCol) being
     * a total order.
     */
+  /** Content-defined chunking (C47) — Rabin-style CDC at the token
+    * level: a chunk boundary falls after token p+w-1 wherever the
+    * w-token window digest starting at p satisfies
+    * `hash ≡ 0 (mod modulus)`, so boundaries are decided by CONTENT,
+    * not position — an edit re-chunks only its neighborhood, where
+    * [[chunkTokens]]'s fixed windows shift every downstream chunk
+    * (the property `ChunkingSpec` locks). Expected chunk length ≈
+    * modulus + w − 1 tokens; the tail chunk always closes at n.
+    *
+    * Window digests ride the codegen'd
+    * [[graft.functions.GraftExpressions.spanMd5s]] (the c27 engine
+    * rule: lambdas only consume BOUND columns); boundary selection and
+    * segmentation are pure array ops. Map-only, fan-out = chunks.
+    * Emits (idCol, chunk_idx, n_tokens, fp).
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 8, modulus: Int = 64): DataFrame = {
+    import graft.functions.GraftExpressions
+    val base = df
+      .where(length(trim(col(textCol))) > 0)
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__md5s", GraftExpressions.spanMd5s(col("__toks"), w))
+    val boundaryEnds = when(size(col("__md5s")) > 0,
+        transform(
+          filter(sequence(lit(1), size(col("__md5s"))), p =>
+            conv(substring(element_at(col("__md5s"), p), 1, 8),
+              16, 10).cast("long") % modulus === 0),
+          p => p + lit(w - 1)))
+      .otherwise(array().cast("array<int>"))
+    base.withColumn("__ends",
+        array_distinct(concat(boundaryEnds, array(col("__n")))))
+      .select(col(idCol), col("__toks"), col("__ends"),
+        posexplode(col("__ends")).as(Seq("chunk_idx", "__e")))
+      .withColumn("__prev", when(col("chunk_idx") === 0, lit(0))
+        .otherwise(element_at(col("__ends"), col("chunk_idx"))))
+      .select(col(idCol), col("chunk_idx"),
+        (col("__e") - col("__prev")).as("n_tokens"),
+        md5(array_join(slice(col("__toks"), col("__prev") + 1,
+          col("__e") - col("__prev")), " ")).as("fp"))
+  }
+
   def packSequences(df: DataFrame, orderCol: String, tokensCol: String,
                     shardCol: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")

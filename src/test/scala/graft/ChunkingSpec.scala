@@ -72,4 +72,33 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
         col("start") >= (col("pack_id") + 1) * 512)
     assert(bad.count() === 0L)
   }
+
+  test("c47 CDC chunks partition the token stream and are " +
+       "insertion-stable where fixed windows are not") {
+    val s2 = spark
+    import s2.implicits._
+    // deterministic 400-word doc; edit = 3 words inserted near the front
+    val words = (0 until 400).map(i => s"w${(i * 7919) % 997}")
+    val original = words.mkString(" ")
+    val edited = (words.take(40) ++ Seq("xx", "yy", "zz") ++
+      words.drop(40)).mkString(" ")
+    val df = Seq((1L, original), (2L, edited)).toDF("doc_id", "text")
+    val chunks = graft.operators.Chunking
+      .cdcChunks(df, "doc_id", "text", w = 8, modulus = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3)))
+    val c1 = chunks.filter(_._1 == 1L); val c2 = chunks.filter(_._1 == 2L)
+    // chunks partition the stream: token counts sum to n
+    assert(c1.map(_._3).sum === 400 && c2.map(_._3).sum === 403)
+    assert(c1.length > 3, s"modulus 16 should cut a 400-token doc: $c1")
+    // CDC property: every chunk fully past the edit neighborhood is
+    // byte-identical between the two docs (fixed windows would shift
+    // all of them); only the chunk(s) containing the edit may differ
+    val shared = c1.map(_._4).toSet.intersect(c2.map(_._4).toSet)
+    assert(shared.size >= c1.length - 2,
+      s"expected all but the edited chunk shared, got ${shared.size} " +
+        s"of ${c1.length}")
+    // the LAST chunks (far after the edit) are identical
+    assert(c1.maxBy(_._2)._4 === c2.maxBy(_._2)._4)
+  }
 }
