@@ -1191,6 +1191,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // B45 Jaro-Winkler similarity scoring (the ranking complement of
+    // b25's boolean edit-distance match — entity resolution orders
+    // candidates by JW): custom codegen JaroWinklerExpr (Spark has no
+    // built-in), map-only scalar pass; the near probe exercises the
+    // prefix boost, the far probe the no-boost jaro path. DuckDB's
+    // NATIVE jaro_winkler_similarity is the oracle — parity measured
+    // bit-exact over the whole name domain, so values ship unrounded.
+    "b45_jaro_winkler" -> ((s, dir) => {
+      import graft.functions.GraftExpressions
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          GraftExpressions.jaroWinkler(col("c_name"),
+            lit("Customer#000000777")).as("jw_near"),
+          GraftExpressions.jaroWinkler(col("c_name"),
+            lit("Supplier Number 9")).as("jw_far"))
+        .orderBy("c_custkey")
+    }),
+
     // B42 forward as-of: the NEXT order on/after each event's time per
     // user (the b18 backward lookup mirrored); same one-exchange
     // union-and-carry, carry direction reversed. Same right-side
@@ -3118,6 +3136,15 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN ro r
         |  ON e.user_id = r.k AND e.ts >= r.o_orderdate
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB's native implementation — the independent reference
+    "b45_jaro_winkler" ->
+      """SELECT c_custkey, c_name,
+        |       jaro_winkler_similarity(c_name, 'Customer#000000777')
+        |         AS jw_near,
+        |       jaro_winkler_similarity(c_name, 'Supplier Number 9')
+        |         AS jw_far
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // the identical reduction, the inequality flipped: e.ts <= r.time
     "b42_asof_forward" ->

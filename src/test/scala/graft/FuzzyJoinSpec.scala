@@ -77,4 +77,23 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(500))
     assert(!plan.toLowerCase.contains("batchevalpython"))
   }
+
+  test("b45 JaroWinklerExpr matches the textbook values and edge " +
+       "contracts, in and out of codegen") {
+    import graft.functions.GraftExpressions.jaroWinkler
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(jaroWinkler(col("a"), col("b"))).head.getDouble(0)
+    // Winkler's published examples
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    // boost only above 0.7: a low-jaro pair stays pure jaro
+    assert(jw("abcdef", "fedcba") <= 0.7)
+    // identity / empty contracts
+    assert(jw("same", "same") === 1.0)
+    assert(jw("", "") === 1.0)
+    assert(jw("a", "") === 0.0)
+    // symmetric
+    assert(jw("kitten", "sitting") === jw("sitting", "kitten"))
+  }
 }
