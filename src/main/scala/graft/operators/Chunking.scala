@@ -94,16 +94,26 @@ object Chunking {
               16, 10).cast("long") % modulus === 0),
           p => p + lit(w - 1)))
       .otherwise(array().cast("array<int>"))
+    // the whole chunk row set is ONE transform evaluated once per doc,
+    // exploded once: __ends/__toks are multiply-referenced attributes,
+    // which keeps CollapseProject from inlining the expensive boundary
+    // pipeline across the Generate (the original posexplode phrasing
+    // re-evaluated it per consumer — measured 7.4 s vs 2.9 s at sf0.1)
+    val chunkStructs = {
+      val ends = col("__ends")
+      transform(sequence(lit(1), size(ends)), i => {
+        val prev = when(i === 1, lit(0)).otherwise(element_at(ends, i - 1))
+        val e = element_at(ends, i)
+        struct((i - 1).as("chunk_idx"), (e - prev).as("n_tokens"),
+          md5(array_join(slice(col("__toks"), prev + 1, e - prev), " "))
+            .as("fp"))
+      })
+    }
     base.withColumn("__ends",
         array_distinct(concat(boundaryEnds, array(col("__n")))))
-      .select(col(idCol), col("__toks"), col("__ends"),
-        posexplode(col("__ends")).as(Seq("chunk_idx", "__e")))
-      .withColumn("__prev", when(col("chunk_idx") === 0, lit(0))
-        .otherwise(element_at(col("__ends"), col("chunk_idx"))))
-      .select(col(idCol), col("chunk_idx"),
-        (col("__e") - col("__prev")).as("n_tokens"),
-        md5(array_join(slice(col("__toks"), col("__prev") + 1,
-          col("__e") - col("__prev")), " ")).as("fp"))
+      .select(col(idCol), explode(chunkStructs).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx").as("chunk_idx"),
+        col("__c.n_tokens").as("n_tokens"), col("__c.fp").as("fp"))
   }
 
   def packSequences(df: DataFrame, orderCol: String, tokensCol: String,

@@ -185,6 +185,51 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "replayed epoch must overwrite itself on both paths")
   }
 
+  test("d17: a materialized view advanced from the STREAMING merge " +
+       "sink's change feed equals a rebuild from the final snapshot") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.MaterializedView
+    val tableRoot = java.nio.file.Files
+      .createTempDirectory("graft_d17_table").toString
+    val feedRoot = java.nio.file.Files
+      .createTempDirectory("graft_d17_feed").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_d17_ckpt").toString
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    // epoch 0: three inserts; epoch 1: revise k=1, delete-less insert k=4
+    input.addData((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+    val q1 = EventStreams.mergeSink(input.toDF().toDF("k", "g", "v"),
+      tableRoot, feedRoot, Seq("k"), ckpt)
+    q1.awaitTermination(120000)
+    input.addData((1L, "a", 11.0), (4L, "b", 40.0))
+    val q2 = EventStreams.mergeSink(input.toDF().toDF("k", "g", "v"),
+      tableRoot, feedRoot, Seq("k"), ckpt)
+    q2.awaitTermination(120000)
+
+    val snapshot = EventStreams.readSnapshot(spark, tableRoot).get._2
+    // fold the feed epoch-by-epoch through the B26 incremental apply
+    val feed = spark.read.parquet(feedRoot)
+    // __epoch is a discovered partition column: inferred int
+    val epochs = feed.select(col("__epoch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(epochs.length >= 2, s"expected >=2 epochs, got ${epochs.toSeq}")
+    val empty = Seq.empty[(Long, String, Double)].toDF("k", "g", "v")
+    var view = MaterializedView.build(empty, Seq("g"), Seq("v"))
+    epochs.foreach { e =>
+      view = MaterializedView.applyChanges(view,
+        feed.where(col("__epoch") === e).drop("__epoch"),
+        Seq("g"), Seq("v"))
+    }
+    val rebuilt = MaterializedView.build(snapshot, Seq("g"), Seq("v"))
+    assert(view.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view).isEmpty,
+      s"incremental:\n${view.collect().mkString("\n")}\n" +
+        s"rebuilt:\n${rebuilt.collect().mkString("\n")}")
+  }
+
   test("merge sink: epochs fold forward, replay changes nothing, " +
        "stream equals one-shot merge") {
     val s = spark
