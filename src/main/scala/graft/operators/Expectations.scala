@@ -30,6 +30,9 @@ object Expectations {
   /** Row-local checks in one aggregate pass. */
   def rowChecks(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
     require(checks.nonEmpty, "Expectations.rowChecks: no checks")
+    checks.foreach(c => require(c.name.matches("[A-Za-z0-9_]+"),
+      s"check name '${c.name}' must be identifier-safe (it names an " +
+        "aggregate column and rides a stack() expression)"))
     val aggs = checks.map(c =>
       sum(when(coalesce(c.holds, lit(false)), 0L).otherwise(1L))
         .as(c.name))

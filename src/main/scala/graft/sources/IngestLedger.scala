@@ -40,7 +40,11 @@ object IngestLedger {
       if (!fs.exists(rootPath)) Set.empty
       else fs.listStatus(rootPath)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
-        .map(_.getPath.getName.split("=", 2)(1))
+        // hive escapes special chars in partition dir names (%xx); the
+        // ledger must compare RAW values or an escaped value re-ingests
+        // forever
+        .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.getPath.getName.split("=", 2)(1)))
         .toSet
     val wantRows = source.select(col(partCol).cast("string").as("p"))
       .where(col("p").isNotNull).distinct()

@@ -41,6 +41,8 @@ object TargetedDelete {
                  targets: Seq[Long], maxTargets: Int = 100000,
                  batchId: String = "del0"): DeleteReport = {
     require(targets.nonEmpty, "TargetedDelete: empty target set")
+    require(batchId.matches("[A-Za-z0-9_-]+"),
+      s"batchId '$batchId' must be filesystem- and prefix-safe")
     require(targets.size <= maxTargets,
       s"TargetedDelete: ${targets.size} targets > $maxTargets — " +
         "corpus-sized deletes should be a full filtered rewrite (A18)")
