@@ -1111,6 +1111,32 @@ object SparkEntry {
           max("dist").as("max_dist"))
         .orderBy("id_a")),
 
+    // B46 entity-resolution best match — the full ER pipeline composed:
+    // SymSpell blocking + exact levenshtein verify (B25) generate the
+    // candidate pairs, Jaro-Winkler (B45) RANKS them, and a per-record
+    // window keeps the single best match (jw desc, id asc — the
+    // deterministic production rule). Candidates are pair-set-sized by
+    // the time ranking runs; the oracle replays the whole chain with
+    // DuckDB's native levenshtein + jaro_winkler_similarity from the
+    // brute-force pair set.
+    "b46_er_best_match" -> ((s, dir) => {
+      import graft.functions.GraftExpressions
+      val pairs = graft.operators.FuzzyJoin.editDistanceSelfJoin(
+        t(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
+      val both = pairs.select(col("id_a").as("id"), col("id_b").as("cand"),
+          col("str_a").as("s"), col("str_b").as("cs"), col("dist"))
+        .unionByName(pairs.select(col("id_b").as("id"),
+          col("id_a").as("cand"), col("str_b").as("s"),
+          col("str_a").as("cs"), col("dist")))
+        .withColumn("jw",
+          GraftExpressions.jaroWinkler(col("s"), col("cs")))
+      val w = Window.partitionBy("id").orderBy(desc("jw"), col("cand"))
+      both.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("id"), col("cand").as("best_id"), col("dist"),
+          col("jw"))
+        .orderBy("id")
+    }),
+
     // A25: source-format parity — the same frame written to ORC and
     // JSON-lines, read back, and aggregated identically; the oracle
     // computes the same aggregate from the parquet original, so any
@@ -3082,6 +3108,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'ALL', count(DISTINCT l_partkey), TRUE FROM lineitem
         |ORDER BY 1""".stripMargin,
+
+    // the whole chain replayed from the brute-force pair set with
+    // DuckDB's native levenshtein AND jaro_winkler_similarity — the
+    // blocking must be lossless and the ranking bit-identical
+    "b46_er_best_match" ->
+      """WITH p AS (
+        |  SELECT a.c_custkey AS id, b.c_custkey AS cand,
+        |         a.c_name AS s, b.c_name AS cs,
+        |         CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey <> b.c_custkey
+        |   AND levenshtein(a.c_name, b.c_name) <= 1),
+        |r AS (
+        |  SELECT id, cand, dist, jaro_winkler_similarity(s, cs) AS jw,
+        |         row_number() OVER (PARTITION BY id
+        |             ORDER BY jaro_winkler_similarity(s, cs) DESC, cand)
+        |           AS rk
+        |  FROM p)
+        |SELECT id, cand AS best_id, dist, jw
+        |FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
 
     // brute-force quadratic levenshtein join — fine as an ORACLE at the
     // verify SF; the operator itself must never do this
