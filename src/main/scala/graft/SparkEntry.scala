@@ -1822,6 +1822,42 @@ object SparkEntry {
           w = 8, modulus = 64)
         .orderBy("doc_id", "chunk_idx")),
 
+    // C48 corpus datasheet ("datasheets for datasets" per source): the
+    // QA metrics a corpus release ships — doc/token mass, mean quality,
+    // Gopher keep rate, exact-dup count, language spread + modal lang —
+    // assembled from the ALREADY-PROVEN per-doc contracts (c9 quality,
+    // c10 tokens, c11 fingerprint, c17 gates) in one map-only metric
+    // projection + two keyed aggs; keep derives from BOUND metric
+    // columns (the c17 CSE rule), never recomputed per check.
+    "c48_corpus_datasheet" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = docs.select(col("source"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("toks"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          TextFunctions.fingerprintMd5(col("text")).as("fp"),
+          QualityFilters.nWords(col("text")).as("nw"),
+          QualityFilters.meanWordLen(col("text")).as("mwl"),
+          QualityFilters.dupWordFrac(col("text")).as("dwf"),
+          QualityFilters.topBigramFrac(col("text")).as("tbf"))
+        .withColumn("keep", col("nw") >= 5 &&
+          col("mwl").between(3.0, 12.0) && col("dwf") <= 0.6 &&
+          col("tbf") <= 0.18)
+      val stats = m.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        round(avg("q"), 4).as("mean_quality"),
+        round(avg(col("keep").cast("int")), 4).as("keep_rate"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup"),
+        countDistinct(col("lang")).as("n_langs"))
+      val lc = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("source").orderBy(desc("cnt"), col("lang"))
+      val top = lc.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("cnt").as("top_lang_docs"))
+      stats.join(top, Seq("source")).orderBy("source")
+    }),
+
     // C40 per-source corpus token statistics — the mixing-QA report
     // (C25's input diagnostics): token mass, vocabulary size, type-token
     // ratio and the modal term per source. One explode feeding ONE
@@ -3769,6 +3805,74 @@ object SparkEntry {
         |FROM clean ORDER BY doc_id""".stripMargin,
 
     // same token contract, same tie-break (count desc, term asc)
+    // each metric is the ALREADY-GREEN per-doc oracle formula (c9, c10,
+    // c11, c17) carried per source, aggregated identically
+    "c48_corpus_datasheet" ->
+      """WITH m0 AS (
+        |  SELECT source, lang, text, length(trim(text)) AS lt,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |m1 AS (
+        |  SELECT *, CASE WHEN lt = 0 OR len(t) < 2 THEN NULL
+        |       ELSE list_transform(range(1, len(t)),
+        |                           i -> t[i] || ' ' || t[i+1]) END AS bg
+        |  FROM m0),
+        |m AS (
+        |  SELECT source, lang,
+        |    CASE WHEN lt = 0 THEN 0 ELSE len(t) END AS toks,
+        |    round(greatest(0.0, least(1.0,
+        |      (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |         / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.6
+        |      + (CASE WHEN (length(regexp_replace(text, '\s', '', 'g'))
+        |           / CAST(greatest(
+        |               CASE WHEN lt = 0 THEN 0 ELSE len(t) END,
+        |               1) AS DOUBLE))
+        |           BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+        |      - (length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |         / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+        |      - ((length(text) -
+        |          length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |         / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+        |    )), 4) AS q,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    CASE WHEN lt = 0 THEN 0 ELSE len(t) END AS nw,
+        |    CASE WHEN lt = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(t, x -> length(x)))
+        |                AS DOUBLE) / len(t) END AS mwl,
+        |    CASE WHEN lt = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+        |         END AS dwf,
+        |    CASE WHEN bg IS NULL THEN 0.0
+        |         ELSE CAST(list_max(list_transform(list_distinct(bg),
+        |                x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+        |              / (len(t) - 1) END AS tbf
+        |  FROM m1),
+        |mk AS (
+        |  SELECT *, (nw >= 5 AND mwl BETWEEN 3.0 AND 12.0
+        |             AND dwf <= 0.6 AND tbf <= 0.18) AS keep
+        |  FROM m),
+        |stats AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |         round(avg(q), 4) AS mean_quality,
+        |         round(avg(CASE WHEN keep THEN 1 ELSE 0 END), 4)
+        |           AS keep_rate,
+        |         count(*) - count(DISTINCT fp) AS n_dup,
+        |         count(DISTINCT lang) AS n_langs
+        |  FROM mk GROUP BY 1),
+        |lc AS (SELECT source, lang, count(*) AS cnt
+        |       FROM documents GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, lang AS top_lang, cnt AS top_lang_docs,
+        |         row_number() OVER (PARTITION BY source
+        |             ORDER BY cnt DESC, lang) AS rn
+        |  FROM lc)
+        |SELECT s.source, s.n_docs, s.n_tokens, s.mean_quality,
+        |       s.keep_rate, s.n_dup, s.n_langs,
+        |       top.top_lang, top.top_lang_docs
+        |FROM stats s JOIN top USING (source)
+        |WHERE top.rn = 1 ORDER BY s.source""".stripMargin,
+
     // identical windows (the c27 slice contract), identical hex-parse
     // boundary rule (the c33 contract), identical segmentation
     "c47_cdc_chunking" ->
