@@ -281,6 +281,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"the rewrite chain must not shuffle:\n${p.take(600)}")
   }
 
+  test("b46: the composed ER chain keeps B25's bounded shape — no " +
+       "cartesian product, no nested-loop join, JW only after blocking") {
+    val df = SparkEntry.queries("b46_er_best_match")(spark, sfDir())
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ER composition must never go all-pairs:\n${p.take(800)}")
+  }
+
   test("a31: snapshot diff is ONE join; the change mask adds no " +
        "exchange beyond the key shuffle") {
     val df = SparkEntry.queries("a31_snapshot_diff")(spark, sfDir())
