@@ -1822,6 +1822,30 @@ object SparkEntry {
           w = 8, modulus = 64)
         .orderBy("doc_id", "chunk_idx")),
 
+    // C49 blocklist word filter (the C4 "badwords" stage — the list
+    // here is a stand-in of ordinary tokens since the corpus is
+    // synthetic; the MACHINERY is the product): whole-word matches
+    // counted via ONE alternation regex (map-only codegen, no token
+    // explode), fraction over the c10 token contract, keep at the C4
+    // threshold (< 1% blocked tokens). RE2-safe pattern, global count.
+    "c49_badwords_filter" -> ((s, dir) => {
+      val words = Seq("hash", "spill", "crash")
+      val pat = "\\b(" + words.mkString("|") + ")\\b"
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TextFunctions.countMatches(lower(col("text")), pat)
+            .as("n_blocked"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        // keep decides on the UNROUNDED ratio (so does the oracle);
+        // blocked_frac is display-rounded after
+        .withColumn("__raw", col("n_blocked").cast("double") /
+          greatest(col("n_tokens"), lit(1)))
+        .withColumn("blocked_frac", round(col("__raw"), 4))
+        .withColumn("keep", col("__raw") < 0.01)
+        .drop("__raw")
+        .orderBy("doc_id")
+    }),
+
     // C48 corpus datasheet ("datasheets for datasets" per source): the
     // QA metrics a corpus release ships — doc/token mass, mean quality,
     // Gopher keep rate, exact-dup count, language spread + modal lang —
@@ -3805,6 +3829,27 @@ object SparkEntry {
         |FROM clean ORDER BY doc_id""".stripMargin,
 
     // same token contract, same tie-break (count desc, term asc)
+    // identical whole-word alternation count, identical c10 token
+    // denominator, identical threshold
+    "c49_badwords_filter" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text),
+        |      '\b(hash|spill|crash)\b')) AS n_blocked,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |    AS n_tokens,
+        |  round(CAST(len(regexp_extract_all(lower(text),
+        |        '\b(hash|spill|crash)\b')) AS DOUBLE)
+        |      / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+        |          1), 4) AS blocked_frac,
+        |  (CAST(len(regexp_extract_all(lower(text),
+        |        '\b(hash|spill|crash)\b')) AS DOUBLE)
+        |      / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+        |          1)) < 0.01 AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // each metric is the ALREADY-GREEN per-doc oracle formula (c9, c10,
     // c11, c17) carried per source, aggregated identically
     "c48_corpus_datasheet" ->
