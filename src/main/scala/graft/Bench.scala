@@ -44,7 +44,7 @@ object Bench {
     "c46_tfidf_keywords", "b42_asof_forward", "b43_window_median",
     "a34_binary_ingest", "b44_pivot", "a35_wap_time_travel",
     "c47_cdc_chunking", "b45_jaro_winkler", "b46_er_best_match",
-    "c48_corpus_datasheet", "c49_badwords_filter",
+    "c48_corpus_datasheet", "c49_badwords_filter", "b47_bag_set_ops",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't

@@ -375,6 +375,27 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // B47 BAG-semantics set operations — INTERSECT ALL / EXCEPT ALL
+    // keep multiplicities (b15's set forms collapse them): with
+    // duplicate custkeys on both sides, intersectAll keeps min(m, n)
+    // copies and exceptAll keeps m − n — genuinely different answers
+    // from the set forms on any key appearing twice. Aggregated so the
+    // multiplicities themselves are what the oracle hashes.
+    "b47_bag_set_ops" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      def custs(status: String) =
+        orders.where(col("o_orderstatus") === status).select("o_custkey")
+      val inter = custs("O").intersectAll(custs("F"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_inter"))
+      val exc = custs("O").exceptAll(custs("F"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_except"))
+      inter.join(exc, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("o_custkey")
+    }),
+
     // Time-RANGE window frame (B27): trailing-90-day order count and
     // revenue per customer — a VALUE-based frame (rangeBetween on epoch
     // days), not a row count: gaps and same-day peer rows behave
@@ -2688,6 +2709,24 @@ object SparkEntry {
         | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+
+    // DuckDB's native ALL variants carry the same multiplicities
+    "b47_bag_set_ops" ->
+      """WITH i AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |e AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |ic AS (SELECT o_custkey, count(*) AS n_inter FROM i GROUP BY 1),
+        |ec AS (SELECT o_custkey, count(*) AS n_except FROM e GROUP BY 1)
+        |SELECT coalesce(ic.o_custkey, ec.o_custkey) AS o_custkey,
+        |       coalesce(ic.n_inter, 0) AS n_inter,
+        |       coalesce(ec.n_except, 0) AS n_except
+        |FROM ic FULL OUTER JOIN ec ON ic.o_custkey = ec.o_custkey
         |ORDER BY o_custkey""".stripMargin,
 
     // value-based RANGE frame over epoch days — identical frame
