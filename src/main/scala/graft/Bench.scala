@@ -191,9 +191,18 @@ object Bench {
         val dir100 = ScaleReplica.ensure(spark, sfDir, copies = 100,
           tables = Seq("lineitem", "orders", "customer", "region",
             "nation", "documents"))
+        // the 100x probe runs LAST, after 36 10x probes — drain their
+        // broadcast/shuffle debris and take best-of-2, or the decade
+        // signal measures end-of-run JVM state instead of the plan
+        // (observed: q5 x100 read 88.2 s in-run where an isolated
+        // fresh-JVM probe of the identical plan measures 22.7 s)
         ScaleReplica.drainBuildState(spark)
         val entries = scaling100Probe.map { name =>
-          val t100 = timed(name, dir100) // single run: the decade signal
+          val t100 = {
+            val a = timed(name, dir100)
+            val b = timed(name, dir100)
+            if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+          }
           val t1 = base.getOrElse(name, -1.0)
           val ratio = if (t1 > 0 && t100 > 0) t100 / t1 else -1.0
           "\"%s\":{\"base\":%.3f,\"x100\":%.3f,\"ratio\":%.2f}"
