@@ -77,7 +77,10 @@ object Bench {
       // are fixed as the corpus grows — the b32 exclusion rule).
       "c41_pagerank", "c42_html_strip", "b36_stats", "a29_wap",
       "c44_url_canonical", "c45_hybrid_retrieval", "a32_expectations",
-      "b40_cube", "c46_tfidf_keywords", "c47_cdc_chunking")
+      "b40_cube", "c46_tfidf_keywords", "c47_cdc_chunking",
+      // b46 rides b25's replica contract (per-copy name tags keep the
+      // cross-copy distance > k, so the ER candidate set stays linear)
+      "b46_er_best_match")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
