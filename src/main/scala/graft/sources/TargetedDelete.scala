@@ -64,8 +64,10 @@ object TargetedDelete {
       spark.sparkContext.hadoopConfiguration)
     val stageDir = new Path(root, s"_staging_delete/$batchId")
     fs.delete(stageDir, true)
+    // NULL keys must survive: `!isin` is NULL (dropped) for NULL input,
+    // which would silently delete rows the caller never targeted.
     val kept = spark.read.parquet(affected: _*)
-      .where(!col(keyCol).isin(targets: _*))
+      .where(col(keyCol).isNull || !col(keyCol).isin(targets: _*))
     kept.write.mode("overwrite").parquet(stageDir.toString)
     val keptRows = spark.read.parquet(stageDir.toString).count()
 

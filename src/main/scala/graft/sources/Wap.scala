@@ -59,8 +59,12 @@ object Wap {
   def writeAuditPublish(spark: SparkSession, df: DataFrame, root: String,
                         partitionCol: String, batchId: String,
                         audits: Seq[Audit]): WapReport = {
-    require(batchId.matches("[A-Za-z0-9_-]+"),
-      s"batchId '$batchId' must be filesystem- and prefix-safe")
+    // '-' is the prefix delimiter in published file names: a batchId
+    // containing it would make "b1-" a prefix of batch "b1-2"'s files,
+    // so publish/readAsOf would claim another batch's data. Disallow it.
+    require(batchId.matches("[A-Za-z0-9_]+"),
+      s"batchId '$batchId' must be filesystem- and prefix-safe " +
+        "([A-Za-z0-9_], no '-')")
     val rootPath = new Path(root)
     val fs = FileSystem.get(rootPath.toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -128,6 +132,9 @@ object Wap {
     */
   def readAsOf(spark: SparkSession, root: String,
                allBatches: Seq[String], visible: Seq[String]): DataFrame = {
+    allBatches.foreach(b => require(b.matches("[A-Za-z0-9_]+"),
+      s"batch '$b': ids are [A-Za-z0-9_] (no '-' — it delimits the " +
+        "batch prefix in file names)"))
     val hidden = allBatches.toSet -- visible
     val rootPath = new Path(root)
     val fs = FileSystem.get(rootPath.toUri,

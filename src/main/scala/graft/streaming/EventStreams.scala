@@ -521,7 +521,11 @@ object EventStreams {
          rows: Iterator[(Long, String, Double, java.sql.Timestamp)],
          state: GroupState[(Long, Double, Double)]) => {
           var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
-          val out = rows.toSeq.sortBy(r => (r._4.getTime, r._1)).map { r =>
+          // Full-precision instant (ms + nanos), then id — the exact
+          // sort key of the batch twin's (ts, event_id) frame; getTime
+          // alone is ms-truncated and can reorder sub-ms neighbours.
+          val out = rows.toSeq
+            .sortBy(r => (r._4.getTime, r._4.getNanos, r._1)).map { r =>
             val z: Option[Double] =
               if (n >= 2) {
                 val sd = math.sqrt(m2 / (n - 1))
