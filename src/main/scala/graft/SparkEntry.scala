@@ -1256,6 +1256,34 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // B48 SQL surface for the engine's custom codegen expressions: the
+    // engine side here IS a `spark.sql(...)` string — GraftExtensions
+    // registers jaro_winkler / normalize_text (and the rest of the
+    // graft function family) in the session FunctionRegistry, so the
+    // SQL-first user the reference serves (load_external_tables.sql's
+    // BigQuery SELECT surface) reaches the custom operators without the
+    // Column API. normalize_text's NFC path is exercised with a
+    // DECOMPOSED e + combining acute (U+0301, a Scala \u escape — the
+    // oracle builds the same two codepoints with chr(769) and
+    // recomposes via nfc_normalize); its space-collapse path with
+    // planted doubles. The filter runs the same custom expression a
+    // second time in a WHERE.
+    // Parity of the remaining SQL-only registrations (minhash_signature,
+    // zvalue, span_md5s, char_ngram_hashes, plane_sign_buckets) against
+    // the Column API is locked in SqlSurfaceSpec.
+    "b48_sql_surface" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("b48_customer")
+      val acute = "\u0301" // combining acute, decomposed on purpose
+      s.sql(s"""
+        SELECT c_custkey,
+               jaro_winkler(c_name, 'Customer#000000777') AS jw,
+               normalize_text(concat(' ', c_name, '  e$acute ')) AS norm
+        FROM b48_customer
+        WHERE jaro_winkler(c_name, 'Customer#000000777') > 0.75
+        ORDER BY c_custkey
+      """)
+    }),
+
     // B42 forward as-of: the NEXT order on/after each event's time per
     // user (the b18 backward lookup mirrored); same one-exchange
     // union-and-carry, carry direction reversed. Same right-side
@@ -3290,6 +3318,19 @@ object SparkEntry {
         |       jaro_winkler_similarity(c_name, 'Supplier Number 9')
         |         AS jw_far
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // same two codepoints built with chr(769); nfc_normalize recomposes,
+    // regexp_replace+trim mirrors normalize_text's space collapse
+    "b48_sql_surface" ->
+      """SELECT c_custkey,
+        |       jaro_winkler_similarity(c_name, 'Customer#000000777')
+        |         AS jw,
+        |       trim(regexp_replace(
+        |         nfc_normalize(concat(' ', c_name, '  e', chr(769), ' ')),
+        |         ' +', ' ', 'g')) AS norm
+        |FROM customer
+        |WHERE jaro_winkler_similarity(c_name, 'Customer#000000777') > 0.75
+        |ORDER BY c_custkey""".stripMargin,
 
     // the identical reduction, the inequality flipped: e.ts <= r.time
     "b42_asof_forward" ->

@@ -157,7 +157,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   * engine's custom codegen expressions as SQL functions, so `spark.sql`
   * users get the same surface the Column API exposes:
   * `simhash64(tokens)`, `float_cosine(a, b)`, `sorted_jaccard(a, b)`,
-  * `shingle_hashes(tokens, w)`, `tdigest_quantiles(sketch, q, ...)`.
+  * `shingle_hashes(tokens, w)`, `tdigest_quantiles(sketch, q, ...)`,
+  * `jaro_winkler(a, b)`, `normalize_text(s)`,
+  * `minhash_signature(tokens, w, k)`, `char_ngram_hashes(s, n)`,
+  * `span_md5s(tokens, w)`, `zvalue(dims, boundaries, bits)`,
+  * `plane_sign_buckets(vec, planes, tables, bits)` — matrix parameters
+  * are literal `array(array(...))`, carried as one plan reference
+  * object exactly like the Column API's.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -178,6 +184,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case other => throw new IllegalArgumentException(
         s"$fn: expected a numeric literal, got $other")
     }
+  }
+  /** A foldable `array(array(...))` SQL literal → the driver-side matrix
+    * the matrix-parameterized expressions (zvalue boundaries, LSH planes)
+    * carry as one plan reference object.
+    */
+  private def litMatrix(e: Expression, fn: String): Array[Array[Double]] = {
+    require(e.foldable, s"$fn: matrix argument must be a literal " +
+      "array(array(double, ...), ...)")
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val elemType = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+             org.apache.spark.sql.types.ArrayType(t, _), _) => t
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected array(array(numeric)), got ${other.simpleString}")
+    }
+    val outer = e.eval().asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map { i =>
+      val inner = outer.getArray(i)
+      (0 until inner.numElements()).map { j =>
+        inner.get(j, elemType) match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+        }
+      }.toArray
+    }.toArray
   }
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
@@ -206,5 +237,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("tdigest_quantiles", classOf[graft.operators.TDigestQuantilesExpr]),
       (args: Seq[Expression]) => graft.operators.TDigestQuantilesExpr(
         args.head, args.tail.map(litDouble(_, "tdigest_quantiles")))))
+
+    extensions.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", classOf[graft.functions.JaroWinklerExpr]),
+      (args: Seq[Expression]) =>
+        graft.functions.JaroWinklerExpr(args(0), args(1))))
+
+    extensions.injectFunction((FunctionIdentifier("normalize_text"),
+      info("normalize_text", classOf[graft.functions.NormalizeTextExpr]),
+      (args: Seq[Expression]) =>
+        graft.functions.NormalizeTextExpr(args.head)))
+
+    // minhash_signature(tokens, shingle_width, k)
+    extensions.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", classOf[graft.functions.MinHashSigExpr]),
+      (args: Seq[Expression]) => graft.functions.MinHashSigExpr(args(0),
+        litInt(args(1), "minhash_signature"),
+        litInt(args(2), "minhash_signature"))))
+
+    extensions.injectFunction((FunctionIdentifier("char_ngram_hashes"),
+      info("char_ngram_hashes", classOf[graft.functions.CharNgramHashesExpr]),
+      (args: Seq[Expression]) => graft.functions.CharNgramHashesExpr(
+        args(0), litInt(args(1), "char_ngram_hashes"))))
+
+    extensions.injectFunction((FunctionIdentifier("span_md5s"),
+      info("span_md5s", classOf[graft.functions.SpanMd5sExpr]),
+      (args: Seq[Expression]) => graft.functions.SpanMd5sExpr(
+        args(0), litInt(args(1), "span_md5s"))))
+
+    // zvalue(array(dims...), array(array(boundaries...)...), bits) —
+    // the boundary matrix is a literal, same KB-scale plan-reference
+    // contract as the Column API's ZValueExpr
+    extensions.injectFunction((FunctionIdentifier("zvalue"),
+      info("zvalue", classOf[graft.functions.ZValueExpr]),
+      (args: Seq[Expression]) => graft.functions.ZValueExpr(args(0),
+        litMatrix(args(1), "zvalue"), litInt(args(2), "zvalue"))))
+
+    // plane_sign_buckets(vec, array(array(plane...)...), tables, bits)
+    extensions.injectFunction((FunctionIdentifier("plane_sign_buckets"),
+      info("plane_sign_buckets",
+        classOf[graft.functions.PlaneSignBucketsExpr]),
+      (args: Seq[Expression]) => graft.functions.PlaneSignBucketsExpr(
+        args(0), litMatrix(args(1), "plane_sign_buckets"),
+        litInt(args(2), "plane_sign_buckets"),
+        litInt(args(3), "plane_sign_buckets"))))
   }
 }
