@@ -34,6 +34,16 @@ object GraftSession {
       // runtime — previously the streaming source had to set this
       // session-wide mid-flight, silently changing later reads.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB streaming state store as the ENGINE DEFAULT: the
+      // HDFS-backed provider keeps every key in executor heap, capping
+      // streaming state (dedup sets, session windows, sketch shards) at
+      // memory size and stalling GC long before that. RocksDB spills to
+      // local disk with bounded block-cache memory — at 100 TB keyspaces
+      // this is the difference between a streaming job that runs and one
+      // that OOMs. Ships in spark-sql (rocksdbjni bundled); same
+      // exactly-once semantics via checkpoint + changelog files.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     master.foreach(b.master)
     shufflePartitions.foreach(n =>
       b.config("spark.sql.shuffle.partitions", n.toString))

@@ -413,6 +413,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming state rides RocksDB by default: provider set at session " +
+       "build, a stateful query reports rocksdb state-store metrics, and " +
+       "the D-surface suites above all ran under it") {
+    // the engine default (GraftSession) — not a per-test override: every
+    // other streaming case in this suite (D3/D5/D6/D13...) just ran on it
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("user_id", "value")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("rocksdb_mem")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1.0), (2L, 2.0), (1L, 3.0))
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators
+      assert(ops.nonEmpty, "no state operator in progress")
+      import scala.jdk.CollectionConverters._
+      val custom = ops.flatMap(_.customMetrics.keySet.asScala)
+      assert(custom.exists(_.startsWith("rocksdb")),
+        s"state-store custom metrics are not RocksDB's: ${custom.toSeq}")
+      // D7's observability contract still holds under the new provider
+      val samples = graft.streaming.StateMetrics.samples(
+        q.recentProgress.toSeq)
+      assert(samples.exists(_.numRowsTotal == 2),
+        s"StateMetrics must still report state rows: $samples")
+    } finally q.stop()
+  }
+
   test("dedupStream drops within-watermark duplicates across microbatches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
