@@ -37,7 +37,8 @@ object Bench {
     "c18_pii_scrub", "c19_kmeans", "c21_chunking", "c22_sequence_pack",
     "b18_asof_join", "b19_range_join", "a17_upsert", "d2_sessionize",
     "d3_user_totals", "b20_quantile_sketch", "c23_bpe_tokens",
-    "c12_image_codec", "c12b_image_codec_batched", "c24_decontamination",
+    "c12_image_codec", "c12b_image_codec_batched",
+    "c12c_image_codec_columnar", "c24_decontamination",
     "c25_source_mixing", "d6_attribution", "d6b_attribution_outer",
     "c14b_ivf_two_level", "c26_pq_topk", "c27_span_dedup",
     "b22_heavy_hitters", "a24_scd2", "c28_ivfpq_topk", "c29_span_removal",
@@ -79,7 +80,8 @@ object Bench {
   val scalingProbe: Seq[String] =
     Seq("q1_agg", "q5_star_join", "c2_minhash_lsh", "c3_simhash",
       "c13_dup_clusters", "c4_ngram_jaccard", "a9_balanced_repartition",
-      "c12_image_codec", "c12b_image_codec_batched", "b20_quantile_sketch",
+      "c12_image_codec", "c12b_image_codec_batched",
+      "c12c_image_codec_columnar", "b20_quantile_sketch",
       "c24_decontamination", "c14b_ivf_two_level", "c26_pq_topk",
       "c27_span_dedup", "a24_scd2", "c29_span_removal",
       "b25_fuzzy_join", "c30_perplexity", "c31_semdedup",

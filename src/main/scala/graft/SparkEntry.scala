@@ -1046,6 +1046,24 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // columnar-transport decode (c12c): the custom columnar SparkPlan
+    // (DecodeImagesExec) replaces the mapPartitions row loop — payload
+    // bytes travel as ColumnarBatch vectors end to end (vectorized
+    // parquet reader → codec → one ColumnarToRow above). Same pixels,
+    // same ImageDecoder code object, same oracle as c12/c12b.
+    "c12c_image_codec_columnar" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val imgs = Multimodal.packImagesBatched(s, docs, "doc_id")
+      Multimodal.decodeImagesColumnar(s, imgs)
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(element_at(col("features"), 1), 6).as("mean_r"),
+          round(element_at(col("features"), 2), 6).as("mean_g"),
+          round(element_at(col("features"), 3), 6).as("mean_b"))
+        .orderBy("media_id")
+    }),
+
     // Mergeable t-digest quantile sketch (B20/B22): per-group digests built
     // map-side, merged associatively, interrogated for 3 quantiles. The
     // gate is the sketch's CONTRACT — rank error ≤ 0.02 at δ=200 — checked
@@ -3188,6 +3206,24 @@ object SparkEntry {
     // identical pixel formula — the batched transport must hit the same
     // bit-exact means as the per-call codec path
     "c12b_image_codec_batched" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 64 + 16 AS w,
+        |         doc_id % 48 + 16 AS h
+        |  FROM documents),
+        |xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM ids),
+        |px AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |v AS (SELECT media_id, w, h,
+        |        ((media_id * 1103515245 + x * 31 + y * 131) & 16777215) AS v
+        |      FROM px)
+        |SELECT media_id, w AS width, h AS height,
+        |       round(sum((v >> 16) & 255) / (w * h * 255.0), 6) AS mean_r,
+        |       round(sum((v >> 8) & 255) / (w * h * 255.0), 6) AS mean_g,
+        |       round(sum(v & 255) / (w * h * 255.0), 6) AS mean_b
+        |FROM v GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
+
+    // identical oracle to c12b: the columnar transport must produce the
+    // same decoded features from the same formula-pinned pixels
+    "c12c_image_codec_columnar" ->
       """WITH ids AS (
         |  SELECT doc_id AS media_id, doc_id % 64 + 16 AS w,
         |         doc_id % 48 + 16 AS h

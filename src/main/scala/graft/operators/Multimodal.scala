@@ -248,6 +248,8 @@ object Multimodal {
     * TYPE_3BYTE_BGR on the JDK codec; `getRGB` would re-convert every
     * pixel through the color model). Output and quarantine semantics are
     * identical to [[decodeImages]] — same bit-exact DuckDB oracle.
+    * The per-image decode lives in [[ImageDecoder]], shared verbatim with
+    * the columnar transport ([[decodeImagesColumnar]]).
     */
   def decodeImagesBatched(spark: SparkSession, packed: DataFrame,
                           batchSize: Int = 64): DataFrame = {
@@ -261,79 +263,128 @@ object Multimodal {
       .encoderFor(outSchema)
     val in = packed.select(col("media_id").cast("long"), col("media"))
     in.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
-      val pngReader = javax.imageio.ImageIO
-        .getImageReadersByFormatName("png").next()
+      val dec = new ImageDecoder
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val isPng = bytes.length > 4 &&
-            bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
-            bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
-          val isBmp = bytes.length > 4 && bytes(0) == 'B' && bytes(1) == 'M'
-          val decoded =
-            if (isPng) {
-              try {
-                val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-                  new java.io.ByteArrayInputStream(bytes))
-                pngReader.setInput(iis, true, true)
-                val img = pngReader.read(0)
-                iis.close()
-                img
-              } catch { case _: java.io.IOException => null }
-            } else if (isBmp) {
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
-            } else null
-          if (decoded != null) {
-            val w = decoded.getWidth; val h = decoded.getHeight
-            var sr = 0L; var sg = 0L; var sb = 0L
-            decoded.getRaster.getDataBuffer match {
-              case db: java.awt.image.DataBufferByte
-                  if decoded.getType ==
-                    java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
-                val a = db.getData
-                var i = 0
-                while (i < a.length) {
-                  sb += a(i) & 0xFF; sg += a(i + 1) & 0xFF; sr += a(i + 2) & 0xFF
-                  i += 3
-                }
-              case db: java.awt.image.DataBufferInt
-                  if decoded.getType ==
-                    java.awt.image.BufferedImage.TYPE_INT_RGB =>
-                val a = db.getData
-                var i = 0
-                while (i < a.length) {
-                  val p = a(i)
-                  sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-                  i += 1
-                }
-              case _ =>
-                val px = decoded.getRGB(0, 0, w, h, null, 0, w)
-                var i = 0
-                while (i < px.length) {
-                  val p = px(i)
-                  sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-                  i += 1
-                }
-            }
-            val n = math.max(w * h, 1) * 255.0
-            Row(id, bytes.length, w, h, Seq(sr / n, sg / n, sb / n))
-          } else {
-            val hist = new Array[Double](histBins)
-            var i = 0
-            while (i < bytes.length) {
-              hist((bytes(i) & 0xFF) * histBins / 256) += 1.0
-              i += 1
-            }
-            val total = math.max(bytes.length, 1).toDouble
-            Row(id, bytes.length, null, null, hist.map(_ / total).toSeq)
-          }
+          val d = dec.decode(bytes)
+          if (d.width >= 0)
+            Row(id, bytes.length, d.width, d.height,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(d.features))
+          else
+            Row(id, bytes.length, null, null,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(d.features))
         }
       }
     }(enc)
+  }
+
+  /** Columnar-transport variant of [[decodeImagesBatched]]: a custom
+    * physical operator ([[graft.plans.DecodeImagesExec]], registered via
+    * [[graft.plans.GraftExtensions]]) that consumes and produces
+    * `ColumnarBatch`es — the JVM equivalent of the `mapInArrow` transport.
+    * Catalyst inserts the transitions: a columnar child (the vectorized
+    * parquet reader, when packed media is read from disk) feeds the codec
+    * WITHOUT ever pivoting payload bytes through rows, and a single
+    * codegen'd `ColumnarToRowExec` sits above. Row-producing children get
+    * a `RowToColumnarExec` staged in by Spark (still cheaper than the
+    * per-row `RowEncoder` serialization of the mapPartitions path, which
+    * allocates a GenericRow + copies the feature array per image).
+    * Decode semantics are [[ImageDecoder]] — byte-identical features,
+    * same oracle.
+    */
+  def decodeImagesColumnar(spark: SparkSession, packed: DataFrame): DataFrame = {
+    val in = packed.select(col("media_id").cast("long").as("media_id"),
+      col("media"))
+    org.apache.spark.sql.classic.GraftColumnBridge.ofRows(spark,
+      graft.plans.DecodeImagesNode(in.queryExecution.analyzed))
+  }
+
+  /** Result of one image decode: `width < 0` means the payload was not a
+    * decodable image and `features` holds the histogram-stub fallback.
+    */
+  final case class DecodeResult(width: Int, height: Int,
+                                features: Array[Double])
+
+  /** The per-image decode, shared verbatim between the row transport
+    * ([[decodeImagesBatched]]) and the columnar transport
+    * ([[decodeImagesColumnar]]) so the two are bit-identical by
+    * construction. One instance per partition: owns the reused PNG
+    * `ImageReader` and disables the ImageIO temp-file cache once.
+    */
+  final class ImageDecoder {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val pngReader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("png").next()
+
+    def decode(bytes: Array[Byte]): DecodeResult = {
+      val isPng = bytes.length > 4 &&
+        bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
+        bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
+      val isBmp = bytes.length > 4 && bytes(0) == 'B' && bytes(1) == 'M'
+      val decoded =
+        if (isPng) {
+          try {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            pngReader.setInput(iis, true, true)
+            val img = pngReader.read(0)
+            iis.close()
+            img
+          } catch { case _: java.io.IOException => null }
+        } else if (isBmp) {
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        } else null
+      if (decoded != null) {
+        val w = decoded.getWidth; val h = decoded.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        decoded.getRaster.getDataBuffer match {
+          case db: java.awt.image.DataBufferByte
+              if decoded.getType ==
+                java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+            val a = db.getData
+            var i = 0
+            while (i < a.length) {
+              sb += a(i) & 0xFF; sg += a(i + 1) & 0xFF; sr += a(i + 2) & 0xFF
+              i += 3
+            }
+          case db: java.awt.image.DataBufferInt
+              if decoded.getType ==
+                java.awt.image.BufferedImage.TYPE_INT_RGB =>
+            val a = db.getData
+            var i = 0
+            while (i < a.length) {
+              val p = a(i)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              i += 1
+            }
+          case _ =>
+            val px = decoded.getRGB(0, 0, w, h, null, 0, w)
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              i += 1
+            }
+        }
+        val n = math.max(w * h, 1) * 255.0
+        DecodeResult(w, h, Array(sr / n, sg / n, sb / n))
+      } else {
+        val hist = new Array[Double](histBins)
+        var i = 0
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xFF) * histBins / 256) += 1.0
+          i += 1
+        }
+        val total = math.max(bytes.length, 1).toDouble
+        var i2 = 0
+        while (i2 < histBins) { hist(i2) /= total; i2 += 1 }
+        DecodeResult(-1, -1, hist)
+      }
+    }
   }
 
   /** Decode + feature-extract, batched per partition.

@@ -79,6 +79,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(q.exceptAll(qa).count() === 0L && qa.exceptAll(q).count() === 0L)
   }
 
+  test("columnar decode transport is bit-identical to the row path, on " +
+       "image AND quarantined payloads, and plans as a columnar operator") {
+    val imgs = Multimodal.packImagesBatched(spark, docs, "doc_id")
+    val row = Multimodal.decodeImagesBatched(spark, imgs, batchSize = 16)
+    val colr = Multimodal.decodeImagesColumnar(spark, imgs)
+    assert(colr.schema === row.schema)
+    assert(colr.exceptAll(row).count() === 0L &&
+           row.exceptAll(colr).count() === 0L,
+      "columnar transport must be bit-identical to the row transport")
+    // quarantine path (non-image payloads → null dims + histogram stub)
+    val rowQ = Multimodal.decodeImagesBatched(spark, packed, batchSize = 16)
+    val colQ = Multimodal.decodeImagesColumnar(spark, packed)
+    assert(colQ.exceptAll(rowQ).count() === 0L &&
+           rowQ.exceptAll(colQ).count() === 0L)
+    // plan shape: the decode node executes columnar, with exactly one
+    // ColumnarToRow transition above it (no row pivot inside). Execute
+    // first — under AQE the final plan (with transitions) only
+    // materializes then.
+    colr.collect()
+    val plan = colr.queryExecution.executedPlan.toString
+    assert(plan.contains("DecodeImages"), plan)
+    assert(plan.contains("ColumnarToRow"), plan)
+    // parquet round-trip: reading packed media back from disk feeds the
+    // decode from the vectorized reader's columnar batches
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_colr").toString
+    imgs.write.mode("overwrite").parquet(dir)
+    val fromDisk = Multimodal.decodeImagesColumnar(
+      spark, spark.read.parquet(dir))
+    assert(fromDisk.exceptAll(row).count() === 0L &&
+           row.exceptAll(fromDisk).count() === 0L)
+  }
+
   test("real codec: non-image payloads quarantine to stub features") {
     val out = Multimodal.decodeImages(spark, packed, batchSize = 16)
     val rows = out.collect()
