@@ -750,4 +750,58 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       Seq("user_id", "start_sec", "n_events", "sum_value"), "left_anti").count()
     assert(unmatched === 0L)
   }
+
+  test("d18: streaming bloom gate flags a crawl increment identically to " +
+       "batch C34, statelessly, and routes fresh/seen exactly-once") {
+    import graft.operators.BloomDedup
+    import graft.streaming.BloomStream
+    val docs = Tables(spark, sfDir(), "documents").select("doc_id", "text")
+    // reference corpus = yesterday's crawl; probe = 1/3 overlap + 2/3 novel
+    val reference = docs.where(col("doc_id") % 2 === 0)
+    val probe = docs.where(col("doc_id") % 3 === 0)
+      .unionByName(docs.where(col("doc_id") % 3 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" ::novel"))))
+    val bloom = BloomDedup.bloomOf(reference, col("text"),
+      reference.count().max(1L), fpp = 0.01)
+
+    val staged = Files.createTempDirectory("graft_bloom_probe")
+    probe.write.mode("overwrite").parquet(staged.toString)
+    val src = spark.readStream.schema(probe.schema)
+      .parquet(staged.toString)
+
+    // batch ≡ stream: the same bloom bytes through the same flag operator
+    val q = BloomStream.flagOverlapStream(src, col("text"), bloom)
+      .writeStream.format("memory").queryName("bloom_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("bloom_mem")
+    val batch = BloomDedup.flagOverlap(probe, col("text"), bloom)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L &&
+           batch.exceptAll(streamed).count() === 0L,
+      "stream and batch must flag every document identically")
+    // no false negatives: every true-overlap doc is flagged in the stream
+    val overlapIds = probe.join(reference, Seq("text"), "left_semi")
+      .select("doc_id")
+    val missed = overlapIds.join(
+      streamed.where(col("maybe_seen")).select("doc_id"),
+      Seq("doc_id"), "left_anti").count()
+    assert(missed === 0L, "bloom must never miss a true overlap")
+    // stateless by design: no state store behind the flag stage
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "the bloom gate must not allocate streaming state")
+
+    // routed delivery: fresh/seen split lands exactly-once per epoch
+    val out = Files.createTempDirectory("graft_bloom_out")
+    val fresh = out.resolve("fresh").toString
+    val seen = out.resolve("seen").toString
+    val q2 = BloomStream.bloomGatedSink(src, col("text"), bloom,
+      fresh, seen, out.resolve("ckpt").toString)
+    q2.awaitTermination(120000)
+    val nFresh = spark.read.parquet(fresh).count()
+    val nSeen = spark.read.parquet(seen).count()
+    assert(nFresh + nSeen === probe.count(),
+      "every document routes to exactly one sink")
+    assert(nSeen === batch.where(col("maybe_seen")).count())
+  }
 }
