@@ -276,15 +276,17 @@ object SparkEntry {
     // the (ts, event_id) order key makes frame contents — hence the
     // median — engine-independent; midpoints of 2-decimal values are
     // ≥1e-3 off the 1e-4 rounding boundaries, so round(4) is fp-safe.
-    "b43_window_median" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(-99, Window.currentRow)
-      t(s, dir, "events").select(col("event_id"), col("event_type"),
-          round(call_function("percentile", col("value"), lit(0.5))
-            .over(w), 4).as("med"))
-        .orderBy("event_id")
-    }),
+    // the exact-small-frame tool, now behind ExactWindows' guard: the
+    // operator refuses frame × hottest-key-rows products that would
+    // serialize at scale, pointing to D13's t-digest (the guard's one
+    // key-sized pre-agg is part of the benched cost — honesty over speed)
+    "b43_window_median" -> ((s, dir) =>
+      graft.operators.ExactWindows.trailingMedian(
+          t(s, dir, "events").select("event_id", "event_type", "ts", "value"),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"),
+          frameRows = 100)
+        .select(col("event_id"), col("event_type"), col("med"))
+        .orderBy("event_id")),
 
     "b7_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
