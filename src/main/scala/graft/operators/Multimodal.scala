@@ -133,7 +133,11 @@ object Multimodal {
           val isImage = bytes.length > 4 &&
             ((bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
               bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)) ||
-             (bytes(0) == 'B' && bytes(1) == 'M'))
+             (bytes(0) == 'B' && bytes(1) == 'M') ||
+             (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte &&
+              bytes(2) == 0xFF.toByte) ||
+             (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+              bytes(3) == '8'))
           val decoded =
             if (!isImage) null
             else try javax.imageio.ImageIO.read(
@@ -323,6 +327,14 @@ object Multimodal {
         bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
         bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
       val isBmp = bytes.length > 4 && bytes(0) == 'B' && bytes(1) == 'M'
+      // JPEG (FF D8 FF) and GIF ("GIF8") ride the JDK's own ImageIO
+      // plugins — no native deps; lossy JPEG means features are
+      // codec-true, not formula-pinned, so the oracle stays on PNG and
+      // the JPEG path is spec-gated by round-trip tolerance instead
+      val isJpg = bytes.length > 4 && bytes(0) == 0xFF.toByte &&
+        bytes(1) == 0xD8.toByte && bytes(2) == 0xFF.toByte
+      val isGif = bytes.length > 4 && bytes(0) == 'G' &&
+        bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
       val decoded =
         if (isPng) {
           try {
@@ -333,7 +345,7 @@ object Multimodal {
             iis.close()
             img
           } catch { case _: java.io.IOException => null }
-        } else if (isBmp) {
+        } else if (isBmp || isJpg || isGif) {
           try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
           catch { case _: java.io.IOException => null }

@@ -112,6 +112,51 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
            row.exceptAll(fromDisk).count() === 0L)
   }
 
+  test("codec breadth: JPEG and GIF payloads decode through the JDK " +
+       "ImageIO plugins — dimensions exact, JPEG features within lossy " +
+       "tolerance, row and columnar transports agree") {
+    val s = spark
+    import s.implicits._
+    // deterministic 32x24 gradient, encoded to JPEG and GIF executor-free
+    def img(): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(
+        32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32)
+        im.setRGB(x, y, ((x * 8) << 16) | ((y * 10) << 8) | 0x40)
+      im
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img(), fmt, bos)
+      bos.toByteArray
+    }
+    val jpg = enc("jpg"); val gif = enc("gif")
+    assert(jpg.length > 4 && gif.length > 4)
+    val px = img().getRGB(0, 0, 32, 24, null, 0, 32)
+    val trueMeans = Seq(16, 8, 0).map(sh =>
+      px.map(p => (p >> sh) & 0xFF).map(_.toLong).sum / (px.length * 255.0))
+    val packed = Seq((1L, jpg), (2L, gif)).toDF("media_id", "media")
+    for (out <- Seq(
+        Multimodal.decodeImagesBatched(spark, packed, batchSize = 4),
+        Multimodal.decodeImagesColumnar(spark, packed))) {
+      val rows = out.orderBy("media_id").collect()
+      assert(rows.length === 2)
+      rows.foreach { r =>
+        assert(r.getInt(2) === 32 && r.getInt(3) === 24,
+          "decoded dimensions must be exact for both formats")
+        val feats = r.getAs[scala.collection.Seq[Double]]("features")
+        assert(feats.length === 3, "decoded (not quarantined) features")
+        // JPEG is lossy, GIF palettizes: means within 3% of the source
+        feats.zip(trueMeans).foreach { case (got, want) =>
+          assert(math.abs(got - want) < 0.03, s"$got vs $want") }
+      }
+    }
+    // the two transports agree bit-for-bit on the lossy formats too
+    val a = Multimodal.decodeImagesBatched(spark, packed, batchSize = 4)
+    val b = Multimodal.decodeImagesColumnar(spark, packed)
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+  }
+
   test("real codec: non-image payloads quarantine to stub features") {
     val out = Multimodal.decodeImages(spark, packed, batchSize = 16)
     val rows = out.collect()
