@@ -58,7 +58,8 @@ object Bench {
     "b38_window_stats", "b39_array_agg", "d14_trending",
     "a30_ingest_ledger", "d15_zscore", "c44_url_canonical",
     "c45_hybrid_retrieval", "a32_expectations", "b40_cube",
-    "b41_window_distinct", "a33_targeted_delete", "d16_quality_gate",
+    "b41_window_distinct", "a33_targeted_delete", "a36_deletion_vectors",
+    "d16_quality_gate",
     "c46_tfidf_keywords", "b42_asof_forward", "b43_window_median",
     "a34_binary_ingest", "b44_pivot", "a35_wap_time_travel",
     "c47_cdc_chunking", "b45_jaro_winkler", "b46_er_best_match",

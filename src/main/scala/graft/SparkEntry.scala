@@ -1607,6 +1607,55 @@ object SparkEntry {
           lit(rep.filesRewritten < rep.filesTotal))
     }),
 
+    // A36 merge-on-read deletion vectors — A33's delete with the write
+    // amplification moved to read time (Iceberg v2 / Delta DV
+    // semantics): MARK writes a (file, key) sidecar for only the rows
+    // that actually match (zone-pruned scan, data files untouched),
+    // READ broadcast-anti-joins the marks, APPLY compacts them away.
+    // The gate runs all three stages and checks MoR-read ≡ post-apply
+    // read ≡ the oracle's plain filter, with NULL keys planted
+    // (o_orderkey % 97 = 0) to lock the NULL-survival contract on both
+    // paths, and booleans for zero-write-amplification at mark time +
+    // sidecar removal after apply.
+    "a36_deletion_vectors" -> ((s, dir) => {
+      import graft.sources.DeletionVectors
+      import org.apache.hadoop.fs.Path
+      val path = Tables.scratch("a36_dv_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(path).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(path), true)
+      val ord = t(s, dir, "orders")
+        .withColumn("okey", when(col("o_orderkey") % 97 === 0,
+          lit(null).cast("long")).otherwise(col("o_orderkey")))
+      ord.repartitionByRange(8, col("o_orderkey"))
+        .drop("o_orderkey").write.mode("overwrite").parquet(path)
+      val targets = ord.where(col("okey") <= 300 && col("okey").isNotNull)
+        .select("okey").collect().map(_.getLong(0)).toSeq
+      val mark = DeletionVectors.markDeleted(s, path, "okey", targets,
+        batchId = "a36mark")
+      val mor = DeletionVectors.readWithDeletes(s, path, "okey")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("stage", lit("mor"))
+      val morRow = mor.collect()(0) // force MoR read BEFORE apply
+      val app = DeletionVectors.applyDeletes(s, path, "okey", "a36apply")
+      val sidecarGone = !fs.exists(new Path(path, "_deletes"))
+      s.read.parquet(path)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("stage", lit("applied"))
+        .unionByName(s.createDataFrame(
+          java.util.List.of(morRow), mor.schema))
+        .withColumn("n_marked", lit(mark.rowsMarked))
+        .withColumn("n_removed", lit(app.rowsRemoved))
+        .withColumn("mark_skipped_files",
+          lit(mark.filesScanned < mark.filesTotal))
+        .withColumn("sidecar_gone", lit(sidecarGone))
+        .select("stage", "n_rows", "sum_price", "n_marked", "n_removed",
+          "mark_skipped_files", "sidecar_gone")
+        .orderBy("stage")
+    }),
+
     // A32 declarative expectations — the validation gate between
     // transform and publish (the reference has none): row-local checks
     // fold into ONE agg pass, uniqueness is one keyed count, FK checks
@@ -3676,6 +3725,28 @@ object SparkEntry {
         |         AS n_deleted,
         |       true AS skipped_files
         |FROM orders WHERE o_orderkey > 200""".stripMargin,
+
+    // both stages (merge-on-read, post-apply) must equal the plain
+    // filter; NULL-planted keys survive; booleans pin the zero-write-
+    // amplification mark and the sidecar removal
+    "a36_deletion_vectors" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |              ELSE o_orderkey END AS okey, o_totalprice
+        |  FROM orders),
+        |surv AS (SELECT * FROM base
+        |         WHERE okey IS NULL OR NOT (okey <= 300)),
+        |m AS (SELECT count(*) AS n_marked FROM base WHERE okey <= 300)
+        |SELECT s.stage,
+        |       (SELECT count(*) FROM surv) AS n_rows,
+        |       (SELECT round(sum(o_totalprice), 2) FROM surv)
+        |         AS sum_price,
+        |       (SELECT n_marked FROM m) AS n_marked,
+        |       (SELECT n_marked FROM m) AS n_removed,
+        |       true AS mark_skipped_files,
+        |       true AS sidecar_gone
+        |FROM (VALUES ('applied'), ('mor')) s(stage)
+        |ORDER BY stage""".stripMargin,
 
     // every check recomputed relationally: null-is-violation CASE
     // folds, grouped dup counts, NOT-EXISTS anti-joins
