@@ -64,6 +64,8 @@ object Bench {
     "a34_binary_ingest", "b44_pivot", "a35_wap_time_travel",
     "c47_cdc_chunking", "b45_jaro_winkler", "b46_er_best_match",
     "c48_corpus_datasheet", "c49_badwords_filter", "b47_bag_set_ops",
+    "c12d_audio_codec", "c12e_gif_frames", "c50_mmr_rerank",
+    "c41b_pagerank_incremental", "d19_sla_attach",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -98,6 +100,11 @@ object Bench {
       "c41_pagerank", "c42_html_strip", "b36_stats", "a29_wap",
       "c44_url_canonical", "c45_hybrid_retrieval", "a32_expectations",
       "b40_cube", "c46_tfidf_keywords", "c47_cdc_chunking",
+      // c12d scales with documents (one WAV per doc); c50's cost is its
+      // c6 corpus scan (embeddings scale with the replica); c41b's five
+      // per-iteration join+agg rounds scale with the node count
+      "c12d_audio_codec", "c12e_gif_frames", "c50_mmr_rerank",
+      "c41b_pagerank_incremental",
       // b46 rides b25's replica contract (per-copy name tags keep the
       // cross-copy distance > k, so the ER candidate set stays linear)
       "b46_er_best_match")

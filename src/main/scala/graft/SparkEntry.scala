@@ -1066,6 +1066,41 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multi-frame media (c12e): REAL animated GIFs through ImageIO's
+    // sequence writer/reader — the "video" surface: container-reported
+    // frame counts, every 2nd frame decoded (frame sampling against a
+    // real container, not byte slicing). Frames draw from an exact
+    // 8-color palette so the GIF round trip is LOSSLESS and per-frame
+    // mean-RGB is formula-replicable by the oracle (the JPEG rule in
+    // reverse: palettized GIF ≤256 colors never quantizes).
+    "c12e_gif_frames" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val gifs = Multimodal.packAnimatedGifs(s, docs, "doc_id")
+      Multimodal.decodeGifFrames(s, gifs, stride = 2)
+        .select(col("media_id"), col("n_frames"), col("frame_idx"),
+          col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // WAV audio codec (c12d): the audio twin of c12's image codec — REAL
+    // RIFF/PCM payloads through the JDK's sampled-audio stack both ways
+    // (AudioSystem.write encodes the container, getAudioInputStream
+    // parses it back). Every feature is bit-identical to the oracle's
+    // integer-formula recomputation: Σs² fits a long exactly, n and the
+    // 16 kHz rate are powers-of-two-friendly so duration/rms divisions
+    // are the same doubles on both engines (Audio.scala contract).
+    "c12d_audio_codec" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val wavs = graft.operators.Audio.packWav(s, docs, "doc_id")
+      graft.operators.Audio.decodeWav(s, wavs)
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+          col("duration_ms"), round(col("rms"), 6).as("rms"), col("peak"))
+        .orderBy("media_id")
+    }),
+
     // Mergeable t-digest quantile sketch (B20/B22): per-group digests built
     // map-side, merged associatively, interrogated for 3 quantiles. The
     // gate is the sketch's CONTRACT — rank error ≤ 0.02 at δ=200 — checked
@@ -1811,6 +1846,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D19 SLA attach — the batch twin of SlaStream.slaStream (streaming
+    // equality + breach-on-watermark emission are spec-locked in
+    // SlaStreamSpec): every error event joined to the user's earliest
+    // view within a 1 h horizon (B42's forward as-of + the deadline
+    // verdict), unresolved errors flagged breach with null fix columns.
+    "d19_sla_attach" -> ((s, dir) =>
+      graft.streaming.SlaStream.slaBatch(t(s, dir, "events"))
+        .orderBy("fail_id")),
+
+    // Incremental (warm-start) PageRank (c41b): the crawl-refresh shape —
+    // yesterday's converged ranks (c41's 3 cold iterations) advanced TWO
+    // damped rounds over the graph plus a batch of added edges (every
+    // 7th node gains a j=4 edge), instead of a full cold restart.
+    // Out-degrees are recomputed over the updated edge set (added edges
+    // change their source's split). The oracle unrolls all five stages —
+    // three cold, two warm over e2/od2 — in one WITH chain.
+    "c41b_pagerank_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val nodes = docs.select(col("doc_id"))
+      val edges = nodes
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .select(col("src"),
+          pmod(col("src") * lit(1103515245L) + col("j") * lit(12345L),
+            lit(nDocs)).as("dst"))
+      val prev = graft.operators.PageRank
+        .pagerank(nodes, edges, "doc_id", "src", "dst",
+          iters = 3, damping = 0.85)
+      val added = nodes.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * lit(1103515245L) + lit(4L) * lit(12345L),
+            lit(nDocs)).as("dst"))
+      graft.operators.PageRank
+        .pagerankWarm(nodes, edges.unionByName(added), prev,
+          "doc_id", "src", "dst", warmIters = 2, damping = 0.85)
+        .withColumn("rank", round(col("rank"), 8))
+        .orderBy("doc_id")
+    }),
+
     // C43 semantic decontamination — the embedding-space complement of
     // C24's n-gram check (paraphrased eval leakage has no shared
     // shingles). Contamination is PLANTED in-plan: every 50th corpus
@@ -2157,6 +2232,32 @@ object SparkEntry {
           col("rnk").as("rank"))
       HybridRetrieval.rrfFuse(lexRanked, vec, k0 = 60, topK = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // MMR diverse reranking (c50) — the diversity stage after retrieval:
+    // c6's top-10 candidates per query, greedily re-ranked to 5 by
+    // λ·rel − (1−λ)·max-sim-to-selected. rel and every pairwise sim are
+    // rounded to the c6-proven 1e-6 grid BEFORE the greedy and the score
+    // combines them in fixed operand order (the SQL writes (1.0 - 0.7)
+    // so both engines subtract the identical double), making the
+    // selection sequence engine-independent; the oracle replays all 5
+    // greedy steps as unrolled CTEs.
+    "c50_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cand = Similarity.cosineTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          round(col("cos"), 6).as("rel"))
+      graft.operators.Mmr.mmrRerank(cand, emb, "vec_id", "embedding",
+          kOut = 5, lambda = 0.7)
+        // λ·rel − (1−λ)·pen with rel/pen on the 1e-6 grid is within
+        // 1e-9 of the integer (7·rel − 3·pen)·1e6 ÷ 10 — ship THAT
+        // integer: exact on both engines, where a decimal round of the
+        // raw double can land on a half-boundary the engines resolve
+        // differently (observed at sf0.01)
+        .withColumn("mmr_e7", round(col("mmr") * 1e7, 0).cast("long"))
+        .select("query_id", "doc_id", "mmr_e7", "mmr_rank")
+        .orderBy("query_id", "mmr_rank")
     }),
 
     "c8_lang_id" -> ((s, dir) =>
@@ -3904,6 +4005,70 @@ object SparkEntry {
         |SELECT id AS doc_id, round(r, 8) AS rank
         |FROM r3 ORDER BY doc_id""".stripMargin,
 
+    // DuckDB's native ASOF (inequality flipped = forward) + the same
+    // horizon CASE; fixes deduped to min id per (user, ts) — the
+    // right-side uniqueness contract both engines share
+    "d19_sla_attach" ->
+      """WITH fx AS (
+        |  SELECT user_id, ts AS fix_ts, min(event_id) AS fix_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT f.event_id AS fail_id, f.user_id, f.ts AS fail_ts,
+        |         r.fix_id,
+        |         date_diff('microsecond', f.ts, r.fix_ts) AS wait_us
+        |  FROM (SELECT * FROM events WHERE event_type = 'error') f
+        |  ASOF LEFT JOIN fx r
+        |    ON f.user_id = r.user_id AND f.ts <= r.fix_ts)
+        |SELECT fail_id, user_id, fail_ts,
+        |       CASE WHEN wait_us <= 3600000000 THEN fix_id END AS fix_id,
+        |       CASE WHEN wait_us <= 3600000000 THEN wait_us END AS wait_us,
+        |       coalesce(wait_us > 3600000000, true) AS breach
+        |FROM j ORDER BY fail_id""".stripMargin,
+
+    // all five stages unrolled in one chain: three cold rounds over the
+    // base edges, then the two warm rounds over e2/od2 (the added-edge
+    // union with out-degrees recomputed) — the oracle IS the warm-start
+    // trajectory, any divergence in any stage lands in the round(8)
+    "c41b_pagerank_incremental" -> {
+      def stage(out: String, prev: String, e: String, od: String) =
+        raw"""$out AS (
+             |  SELECT d.doc_id AS id,
+             |         0.15 / (SELECT n FROM nn)
+             |           + 0.85 * coalesce(sum($prev.r / $od.od), 0) AS r
+             |  FROM documents d
+             |  LEFT JOIN $e ON $e.dst = d.doc_id
+             |  LEFT JOIN $prev ON $prev.id = $e.src
+             |  LEFT JOIN $od ON $od.src = $e.src
+             |  GROUP BY 1)""".stripMargin
+      raw"""WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |                   count(*) AS nb FROM documents),
+           |e AS (
+           |  SELECT doc_id AS src,
+           |         (doc_id * 1103515245 + j.j * 12345)
+           |           % (SELECT nb FROM nn) AS dst
+           |  FROM documents, (SELECT unnest([1, 2, 3]) AS j) j),
+           |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+           |       FROM e GROUP BY 1),
+           |r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS r
+           |       FROM documents),
+           |${stage("r1", "r0", "e", "od")},
+           |${stage("r2", "r1", "e", "od")},
+           |${stage("r3", "r2", "e", "od")},
+           |e2 AS (
+           |  SELECT src, dst FROM e
+           |  UNION ALL
+           |  SELECT doc_id AS src,
+           |         (doc_id * 1103515245 + 4 * 12345)
+           |           % (SELECT nb FROM nn) AS dst
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |od2 AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+           |        FROM e2 GROUP BY 1),
+           |${stage("w1", "r3", "e2", "od2")},
+           |${stage("w2", "w1", "e2", "od2")}
+           |SELECT id AS doc_id, round(r, 8) AS rank
+           |FROM w2 ORDER BY doc_id""".stripMargin
+    },
+
     // identical planted eval matrix (float nudge rebuilt bit-exactly),
     // full corpus×eval scoring, argmax ties to the smallest eval id
     "c43_semantic_decon" ->
@@ -4436,6 +4601,77 @@ object SparkEntry {
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
+    // the oracle replays the whole greedy: candidates = c6's top-10 on
+    // the identical unrounded ordering, rel/sim on the 1e-6 grid, then
+    // five unrolled argmax steps — penalty = max sim to the selected-so-
+    // far union, (1.0 - 0.7) spelled as a SUBTRACTION so both engines
+    // use the identical double coefficient, ties to doc_id asc
+    "c50_mmr_rerank" -> {
+      val steps = (2 to 5).map { i =>
+        raw"""step$i AS (
+             |  SELECT c.query_id, c.doc_id,
+             |         0.7 * c.rel - (1.0 - 0.7) * coalesce(p.pen, 0.0) AS mmr
+             |  FROM cand c
+             |  LEFT JOIN (
+             |    SELECT sm.query_id, sm.doc_a AS doc_id, max(sm.sim) AS pen
+             |    FROM selu${i - 1} s
+             |    JOIN sim sm ON sm.query_id = s.query_id
+             |               AND sm.doc_b = s.doc_id
+             |    GROUP BY 1, 2) p
+             |    ON p.query_id = c.query_id AND p.doc_id = c.doc_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} s
+             |                    WHERE s.query_id = c.query_id
+             |                      AND s.doc_id = c.doc_id)),
+             |sel$i AS (
+             |  SELECT query_id, doc_id, mmr, $i AS mmr_rank FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |        ORDER BY mmr DESC, doc_id) AS rn FROM step$i) t
+             |  WHERE rn = 1),
+             |selu$i AS (SELECT query_id, doc_id FROM selu${i - 1}
+             |           UNION ALL SELECT query_id, doc_id FROM sel$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      raw"""WITH cand AS (
+           |  SELECT query_id, doc_id, round(cos, 6) AS rel FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |           list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+           |                                  CAST(q.embedding AS DOUBLE[]))
+           |             AS cos,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |               ORDER BY list_cosine_similarity(
+           |                   CAST(c.embedding AS DOUBLE[]),
+           |                   CAST(q.embedding AS DOUBLE[])) DESC,
+           |               c.vec_id) AS rnk
+           |    FROM embeddings c, embeddings q
+           |    WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+           |  WHERE rnk <= 10),
+           |sim AS (
+           |  SELECT a.query_id, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         round(list_cosine_similarity(
+           |             CAST(va.embedding AS DOUBLE[]),
+           |             CAST(vb.embedding AS DOUBLE[])), 6) AS sim
+           |  FROM cand a
+           |  JOIN cand b ON a.query_id = b.query_id
+           |  JOIN embeddings va ON va.vec_id = a.doc_id
+           |  JOIN embeddings vb ON vb.vec_id = b.doc_id),
+           |sel1 AS (
+           |  SELECT query_id, doc_id, 0.7 * rel - (1.0 - 0.7) * 0.0 AS mmr,
+           |         1 AS mmr_rank FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY 0.7 * rel - (1.0 - 0.7) * 0.0 DESC, doc_id)
+           |        AS rn
+           |    FROM cand) t
+           |  WHERE rn = 1),
+           |selu1 AS (SELECT query_id, doc_id FROM sel1),
+           |$steps
+           |SELECT query_id, doc_id,
+           |       CAST(round(mmr * 1e7, 0) AS BIGINT) AS mmr_e7, mmr_rank
+           |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+           |      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+           |      UNION ALL SELECT * FROM sel5)
+           |ORDER BY query_id, mmr_rank""".stripMargin
+    },
+
     // the exact overlap is recomputable (doc_id family); flagged_true
     // MUST equal it (no false negatives — the bloom's one-sided-error
     // contract), and the fp-rate bound is the in-plan boolean
@@ -4469,6 +4705,52 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS n_bytes,
         |       CAST(16 AS INT) AS n_features
         |FROM documents ORDER BY 1""".stripMargin,
+
+    // every decoded pixel of every sampled frame must survive the GIF
+    // container round trip bit-exactly for these sums to land — the
+    // palette construction makes the codec provably lossless, so the
+    // oracle recomputes mean-RGB from the pixel formula alone
+    "c12e_gif_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id % 16 + 16) AS w, (doc_id % 8 + 16) AS h,
+        |         (doc_id % 4 + 1) AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS fi FROM p),
+        |kept AS (SELECT * FROM f WHERE fi % 2 = 0),
+        |px AS (SELECT doc_id, w, h, nf, fi, unnest(range(0, w)) AS x
+        |       FROM kept),
+        |pxy AS (SELECT doc_id, w, h, nf, fi, x, unnest(range(0, h)) AS y
+        |        FROM px),
+        |c AS (SELECT doc_id, w, h, nf, fi,
+        |             (x + 3 * y + 5 * fi + doc_id) % 8 AS k FROM pxy)
+        |SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
+        |       CAST(fi AS INT) AS frame_idx, CAST(w AS INT) AS width,
+        |       CAST(h AS INT) AS height,
+        |       round(sum(36 * k) / (w * h * 255.0), 6) AS mean_r,
+        |       round(sum(252 - 36 * k) / (w * h * 255.0), 6) AS mean_g,
+        |       round(sum(31 * k) / (w * h * 255.0), 6) AS mean_b
+        |FROM c GROUP BY doc_id, nf, fi, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the oracle recomputes every audio feature from the synthesis
+    // formula alone — the WAV container round trip (AudioSystem encode →
+    // parse) must preserve every PCM sample bit-exactly for the rms/peak
+    // to land; Σs² ≤ 1600·2^30 is exact in a double in any order, and
+    // n/16-style divisions are the same doubles both engines compute
+    "c12d_audio_codec" ->
+      """WITH p AS (
+        |  SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+        |v AS (
+        |  SELECT doc_id, n,
+        |         ((doc_id * 7349 + i * 12345 + 6789) % 65536) - 32768 AS v
+        |  FROM s)
+        |SELECT doc_id AS media_id, CAST(n AS INT) AS n_samples,
+        |       CAST(16000 AS INT) AS sample_rate,
+        |       n * 1000.0 / 16000 AS duration_ms,
+        |       round(sqrt(sum(CAST(v AS DOUBLE) * v) / n), 6) AS rms,
+        |       CAST(max(abs(v)) AS INT) AS peak
+        |FROM v GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
 
     "c13_dup_clusters" ->
       """SELECT doc_id AS cluster_id, CAST(2 AS BIGINT) AS cluster_size,

@@ -79,6 +79,39 @@ object Chunking {
     * segmentation are pure array ops. Map-only, fan-out = chunks.
     * Emits (idCol, chunk_idx, n_tokens, fp).
     */
+  /** Auto-tune the CDC modulus for a target mean chunk length (the §7
+    * knob): expected chunk length is ≈ modulus + w − 1, so the modulus
+    * is the power of two nearest `target − w + 1` — EXCEPT when the
+    * corpus's median document is shorter than ~2 chunks of that size, in
+    * which case the target is pulled down to median/2 (a modulus far
+    * beyond doc length degenerates every document to one tail chunk and
+    * CDC's insertion stability buys nothing). The median comes from ONE
+    * map-combined `percentile_approx` pass — a single driver row, never
+    * a sample collect; power-of-two restriction keeps the boundary test
+    * a mask-equivalent modulo across re-runs of differently-sized
+    * corpora (stable chunk edges between pipeline versions matter more
+    * than hitting the target exactly).
+    */
+  def cdcAutoModulus(df: DataFrame, textCol: String,
+                     targetTokens: Int = 64, w: Int = 8): Int = {
+    require(targetTokens > w, s"targetTokens ($targetTokens) must exceed w ($w)")
+    val med = df.where(length(trim(col(textCol))) > 0)
+      .select(percentile_approx(
+        size(split(trim(col(textCol)), "\\s+")).cast("double"),
+        lit(0.5), lit(1000)).as("m"))
+      .head.getDouble(0)
+    val effective = math.max(w + 1.0,
+      math.min(targetTokens.toDouble, med / 2.0))
+    val exp = math.round(math.log(effective - w + 1) / math.log(2)).toInt
+    math.max(2, math.min(1 << 20, 1 << math.max(1, exp)))
+  }
+
+  /** [[cdcChunks]] with the modulus tuned by [[cdcAutoModulus]]. */
+  def cdcChunksAuto(df: DataFrame, idCol: String, textCol: String,
+                    targetTokens: Int = 64, w: Int = 8): DataFrame =
+    cdcChunks(df, idCol, textCol, w,
+      cdcAutoModulus(df, textCol, targetTokens, w))
+
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 w: Int = 8, modulus: Int = 64): DataFrame = {
     import graft.functions.GraftExpressions

@@ -101,4 +101,33 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
     // the LAST chunks (far after the edit) are identical
     assert(c1.maxBy(_._2)._4 === c2.maxBy(_._2)._4)
   }
+
+  test("c47 auto-modulus: power of two near target−w+1, pulled down for " +
+       "short corpora, deterministic, and the tuned chunks land near " +
+       "the target") {
+    val s2 = spark
+    import s2.implicits._
+    val longDocs = (1L to 30L).map(i =>
+      (i, (0 until 600).map(j => s"t${(i * 31 + j * 7919) % 1997}")
+        .mkString(" "))).toDF("doc_id", "text")
+    val m = graft.operators.Chunking.cdcAutoModulus(
+      longDocs, "text", targetTokens = 64, w = 8)
+    // target−w+1 = 57 → nearest power of two is 64
+    assert(m === 64)
+    assert(m === graft.operators.Chunking.cdcAutoModulus(
+      longDocs, "text", targetTokens = 64, w = 8)) // deterministic
+    // median-length guard: 40-token docs can't chunk at 64 — the target
+    // drops to median/2 = 20 → modulus 2^round(log2(13)) = 16
+    val shortDocs = (1L to 30L).map(i =>
+      (i, (0 until 40).map(j => s"s${(i + j) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val mShort = graft.operators.Chunking.cdcAutoModulus(
+      shortDocs, "text", targetTokens = 64, w = 8)
+    assert(mShort === 16, s"short-corpus modulus: $mShort")
+    // end to end: tuned mean chunk length within 2x of the target band
+    val chunks = graft.operators.Chunking
+      .cdcChunksAuto(longDocs, "doc_id", "text", targetTokens = 64, w = 8)
+    val mean = chunks.agg(avg("n_tokens")).head.getDouble(0)
+    assert(mean > 16 && mean < 256, s"mean tuned chunk length: $mean")
+  }
 }

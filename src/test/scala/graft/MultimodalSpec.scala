@@ -10,6 +10,52 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
   private lazy val docs = Tables(spark, sfDir(), "documents").limit(50)
   private lazy val packed = Multimodal.packMedia(docs, "doc_id", "text")
 
+  test("c12e: animated GIFs are real multi-frame containers and the " +
+    "palettized round trip is lossless") {
+    val ids = docs.select("doc_id").limit(20)
+    val gifs = Multimodal.packAnimatedGifs(spark, ids, "doc_id")
+    val rows = gifs.collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      assert(new String(bytes.take(4), "US-ASCII") === "GIF8")
+      // container-reported frame count == metadata ground truth
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis, false, true)
+      assert(reader.getNumImages(true) === Multimodal.gifFrames(id))
+      // losslessness: every pixel of frame 0 equals the palette formula
+      val img = reader.read(0)
+      val (w, h) = (Multimodal.gifW(id), Multimodal.gifH(id))
+      assert(img.getWidth === w && img.getHeight === h)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val (cr, cg, cb) = Multimodal.GifPalette(
+            Multimodal.gifColorIdx(id, 0, x, y))
+          val p = img.getRGB(x, y)
+          assert(((p >> 16) & 0xFF) === cr && ((p >> 8) & 0xFF) === cg &&
+            (p & 0xFF) === cb, s"id=$id pixel ($x,$y) not lossless")
+        }
+      }
+      iis.close()
+    }
+    // stride-2 sampling keeps ceil(nf/2) frames; junk quarantines
+    val dec = Multimodal.decodeGifFrames(spark, gifs, stride = 2)
+    val perDoc = dec.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(perDoc(id) === (Multimodal.gifFrames(id) + 1) / 2, s"id=$id")
+    }
+    val junk = gifs.select(col("media_id"),
+      encode(lit("definitely not a gif"), "UTF-8").as("media"))
+    val q = Multimodal.decodeGifFrames(spark, junk).collect()
+    assert(q.forall(r => r.getInt(2) === -1 && r.isNullAt(3)))
+  }
+
   test("packMedia: opaque binary payload + typed prunable metadata") {
     val schema = packed.schema
     assert(schema("media").dataType.typeName === "binary")

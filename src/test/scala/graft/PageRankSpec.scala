@@ -44,6 +44,42 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(r(1L) > r(0L)) // 1 still receives 0's contribution
   }
 
+  test("warm start from the uniform vector ≡ cold start (exact identity)") {
+    val nodes = (0L until 40L)
+    val edges = nodes.flatMap(i => Seq((i, (i * 7 + 1) % 40), (i, (i * 3 + 2) % 40)))
+    val n = nodes.toDF("id")
+    val e = edges.toDF("src", "dst")
+    val uniform = n.select(col("id"), lit(1.0 / 40).as("rank"))
+    val cold = PageRank.pagerank(n, e, "id", "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val warm = PageRank.pagerankWarm(n, e, uniform, "id", "src", "dst",
+        warmIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nodes.foreach(i => assert(math.abs(cold(i) - warm(i)) < 1e-15, s"node $i"))
+  }
+
+  test("warm start from a converged solution barely moves; nodes missing " +
+    "from prevRanks start uniform") {
+    val nodes = (0L until 30L)
+    val edges = nodes.flatMap(i => Seq((i, (i * 11 + 1) % 30), (i, (i * 13 + 5) % 30)))
+    val n = nodes.toDF("id")
+    val e = edges.toDF("src", "dst")
+    // 40 iterations ≈ the fixed point for d=0.85
+    val converged = PageRank.pagerank(n, e, "id", "src", "dst", iters = 40)
+    val moved = PageRank.pagerankWarm(n, e, converged, "id", "src", "dst",
+        warmIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prev = converged.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val l1 = nodes.map(i => math.abs(moved(i) - prev(i))).sum
+    assert(l1 < 1e-6, s"fixed point drifted by L1=$l1 after one warm round")
+    // a node unknown to prevRanks gets the uniform start, not null/0
+    val partial = converged.where(col("id") =!= 0L)
+    val withNew = PageRank.pagerankWarm(n, e, partial, "id", "src", "dst",
+        warmIters = 1)
+    assert(withNew.where(col("rank").isNull).count() === 0L)
+    assert(withNew.count() === 30L)
+  }
+
   test("ranks are partition-invariant") {
     val nodes = (0L until 50L)
     val edges = nodes.flatMap(i => Seq((i, (i * 7 + 1) % 50), (i, (i * 3 + 2) % 50)))

@@ -291,6 +291,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"ER composition must never go all-pairs:\n${p.take(800)}")
   }
 
+  test("c12d/c12e: codec pipelines are joinless, and the only exchange " +
+       "is the cores-sizing repartition of bare ids") {
+    Seq("c12d_audio_codec", "c12e_gif_frames").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name: codec path must never join")
+      // pack repartitions the narrow id frame to defaultParallelism; the
+      // decode inherits that partitioning payload-local — no exchange
+      // may carry the payload bytes
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, // id-sizing + output sort
+        s"$name: payload bytes must stay partition-local:\n${p.take(600)}")
+    }
+  }
+
+  test("c50: the corpus is touched only via broadcast-shaped joins — " +
+       "the scoring theta-join broadcasts the QUERY side, the vector " +
+       "fetch broadcasts the CANDIDATE side, nothing goes cartesian") {
+    val p = plan("c50_mmr_rerank")
+    // cosineTopK's scan is a non-equi theta join by design (corpus ×
+    // broadcast queries) — it must be the nested-loop's BROADCAST side
+    // (IdentityBroadcastMode on the dim-sized queries), never a
+    // CartesianProduct of two corpus-sized inputs
+    assert(!p.contains("CartesianProduct"),
+      s"no corpus-sized cartesian anywhere:\n${p.take(600)}")
+    assert(p.contains("IdentityBroadcastMode"),
+      s"the query side of the scoring join must broadcast:\n${p.take(600)}")
+    // the per-candidate vector fetch against the corpus-sized embeddings
+    // table must broadcast the dim-sized candidate list
+    assert(p.contains("BroadcastHashJoin"),
+      s"vector fetch must broadcast the candidates:\n${p.take(600)}")
+  }
+
   test("a31: snapshot diff is ONE join; the change mask adds no " +
        "exchange beyond the key shuffle") {
     val df = SparkEntry.queries("a31_snapshot_diff")(spark, sfDir())
