@@ -28,7 +28,12 @@ import graft.functions.GraftExpressions
   */
 object Mmr {
 
-  /** @param candidates (query_id, doc_id, rel) — rel on a 1e-6 grid
+  /** @param candidates (query_id, doc_id, rel) — rel on a 1e-6 grid;
+    *                    a candidate whose doc_id is absent from
+    *                    `vectors` cannot be similarity-compared and is
+    *                    dropped (inner fetch join — the generator and
+    *                    the vector table are the same corpus in every
+    *                    composition here, so absence means a stale list)
     * @param vectors    (idCol, vecCol) — embedding source for pairwise sims
     * @return (query_id, doc_id, mmr, mmr_rank) — kOut rows per query in
     *         selection order

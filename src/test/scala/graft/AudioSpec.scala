@@ -69,6 +69,24 @@ class AudioSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a structurally valid but EMPTY wav quarantines instead of " +
+    "emitting NaN features") {
+    // a real WAV container with a zero-length data chunk
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      16000f, 16, 1, 2, 16000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array.emptyByteArray), fmt, 0L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val out = Audio.decodeOne(7L, bos.toByteArray)
+    // decodeOne rows are positional (schema attaches in decodeWav):
+    // (media_id, n_bytes, n_samples, sample_rate, duration_ms, rms, peak)
+    assert(out.isNullAt(5), s"empty clip must quarantine (rms): $out")
+    assert(out.isNullAt(2), s"empty clip must quarantine (n_samples): $out")
+  }
+
   test("clip lengths vary by id class and durations are the exact " +
     "50/60/70/80/90 ms grid") {
     val d = Audio.decodeWav(spark, packed)
