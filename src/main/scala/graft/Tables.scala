@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Test-table access. All graft operators are table-agnostic; this is just
   * the harness-side loader for the driver-generated TPC-H-ish parquet.
@@ -38,14 +38,27 @@ object Tables {
     }
   }
 
-  /** ns-long `ts` → micros timestamp; no-op if `ts` is already a timestamp.
-    * Shared by the batch loader and the streaming sources.
+  /** Normalize `ts` to a session-TZ TIMESTAMP regardless of how the lake
+    * encoded it. A real lake carries BOTH encodings side by side, so the
+    * ingestion layer must accept both:
+    *   - INT64 TIMESTAMP(NANOS) → surfaces as raw nanos Long under the
+    *     engine's nanosAsLong policy; convert with integer arithmetic
+    *     (`ts div 1000` stays in Long — double division loses precision
+    *     above 2^53, and epoch-nanos are ~1.7e18).
+    *   - TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false) → surfaces as
+    *     TIMESTAMP_NTZ; the session TZ is pinned to UTC
+    *     (GraftSession.scala:29), so casting NTZ→TIMESTAMP reinterprets
+    *     the same wall-clock instant exactly — no ambiguity, no DST.
+    * Already-TIMESTAMP columns pass through. Shared by the batch loader
+    * and the streaming sources.
     */
   def withTsFromNanos(df: DataFrame): DataFrame =
-    if (df.schema.fieldNames.contains("ts") &&
-        df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (!df.schema.fieldNames.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Scratch dir for sink/roundtrip operators (kept inside the repo tree). */
   def scratch(sub: String): String = {
