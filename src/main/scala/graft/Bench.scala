@@ -327,16 +327,30 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, full + "\n")
 
-    // Compact summary (<4 KB) as the LAST stdout line: total + slowest-12
-    // query map + the complete scaling blocks. The 94-entry query map is
-    // what pushed r5/r6 past the driver's tail capture → parsed:null.
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
-    val qsTop = slowest.map { case (k, v) =>
-      "\"%s\":%.3f".formatLocal(Locale.ROOT, k, v) }.mkString("{", ",", "}")
+    // Compact summary as the LAST stdout line. Four rounds of driver
+    // `parsed:null` taught two lessons: (a) sbt appends its own
+    // "[success] Total time…" AFTER this line, so the line can never be
+    // literally last — it must be small enough that a 4 KB stdout tail
+    // still contains it WHOLE (r7's line grew past the window and the
+    // tail started mid-JSON); (b) per-query detail belongs in
+    // target/bench.json, not stdout. So: ratios only, 2 decimals, no
+    // base/x10 components — ~1.3 KB at 42 probes, headroom ~2.5 KB.
+    def ratioMap(probe: Seq[String], t: Map[String, Double]): String =
+      probe.flatMap { name =>
+        val tN = t.getOrElse(name, -1.0)
+        val t1 = base.getOrElse(name, -1.0)
+        if (t1 > 0 && tN > 0)
+          Some("\"%s\":%.2f".formatLocal(Locale.ROOT, name, tN / t1))
+        else None
+      }.mkString("{", ",", "}")
+    val (r10Json, r100Json) =
+      if (!probesOn) ("{}", "{}")
+      else (ratioMap(scalingProbe, readTimes("target/bench_scale10.tsv").toMap),
+            ratioMap(scaling100Probe, readTimes("target/bench_scale100.tsv").toMap))
     val compact =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","queries_slowest12":$qsTop,"queries_full":"target/bench.json","n_queries":${results.size}$scaleJson$scale100Json}"""
-    if (compact.length > 3900) // hard guard: the whole point is parseability
-      println(s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","queries_full":"target/bench.json","n_queries":${results.size}$scaleJson$scale100Json}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_full":"target/bench.json","ratios10":$r10Json,"ratios100":$r100Json}"""
+    if (compact.length > 3000) // hard guard: parseability beats completeness
+      println(s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_full":"target/bench.json"}""")
     else println(compact)
   }
 }

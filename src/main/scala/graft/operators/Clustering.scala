@@ -98,7 +98,24 @@ object Clustering {
     * that bounds cluster size (the paper runs k ≈ 10⁵ on web corpora;
     * the toy default 8 matches the oracle-replicable init). Returns
     * (id, list, dropped).
+    *
+    * SCALING RULE — k must grow with the corpus. The within-cluster
+    * pair join is O(n²/k) total work: holding k FIXED while n grows
+    * degrades SemDeDup to all-pairs (the r7 bench measured exactly
+    * that — 10× data, 10.1× time at k=8). Use [[semDedupK]] to size k
+    * so the expected cell stays ~`targetCell` vectors regardless of n;
+    * then 10× data ⇒ 10× clusters of the SAME size ⇒ linear total work.
     */
+  /** Cluster count keeping the expected k-means cell at ~`targetCell`
+    * vectors: ⌈n / targetCell⌉ with a floor of 8 (below ~8·targetCell
+    * vectors the pair join is trivially cheap and more clusters would
+    * only starve the centroid sample). This is the knob that keeps
+    * [[semDedup]] linear as the corpus grows — see the scaling rule in
+    * its doc.
+    */
+  def semDedupK(n: Long, targetCell: Int = 300): Int =
+    math.max(8, math.ceil(n.toDouble / targetCell).toInt)
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                k: Int = 8, tau: Double = 0.9): DataFrame = {
     val centroids = initCentroids(df, idCol, vecCol, k)

@@ -58,11 +58,27 @@ object Dedup {
     *
     * Default k=64, bands=16 (r=4) → LSH s-curve threshold (1/16)^(1/4) ≈ 0.5.
     *
+    * HOT-BUCKET BOUND (`hotBucketCap`): the classic LSH failure mode is a
+    * popular bucket — template-heavy corpora put thousands of docs behind
+    * one band value, and the within-bucket self-join goes quadratic in
+    * exactly the place the corpus is most redundant. Buckets larger than
+    * the cap therefore escalate to a STRONGER key: their members pair only
+    * when the FULL k-value signature matches (estimated Jaccard ≈ 1 —
+    * exact-copy-grade evidence), which bounds hot-bucket pair volume by
+    * true-duplicate volume instead of bucket-size². RECALL CONTRACT,
+    * explicit: exact/near-exact duplicates (identical signatures) are
+    * always found regardless of bucket heat; what a hot bucket can lose is
+    * moderate-similarity pairs (threshold ≤ J < ~1) hiding inside it —
+    * the same pairs a capped/dropped-bucket scheme loses silently, here
+    * lost only above the cap and spec-locked in DedupSpec. Cold buckets
+    * (the overwhelming majority) are exhaustive as before.
+    *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
   def minhashDedupPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, bands: Int = 16,
-                        threshold: Double = 0.7): DataFrame = {
+                        threshold: Double = 0.7,
+                        hotBucketCap: Int = 64): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val shingled = df.select(
@@ -75,13 +91,24 @@ object Dedup {
       .select(col(idCol).as("id"),
         graft.functions.GraftExpressions
           .minhashSignature(tokens, 3, k).as("sig"))
-      .select(col("id"),
+      .select(col("id"), xxhash64(col("sig")).as("sigh"),
         posexplode(array((0 until bands).map(j =>
           xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*))
           .as(Seq("band", "bucket")))
 
-    val candidates = banded.as("l")
-      .join(banded.as("r"), Seq("band", "bucket"))
+    // hot-bucket census: the list of over-cap (band, bucket) keys is tiny
+    // (only the pathological ones) and rides a broadcast join — the banded
+    // frame itself is never re-shuffled for the size lookup
+    val hot = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz")).where(col("__bsz") > hotBucketCap)
+      .select(col("band"), col("bucket"), lit(true).as("__hot"))
+    val refined = banded.join(F.broadcast(hot), Seq("band", "bucket"), "left")
+      .select(col("id"), col("band"), col("bucket"),
+        // hot buckets join on the full-signature hash; cold on a constant
+        when(col("__hot"), col("sigh")).otherwise(lit(0L)).as("refine"))
+
+    val candidates = refined.as("l")
+      .join(refined.as("r"), Seq("band", "bucket", "refine"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct()
@@ -128,21 +155,34 @@ object Dedup {
     * Candidate generation: split the 64-bit simhash into 4 16-bit bands —
     * any pair within Hamming ≤ 3 shares at least one exact band (pigeonhole)
     * — bucket-join on (band, value), verify with bit_count(xor).
-    * Returns (id_a, id_b, hamming).
+    *
+    * Same hot-bucket bound as [[minhashDedupPairs]]: a band value held by
+    * more than `hotBucketCap` docs escalates to the FULL 64-bit simhash as
+    * the join key (Hamming-0 evidence), so a popular 16-bit band never
+    * goes quadratic. Identical-simhash pairs are always found; a hot band
+    * can lose only 1 ≤ hamming ≤ maxHamming pairs whose every shared band
+    * is hot. Returns (id_a, id_b, hamming).
     */
   def simhashDedupPairs(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3,
+                        hotBucketCap: Int = 64): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       simhash64(col(textCol)).as("simhash"))
     val banded = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bucket")))
-    val left = banded.select(col("band"), col("bucket"),
+    val hot = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz")).where(col("__bsz") > hotBucketCap)
+      .select(col("band"), col("bucket"), lit(true).as("__hot"))
+    val refined = banded.join(F.broadcast(hot), Seq("band", "bucket"), "left")
+      .select(col("id"), col("simhash"), col("band"), col("bucket"),
+        when(col("__hot"), col("simhash")).otherwise(lit(0L)).as("refine"))
+    val left = refined.select(col("band"), col("bucket"), col("refine"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
-    val right = banded.select(col("band"), col("bucket"),
+    val right = refined.select(col("band"), col("bucket"), col("refine"),
       col("id").as("id_b"), col("simhash").as("sh_b"))
-    left.join(right, Seq("band", "bucket"))
+    left.join(right, Seq("band", "bucket", "refine"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))

@@ -92,4 +92,20 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(out.where(col("dropped")).count() === 0L,
       "no natural pair in the corpus reaches τ=0.9 (max ≈ 0.51)")
   }
+
+  test("semDedupK holds the expected cell size as n grows (the rule that " +
+       "keeps the pair join linear)") {
+    import graft.operators.Clustering.semDedupK
+    // floor of 8 across the oracle-verified scales (sf0.01 and sf0.1
+    // gates both run k=8 — in sync with the DuckDB replica's LIMIT 8)
+    assert(semDedupK(240) === 8)
+    assert(semDedupK(2400) === 8)
+    // 10x replica: k grows so cells stay ~300 vectors
+    assert(semDedupK(24000) === 80)
+    assert(semDedupK(1000000) === 3334)
+    // cell size n/k stays ≤ targetCell once past the floor
+    Seq(10000L, 100000L, 10000000L).foreach { n =>
+      assert(n.toDouble / semDedupK(n) <= 300.0)
+    }
+  }
 }

@@ -52,6 +52,45 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("hot-bucket cap: exact dups always survive; candidate volume stays " +
+       "bounded inside a template cluster") {
+    // 200 docs sharing one 40-token template (each with a distinct 8-token
+    // tail) make every template band-bucket hot; plant an EXACT copy pair
+    // (ids 900/901) inside the cluster. With a tiny cap (8) the cluster's
+    // buckets all escalate to full-signature keys.
+    val tmpl = (1 to 40).map(i => s"tmpl$i").mkString(" ")
+    val cluster = (0 until 200).map { i =>
+      (i.toLong, tmpl + " " + (1 to 8).map(j => s"tail${i}_$j").mkString(" "))
+    }
+    val planted = Seq((900L, tmpl + " planted unique tail here"),
+                      (901L, tmpl + " planted unique tail here"))
+    val df = (cluster ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedupPairs(df, "text", "doc_id",
+        threshold = 0.7, hotBucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the identical-signature pair is found regardless of bucket heat...
+    val exact = pairs.find(p => p._1 == 900L && p._2 == 901L)
+    assert(exact.isDefined && exact.get._3 === 1.0)
+    // ...and the quadratic template pairs (199·200/2 ≈ 20k candidates at
+    // J≈0.8 without the cap) are the documented recall loss: output stays
+    // bounded instead of cluster-size²
+    assert(pairs.length < 50, s"expected bounded output, got ${pairs.length}")
+
+    // simhash twin: identical simhash pair survives a cap of 4
+    val sPairs = Dedup.simhashDedupPairs(df, "text", "doc_id",
+        maxHamming = 3, hotBucketCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sPairs.contains((900L, 901L)))
+  }
+
+  test("hot-bucket cap OFF-path: cold buckets behave exactly as before") {
+    // same corpus as the main minhash spec, cap left at default (64) —
+    // no bucket is hot, so results must be identical to the uncapped rows
+    val pairs = Dedup.minhashDedupPairs(docs, "text", "doc_id", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (4L, 5L)))
+  }
+
   test("ngramJaccardPairs verifies candidates sharing a prefix block") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

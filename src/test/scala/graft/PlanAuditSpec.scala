@@ -245,7 +245,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p = graft.operators.BloomDedup
       .flagOverlap(docs, col("text"), bloom)
       .queryExecution.executedPlan.toString
-    assert(p.toLowerCase.contains("might_contain"), p.take(600))
+    // the probe is the broadcast-handle expression, NOT a binary plan
+    // literal — the plan string stays KBs no matter the sketch size
+    assert(p.toLowerCase.contains("bloomprobeexpr"), p.take(600))
     assert(!p.contains("Join") && !p.contains("Exchange"),
       s"the probe must stay map-only — the sketch rides the plan:\n" +
         p.take(600))
