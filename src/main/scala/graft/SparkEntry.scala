@@ -1085,6 +1085,42 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Frame-difference features (c12f): pixel-wise mean absolute
+    // difference between consecutive KEPT frames — the motion signal a
+    // video curation pipeline filters on. The GIF palette construction
+    // keeps every |Δ| sum an exact integer, so the oracle recomputes
+    // the MADs from the color formula with no tolerance (only clips
+    // with ≥2 kept frames under stride 2 — nf ∈ {3,4} — emit rows).
+    "c12f_frame_deltas" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val gifs = Multimodal.packAnimatedGifs(s, docs, "doc_id")
+      Multimodal.gifFrameDeltas(s, gifs, stride = 2)
+        .select(col("media_id"), col("n_frames"), col("prev_idx"),
+          col("frame_idx"), col("width"), col("height"),
+          round(col("mad_r"), 6).as("mad_r"),
+          round(col("mad_g"), 6).as("mad_g"),
+          round(col("mad_b"), 6).as("mad_b"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // Audio spectral features (c12g): Walsh–Hadamard sequency power
+    // spectrum over the first 128 PCM samples + whole-clip zero-crossing
+    // rate. The WHT is integer-exact (±sums of 16-bit samples), so
+    // centroid/crest/argmax are exact-integer ratios the oracle
+    // recomputes directly from the popcount formula — bit-identical, no
+    // tolerance (flatness, which needs exp/ln, is spec-locked in
+    // AudioSpec instead and projected out here).
+    "c12g_audio_spectral" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val wavs = graft.operators.Audio.packWav(s, docs, "doc_id")
+      graft.operators.Audio.spectralFeatures(s, wavs)
+        .select(col("media_id"), col("n_samples"), col("zcr"),
+          round(col("seq_centroid"), 6).as("seq_centroid"),
+          round(col("seq_crest"), 6).as("seq_crest"),
+          col("dominant_seq"))
+        .orderBy("media_id")
+    }),
+
     // WAV audio codec (c12d): the audio twin of c12's image codec — REAL
     // RIFF/PCM payloads through the JDK's sampled-audio stack both ways
     // (AudioSystem.write encodes the container, getAudioInputStream
@@ -4744,6 +4780,83 @@ object SparkEntry {
         |       round(sum(31 * k) / (w * h * 255.0), 6) AS mean_b
         |FROM c GROUP BY doc_id, nf, fi, w, h
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // frame deltas from the palette formula: kept frames under stride 2
+    // are 0 and 2, so Δk = k(f=2) − k(f=0) with k = (x+3y+5f+id)%8;
+    // |Δr| = |Δg| = 36|Δk| (g = 252−36k differences by the same 36|Δk|)
+    // and |Δb| = 31|Δk| — exact integers, bit-identical to the decoded
+    // pixels because the GIF round trip is lossless
+    "c12f_frame_deltas" ->
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id % 16 + 16) AS w, (doc_id % 8 + 16) AS h,
+        |         (doc_id % 4 + 1) AS nf
+        |  FROM documents WHERE doc_id % 4 + 1 >= 3),
+        |px AS (SELECT doc_id, w, h, nf, unnest(range(0, w)) AS x FROM p),
+        |pxy AS (SELECT doc_id, w, h, nf, x, unnest(range(0, h)) AS y
+        |        FROM px),
+        |d AS (SELECT doc_id, w, h, nf,
+        |             abs(((x + 3 * y + 10 + doc_id) % 8)
+        |                 - ((x + 3 * y + doc_id) % 8)) AS dk
+        |      FROM pxy)
+        |SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
+        |       CAST(0 AS INT) AS prev_idx, CAST(2 AS INT) AS frame_idx,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       round(sum(36 * dk) / (w * h * 255.0), 6) AS mad_r,
+        |       round(sum(36 * dk) / (w * h * 255.0), 6) AS mad_g,
+        |       round(sum(31 * dk) / (w * h * 255.0), 6) AS mad_b
+        |FROM d GROUP BY doc_id, nf, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the full sequency spectrum recomputed from first principles:
+    // samples from the synthesis LCG, X_j = Σ_i s_i·(−1)^popcount(j&i)
+    // (the Hadamard definition — the engine's fast butterfly computes
+    // exactly this), P_j = X_j², then the same exact-integer ratios.
+    // Every intermediate is an exact BIGINT/HUGEINT; the only doubles
+    // are the final casts, which round identically in both engines.
+    "c12g_audio_spectral" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(800 + (doc_id % 5) * 160 AS INT) AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+        |samp AS (
+        |  SELECT doc_id, n, i,
+        |         CAST(((doc_id * 7349 + i * 12345 + 6789) % 65536)
+        |              - 32768 AS BIGINT) AS v
+        |  FROM s),
+        |zc AS (
+        |  SELECT doc_id,
+        |         CAST(count(CASE WHEN (v < 0) <> (pv < 0) THEN 1 END)
+        |              AS INT) AS zcr
+        |  FROM (SELECT doc_id, v,
+        |               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |        FROM samp)
+        |  WHERE pv IS NOT NULL GROUP BY doc_id),
+        |fr AS (SELECT doc_id, i, v FROM samp WHERE i < 128),
+        |wht AS (
+        |  SELECT f.doc_id, j.j AS j,
+        |         sum(CASE WHEN bit_count(CAST(j.j AS BIGINT)
+        |                                 & CAST(f.i AS BIGINT)) % 2 = 0
+        |                  THEN f.v ELSE -f.v END) AS x
+        |  FROM fr f CROSS JOIN (SELECT unnest(range(0, 128)) AS j) j
+        |  GROUP BY f.doc_id, j.j),
+        |pw AS (SELECT doc_id, j, x * x AS p FROM wht),
+        |agg AS (SELECT doc_id, sum(p) AS energy, sum(j * p) AS wsum,
+        |               max(p) AS maxp
+        |        FROM pw GROUP BY doc_id),
+        |dom AS (SELECT pw.doc_id, CAST(min(j) AS INT) AS dominant_seq
+        |        FROM pw JOIN agg ON pw.doc_id = agg.doc_id
+        |                        AND pw.p = agg.maxp
+        |        GROUP BY pw.doc_id)
+        |SELECT p.doc_id AS media_id, p.n AS n_samples, zc.zcr,
+        |       round(CAST(a.wsum AS DOUBLE) / CAST(a.energy AS DOUBLE), 6)
+        |         AS seq_centroid,
+        |       round(128.0 * CAST(a.maxp AS DOUBLE)
+        |             / CAST(a.energy AS DOUBLE), 6) AS seq_crest,
+        |       dom.dominant_seq
+        |FROM p JOIN zc ON p.doc_id = zc.doc_id
+        |       JOIN agg a ON p.doc_id = a.doc_id
+        |       JOIN dom ON p.doc_id = dom.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     // the oracle recomputes every audio feature from the synthesis
     // formula alone — the WAV container round trip (AudioSystem encode →

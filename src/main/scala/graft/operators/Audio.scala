@@ -230,6 +230,132 @@ object Audio {
     }(enc)
   }
 
+  /** Spectral features over the decoded PCM — the filters a training
+    * pipeline actually runs on audio (speech/music/noise discrimination,
+    * silence and tone rejection) where [[decodeWav]] stops at rms/peak.
+    *
+    * The spectrum is the WALSH–HADAMARD (sequency) power spectrum of the
+    * first `frame` samples: H[j,i] = (−1)^popcount(j AND i), X_j = Σ_i
+    * s_i·H[j,i] via the O(N log N) fast transform, P_j = X_j². The
+    * sequency domain is the dyadic analogue of the Fourier domain (used
+    * in fast audio fingerprinting for exactly this reason) and — unlike
+    * a float FFT — is INTEGER-EXACT: every X_j is an exact ±sum of
+    * 16-bit samples (|X_j| ≤ 128·32768 = 2^22), every P_j ≤ 2^44, and
+    * every aggregate below is an exact-integer ratio, so the features
+    * are bit-identical to the DuckDB oracle's direct popcount-formula
+    * recomputation. No tolerance anywhere — the c12d contract.
+    *
+    * Per clip: zcr (sign transitions over the WHOLE clip), seq_centroid
+    * (Σ j·P_j / Σ P_j — the sequency-domain centroid), seq_crest
+    * (N·max P_j / Σ P_j — max-to-mean, the flatness complement: 1 =
+    * perfectly flat, N = single-line spectrum), dominant_seq (argmax j,
+    * ties to the smallest), and flatness (geometric/arithmetic mean of
+    * P_j+1 — the classic Wiener entropy; exp/ln make it engine-specific
+    * at the last ulp, so it is SPEC-locked in AudioSpec rather than
+    * oracle-hashed — the gate projects the exact columns).
+    * Non-WAV/short payloads quarantine to null features (A13 rule).
+    */
+  def spectralFeatures(spark: SparkSession, packed: DataFrame,
+                       frame: Int = 128, batchSize: Int = 64): DataFrame = {
+    require(frame > 0 && (frame & (frame - 1)) == 0,
+      "frame must be a power of two (fast WHT butterfly)")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_samples", IntegerType),
+      StructField("zcr", IntegerType),
+      StructField("seq_centroid", DoubleType),
+      StructField("seq_crest", DoubleType),
+      StructField("dominant_seq", IntegerType),
+      StructField("flatness", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = packed.select(col("media_id").cast("long"), col("media"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          spectralOne(id, bytes, frame)
+        }
+      }
+    }(enc)
+  }
+
+  private[graft] def spectralOne(id: Long, bytes: Array[Byte],
+                                 frame: Int): Row = {
+    val pcm =
+      try {
+        val ais = parseAudio(bytes)
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian) null
+        else ais.readAllBytes()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    val n = if (pcm == null) 0 else pcm.length / 2
+    if (pcm == null || n < frame)
+      Row(id, if (pcm == null) null else n, null, null, null, null, null)
+    else {
+      def sampleAt(i: Int): Int =
+        ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      // zero crossings over the whole clip: strict sign-bit transitions
+      var zcr = 0
+      var prevNeg = sampleAt(0) < 0
+      var i = 1
+      while (i < n) {
+        val neg = sampleAt(i) < 0
+        if (neg != prevNeg) zcr += 1
+        prevNeg = neg
+        i += 1
+      }
+      // fast WHT of the first `frame` samples (natural Hadamard order)
+      val a = new Array[Long](frame)
+      i = 0
+      while (i < frame) { a(i) = sampleAt(i).toLong; i += 1 }
+      var h = 1
+      while (h < frame) {
+        var s = 0
+        while (s < frame) {
+          var j = s
+          while (j < s + h) {
+            val x = a(j); val y = a(j + h)
+            a(j) = x + y; a(j + h) = x - y
+            j += 1
+          }
+          s += 2 * h
+        }
+        h *= 2
+      }
+      var energy = 0L   // Σ P_j            ≤ 2^51 — exact
+      var wSum = 0L     // Σ j·P_j          ≤ 2^58 — exact in long
+      var maxP = 0L
+      var argmax = 0
+      var lnSum = 0.0   // Σ ln(P_j + 1) — flatness only (spec-locked)
+      i = 0
+      while (i < frame) {
+        val p = a(i) * a(i)
+        energy += p
+        wSum += i.toLong * p
+        if (p > maxP) { maxP = p; argmax = i }
+        lnSum += math.log(p.toDouble + 1.0)
+        i += 1
+      }
+      // all-silent frame: no spectrum to describe — features null
+      if (energy == 0L) Row(id, n, zcr, null, null, null, null)
+      else {
+        val centroid = wSum.toDouble / energy.toDouble
+        val crest = frame.toDouble * maxP.toDouble / energy.toDouble
+        val am = energy.toDouble / frame + 1.0
+        val flatness = math.exp(lnSum / frame) / am
+        Row(id, n, zcr, centroid, crest, argmax, flatness)
+      }
+    }
+  }
+
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): Row = {
     val parsed =
       try {

@@ -540,6 +540,92 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame-DIFFERENCE features over multi-frame media — the motion
+    * signal [[decodeGifFrames]] stops short of: per consecutive pair of
+    * KEPT frames (stride-sampled, same as the decode path), the
+    * pixel-wise mean absolute difference per channel. This is the
+    * scene-change / static-clip discriminator a video curation pipeline
+    * filters on (a slideshow and a tracking shot have identical
+    * per-frame means but wildly different MADs).
+    *
+    * Exactness contract: each |Δ| sum is an exact integer (≤ w·h·255 ≤
+    * 32·24·255 < 2^18), so mad_* = Σ|Δ| / (w·h·255.0) is a
+    * deterministic double — the oracle recomputes it from the palette
+    * formula with no tolerance. Clips with fewer than two kept frames
+    * contribute no rows (nothing to difference); unparseable payloads
+    * quarantine to a (prev_idx = -1, null mads) row — the A13 rule.
+    * Output: (media_id, n_frames, prev_idx, frame_idx, width, height,
+    * mad_r, mad_g, mad_b).
+    */
+  def gifFrameDeltas(spark: SparkSession, packed: DataFrame,
+                     stride: Int = 2, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_frames", IntegerType),
+      StructField("prev_idx", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mad_r", DoubleType),
+      StructField("mad_g", DoubleType),
+      StructField("mad_b", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = packed.select(col("media_id").cast("long"), col("media"))
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val isGif = bytes.length > 4 && bytes(0) == 'G' &&
+            bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
+          val deltas =
+            if (!isGif) null
+            else try {
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              var prevPx: Array[Int] = null
+              var prevIdx = -1
+              val out = (0 until n by stride).flatMap { f =>
+                val img = reader.read(f)
+                val w = img.getWidth; val h = img.getHeight
+                val px = img.getRGB(0, 0, w, h, null, 0, w)
+                val res =
+                  if (prevPx == null || prevPx.length != px.length) Nil
+                  else {
+                    var dr = 0L; var dg = 0L; var db = 0L
+                    var i = 0
+                    while (i < px.length) {
+                      val p = px(i); val q = prevPx(i)
+                      dr += math.abs(((p >> 16) & 0xFF) - ((q >> 16) & 0xFF))
+                      dg += math.abs(((p >> 8) & 0xFF) - ((q >> 8) & 0xFF))
+                      db += math.abs((p & 0xFF) - (q & 0xFF))
+                      i += 1
+                    }
+                    val d = math.max(w * h, 1) * 255.0
+                    Seq((n, prevIdx, f, w, h, dr / d, dg / d, db / d))
+                  }
+                prevPx = px
+                prevIdx = f
+                res
+              }
+              iis.close()
+              out
+            } catch { case _: java.io.IOException => null }
+          if (deltas == null)
+            Seq(Row(id, null, -1, null, null, null, null, null, null))
+          else deltas.map { case (n, pf, f, w, h, mr, mg, mb) =>
+            Row(id, n, pf, f, w, h, mr, mg, mb) }
+        }
+      }
+    }(enc)
+  }
+
   /** Decode + feature-extract, batched per partition.
     *
     * >>> STUB CODEC <<< — kept as the declared stand-in for codecs the

@@ -94,4 +94,73 @@ class AudioSpec extends AnyFunSuite with SparkSpec {
       .map(_.getDouble(0)).sorted.toSeq
     assert(d.forall(Seq(50.0, 60.0, 70.0, 80.0, 90.0).contains(_)))
   }
+
+  test("spectralFeatures: WHT spectrum matches the direct popcount " +
+    "definition, and flatness discriminates tone from noise") {
+    // direct-definition cross-check on one clip: X_j = Σ s_i·(−1)^pc(j&i)
+    val id = 3L
+    val n = Audio.nSamples(id)
+    val frame = 128
+    val samples = (0 until n).map(i => Audio.sample(id, i))
+    val direct = (0 until frame).map { j =>
+      (0 until frame).map { i =>
+        val sgn = if (java.lang.Long.bitCount(j.toLong & i.toLong) % 2 == 0) 1
+                  else -1
+        sgn.toLong * samples(i)
+      }.sum
+    }
+    val p = direct.map(x => x * x)
+    val energy = p.sum
+    val expCentroid = p.zipWithIndex.map { case (v, j) => j.toLong * v }.sum
+      .toDouble / energy.toDouble
+    val expCrest = frame.toDouble * p.max.toDouble / energy.toDouble
+    val out = Audio.spectralFeatures(spark, packed).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val row = out(id)
+    assert(row.getInt(1) === n)
+    assert(row.getDouble(3) === expCentroid)
+    assert(row.getDouble(4) === expCrest)
+    // zcr: direct recount of sign transitions
+    val expZcr = (1 until n)
+      .count(i => (samples(i) < 0) != (samples(i - 1) < 0))
+    assert(row.getInt(2) === expZcr)
+    // flatness contract (the exp/ln feature the oracle can't hash):
+    // bounded in (0, 1]; the LCG clips are noise-like, so their spectra
+    // are much flatter than a pure square tone's line spectrum
+    val flatNoise = row.getDouble(6)
+    assert(flatNoise > 0.0 && flatNoise <= 1.0)
+    // a sequency-aligned square tone: s_i = ±8192 by bit 2 of i — its
+    // WHT is a single line at j=4, the least-flat spectrum possible
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      Audio.SampleRate.toFloat, 16, 1, 2, Audio.SampleRate.toFloat, false)
+    val tonePcm = new Array[Byte](frame * 2)
+    (0 until frame).foreach { i =>
+      val s = if ((i >> 2) % 2 == 0) 8192 else -8192
+      tonePcm(2 * i) = (s & 0xFF).toByte
+      tonePcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(tonePcm), fmt, frame.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val toneRow = Audio.spectralOne(99L, bos.toByteArray, frame)
+    assert(toneRow.getInt(5) === 4,
+      s"s = 8192·H[4,·] is the Walsh line at j=4 (natural Hadamard " +
+        s"order: H[4,i] = (−1)^bit2(i)): $toneRow")
+    assert(toneRow.getDouble(4) === frame.toDouble,
+      "a line spectrum has maximal crest = N")
+    val flatTone = toneRow.getDouble(6)
+    assert(flatTone < 0.01 && flatTone < flatNoise / 10,
+      s"tone flatness $flatTone must be far below noise flatness $flatNoise")
+  }
+
+  test("spectralFeatures: short/non-WAV payloads quarantine to null " +
+    "features") {
+    import spark.implicits._
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "media")
+    val r = Audio.spectralFeatures(spark, bad).collect().head
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
 }

@@ -56,6 +56,42 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(q.forall(r => r.getInt(2) === -1 && r.isNullAt(3)))
   }
 
+  test("c12f: frame deltas match the palette formula exactly, singletons " +
+    "emit nothing, junk quarantines") {
+    val ids = docs.select("doc_id").limit(20)
+    val gifs = Multimodal.packAnimatedGifs(spark, ids, "doc_id")
+    val out = Multimodal.gifFrameDeltas(spark, gifs, stride = 2).collect()
+    val byId = out.groupBy(_.getLong(0))
+    ids.collect().map(_.getLong(0)).foreach { id =>
+      val nf = Multimodal.gifFrames(id)
+      if (nf < 3) // kept frames under stride 2: {0} — nothing to diff
+        assert(!byId.contains(id), s"id=$id nf=$nf must emit no delta rows")
+      else {
+        val rows = byId(id)
+        assert(rows.length === 1 && rows.head.getInt(2) === 0 &&
+          rows.head.getInt(3) === 2, s"id=$id expects exactly pair (0,2)")
+        // exact recomputation from the color-index formula:
+        // |Δr|=|Δg|=36|Δk|, |Δb|=31|Δk|
+        val (w, h) = (Multimodal.gifW(id), Multimodal.gifH(id))
+        var dk = 0L
+        (0 until h).foreach { y =>
+          (0 until w).foreach { x =>
+            dk += math.abs(Multimodal.gifColorIdx(id, 2, x, y) -
+              Multimodal.gifColorIdx(id, 0, x, y))
+          }
+        }
+        val d = w * h * 255.0
+        assert(rows.head.getDouble(6) === 36 * dk / d, s"id=$id mad_r")
+        assert(rows.head.getDouble(7) === 36 * dk / d, s"id=$id mad_g")
+        assert(rows.head.getDouble(8) === 31 * dk / d, s"id=$id mad_b")
+      }
+    }
+    val junk = gifs.select(col("media_id"),
+      encode(lit("definitely not a gif"), "UTF-8").as("media"))
+    val q = Multimodal.gifFrameDeltas(spark, junk).collect()
+    assert(q.forall(r => r.getInt(2) === -1 && r.isNullAt(6)))
+  }
+
   test("packMedia: opaque binary payload + typed prunable metadata") {
     val schema = packed.schema
     assert(schema("media").dataType.typeName === "binary")
