@@ -2553,6 +2553,23 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Batched ANN serving shape (c14c): the SAME answer as c14, but the
+    // query batch is driver-side vectors answered in one joinless corpus
+    // scan (IvfQueryIndex reference object + generator expression) — the
+    // rankMany result shaping for the vector side. Exhaustive probes ⇒
+    // exact top-k, same oracle as c14; partial-probe ≡ per-query ivfTopK
+    // is spec-locked in SimilaritySpec.
+    "c14c_ivf_rank_many" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs: Map[Long, Array[Float]] = emb.where(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      Similarity.ivfTopKMany(emb, "vec_id", "embedding", qs,
+          k = 5, nLists = 16, nProbe = 16)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Weighted source mixing (C25): kept token mass follows the target
     // weights at the largest supportable total. The ENTIRE computation —
     // per-source token totals, the scarcity constant k, per-source rates,
@@ -4965,6 +4982,21 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "c14_ivf_topk" ->
+      """SELECT query_id, neighbor_id, round(cos, 6) AS cos, rnk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                CAST(q.embedding AS DOUBLE[])) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(
+        |                 CAST(c.embedding AS DOUBLE[]),
+        |                 CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // exhaustive probes make the batched scan exact — same brute-force
+    // replica as c14 (the plan differs, the answer must not)
+    "c14c_ivf_rank_many" ->
       """SELECT query_id, neighbor_id, round(cos, 6) AS cos, rnk FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),

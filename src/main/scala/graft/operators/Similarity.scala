@@ -259,6 +259,92 @@ object Similarity {
     topKPerQuery(partialTopK(scored, k), k)
   }
 
+  /** Batched IVF top-k — N queries answered in ONE corpus scan, the
+    * vector twin of [[graft.operators.Bm25.rankMany]]'s result shaping.
+    *
+    * The per-call shape of [[ivfTopK]] takes the query set as a
+    * DataFrame and broadcast-joins it per invocation; production ANN
+    * serving instead holds a BATCH of query vectors in hand (they
+    * arrive from a service, not a table) and wants one pass over the
+    * corpus for all of them. Here the whole batch rides the plan as ONE
+    * reference object ([[IvfQueryIndex]], the CentroidIndex pattern):
+    * probe-list selection runs driver-side (queries are driver data;
+    * nLists·|Q| cosines), the index maps each inverted list to the
+    * queries probing it, and the corpus scan emits (query_id, cos)
+    * pairs via a single generator expression — NO join anywhere in the
+    * plan, fan-out per corpus row bounded by the queries that probed
+    * its list. Per-partition bounded heaps ([[partialTopK]]) keep the
+    * merge at k·partitions·|Q| rows.
+    *
+    * Scoring and tie-breaking replicate [[ivfTopK]] bit-for-bit (same
+    * cosine loop, same (cos, list)-descending probe order), so results
+    * are IDENTICAL to per-query calls at every nProbe — spec-locked in
+    * SimilaritySpec; the exhaustive configuration is oracle-checked
+    * like c14.
+    */
+  def ivfTopKMany(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: Map[Long, Array[Float]], k: Int = 10,
+                  nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    require(queries.nonEmpty, "ivfTopKMany: no queries")
+    val centroids: Array[Array[Float]] = corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")))
+      .limit(nLists)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+    // driver-side replica of FloatCosineExpr's exact double loop
+    def cosTo(q: Array[Float], c: Array[Float]): Double = {
+      val n = math.min(q.length, c.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = q(i).toDouble; val yv = c(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    // probe order replicates probeLists' reverse(array_sort(struct(cos,
+    // list))): descending cos, ties to the LARGER list index
+    val nP = math.min(nProbe, centroids.length)
+    val listQ = Array.fill(centroids.length)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])])
+    queries.toSeq.sortBy(_._1).foreach { case (qid, qv) =>
+      centroids.indices
+        .map(i => (cosTo(qv, centroids(i)), i))
+        .sortBy { case (cos, i) => (-cos, -i) }
+        .take(nP)
+        .foreach { case (_, i) => listQ(i) += (qid -> qv) }
+    }
+    val index = new IvfQueryIndex(
+      listQ.map(_.map(_._1).toArray), listQ.map(_.map(_._2).toArray))
+
+    // corpus assignment: the same centroid-literal argmax as ivfTopK
+    def centroidSims(v: Column): Seq[Column] = centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct(GraftExpressions.floatCosine(v, typedLit(c.toSeq)).as("cos"),
+          lit(i).as("list"))
+    }.toSeq
+    def bestList(v: Column): Column =
+      array_max(array(centroidSims(v): _*)).getField("list")
+
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("list", bestList(col("cv")))
+      .select(col("neighbor_id"),
+        explode(GraftColumnBridge.column(IvfScoreManyExpr(
+          GraftColumnBridge.expression(col("cv")),
+          GraftColumnBridge.expression(col("list")), index))).as("qc"))
+      .select(col("qc.query_id").as("query_id"), col("neighbor_id"),
+        col("qc.cos").as("cos"))
+      .where(col("neighbor_id") =!= col("query_id"))
+    topKPerQuery(partialTopK(scored, k), k)
+  }
+
   /** Product-quantization ADC top-k — the compressed-domain scale path.
     *
     * PQ splits each dim-d vector into `m` subspaces of d/m floats and
@@ -850,4 +936,92 @@ case class IvfProbesExpr(
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression)
       : IvfProbesExpr = copy(child = newChild)
+}
+
+/** The query batch of [[Similarity.ivfTopKMany]] as one plan-referenced
+  * object: per inverted list, the ids and vectors of the queries probing
+  * it. `score` emits the (query_id, cos) pairs for one corpus row — the
+  * cosine loop is byte-for-byte [[graft.functions.FloatCosineExpr]]'s, so
+  * batched results are bit-identical to per-query scoring.
+  */
+final class IvfQueryIndex(val qids: Array[Array[Long]],
+                          val qvecs: Array[Array[Array[Float]]])
+    extends Serializable {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  def score(list: Int, v: ArrayData): ArrayData = {
+    if (list < 0 || list >= qids.length || qids(list).length == 0) empty
+    else {
+      val ids = qids(list); val qs = qvecs(list)
+      val out = new Array[Any](ids.length)
+      var qi = 0
+      while (qi < ids.length) {
+        val q = qs(qi)
+        val n = math.min(v.numElements(), q.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val xv = v.getFloat(i).toDouble
+          val yv = q(i).toDouble
+          dot += xv * yv; na += xv * xv; nb += yv * yv
+          i += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        val cos = if (denom == 0.0) 0.0 else dot / denom
+        out(qi) = InternalRow(ids(qi), cos)
+        qi += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** `array<struct<query_id,cos>>` of every query probing this row's list —
+  * the generator half of [[Similarity.ivfTopKMany]]'s joinless scan. The
+  * whole query batch is ONE referenced [[IvfQueryIndex]] object in the
+  * generated class (the CentroidIndex pattern): constant codegen size in
+  * the batch size.
+  */
+case class IvfScoreManyExpr(
+    vec: org.apache.spark.sql.catalyst.expressions.Expression,
+    list: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: IvfQueryIndex)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def left: org.apache.spark.sql.catalyst.expressions.Expression = vec
+  override def right: org.apache.spark.sql.catalyst.expressions.Expression = list
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, list.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ivf_score_many expects (array<float>, int), got ${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(v: Any, l: Any): Any = index.score(
+    l.asInstanceOf[Int],
+    v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("ivfQueryIndex", index,
+      classOf[IvfQueryIndex].getName)
+    nullSafeCodeGen(ctx, ev,
+      (v, l) => s"${ev.value} = $idx.score($l, $v);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression)
+      : IvfScoreManyExpr = copy(vec = newLeft, list = newRight)
 }

@@ -286,4 +286,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("ivfleafexpr") || plan.contains("IvfLeafExpr") ||
       !plan.contains("0.0f"), plan.take(400))
   }
+
+  test("ivfTopKMany ≡ per-query ivfTopK at every probe depth, and the " +
+       "batched scan is joinless") {
+    val emb = Tables(spark, sfDir(), "embeddings")
+    val qs: Map[Long, Array[Float]] = emb.where(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for (nProbe <- Seq(4, 16)) {
+      val one = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nLists = 16, nProbe = nProbe)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val many = Similarity.ivfTopKMany(emb, "vec_id", "embedding", qs,
+          k = 5, nLists = 16, nProbe = nProbe)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(many === one, s"nProbe=$nProbe: batched results must be " +
+        "bit-identical to per-query calls")
+    }
+    // the batched plan has NO join: the query batch is a reference
+    // object inside the generator expression, not a broadcast side
+    val plan = Similarity.ivfTopKMany(emb, "vec_id", "embedding", qs,
+      k = 5, nLists = 16, nProbe = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"batched IVF must stay joinless:\n${plan.take(600)}")
+    assert(plan.toLowerCase.contains("ivfscoremanyexpr"), plan.take(400))
+  }
 }
