@@ -66,6 +66,8 @@ object Bench {
     "c48_corpus_datasheet", "c49_badwords_filter", "b47_bag_set_ops",
     "c12d_audio_codec", "c12e_gif_frames", "c50_mmr_rerank",
     "c41b_pagerank_incremental", "d19_sla_attach",
+    "c12f_frame_deltas", "c12g_audio_spectral", "c14c_ivf_rank_many",
+    "c52_pagerank_cdf",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -107,7 +109,12 @@ object Bench {
       "c41b_pagerank_incremental",
       // b46 rides b25's replica contract (per-copy name tags keep the
       // cross-copy distance > k, so the ER candidate set stays linear)
-      "b46_er_best_match")
+      "b46_er_best_match",
+      // r8 additions: c12f/c12g scale with documents (one GIF/WAV per
+      // doc), c14c with the embeddings corpus, c52 with the document
+      // graph (the c41b contract)
+      "c12f_frame_deltas", "c12g_audio_spectral", "c14c_ivf_rank_many",
+      "c52_pagerank_cdf")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

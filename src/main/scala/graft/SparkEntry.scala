@@ -1922,6 +1922,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C52: PageRank subscribed to the A23 edge change feed — the
+    // operator chain the r7 verdict asked for. Batch 1 is structurally
+    // inert (redeliveries, which the merge's no-op rule drops from the
+    // feed, plus label-only updates whose pre/post keep both endpoints):
+    // the trigger must SKIP rank rounds and return the previous ranks
+    // bit-identical (phase 'unchanged' = the cold 3-iter trajectory).
+    // Batch 2 inserts the j=4 edges: the trigger fires and the warm
+    // rounds land exactly on the c41b trajectory (phase 'warmed').
+    "c52_pagerank_cdf" -> ((s, dir) => {
+      import graft.operators.{PageRank, Upsert}
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val nodes = docs.select(col("doc_id"))
+      def dstOf(src: org.apache.spark.sql.Column,
+                j: org.apache.spark.sql.Column) =
+        pmod(src * lit(1103515245L) + j * lit(12345L), lit(nDocs))
+      val base = nodes
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .select((col("src") * 8 + col("j")).as("edge_id"), col("src"),
+          dstOf(col("src"), col("j")).as("dst"), lit("base").as("label"))
+      val prev = PageRank.pagerank(nodes, base, "doc_id", "src", "dst",
+        iters = 3, damping = 0.85)
+
+      val inert = base.where(col("edge_id") % 11 === 0)
+        .unionByName(base
+          .where(col("edge_id") % 13 === 0 && col("edge_id") % 11 =!= 0)
+          .withColumn("label", lit("relabeled")))
+      val m1 = Upsert.upsertWithChanges(base, inert, Seq("edge_id"))
+      val unchanged = PageRank.pagerankFromChangeFeed(nodes, m1.merged,
+        prev, m1.changes, "doc_id", "src", "dst", warmIters = 2)
+
+      val adds = nodes.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") * 8 + lit(4)).as("edge_id"),
+          col("doc_id").as("src"), dstOf(col("doc_id"), lit(4L)).as("dst"),
+          lit("added").as("label"))
+      val m2 = Upsert.upsertWithChanges(m1.merged, adds, Seq("edge_id"))
+      val warmed = PageRank.pagerankFromChangeFeed(nodes, m2.merged,
+        prev, m2.changes, "doc_id", "src", "dst", warmIters = 2)
+
+      unchanged.withColumn("phase", lit("unchanged"))
+        .unionByName(warmed.withColumn("phase", lit("warmed")))
+        .withColumn("rank", round(col("rank"), 8))
+        .orderBy("phase", "doc_id")
+    }),
+
     // C43 semantic decontamination — the embedding-space complement of
     // C24's n-gram check (paraphrased eval leakage has no shared
     // shingles). Contamination is PLANTED in-plan: every 50th corpus
@@ -4133,6 +4179,54 @@ object SparkEntry {
            |${stage("w2", "w1", "e2", "od2")}
            |SELECT id AS doc_id, round(r, 8) AS rank
            |FROM w2 ORDER BY doc_id""".stripMargin
+    },
+
+    // the two phases ARE the two trajectories: 'unchanged' must land on
+    // the cold 3-round ranks (the trigger skipped the warm rounds — any
+    // spurious round diverges in the round(8)), 'warmed' on the c41b
+    // warm-start chain over the inserted-edge union
+    "c52_pagerank_cdf" -> {
+      def stage(out: String, prev: String, e: String, od: String) =
+        raw"""$out AS (
+             |  SELECT d.doc_id AS id,
+             |         0.15 / (SELECT n FROM nn)
+             |           + 0.85 * coalesce(sum($prev.r / $od.od), 0) AS r
+             |  FROM documents d
+             |  LEFT JOIN $e ON $e.dst = d.doc_id
+             |  LEFT JOIN $prev ON $prev.id = $e.src
+             |  LEFT JOIN $od ON $od.src = $e.src
+             |  GROUP BY 1)""".stripMargin
+      raw"""WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |                   count(*) AS nb FROM documents),
+           |e AS (
+           |  SELECT doc_id AS src,
+           |         (doc_id * 1103515245 + j.j * 12345)
+           |           % (SELECT nb FROM nn) AS dst
+           |  FROM documents, (SELECT unnest([1, 2, 3]) AS j) j),
+           |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+           |       FROM e GROUP BY 1),
+           |r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS r
+           |       FROM documents),
+           |${stage("r1", "r0", "e", "od")},
+           |${stage("r2", "r1", "e", "od")},
+           |${stage("r3", "r2", "e", "od")},
+           |e2 AS (
+           |  SELECT src, dst FROM e
+           |  UNION ALL
+           |  SELECT doc_id AS src,
+           |         (doc_id * 1103515245 + 4 * 12345)
+           |           % (SELECT nb FROM nn) AS dst
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |od2 AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+           |        FROM e2 GROUP BY 1),
+           |${stage("w1", "r3", "e2", "od2")},
+           |${stage("w2", "w1", "e2", "od2")}
+           |SELECT id AS doc_id, round(r, 8) AS rank, 'unchanged' AS phase
+           |FROM r3
+           |UNION ALL
+           |SELECT id AS doc_id, round(r, 8) AS rank, 'warmed' AS phase
+           |FROM w2
+           |ORDER BY phase, doc_id""".stripMargin
     },
 
     // identical planted eval matrix (float nudge rebuilt bit-exactly),

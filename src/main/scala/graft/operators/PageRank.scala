@@ -60,6 +60,46 @@ object PageRank {
     iterate(nodes, edges, Some(prevRanks), idCol, srcCol, dstCol,
       warmIters, damping)
 
+  /** PageRank advanced from an EDGE CHANGE FEED — the wiring that makes
+    * warm-start rank maintenance subscribe to the A23 merge's CDF
+    * instead of re-diffing edge snapshots. The feed (Delta-protocol
+    * change types, the [[Upsert.upsertWithChanges]] contract) decides
+    * WHETHER rank rounds run at all:
+    *
+    *   - a feed with no STRUCTURAL edge change — empty, redeliveries
+    *     (the merge's no-op rule already drops those), or updates that
+    *     keep both endpoints (label/weight-only churn) — returns
+    *     `prevRanks` untouched: zero graph-sized work, not even one
+    *     round. This is the common crawl-refresh case, where most
+    *     batches touch attributes, not topology.
+    *   - any insert, delete, or endpoint-moving update triggers
+    *     [[pagerankWarm]]'s damped rounds over the CURRENT edge set.
+    *
+    * The trigger test compares only the feed's (src, dst) multisets
+    * (pre vs post images, plus inserts/deletes) — feed-sized work by
+    * the CDF contract (proportional to the batch, never the edge
+    * table). PageRank is a global fixpoint, so any structural change
+    * can move any rank transitively: "touched partitions" granularity
+    * below whole-graph would be unsound — the sound incremental unit is
+    * the round count, which the warm start already minimizes.
+    */
+  def pagerankFromChangeFeed(nodes: DataFrame, edges: DataFrame,
+                             prevRanks: DataFrame, edgeChanges: DataFrame,
+                             idCol: String, srcCol: String, dstCol: String,
+                             warmIters: Int = 2,
+                             damping: Double = 0.85): DataFrame = {
+    def pairs(kind: String): DataFrame = edgeChanges
+      .where(col("_change_type") === kind)
+      .select(col(srcCol), col(dstCol))
+    val structural = pairs("insert")
+      .unionByName(pairs("delete"))
+      .unionByName(pairs("update_preimage").exceptAll(pairs("update_postimage")))
+      .unionByName(pairs("update_postimage").exceptAll(pairs("update_preimage")))
+    if (structural.isEmpty) prevRanks.select(col(idCol), col("rank"))
+    else pagerankWarm(nodes, edges, prevRanks, idCol, srcCol, dstCol,
+      warmIters, damping)
+  }
+
   private def iterate(nodes: DataFrame, edges: DataFrame,
                       prev: Option[DataFrame], idCol: String, srcCol: String,
                       dstCol: String, iters: Int,

@@ -92,4 +92,52 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     nodes.foreach(i => assert(math.abs(a(i) - b(i)) < 1e-12, s"node $i"))
   }
+
+  test("change-feed trigger: attribute-only churn skips rank rounds " +
+       "entirely; endpoint changes fire the warm rounds") {
+    import graft.operators.Upsert
+    val nodes = (0L until 8L).toDF("id")
+    val edges = Seq((1L, (0L, 1L), "x"), (2L, (1L, 2L), "x"),
+        (3L, (2L, 0L), "x"), (4L, (3L, 0L), "x"))
+      .map { case (k, (s0, d), l) => (k, s0, d, l) }
+      .toDF("edge_id", "src", "dst", "label")
+    val prev = PageRank.pagerank(nodes, edges, "id", "src", "dst", iters = 3)
+
+    // label-only update + an identical redelivery → feed has rows but
+    // no structural change → result must be prev, bit-identical, with
+    // NO rank rounds (the plan is a bare projection — no Join at all)
+    val inert = edges.where(col("edge_id") === 1)
+      .unionByName(edges.where(col("edge_id") === 2)
+        .withColumn("label", lit("relabeled")))
+    val m1 = Upsert.upsertWithChanges(edges, inert, Seq("edge_id"))
+    assert(m1.changes.count() === 2) // pre+post for the relabel only
+    val skipped = PageRank.pagerankFromChangeFeed(nodes, m1.merged, prev,
+      m1.changes, "id", "src", "dst", warmIters = 2)
+    // bit-identical to prev: had the trigger misfired, two more damped
+    // rounds on this un-converged graph would move every rank
+    assert(skipped.collect().toSet === prev.collect().toSet)
+    val ifRoundsRan = PageRank.pagerankWarm(nodes, m1.merged, prev,
+      "id", "src", "dst", warmIters = 2)
+    assert(ifRoundsRan.collect().toSet !== prev.collect().toSet,
+      "sanity: rounds WOULD have moved the ranks had they run")
+
+    // endpoint-moving update (dst 0→3 on edge 4) → must fire and equal
+    // a direct warm start over the merged edges
+    val moved = edges.where(col("edge_id") === 4)
+      .withColumn("dst", lit(3L))
+    val m2 = Upsert.upsertWithChanges(edges, moved, Seq("edge_id"))
+    val fired = PageRank.pagerankFromChangeFeed(nodes, m2.merged, prev,
+      m2.changes, "id", "src", "dst", warmIters = 2)
+    val direct = PageRank.pagerankWarm(nodes, m2.merged, prev,
+      "id", "src", "dst", warmIters = 2)
+    assert(fired.collect().toSet === direct.collect().toSet)
+
+    // insert → fires too (ranks move off prev)
+    val m3 = Upsert.upsertWithChanges(edges,
+      Seq((9L, 3L, 1L, "new")).toDF("edge_id", "src", "dst", "label"),
+      Seq("edge_id"))
+    val fired3 = PageRank.pagerankFromChangeFeed(nodes, m3.merged, prev,
+      m3.changes, "id", "src", "dst", warmIters = 2)
+    assert(fired3.collect().toSet !== prev.collect().toSet)
+  }
 }
