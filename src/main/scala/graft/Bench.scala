@@ -67,7 +67,7 @@ object Bench {
     "c12d_audio_codec", "c12e_gif_frames", "c50_mmr_rerank",
     "c41b_pagerank_incremental", "d19_sla_attach",
     "c12f_frame_deltas", "c12g_audio_spectral", "c14c_ivf_rank_many",
-    "c52_pagerank_cdf",
+    "c52_pagerank_cdf", "c12h_audio_bands", "d20_sla_slo",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -110,11 +110,11 @@ object Bench {
       // b46 rides b25's replica contract (per-copy name tags keep the
       // cross-copy distance > k, so the ER candidate set stays linear)
       "b46_er_best_match",
-      // r8 additions: c12f/c12g scale with documents (one GIF/WAV per
-      // doc), c14c with the embeddings corpus, c52 with the document
-      // graph (the c41b contract)
+      // r8 additions: c12f/c12g/c12h scale with documents (one GIF/WAV
+      // per doc), c14c with the embeddings corpus, c52 with the document
+      // graph (the c41b contract); d20 is events-based → not probed
       "c12f_frame_deltas", "c12g_audio_spectral", "c14c_ivf_rank_many",
-      "c52_pagerank_cdf")
+      "c52_pagerank_cdf", "c12h_audio_bands")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -1121,6 +1121,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Audio band energies (c12h): the dyadic equalizer profile over the
+    // c12g sequency spectrum — band sums are EXACT BIGINTs (no floating
+    // point at all), fracs exact-integer ratios; the oracle recomputes
+    // the whole spectrum from the popcount formula and re-bands it.
+    "c12h_audio_bands" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val wavs = graft.operators.Audio.packWav(s, docs, "doc_id")
+      graft.operators.Audio.bandEnergies(s, wavs)
+        .select(col("media_id"), col("band"), col("band_energy"),
+          round(col("frac"), 6).as("frac"))
+        .orderBy("media_id", "band")
+    }),
+
     // WAV audio codec (c12d): the audio twin of c12's image codec — REAL
     // RIFF/PCM payloads through the JDK's sampled-audio stack both ways
     // (AudioSystem.write encodes the container, getAudioInputStream
@@ -1891,6 +1904,30 @@ object SparkEntry {
       graft.streaming.SlaStream.slaBatch(t(s, dir, "events"))
         .orderBy("fail_id")),
 
+    // D20: SLO report over the D19 attach output — per service shard,
+    // failure volume, breach rate (exact-integer ratio), and the
+    // discrete p50/p90/p99 of time-to-fix. percentile_disc picks an
+    // ACTUAL wait value (b12's proven cross-engine contract — no
+    // interpolation arithmetic to diverge); breached rows carry null
+    // wait_us and are ignored by the percentile on both engines.
+    "d20_sla_slo" -> ((s, dir) => {
+      graft.streaming.SlaStream.slaBatch(t(s, dir, "events"))
+        .withColumn("shard", pmod(col("user_id"), lit(4L)))
+        .createOrReplaceTempView("graft_d20_sla")
+      s.sql("""SELECT shard, count(*) AS n_failures,
+              |  sum(CASE WHEN breach THEN 1 ELSE 0 END) AS n_breaches,
+              |  round(CAST(sum(CASE WHEN breach THEN 1 ELSE 0 END) AS DOUBLE)
+              |        / CAST(count(*) AS DOUBLE), 6) AS breach_rate,
+              |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY wait_us)
+              |       AS BIGINT) AS p50_wait_us,
+              |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY wait_us)
+              |       AS BIGINT) AS p90_wait_us,
+              |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY wait_us)
+              |       AS BIGINT) AS p99_wait_us,
+              |  max(wait_us) AS max_wait_us
+              |FROM graft_d20_sla GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // Incremental (warm-start) PageRank (c41b): the crawl-refresh shape —
     // yesterday's converged ranks (c41's 3 cold iterations) advanced TWO
     // damped rounds over the graph plus a batch of added edges (every
@@ -1930,6 +1967,8 @@ object SparkEntry {
     // bit-identical (phase 'unchanged' = the cold 3-iter trajectory).
     // Batch 2 inserts the j=4 edges: the trigger fires and the warm
     // rounds land exactly on the c41b trajectory (phase 'warmed').
+    // Batch 3 is a DELETE feed (every 5th node's j=3 edge): the trigger
+    // fires and the warm rounds run over base ∖ dels (phase 'pruned').
     "c52_pagerank_cdf" -> ((s, dir) => {
       import graft.operators.{PageRank, Upsert}
       val docs = t(s, dir, "documents")
@@ -1962,8 +2001,20 @@ object SparkEntry {
       val warmed = PageRank.pagerankFromChangeFeed(nodes, m2.merged,
         prev, m2.changes, "doc_id", "src", "dst", warmIters = 2)
 
+      // batch 3: DELETE feed (every 5th node loses its j=3 edge) — the
+      // trigger must fire on deletes too; warm rounds over base ∖ dels
+      val dels = base
+        .where(col("edge_id") % 8 === 3 &&
+          pmod(floor(col("edge_id") / 8), lit(5)) === 0)
+        .select("edge_id")
+      val m3 = Upsert.upsertWithChanges(base, base.limit(0),
+        Seq("edge_id"), Some(dels))
+      val pruned = PageRank.pagerankFromChangeFeed(nodes, m3.merged,
+        prev, m3.changes, "doc_id", "src", "dst", warmIters = 2)
+
       unchanged.withColumn("phase", lit("unchanged"))
         .unionByName(warmed.withColumn("phase", lit("warmed")))
+        .unionByName(pruned.withColumn("phase", lit("pruned")))
         .withColumn("rank", round(col("rank"), 8))
         .orderBy("phase", "doc_id")
     }),
@@ -4137,6 +4188,37 @@ object SparkEntry {
         |       coalesce(wait_us > 3600000000, true) AS breach
         |FROM j ORDER BY fail_id""".stripMargin,
 
+    // the D19 attach replica re-aggregated: same ASOF join, then the
+    // shard rollup with quantile_disc (DuckDB's discrete percentile —
+    // the same pick-an-actual-value contract as Spark's
+    // percentile_disc, proven cross-engine by b12)
+    "d20_sla_slo" ->
+      """WITH fx AS (
+        |  SELECT user_id, ts AS fix_ts, min(event_id) AS fix_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT f.event_id AS fail_id, f.user_id,
+        |         date_diff('microsecond', f.ts, r.fix_ts) AS wait_us_raw
+        |  FROM (SELECT * FROM events WHERE event_type = 'error') f
+        |  ASOF LEFT JOIN fx r
+        |    ON f.user_id = r.user_id AND f.ts <= r.fix_ts),
+        |att AS (
+        |  SELECT user_id % 4 AS shard,
+        |         CASE WHEN wait_us_raw <= 3600000000 THEN wait_us_raw END
+        |           AS wait_us,
+        |         coalesce(wait_us_raw > 3600000000, true) AS breach
+        |  FROM j)
+        |SELECT shard, count(*) AS n_failures,
+        |       CAST(sum(CASE WHEN breach THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_breaches,
+        |       round(CAST(sum(CASE WHEN breach THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS breach_rate,
+        |       CAST(quantile_disc(wait_us, 0.5) AS BIGINT) AS p50_wait_us,
+        |       CAST(quantile_disc(wait_us, 0.9) AS BIGINT) AS p90_wait_us,
+        |       CAST(quantile_disc(wait_us, 0.99) AS BIGINT) AS p99_wait_us,
+        |       max(wait_us) AS max_wait_us
+        |FROM att GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // all five stages unrolled in one chain: three cold rounds over the
     // base edges, then the two warm rounds over e2/od2 (the added-edge
     // union with out-degrees recomputed) — the oracle IS the warm-start
@@ -4220,12 +4302,25 @@ object SparkEntry {
            |od2 AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
            |        FROM e2 GROUP BY 1),
            |${stage("w1", "r3", "e2", "od2")},
-           |${stage("w2", "w1", "e2", "od2")}
+           |${stage("w2", "w1", "e2", "od2")},
+           |e3 AS (
+           |  SELECT doc_id AS src,
+           |         (doc_id * 1103515245 + j.j * 12345)
+           |           % (SELECT nb FROM nn) AS dst
+           |  FROM documents, (SELECT unnest([1, 2, 3]) AS j) j
+           |  WHERE NOT (doc_id % 5 = 0 AND j.j = 3)),
+           |od3 AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+           |        FROM e3 GROUP BY 1),
+           |${stage("p1", "r3", "e3", "od3")},
+           |${stage("p2", "p1", "e3", "od3")}
            |SELECT id AS doc_id, round(r, 8) AS rank, 'unchanged' AS phase
            |FROM r3
            |UNION ALL
            |SELECT id AS doc_id, round(r, 8) AS rank, 'warmed' AS phase
            |FROM w2
+           |UNION ALL
+           |SELECT id AS doc_id, round(r, 8) AS rank, 'pruned' AS phase
+           |FROM p2
            |ORDER BY phase, doc_id""".stripMargin
     },
 
@@ -4917,6 +5012,39 @@ object SparkEntry {
         |       round(sum(31 * dk) / (w * h * 255.0), 6) AS mad_b
         |FROM d GROUP BY doc_id, nf, w, h
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // same WHT-from-first-principles as c12g, re-grouped into dyadic
+    // bands; band sums stay HUGEINT-exact and cast once at the edge
+    "c12h_audio_bands" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(0, 128)) AS i FROM documents),
+        |samp AS (
+        |  SELECT doc_id, i,
+        |         CAST(((doc_id * 7349 + i * 12345 + 6789) % 65536)
+        |              - 32768 AS BIGINT) AS v
+        |  FROM fr),
+        |wht AS (
+        |  SELECT f.doc_id, j.j AS j,
+        |         sum(CASE WHEN bit_count(CAST(j.j AS BIGINT)
+        |                                 & CAST(f.i AS BIGINT)) % 2 = 0
+        |                  THEN f.v ELSE -f.v END) AS x
+        |  FROM samp f CROSS JOIN (SELECT unnest(range(0, 128)) AS j) j
+        |  GROUP BY f.doc_id, j.j),
+        |pw AS (
+        |  SELECT doc_id, x * x AS pp,
+        |         CASE WHEN j = 0 THEN 0 WHEN j < 2 THEN 1
+        |              WHEN j < 4 THEN 2 WHEN j < 8 THEN 3
+        |              WHEN j < 16 THEN 4 WHEN j < 32 THEN 5
+        |              WHEN j < 64 THEN 6 ELSE 7 END AS band
+        |  FROM wht),
+        |tot AS (SELECT doc_id, sum(pp) AS total FROM pw GROUP BY 1)
+        |SELECT pw.doc_id AS media_id, CAST(band AS INT) AS band,
+        |       CAST(sum(pp) AS BIGINT) AS band_energy,
+        |       round(CAST(sum(pp) AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+        |         AS frac
+        |FROM pw JOIN tot ON pw.doc_id = tot.doc_id
+        |GROUP BY pw.doc_id, band, tot.total
+        |ORDER BY media_id, band""".stripMargin,
 
     // the full sequency spectrum recomputed from first principles:
     // samples from the synthesis LCG, X_j = Σ_i s_i·(−1)^popcount(j&i)

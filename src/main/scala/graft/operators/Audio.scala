@@ -281,55 +281,72 @@ object Audio {
     }(enc)
   }
 
+  /** Decode to PCM bytes if the payload is the engine's canonical WAV
+    * shape (16-bit LE mono PCM), else null — shared quarantine gate of
+    * the spectral features.
+    */
+  private def pcmOf(bytes: Array[Byte]): Array[Byte] =
+    try {
+      val ais = parseAudio(bytes)
+      val fmt = ais.getFormat
+      if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian) null
+      else ais.readAllBytes()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+    }
+
+  private def sampleAt(pcm: Array[Byte], i: Int): Int =
+    ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort.toInt
+
+  /** Power spectrum P_j = X_j² of the first `frame` samples via the fast
+    * in-place WHT butterfly (natural Hadamard order: X_j = Σ_i
+    * s_i·(−1)^popcount(j AND i)). All values exact integers.
+    */
+  private[graft] def whtPowers(pcm: Array[Byte], frame: Int): Array[Long] = {
+    val a = new Array[Long](frame)
+    var i = 0
+    while (i < frame) { a(i) = sampleAt(pcm, i).toLong; i += 1 }
+    var h = 1
+    while (h < frame) {
+      var s = 0
+      while (s < frame) {
+        var j = s
+        while (j < s + h) {
+          val x = a(j); val y = a(j + h)
+          a(j) = x + y; a(j + h) = x - y
+          j += 1
+        }
+        s += 2 * h
+      }
+      h *= 2
+    }
+    i = 0
+    while (i < frame) { a(i) = a(i) * a(i); i += 1 }
+    a
+  }
+
   private[graft] def spectralOne(id: Long, bytes: Array[Byte],
                                  frame: Int): Row = {
-    val pcm =
-      try {
-        val ais = parseAudio(bytes)
-        val fmt = ais.getFormat
-        if (fmt.getEncoding !=
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-            fmt.isBigEndian) null
-        else ais.readAllBytes()
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => null
-        case _: java.io.IOException => null
-      }
+    val pcm = pcmOf(bytes)
     val n = if (pcm == null) 0 else pcm.length / 2
     if (pcm == null || n < frame)
       Row(id, if (pcm == null) null else n, null, null, null, null, null)
     else {
-      def sampleAt(i: Int): Int =
-        ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort.toInt
       // zero crossings over the whole clip: strict sign-bit transitions
       var zcr = 0
-      var prevNeg = sampleAt(0) < 0
+      var prevNeg = sampleAt(pcm, 0) < 0
       var i = 1
       while (i < n) {
-        val neg = sampleAt(i) < 0
+        val neg = sampleAt(pcm, i) < 0
         if (neg != prevNeg) zcr += 1
         prevNeg = neg
         i += 1
       }
-      // fast WHT of the first `frame` samples (natural Hadamard order)
-      val a = new Array[Long](frame)
-      i = 0
-      while (i < frame) { a(i) = sampleAt(i).toLong; i += 1 }
-      var h = 1
-      while (h < frame) {
-        var s = 0
-        while (s < frame) {
-          var j = s
-          while (j < s + h) {
-            val x = a(j); val y = a(j + h)
-            a(j) = x + y; a(j + h) = x - y
-            j += 1
-          }
-          s += 2 * h
-        }
-        h *= 2
-      }
+      val p = whtPowers(pcm, frame)
       var energy = 0L   // Σ P_j            ≤ 2^51 — exact
       var wSum = 0L     // Σ j·P_j          ≤ 2^58 — exact in long
       var maxP = 0L
@@ -337,11 +354,10 @@ object Audio {
       var lnSum = 0.0   // Σ ln(P_j + 1) — flatness only (spec-locked)
       i = 0
       while (i < frame) {
-        val p = a(i) * a(i)
-        energy += p
-        wSum += i.toLong * p
-        if (p > maxP) { maxP = p; argmax = i }
-        lnSum += math.log(p.toDouble + 1.0)
+        energy += p(i)
+        wSum += i.toLong * p(i)
+        if (p(i) > maxP) { maxP = p(i); argmax = i }
+        lnSum += math.log(p(i).toDouble + 1.0)
         i += 1
       }
       // all-silent frame: no spectrum to describe — features null
@@ -354,6 +370,56 @@ object Audio {
         Row(id, n, zcr, centroid, crest, argmax, flatness)
       }
     }
+  }
+
+  /** Dyadic band-energy profile over the sequency spectrum — the
+    * equalizer view of [[spectralFeatures]]'s scalars, and the feature
+    * vector an audio-quality classifier actually consumes. Band 0 is the
+    * DC line {j = 0}; band b (1 ≤ b ≤ log2(frame)) covers sequencies
+    * [2^(b−1), 2^b). Each band's energy is the exact integer Σ P_j
+    * (shipped as BIGINT — no floating point at all), `frac` the
+    * exact-integer ratio band/total (deterministic double). One row per
+    * (clip, band); silent/short/non-WAV clips quarantine to a single
+    * (band = −1, null) row, the A13 rule.
+    */
+  def bandEnergies(spark: SparkSession, packed: DataFrame,
+                   frame: Int = 128, batchSize: Int = 64): DataFrame = {
+    require(frame > 0 && (frame & (frame - 1)) == 0,
+      "frame must be a power of two (fast WHT butterfly)")
+    val nBands = java.lang.Integer.numberOfTrailingZeros(frame) + 1
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("band", IntegerType),
+      StructField("band_energy", LongType),
+      StructField("frac", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = packed.select(col("media_id").cast("long"), col("media"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val id = r.getLong(0)
+          val pcm = pcmOf(r.getAs[Array[Byte]](1))
+          if (pcm == null || pcm.length / 2 < frame)
+            Seq(Row(id, -1, null, null))
+          else {
+            val p = whtPowers(pcm, frame)
+            val bands = new Array[Long](nBands)
+            var total = 0L
+            var j = 0
+            while (j < frame) {
+              val b = if (j == 0) 0 else 32 - Integer.numberOfLeadingZeros(j)
+              bands(b) += p(j)
+              total += p(j)
+              j += 1
+            }
+            if (total == 0L) Seq(Row(id, -1, null, null))
+            else (0 until nBands).map(b =>
+              Row(id, b, bands(b), bands(b).toDouble / total.toDouble))
+          }
+        }
+      }
+    }(enc)
   }
 
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): Row = {

@@ -46,6 +46,33 @@ object Clustering {
         lit(i).as("list"))
     }.toIndexedSeq: _*))
 
+  /** Literal-free assignment for LARGE k: the whole centroid table rides
+    * the plan as ONE [[FlatCentroids]] reference object (the
+    * CentroidIndex pattern). The literal `assignStruct` inlines k
+    * cosine loops into the generated method — measured 44x slower at
+    * k=80 (the c31 10x probe: whole-stage codegen past the JIT inlining
+    * budget) — while this form is one virtual call into a compiled
+    * scalar loop, constant codegen size at any k. Cosine math and the
+    * greatest-index tie rule replicate `assignStruct`/array_max
+    * bit-for-bit, so the two paths agree wherever both run (spec-locked
+    * in ClusteringSpec).
+    */
+  private def assignListRef(v: Column, centroids: Array[Array[Float]]): Column =
+    org.apache.spark.sql.classic.GraftColumnBridge.column(
+      CentroidAssignExpr(
+        org.apache.spark.sql.classic.GraftColumnBridge.expression(v),
+        new FlatCentroids(centroids)))
+
+  /** Literal assignment wins below ~16 centroids (no object dispatch,
+    * constant-folded vectors); above it codegen size dominates.
+    */
+  private val LiteralAssignMaxK = 16
+
+  private def assignList(v: Column, centroids: Array[Array[Float]]): Column =
+    if (centroids.length <= LiteralAssignMaxK)
+      assignStruct(v, centroids).getField("list")
+    else assignListRef(v, centroids)
+
   /** One Lloyd UPDATE: per-cluster per-dimension means of the assigned
     * vectors. Shuffles (list, dim, value) triples only.
     */
@@ -82,30 +109,6 @@ object Clustering {
       .select(col("id"), col("best.list").as("list"), col("best.cos").as("cos"))
   }
 
-  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
-    * deduplication with the pairwise cosine confined INSIDE k-means
-    * clusters — the trick that makes embedding dedup tractable at
-    * corpus scale. A row is dropped iff some same-cluster row with a
-    * smaller id is within cosine ≥ `tau` of it (deterministic
-    * keep-first, the engine-wide c1 contract; a transitive chain keeps
-    * exactly its minimum id, since every later member has that smaller
-    * partner... each dropped row names SOME smaller kept-or-dropped
-    * partner, and the minimum survives).
-    *
-    * Scale shape: assignment is the [[kmeansAssign]] scan (no shuffle,
-    * centroid literals); the pair join shuffles vectors keyed on the
-    * cluster index, so per-task work is O(cluster²·dim) — k is the knob
-    * that bounds cluster size (the paper runs k ≈ 10⁵ on web corpora;
-    * the toy default 8 matches the oracle-replicable init). Returns
-    * (id, list, dropped).
-    *
-    * SCALING RULE — k must grow with the corpus. The within-cluster
-    * pair join is O(n²/k) total work: holding k FIXED while n grows
-    * degrades SemDeDup to all-pairs (the r7 bench measured exactly
-    * that — 10× data, 10.1× time at k=8). Use [[semDedupK]] to size k
-    * so the expected cell stays ~`targetCell` vectors regardless of n;
-    * then 10× data ⇒ 10× clusters of the SAME size ⇒ linear total work.
-    */
   /** Cluster count keeping the expected k-means cell at ~`targetCell`
     * vectors: ⌈n / targetCell⌉ with a floor of 8 (below ~8·targetCell
     * vectors the pair join is trivially cheap and more clusters would
@@ -116,11 +119,39 @@ object Clustering {
   def semDedupK(n: Long, targetCell: Int = 300): Int =
     math.max(8, math.ceil(n.toDouble / targetCell).toInt)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication with the pairwise cosine confined INSIDE k-means
+    * clusters — the trick that makes embedding dedup tractable at
+    * corpus scale. A row is dropped iff some same-cluster row with a
+    * smaller id is within cosine ≥ `tau` of it (deterministic
+    * keep-first, the engine-wide c1 contract; a transitive chain keeps
+    * exactly its minimum id, since every later member has that smaller
+    * partner... each dropped row names SOME smaller kept-or-dropped
+    * partner, and the minimum survives).
+    *
+    * Scale shape: assignment is one corpus scan, no shuffle —
+    * centroid literals below k=16, the [[FlatCentroids]] reference
+    * object above (constant codegen size at any k); the pair join
+    * shuffles vectors keyed on the cluster index, so per-task work is
+    * O(cluster²·dim) — k is the knob that bounds cluster size (the
+    * paper runs k ≈ 10⁵ on web corpora; the toy default 8 matches the
+    * oracle-replicable init). Returns (id, list, dropped).
+    *
+    * SCALING RULE — k must grow with the corpus. The within-cluster
+    * pair join is O(n²/k) total work: holding k FIXED while n grows
+    * degrades SemDeDup to all-pairs (the r7 bench measured exactly
+    * that — 10× data, 10.1× time at k=8). Use [[semDedupK]] to size k
+    * so the expected cell stays ~`targetCell` vectors regardless of n;
+    * then 10× data ⇒ 10× clusters of the SAME size ⇒ linear total work.
+    */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                k: Int = 8, tau: Double = 0.9): DataFrame = {
     val centroids = initCentroids(df, idCol, vecCol, k)
+    // assignList switches to the FlatCentroids reference object past
+    // k=16 — the scaled-k path semDedupK produces must not pay literal
+    // codegen that grows with k
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("list", assignStruct(col("v"), centroids).getField("list"))
+      .withColumn("list", assignList(col("v"), centroids))
     val l = assigned.select(col("list"), col("id").as("id_a"), col("v").as("va"))
     val r = assigned.select(col("list"), col("id").as("id_b"), col("v").as("vb"))
     val dropped = l.join(r, "list")
@@ -132,4 +163,76 @@ object Clustering {
       .select(col("id"), col("list"),
         coalesce(col("dropped"), lit(false)).as("dropped"))
   }
+}
+
+/** A flat centroid table as one plan-referenced object — the
+  * large-k assignment path of [[Clustering]] (the CentroidIndex
+  * pattern). `assign` replicates the literal `array_max(struct(cos,
+  * list))` form bit-for-bit: the cosine is
+  * [[graft.functions.FloatCosineExpr]]'s exact double loop (vector
+  * first, centroid second, denom = sqrt(na)·sqrt(nb)), and ties keep
+  * the GREATEST index — array_max's struct ordering.
+  */
+final class FlatCentroids(val cents: Array[Array[Float]])
+    extends Serializable {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def assign(v: ArrayData): Int = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = v.getFloat(i).toDouble
+        val yv = cent(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val cos = if (denom == 0.0) 0.0 else dot / denom
+      // >= : ties resolve to the greatest index, as array_max does over
+      // (cos, list) structs
+      if (cos >= bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** `argmax_c cosine(v, centroid_c)` with the whole centroid table as ONE
+  * referenced [[FlatCentroids]] object — constant generated-code size at
+  * any k (the literal form inlines k cosine loops and falls off the JIT
+  * cliff near k≈80).
+  */
+case class CentroidAssignExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: FlatCentroids)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroid_assign expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = index.assign(
+    input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("flatCentroids", index,
+      classOf[FlatCentroids].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $idx.assign($c);")
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : CentroidAssignExpr = copy(child = newChild)
 }

@@ -163,4 +163,44 @@ class AudioSpec extends AnyFunSuite with SparkSpec {
     val r = Audio.spectralFeatures(spark, bad).collect().head
     assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
+
+  test("bandEnergies: dyadic bands partition the spectrum exactly and " +
+    "match the direct WHT definition") {
+    val frame = 128
+    val out = Audio.bandEnergies(spark, packed).collect()
+      .groupBy(_.getLong(0))
+    // direct definition for one clip
+    val id = 7L
+    val samples = (0 until frame).map(i => Audio.sample(id, i))
+    val direct = (0 until frame).map { j =>
+      (0 until frame).map { i =>
+        val sgn = if (java.lang.Long.bitCount(j.toLong & i.toLong) % 2 == 0) 1
+                  else -1
+        sgn.toLong * samples(i)
+      }.sum
+    }.map(x => x * x)
+    val expBands = new Array[Long](8)
+    direct.zipWithIndex.foreach { case (p, j) =>
+      val b = if (j == 0) 0 else 32 - Integer.numberOfLeadingZeros(j)
+      expBands(b) += p
+    }
+    val rows = out(id).sortBy(_.getInt(1))
+    assert(rows.map(_.getInt(1)).toSeq === (0 until 8))
+    rows.foreach { r =>
+      assert(r.getLong(2) === expBands(r.getInt(1)), s"band ${r.getInt(1)}")
+    }
+    // fracs sum to ~1 and equal the exact integer ratios
+    val total = expBands.sum
+    rows.foreach { r =>
+      assert(r.getDouble(3) ===
+        expBands(r.getInt(1)).toDouble / total.toDouble)
+    }
+    // every clip emits exactly the 8 bands
+    out.values.foreach(rs => assert(rs.length === 8))
+    // junk quarantines to one (band = -1, null) row
+    import spark.implicits._
+    val bad = Seq((1L, Array[Byte](9, 9))).toDF("media_id", "media")
+    val q = Audio.bandEnergies(spark, bad).collect()
+    assert(q.length === 1 && q.head.getInt(1) === -1 && q.head.isNullAt(2))
+  }
 }

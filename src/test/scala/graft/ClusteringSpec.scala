@@ -93,6 +93,41 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
       "no natural pair in the corpus reaches τ=0.9 (max ≈ 0.51)")
   }
 
+  test("large-k assignment (FlatCentroids reference object) agrees with " +
+       "the literal array_max path") {
+    val emb = Tables(spark, sfDir(), "embeddings")
+    // force both paths over the same centroid set: k=12 rides literals,
+    // and the SAME corpus at k=20 exercises the reference object; for
+    // the agreement check, run semDedup at k=20 and recompute the
+    // assignment with a brute-force driver-side argmax (greatest index
+    // on ties — the array_max struct order)
+    val out = graft.operators.Clustering
+      .semDedup(emb, "vec_id", "embedding", k = 20, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = graft.operators.Clustering
+      .initCentroids(emb, "vec_id", "embedding", 20)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    emb.select("vec_id", "embedding").collect().foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      var best = 0; var bestCos = Double.NegativeInfinity
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val s = cos(v, c)
+        if (s >= bestCos) { bestCos = s; best = i }
+      }
+      assert(out(r.getLong(0)) === best, s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("semDedupK holds the expected cell size as n grows (the rule that " +
        "keeps the pair join linear)") {
     import graft.operators.Clustering.semDedupK

@@ -139,5 +139,14 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     val fired3 = PageRank.pagerankFromChangeFeed(nodes, m3.merged, prev,
       m3.changes, "id", "src", "dst", warmIters = 2)
     assert(fired3.collect().toSet !== prev.collect().toSet)
+
+    // delete → fires, and equals the direct warm start over the pruned set
+    val m4 = Upsert.upsertWithChanges(edges, edges.limit(0),
+      Seq("edge_id"), Some(Seq(4L).toDF("edge_id")))
+    val fired4 = PageRank.pagerankFromChangeFeed(nodes, m4.merged, prev,
+      m4.changes, "id", "src", "dst", warmIters = 2)
+    val direct4 = PageRank.pagerankWarm(nodes, m4.merged, prev,
+      "id", "src", "dst", warmIters = 2)
+    assert(fired4.collect().toSet === direct4.collect().toSet)
   }
 }
