@@ -307,6 +307,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("c12f/c12g/c12h: the r8 feature pipelines keep the codec shape — " +
+       "joinless, payload-local, bytes never exchanged") {
+    Seq("c12f_frame_deltas", "c12g_audio_spectral",
+        "c12h_audio_bands").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name: feature path must never join")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, // id-sizing + output sort
+        s"$name: payload bytes must stay partition-local:\n${p.take(600)}")
+    }
+  }
+
   test("c50: the corpus is touched only via broadcast-shaped joins — " +
        "the scoring theta-join broadcasts the QUERY side, the vector " +
        "fetch broadcasts the CANDIDATE side, nothing goes cartesian") {
