@@ -2396,6 +2396,37 @@ object SparkEntry {
         .orderBy("query_id", "mmr_rank")
     }),
 
+    // MMR over HYBRID retrieval (c50b) — the full production stack in
+    // one chain: BM25 rankMany + vector top-k → RRF fusion (c45) → MMR
+    // diversity rerank (c50) with the FUSED score as relevance. The rrf
+    // rel is on the c45-proven 1e-6 grid, sims on the c6 grid, so the
+    // greedy replays exactly; candidates without an embedding cannot be
+    // similarity-compared and are dropped by Mmr's inner vector fetch —
+    // the oracle's cand CTE applies the identical join.
+    "c50b_mmr_hybrid" -> ((s, dir) => {
+      import graft.operators.{Bm25, HybridRetrieval, Similarity}
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lexRanked = Bm25.rankMany(docs, "doc_id", "text",
+          hybridTermSets.zipWithIndex
+            .map { case (ts, i) => i.toLong -> ts }.toMap, topK = 20)
+        .select("query_id", "doc_id", "rank")
+      val vec = Similarity.cosineTopK(emb,
+          emb.where(col("vec_id") < hybridTermSets.size), "vec_id",
+          "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("rank"))
+      val fused = HybridRetrieval.rrfFuse(lexRanked, vec, k0 = 60,
+        topK = 10)
+      val cand = fused.select(col("query_id"), col("doc_id"),
+        col("rrf").as("rel")) // rrfFuse ships rrf already on the 1e-6 grid
+      graft.operators.Mmr.mmrRerank(cand, emb, "vec_id", "embedding",
+          kOut = 5, lambda = 0.7)
+        .withColumn("mmr_e7", round(col("mmr") * 1e7, 0).cast("long"))
+        .select("query_id", "doc_id", "mmr_e7", "mmr_rank")
+        .orderBy("query_id", "mmr_rank")
+    }),
+
     "c8_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"),
@@ -4854,6 +4885,123 @@ object SparkEntry {
            |  SELECT *, row_number() OVER (PARTITION BY query_id
            |      ORDER BY rrf DESC, doc_id) AS rank FROM fused) t
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // the full stack replayed: c45's fusion oracle builds the fused
+    // top-10, the embeddings inner join applies Mmr's droppable-
+    // candidate contract, and c50's five greedy steps run with the
+    // fused rrf as rel — every stage of the production chain under one
+    // oracle
+    "c50b_mmr_hybrid" -> {
+      val blocks = hybridTermSets.zipWithIndex.map { case (ts, i) =>
+        val tfs = ts.zipWithIndex.map { case (term, j) =>
+          raw"""len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               |        x -> x = '$term')) AS tf$j""".stripMargin
+        }.mkString(",\n    ")
+        val dfs = ts.indices.map(j =>
+          s"sum(CASE WHEN tf$j > 0 THEN 1 ELSE 0 END) AS df$j").mkString(", ")
+        val score = ts.indices.map(j =>
+          s"""ln((n - df$j + 0.5) / (df$j + 0.5) + 1.0) * tf$j * 2.2
+             |        / (tf$j + 1.2 * (0.25 + 0.75 * dl / (sl / n)))""".stripMargin)
+          .mkString("\n      + ")
+        raw"""q${i}tf AS (
+             |  SELECT doc_id,
+             |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+             |    $tfs
+             |  FROM documents),
+             |q${i}st AS (
+             |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sl, $dfs
+             |  FROM q${i}tf),
+             |q${i}lex AS (
+             |  SELECT CAST($i AS BIGINT) AS query_id, doc_id, score FROM (
+             |    SELECT doc_id, round($score, 4) AS score
+             |    FROM q${i}tf, q${i}st) t
+             |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
+      }.mkString(",\n")
+      val lexUnion = hybridTermSets.indices
+        .map(i => s"SELECT * FROM q${i}lex").mkString(" UNION ALL ")
+      val steps = (2 to 5).map { i =>
+        raw"""step$i AS (
+             |  SELECT c.query_id, c.doc_id,
+             |         0.7 * c.rel - (1.0 - 0.7) * coalesce(p.pen, 0.0) AS mmr
+             |  FROM cand c
+             |  LEFT JOIN (
+             |    SELECT sm.query_id, sm.doc_a AS doc_id, max(sm.sim) AS pen
+             |    FROM selu${i - 1} s
+             |    JOIN sim sm ON sm.query_id = s.query_id
+             |               AND sm.doc_b = s.doc_id
+             |    GROUP BY 1, 2) p
+             |    ON p.query_id = c.query_id AND p.doc_id = c.doc_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} s
+             |                    WHERE s.query_id = c.query_id
+             |                      AND s.doc_id = c.doc_id)),
+             |sel$i AS (
+             |  SELECT query_id, doc_id, mmr, $i AS mmr_rank FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |        ORDER BY mmr DESC, doc_id) AS rn FROM step$i) t
+             |  WHERE rn = 1),
+             |selu$i AS (SELECT query_id, doc_id FROM selu${i - 1}
+             |           UNION ALL SELECT query_id, doc_id FROM sel$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      raw"""WITH $blocks,
+           |lex AS (
+           |  SELECT query_id, doc_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |             ORDER BY score DESC, doc_id) AS lr
+           |  FROM ($lexUnion)),
+           |vec AS (
+           |  SELECT query_id, doc_id, rnk AS vr FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |               ORDER BY list_cosine_similarity(
+           |                   CAST(c.embedding AS DOUBLE[]),
+           |                   CAST(q.embedding AS DOUBLE[])) DESC,
+           |               c.vec_id) AS rnk
+           |    FROM embeddings c, embeddings q
+           |    WHERE q.vec_id < ${hybridTermSets.size}
+           |      AND c.vec_id <> q.vec_id) t
+           |  WHERE rnk <= 20),
+           |fused AS (
+           |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+           |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+           |         coalesce(1.0 / (60 + l.lr), 0)
+           |           + coalesce(1.0 / (60 + v.vr), 0) AS rrf
+           |  FROM lex l FULL OUTER JOIN vec v
+           |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+           |topf AS (
+           |  SELECT query_id, doc_id, round(rrf, 6) AS rel FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY rrf DESC, doc_id) AS rank FROM fused) t
+           |  WHERE rank <= 10),
+           |cand AS (
+           |  SELECT f.query_id, f.doc_id, f.rel
+           |  FROM topf f JOIN embeddings e ON e.vec_id = f.doc_id),
+           |sim AS (
+           |  SELECT a.query_id, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         round(list_cosine_similarity(
+           |             CAST(va.embedding AS DOUBLE[]),
+           |             CAST(vb.embedding AS DOUBLE[])), 6) AS sim
+           |  FROM cand a
+           |  JOIN cand b ON a.query_id = b.query_id
+           |  JOIN embeddings va ON va.vec_id = a.doc_id
+           |  JOIN embeddings vb ON vb.vec_id = b.doc_id),
+           |sel1 AS (
+           |  SELECT query_id, doc_id, 0.7 * rel - (1.0 - 0.7) * 0.0 AS mmr,
+           |         1 AS mmr_rank FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY 0.7 * rel - (1.0 - 0.7) * 0.0 DESC, doc_id)
+           |        AS rn
+           |    FROM cand) t
+           |  WHERE rn = 1),
+           |selu1 AS (SELECT query_id, doc_id FROM sel1),
+           |$steps
+           |SELECT query_id, doc_id,
+           |       CAST(round(mmr * 1e7, 0) AS BIGINT) AS mmr_e7, mmr_rank
+           |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+           |      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+           |      UNION ALL SELECT * FROM sel5)
+           |ORDER BY query_id, mmr_rank""".stripMargin
     },
 
     // the oracle replays the whole greedy: candidates = c6's top-10 on
