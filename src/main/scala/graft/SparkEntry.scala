@@ -2767,6 +2767,21 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Batched IVFPQ serving (c28b): the compressed-domain twin of c14c —
+    // the same answer as c28 through a joinless plan (PqQueryIndex
+    // reference object + generator over the encoded corpus). Exhaustive
+    // probes ⇒ exact, same oracle as c28; batched ≡ per-query at
+    // partial probes is spec-locked in SimilaritySpec.
+    "c28b_ivfpq_rank_many" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs: Map[Long, Array[Float]] = emb.where(col("vec_id") < 5)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      Similarity.ivfpqTopKMany(emb, "vec_id", "embedding", qs,
+          k = 6, nLists = 8, nProbe = 8, m = 8, kCodes = 16)
+        .orderBy("query_id", "rnk")
+    }),
+
     // C27: duplicated-span scan (exact substring dedup at 16-word
     // granularity, stride 1). Every 10th document gets a planted
     // id-shifted copy, so dup spans exist deterministically; natural
@@ -2865,7 +2880,15 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracles
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // c28b answers the SAME question as c28 through a different plan
+    // (batched joinless scan vs per-query broadcast join) — exhaustive
+    // probes make both exact, so they share one brute-force replica
+    base + ("c28b_ivfpq_rank_many" -> base("c28_ivfpq_topk"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
 
     "a1_csv_schema_read" ->
       """SELECT l_returnflag, count(*) AS cnt,

@@ -488,6 +488,84 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc", "rnk")
   }
 
+  /** Batched IVFPQ top-k — the compressed-domain twin of [[ivfTopKMany]]:
+    * N driver-side query vectors answered in ONE joinless scan of the
+    * PQ-encoded corpus. Probe cells and ADC lookup tables are computed
+    * driver-side (queries are in hand; nLists + m·kCodes distances per
+    * query), the batch rides the plan as ONE [[PqQueryIndex]] reference
+    * object mapping each cell to the (query, LUT) pairs probing it, and
+    * a generator expression emits (query_id, adc) per encoded corpus
+    * row — no join, no decompression, constant codegen size in the
+    * batch. ADC, cell assignment, and encode replicate [[ivfpqTopK]]'s
+    * expressions bit-for-bit; ranking uses the same quantized
+    * round(adc, 6) ordering, so batched ≡ per-query at every probe
+    * depth (spec-locked; the exhaustive configuration shares c28's
+    * brute-force oracle).
+    */
+  def ivfpqTopKMany(corpus: DataFrame, idCol: String, vecCol: String,
+                    queries: Map[Long, Array[Float]], k: Int = 10,
+                    nLists: Int = 8, nProbe: Int = 2, m: Int = 8,
+                    kCodes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    require(queries.nonEmpty, "ivfpqTopKMany: no queries")
+    require(kCodes <= 128, "byte codes: kCodes must be <= 128")
+    val pool: Array[Array[Float]] = corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .orderBy(md5(col("id")), col("id"))
+      .limit(math.max(kCodes, nLists))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(pool.nonEmpty, "ivfpqTopKMany: empty corpus")
+    val dim = pool.head.length
+    require(dim % m == 0, s"ivfpqTopKMany: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val pq = new PqIndex(Array.tabulate(m)(j =>
+      pool.take(kCodes).map(_.slice(j * dsub, (j + 1) * dsub))))
+    val cells = new L2Cells(pool.take(nLists))
+
+    // driver-side probe + LUT per query, via the SAME index objects the
+    // in-plan expressions use (GenericArrayData wraps the float arrays)
+    val nP = math.min(nProbe, cells.cents.length)
+    val byCell = Array.fill(cells.cents.length)(
+      scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Array[Double]])])
+    queries.toSeq.sortBy(_._1).foreach { case (qid, qv) =>
+      val ad = new GenericArrayData(qv)
+      val lutAd = pq.lut(ad)
+      val lut = Array.tabulate(pq.m)(j => lutAd.getArray(j).toDoubleArray())
+      val probes = cells.probes(ad, nP)
+      var i = 0
+      while (i < probes.numElements()) {
+        byCell(probes.getInt(i)) += (qid -> lut)
+        i += 1
+      }
+    }
+    val qidx = new PqQueryIndex(
+      byCell.map(_.map(_._1).toArray), byCell.map(_.map(_._2).toArray))
+
+    def cellOf(v: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      L2CellsExpr(GraftColumnBridge.expression(v), cells))
+    def codesOf(v: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      PqEncodeExpr(GraftColumnBridge.expression(v), pq))
+
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"),
+        cellOf(col(vecCol)).as("cell"), codesOf(col(vecCol)).as("codes"))
+      .select(col("neighbor_id"),
+        explode(GraftColumnBridge.column(PqScoreManyExpr(
+          GraftColumnBridge.expression(col("codes")),
+          GraftColumnBridge.expression(col("cell")), qidx))).as("qa"))
+      .select(col("qa.query_id").as("query_id"), col("neighbor_id"),
+        round(col("qa.adc"), 6).as("adc"))
+      .where(col("neighbor_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "adc", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs, OR-amplified across `tables`
     * independent sign-LSH tables (single-table AND-hashing only ever finds
     * exact copies — cos 0.95 near-dups collide with prob ≈ 0.43 per 8-bit
@@ -1024,4 +1102,85 @@ case class IvfScoreManyExpr(
       newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
       newRight: org.apache.spark.sql.catalyst.expressions.Expression)
       : IvfScoreManyExpr = copy(vec = newLeft, list = newRight)
+}
+
+/** The query batch of [[Similarity.ivfpqTopKMany]] as one plan-referenced
+  * object: per IVF cell, the ids and ADC lookup tables of the queries
+  * probing it. `score` emits (query_id, adc) pairs for one encoded
+  * corpus row — the ADC loop is byte-for-byte [[PqIndex.adc]]'s.
+  */
+final class PqQueryIndex(val qids: Array[Array[Long]],
+                         val luts: Array[Array[Array[Array[Double]]]])
+    extends Serializable {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  def score(cell: Int, codes: ArrayData): ArrayData = {
+    if (cell < 0 || cell >= qids.length || qids(cell).length == 0) empty
+    else {
+      val ids = qids(cell); val ls = luts(cell)
+      val out = new Array[Any](ids.length)
+      var qi = 0
+      while (qi < ids.length) {
+        val lut = ls(qi)
+        var s = 0.0
+        var j = 0
+        val m = codes.numElements()
+        while (j < m) {
+          s += lut(j)(codes.getByte(j).toInt & 0xFF)
+          j += 1
+        }
+        out(qi) = InternalRow(ids(qi), s)
+        qi += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** `array<struct<query_id,adc>>` of every query probing this row's IVF
+  * cell — the generator half of [[Similarity.ivfpqTopKMany]]'s joinless
+  * compressed scan (the [[IvfScoreManyExpr]] pattern on PQ codes).
+  */
+case class PqScoreManyExpr(
+    codes: org.apache.spark.sql.catalyst.expressions.Expression,
+    cell: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: PqQueryIndex)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def left: org.apache.spark.sql.catalyst.expressions.Expression = codes
+  override def right: org.apache.spark.sql.catalyst.expressions.Expression = cell
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, cell.dataType) match {
+      case (ArrayType(ByteType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_score_many expects (array<byte>, int), got ${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("adc", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(c: Any, l: Any): Any = index.score(
+    l.asInstanceOf[Int],
+    c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("pqQueryIndex", index,
+      classOf[PqQueryIndex].getName)
+    nullSafeCodeGen(ctx, ev,
+      (c, l) => s"${ev.value} = $idx.score($l, $c);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression)
+      : PqScoreManyExpr = copy(codes = newLeft, cell = newRight)
 }

@@ -315,4 +315,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"batched IVF must stay joinless:\n${plan.take(600)}")
     assert(plan.toLowerCase.contains("ivfscoremanyexpr"), plan.take(400))
   }
+
+  test("ivfpqTopKMany ≡ per-query ivfpqTopK at every probe depth, " +
+       "joinless compressed scan") {
+    val emb = Tables(spark, sfDir(), "embeddings")
+    val qs: Map[Long, Array[Float]] = emb.where(col("vec_id") < 5)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for (nProbe <- Seq(2, 8)) {
+      val one = Similarity.ivfpqTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 6, nLists = 8, nProbe = nProbe,
+          m = 8, kCodes = 16)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val many = Similarity.ivfpqTopKMany(emb, "vec_id", "embedding", qs,
+          k = 6, nLists = 8, nProbe = nProbe, m = 8, kCodes = 16)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(many === one, s"nProbe=$nProbe: batched IVFPQ must equal " +
+        "per-query calls")
+    }
+    val plan = Similarity.ivfpqTopKMany(emb, "vec_id", "embedding", qs,
+      k = 6, nLists = 8, nProbe = 2, m = 8, kCodes = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"batched IVFPQ must stay joinless:\n${plan.take(600)}")
+    assert(plan.toLowerCase.contains("pqscoremanyexpr"), plan.take(400))
+  }
 }
