@@ -1121,6 +1121,17 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Frame-level activity profile (c12i): the VAD/silence envelope —
+    // non-overlapping 128-sample frames, each reporting exact integer
+    // energy / within-frame zero crossings / peak. Zero floating point;
+    // the oracle recomputes every row from the synthesis formula.
+    "c12i_audio_activity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val wavs = graft.operators.Audio.packWav(s, docs, "doc_id")
+      graft.operators.Audio.activityFrames(s, wavs)
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // Audio band energies (c12h): the dyadic equalizer profile over the
     // c12g sequency spectrum — band sums are EXACT BIGINTs (no floating
     // point at all), fracs exact-integer ratios; the oracle recomputes
@@ -5182,6 +5193,31 @@ object SparkEntry {
         |       round(sum(36 * dk) / (w * h * 255.0), 6) AS mad_g,
         |       round(sum(31 * dk) / (w * h * 255.0), 6) AS mad_b
         |FROM d GROUP BY doc_id, nf, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // every frame row from the synthesis LCG: frame = i div 128 (full
+    // frames only), energy/zcr/peak as exact integer aggregates
+    "c12i_audio_activity" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(800 + (doc_id % 5) * 160 AS INT) AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+        |samp AS (
+        |  SELECT doc_id, CAST(i // 128 AS INT) AS frame_idx, i,
+        |         CAST(((doc_id * 7349 + i * 12345 + 6789) % 65536)
+        |              - 32768 AS BIGINT) AS v
+        |  FROM s WHERE i < (n // 128) * 128),
+        |lagged AS (
+        |  SELECT doc_id, frame_idx, v,
+        |         lag(v) OVER (PARTITION BY doc_id, frame_idx
+        |                      ORDER BY i) AS pv
+        |  FROM samp)
+        |SELECT doc_id AS media_id, frame_idx,
+        |       CAST(sum(v * v) AS BIGINT) AS energy,
+        |       CAST(count(CASE WHEN (v < 0) <> (pv < 0) THEN 1 END)
+        |            AS INT) AS zcr,
+        |       CAST(max(abs(v)) AS INT) AS peak
+        |FROM lagged GROUP BY 1, 2
         |ORDER BY media_id, frame_idx""".stripMargin,
 
     // same WHT-from-first-principles as c12g, re-grouped into dyadic

@@ -422,6 +422,59 @@ object Audio {
     }(enc)
   }
 
+  /** Frame-level activity profile — the envelope view a VAD/silence
+    * filter consumes: the clip is cut into consecutive non-overlapping
+    * `frame`-sample windows (the partial tail frame is dropped — a
+    * fixed-length frame grid is the spectrogram convention) and each
+    * frame reports its exact integer energy (Σ s², ≤ 128·2^30 = 2^37 —
+    * exact in long AND double), within-frame zero-crossing count, and
+    * peak. No floating point anywhere; the oracle recomputes every row
+    * from the synthesis formula. Short/non-WAV payloads quarantine to a
+    * single (frame_idx = −1, null) row — the A13 rule.
+    */
+  def activityFrames(spark: SparkSession, packed: DataFrame,
+                     frame: Int = 128, batchSize: Int = 64): DataFrame = {
+    require(frame > 1, "frame must have at least two samples")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("energy", LongType),
+      StructField("zcr", IntegerType),
+      StructField("peak", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = packed.select(col("media_id").cast("long"), col("media"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val id = r.getLong(0)
+          val pcm = pcmOf(r.getAs[Array[Byte]](1))
+          val n = if (pcm == null) 0 else pcm.length / 2
+          if (pcm == null || n < frame) Seq(Row(id, -1, null, null, null))
+          else (0 until n / frame).map { f =>
+            val off = f * frame
+            var energy = 0L
+            var zcr = 0
+            var peak = 0
+            var prevNeg = sampleAt(pcm, off) < 0
+            var i = 0
+            while (i < frame) {
+              val s = sampleAt(pcm, off + i)
+              energy += s.toLong * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              val neg = s < 0
+              if (i > 0 && neg != prevNeg) zcr += 1
+              prevNeg = neg
+              i += 1
+            }
+            Row(id, f, energy, zcr, peak)
+          }
+        }
+      }
+    }(enc)
+  }
+
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): Row = {
     val parsed =
       try {

@@ -75,6 +75,24 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
+  /** Data-derived hot-bucket cap: high enough that ordinary buckets are
+    * never escalated (no recall change on benign corpora), low enough
+    * that a template cluster cannot go quadratic. The rule —
+    * `clamp(32 × mean bucket size, 16, 4096)` — keys off the corpus's
+    * own bucket-size distribution: mean size is ≈1 for shingled text
+    * (bucket keys are 64-bit hashes of r minhash values; collisions are
+    * near-dups by construction), so a bucket 32× the mean is already
+    * template-grade. The census that feeds it is the same (band,
+    * bucket) aggregate the capped join needs anyway — auto-tuning adds
+    * no pass.
+    */
+  def autoHotBucketCap(meanBucketSize: Double): Int =
+    math.min(4096, math.max(16, math.ceil(32 * meanBucketSize).toInt))
+
+  /** @param hotBucketCap buckets larger than this escalate to the
+    *        full-signature key; pass ≤ 0 to derive it from the corpus's
+    *        own bucket-size distribution ([[autoHotBucketCap]])
+    */
   def minhashDedupPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, bands: Int = 16,
                         threshold: Double = 0.7,
@@ -99,8 +117,17 @@ object Dedup {
     // hot-bucket census: the list of over-cap (band, bucket) keys is tiny
     // (only the pathological ones) and rides a broadcast join — the banded
     // frame itself is never re-shuffled for the size lookup
-    val hot = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__bsz")).where(col("__bsz") > hotBucketCap)
+    val census = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+    val cap =
+      if (hotBucketCap > 0) hotBucketCap
+      else {
+        // one tiny driver scalar off the census (mean bucket size);
+        // the census frame is reused by the hot filter below
+        val mean = census.agg(avg("__bsz")).head.getDouble(0)
+        autoHotBucketCap(mean)
+      }
+    val hot = census.where(col("__bsz") > cap)
       .select(col("band"), col("bucket"), lit(true).as("__hot"))
     val refined = banded.join(F.broadcast(hot), Seq("band", "bucket"), "left")
       .select(col("id"), col("band"), col("bucket"),

@@ -164,6 +164,30 @@ class AudioSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 
+  test("activityFrames: frame grid covers full frames only, features " +
+    "match a direct recount, junk quarantines") {
+    val out = Audio.activityFrames(spark, packed).collect()
+      .groupBy(_.getLong(0))
+    val id = 9L
+    val n = Audio.nSamples(id)
+    val frames = n / 128
+    val rows = out(id).sortBy(_.getInt(1))
+    assert(rows.map(_.getInt(1)).toSeq === (0 until frames))
+    rows.foreach { r =>
+      val f = r.getInt(1)
+      val samples = (0 until 128).map(i => Audio.sample(id, f * 128 + i))
+      assert(r.getLong(2) === samples.map(s => s.toLong * s).sum)
+      assert(r.getInt(4) === samples.map(math.abs).max)
+      val zcr = (1 until 128)
+        .count(i => (samples(i) < 0) != (samples(i - 1) < 0))
+      assert(r.getInt(3) === zcr, s"frame $f")
+    }
+    import spark.implicits._
+    val bad = Seq((1L, Array[Byte](0))).toDF("media_id", "media")
+    val q = Audio.activityFrames(spark, bad).collect()
+    assert(q.length === 1 && q.head.getInt(1) === -1 && q.head.isNullAt(2))
+  }
+
   test("bandEnergies: dyadic bands partition the spectrum exactly and " +
     "match the direct WHT definition") {
     val frame = 128

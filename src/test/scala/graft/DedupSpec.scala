@@ -83,6 +83,47 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(sPairs.contains((900L, 901L)))
   }
 
+  test("auto hot-bucket cap: derived from the corpus's own bucket sizes — " +
+       "escalates template clusters, no-op on benign corpora") {
+    // template cluster: mean bucket size stays ~1 (tails differ), so the
+    // auto cap lands low enough to escalate the cluster's hot buckets
+    val tmpl = (1 to 40).map(i => s"tmpl$i").mkString(" ")
+    val cluster = (0 until 200).map { i =>
+      (i.toLong, tmpl + " " + (1 to 8).map(j => s"tail${i}_$j").mkString(" "))
+    }
+    val planted = Seq((900L, tmpl + " planted unique tail here"),
+                      (901L, tmpl + " planted unique tail here"))
+    val df = (cluster ++ planted).toDF("doc_id", "text")
+    val auto = Dedup.minhashDedupPairs(df, "text", "doc_id",
+        threshold = 0.7, hotBucketCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = auto.find(p => p._1 == 900L && p._2 == 901L)
+    assert(exact.isDefined && exact.get._3 === 1.0)
+    // the auto cap bounds COST, not recall: mid-size cold buckets keep
+    // their true ≥0.7 pairs (a tight manual cap of 8 sacrifices them —
+    // the first spec above), while the all-template hot buckets that
+    // would make every one of the ~20k cluster pairs a candidate are
+    // escalated. Bounded well below the uncapped quadratic, but far
+    // richer than the tight-cap run.
+    assert(auto.length < 10000,
+      s"auto cap must stay below the ~20k uncapped blowup, got ${auto.length}")
+    assert(auto.length > 100,
+      s"auto cap must keep mid-bucket true pairs, got ${auto.length}")
+    // benign corpus: auto cap resolves above every bucket size → results
+    // identical to the explicit-default run
+    val explicitRun = Dedup.minhashDedupPairs(docs, "text", "doc_id",
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val autoRun = Dedup.minhashDedupPairs(docs, "text", "doc_id",
+        threshold = 0.7, hotBucketCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoRun === explicitRun)
+    // the rule itself: clamped to [16, 4096]
+    assert(Dedup.autoHotBucketCap(0.1) === 16)
+    assert(Dedup.autoHotBucketCap(1.0) === 32)
+    assert(Dedup.autoHotBucketCap(1000.0) === 4096)
+  }
+
   test("hot-bucket cap OFF-path: cold buckets behave exactly as before") {
     // same corpus as the main minhash spec, cap left at default (64) —
     // no bucket is hot, so results must be identical to the uncapped rows
