@@ -199,8 +199,14 @@ object Dedup {
       posexplode(array((0 until 4).map(j =>
         shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bucket")))
-    val hot = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__bsz")).where(col("__bsz") > hotBucketCap)
+    val census = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+    // cap ≤ 0 → the C2 auto rule on this banding's own distribution
+    // (16-bit band values instead of 64-bit band hashes, same contract)
+    val cap =
+      if (hotBucketCap > 0) hotBucketCap
+      else autoHotBucketCap(census.agg(avg("__bsz")).head.getDouble(0))
+    val hot = census.where(col("__bsz") > cap)
       .select(col("band"), col("bucket"), lit(true).as("__hot"))
     val refined = banded.join(F.broadcast(hot), Seq("band", "bucket"), "left")
       .select(col("id"), col("simhash"), col("band"), col("bucket"),

@@ -81,6 +81,11 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         maxHamming = 3, hotBucketCap = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(sPairs.contains((900L, 901L)))
+    // ...and the auto cap (same rule, this banding's own distribution)
+    val sAuto = Dedup.simhashDedupPairs(df, "text", "doc_id",
+        maxHamming = 3, hotBucketCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sAuto.contains((900L, 901L)))
   }
 
   test("auto hot-bucket cap: derived from the corpus's own bucket sizes — " +
