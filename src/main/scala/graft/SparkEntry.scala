@@ -1121,6 +1121,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // WHT spectrogram (c12j): the full time × sequency-band grid — the
+    // c12i frame axis × the c12h band axis, every cell an exact integer
+    // band energy + exact-ratio fraction, recomputed by the oracle from
+    // the popcount formula with no tolerance.
+    "c12j_audio_spectrogram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val wavs = graft.operators.Audio.packWav(s, docs, "doc_id")
+      graft.operators.Audio.spectrogram(s, wavs)
+        .select(col("media_id"), col("frame_idx"), col("band"),
+          col("band_energy"), round(col("frac"), 6).as("frac"))
+        .orderBy("media_id", "frame_idx", "band")
+    }),
+
     // Frame-level activity profile (c12i): the VAD/silence envelope —
     // non-overlapping 128-sample frames, each reporting exact integer
     // energy / within-frame zero crossings / peak. Zero floating point;
@@ -5194,6 +5207,45 @@ object SparkEntry {
         |       round(sum(31 * dk) / (w * h * 255.0), 6) AS mad_b
         |FROM d GROUP BY doc_id, nf, w, h
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the whole grid from first principles: per (doc, frame), the WHT
+    // via popcount over the frame's own samples, then the dyadic
+    // re-banding — HUGEINT-exact until the final casts
+    "c12j_audio_spectrogram" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(800 + (doc_id % 5) * 160 AS INT) AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+        |samp AS (
+        |  SELECT doc_id, CAST(i // 128 AS INT) AS frame_idx,
+        |         CAST(i % 128 AS BIGINT) AS ii,
+        |         CAST(((doc_id * 7349 + i * 12345 + 6789) % 65536)
+        |              - 32768 AS BIGINT) AS v
+        |  FROM s WHERE i < (n // 128) * 128),
+        |wht AS (
+        |  SELECT f.doc_id, f.frame_idx, j.j AS j,
+        |         sum(CASE WHEN bit_count(CAST(j.j AS BIGINT) & f.ii) % 2 = 0
+        |                  THEN f.v ELSE -f.v END) AS x
+        |  FROM samp f CROSS JOIN (SELECT unnest(range(0, 128)) AS j) j
+        |  GROUP BY 1, 2, 3),
+        |pw AS (
+        |  SELECT doc_id, frame_idx, x * x AS pp,
+        |         CASE WHEN j = 0 THEN 0 WHEN j < 2 THEN 1
+        |              WHEN j < 4 THEN 2 WHEN j < 8 THEN 3
+        |              WHEN j < 16 THEN 4 WHEN j < 32 THEN 5
+        |              WHEN j < 64 THEN 6 ELSE 7 END AS band
+        |  FROM wht),
+        |tot AS (SELECT doc_id, frame_idx, sum(pp) AS total
+        |        FROM pw GROUP BY 1, 2)
+        |SELECT pw.doc_id AS media_id, pw.frame_idx AS frame_idx,
+        |       CAST(band AS INT) AS band,
+        |       CAST(sum(pp) AS BIGINT) AS band_energy,
+        |       round(CAST(sum(pp) AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+        |         AS frac
+        |FROM pw JOIN tot ON pw.doc_id = tot.doc_id
+        |                AND pw.frame_idx = tot.frame_idx
+        |GROUP BY pw.doc_id, pw.frame_idx, band, tot.total
+        |ORDER BY media_id, pw.frame_idx, band""".stripMargin,
 
     // every frame row from the synthesis LCG: frame = i div 128 (full
     // frames only), energy/zcr/peak as exact integer aggregates

@@ -302,14 +302,16 @@ object Audio {
   private def sampleAt(pcm: Array[Byte], i: Int): Int =
     ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort.toInt
 
-  /** Power spectrum P_j = X_j² of the first `frame` samples via the fast
-    * in-place WHT butterfly (natural Hadamard order: X_j = Σ_i
-    * s_i·(−1)^popcount(j AND i)). All values exact integers.
+  /** Power spectrum P_j = X_j² of `frame` samples starting at sample
+    * offset `off`, via the fast in-place WHT butterfly (natural Hadamard
+    * order: X_j = Σ_i s_i·(−1)^popcount(j AND i)). All values exact
+    * integers.
     */
-  private[graft] def whtPowers(pcm: Array[Byte], frame: Int): Array[Long] = {
+  private[graft] def whtPowers(pcm: Array[Byte], frame: Int,
+                               off: Int = 0): Array[Long] = {
     val a = new Array[Long](frame)
     var i = 0
-    while (i < frame) { a(i) = sampleAt(pcm, i).toLong; i += 1 }
+    while (i < frame) { a(i) = sampleAt(pcm, off + i).toLong; i += 1 }
     var h = 1
     while (h < frame) {
       var s = 0
@@ -416,6 +418,58 @@ object Audio {
             if (total == 0L) Seq(Row(id, -1, null, null))
             else (0 until nBands).map(b =>
               Row(id, b, bands(b), bands(b).toDouble / total.toDouble))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** WHT spectrogram — the time × sequency surface that completes the
+    * audio feature stack (C12g gives one frame's scalars, C12h one
+    * frame's bands, C12i the time axis; this is the full grid): every
+    * non-overlapping `frame`-sample window gets its Walsh–Hadamard power
+    * spectrum, re-grouped into the dyadic bands of [[bandEnergies]].
+    * Per (clip, frame, band): the exact integer band energy and its
+    * exact-ratio fraction of the frame's total. Zero tolerance — the
+    * oracle recomputes the whole grid from the popcount formula.
+    * Short/non-WAV payloads quarantine to one (frame_idx = −1) row.
+    */
+  def spectrogram(spark: SparkSession, packed: DataFrame,
+                  frame: Int = 128, batchSize: Int = 64): DataFrame = {
+    require(frame > 0 && (frame & (frame - 1)) == 0,
+      "frame must be a power of two (fast WHT butterfly)")
+    val nBands = java.lang.Integer.numberOfTrailingZeros(frame) + 1
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("band", IntegerType),
+      StructField("band_energy", LongType),
+      StructField("frac", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = packed.select(col("media_id").cast("long"), col("media"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val id = r.getLong(0)
+          val pcm = pcmOf(r.getAs[Array[Byte]](1))
+          val n = if (pcm == null) 0 else pcm.length / 2
+          if (pcm == null || n < frame)
+            Seq(Row(id, -1, null, null, null))
+          else (0 until n / frame).flatMap { f =>
+            val p = whtPowers(pcm, frame, f * frame)
+            val bands = new Array[Long](nBands)
+            var total = 0L
+            var j = 0
+            while (j < frame) {
+              val b = if (j == 0) 0 else 32 - Integer.numberOfLeadingZeros(j)
+              bands(b) += p(j)
+              total += p(j)
+              j += 1
+            }
+            if (total == 0L) Seq(Row(id, f, -1, null, null))
+            else (0 until nBands).map(b =>
+              Row(id, f, b, bands(b), bands(b).toDouble / total.toDouble))
           }
         }
       }

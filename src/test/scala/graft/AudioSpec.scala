@@ -188,6 +188,46 @@ class AudioSpec extends AnyFunSuite with SparkSpec {
     assert(q.length === 1 && q.head.getInt(1) === -1 && q.head.isNullAt(2))
   }
 
+  test("spectrogram: every (frame, band) cell matches the direct " +
+    "per-frame WHT, frame 0 equals bandEnergies, junk quarantines") {
+    val grid = Audio.spectrogram(spark, packed).collect()
+      .groupBy(_.getLong(0))
+    val id = 11L
+    val n = Audio.nSamples(id)
+    val frames = n / 128
+    val rows = grid(id)
+    assert(rows.map(r => (r.getInt(1), r.getInt(2))).toSet ===
+      (for (f <- 0 until frames; b <- 0 until 8) yield (f, b)).toSet)
+    // direct definition for frame 2
+    val f = 2
+    val samples = (0 until 128).map(i => Audio.sample(id, f * 128 + i))
+    val direct = (0 until 128).map { j =>
+      (0 until 128).map { i =>
+        val sgn = if (java.lang.Long.bitCount(j.toLong & i.toLong) % 2 == 0) 1
+                  else -1
+        sgn.toLong * samples(i)
+      }.sum
+    }.map(x => x * x)
+    val expBands = new Array[Long](8)
+    direct.zipWithIndex.foreach { case (p, j) =>
+      val b = if (j == 0) 0 else 32 - Integer.numberOfLeadingZeros(j)
+      expBands(b) += p
+    }
+    rows.filter(_.getInt(1) == f).sortBy(_.getInt(2)).zipWithIndex.foreach {
+      case (r, b) => assert(r.getLong(3) === expBands(b), s"band $b")
+    }
+    // frame 0 of the grid ≡ bandEnergies (same window, same banding)
+    val be = Audio.bandEnergies(spark, packed).collect()
+      .filter(_.getLong(0) == id).map(r => r.getInt(1) -> r.getLong(2)).toMap
+    rows.filter(_.getInt(1) == 0).foreach { r =>
+      assert(r.getLong(3) === be(r.getInt(2)))
+    }
+    import spark.implicits._
+    val bad = Seq((1L, Array[Byte](7))).toDF("media_id", "media")
+    val q = Audio.spectrogram(spark, bad).collect()
+    assert(q.length === 1 && q.head.getInt(1) === -1 && q.head.isNullAt(3))
+  }
+
   test("bandEnergies: dyadic bands partition the spectrum exactly and " +
     "match the direct WHT definition") {
     val frame = 128
