@@ -69,7 +69,7 @@ object Bench {
     "c12f_frame_deltas", "c12g_audio_spectral", "c14c_ivf_rank_many",
     "c52_pagerank_cdf", "c12h_audio_bands", "d20_sla_slo",
     "c50b_mmr_hybrid", "c28b_ivfpq_rank_many", "c12i_audio_activity",
-    "c12j_audio_spectrogram",
+    "c12j_audio_spectrogram", "c12k_audio_neardup",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -121,7 +121,7 @@ object Bench {
       // scan) — both scale with the replica; c28b scans the encoded
       // embeddings corpus
       "c50b_mmr_hybrid", "c28b_ivfpq_rank_many", "c12i_audio_activity",
-      "c12j_audio_spectrogram")
+      "c12j_audio_spectrogram", "c12k_audio_neardup")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -1121,6 +1121,28 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Audio near-dup via spectral landmark codes (c12k): the dedup
+    // family's audio member — every 7th clip gets a byte-identical copy
+    // under a shifted id; clips sharing ≥5 (frame, dominant line, exact
+    // power) codes pair up — C1's exact-dedup contract at the AUDIO
+    // level (identical PCM matches across container rewraps a byte md5
+    // would miss). Integer-exact end to end; the oracle replays grid,
+    // argmax, join, and threshold.
+    "c12k_audio_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val wavs = graft.operators.Audio.packWav(s, docs, "doc_id")
+      val corpus = wavs.unionByName(
+        wavs.where(pmod(col("media_id"), lit(7)) === 0)
+          .withColumn("media_id", col("media_id") + lit(1000000L)))
+      // `planted` separates the byte-identical copies from the
+      // phase-coincident families the synthetic corpus also contains
+      // (all clips are shifts of one LCG waveform — the fingerprint
+      // CORRECTLY groups them; a real corpus has no such families)
+      graft.operators.Audio.fingerprintPairs(s, corpus, minShared = 5)
+        .withColumn("planted", col("id_b") - col("id_a") === 1000000L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // WHT spectrogram (c12j): the full time × sequency-band grid — the
     // c12i frame axis × the c12h band axis, every cell an exact integer
     // band energy + exact-ratio fraction, recomputed by the oracle from
@@ -5207,6 +5229,46 @@ object SparkEntry {
         |       round(sum(31 * dk) / (w * h * 255.0), 6) AS mad_b
         |FROM d GROUP BY doc_id, nf, w, h
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the whole landmark pipeline replayed: copies synthesize from
+    // their SOURCE id's formula (byte-identical payloads), the per-frame
+    // argmax of X_j² ties to the lower line, and the (frame, line,
+    // exact power) self-join + threshold land on identical integers
+    "c12k_audio_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS src FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |p AS (SELECT media_id, src,
+        |             CAST(800 + (src % 5) * 160 AS INT) AS n FROM ids),
+        |s AS (SELECT media_id, src, n, unnest(range(0, n)) AS i FROM p),
+        |samp AS (
+        |  SELECT media_id, CAST(i // 128 AS INT) AS frame_idx,
+        |         CAST(i % 128 AS BIGINT) AS ii,
+        |         CAST(((src * 7349 + i * 12345 + 6789) % 65536)
+        |              - 32768 AS BIGINT) AS v
+        |  FROM s WHERE i < (n // 128) * 128),
+        |wht AS (
+        |  SELECT f.media_id, f.frame_idx, j.j AS j,
+        |         sum(CASE WHEN bit_count(CAST(j.j AS BIGINT) & f.ii) % 2 = 0
+        |                  THEN f.v ELSE -f.v END) AS x
+        |  FROM samp f CROSS JOIN (SELECT unnest(range(0, 128)) AS j) j
+        |  GROUP BY 1, 2, 3),
+        |cc AS (
+        |  SELECT media_id, frame_idx, CAST(j AS INT) AS line,
+        |         CAST(x * x AS BIGINT) AS power FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY media_id, frame_idx
+        |        ORDER BY x * x DESC, j) AS rn FROM wht) t
+        |  WHERE rn = 1)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared,
+        |       b.media_id - a.media_id = 1000000 AS planted
+        |FROM cc a JOIN cc b
+        |  ON a.frame_idx = b.frame_idx AND a.line = b.line
+        | AND a.power = b.power AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the whole grid from first principles: per (doc, frame), the WHT
     // via popcount over the frame's own samples, then the dyadic

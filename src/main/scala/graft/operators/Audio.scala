@@ -476,6 +476,67 @@ object Audio {
     }(enc)
   }
 
+  /** Audio near-duplicate pairs via spectral landmark codes — the dedup
+    * family's audio member (C1–C5 cover text and embeddings; this is
+    * the same candidate-generation discipline on sound). Per frame, the
+    * landmark is the DOMINANT sequency line (argmax_j P_j, ties to the
+    * lower j) together with its exact power: code = (frame_idx, j,
+    * P_j). Two clips sharing ≥ `minShared` codes are duplicates — this
+    * is C1's exact-dedup contract lifted to the AUDIO level: identical
+    * PCM matches even when the container bytes differ (re-wrapped /
+    * re-encoded WAV headers defeat a byte md5; the spectrum doesn't
+    * care). A production robust matcher would quantize the magnitude
+    * and chain landmarks Shazam-style; the exact-magnitude code is the
+    * deterministic core both build on.
+    *
+    * Scale shape: codes per clip are frame-count-sized (≤ ~11 here,
+    * one small row each — the payload never rides the join); the
+    * self-join keys on (frame, line, 44-bit exact power), so bucket
+    * collisions are vanishingly rare for non-copies and the pair count
+    * tracks true-duplicate volume. Integer-exact end to end — the
+    * DuckDB oracle replays grid, argmax, join, and threshold with no
+    * tolerance. Returns (id_a, id_b, n_shared) with id_a < id_b.
+    */
+  def fingerprintPairs(spark: SparkSession, packed: DataFrame,
+                       frame: Int = 128, minShared: Int = 5): DataFrame = {
+    val codeSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("line", IntegerType),
+      StructField("power", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(codeSchema)
+    val in = packed.select(col("media_id").cast("long"), col("media"))
+    val codes = in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val pcm = pcmOf(r.getAs[Array[Byte]](1))
+        val n = if (pcm == null) 0 else pcm.length / 2
+        if (pcm == null || n < frame) Iterator.empty
+        else (0 until n / frame).iterator.map { f =>
+          val p = whtPowers(pcm, frame, f * frame)
+          var best = 0
+          var bestP = -1L
+          var j = 0
+          while (j < frame) {
+            if (p(j) > bestP) { bestP = p(j); best = j }
+            j += 1
+          }
+          Row(id, f, best, bestP)
+        }
+      }
+    }(enc)
+    val l = codes.select(col("media_id").as("id_a"), col("frame_idx"),
+      col("line"), col("power"))
+    val r = codes.select(col("media_id").as("id_b"), col("frame_idx"),
+      col("line"), col("power"))
+    l.join(r, Seq("frame_idx", "line", "power"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Frame-level activity profile — the envelope view a VAD/silence
     * filter consumes: the clip is cut into consecutive non-overlapping
     * `frame`-sample windows (the partial tail frame is dropped — a

@@ -228,6 +228,25 @@ class AudioSpec extends AnyFunSuite with SparkSpec {
     assert(q.length === 1 && q.head.getInt(1) === -1 && q.head.isNullAt(3))
   }
 
+  test("fingerprintPairs: byte-identical copies share every landmark " +
+    "code; recall is total on planted duplicates") {
+    val ids = docs.limit(25)
+    val wavs = Audio.packWav(spark, ids, "doc_id")
+    val corpus = wavs.unionByName(
+      wavs.where(pmod(col("media_id"), lit(7)) === 0)
+        .withColumn("media_id", col("media_id") + lit(1000000L)))
+    val pairs = Audio.fingerprintPairs(spark, corpus, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val plantedIds = ids.collect().map(_.getLong(0)).filter(_ % 7 == 0)
+    plantedIds.foreach { id =>
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 1000000L)
+      assert(hit.isDefined, s"planted copy of $id must be found")
+      // a byte-identical copy shares EVERY frame's landmark
+      assert(hit.get._3 === Audio.nSamples(id) / 128,
+        s"copy of $id must share all frame codes")
+    }
+  }
+
   test("bandEnergies: dyadic bands partition the spectrum exactly and " +
     "match the direct WHT definition") {
     val frame = 128
