@@ -1143,6 +1143,42 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Robust audio matching (c12m): every 7th clip gets a DITHERED copy —
+    // re-encoded through the real codec with a ±1 LSB perturbation that
+    // moves every sequency line's power, so c12k's exact-power landmarks
+    // no longer match it (spec-locked in AudioSpec). The quantized-
+    // magnitude landmark (dominant line + power bit-length, ±1 bucket
+    // tolerance as candidate-key expansion — still a hash equi-join)
+    // recovers the pair. The oracle replays synthesis, clamp(v+δ), WHT,
+    // argmax, bit-length, band join, and threshold — integer-exact.
+    "c12m_audio_robust_match" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val wavs = graft.operators.Audio.packWav(s, docs, "doc_id")
+      val dithered = graft.operators.Audio.ditherWav(s,
+        wavs.where(pmod(col("media_id"), lit(7)) === 0)
+          .withColumn("media_id", col("media_id") + lit(2000000L)))
+      graft.operators.Audio
+        .robustFingerprintPairs(s, wavs.unionByName(dithered), minShared = 5)
+        .withColumn("planted", col("id_b") - col("id_a") === 2000000L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Overlapping-hop WHT spectrogram (c12l): the STFT convention —
+    // hop = frame/2, so consecutive frames share half their samples and
+    // a transient on a frame boundary is fully inside some frame. Same
+    // integer-exact cell contract as c12j; the oracle's sample CTE is
+    // hop-indexed (sample i of frame f is f·64 + ii). Every even-id clip
+    // (half the corpus bounds the oracle's popcount grid).
+    "c12l_audio_spectrogram_hop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .where(col("doc_id") % 2 === 0)
+      val wavs = graft.operators.Audio.packWav(s, docs, "doc_id")
+      graft.operators.Audio.spectrogram(s, wavs, hop = 64)
+        .select(col("media_id"), col("frame_idx"), col("band"),
+          col("band_energy"), round(col("frac"), 6).as("frac"))
+        .orderBy("media_id", "frame_idx", "band")
+    }),
+
     // WHT spectrogram (c12j): the full time × sequency-band grid — the
     // c12i frame axis × the c12h band axis, every cell an exact integer
     // band energy + exact-ratio fraction, recomputed by the oracle from
@@ -5269,6 +5305,95 @@ object SparkEntry {
         | AND a.power = b.power AND a.media_id < b.media_id
         |GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same landmark replay as c12k but with the dithered copies:
+    // v' = clamp(v + δ_i) from the same LCG, magnitude quantized to its
+    // bit length (length(bin(p))), matched within ±1 bucket
+    "c12m_audio_robust_match" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS src, 0 AS dith
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id, 1 FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |p AS (SELECT media_id, src, dith,
+        |             CAST(800 + (src % 5) * 160 AS INT) AS n FROM ids),
+        |s AS (SELECT media_id, src, dith, n,
+        |             unnest(range(0, n)) AS i FROM p),
+        |samp AS (
+        |  SELECT media_id, CAST(i // 128 AS INT) AS frame_idx,
+        |         CAST(i % 128 AS BIGINT) AS ii,
+        |         CAST(LEAST(32767, GREATEST(-32768,
+        |              ((src * 7349 + i * 12345 + 6789) % 65536) - 32768
+        |              + CASE WHEN dith = 1 THEN
+        |                  (CASE WHEN i % 3 = 0 THEN 1 ELSE -1 END)
+        |                ELSE 0 END)) AS BIGINT) AS v
+        |  FROM s WHERE i < (n // 128) * 128),
+        |wht AS (
+        |  SELECT f.media_id, f.frame_idx, j.j AS j,
+        |         sum(CASE WHEN bit_count(CAST(j.j AS BIGINT) & f.ii) % 2 = 0
+        |                  THEN f.v ELSE -f.v END) AS x
+        |  FROM samp f CROSS JOIN (SELECT unnest(range(0, 128)) AS j) j
+        |  GROUP BY 1, 2, 3),
+        |cc AS (
+        |  SELECT media_id, frame_idx, CAST(j AS INT) AS line,
+        |         CAST(x * x AS BIGINT) AS power FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY media_id, frame_idx
+        |        ORDER BY x * x DESC, j) AS rn FROM wht) t
+        |  WHERE rn = 1),
+        |qc AS (
+        |  SELECT media_id, frame_idx, line,
+        |         CASE WHEN power = 0 THEN 0
+        |              ELSE length(bin(power)) END AS qmag
+        |  FROM cc)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared,
+        |       b.media_id - a.media_id = 2000000 AS planted
+        |FROM qc a JOIN qc b
+        |  ON a.frame_idx = b.frame_idx AND a.line = b.line
+        | AND abs(a.qmag - b.qmag) <= 1 AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the c12j grid with a hop-indexed frame axis: frame f of clip n
+    // covers samples [f*64, f*64+128), f ranging to (n-128)//64
+    "c12l_audio_spectrogram_hop" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(800 + (doc_id % 5) * 160 AS INT) AS n
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |fr AS (SELECT doc_id, n,
+        |              unnest(range(0, (n - 128) // 64 + 1)) AS f FROM p),
+        |sq AS (SELECT doc_id, f, unnest(range(0, 128)) AS ii FROM fr),
+        |samp AS (
+        |  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |         CAST(ii AS BIGINT) AS ii,
+        |         CAST(((doc_id * 7349 + (f * 64 + ii) * 12345 + 6789)
+        |               % 65536) - 32768 AS BIGINT) AS v
+        |  FROM sq),
+        |wht AS (
+        |  SELECT f.doc_id, f.frame_idx, j.j AS j,
+        |         sum(CASE WHEN bit_count(CAST(j.j AS BIGINT) & f.ii) % 2 = 0
+        |                  THEN f.v ELSE -f.v END) AS x
+        |  FROM samp f CROSS JOIN (SELECT unnest(range(0, 128)) AS j) j
+        |  GROUP BY 1, 2, 3),
+        |pw AS (
+        |  SELECT doc_id, frame_idx, x * x AS pp,
+        |         CASE WHEN j = 0 THEN 0 WHEN j < 2 THEN 1
+        |              WHEN j < 4 THEN 2 WHEN j < 8 THEN 3
+        |              WHEN j < 16 THEN 4 WHEN j < 32 THEN 5
+        |              WHEN j < 64 THEN 6 ELSE 7 END AS band
+        |  FROM wht),
+        |tot AS (SELECT doc_id, frame_idx, sum(pp) AS total
+        |        FROM pw GROUP BY 1, 2)
+        |SELECT pw.doc_id AS media_id, pw.frame_idx AS frame_idx,
+        |       CAST(band AS INT) AS band,
+        |       CAST(sum(pp) AS BIGINT) AS band_energy,
+        |       round(CAST(sum(pp) AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+        |         AS frac
+        |FROM pw JOIN tot ON pw.doc_id = tot.doc_id
+        |                AND pw.frame_idx = tot.frame_idx
+        |GROUP BY pw.doc_id, pw.frame_idx, band, tot.total
+        |ORDER BY media_id, pw.frame_idx, band""".stripMargin,
 
     // the whole grid from first principles: per (doc, frame), the WHT
     // via popcount over the frame's own samples, then the dyadic

@@ -435,9 +435,17 @@ object Audio {
     * Short/non-WAV payloads quarantine to one (frame_idx = −1) row.
     */
   def spectrogram(spark: SparkSession, packed: DataFrame,
-                  frame: Int = 128, batchSize: Int = 64): DataFrame = {
+                  frame: Int = 128, batchSize: Int = 64,
+                  hop: Int = 0): DataFrame = {
     require(frame > 0 && (frame & (frame - 1)) == 0,
       "frame must be a power of two (fast WHT butterfly)")
+    // hop < frame = overlapping frames (the STFT convention: a transient
+    // landing on a frame boundary is split by the non-overlapping grid
+    // but fully inside some hopped frame). hop <= 0 means hop = frame —
+    // the non-overlapping grid, where frame f covers [f*frame, (f+1)*frame)
+    // and the two index formulas coincide.
+    val step = if (hop <= 0) frame else hop
+    require(step <= frame, "hop must not exceed frame (gaps drop samples)")
     val nBands = java.lang.Integer.numberOfTrailingZeros(frame) + 1
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -456,8 +464,8 @@ object Audio {
           val n = if (pcm == null) 0 else pcm.length / 2
           if (pcm == null || n < frame)
             Seq(Row(id, -1, null, null, null))
-          else (0 until n / frame).flatMap { f =>
-            val p = whtPowers(pcm, frame, f * frame)
+          else (0 until (n - frame) / step + 1).flatMap { f =>
+            val p = whtPowers(pcm, frame, f * step)
             val bands = new Array[Long](nBands)
             var total = 0L
             var j = 0
@@ -531,6 +539,133 @@ object Audio {
     val r = codes.select(col("media_id").as("id_b"), col("frame_idx"),
       col("line"), col("power"))
     l.join(r, Seq("frame_idx", "line", "power"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Re-encode every clip with a deterministic ±1 LSB dither — the
+    * smallest lossy transform a real pipeline meets (requantization,
+    * dither, transcode round-off). Sample i becomes
+    * clamp(s_i + (i mod 3 == 0 ? +1 : −1)) — deliberately NOT a Walsh
+    * function of the index (an alternating ±1 dither IS W_1, so it would
+    * shift ONLY sequency line 1 by exactly ±128 and leave every other
+    * power bit-identical; the period-3 pattern spreads a small
+    * perturbation across ALL lines, which is what a generic transcode
+    * does). The payload goes through the REAL codec both ways:
+    * parse → perturb PCM → re-encode. Exact landmark codes
+    * ([[fingerprintPairs]]) no longer match a dithered copy — every
+    * line's power moves — while the quantized-magnitude codes of
+    * [[robustFingerprintPairs]] still do. Deterministic and formula-
+    * replicable: the oracle applies the same clamp(v + δ_i) to the
+    * synthesis LCG. Non-WAV payloads pass through unchanged (A13 rule:
+    * quarantine is the consumer's job, a transform never drops rows).
+    */
+  def ditherWav(spark: SparkSession, packed: DataFrame,
+                batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(packed.schema)
+    packed.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val iMedia = r.fieldIndex("media")
+          val bytes = r.getAs[Array[Byte]](iMedia)
+          val pcm = pcmOf(bytes)
+          if (pcm == null) r
+          else {
+            val n = pcm.length / 2
+            val out = new Array[Byte](pcm.length)
+            var i = 0
+            while (i < n) {
+              val d = if (i % 3 == 0) 1 else -1
+              val s = math.max(-32768, math.min(32767, sampleAt(pcm, i) + d))
+              out(2 * i) = (s & 0xFF).toByte
+              out(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              SampleRate.toFloat, 16, 1, 2, SampleRate.toFloat, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(out), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            wavWriter.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            val vals = r.toSeq.toArray
+            vals(iMedia) = bos.toByteArray
+            Row.fromSeq(vals.toSeq)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Robust audio near-dup pairs — [[fingerprintPairs]]'s exact-power
+    * landmark hardened against small lossy perturbations (the Shazam-
+    * style construction the exact code is the deterministic core of).
+    * The landmark keeps the dominant sequency LINE but quantizes the
+    * magnitude to its BIT LENGTH (qmag = 64 − nlz(P), i.e.
+    * floor(log2 P) + 1 — a coarse log bucket): two frames match when
+    * they agree on (frame_idx, line) and their qmags differ by ≤ `tol`.
+    * An LSB-level dither moves each power by O(X_j) ≪ P_j, so the line
+    * survives and qmag moves at most one bucket — the dithered copy
+    * pairs up here while the exact matcher misses it (spec-locked both
+    * ways in AudioSpec).
+    *
+    * Scale shape: the tolerance band is implemented as candidate-key
+    * EXPANSION, not an inequality join — side A emits one row per
+    * qmag + δ, δ ∈ [−tol, tol], and the join stays a hash equi-join on
+    * (frame, line, qmag) (the B18/B25 discipline: never give the planner
+    * a non-equi pair predicate). Each true pair-frame matches exactly
+    * once (only δ = qmag_b − qmag_a hits), so the shared-frame count
+    * needs no dedup. Codes per clip are frame-count-sized; pair volume
+    * tracks true near-duplicate volume. Integer-exact end to end — the
+    * DuckDB oracle replays grid, argmax, bit-length, band join, and
+    * threshold with no tolerance. Returns (id_a, id_b, n_shared),
+    * id_a < id_b.
+    */
+  def robustFingerprintPairs(spark: SparkSession, packed: DataFrame,
+                             frame: Int = 128, minShared: Int = 5,
+                             tol: Int = 1): DataFrame = {
+    require(tol >= 0, "tol must be non-negative")
+    val codeSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("line", IntegerType),
+      StructField("qmag", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(codeSchema)
+    val in = packed.select(col("media_id").cast("long"), col("media"))
+    val codes = in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val pcm = pcmOf(r.getAs[Array[Byte]](1))
+        val n = if (pcm == null) 0 else pcm.length / 2
+        if (pcm == null || n < frame) Iterator.empty
+        else (0 until n / frame).iterator.map { f =>
+          val p = whtPowers(pcm, frame, f * frame)
+          var best = 0
+          var bestP = -1L
+          var j = 0
+          while (j < frame) {
+            if (p(j) > bestP) { bestP = p(j); best = j }
+            j += 1
+          }
+          val qmag =
+            if (bestP == 0L) 0
+            else 64 - java.lang.Long.numberOfLeadingZeros(bestP)
+          Row(id, f, best, qmag)
+        }
+      }
+    }(enc)
+    val deltas = array((-tol to tol).map(lit): _*)
+    val l = codes.select(col("media_id").as("id_a"), col("frame_idx"),
+        col("line"), col("qmag"), explode(deltas).as("delta"))
+      .withColumn("qmag", col("qmag") + col("delta")).drop("delta")
+    val r = codes.select(col("media_id").as("id_b"), col("frame_idx"),
+      col("line"), col("qmag"))
+    l.join(r, Seq("frame_idx", "line", "qmag"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))

@@ -247,6 +247,85 @@ class AudioSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("spectrogram hop: explicit hop=frame reproduces the default " +
+    "non-overlapping grid; hop=64 frames match the direct hop-indexed WHT") {
+    val dflt = Audio.spectrogram(spark, packed).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    val explicit = Audio.spectrogram(spark, packed, hop = 128).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(explicit === dflt)
+    val hopped = Audio.spectrogram(spark, packed, hop = 64).collect()
+      .groupBy(_.getLong(0))
+    val id = 11L
+    val n = Audio.nSamples(id)
+    val rows = hopped(id)
+    // frame axis: (n - frame)/hop + 1 frames, every band present
+    assert(rows.map(r => (r.getInt(1), r.getInt(2))).toSet ===
+      (for (f <- 0 until (n - 128) / 64 + 1; b <- 0 until 8)
+        yield (f, b)).toSet)
+    // direct definition for ODD frame 3 (offset 192 — not on the
+    // non-overlapping grid, so this checks the hop indexing itself)
+    val f = 3
+    val samples = (0 until 128).map(i => Audio.sample(id, f * 64 + i))
+    val direct = (0 until 128).map { j =>
+      (0 until 128).map { i =>
+        val sgn = if (java.lang.Long.bitCount(j.toLong & i.toLong) % 2 == 0) 1
+                  else -1
+        sgn.toLong * samples(i)
+      }.sum
+    }.map(x => x * x)
+    val expBands = new Array[Long](8)
+    direct.zipWithIndex.foreach { case (p, j) =>
+      val b = if (j == 0) 0 else 32 - Integer.numberOfLeadingZeros(j)
+      expBands(b) += p
+    }
+    rows.filter(_.getInt(1) == f).sortBy(_.getInt(2)).zipWithIndex.foreach {
+      case (r, b) => assert(r.getLong(3) === expBands(b), s"band $b")
+    }
+    // EVEN hopped frames coincide with the non-overlapping grid
+    // (frame 2f at hop 64 covers the same samples as frame f at hop 128)
+    rows.filter(r => r.getInt(1) % 2 == 0).foreach { r =>
+      assert(r.getLong(3) === dflt((id, r.getInt(1) / 2, r.getInt(2))),
+        s"even frame ${r.getInt(1)} band ${r.getInt(2)}")
+    }
+  }
+
+  test("ditherWav breaks exact landmarks but robustFingerprintPairs " +
+    "recovers every dithered copy within the ±1 qmag band") {
+    val ids = docs.limit(25)
+    val wavs = Audio.packWav(spark, ids, "doc_id")
+    val dithered = Audio.ditherWav(spark,
+      wavs.where(pmod(col("media_id"), lit(7)) === 0)
+        .withColumn("media_id", col("media_id") + lit(2000000L)))
+    val corpus = wavs.unionByName(dithered)
+    val plantedIds = ids.collect().map(_.getLong(0)).filter(_ % 7 == 0)
+    assert(plantedIds.nonEmpty)
+    // dithered payloads are still REAL WAV and still decode — but no
+    // PCM sample survives unchanged, so the exact-power landmark of
+    // EVERY line moves (the period-3 dither has c_j != 0 for all j)
+    // and the exact matcher finds none of the planted pairs
+    val exact = Audio.fingerprintPairs(spark, corpus, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    plantedIds.foreach { id =>
+      assert(!exact.contains((id, id + 2000000L)),
+        s"exact landmarks must miss the dithered copy of $id")
+    }
+    // the quantized-magnitude landmark keeps the line and moves at most
+    // one bit-length bucket — recall on the planted copies is total,
+    // and every frame's code matches
+    val robust = Audio.robustFingerprintPairs(spark, corpus, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    plantedIds.foreach { id =>
+      val hit = robust.get((id, id + 2000000L))
+      assert(hit.isDefined, s"robust must recover the dithered copy of $id")
+      assert(hit.get === Audio.nSamples(id) / 128,
+        s"dithered copy of $id must match on every frame")
+    }
+  }
+
   test("bandEnergies: dyadic bands partition the spectrum exactly and " +
     "match the direct WHT definition") {
     val frame = 128
