@@ -2010,6 +2010,54 @@ object SparkEntry {
               |FROM graft_d20_sla GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    // D21 generational bloom gate (batch twin of the streaming fold —
+    // the D18 reference set made LIVE): six time-ordered epochs fold
+    // through one BloomGenerations (rotateEvery=2, so gens {0,1},{2,3},
+    // {4,5} and epochs 2/4 drop a generation from probe scope). The
+    // gate rides the c34 contract shape: ground truth (key seen in a
+    // RETAINED earlier epoch) is computed exactly; flagged_hist must
+    // EQUAL n_hist (no false negative survives rotation inside the
+    // window), false positives bounded. The oracle recomputes n_rows /
+    // n_hist from the retained-window definition alone.
+    "d21_bloom_generations" -> ((s, dir) => {
+      import graft.streaming.BloomStream
+      val evTbl = t(s, dir, "events")
+      val ev = evTbl.select(
+        (col("event_id") % 6).cast("int").as("epoch"),
+        concat(col("user_id"), lit(":"), col("event_id") % 50).as("key"))
+      // generation capacity from footers (metadata-only; ~2 epochs of
+      // rows bounds the distinct keys a generation can hold)
+      val perGen = graft.operators.BloomDedup.footerRowCount(evTbl)
+        .getOrElse(ev.count()).max(1L) / 3 + 1024
+      val epochs = (0L to 5L).map(e => e -> ev.where(col("epoch") === e))
+      val flagged = BloomStream.generationalFlagFold(epochs, col("key"),
+        expectedPerGen = perGen, fpp = 0.01, rotateEvery = 2)
+      val byKey = flagged.groupBy("epoch", "key")
+        .agg(count(lit(1)).as("nrows"), max(col("maybe_seen")).as("flag"))
+        .withColumn("g", expr("epoch DIV 2"))
+      val occ = ev.select(col("key").as("k2"), col("epoch").as("e1"))
+        .distinct().withColumn("g1", expr("e1 DIV 2"))
+      val histMark = byKey
+        .select(col("epoch").as("pe"), col("key").as("pk"))
+        .join(occ, occ("k2") === col("pk") && occ("e1") < col("pe") &&
+          occ("g1") >= expr("pe DIV 2") - 1, "left_semi")
+        .select(col("pe").as("epoch"), col("pk").as("key"),
+          lit(true).as("is_hist"))
+      byKey.join(histMark, Seq("epoch", "key"), "left")
+        .na.fill(false, Seq("is_hist"))
+        .groupBy("epoch").agg(
+          sum("nrows").as("n_rows"),
+          sum(when(col("is_hist"), col("nrows")).otherwise(0L))
+            .as("n_hist"),
+          sum(when(col("is_hist") && col("flag"), col("nrows"))
+            .otherwise(0L)).as("flagged_hist"),
+          (sum(when(!col("is_hist") && col("flag"), col("nrows"))
+              .otherwise(0L)) <=
+            sum(when(!col("is_hist"), col("nrows")).otherwise(0L)) *
+              lit(0.05) + lit(5.0)).as("fp_ok"))
+        .orderBy("epoch")
+    }),
+
     // Incremental (warm-start) PageRank (c41b): the crawl-refresh shape —
     // yesterday's converged ranks (c41's 3 cold iterations) advanced TWO
     // damped rounds over the graph plus a batch of added edges (every
@@ -4323,6 +4371,32 @@ object SparkEntry {
         |       CASE WHEN wait_us <= 3600000000 THEN wait_us END AS wait_us,
         |       coalesce(wait_us > 3600000000, true) AS breach
         |FROM j ORDER BY fail_id""".stripMargin,
+
+    // exact replay of the retained-window definition: a key is history
+    // for epoch e iff it occurred in some e' < e with e' DIV 2 >=
+    // e DIV 2 - 1 (rotateEvery=2); the engine's flagged_hist must land
+    // exactly on that count (no false negatives inside the window)
+    "d21_bloom_generations" ->
+      """WITH ev AS (
+        |  SELECT CAST(event_id % 6 AS INT) AS epoch,
+        |         concat(CAST(user_id AS VARCHAR), ':',
+        |                CAST(event_id % 50 AS VARCHAR)) AS key
+        |  FROM events),
+        |occ AS (SELECT DISTINCT key, epoch AS e1 FROM ev),
+        |byk AS (SELECT epoch, key, count(*) AS nrows FROM ev GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT b.epoch, b.key, b.nrows,
+        |         EXISTS (SELECT 1 FROM occ o WHERE o.key = b.key
+        |                 AND o.e1 < b.epoch
+        |                 AND o.e1 // 2 >= b.epoch // 2 - 1) AS is_hist
+        |  FROM byk b)
+        |SELECT epoch, CAST(sum(nrows) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN is_hist THEN nrows ELSE 0 END)
+        |            AS BIGINT) AS n_hist,
+        |       CAST(sum(CASE WHEN is_hist THEN nrows ELSE 0 END)
+        |            AS BIGINT) AS flagged_hist,
+        |       true AS fp_ok
+        |FROM hist GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the D19 attach replica re-aggregated: same ASOF join, then the
     // shard rollup with quantile_disc (DuckDB's discrete percentile —

@@ -93,6 +93,21 @@ object BloomDedup {
     }
   }
 
+  /** Bit-OR two sketches built with the SAME (expectedItems, numBits)
+    * parameters — the mergeability that makes blooms generational state:
+    * a corpus summarized epoch-by-epoch folds into one constant-size
+    * filter whose probe semantics equal a single build over the union
+    * (`BloomFilter.mergeInPlace` — rejects incompatible geometries).
+    */
+  def mergeBlooms(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val bos = new java.io.ByteArrayOutputStream()
+    fa.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** Flag each probe row: `flagCol` is true iff `key` MIGHT be in the
     * reference (never-false-negative; false positives at the build's
     * fpp). Map-only — compose with a filter to drop, or keep the flag

@@ -35,6 +35,123 @@ object BloomStream {
                         flagCol: String = "maybe_seen"): DataFrame =
     BloomDedup.flagOverlap(stream, key, bloom, flagCol)
 
+  /** Generational bloom state for UNBOUNDED ingest (D21) — the D18 gate
+    * assumes yesterday's corpus is one frozen sketch; a crawl that runs
+    * forever also has to ABSORB each epoch into history, and one
+    * ever-growing bloom saturates (fpp → 1 as inserts pass capacity).
+    * The standard fix is age generations: keys insert into the CURRENT
+    * generation's filter; every `rotateEvery` epochs the current filter
+    * is sealed as PREVIOUS and a fresh one starts; probes check
+    * prev ∪ curr. Memory stays at 2 constant-size filters forever, each
+    * sized for `rotateEvery` epochs of keys, and a key stays visible for
+    * at least `rotateEvery` and at most 2·`rotateEvery` epochs after
+    * last sight — a sliding-window dedup horizon, the trade that keeps
+    * 100 TB/day ingest in MBs of state.
+    *
+    * Contract, per epoch fold (flag-THEN-insert, so same-epoch repeats
+    * are not flagged): a key seen in a RETAINED earlier epoch e'
+    * (e' < e and gen(e') ≥ gen(e) − 1) is ALWAYS flagged — rotation
+    * never eats a live no-false-negative obligation, because a sealed
+    * generation stays probed for one full generation more. Keys older
+    * than the window may or may not flag (their bits are gone with the
+    * dropped filter — that is the horizon, documented, spec-locked).
+    *
+    * Replay (at-least-once foreachBatch): an epoch ≤ the last folded one
+    * re-flags against state that already contains its keys — the insert
+    * is skipped (idempotent) but the flags can only OVER-flag, so the
+    * no-false-negative contract survives redelivery; the fp bound is
+    * what loosens, exactly as in D5's bounded-state trade.
+    */
+  final class BloomGenerations(expectedPerGen: Long, fpp: Double,
+                               rotateEvery: Int) extends Serializable {
+    require(rotateEvery >= 1, "rotateEvery must be at least 1")
+    private var prev: Array[Byte] = null // sealed generation (probed)
+    private var curr: Array[Byte] = null // filling generation (probed)
+    private var currGen: Long = Long.MinValue
+    private var lastFolded: Long = Long.MinValue
+
+    private def genOf(epoch: Long): Long = Math.floorDiv(epoch, rotateEvery.toLong)
+
+    private def advanceTo(epoch: Long): Unit = {
+      val g = genOf(epoch)
+      if (currGen == Long.MinValue) currGen = g
+      else if (g == currGen + 1) { prev = curr; curr = null; currGen = g }
+      else if (g > currGen + 1) { prev = null; curr = null; currGen = g }
+      // g <= currGen: replayed/straggler epoch — state unchanged
+    }
+
+    private def flagAgainst(df: DataFrame, key: Column,
+                            flagCol: String): DataFrame = {
+      val withPrev =
+        if (prev == null) df.withColumn(flagCol, lit(false))
+        else BloomDedup.flagOverlap(df, key, prev, flagCol)
+      if (curr == null) withPrev
+      else BloomDedup.flagOverlap(withPrev, key, curr, "__graft_curr")
+        .withColumn(flagCol, col(flagCol) || col("__graft_curr"))
+        .drop("__graft_curr")
+    }
+
+    /** Fold one epoch: rotate if `epoch` opens a new generation, flag
+      * the frame against the retained generations (the flags bind to
+      * the PRE-insert sketch bytes via broadcast, however lazily the
+      * result is consumed), then absorb the epoch's keys into the
+      * current generation. Replayed epochs flag but do not re-insert.
+      */
+    def fold(epoch: Long, df: DataFrame, key: Column,
+             flagCol: String = "maybe_seen"): DataFrame = {
+      advanceTo(epoch)
+      val flagged = flagAgainst(df, key, flagCol)
+      if (epoch > lastFolded) {
+        val b = BloomDedup.bloomOf(df, key, expectedPerGen, fpp)
+        if (b != null)
+          curr = if (curr == null) b else BloomDedup.mergeBlooms(curr, b)
+        lastFolded = epoch
+      }
+      flagged
+    }
+  }
+
+  /** Batch twin of the D21 generational gate: fold time-ordered epoch
+    * frames through one [[BloomGenerations]] and return the union of the
+    * flagged epochs (an `epoch` column marks each). This is the same
+    * code path the streaming sink runs per micro-batch — the d21 gate
+    * oracles THIS, the spec locks stream ≡ fold.
+    */
+  def generationalFlagFold(epochs: Seq[(Long, DataFrame)], key: Column,
+                           expectedPerGen: Long, fpp: Double,
+                           rotateEvery: Int,
+                           flagCol: String = "maybe_seen"): DataFrame = {
+    require(epochs.nonEmpty, "at least one epoch")
+    val st = new BloomGenerations(expectedPerGen, fpp, rotateEvery)
+    epochs.sortBy(_._1).map { case (e, df) =>
+      st.fold(e, df, key, flagCol).withColumn("epoch", lit(e))
+    }.reduce(_ unionByName _)
+  }
+
+  /** D21 streaming delivery: every micro-batch is flagged against the
+    * retained generations, routed fresh/seen with the D8 epoch-overwrite
+    * contract, and absorbed into the current generation — D18's gate
+    * with the reference set LIVE instead of frozen. `state` is driver
+    * state exactly like D12's sketch shards: constant-size, survives
+    * across batches, rotates on generation boundaries.
+    */
+  def generationalGatedSink(stream: DataFrame, key: Column,
+                            state: BloomGenerations,
+                            freshDir: String, seenDir: String,
+                            checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val f = state.fold(id, b, key)
+        EventStreams.epochIdempotentSink(
+          f.where(!col("maybe_seen")).drop("maybe_seen"), id, freshDir)
+        EventStreams.epochIdempotentSink(
+          f.where(col("maybe_seen")).drop("maybe_seen"), id, seenDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** D16-style routed delivery: fresh rows land in the corpus directory,
     * flagged rows in the review directory, each micro-batch delivered
     * with the D8 epoch-overwrite contract — a replayed epoch recomputes

@@ -804,4 +804,94 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "every document routes to exactly one sink")
     assert(nSeen === batch.where(col("maybe_seen")).count())
   }
+
+  test("d21: generational bloom roll-over — history absorbs each epoch, " +
+       "rotation drops exactly the aged generation, stream ≡ batch fold") {
+    import graft.streaming.BloomStream
+    import spark.implicits._
+    // rotateEvery=1: every epoch is its own generation, so the probe
+    // horizon is exactly the previous epoch + the current one — the
+    // sharpest version of the window contract. Keys chosen so every
+    // visibility transition is exercised:
+    //   ep0: A B      → nothing flagged (empty history)
+    //   ep1: A C      → A flagged (ep0 retained), C fresh
+    //   ep2: A B D    → A flagged (ep1), B NOT (ep0 aged out), D fresh
+    //   ep3: C D      → D flagged (ep2), C NOT (ep1 aged out)
+    val epochData: Seq[Seq[String]] = Seq(
+      Seq("A", "B"), Seq("A", "C"), Seq("A", "B", "D"), Seq("C", "D"))
+    val expectSeen: Seq[Set[String]] =
+      Seq(Set(), Set("A"), Set("A"), Set("D"))
+    val epochDfs = epochData.zipWithIndex.map { case (ks, e) =>
+      e.toLong -> ks.toDF("k")
+    }
+
+    // batch fold: flags land exactly on the retained-window truth
+    // (fp-free here by construction — asserted, not assumed: the key
+    // set is tiny against a 64-capacity sketch and xxhash64 is
+    // deterministic, so this either always holds or never does)
+    val st0 = new BloomStream.BloomGenerations(64L, 0.01, 1)
+    val folded = epochDfs.map { case (e, df) =>
+      val f = st0.fold(e, df, col("k")).collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(f.keySet === epochData(e.toInt).toSet)
+      f.foreach { case (k, flag) =>
+        assert(flag === expectSeen(e.toInt).contains(k),
+          s"epoch $e key $k: flag must equal retained-window truth")
+      }
+      f
+    }
+
+    // generationalFlagFold (the d21 gate's path) reproduces the same
+    // per-epoch flags through a fresh state object
+    val viaFold = BloomStream.generationalFlagFold(
+        epochDfs, col("k"), 64L, 0.01, 1)
+      .collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[String]("k")) ->
+        r.getAs[Boolean]("maybe_seen")).toMap
+    folded.zipWithIndex.foreach { case (f, e) =>
+      f.foreach { case (k, flag) =>
+        assert(viaFold((e.toLong, k)) === flag)
+      }
+    }
+
+    // streaming: one file per epoch, one micro-batch per file — the
+    // sink folds batchId as the epoch and must route every key to the
+    // same fresh/seen verdicts the batch fold produced
+    val staged = Files.createTempDirectory("graft_gen_bloom_src")
+    epochData.zipWithIndex.foreach { case (ks, e) =>
+      val tmp = Files.createTempDirectory(s"graft_gen_ep$e")
+      ks.toDF("k").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        staged.resolve(f"ep$e%02d.parquet"))
+    }
+    val out = Files.createTempDirectory("graft_gen_bloom_out")
+    val fresh = out.resolve("fresh").toString
+    val seen = out.resolve("seen").toString
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val st1 = new BloomStream.BloomGenerations(64L, 0.01, 1)
+    val q = BloomStream.generationalGatedSink(src, col("k"), st1,
+      fresh, seen, out.resolve("ckpt").toString)
+    q.awaitTermination(120000)
+    val seenRows = spark.read.parquet(seen)
+      .select(col("__epoch").cast("int"), col("k")).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val freshRows = spark.read.parquet(fresh)
+      .select(col("__epoch").cast("int"), col("k")).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(seenRows.length + freshRows.length === epochData.map(_.size).sum)
+    epochData.indices.foreach { e =>
+      val s = seenRows.filter(_._1 == e).map(_._2).toSet
+      val fr = freshRows.filter(_._1 == e).map(_._2).toSet
+      assert(s === expectSeen(e),
+        s"epoch $e seen-routing must match the retained-window truth")
+      assert(fr === epochData(e).toSet -- expectSeen(e))
+    }
+  }
 }
