@@ -2466,6 +2466,56 @@ object SparkEntry {
           .as("fp_ok"))
     }),
 
+    // C53 Johnson–Lindenstrauss projection on the 1/1024 integer grid:
+    // 64→16 dims through a seeded ±1 sign matrix (Achlioptas form), the
+    // embedding-compression front end of the ANN stack. Quantize-then-
+    // project makes every component an EXACT integer — order-free,
+    // associative — and the sign matrix is an LCG of the index, so the
+    // oracle rebuilds matrix and projection from formulas alone.
+    "c53_jl_projection" -> ((s, dir) => {
+      import graft.functions.GraftExpressions
+      val signs = GraftExpressions.jlSigns(16, 64)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(GraftExpressions.jlProject(col("embedding"), signs)))
+        .toDF("vec_id", "j", "y")
+        .orderBy("vec_id", "j")
+    }),
+
+    // C54 per-source quota cap: keep at most 10 docs per source,
+    // selected by seeded md5 rank — exact "at most N per host"
+    // head-domain capping (rate-based sampling can't promise the bound).
+    // rank<=cap is planner-rewritten to WindowGroupLimit: map-side
+    // cap-sized heaps, no full per-group sort (plan-audited in spec).
+    "c54_source_quota" -> ((s, dir) =>
+      graft.operators.Sampling.quotaCap(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", cap = 10)
+        .orderBy("doc_id")),
+
+    // C55 leakage-proof split: near-dup clusters are atomic across the
+    // train/val/test boundary — every member inherits its cluster
+    // representative's split, so no test doc has a near-copy in train.
+    // Planted chains of 3 (d — d+1M — d+2M) force real 2-hop connected
+    // components, not just pair lookup; singletons split on their own
+    // id. The oracle replays root resolution + the md5 bucket formula.
+    "c55_leak_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val corpus = docs
+        .unionByName(docs.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id")))
+        .unionByName(docs.where(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id")))
+      val pairs = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + lit(1000000L)).as("id_b"))
+        .unionByName(docs.where(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("id_a"),
+            (col("doc_id") + lit(2000000L)).as("id_b")))
+      graft.operators.Sampling.leakProofSplit(corpus, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
     // BM25 ranked retrieval (C35): keyword search with tf saturation +
     // length normalization — the lexical complement of the ANN stack.
     // The oracle recomputes the ENTIRE ranking (token tfs, corpus
@@ -4134,6 +4184,56 @@ object SparkEntry {
         |        CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 AS b
         |      FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the ±1 matrix from the LCG formula, the projection from the same
+    // quantize-then-sum — every y an exact BIGINT, no tolerance
+    "c53_jl_projection" ->
+      """WITH idx AS (SELECT unnest(range(0, 64)) AS i),
+        |jj AS (SELECT unnest(range(0, 16)) AS j),
+        |e AS (
+        |  SELECT vec_id, CAST(j.j AS INT) AS j,
+        |         CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE)
+        |              * 1024 + 0.5) AS BIGINT) AS q,
+        |         CASE WHEN ((j.j * 64 + i.i) * 2654435761) % 4294967296
+        |                   < 2147483648
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM embeddings CROSS JOIN idx i CROSS JOIN jj j)
+        |SELECT vec_id, j, CAST(sum(s * q) AS BIGINT) AS y
+        |FROM e GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
+
+    // the identical md5 rank replayed: same seed prefix, same
+    // hash-then-key tiebreak, same cap
+    "c54_source_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(concat('quota:', CAST(doc_id AS VARCHAR))),
+        |                    CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // root resolution by construction (chains d — d+1M — d+2M root at
+    // d), then the c15 md5 bucket formula on the root id
+    "c55_leak_split" ->
+      """WITH corpus AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 FROM documents
+        |    WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 2000000 FROM documents
+        |    WHERE doc_id % 6 = 0),
+        |r AS (SELECT doc_id,
+        |        CASE WHEN doc_id >= 2000000 THEN doc_id - 2000000
+        |             WHEN doc_id >= 1000000 THEN doc_id - 1000000
+        |             ELSE doc_id END AS root
+        |      FROM corpus),
+        |b AS (SELECT doc_id,
+        |        CAST(concat('0x', substr(md5(CAST(root AS VARCHAR)), 1, 4))
+        |             AS INT) % 100 AS bb
+        |      FROM r)
+        |SELECT doc_id,
+        |       CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // the kept set must be exactly the originals (the degraded copies
     // score strictly lower), each with its c9-formula quality

@@ -66,6 +66,24 @@ object GraftExpressions {
   /** Morton z-value of N numeric dimensions (see [[ZValueExpr]]). */
   def zValue(dims: Column, boundaries: Array[Array[Double]],
              bits: Int): Column = c(ZValueExpr(x(dims), boundaries, bits))
+
+  /** Seeded ±1 Johnson–Lindenstrauss sign matrix, k rows × d cols —
+    * the Achlioptas (2003, public) database-friendly JL construction
+    * restricted to ±1 entries. Entry (j,i) is a pure function of its
+    * index (Knuth multiplicative LCG on j·d+i), so an oracle recomputes
+    * the matrix from the formula alone — no shipped randomness.
+    */
+  def jlSigns(k: Int, d: Int): Array[Array[Int]] =
+    Array.tabulate(k, d) { (j, i) =>
+      val h = ((j.toLong * d + i) * 2654435761L) % 4294967296L
+      if (h < 2147483648L) 1 else -1
+    }
+
+  /** Integer-grid JL projection of a float vector (see
+    * [[JlProjectExpr]]).
+    */
+  def jlProject(v: Column, signs: Array[Array[Int]]): Column =
+    c(JlProjectExpr(x(v), signs))
 }
 
 /** SimHash64(tokens): per-token xxhash64 (seed 42, identical to the
@@ -843,4 +861,88 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** JlProject(v): Johnson–Lindenstrauss ±1 projection of a float vector
+  * onto `k = signs.length` axes, over the 1/1024 INTEGER GRID — the
+  * embedding-compression front end of the ANN stack (64→16 dims is a 4×
+  * scan-cost cut at a JL-bounded distance distortion). Each component is
+  * y_j = Σ_i s_{j,i}·q_i with q_i = floor(x_i·1024 + 0.5): quantize-
+  * then-project makes every output an EXACT integer (|y_j| ≤ d·2^25 ≪
+  * 2^63), so results are order-free, associative, and cross-engine
+  * replicable — the §4 grid-integer rule applied to random projection.
+  * (x_i·1024.0 is itself exact — a float's 24-bit mantissa shifted by a
+  * power of two — so the only rounding is the explicit grid snap.)
+  *
+  * The sign matrix rides as ONE referenced object in the generated
+  * class ([[GraftExpressions.jlSigns]] derives it from a seeded LCG the
+  * oracle replays); the loop is a tight scalar nest inside whole-stage
+  * codegen — no per-row matrix allocation, no HOF array churn. Returns
+  * array<long> of length k.
+  */
+case class JlProjectExpr(child: Expression, signs: Array[Array[Int]])
+    extends UnaryExpression {
+  require(signs.nonEmpty && signs.forall(_.length == signs.head.length),
+    "signs must be a non-empty rectangular k x d matrix")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jlProject expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def projectOf(v: ArrayData): Array[Long] = {
+    val k = signs.length
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val row = signs(j)
+      val m = math.min(v.numElements(), row.length)
+      var acc = 0L
+      var i = 0
+      while (i < m) {
+        val q = math.floor(v.getFloat(i).toDouble * 1024.0 + 0.5).toLong
+        acc += row(i) * q
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      projectOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val signsRef = ctx.addReferenceObj("jlSigns", signs, "int[][]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      val q = ctx.freshName("q")
+      val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+      s"""
+         |long[] $out = new long[${signs.length}];
+         |for (int $j = 0; $j < ${signs.length}; $j++) {
+         |  int[] $row = $signsRef[$j];
+         |  int $m = Math.min($v.numElements(), $row.length);
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $q = (long) Math.floor((double) $v.getFloat($i) * 1024.0 + 0.5);
+         |    $acc += $row[$i] * $q;
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JlProjectExpr =
+    copy(child = newChild)
 }

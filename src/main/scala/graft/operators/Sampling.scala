@@ -152,4 +152,62 @@ object Sampling {
       .withColumn("pos", row_number().over(w) - 1)
       .drop("__graft_h")
   }
+
+  /** Exact per-group quota cap — head-domain downsampling (C54): keep at
+    * most `cap` rows per group, selected by seeded content hash so the
+    * kept set is order-invariant, re-run-stable, and cross-engine
+    * replicable (the [[seededShuffle]] determinism contract applied to
+    * selection). This is what a web-scale corpus does to its head
+    * domains: a handful of hosts contribute millions of pages each, and
+    * an UNCAPPED corpus lets them dominate training; a RATE-based
+    * downsample ([[stratifiedSample]]) cannot promise "at most N per
+    * host" — this does, exactly.
+    *
+    * Scale shape: `row_number <= cap` over a per-group window is
+    * recognized by Spark's `WindowGroupLimit` rewrite (SPARK-37099) —
+    * each map task keeps a cap-sized heap per group BEFORE the exchange,
+    * so a 10M-page host ships ~cap·n_tasks rows into the shuffle, not
+    * 10M, and no full per-group sort ever runs. Spec-locked by plan
+    * audit (the node must appear, partial on the map side).
+    */
+  def quotaCap(df: DataFrame, groupCol: String, keyCol: String, cap: Int,
+               seed: String = "quota"): DataFrame = {
+    require(cap >= 1, "quotaCap: cap must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(seed), lit(":"), col(keyCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(h, col(keyCol).cast("string"))
+    df.withColumn("__graft_qr", row_number().over(w))
+      .where(col("__graft_qr") <= cap).drop("__graft_qr")
+  }
+
+  /** Leakage-proof train/val/test split (C55): duplicate CLUSTERS are
+    * atomic — every member of a near-dup cluster lands in the SAME split
+    * as its cluster representative, so a test document can never have a
+    * near-copy in train (the contamination [[hashSplit]] alone cannot
+    * prevent: content-hash splitting sends two near-identical documents
+    * to independent splits, and eval silently measures memorization).
+    * Clusters come from any pair source (C2 MinHash, C3 SimHash, C12k/m
+    * audio, ...) resolved by [[Dedup.dupClusters]]; the split keys on
+    * the representative's id (singletons on their own id), inheriting
+    * hashSplit's order-invariant, growth-stable, md5-replicable
+    * contract.
+    *
+    * Scale shape: the cluster table is duplicate-volume-sized (≪ corpus)
+    * and joins broadcast under AQE; everything else is the map-only
+    * splitCol. The CC loop's cost profile is C13's (edge list shuffled
+    * once for the whole loop).
+    */
+  def leakProofSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                     trainPct: Int = 80, valPct: Int = 10,
+                     idA: String = "id_a", idB: String = "id_b")
+      : DataFrame = {
+    val clusters = Dedup.dupClusters(pairs, idA, idB)
+      .withColumnRenamed("id", idCol)
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn("split",
+        splitCol(coalesce(col("cluster_id"), col(idCol)),
+          trainPct, valPct))
+      .drop("cluster_id")
+  }
 }

@@ -147,4 +147,59 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val plan = kept.queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("deserializetoobject"), plan.take(400))
   }
+
+  test("quotaCap: at most cap per group, order-invariant selection, " +
+    "and the rank is planner-rewritten to WindowGroupLimit") {
+    val docs = Tables(spark, sfDir(), "documents").select("doc_id", "source")
+    val capped = Sampling.quotaCap(docs, "source", "doc_id", cap = 10)
+    val perGroup = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.nonEmpty && perGroup.values.forall(_ <= 10L))
+    // every source had 25 docs — the cap binds everywhere
+    assert(perGroup.values.forall(_ === 10L))
+    // selection is a function of content, not order or partitioning
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.quotaCap(docs.orderBy(desc("doc_id")).repartition(7),
+        "source", "doc_id", cap = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // scale shape: rank<=cap must plan as WindowGroupLimit (map-side
+    // cap-sized heaps before the exchange), never a full per-group sort
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("leakProofSplit: cluster members inherit the representative's " +
+    "split through multi-hop components; singletons match splitCol") {
+    val docs = Tables(spark, sfDir(), "documents").select("doc_id")
+    // chains d — d+1M — d+2M for d % 6 == 0; pairs d — d+1M for d % 3
+    val corpus = docs
+      .unionByName(docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id")))
+      .unionByName(docs.where(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id")))
+    val pairs = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + lit(1000000L)).as("id_b"))
+      .unionByName(docs.where(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("id_a"),
+          (col("doc_id") + lit(2000000L)).as("id_b")))
+    val split = Sampling.leakProofSplit(corpus, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size === corpus.count())
+    // every member of a planted component shares the root's split —
+    // including the 2-hop member that only CC can attach
+    split.keys.filter(id => id < 1000000L && id % 3 == 0).foreach { d =>
+      assert(split(d + 1000000L) === split(d), s"1-hop member of $d")
+      if (d % 6 == 0)
+        assert(split(d + 2000000L) === split(d), s"2-hop member of $d")
+    }
+    // singletons key on their own id — identical to plain splitCol
+    val plain = docs.where(col("doc_id") % 3 =!= 0)
+      .withColumn("split", Sampling.splitCol(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    plain.foreach { case (id, sp) => assert(split(id) === sp) }
+    // all three splits actually occur (the gate isn't vacuous)
+    assert(split.values.toSet === Set("train", "val", "test"))
+  }
 }

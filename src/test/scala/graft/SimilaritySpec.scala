@@ -344,4 +344,81 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"batched IVFPQ must stay joinless:\n${plan.take(600)}")
     assert(plan.toLowerCase.contains("pqscoremanyexpr"), plan.take(400))
   }
+
+  test("jlProject: integer-grid projection matches the direct definition, " +
+    "duplicates map identically, planted near-dup stays nearest") {
+    val emb = Tables(spark, sfDir(), "embeddings")
+      .select("vec_id", "embedding")
+    val signs = GraftExpressions.jlSigns(16, 64)
+    val out = emb.select(col("vec_id"),
+        GraftExpressions.jlProject(col("embedding"), signs).as("code"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // direct definition over the collected floats
+    val raw = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    raw.foreach { case (id, v) =>
+      val exp = signs.map { row =>
+        var acc = 0L
+        (0 until math.min(v.length, row.length)).foreach { i =>
+          acc += row(i) * math.floor(v(i).toDouble * 1024.0 + 0.5).toLong
+        }
+        acc
+      }
+      assert(out(id).toSeq === exp.toSeq, s"vec $id")
+    }
+    // identical input vectors yield identical codes (duplicate detection
+    // survives the projection exactly)
+    val dup = emb.limit(1)
+      .select(lit(999999L).as("vec_id"), col("embedding"))
+    val dupCode = dup.select(
+        GraftExpressions.jlProject(col("embedding"), signs).as("code"))
+      .head.getSeq[Long](0).toArray
+    val origId = emb.limit(1).head.getLong(0)
+    assert(dupCode.toSeq === out(origId).toSeq)
+    // the JL guarantee is about DISTANCE RATIOS in expectation, not
+    // per-pair ranks (k=16 has per-pair distortion up to several ×):
+    // E[||R(a−b)||²/k] = ||a−b||² for the ±1 construction, so the mean
+    // ratio over a fixed pair sample must sit near 1
+    def dist2(a: Array[Long], b: Array[Long]): Double = {
+      var s = 0.0
+      (0 until a.length).foreach { i =>
+        val d = (a(i) - b(i)).toDouble; s += d * d
+      }
+      s
+    }
+    val gridOf = raw.view.mapValues(v =>
+      v.map(x => math.floor(x.toDouble * 1024.0 + 0.5))).toMap
+    def gdist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      (0 until a.length).foreach { i => val d = a(i) - b(i); s += d * d }
+      s
+    }
+    val idSeq = raw.keys.toSeq.sorted
+    val ratios = for {
+      ai <- idSeq.indices by 7
+      bi <- (ai + 1) until idSeq.length by 13
+      de = gdist2(gridOf(idSeq(ai)), gridOf(idSeq(bi))) if de > 0
+    } yield dist2(out(idSeq(ai)), out(idSeq(bi))) / 16.0 / de
+    assert(ratios.nonEmpty)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2,
+      s"mean distance ratio $mean drifted from the JL expectation")
+    // a planted NEAR-duplicate (one grid step on 3 dims — tiny against
+    // typical pair distances) must be the projected-space nearest
+    // neighbor of its original: near-dup structure survives projection
+    val v0 = raw(idSeq.head)
+    val nd = v0.clone()
+    nd(0) += 1.0f / 1024.0f; nd(7) -= 1.0f / 1024.0f; nd(31) += 1.0f / 1024.0f
+    val ndCode = signs.map { row =>
+      var acc = 0L
+      (0 until math.min(nd.length, row.length)).foreach { i =>
+        acc += row(i) * math.floor(nd(i).toDouble * 1024.0 + 0.5).toLong
+      }
+      acc
+    }
+    val nn = idSeq.minBy(id => dist2(ndCode, out(id)))
+    assert(nn === idSeq.head,
+      s"planted near-dup projects nearest to $nn, not its original")
+  }
 }
