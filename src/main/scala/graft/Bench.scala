@@ -70,6 +70,9 @@ object Bench {
     "c52_pagerank_cdf", "c12h_audio_bands", "d20_sla_slo",
     "c50b_mmr_hybrid", "c28b_ivfpq_rank_many", "c12i_audio_activity",
     "c12j_audio_spectrogram", "c12k_audio_neardup",
+    "c12l_audio_spectrogram_hop", "c12m_audio_robust_match",
+    "d21_bloom_generations", "c53_jl_projection", "c54_source_quota",
+    "c55_leak_split",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -121,7 +124,19 @@ object Bench {
       // scan) — both scale with the replica; c28b scans the encoded
       // embeddings corpus
       "c50b_mmr_hybrid", "c28b_ivfpq_rank_many", "c12i_audio_activity",
-      "c12j_audio_spectrogram", "c12k_audio_neardup")
+      "c12j_audio_spectrogram",
+      // c12k/c12m are deliberately NOT probed (the b32 exclusion): the
+      // one-LCG-waveform corpus is one giant phase-coincident family,
+      // so the TRUE audio-dup pair set is quadratic in corpus size
+      // (measured 420k / 5.9M result rows at sf0.1 before the %4 gate
+      // slice) — a 10x probe would time result volume, not the
+      // operator. Real corpora have bounded family sizes.
+      // c12l scales with documents (grid per doc); c53 with the
+      // embeddings corpus (map-only projection); c54's window-limit
+      // heaps and c55's CC chain scale with documents; d21 is
+      // events-based → not probed
+      "c12l_audio_spectrogram_hop",
+      "c53_jl_projection", "c54_source_quota", "c55_leak_split")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -1129,7 +1129,13 @@ object SparkEntry {
     // would miss). Integer-exact end to end; the oracle replays grid,
     // argmax, join, and threshold.
     "c12k_audio_neardup" -> ((s, dir) => {
+      // every 4th clip: the one-LCG-waveform corpus is one giant
+      // phase-coincident near-dup family, so the TRUE pair set is
+      // quadratic in corpus size (420k pairs at sf0.1 unsliced — result
+      // volume, not operator cost; the b32 rule). The slice keeps the
+      // gate meaningful and the bench measuring the operator.
       val docs = t(s, dir, "documents").select("doc_id")
+        .where(col("doc_id") % 4 === 0)
       val wavs = graft.operators.Audio.packWav(s, docs, "doc_id")
       val corpus = wavs.unionByName(
         wavs.where(pmod(col("media_id"), lit(7)) === 0)
@@ -1152,7 +1158,12 @@ object SparkEntry {
     // recovers the pair. The oracle replays synthesis, clamp(v+δ), WHT,
     // argmax, bit-length, band join, and threshold — integer-exact.
     "c12m_audio_robust_match" -> ((s, dir) => {
+      // same %4 slice as c12k (the ±1 qmag band makes the family pair
+      // set even denser than the exact matcher's — 5.9M rows at sf0.1
+      // unsliced, all of it true phase-family signal the gate's
+      // `planted` flag separates)
       val docs = t(s, dir, "documents").select("doc_id")
+        .where(col("doc_id") % 4 === 0)
       val wavs = graft.operators.Audio.packWav(s, docs, "doc_id")
       val dithered = graft.operators.Audio.ditherWav(s,
         wavs.where(pmod(col("media_id"), lit(7)) === 0)
@@ -2022,9 +2033,12 @@ object SparkEntry {
     "d21_bloom_generations" -> ((s, dir) => {
       import graft.streaming.BloomStream
       val evTbl = t(s, dir, "events")
+      // cached: the fold re-reads this frame ~13× (6 bloom builds, 6
+      // flag scans, the truth side) — one materialization serves all
       val ev = evTbl.select(
         (col("event_id") % 6).cast("int").as("epoch"),
         concat(col("user_id"), lit(":"), col("event_id") % 50).as("key"))
+        .cache()
       // generation capacity from footers (metadata-only; ~2 epochs of
       // rows bounds the distinct keys a generation can hold)
       val perGen = graft.operators.BloomDedup.footerRowCount(evTbl)
@@ -5447,9 +5461,10 @@ object SparkEntry {
     "c12k_audio_neardup" ->
       """WITH ids AS (
         |  SELECT doc_id AS media_id, doc_id AS src FROM documents
+        |  WHERE doc_id % 4 = 0
         |  UNION ALL
         |  SELECT doc_id + 1000000, doc_id FROM documents
-        |  WHERE doc_id % 7 = 0),
+        |  WHERE doc_id % 4 = 0 AND doc_id % 7 = 0),
         |p AS (SELECT media_id, src,
         |             CAST(800 + (src % 5) * 160 AS INT) AS n FROM ids),
         |s AS (SELECT media_id, src, n, unnest(range(0, n)) AS i FROM p),
@@ -5486,10 +5501,10 @@ object SparkEntry {
     "c12m_audio_robust_match" ->
       """WITH ids AS (
         |  SELECT doc_id AS media_id, doc_id AS src, 0 AS dith
-        |  FROM documents
+        |  FROM documents WHERE doc_id % 4 = 0
         |  UNION ALL
         |  SELECT doc_id + 2000000, doc_id, 1 FROM documents
-        |  WHERE doc_id % 7 = 0),
+        |  WHERE doc_id % 4 = 0 AND doc_id % 7 = 0),
         |p AS (SELECT media_id, src, dith,
         |             CAST(800 + (src % 5) * 160 AS INT) AS n FROM ids),
         |s AS (SELECT media_id, src, dith, n,
