@@ -71,6 +71,7 @@ object Bench {
     "c50b_mmr_hybrid", "c28b_ivfpq_rank_many", "c12i_audio_activity",
     "c12j_audio_spectrogram", "c12k_audio_neardup",
     "c12l_audio_spectrogram_hop", "c12m_audio_robust_match",
+    "c12n_audio_chained_match",
     "d21_bloom_generations", "c53_jl_projection", "c54_source_quota",
     "c55_leak_split",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts

@@ -1174,6 +1174,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Amplitude-invariant chained-landmark matching (c12n): every 7th
+    // sliced clip gets a HALF-GAIN copy (re-mastered volume — the
+    // transform that moves every qmag by 2 buckets and defeats BOTH
+    // magnitude matchers, spec-locked). The Shazam-style chained code
+    // (anchor, line_a, line_{a+1}) carries no amplitude, so the lines
+    // survive the gain change and the copy pairs up. The oracle replays
+    // synthesis, truncating halving (// 2 ≡ Java /), per-frame argmax,
+    // the chain join, and the threshold — integer-exact.
+    "c12n_audio_chained_match" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .where(col("doc_id") % 4 === 0)
+      val wavs = graft.operators.Audio.packWav(s, docs, "doc_id")
+      val halved = graft.operators.Audio.gainWav(s,
+        wavs.where(pmod(col("media_id"), lit(7)) === 0)
+          .withColumn("media_id", col("media_id") + lit(3000000L)))
+      graft.operators.Audio
+        .chainedFingerprintPairs(s, wavs.unionByName(halved), minShared = 4)
+        .withColumn("planted", col("id_b") - col("id_a") === 3000000L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Overlapping-hop WHT spectrogram (c12l): the STFT convention —
     // hop = frame/2, so consecutive frames share half their samples and
     // a transient on a frame boundary is fully inside some frame. Same
@@ -5493,6 +5514,54 @@ object SparkEntry {
         |  ON a.frame_idx = b.frame_idx AND a.line = b.line
         | AND a.power = b.power AND a.media_id < b.media_id
         |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // chained-landmark replay with the half-gain copies: v' = v // 2
+    // (truncating, ≡ Java /), per-frame argmax lines, codes chain
+    // frames a and a+1, magnitude never enters
+    "c12n_audio_chained_match" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS src, 0 AS halved
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, doc_id, 1 FROM documents
+        |  WHERE doc_id % 4 = 0 AND doc_id % 7 = 0),
+        |p AS (SELECT media_id, src, halved,
+        |             CAST(800 + (src % 5) * 160 AS INT) AS n FROM ids),
+        |s AS (SELECT media_id, src, halved, n,
+        |             unnest(range(0, n)) AS i FROM p),
+        |samp AS (
+        |  SELECT media_id, CAST(i // 128 AS INT) AS frame_idx,
+        |         CAST(i % 128 AS BIGINT) AS ii,
+        |         CAST(CASE WHEN halved = 1
+        |              THEN (((src * 7349 + i * 12345 + 6789) % 65536)
+        |                    - 32768) // 2
+        |              ELSE ((src * 7349 + i * 12345 + 6789) % 65536)
+        |                   - 32768 END AS BIGINT) AS v
+        |  FROM s WHERE i < (n // 128) * 128),
+        |wht AS (
+        |  SELECT f.media_id, f.frame_idx, j.j AS j,
+        |         sum(CASE WHEN bit_count(CAST(j.j AS BIGINT) & f.ii) % 2 = 0
+        |                  THEN f.v ELSE -f.v END) AS x
+        |  FROM samp f CROSS JOIN (SELECT unnest(range(0, 128)) AS j) j
+        |  GROUP BY 1, 2, 3),
+        |ln AS (
+        |  SELECT media_id, frame_idx, CAST(j AS INT) AS line FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY media_id, frame_idx
+        |        ORDER BY x * x DESC, j) AS rn FROM wht) t
+        |  WHERE rn = 1),
+        |cc AS (
+        |  SELECT a.media_id, a.frame_idx AS anchor, a.line AS line_a,
+        |         b.line AS line_t
+        |  FROM ln a JOIN ln b ON a.media_id = b.media_id
+        |   AND b.frame_idx = a.frame_idx + 1)
+        |SELECT x.media_id AS id_a, y.media_id AS id_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared,
+        |       y.media_id - x.media_id = 3000000 AS planted
+        |FROM cc x JOIN cc y
+        |  ON x.anchor = y.anchor AND x.line_a = y.line_a
+        | AND x.line_t = y.line_t AND x.media_id < y.media_id
+        |GROUP BY 1, 2 HAVING count(*) >= 4
         |ORDER BY id_a, id_b""".stripMargin,
 
     // same landmark replay as c12k but with the dithered copies:

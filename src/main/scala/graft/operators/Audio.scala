@@ -601,6 +601,122 @@ object Audio {
     }(enc)
   }
 
+  /** Re-encode every clip at HALF gain — the volume-normalization /
+    * re-mastering transform that defeats magnitude-carrying fingerprints:
+    * sample i becomes s_i / 2 (truncating integer division — Java's `/`
+    * and DuckDB's `//` agree on truncation toward zero, so the oracle
+    * replays it exactly). Every sequency power scales by ~1/4 (plus
+    * bounded rounding noise), so [[robustFingerprintPairs]]' qmag moves
+    * TWO buckets (> tol) and the match is lost — while the dominant
+    * LINES, which carry no magnitude, survive: the demonstration that
+    * motivates [[chainedFingerprintPairs]]. Real codec both ways;
+    * non-WAV payloads pass through (A13).
+    */
+  def gainWav(spark: SparkSession, packed: DataFrame,
+              batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(packed.schema)
+    packed.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val iMedia = r.fieldIndex("media")
+          val bytes = r.getAs[Array[Byte]](iMedia)
+          val pcm = pcmOf(bytes)
+          if (pcm == null) r
+          else {
+            val n = pcm.length / 2
+            val out = new Array[Byte](pcm.length)
+            var i = 0
+            while (i < n) {
+              val s = sampleAt(pcm, i) / 2
+              out(2 * i) = (s & 0xFF).toByte
+              out(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              SampleRate.toFloat, 16, 1, 2, SampleRate.toFloat, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(out), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            wavWriter.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            val vals = r.toSeq.toArray
+            vals(iMedia) = bos.toByteArray
+            Row.fromSeq(vals.toSeq)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Amplitude-INVARIANT audio matching via chained landmarks — the
+    * actual Shazam construction (Wang 2003, public): the code drops
+    * magnitude entirely and pairs the dominant line of anchor frame a
+    * with the dominant line of frame a+1 — (a, line_a, line_{a+1}).
+    * Two lines + the anchor position give ~anchor·128² specificity
+    * without any amplitude term, so a re-mastered copy (gain change —
+    * [[gainWav]]) still matches: powers scale, argmax lines don't.
+    * The magnitude family ([[fingerprintPairs]] exact,
+    * [[robustFingerprintPairs]] ±1 bucket) both lose gain-shifted
+    * copies; this finds them — the three matchers are the
+    * sensitivity/specificity ladder a production pipeline picks from.
+    *
+    * Same scale shape as the others: codes per clip are frame-count-
+    * sized, the join is a hash equi-join on the full code, pair volume
+    * tracks true-duplicate volume. Integer-exact end to end. Returns
+    * (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def chainedFingerprintPairs(spark: SparkSession, packed: DataFrame,
+                              frame: Int = 128,
+                              minShared: Int = 4): DataFrame = {
+    val codeSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("anchor", IntegerType),
+      StructField("line_a", IntegerType),
+      StructField("line_t", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(codeSchema)
+    val in = packed.select(col("media_id").cast("long"), col("media"))
+    val codes = in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val pcm = pcmOf(r.getAs[Array[Byte]](1))
+        val n = if (pcm == null) 0 else pcm.length / 2
+        val frames = n / frame
+        if (pcm == null || frames < 2) Iterator.empty
+        else {
+          val lines = new Array[Int](frames)
+          var f = 0
+          while (f < frames) {
+            val p = whtPowers(pcm, frame, f * frame)
+            var best = 0
+            var bestP = -1L
+            var j = 0
+            while (j < frame) {
+              if (p(j) > bestP) { bestP = p(j); best = j }
+              j += 1
+            }
+            lines(f) = best
+            f += 1
+          }
+          (0 until frames - 1).iterator.map { a =>
+            Row(id, a, lines(a), lines(a + 1))
+          }
+        }
+      }
+    }(enc)
+    val l = codes.select(col("media_id").as("id_a"), col("anchor"),
+      col("line_a"), col("line_t"))
+    val r = codes.select(col("media_id").as("id_b"), col("anchor"),
+      col("line_a"), col("line_t"))
+    l.join(r, Seq("anchor", "line_a", "line_t"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Robust audio near-dup pairs — [[fingerprintPairs]]'s exact-power
     * landmark hardened against small lossy perturbations (the Shazam-
     * style construction the exact code is the deterministic core of).

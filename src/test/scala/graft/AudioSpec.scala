@@ -326,6 +326,47 @@ class AudioSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("gainWav defeats both magnitude matchers but chained landmark " +
+    "codes keep matching; byte-identical copies chain on every anchor") {
+    val ids = Tables(spark, sfDir(), "documents")
+      .select("doc_id").where(col("doc_id") < 150 && col("doc_id") % 4 === 0)
+    val wavs = Audio.packWav(spark, ids, "doc_id")
+    val halved = Audio.gainWav(spark,
+      wavs.where(pmod(col("media_id"), lit(7)) === 0)
+        .withColumn("media_id", col("media_id") + lit(3000000L)))
+    val corpus = wavs.unionByName(halved)
+    val plantedIds = ids.collect().map(_.getLong(0)).filter(_ % 7 == 0)
+    assert(plantedIds.length >= 5)
+    // half gain moves every power ~4x down: qmag shifts TWO buckets and
+    // the ±1-band robust matcher loses every planted copy
+    val robust = Audio.robustFingerprintPairs(spark, corpus, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    plantedIds.foreach { id =>
+      assert(!robust.contains((id, id + 3000000L)),
+        s"qmag matcher must lose the half-gain copy of $id")
+    }
+    // the amplitude-free chained code keeps matching: recall is HIGH but
+    // not total — argmax lines can flip when two top powers sit within
+    // the gain-rounding noise (doc 140 in this corpus does exactly that)
+    val chained = Audio.chainedFingerprintPairs(spark, corpus, minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = plantedIds.count(id => chained.contains((id, id + 3000000L)))
+    assert(got >= plantedIds.length - 1 && got < plantedIds.length + 1,
+      s"chained matcher recovered $got/${plantedIds.length} half-gain copies")
+    assert(got.toDouble / plantedIds.length >= 0.8)
+    // byte-identical copies share EVERY anchor chain
+    val exactCorpus = wavs.unionByName(
+      wavs.where(pmod(col("media_id"), lit(7)) === 0)
+        .withColumn("media_id", col("media_id") + lit(4000000L)))
+    val full = Audio.chainedFingerprintPairs(spark, exactCorpus, minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    plantedIds.foreach { id =>
+      assert(full.get((id, id + 4000000L))
+        .contains(Audio.nSamples(id) / 128 - 1L),
+        s"identical copy of $id must chain on every anchor")
+    }
+  }
+
   test("bandEnergies: dyadic bands partition the spectrum exactly and " +
     "match the direct WHT definition") {
     val frame = 128
