@@ -73,7 +73,7 @@ object Bench {
     "c12l_audio_spectrogram_hop", "c12m_audio_robust_match",
     "c12n_audio_chained_match",
     "d21_bloom_generations", "c53_jl_projection", "c54_source_quota",
-    "c55_leak_split",
+    "c55_leak_split", "c14d_jl_ivf_topk",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -137,7 +137,9 @@ object Bench {
       // heaps and c55's CC chain scale with documents; d21 is
       // events-based → not probed
       "c12l_audio_spectrogram_hop",
-      "c53_jl_projection", "c54_source_quota", "c55_leak_split")
+      "c53_jl_projection", "c54_source_quota", "c55_leak_split",
+      // c14d scans the (replica-scaled) embeddings corpus once
+      "c14d_jl_ivf_topk")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -2913,6 +2913,54 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // C14d: the fully-quantized serving path — IVF over C53's JL codes.
+    // Everything downstream of the projection is INTEGER arithmetic
+    // (cells, probes, distances, ranks), so unlike every float-cosine
+    // ANN gate this one needs NO rounding anywhere: the oracle replays
+    // projection → seed centroids (codes of vec 0..15) → argmin cell
+    // (ties to lowest c) → 4-cell probe per query → exact squared-L2
+    // rerank → (dist, id) rank, all hash-exact. One corpus scan; the
+    // ≤32-row probe table broadcasts onto the cell key; assignment is a
+    // codegen'd reference-object expression (the CentroidIndex shape).
+    "c14d_jl_ivf_topk" -> ((s, dir) => {
+      import graft.functions.GraftExpressions._
+      val signs = jlSigns(16, 64)
+      val coded = t(s, dir, "embeddings")
+        .select(col("vec_id"), jlProject(col("embedding"), signs).as("code"))
+      val cents: Array[Array[Long]] = coded.where(col("vec_id") < 16)
+        .orderBy("vec_id").collect().map(_.getSeq[Long](1).toArray)
+      val assigned = coded
+        .withColumn("cell", intCellAssign(col("code"), cents))
+      val qRows = assigned.where(col("vec_id") < 8)
+        .select("vec_id", "code").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      def d2(a: Array[Long], b: Array[Long]): Long = {
+        var acc = 0L; var i = 0
+        while (i < math.min(a.length, b.length)) {
+          val d = a(i) - b(i); acc += d * d; i += 1
+        }
+        acc
+      }
+      val probeRows = qRows.flatMap { case (q, qc) =>
+        cents.zipWithIndex.map { case (ct, ci) => (d2(qc, ct), ci) }
+          .sortBy(identity).take(4)
+          .map { case (_, ci) => (q, ci, qc.toSeq) }
+      }.toSeq
+      import s.implicits._
+      val qdf = probeRows.toDF("query_id", "cell", "qcode")
+      val cand = assigned.join(broadcast(qdf), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("dist", aggregate(
+          zip_with(col("code"), col("qcode"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, e) => acc + e))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+      cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("dist"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Weighted source mixing (C25): kept token mass follows the target
     // weights at the largest supportable total. The ENTIRE computation —
     // per-source token totals, the scarcity constant k, per-source rates,
@@ -4235,6 +4283,57 @@ object SparkEntry {
         |  FROM embeddings CROSS JOIN idx i CROSS JOIN jj j)
         |SELECT vec_id, j, CAST(sum(s * q) AS BIGINT) AS y
         |FROM e GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
+
+    // the whole quantized serving path replayed: projection, seed
+    // centroids, argmin cells (ties to lowest c), 4-cell probes, exact
+    // integer L2, (dist, id) ranks — zero tolerance end to end
+    "c14d_jl_ivf_topk" ->
+      """WITH idx AS (SELECT unnest(range(0, 64)) AS i),
+        |jj AS (SELECT unnest(range(0, 16)) AS j),
+        |codes AS (
+        |  SELECT vec_id, CAST(j.j AS INT) AS j,
+        |         CAST(sum((CASE WHEN ((j.j * 64 + i.i) * 2654435761)
+        |                             % 4294967296 < 2147483648
+        |                        THEN 1 ELSE -1 END)
+        |              * CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1]
+        |                     AS DOUBLE) * 1024 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS y
+        |  FROM embeddings CROSS JOIN idx i CROSS JOIN jj j
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT vec_id AS c, j, y FROM codes WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT v.vec_id, c.c, sum((v.y - c.y) * (v.y - c.y)) AS d
+        |  FROM codes v JOIN cent c ON v.j = c.j
+        |  GROUP BY 1, 2),
+        |cell AS (
+        |  SELECT vec_id, CAST(c AS INT) AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d, c) AS rn FROM asg) t
+        |  WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS query_id, CAST(c AS INT) AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d, c) AS rn
+        |    FROM asg WHERE vec_id < 8) t
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT q.query_id, v.vec_id
+        |  FROM cell v JOIN qprobe q ON v.cell = q.cell
+        |  WHERE v.vec_id <> q.query_id),
+        |dist AS (
+        |  SELECT ca.query_id, ca.vec_id,
+        |         sum((a.y - b.y) * (a.y - b.y)) AS dist
+        |  FROM cand ca
+        |  JOIN codes a ON a.vec_id = ca.query_id
+        |  JOIN codes b ON b.vec_id = ca.vec_id AND b.j = a.j
+        |  GROUP BY 1, 2)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       CAST(dist AS BIGINT) AS dist, CAST(rnk AS INT) AS rnk
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, vec_id) AS rnk
+        |  FROM dist) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     // the identical md5 rank replayed: same seed prefix, same
     // hash-then-key tiebreak, same cap

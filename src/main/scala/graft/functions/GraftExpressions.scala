@@ -84,6 +84,12 @@ object GraftExpressions {
     */
   def jlProject(v: Column, signs: Array[Array[Int]]): Column =
     c(JlProjectExpr(x(v), signs))
+
+  /** Nearest-centroid cell for an integer code vector (see
+    * [[IntCellAssignExpr]]).
+    */
+  def intCellAssign(code: Column, cents: Array[Array[Long]]): Column =
+    c(IntCellAssignExpr(x(code), cents))
 }
 
 /** SimHash64(tokens): per-token xxhash64 (seed 42, identical to the
@@ -944,5 +950,80 @@ case class JlProjectExpr(child: Expression, signs: Array[Array[Int]])
     })
 
   override protected def withNewChildInternal(newChild: Expression): JlProjectExpr =
+    copy(child = newChild)
+}
+
+/** IntCellAssign(code): nearest-centroid assignment for INTEGER vectors —
+  * the IVF coarse quantizer over [[JlProjectExpr]] codes. Centroids ride
+  * as one referenced long[][]; distance is exact integer squared-L2
+  * (codes are ≤ d·2^25, so squared diffs sum well inside a long), ties
+  * resolve to the LOWEST centroid index — a total, replicable order, so
+  * unlike float k-means assignment the cell id itself is
+  * oracle-checkable with no tolerance. Returns int cell ∈ [0, C).
+  */
+case class IntCellAssignExpr(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression {
+  require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+    "centroids must be a non-empty rectangular C x k matrix")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"intCellAssign expects array<long>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+
+  private def assignOf(v: ArrayData): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = math.min(v.numElements(), cent.length)
+      var d = 0L
+      var i = 0
+      while (i < m) {
+        val diff = v.getLong(i) - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    assignOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val centsRef = ctx.addReferenceObj("ivfCents", cents, "long[][]")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val cent = ctx.freshName("cent")
+      s"""
+         |int $best = 0;
+         |long $bestD = Long.MAX_VALUE;
+         |for (int $c = 0; $c < ${cents.length}; $c++) {
+         |  long[] $cent = $centsRef[$c];
+         |  int $m = Math.min($v.numElements(), $cent.length);
+         |  long $d = 0L;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $diff = $v.getLong($i) - $cent[$i];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IntCellAssignExpr =
     copy(child = newChild)
 }

@@ -421,4 +421,55 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(nn === idSeq.head,
       s"planted near-dup projects nearest to $nn, not its original")
   }
+
+  test("intCellAssign matches the direct argmin with lowest-index ties, " +
+    "and a planted duplicate always lands rank 1 through its own cell") {
+    val emb = Tables(spark, sfDir(), "embeddings")
+      .select("vec_id", "embedding")
+    val signs = GraftExpressions.jlSigns(16, 64)
+    val coded = emb.select(col("vec_id"),
+      GraftExpressions.jlProject(col("embedding"), signs).as("code"))
+    val cents = coded.where(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Long](1).toArray)
+    val assigned = coded
+      .withColumn("cell", GraftExpressions.intCellAssign(col("code"), cents))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getInt(2)))
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val d = a(i) - b(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    assigned.foreach { case (id, code, cell) =>
+      val expect = cents.zipWithIndex
+        .map { case (ct, ci) => (d2(code, ct), ci) }.min._2
+      assert(cell === expect, s"vec $id cell")
+    }
+    // the IVF no-lost-duplicate contract, exactly checkable because
+    // everything is integer: a duplicate vector gets the identical code
+    // (JlProject is pure), hence the identical cell; and every vector's
+    // 4-cell probe list CONTAINS its own assigned cell (the assigned
+    // cell IS the argmin centroid — probe rank 1), so a duplicate can
+    // never be lost to cell pruning and lands at dist 0, rank 1
+    val dup = emb.where(col("vec_id") === 3L)
+      .select(lit(999999L).as("vec_id"), col("embedding"))
+    val dupRow = dup.select(
+        GraftExpressions.jlProject(col("embedding"), signs).as("code"))
+      .withColumn("cell", GraftExpressions.intCellAssign(col("code"), cents))
+      .head
+    val orig = assigned.find(_._1 == 3L).get
+    assert(dupRow.getSeq[Long](0).toArray.toSeq === orig._2.toSeq,
+      "duplicate must project to the identical code")
+    assert(dupRow.getInt(1) === orig._3,
+      "duplicate must assign to the identical cell")
+    assigned.foreach { case (id, code, cell) =>
+      val probed = cents.zipWithIndex
+        .map { case (ct, ci) => (d2(code, ct), ci) }
+        .sorted.take(4).map(_._2).toSet
+      assert(probed.contains(cell),
+        s"vec $id: own cell $cell must be in its probe set")
+    }
+  }
 }
