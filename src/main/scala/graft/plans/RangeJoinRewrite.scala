@@ -161,9 +161,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   * `jaro_winkler(a, b)`, `normalize_text(s)`,
   * `minhash_signature(tokens, w, k)`, `char_ngram_hashes(s, n)`,
   * `span_md5s(tokens, w)`, `zvalue(dims, boundaries, bits)`,
-  * `plane_sign_buckets(vec, planes, tables, bits)` — matrix parameters
-  * are literal `array(array(...))`, carried as one plan reference
-  * object exactly like the Column API's.
+  * `plane_sign_buckets(vec, planes, tables, bits)`,
+  * `jl_project(vec, k, d)`, `int_cell_assign(code, cents)` — matrix
+  * parameters are literal `array(array(...))`, carried as one plan
+  * reference object exactly like the Column API's (jl_project derives
+  * its sign matrix from (k, d) — it is a pure function of the shape).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -283,5 +285,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args(0), litMatrix(args(1), "plane_sign_buckets"),
         litInt(args(2), "plane_sign_buckets"),
         litInt(args(3), "plane_sign_buckets"))))
+
+    // jl_project(vec, k, d) — the sign matrix is a PURE FUNCTION of
+    // (k, d) (the seeded-LCG Achlioptas construction), so SQL callers
+    // pass the dimensions and the builder derives the same matrix the
+    // Column API uses; no array-of-array literal needed
+    extensions.injectFunction((FunctionIdentifier("jl_project"),
+      info("jl_project", classOf[graft.functions.JlProjectExpr]),
+      (args: Seq[Expression]) => graft.functions.JlProjectExpr(args(0),
+        graft.functions.GraftExpressions.jlSigns(
+          litInt(args(1), "jl_project"), litInt(args(2), "jl_project")))))
+
+    // int_cell_assign(code, array(array(centroid...)...)) — integer
+    // centroid matrix as a literal, same plan-reference contract
+    extensions.injectFunction((FunctionIdentifier("int_cell_assign"),
+      info("int_cell_assign", classOf[graft.functions.IntCellAssignExpr]),
+      (args: Seq[Expression]) => graft.functions.IntCellAssignExpr(args(0),
+        litMatrix(args(1), "int_cell_assign").map(_.map(_.toLong)))))
   }
 }

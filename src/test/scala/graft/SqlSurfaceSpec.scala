@@ -85,6 +85,33 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("sql surface: jl_project derives the sign matrix from (k, d) and " +
+       "int_cell_assign takes a literal centroid matrix — both ≡ Column API") {
+    val df = spark.read.parquet(s"${sfDir()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(50)
+    df.createOrReplaceTempView("sql_jl_vecs")
+    val signs = GraftExpressions.jlSigns(8, 64)
+    val a = spark.sql(
+      """SELECT vec_id, jl_project(embedding, 8, 64) AS code
+        |FROM sql_jl_vecs""".stripMargin).orderBy("vec_id").collect().toSeq
+    val b = df.select(col("vec_id"),
+        GraftExpressions.jlProject(col("embedding"), signs).as("code"))
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+    val cents = Array(Array(0L, 0L), Array(1000L, -1000L))
+    val a2 = spark.sql(
+      """SELECT vec_id,
+        |       int_cell_assign(slice(jl_project(embedding, 8, 64), 1, 2),
+        |         array(array(0L, 0L), array(1000L, -1000L))) AS cell
+        |FROM sql_jl_vecs""".stripMargin).orderBy("vec_id").collect().toSeq
+    val b2 = df.select(col("vec_id"),
+        GraftExpressions.intCellAssign(
+          slice(GraftExpressions.jlProject(col("embedding"), signs), 1, 2),
+          cents).as("cell"))
+      .orderBy("vec_id").collect().toSeq
+    assert(a2 == b2)
+  }
+
   test("b48 engine side is a spark.sql string and returns rows with the " +
        "recomposed NFC marker") {
     val out = SparkEntry.queries("b48_sql_surface")(spark, sfDir())
