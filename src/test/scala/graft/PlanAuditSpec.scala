@@ -353,4 +353,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
                        // the union'd v2 derivation must not add joins
       s"expected one diff join, saw $joins:\n${p.take(800)}")
   }
+
+  test("c53: the JL projection is a joinless map-only scan — the only " +
+       "exchange is the output ordering's") {
+    val p = plan("c53_jl_projection")
+    assert(!p.contains("Join"), s"projection must not join:\n${p.take(600)}")
+    // one projection pass: JlProject inside whole-stage codegen, and no
+    // exchange before the generate/sort that shapes the output rows
+    assert(p.toLowerCase.contains("jlproject"), p.take(600))
+    val sortIdx = p.indexOf("Sort")
+    val exIdx = p.indexOf("Exchange")
+    assert(exIdx == -1 || sortIdx == -1 || exIdx > p.indexOf("Generate") ||
+      exIdx > sortIdx - 2000,
+      s"no exchange may precede the projection itself:\n${p.take(800)}")
+  }
+
+  test("c14d: quantized IVF serving is ONE corpus scan with the probe " +
+       "table broadcast — no sort-merge join, no second scan") {
+    val df = SparkEntry.queries("c14d_jl_ivf_topk")(spark, sfDir())
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe table must broadcast onto the cell key:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no heavyweight join allowed:\n${p.take(600)}")
+    assert(p.toLowerCase.contains("intcellassign"),
+      s"assignment must be the codegen expression:\n${p.take(600)}")
+    // the embeddings parquet is scanned exactly once in this plan (the
+    // centroid/query collects ran driver-side before the plan existed);
+    // AQE prints the initial plan after the final one — count the final
+    val finalP = p.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalP).size
+    assert(scans == 1, s"expected one corpus scan, saw $scans:\n${p.take(800)}")
+  }
 }
