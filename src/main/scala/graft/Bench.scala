@@ -73,7 +73,7 @@ object Bench {
     "c12l_audio_spectrogram_hop", "c12m_audio_robust_match",
     "c12n_audio_chained_match",
     "d21_bloom_generations", "c53_jl_projection", "c54_source_quota",
-    "c55_leak_split", "c14d_jl_ivf_topk",
+    "c55_leak_split", "c14d_jl_ivf_topk", "a37_multi_publish",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -138,17 +138,23 @@ object Bench {
       // events-based → not probed
       "c12l_audio_spectrogram_hop",
       "c53_jl_projection", "c54_source_quota", "c55_leak_split",
-      // c14d scans the (replica-scaled) embeddings corpus once
-      "c14d_jl_ivf_topk")
+      // c14d scans the (replica-scaled) embeddings corpus once; a37's
+      // cost is its staged writes (orders+customer scale with the
+      // replica; the commit itself is one rename at any size)
+      "c14d_jl_ivf_topk", "a37_multi_publish")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
     * order of magnitude (~170 MB of documents — still trivially local).
     */
-  val scaling100Probe: Seq[String] = Seq("q5_star_join", "c2_minhash_lsh")
+  val scaling100Probe: Seq[String] =
+    Seq("q5_star_join", "c2_minhash_lsh",
+      // the compression front end across two decades: map-only
+      // projection over the 100x embeddings corpus
+      "c53_jl_projection")
 
   private val scale100Tables = Seq("lineitem", "orders", "customer",
-    "region", "nation", "documents")
+    "region", "nation", "documents", "embeddings")
 
   private def sfDir: String =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

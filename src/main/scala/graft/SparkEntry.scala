@@ -1952,6 +1952,51 @@ object SparkEntry {
         .orderBy("version")
     }),
 
+    // A37 multi-table atomic publish: two tables advance versions only
+    // TOGETHER. The middle attempt stages a clean ord batch beside a
+    // cust batch that fails its audit — the commit pointer must not
+    // move for EITHER (failed_blocked), then the retry lands both at
+    // v2. The oracle pins the final committed contents + the contract
+    // booleans; a non-atomic implementation (ord at v2, cust at v1
+    // after the failed attempt) breaks failed_blocked.
+    "a37_multi_publish" -> ((s, dir) => {
+      import graft.sources.{MultiPublish, Wap}
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("a37_multi_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val audits = Seq(Wap.minRows(1))
+      val r1 = MultiPublish.publishAll(s, Map(
+        "ord" -> ((orders.where(col("o_orderkey") % 2 === 0), audits)),
+        "cust" -> ((cust.where(col("c_custkey") % 2 === 0), audits))), root)
+      val badCust = cust.withColumn("c_custkey",
+        when(col("c_custkey") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey")))
+      val r2 = MultiPublish.publishAll(s, Map(
+        "ord" -> ((orders, audits)),
+        "cust" -> ((badCust, Seq(Wap.noNulls("c_custkey"))))), root)
+      val blockedBoth = MultiPublish.commitVersions(s, root) ==
+        Map("ord" -> 1, "cust" -> 1)
+      val r3 = MultiPublish.publishAll(s, Map(
+        "ord" -> ((orders, audits)), "cust" -> ((cust, audits))), root)
+      import s.implicits._
+      Seq(
+        ("cust", r3.versions("cust"),
+          MultiPublish.readCommitted(s, root, "cust").count()),
+        ("ord", r3.versions("ord"),
+          MultiPublish.readCommitted(s, root, "ord").count()))
+        .toDF("tbl", "version", "cnt")
+        .withColumn("v1_ok", lit(r1.committed))
+        .withColumn("failed_blocked", lit(!r2.committed && blockedBoth))
+        .withColumn("v2_ok", lit(r3.committed))
+        .orderBy("tbl")
+    }),
+
     "a29_wap" -> ((s, dir) => {
       import org.apache.hadoop.fs.Path
       import graft.sources.Wap
@@ -4536,6 +4581,16 @@ object SparkEntry {
 
     // base (keys % 3 != 0) + the good batch (% 3 == 0) = ALL orders; a
     // leaked bad batch or a lost good batch breaks cnt/sum immediately
+    // the final committed state: both tables at v2 with full contents,
+    // every lifecycle contract boolean true
+    "a37_multi_publish" ->
+      """SELECT 'cust' AS tbl, 2 AS version,
+        |       (SELECT count(*) FROM customer) AS cnt,
+        |       true AS v1_ok, true AS failed_blocked, true AS v2_ok
+        |UNION ALL
+        |SELECT 'ord', 2, (SELECT count(*) FROM orders), true, true, true
+        |ORDER BY tbl""".stripMargin,
+
     "a29_wap" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |       round(sum(o_totalprice), 2) AS sum_price,

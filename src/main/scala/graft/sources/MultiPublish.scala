@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table ATOMIC publish (A37) — the cross-table transaction the
+  * single-table WAP (A29) cannot express: a pipeline that derives N
+  * tables from one batch (facts + a dimension + an aggregate rollup)
+  * must never expose table A's new snapshot beside table B's old one —
+  * a reader joining the two would see a state that never existed.
+  *
+  * Construction: each table's snapshots live in versioned directories
+  * `root/<table>/v<N>/` that readers NEVER list — the only way in is the
+  * commit pointer `root/_COMMIT`, a one-line-per-table `table=version`
+  * manifest. A publish stages every table's next version, audits each
+  * staged snapshot AS READ BACK (the A29 rule: audit what would publish,
+  * not the input frame), and then flips `_COMMIT` with ONE atomic rename
+  * — the all-or-nothing point for every table at once. Any failure
+  * before the flip deletes the staged versions and leaves the pointer —
+  * and therefore every reader's view of every table — bit-identical.
+  *
+  * Retried publishes are idempotent: the pointer didn't move, so the
+  * retry computes the same target versions and overwrites its own
+  * abandoned stage dirs. Old versions stay readable (time travel per
+  * table via an explicit version) until vacuumed.
+  *
+  * Scale shape: staging is the only data movement (one partitioned
+  * write per table, batch-sized); audits read the staged snapshots
+  * (batch-sized, never the table); the commit is one KB-sized file
+  * rename regardless of table count or size. Nothing scans history.
+  */
+object MultiPublish {
+
+  case class MultiReport(committed: Boolean, versions: Map[String, Int],
+                         failures: Seq[String])
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    FileSystem.get(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+
+  /** The committed (table → version) view; empty before first publish. */
+  def commitVersions(spark: SparkSession, root: String): Map[String, Int] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(root, "_COMMIT")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.contains("=")).map { l =>
+            val Array(t, v) = l.split("=", 2); t -> v.trim.toInt
+          }.toMap
+      } finally in.close()
+    }
+  }
+
+  /** Read `table` at the committed version (the ONLY reader path —
+    * version dirs are an implementation detail of the pointer).
+    */
+  def readCommitted(spark: SparkSession, root: String,
+                    table: String): DataFrame = {
+    val v = commitVersions(spark, root).getOrElse(table,
+      throw new IllegalStateException(
+        s"table '$table' has no committed version under $root"))
+    spark.read.parquet(s"$root/$table/v$v")
+  }
+
+  /** Read `table` at an explicit historical version (time travel). */
+  def readVersion(spark: SparkSession, root: String, table: String,
+                  version: Int): DataFrame =
+    spark.read.parquet(s"$root/$table/v$version")
+
+  /** Stage + audit + atomically commit every (table → frame, audits)
+    * together. Either every table advances one version or none does.
+    */
+  def publishAll(spark: SparkSession,
+                 staged: Map[String, (DataFrame, Seq[Wap.Audit])],
+                 root: String): MultiReport = {
+    require(staged.nonEmpty, "publishAll: nothing to publish")
+    val fs = fsOf(spark, root)
+    val current = commitVersions(spark, root)
+    val next = staged.keys.map(t => t -> (current.getOrElse(t, 0) + 1)).toMap
+
+    // STAGE: write each next version (invisible until the pointer flips;
+    // overwrite semantics make a crashed attempt's dir self-healing)
+    staged.foreach { case (t, (df, _)) =>
+      df.write.mode("overwrite").parquet(s"$root/$t/v${next(t)}")
+    }
+
+    // AUDIT the staged snapshots as read back — all tables, so the
+    // report names every violation, not just the first
+    val failures = staged.toSeq.sortBy(_._1).flatMap { case (t, (_, audits)) =>
+      val back = spark.read.parquet(s"$root/$t/v${next(t)}")
+      audits.flatMap { case (name, check) =>
+        check(back).map(msg => s"$t: $name: $msg")
+      }
+    }
+    if (failures.nonEmpty) {
+      staged.keys.foreach { t =>
+        fs.delete(new Path(s"$root/$t/v${next(t)}"), true)
+      }
+      return MultiReport(committed = false, versions = current, failures)
+    }
+
+    // COMMIT: one atomic rename flips every table's version at once
+    val merged = current ++ next
+    val tmp = new Path(root, s"_COMMIT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(merged.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"$t=$v" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    val fc = FileContext.getFileContext(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(root, "_COMMIT"), Options.Rename.OVERWRITE)
+    MultiReport(committed = true, versions = merged, failures = Nil)
+  }
+}

@@ -110,4 +110,48 @@ class WapSpec extends AnyFunSuite with SparkSpec {
       Seq(Wap.minRows(1)))
     assert(keys(Seq.empty).contains(30L))
   }
+
+  test("a37 multi-publish: a failed audit blocks EVERY table, aborted " +
+       "stages self-clean, old versions stay readable, retry is " +
+       "idempotent") {
+    import graft.sources.MultiPublish
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_multi_pub").toString
+    val fs = FileSystem.get(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val audits = Seq(Wap.minRows(1))
+    val t1v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t2v1 = Seq((10L, 1.0)).toDF("k", "x")
+    val r1 = MultiPublish.publishAll(spark,
+      Map("t1" -> ((t1v1, audits)), "t2" -> ((t2v1, audits))), root)
+    assert(r1.committed && r1.versions === Map("t1" -> 1, "t2" -> 1))
+    // failed attempt: t1's batch is fine, t2's violates — NEITHER moves
+    val t1v2 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val t2bad = Seq((Option.empty[java.lang.Long], 2.0))
+      .toDF("k", "x")
+    val r2 = MultiPublish.publishAll(spark,
+      Map("t1" -> ((t1v2, audits)),
+          "t2" -> ((t2bad, Seq(Wap.noNulls("k"))))), root)
+    assert(!r2.committed && r2.failures.nonEmpty)
+    assert(MultiPublish.commitVersions(spark, root) ===
+      Map("t1" -> 1, "t2" -> 1),
+      "pointer must not move for ANY table on a partial failure")
+    // the aborted stage dirs are gone — no v2 debris awaiting vacuum
+    assert(!fs.exists(new Path(s"$root/t1/v2")) &&
+           !fs.exists(new Path(s"$root/t2/v2")))
+    assert(MultiPublish.readCommitted(spark, root, "t1").count() === 2L)
+    // retry with both good: lands v2 for both in one flip
+    val t2v2 = Seq((10L, 1.0), (11L, 2.0)).toDF("k", "x")
+    val r3 = MultiPublish.publishAll(spark,
+      Map("t1" -> ((t1v2, audits)), "t2" -> ((t2v2, audits))), root)
+    assert(r3.committed && r3.versions === Map("t1" -> 2, "t2" -> 2))
+    assert(MultiPublish.readCommitted(spark, root, "t1").count() === 3L)
+    assert(MultiPublish.readCommitted(spark, root, "t2").count() === 2L)
+    // old versions stay readable (per-table time travel)
+    assert(MultiPublish.readVersion(spark, root, "t1", 1).count() === 2L)
+    // unknown table fails loudly, never returns an empty frame
+    intercept[IllegalStateException] {
+      MultiPublish.readCommitted(spark, root, "t3")
+    }
+  }
 }
