@@ -2546,6 +2546,26 @@ object SparkEntry {
           .as("fp_ok"))
     }),
 
+    // C56 corpus drift report: snapshot N = even doc ids, snapshot N+1
+    // drops most of src7 (the planted upstream regression). Per-source
+    // doc/token volumes + exact integer PPM token shares; src7's share
+    // collapse must flag, stable sources must not. Every column BIGINT
+    // (shares as toks*1e6 DIV total — both engines truncate) → the
+    // whole report is hash-exact.
+    "c56_corpus_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // moduli COPRIME with the source cycle (source = src{id % 20}):
+      // %3 samples ~2/3 of EVERY source for the old snapshot, %9 keeps
+      // ~1/9 of src7 in the new one — stable sources hold their share,
+      // the planted src7 collapse flags
+      val oldSnap = docs.where(col("doc_id") % 3 =!= 0)
+      val newSnap = docs.where(col("source") =!= "src7" ||
+        col("doc_id") % 9 === 0)
+      graft.operators.Drift.corpusDrift(oldSnap, newSnap, "source",
+          TextFunctions.tokenCount(col("text")), driftPpmLimit = 20000L)
+        .orderBy("stratum")
+    }),
+
     // C53 Johnson–Lindenstrauss projection on the 1/1024 integer grid:
     // 64→16 dims through a seeded ±1 sign matrix (Achlioptas form), the
     // embedding-compression front end of the ANN stack. Quantize-then-
@@ -4312,6 +4332,42 @@ object SparkEntry {
         |        CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 AS b
         |      FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both snapshots re-aggregated from the same token formula; ppm
+    // shares via truncating integer division — all-BIGINT, no tolerance
+    "c56_corpus_drift" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS nt
+        |  FROM documents),
+        |o AS (SELECT source AS stratum, count(*) AS docs_old,
+        |             sum(nt) AS toks_old
+        |      FROM tok WHERE doc_id % 3 <> 0 GROUP BY 1),
+        |n AS (SELECT source AS stratum, count(*) AS docs_new,
+        |             sum(nt) AS toks_new
+        |      FROM tok WHERE source <> 'src7' OR doc_id % 9 = 0
+        |      GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(o.stratum, n.stratum) AS stratum,
+        |         CAST(coalesce(docs_old, 0) AS BIGINT) AS docs_old,
+        |         CAST(coalesce(toks_old, 0) AS BIGINT) AS toks_old,
+        |         CAST(coalesce(docs_new, 0) AS BIGINT) AS docs_new,
+        |         CAST(coalesce(toks_new, 0) AS BIGINT) AS toks_new
+        |  FROM o FULL OUTER JOIN n ON o.stratum = n.stratum),
+        |p AS (
+        |  SELECT *,
+        |         toks_old * 1000000 // greatest(1,
+        |           CAST(sum(toks_old) OVER () AS BIGINT)) AS share_old_ppm,
+        |         toks_new * 1000000 // greatest(1,
+        |           CAST(sum(toks_new) OVER () AS BIGINT)) AS share_new_ppm
+        |  FROM j)
+        |SELECT stratum, docs_old, toks_old, docs_new, toks_new,
+        |       share_old_ppm, share_new_ppm,
+        |       abs(share_new_ppm - share_old_ppm) AS drift_ppm,
+        |       abs(share_new_ppm - share_old_ppm) > 20000 AS drifted
+        |FROM p ORDER BY stratum""".stripMargin,
 
     // the ±1 matrix from the LCG formula, the projection from the same
     // quantize-then-sum — every y an exact BIGINT, no tolerance

@@ -32,14 +32,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object MultiPublish {
 
   case class MultiReport(committed: Boolean, versions: Map[String, Int],
-                         failures: Seq[String])
+                         failures: Seq[String],
+                         replaySkipped: Boolean = false)
+
+  /** Reserved manifest key tracking the highest published stream batch —
+    * `_` keeps it out of the table namespace (mirrors the FS hidden-path
+    * convention).
+    */
+  private val BatchKey = "_batch"
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(new Path(root).toUri,
       spark.sparkContext.hadoopConfiguration)
 
-  /** The committed (table → version) view; empty before first publish. */
-  def commitVersions(spark: SparkSession, root: String): Map[String, Int] = {
+  private def manifest(spark: SparkSession, root: String): Map[String, Int] = {
     val fs = fsOf(spark, root)
     val p = new Path(root, "_COMMIT")
     if (!fs.exists(p)) Map.empty
@@ -53,6 +59,10 @@ object MultiPublish {
       } finally in.close()
     }
   }
+
+  /** The committed (table → version) view; empty before first publish. */
+  def commitVersions(spark: SparkSession, root: String): Map[String, Int] =
+    manifest(spark, root) - BatchKey
 
   /** Read `table` at the committed version (the ONLY reader path —
     * version dirs are an implementation detail of the pointer).
@@ -75,10 +85,22 @@ object MultiPublish {
     */
   def publishAll(spark: SparkSession,
                  staged: Map[String, (DataFrame, Seq[Wap.Audit])],
-                 root: String): MultiReport = {
+                 root: String,
+                 batchId: Option[Long] = None): MultiReport = {
     require(staged.nonEmpty, "publishAll: nothing to publish")
+    require(!staged.contains(BatchKey), s"'$BatchKey' is a reserved name")
     val fs = fsOf(spark, root)
-    val current = commitVersions(spark, root)
+    val raw = manifest(spark, root)
+    val current = raw - BatchKey
+    // exactly-once under at-least-once redelivery: the manifest records
+    // the highest published batch; a replayed epoch is a structural
+    // no-op — versions, data, and pointer all bit-identical (the D8
+    // contract at the transaction level)
+    batchId.foreach { id =>
+      if (raw.get(BatchKey).exists(_ >= id))
+        return MultiReport(committed = false, versions = current,
+          failures = Nil, replaySkipped = true)
+    }
     val next = staged.keys.map(t => t -> (current.getOrElse(t, 0) + 1)).toMap
 
     // STAGE: write each next version (invisible until the pointer flips;
@@ -104,9 +126,13 @@ object MultiPublish {
 
     // COMMIT: one atomic rename flips every table's version at once
     val merged = current ++ next
+    val withBatch = batchId match {
+      case Some(id) => merged + (BatchKey -> id.toInt)
+      case None => merged ++ raw.get(BatchKey).map(BatchKey -> _)
+    }
     val tmp = new Path(root, s"_COMMIT.tmp")
     val out = fs.create(tmp, true)
-    try out.write(merged.toSeq.sortBy(_._1)
+    try out.write(withBatch.toSeq.sortBy(_._1)
       .map { case (t, v) => s"$t=$v" }.mkString("", "\n", "\n")
       .getBytes("UTF-8"))
     finally out.close()
@@ -115,4 +141,25 @@ object MultiPublish {
     fc.rename(tmp, new Path(root, "_COMMIT"), Options.Rename.OVERWRITE)
     MultiReport(committed = true, versions = merged, failures = Nil)
   }
+
+  /** D22: the A37 transaction under a stream — every micro-batch derives
+    * N tables (facts + rollups + whatever `derive` builds) and commits
+    * them in ONE atomic flip, with the batch id recorded in the manifest
+    * so redelivered epochs are structural no-ops. A reader joining the
+    * published tables sees every epoch's output entirely or not at all —
+    * the cross-table consistency foreachBatch's per-sink writes cannot
+    * give (D8/D10 are exactly-once per SINK; this is exactly-once per
+    * TRANSACTION).
+    */
+  def publishStream(stream: DataFrame, root: String, checkpoint: String,
+                    derive: DataFrame => Map[String, (DataFrame, Seq[Wap.Audit])])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        publishAll(b.sparkSession, derive(b), root, Some(id)); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

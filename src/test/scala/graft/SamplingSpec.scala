@@ -169,6 +169,37 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 
+  test("corpusDrift: identical snapshots report zero drift; a vanished " +
+    "stratum surfaces as a flagged 0-volume row, never an absent one") {
+    import graft.operators.Drift
+    val docs = Tables(spark, sfDir(), "documents")
+      .select("doc_id", "source", "text")
+    val toks = graft.functions.TextFunctions.tokenCount(col("text"))
+    // identical snapshots: every share delta is exactly 0
+    val same = Drift.corpusDrift(docs, docs, "source", toks).collect()
+    assert(same.length === 20)
+    same.foreach { r =>
+      assert(r.getAs[Long]("drift_ppm") === 0L, r.getAs[String]("stratum"))
+      assert(!r.getAs[Boolean]("drifted"))
+      assert(r.getAs[Long]("docs_old") === r.getAs[Long]("docs_new"))
+    }
+    // shares are truncating-integer ppm: they sum to at most 1e6 and
+    // within 20 of it (one truncation step per stratum)
+    val shareSum = same.map(_.getAs[Long]("share_new_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - 20L)
+    // a source missing from the NEW snapshot entirely still gets a row —
+    // 0 docs, 0 tokens, full-share drift, flagged
+    val gone = Drift.corpusDrift(docs,
+      docs.where(col("source") =!= "src4"), "source", toks)
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(gone.size === 20, "vanished stratum must keep its row")
+    val g = gone("src4")
+    assert(g.getAs[Long]("docs_new") === 0L &&
+      g.getAs[Long]("toks_new") === 0L)
+    assert(g.getAs[Boolean]("drifted") &&
+      g.getAs[Long]("drift_ppm") === g.getAs[Long]("share_old_ppm"))
+  }
+
   test("leakProofSplit: cluster members inherit the representative's " +
     "split through multi-hop components; singletons match splitCol") {
     val docs = Tables(spark, sfDir(), "documents").select("doc_id")

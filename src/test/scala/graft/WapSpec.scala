@@ -154,4 +154,58 @@ class WapSpec extends AnyFunSuite with SparkSpec {
       MultiPublish.readCommitted(spark, root, "t3")
     }
   }
+
+  test("d22 streaming atomic publish: every micro-batch commits its " +
+       "derived tables in one flip; redelivered epochs are no-ops") {
+    import graft.sources.MultiPublish
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_d22_src")
+    val epochs = Seq(Seq(("a", 1L), ("b", 2L)), Seq(("a", 3L)),
+      Seq(("b", 4L), ("c", 5L)))
+    epochs.zipWithIndex.foreach { case (rows, e) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_d22_ep$e")
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        staged.resolve(f"ep$e%02d.parquet"))
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_d22_root").toString
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    def derive(b: org.apache.spark.sql.DataFrame) = Map(
+      "by_key" -> ((b.groupBy("k").agg(sum("v").as("s")),
+        Seq(Wap.minRows(1)))),
+      "totals" -> ((b.agg(sum("v").as("total")), Seq(Wap.minRows(1)))))
+    val q = MultiPublish.publishStream(src, root,
+      root + "/_ckpt", derive)
+    q.awaitTermination(120000)
+    // three epochs → both tables at v3, versions locked together
+    val vs = MultiPublish.commitVersions(spark, root)
+    assert(vs === Map("by_key" -> 3, "totals" -> 3))
+    // committed content = epoch 3's derivation (snapshot semantics)
+    val byKey = MultiPublish.readCommitted(spark, root, "by_key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey === Map("b" -> 4L, "c" -> 5L))
+    assert(MultiPublish.readCommitted(spark, root, "totals")
+      .head.getLong(0) === 9L)
+    // every historical epoch stays readable and internally consistent
+    assert(MultiPublish.readVersion(spark, root, "totals", 1)
+      .head.getLong(0) === 3L)
+    // a redelivered epoch (any id <= the recorded high-water mark) is a
+    // structural no-op: no version moves, content bit-identical
+    val replay = MultiPublish.publishAll(spark,
+      derive(epochs(0).toDF("k", "v")), root, batchId = Some(0L))
+    assert(replay.replaySkipped && !replay.committed)
+    assert(MultiPublish.commitVersions(spark, root) === vs)
+    assert(MultiPublish.readCommitted(spark, root, "by_key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === byKey)
+  }
 }
