@@ -142,6 +142,34 @@ object MultiPublish {
     MultiReport(committed = true, versions = merged, failures = Nil)
   }
 
+  /** Retention: drop each table's versions older than the last
+    * `keepLast` committed ones (snapshot expiry — the A21 vacuum rule
+    * applied to the version axis). The committed version and anything
+    * newer are structurally untouchable: expiry reads the pointer and
+    * only ever deletes BELOW `committed - keepLast + 1`, so no reader
+    * following `_COMMIT` — nor any publish in flight, which only writes
+    * versions ABOVE the pointer — can lose data. Returns the dropped
+    * versions per table for the audit log.
+    */
+  def expireVersions(spark: SparkSession, root: String,
+                     keepLast: Int = 2): Map[String, Seq[Int]] = {
+    require(keepLast >= 1, "expireVersions: must keep at least the commit")
+    val fs = fsOf(spark, root)
+    commitVersions(spark, root).map { case (table, committed) =>
+      val floor = committed - keepLast + 1
+      val dir = new Path(s"$root/$table")
+      val dropped =
+        if (!fs.exists(dir)) Seq.empty[Int]
+        else fs.listStatus(dir).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") &&
+            n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
+          .filter(_ < floor).sorted
+      dropped.foreach(v => fs.delete(new Path(s"$root/$table/v$v"), true))
+      table -> dropped
+    }
+  }
+
   /** D22: the A37 transaction under a stream — every micro-batch derives
     * N tables (facts + rollups + whatever `derive` builds) and commits
     * them in ONE atomic flip, with the batch id recorded in the manifest

@@ -207,5 +207,19 @@ class WapSpec extends AnyFunSuite with SparkSpec {
     assert(MultiPublish.commitVersions(spark, root) === vs)
     assert(MultiPublish.readCommitted(spark, root, "by_key")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === byKey)
+    // retention: keepLast=2 drops exactly v1, keeps v2 + the commit;
+    // committed readers never notice
+    val dropped = MultiPublish.expireVersions(spark, root, keepLast = 2)
+    assert(dropped === Map("by_key" -> Seq(1), "totals" -> Seq(1)))
+    assert(MultiPublish.readVersion(spark, root, "totals", 2)
+      .head.getLong(0) === 3L)
+    assert(MultiPublish.readCommitted(spark, root, "by_key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === byKey)
+    intercept[Exception] {
+      MultiPublish.readVersion(spark, root, "totals", 1).collect()
+    }
+    // a second expire is a no-op (nothing left below the floor)
+    assert(MultiPublish.expireVersions(spark, root, keepLast = 2)
+      .values.forall(_.isEmpty))
   }
 }
