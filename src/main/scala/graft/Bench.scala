@@ -74,7 +74,7 @@ object Bench {
     "c12n_audio_chained_match",
     "d21_bloom_generations", "c53_jl_projection", "c54_source_quota",
     "c55_leak_split", "c14d_jl_ivf_topk", "a37_multi_publish",
-    "c56_corpus_drift",
+    "c56_corpus_drift", "c2b_minhash_cross",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -143,8 +143,9 @@ object Bench {
       // cost is its staged writes (orders+customer scale with the
       // replica; the commit itself is one rename at any size)
       "c14d_jl_ivf_topk", "a37_multi_publish",
-      // c56 runs one agg pass per snapshot over the replica documents
-      "c56_corpus_drift")
+      // c56 runs one agg pass per snapshot over the replica documents;
+      // c2b rides c2's replica contract (both corpora scale together)
+      "c56_corpus_drift", "c2b_minhash_cross")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -1612,6 +1612,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // C2b cross-corpus near-dup: today's increment matched AGAINST
+    // yesterday's reference (the incremental-crawl shape — D21 answers
+    // "seen exactly", this answers "seen nearly"). The increment is 1/3
+    // re-crawled copies (must pair at jaccard 1.0 with their reference
+    // originals) + novel docs (reversed text — disjoint shingles, must
+    // pair with nothing). Only cross pairs are emitted.
+    "c2b_minhash_cross" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val inc = docs.where(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .unionByName(docs.where(col("doc_id") % 3 =!= 0)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L))
+          .withColumn("text", reverse(col("text"))))
+      Dedup.minhashCrossPairs(docs, inc, "text", "doc_id")
+        .where(col("inc_id") - col("ref_id") === 1000000L)
+        .orderBy("ref_id", "inc_id")
+    }),
+
     "c3_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val withCopies = docs.unionByName(
@@ -4305,6 +4323,14 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
         |       CAST(1.0 AS DOUBLE) AS jaccard
         |FROM documents ORDER BY 1""".stripMargin,
+
+    // planted cross pairs only: every re-crawled copy pairs with its
+    // reference original at jaccard 1.0; reversed-text novels pair with
+    // nothing (disjoint shingle sets)
+    "c2b_minhash_cross" ->
+      """SELECT doc_id AS ref_id, doc_id + 1000000 AS inc_id,
+        |       CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY 1""".stripMargin,
 
     "c3_simhash" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,

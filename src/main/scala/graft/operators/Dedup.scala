@@ -166,6 +166,79 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate pairs (C2b) — the INCREMENTAL-crawl
+    * shape of C2: yesterday's corpus is the reference, today's increment
+    * is matched AGAINST it, and only cross pairs matter (the increment's
+    * internal dups are C2's job, the reference's were handled when it
+    * was the increment). D21's generational bloom answers "seen EXACTLY
+    * before?" in constant state; this answers "seen NEARLY before?" with
+    * the same banded-LSH discipline as C2 — signatures one codegen pass
+    * per side, buckets a hash equi-join keyed on (band, bucket), the
+    * same hot-bucket escalation (a bucket hot on the UNION escalates
+    * both sides to full-signature keys, so identical texts always still
+    * meet), shingle arrays joined only to the DISTINCT'd candidates.
+    *
+    * Scale shape: at a real increment ratio (day ≪ history) the banded
+    * increment side is small and AQE broadcasts it — the reference's
+    * bucket frame is scanned once and never self-joined, so cost is
+    * O(ref + inc + true-cross-pairs), not O((ref+inc)²). Ids may
+    * overlap between corpora (sides are keyed independently). Returns
+    * (ref_id, inc_id, jaccard ≥ threshold).
+    */
+  def minhashCrossPairs(ref: DataFrame, inc: DataFrame, textCol: String,
+                        idCol: String, k: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.7,
+                        hotBucketCap: Int = 64): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def shingled(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"), shingleHashes(col(textCol)).as("shingles"))
+    def banded(df: DataFrame, side: String): DataFrame = {
+      val tokens =
+        TextFunctions.wsTokens(TextFunctions.normalize(col(textCol)))
+      df.select(col(idCol).as("id"),
+          graft.functions.GraftExpressions
+            .minhashSignature(tokens, 3, k).as("sig"))
+        .select(lit(side).as("side"), col("id"),
+          xxhash64(col("sig")).as("sigh"),
+          posexplode(array((0 until bands).map(j =>
+            xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*))
+            .as(Seq("band", "bucket")))
+    }
+    val both = banded(ref, "ref").unionByName(banded(inc, "inc"))
+    val census = both.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+    val cap =
+      if (hotBucketCap > 0) hotBucketCap
+      else autoHotBucketCap(census.agg(avg("__bsz")).head.getDouble(0))
+    val hot = census.where(col("__bsz") > cap)
+      .select(col("band"), col("bucket"), lit(true).as("__hot"))
+    val refined = both.join(F.broadcast(hot), Seq("band", "bucket"), "left")
+      .select(col("side"), col("id"), col("band"), col("bucket"),
+        when(col("__hot"), col("sigh")).otherwise(lit(0L)).as("refine"))
+    val candidates = refined.where(col("side") === "ref").as("l")
+      .join(refined.where(col("side") === "inc").as("r"),
+        Seq("band", "bucket", "refine"))
+      .select(col("l.id").as("ref_id"), col("r.id").as("inc_id"))
+      .distinct()
+    val pr = shingled(ref).join(
+      candidates.select(col("ref_id").as("id")).distinct(),
+      Seq("id"), "left_semi")
+    val pi = shingled(inc).join(
+      candidates.select(col("inc_id").as("id")).distinct(),
+      Seq("id"), "left_semi")
+    candidates
+      .join(pr.select(col("id").as("ref_id"), col("shingles").as("sh_a")),
+        "ref_id")
+      .join(pi.select(col("id").as("inc_id"), col("shingles").as("sh_b")),
+        "inc_id")
+      .select(col("ref_id"), col("inc_id"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .select(col("ref_id"), col("inc_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the whitespace tokens: per-token xxhash64, bit-wise

@@ -43,6 +43,38 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(exact._3 === 1.0)
   }
 
+  test("minhashCrossPairs emits ONLY cross pairs: re-crawled and " +
+    "near-dup increment docs match their reference originals, novel and " +
+    "within-side dups never pair") {
+    val ref = Seq((1L, base), (2L, unrelated),
+      (3L, (1 to 60).map(i => s"ref3tok$i").mkString(" "))).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, base),                     // exact re-crawl of ref 1
+      (11L, nearTail),                 // near-dup of ref 1 (J ≈ .84)
+      (12L, (1 to 60).map(i => s"novel$i").mkString(" ")), // novel
+      (13L, base)                      // increment-internal dup of 10
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCrossPairs(ref, inc, "text", "doc_id",
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // cross pairs only: (1,10) exact, (1,11) near, (1,13) exact — the
+    // increment-internal (10,13) dup and the novel doc never appear
+    assert(pairs.map(p => (p._1, p._2)).toSet ===
+      Set((1L, 10L), (1L, 11L), (1L, 13L)))
+    assert(pairs.filter(p => p._2 == 10L || p._2 == 13L)
+      .forall(_._3 === 1.0))
+    val near = pairs.find(_._2 == 11L).get
+    assert(near._3 > 0.7 && near._3 < 1.0)
+    // overlapping id spaces are legal: sides are keyed independently
+    val incSameIds = inc.withColumn("doc_id",
+      when(col("doc_id") === 10L, 1L).otherwise(col("doc_id")))
+    val p2 = Dedup.minhashCrossPairs(ref, incSameIds, "text", "doc_id",
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2.contains((1L, 1L)),
+      "an increment doc sharing the reference's id must still pair")
+  }
+
   test("simhashDedupPairs finds small-perturbation dups within hamming bound") {
     val oneWordOff = ((1 to 59).map(i => s"word$i") :+ "changed").mkString(" ")
     val df = Seq((1L, base), (2L, oneWordOff), (3L, unrelated))
