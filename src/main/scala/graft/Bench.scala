@@ -75,6 +75,8 @@ object Bench {
     "d21_bloom_generations", "c53_jl_projection", "c54_source_quota",
     "c55_leak_split", "c14d_jl_ivf_topk", "a37_multi_publish",
     "c56_corpus_drift", "c2b_minhash_cross",
+    "b49_seq_pattern", "b50_time_weighted", "b51_robust_outliers",
+    "c57_novelty", "c58_embed_outliers",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -145,7 +147,13 @@ object Bench {
       "c14d_jl_ivf_topk", "a37_multi_publish",
       // c56 runs one agg pass per snapshot over the replica documents;
       // c2b rides c2's replica contract (both corpora scale together)
-      "c56_corpus_drift", "c2b_minhash_cross")
+      "c56_corpus_drift", "c2b_minhash_cross",
+      // c57 rides c24's replica contract (reference grams scale with the
+      // corpus the way a crawl's reference history does — unlike c43's
+      // fixed eval set, the growth is the workload); c58 scans the
+      // replica-scaled embeddings corpus once. b49/b50/b51 are
+      // events-based → not probed
+      "c57_novelty", "c58_embed_outliers")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

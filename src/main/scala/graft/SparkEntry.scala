@@ -2584,6 +2584,121 @@ object SparkEntry {
         .orderBy("stratum")
     }),
 
+    // B49 event-sequence pattern mining (the MATCH_RECOGNIZE operator
+    // class): per-user histories rendered as ordered type-code strings,
+    // scanned by regex — 'v+c*p' counts view→(clicks)→purchase funnels
+    // with arbitrary regular structure (B35's fixed pair can't), 'e+'
+    // runs measure error bursts. One keyed exchange, per-key linear
+    // automaton scan, never an event self-join; ordering is the D2
+    // (epoch-sec, event_id) total order so ties are deterministic.
+    "b49_seq_pattern" -> ((s, dir) =>
+      graft.operators.SeqPattern.patternReport(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type",
+          pattern = "v+c*p", runChar = "e")
+        .orderBy("user_id")),
+
+    // B50 time-weighted average (interval-state aggregation): each
+    // event's value HOLDS until the user's next event; the average
+    // weighs by exact integer hold micros × integer cents, so the
+    // only float is one final exact-int division both engines see
+    // identically. The window sort never leaves the user partition.
+    "b50_time_weighted" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("next_us", lead("us", 1).over(w))
+        .where(col("next_us").isNotNull)
+        .withColumn("hold_us", col("next_us") - col("us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_holds"),
+          sum("hold_us").as("total_hold_us"),
+          round(sum(col("cents") * col("hold_us")).cast("double") /
+            sum("hold_us").cast("double") / lit(100.0), 6).as("twa_value"))
+        .orderBy("user_id")
+    }),
+
+    // B51 robust outlier scoring (median/MAD): the heavy-tail-safe
+    // complement of D15's mean/stddev z-score — median and MAD via
+    // percentile_disc so both engines pick ACTUAL data values (no
+    // interpolation arithmetic can diverge); the 3-MAD flag compares
+    // identically-derived doubles. Two keyed passes over a 5-key dim.
+    "b51_robust_outliers" -> ((s, dir) => {
+      t(s, dir, "events").select("event_type", "value")
+        .createOrReplaceTempView("graft_b51_ev")
+      s.sql("""WITH med AS (
+              |  SELECT event_type,
+              |         percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+              |           AS med
+              |  FROM graft_b51_ev GROUP BY 1),
+              |dev AS (
+              |  SELECT e.event_type, e.value, m.med,
+              |         abs(e.value - m.med) AS adev
+              |  FROM graft_b51_ev e JOIN med m USING (event_type)),
+              |mad AS (
+              |  SELECT event_type,
+              |         percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+              |           AS mad
+              |  FROM dev GROUP BY 1)
+              |SELECT d.event_type, count(*) AS n,
+              |       round(min(d.med), 2) AS med, round(min(a.mad), 2) AS mad,
+              |       sum(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END)
+              |         AS n_outliers
+              |FROM dev d JOIN mad a USING (event_type)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // C57 n-gram novelty scoring: the GRADED decontamination complement
+    // (c24 flags any-overlap; this scores the fraction of a candidate
+    // doc's shingles absent from a reference corpus) — the incremental
+    // crawl's "is this page new text" budget signal. Broadcast reference
+    // grams, one map-side corpus scan, exact integer-ppm ratio.
+    "c57_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.noveltyScores(
+          docs.where(col("doc_id") % 13 =!= 0),
+          docs.where(col("doc_id") % 13 === 0),
+          "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // C58 embedding outlier pruning: distance-to-assigned-centroid over
+    // the C53/C14d quantized serving path — vectors far from every
+    // cluster are OOD/noise candidates a curation pipeline drops first.
+    // Everything is integer arithmetic (codes, cells, distances), the
+    // flag is a per-cell rank (top ceil(5%) by distance), so the oracle
+    // replays projection → cells → own-centroid L2 → rank hash-exact.
+    // Per-cell ranking is the serving-index maintenance shape: cells
+    // number O(√n) at scale, so the rank partitions stay task-sized.
+    "c58_embed_outliers" -> ((s, dir) => {
+      import graft.functions.GraftExpressions._
+      val signs = jlSigns(16, 64)
+      val coded = t(s, dir, "embeddings")
+        .select(col("vec_id"), jlProject(col("embedding"), signs).as("code"))
+      val cents: Array[Array[Long]] = coded.where(col("vec_id") < 16)
+        .orderBy("vec_id").collect().map(_.getSeq[Long](1).toArray)
+      val assigned = coded
+        .withColumn("cell", intCellAssign(col("code"), cents))
+      import s.implicits._
+      val centDf = cents.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cent")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy(col("dist2").desc, col("vec_id"))
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      assigned.join(broadcast(centDf), Seq("cell"))
+        .withColumn("dist2", aggregate(
+          zip_with(col("code"), col("cent"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, e) => acc + e))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .select(col("vec_id"), col("cell"), col("dist2"),
+          (col("rn") <= floor((col("cnt") + lit(19)) / lit(20)))
+            .as("is_outlier"))
+        .orderBy("vec_id")
+    }),
+
     // C53 Johnson–Lindenstrauss projection on the 1/1024 integer grid:
     // 64→16 dims through a seeded ±1 sign matrix (Achlioptas form), the
     // embedding-compression front end of the ANN stack. Quantize-then-
@@ -4495,6 +4610,131 @@ object SparkEntry {
         |       CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // same (sec, event_id) total order as d2; RE2's leftmost
+    // non-overlapping regexp_extract_all ≡ Java's find() loop for these
+    // literal-class patterns
+    "b49_seq_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+        |           AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+        |       CAST(len(regexp_extract_all(seq, 'v+c*p')) AS BIGINT)
+        |         AS n_matches,
+        |       CAST(coalesce(list_max(list_transform(
+        |              regexp_extract_all(seq, 'e+'), x -> length(x))), 0)
+        |            AS BIGINT) AS longest_run
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    // exact integer micros × integer cents; the single division is the
+    // only float and both engines derive it from identical BIGINTs
+    "b50_time_weighted" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, cents, us,
+        |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |           AS next_us
+        |  FROM b)
+        |SELECT user_id, count(*) AS n_holds,
+        |       CAST(sum(next_us - us) AS BIGINT) AS total_hold_us,
+        |       round(CAST(CAST(sum(cents * (next_us - us)) AS BIGINT)
+        |                  AS DOUBLE)
+        |             / CAST(CAST(sum(next_us - us) AS BIGINT) AS DOUBLE)
+        |             / CAST(100 AS DOUBLE), 6) AS twa_value
+        |FROM h WHERE next_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quantile_disc ≡ percentile_disc (the d20 pairing): both pick
+    // actual data values, so med/mad/the 3-MAD compare are
+    // interpolation-free
+    "b51_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_disc(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_disc(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |       round(min(d.med), 2) AS med, round(min(a.mad), 2) AS mad,
+        |       CAST(sum(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad a ON d.event_type = a.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the c24 gram CTE with the %13 reference split; ratio stays in
+    // exact integer ppm (truncating BIGINT division both engines share)
+    "c57_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |           ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        |  FROM w, unnest(generate_series(1, len(words) - 7)) t(i)
+        |  WHERE len(words) >= 8
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(words, ' ') AS gram
+        |  FROM w WHERE len(words) < 8),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM g),
+        |rg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 13 = 0),
+        |sc AS (
+        |  SELECT dg.doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN rg.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS n_seen
+        |  FROM dg LEFT JOIN rg ON rg.gram = dg.gram
+        |  WHERE dg.doc_id % 13 <> 0
+        |  GROUP BY 1)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |       CAST(n_seen AS BIGINT) AS n_seen,
+        |       CAST((n_grams - n_seen) * 1000000 // n_grams AS BIGINT)
+        |         AS novelty_ppm
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // the c14d serving-path replay up to own-cell distance, then the
+    // per-cell top-ceil(5%) rank — zero tolerance end to end
+    "c58_embed_outliers" ->
+      """WITH idx AS (SELECT unnest(range(0, 64)) AS i),
+        |jj AS (SELECT unnest(range(0, 16)) AS j),
+        |codes AS (
+        |  SELECT vec_id, CAST(j.j AS INT) AS j,
+        |         CAST(sum((CASE WHEN ((j.j * 64 + i.i) * 2654435761)
+        |                             % 4294967296 < 2147483648
+        |                        THEN 1 ELSE -1 END)
+        |              * CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1]
+        |                     AS DOUBLE) * 1024 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS y
+        |  FROM embeddings CROSS JOIN idx i CROSS JOIN jj j
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT vec_id AS c, j, y FROM codes WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT v.vec_id, c.c, sum((v.y - c.y) * (v.y - c.y)) AS d
+        |  FROM codes v JOIN cent c ON v.j = c.j
+        |  GROUP BY 1, 2),
+        |own AS (
+        |  SELECT vec_id, CAST(c AS INT) AS cell, CAST(d AS BIGINT)
+        |           AS dist2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d, c) AS rn FROM asg) t
+        |  WHERE rn = 1),
+        |rk AS (
+        |  SELECT vec_id, cell, dist2,
+        |         row_number() OVER (PARTITION BY cell
+        |             ORDER BY dist2 DESC, vec_id) AS rn,
+        |         count(*) OVER (PARTITION BY cell) AS cnt
+        |  FROM own)
+        |SELECT vec_id, cell, dist2, rn <= (cnt + 19) // 20 AS is_outlier
+        |FROM rk ORDER BY vec_id""".stripMargin,
 
     // the kept set must be exactly the originals (the degraded copies
     // score strictly lower), each with its c9-formula quality

@@ -41,6 +41,48 @@ object Decontaminate {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** N-gram novelty scoring — the GRADED complement of
+    * [[flagContaminated]]: instead of a binary any-overlap flag, score
+    * each candidate document by the fraction of its shingles NOT already
+    * present in a reference corpus. Data-selection pipelines use this to
+    * prefer novel text when budgeting an incremental crawl (a page that
+    * is 95% boilerplate already seen contributes almost nothing).
+    *
+    * Scale shape: identical to [[flagContaminated]] — the reference
+    * shingle set is the broadcast side (or, at crawl scale, the C34/D21
+    * bloom generations stand in for it with a documented FP bias toward
+    * LOWER novelty, never higher), the candidate corpus is scanned once
+    * map-side through the codegen shingle expression, and only matched
+    * pairs reach the count. The ratio ships as exact integer ppm
+    * (truncating division on BIGINTs) so no float ever crosses engines.
+    */
+  def noveltyScores(docs: DataFrame, refDocs: DataFrame, textCol: String,
+                    idCol: String, n: Int = 8): DataFrame = {
+    val refGrams = refDocs
+      .select(explode(Dedup.shingleHashes(col(textCol), n)).as("gram"))
+      .distinct()
+    val docGrams = docs.select(col(idCol).as("id"),
+      explode(Dedup.shingleHashes(col(textCol), n)).as("gram"))
+    // shingle hashes are distinct per doc, so both counts are distinct-gram
+    // counts; n_grams rides the same exchange as the overlap count
+    val seen = docGrams
+      .join(F.broadcast(refGrams.select(col("gram"), lit(1).as("__hit"))),
+        Seq("gram"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_seen"))
+    docs.select(col(idCol))
+      .join(seen, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0L))
+          .otherwise((coalesce(col("n_grams"), lit(0L)) -
+            coalesce(col("n_seen"), lit(0L))) * lit(1000000L) /
+            col("n_grams"))
+          .cast("long").as("novelty_ppm"))
+  }
+
   /** Semantic decontamination — the EMBEDDING-space complement of
     * [[flagContaminated]]: an n-gram check misses paraphrased or
     * translated eval leakage, so pipelines also flag corpus items whose

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-sequence pattern mining — the MATCH_RECOGNIZE / funnel-regex
+  * operator class: per-entity event histories rendered as ordered
+  * type-code strings, then scanned with a regular expression. Covers the
+  * "did this user ever view→(clicks)→purchase" and "how long are error
+  * bursts" questions that B35's fixed two-stage funnel can't express —
+  * the pattern is arbitrary regular structure, not a hardcoded pair.
+  *
+  * Scale shape: ONE keyed exchange (groupBy the entity key) and a
+  * per-key LINEAR regex scan — never an event×event self-join, and the
+  * pattern automaton carries O(1) state per key. The sequence string is
+  * bounded by per-entity history length; at 100 TB the entity key is
+  * time-bucketed ((user, month)) so no single key's history exceeds a
+  * task, exactly the BalancedRepartition contract. Ordering inside a key
+  * is (epoch-second, event_id) — the same total order the D2
+  * sessionizer uses, so ties are deterministic cross-engine.
+  */
+object SeqPattern {
+
+  /** Per-entity ordered type-code sequence: one row per entity with the
+    * concatenated first letters of `typeCol` in (sec, event_id) order.
+    * The sort happens INSIDE the aggregated array (array_sort over
+    * (sec, id, code) structs) — no window, no second exchange.
+    */
+  def sequences(events: DataFrame, keyCol: String, tsCol: String,
+                idCol: String, typeCol: String): DataFrame =
+    events
+      .select(col(keyCol), unix_timestamp(col(tsCol)).as("sec"),
+        col(idCol).cast("long").as("eid"),
+        substring(col(typeCol), 1, 1).as("code"))
+      .groupBy(keyCol)
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("sec"), col("eid"), col("code")))),
+        x => x.getField("code"))).as("seq"))
+
+  /** Pattern report over [[sequences]]: non-overlapping occurrence count
+    * of `pattern` plus the longest run of `runChar` — the two shapes
+    * (ordered funnel, burst length) sequence analytics always wants.
+    * Regex semantics are leftmost non-overlapping in both Spark (Java
+    * regex `find()` loop) and DuckDB (RE2 `regexp_extract_all`) — for
+    * the anchored-literal patterns used here the engines agree exactly.
+    */
+  def patternReport(events: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, typeCol: String, pattern: String,
+                    runChar: String): DataFrame = {
+    val runs = regexp_extract_all(col("seq"), lit(s"$runChar+"), lit(0))
+    sequences(events, keyCol, tsCol, idCol, typeCol)
+      .select(col(keyCol), length(col("seq")).as("seq_len"),
+        size(regexp_extract_all(col("seq"), lit(pattern), lit(0)))
+          .cast("long").as("n_matches"),
+        coalesce(array_max(transform(runs, r => length(r))), lit(0))
+          .cast("long").as("longest_run"))
+  }
+}
