@@ -76,7 +76,7 @@ object Bench {
     "c55_leak_split", "c14d_jl_ivf_topk", "a37_multi_publish",
     "c56_corpus_drift", "c2b_minhash_cross",
     "b49_seq_pattern", "b50_time_weighted", "b51_robust_outliers",
-    "c57_novelty", "c58_embed_outliers",
+    "c57_novelty", "c58_embed_outliers", "d23_pattern_fold",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't

@@ -2650,6 +2650,16 @@ object SparkEntry {
               |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    // D23 batch twin: B49's report folded through the O(1) incremental
+    // automaton (the state the streaming form carries across
+    // micro-batches) instead of the regex scan — shares b49's oracle,
+    // so automaton ≡ RE2 is driver-gated; EventStreamsSpec locks the
+    // streaming delivery including a match split across triggers.
+    "d23_pattern_fold" -> ((s, dir) =>
+      graft.operators.SeqPattern.automatonReport(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id")),
+
     // C57 n-gram novelty scoring: the GRADED decontamination complement
     // (c24 flags any-overlap; this scores the fraction of a candidate
     // doc's shingles absent from a reference corpus) — the incremental
@@ -3346,7 +3356,12 @@ object SparkEntry {
     // c28b answers the SAME question as c28 through a different plan
     // (batched joinless scan vs per-query broadcast join) — exhaustive
     // probes make both exact, so they share one brute-force replica
-    base + ("c28b_ivfpq_rank_many" -> base("c28_ivfpq_topk"))
+    base + ("c28b_ivfpq_rank_many" -> base("c28_ivfpq_topk"),
+      // d23's batch twin computes b49's report through the O(1)
+      // streaming automaton instead of the regex scan — same question,
+      // same answer, so the shared oracle makes automaton ≡ RE2 itself
+      // a driver-gated contract
+      "d23_pattern_fold" -> base("b49_seq_pattern"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -38,6 +38,69 @@ object SeqPattern {
         array_sort(collect_list(struct(col("sec"), col("eid"), col("code")))),
         x => x.getField("code"))).as("seq"))
 
+  /** Per-key fold state for [[advance]] — the O(1) incremental form of
+    * the [[patternReport]] scan: `aut` is the automaton position inside
+    * the funnel pattern, the rest are the running report counters. Small
+    * and flat so it serializes cheaply as streaming state.
+    */
+  final case class FoldState(aut: Int, matches: Long, seqLen: Long,
+                             run: Long, maxRun: Long)
+
+  object FoldState { val zero: FoldState = FoldState(0, 0L, 0L, 0L, 0L) }
+
+  /** One-character step of the `start+ mid* end` funnel matcher —
+    * equivalent to the leftmost-non-overlapping regex scan
+    * [[patternReport]] runs, but consumable char-by-char with O(1)
+    * state, which is what lets the STREAMING form carry a match across
+    * micro-batch boundaries (a regex cannot resume mid-pattern).
+    *
+    * Equivalence argument: the only viable match start is `startC`, so
+    * on seeing it the automaton (re)enters the seen-start state from
+    * anywhere — exactly where the regex scan would begin its next
+    * attempt; any other character outside a viable prefix resets. The
+    * three class characters must be distinct. Locked against the regex
+    * over real data in SeqPatternSpec.
+    */
+  def advance(st: FoldState, ch: Char, startC: Char, midC: Char,
+              endC: Char, runC: Char): FoldState = {
+    val aut =
+      if (ch == startC) 1
+      else if (st.aut >= 1 && ch == midC) 2
+      else 0
+    val matched = st.aut >= 1 && ch == endC
+    val run = if (ch == runC) st.run + 1 else 0L
+    FoldState(if (matched) 0 else aut,
+      st.matches + (if (matched) 1L else 0L),
+      st.seqLen + 1L, run, math.max(st.maxRun, run))
+  }
+
+  /** [[patternReport]] computed by folding [[advance]] over each key's
+    * ordered history instead of materializing the sequence string and
+    * regex-scanning it — the batch twin of the streaming automaton
+    * (EventStreams.patternStream), checked against the SAME DuckDB regex
+    * oracle so automaton ≡ RE2 is itself a driver-gated contract.
+    */
+  def automatonReport(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, typeCol: String,
+                      startC: Char = 'v', midC: Char = 'c',
+                      endC: Char = 'p', runC: Char = 'e'): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    sequences(events, keyCol, tsCol, idCol, typeCol)
+      .select(col(keyCol).cast("long"), col("seq"))
+      .as[(Long, String)]
+      .map { case (k, seq) =>
+        var st = FoldState.zero
+        var i = 0
+        while (i < seq.length) {
+          st = advance(st, seq.charAt(i), startC, midC, endC, runC)
+          i += 1
+        }
+        (k, st.seqLen.toInt, st.matches, st.maxRun)
+      }
+      .toDF(keyCol, "seq_len", "n_matches", "longest_run")
+  }
+
   /** Pattern report over [[sequences]]: non-overlapping occurrence count
     * of `pattern` plus the longest run of `runChar` — the two shapes
     * (ordered funnel, burst length) sequence analytics always wants.

@@ -81,6 +81,47 @@ object EventStreams {
     events.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
 
+  /** D23 streaming sequence-pattern detection: the B49 funnel/burst
+    * report maintained INCREMENTALLY — per-key
+    * [[graft.operators.SeqPattern.FoldState]] advanced char-by-char in
+    * `flatMapGroupsWithState`, so a pattern split across micro-batches
+    * ('v','c' this trigger, 'p' the next) still counts: the regex scan
+    * the batch form runs cannot resume mid-match, the O(1) automaton
+    * state can. Update mode: each trigger emits the refreshed report for
+    * the keys it saw. Within a trigger the group's rows fold in
+    * (sec, event_id) order; across triggers the source's event-time
+    * order is the delivery contract (the D15 arrival-order rule).
+    * State is one 5-field struct per key — constant, watermark-free.
+    */
+  def patternStream(events: DataFrame,
+                    startC: Char = 'v', midC: Char = 'c',
+                    endC: Char = 'p', runC: Char = 'e'): DataFrame = {
+    import graft.operators.SeqPattern
+    import SeqPattern.FoldState
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("event_id").cast("long"),
+        substring(col("event_type"), 1, 1).as("code"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[FoldState]) => {
+          var st = state.getOption.getOrElse(FoldState.zero)
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (r._4.nonEmpty)
+              st = SeqPattern.advance(st, r._4.charAt(0),
+                startC, midC, endC, runC)
+          }
+          state.update(st)
+          Iterator((uid, st.seqLen.toInt, st.matches, st.maxRun))
+        })
+      .toDF("user_id", "seq_len", "n_matches", "longest_run")
+  }
+
   /** Custom-state streaming aggregation: per-user lifetime totals kept in
     * a `GroupState[(count, sum)]` via `flatMapGroupsWithState` — the
     * pattern for state Spark's built-in aggregates can't express (decayed

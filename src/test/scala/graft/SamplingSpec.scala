@@ -200,6 +200,56 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       g.getAs[Long]("drift_ppm") === g.getAs[Long]("share_old_ppm"))
   }
 
+  test("driftGateSink (d24): epoch reports ≡ the batch twin, replay is " +
+    "bit-identical, and the wired stream delivers the same report") {
+    import graft.operators.Drift
+    import graft.streaming.{DriftStream, EventStreams}
+    val docs = Tables(spark, sfDir(), "documents")
+      .select("doc_id", "source", "text")
+    val toks = graft.functions.TextFunctions.tokenCount(col("text"))
+    val e0 = docs.where(col("doc_id") % 2 === 0)
+    val e1 = docs.where(col("source") =!= "src4")
+    val dir = java.nio.file.Files.createTempDirectory("graft_d24").toString
+    def report(b: org.apache.spark.sql.DataFrame) =
+      DriftStream.driftEpoch(docs, b, "source", toks, 5000L)
+    EventStreams.epochIdempotentSink(report(e0), 0L, dir)
+    EventStreams.epochIdempotentSink(report(e1), 1L, dir)
+    EventStreams.epochIdempotentSink(report(e0), 0L, dir) // replayed epoch
+    val got = spark.read.parquet(dir)
+    // replay left exactly two epochs; each report equals its batch twin
+    val cols = report(e0).columns.toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(got.where(col("__epoch") === 0)) === rows(report(e0)))
+    assert(rows(got.where(col("__epoch") === 1)) === rows(report(e1)))
+    // the epoch that lost src4 flags it as a vanished stratum
+    val src4 = got.where(col("__epoch") === 1 && col("stratum") === "src4")
+      .collect().head
+    assert(src4.getAs[Long]("docs_new") === 0L &&
+      src4.getAs[Boolean]("drifted"))
+
+    // end-to-end wiring: a real streaming query delivers the same report
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val batchRows = Seq((1L, "src0", "hello world one"),
+      (2L, "src1", "two more words here"), (3L, "src0", "and a third"))
+    input.addData(batchRows: _*)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_d24_q").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_d24_ck").toString
+    val q = DriftStream.driftGateSink(
+      input.toDF().toDF("doc_id", "source", "text"),
+      docs, "source", toks, 5000L, outDir, ckpt)
+    try q.awaitTermination(60000) finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+    val twin = report(batchRows.toDF("doc_id", "source", "text"))
+    assert(rows(streamed) === rows(twin))
+  }
+
   test("leakProofSplit: cluster members inherit the representative's " +
     "split through multi-hop components; singletons match splitCol") {
     val docs = Tables(spark, sfDir(), "documents").select("doc_id")

@@ -68,6 +68,58 @@ class SeqPatternSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) === ((2L, 1L, 500000L)))
   }
 
+  test("automatonReport ≡ patternReport (regex) over the real corpus") {
+    val ev = Tables(spark, sfDir(), "events")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    val regex = toMapOf(SeqPattern.patternReport(ev, "user_id", "ts",
+      "event_id", "event_type", pattern = "v+c*p", runChar = "e"))
+    val aut = toMapOf(SeqPattern.automatonReport(ev, "user_id", "ts",
+      "event_id", "event_type"))
+    assert(aut === regex)
+    assert(regex.valuesIterator.map(_._2).sum > 0,
+      "corpus should contain at least one funnel match")
+  }
+
+  test("patternStream carries matches and runs across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val stream = graft.streaming.EventStreams.patternStream(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+    val q = stream.writeStream.format("memory").queryName("d23_mem")
+      .outputMode("update").start()
+    try {
+      // user 1's funnel splits v,c | p across triggers; user 2's error
+      // run splits e | e — both must still count via the carried state
+      input.addData((1L, ts(10), 1L, "view"), (1L, ts(20), 2L, "click"))
+      q.processAllAvailable()
+      input.addData((1L, ts(30), 3L, "purchase"), (2L, ts(40), 4L, "error"))
+      q.processAllAvailable()
+      input.addData((2L, ts(50), 5L, "error"))
+      q.processAllAvailable()
+      val finalByUser = spark.table("d23_mem").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      assert(finalByUser(1L) === ((3, 1L, 0L)),
+        s"split funnel must count: $finalByUser")
+      assert(finalByUser(2L) === ((2, 0L, 2L)),
+        s"split run must accumulate: $finalByUser")
+      // stream ≡ the batch automaton twin over the union of all input
+      val all = Seq(
+        (1L, ts(10), 1L, "view"), (1L, ts(20), 2L, "click"),
+        (1L, ts(30), 3L, "purchase"), (2L, ts(40), 4L, "error"),
+        (2L, ts(50), 5L, "error"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val batch = SeqPattern.automatonReport(all, "user_id", "ts",
+        "event_id", "event_type").collect()
+        .map(r => (r.getLong(0), ((r.getInt(1), r.getLong(2), r.getLong(3)))))
+        .toMap
+      assert(finalByUser === batch)
+    } finally q.stop()
+  }
+
   test("noveltyScores: sub-width docs fall back to the whole-text gram") {
     val ref = Seq((9L, "hello world")).toDF("doc_id", "text")
     val docs = Seq((1L, "hello world"), (2L, "bye world"))
