@@ -152,6 +152,57 @@ object BloomStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** D25: streaming NOVELTY scoring against rolling history — C57's
+    * graded "how much of this page is new text" signal with the exact
+    * reference-gram set replaced by the D21 bloom generations, which is
+    * what an unbounded crawl can actually afford: per epoch the batch's
+    * shingle hashes are flagged against prev ∪ curr (flag-THEN-insert,
+    * so same-epoch repeats read as novel against HISTORY — the C57
+    * reference semantics), then absorbed; per-doc seen-counts aggregate
+    * to the same integer-ppm ratio as C57.
+    *
+    * Approximation contract (inherits D18/D21's): the bloom never
+    * false-negatives, so `n_seen_max` can only OVER-count and
+    * `novelty_ppm` is a LOWER bound on true novelty — the safe
+    * direction for a crawl budget (you may under-spend on a page that
+    * was actually novel at the fp rate, you never over-spend on one
+    * that was provably seen). Exact-repeat documents therefore score
+    * exactly 0. Spec-locked against the exact-join twin both ways.
+    * `expectedPerGen` sizes the generation filters in GRAMS, not docs.
+    */
+  def noveltyFold(state: BloomGenerations, epoch: Long, docs: DataFrame,
+                  idCol: String, textCol: String,
+                  n: Int = 8): DataFrame = {
+    import graft.operators.Dedup
+    val grams = docs.select(col(idCol),
+      explode(Dedup.shingleHashes(col(textCol), n)).as("__g"))
+    state.fold(epoch, grams, col("__g"), "__seen")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen"), 1L).otherwise(0L)).as("n_seen_max"))
+      .select(col(idCol), col("n_grams"), col("n_seen_max"),
+        ((col("n_grams") - col("n_seen_max")) * lit(1000000L) /
+          col("n_grams")).cast("long").as("novelty_ppm"))
+  }
+
+  /** [[noveltyFold]] wired as a streaming per-epoch report sink with
+    * the D8 idempotent-partition delivery (a replayed epoch flags-only —
+    * the generation state skips its insert — and overwrites its own
+    * report partition).
+    */
+  def noveltyReportSink(stream: DataFrame, state: BloomGenerations,
+                        idCol: String, textCol: String, n: Int,
+                        path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        EventStreams.epochIdempotentSink(
+          noveltyFold(state, id, b, idCol, textCol, n), id, path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** D16-style routed delivery: fresh rows land in the corpus directory,
     * flagged rows in the review directory, each micro-batch delivered
     * with the D8 epoch-overwrite contract — a replayed epoch recomputes

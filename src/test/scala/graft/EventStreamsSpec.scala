@@ -894,4 +894,75 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(fr === epochData(e).toSet -- expectSeen(e))
     }
   }
+
+  test("d25: streaming novelty against rolling history — exact repeats " +
+       "score 0, same-epoch repeats read as novel, stream ≡ fold") {
+    import graft.streaming.BloomStream
+    import spark.implicits._
+    // texts sized so the shingle counts are known: 10 words → 3 grams,
+    // 9 → 2. fp-free here by construction (tiny gram set vs a
+    // 4096-capacity sketch at 1e-3) — asserted, not assumed: the
+    // hashes are deterministic, so this either always holds or never.
+    val t1 = "a b c d e f g h i j"
+    val t4 = "q r s t u v w x y z"
+    val epochs: Seq[(Long, Seq[(Long, String)])] = Seq(
+      0L -> Seq(1L -> t1, 2L -> "one two three four five six seven eight nine"),
+      1L -> Seq(3L -> t1, // exact repeat of history → 0 novelty
+        4L -> t4, // fresh → full novelty
+        5L -> "a b c d e f g h zz", // half-overlap → 500000
+        6L -> t4), // same-EPOCH repeat of doc 4 → still novel vs history
+      2L -> Seq(7L -> t4)) // doc 4's text absorbed last epoch → 0
+    val expect = Map(
+      (0L, 1L) -> 1000000L, (0L, 2L) -> 1000000L,
+      (1L, 3L) -> 0L, (1L, 4L) -> 1000000L, (1L, 5L) -> 500000L,
+      (1L, 6L) -> 1000000L,
+      (2L, 7L) -> 0L)
+
+    val st0 = new BloomStream.BloomGenerations(4096L, 0.001, 8)
+    val folded = epochs.flatMap { case (e, rows) =>
+      BloomStream.noveltyFold(st0, e, rows.toDF("doc_id", "text"),
+          "doc_id", "text").collect()
+        .map(r => (e, r.getLong(0)) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    }.toMap
+    expect.foreach { case (k, ppm) =>
+      assert(folded(k)._3 === ppm, s"$k: ${folded(k)}")
+    }
+    assert(folded((1L, 5L)) === ((2L, 1L, 500000L)))
+
+    // streaming delivery: one file per epoch; a fresh state must land
+    // identical per-epoch reports through the idempotent sink
+    val staged = Files.createTempDirectory("graft_d25_src")
+    epochs.foreach { case (e, rows) =>
+      val tmp = Files.createTempDirectory(s"graft_d25_ep$e")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        staged.resolve(f"ep$e%02d.parquet"))
+    }
+    val out = Files.createTempDirectory("graft_d25_out")
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val st1 = new BloomStream.BloomGenerations(4096L, 0.001, 8)
+    val q = BloomStream.noveltyReportSink(src, st1, "doc_id", "text",
+      n = 8, out.resolve("rep").toString, out.resolve("ckpt").toString)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out.resolve("rep").toString)
+      // __epoch is a discovered partition column → inferred INT
+      .select(col("__epoch").cast("long"), col("doc_id"), col("n_grams"),
+        col("n_seen_max"), col("novelty_ppm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(streamed === folded, "stream must reproduce the fold exactly")
+  }
 }

@@ -387,4 +387,46 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val scans = "Scan parquet".r.findAllIn(finalP).size
     assert(scans == 1, s"expected one corpus scan, saw $scans:\n${p.take(800)}")
   }
+
+  test("b49: sequence mining is ONE keyed exchange — the sort lives " +
+       "inside the aggregated array, never as a plan-level Sort") {
+    val df = SparkEntry.queries("b49_seq_pattern")(spark, sfDir())
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==").head
+    assert(!finalP.contains("Join"), "per-key histories need no join")
+    assert("Exchange hashpartitioning".r.findAllIn(finalP).size <= 1,
+      s"one keyed exchange only:\n${p.take(600)}")
+    // the (sec, id, code) ordering is array_sort INSIDE the agg — the
+    // only Sort node allowed is the final presentation orderBy
+    assert("Sort \\[".r.findAllIn(finalP).size <= 1,
+      s"no window/sort pass over the event stream:\n${p.take(600)}")
+  }
+
+  test("c57: reference grams broadcast; the corpus never shuffles " +
+       "whole-text rows, only (id, gram-hash) pairs") {
+    val df = SparkEntry.queries("c57_novelty")(spark, sfDir())
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==").head
+    assert(finalP.contains("BroadcastHashJoin"),
+      s"reference gram set must broadcast:\n${p.take(600)}")
+    assert(!finalP.contains("SortMergeJoin"),
+      s"the gram probe must never sort-merge:\n${p.take(600)}")
+  }
+
+  test("c58: outlier scoring joins the dim-sized centroid table by " +
+       "broadcast and scans the corpus once") {
+    val df = SparkEntry.queries("c58_embed_outliers")(spark, sfDir())
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==").head
+    assert(finalP.contains("BroadcastHashJoin"),
+      s"centroid table must broadcast:\n${p.take(600)}")
+    assert(!finalP.contains("SortMergeJoin") &&
+      !finalP.contains("CartesianProduct"))
+    val scans = "Scan parquet".r.findAllIn(finalP).size
+    assert(scans == 1,
+      s"expected one embeddings scan, saw $scans:\n${p.take(800)}")
+  }
 }
