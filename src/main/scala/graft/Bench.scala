@@ -77,6 +77,7 @@ object Bench {
     "c56_corpus_drift", "c2b_minhash_cross",
     "b49_seq_pattern", "b50_time_weighted", "b51_robust_outliers",
     "c57_novelty", "c58_embed_outliers", "d23_pattern_fold",
+    "b53_asof_nearest", "c59_cluster_quota",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -153,7 +154,10 @@ object Bench {
       // fixed eval set, the growth is the workload); c58 scans the
       // replica-scaled embeddings corpus once. b49/b50/b51 are
       // events-based → not probed
-      "c57_novelty", "c58_embed_outliers")
+      "c57_novelty", "c58_embed_outliers",
+      // c59 scans the replica-scaled embeddings corpus (b53 is
+      // events-based → not probed)
+      "c59_cluster_quota")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

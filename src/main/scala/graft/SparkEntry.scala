@@ -2660,6 +2660,26 @@ object SparkEntry {
           "user_id", "ts", "event_id", "event_type")
         .orderBy("user_id")),
 
+    // B53 nearest-event as-of join: each error matched to the view
+    // minimizing |Δt| per user — the alignment form where backward (B18)
+    // or forward (B42) alone biases by half an interval. One union, one
+    // keyed exchange, two partition-local carries; ties to the earlier
+    // row. The right side dedups to min event_id per (user, ts) — the
+    // same uniqueness contract d19 applies.
+    "b53_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val fails = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("fail_id"), col("user_id"), col("ts"))
+      val fixes = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("fix_ts"))
+        .agg(min("event_id").as("fix_id"))
+        .select("user_id", "fix_ts", "fix_id")
+      graft.operators.AsofJoin.asofNearest(fails, fixes, Seq("user_id"),
+          "ts", "fix_ts", Seq("fix_id"))
+        .select("fail_id", "user_id", "fix_id", "delta_us")
+        .orderBy("fail_id")
+    }),
+
     // C57 n-gram novelty scoring: the GRADED decontamination complement
     // (c24 flags any-overlap; this scores the fraction of a candidate
     // doc's shingles absent from a reference corpus) — the incremental
@@ -2706,6 +2726,28 @@ object SparkEntry {
         .select(col("vec_id"), col("cell"), col("dist2"),
           (col("rn") <= floor((col("cnt") + lit(19)) / lit(20)))
             .as("is_outlier"))
+        .orderBy("vec_id")
+    }),
+
+    // C59 cluster-proportional downsampling: at most `cap` vectors per
+    // embedding cluster (C58's integer cells) — the diversity-preserving
+    // twin of C54's head-domain cap: web corpora are dominated by a few
+    // dense content clusters exactly as by a few hosts, and rate-based
+    // sampling can't bound either. Selection inherits C54's seeded-md5
+    // order-invariant contract (and its WindowGroupLimit plan shape);
+    // cells come from the C53/C14d integer path, so membership — and
+    // with it the kept set — is hash-exact cross-engine.
+    "c59_cluster_quota" -> ((s, dir) => {
+      import graft.functions.GraftExpressions._
+      val signs = jlSigns(16, 64)
+      val coded = t(s, dir, "embeddings")
+        .select(col("vec_id"), jlProject(col("embedding"), signs).as("code"))
+      val cents: Array[Array[Long]] = coded.where(col("vec_id") < 16)
+        .orderBy("vec_id").collect().map(_.getSeq[Long](1).toArray)
+      val assigned = coded
+        .withColumn("cell", intCellAssign(col("code"), cents))
+        .select("vec_id", "cell")
+      graft.operators.Sampling.quotaCap(assigned, "cell", "vec_id", cap = 20)
         .orderBy("vec_id")
     }),
 
@@ -4685,6 +4727,38 @@ object SparkEntry {
         |FROM dev d JOIN mad a ON d.event_type = a.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // both native ASOF directions + the exact integer-micros nearer-side
+    // pick, ties to the earlier row
+    "b53_asof_nearest" ->
+      """WITH fx AS (
+        |  SELECT user_id, ts AS fix_ts, min(event_id) AS fix_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |f AS (SELECT event_id AS fail_id, user_id, ts
+        |      FROM events WHERE event_type = 'error'),
+        |b AS (
+        |  SELECT f.fail_id, f.user_id, f.ts, r.fix_id AS b_id,
+        |         r.fix_ts AS b_ts
+        |  FROM f ASOF LEFT JOIN fx r
+        |    ON f.user_id = r.user_id AND f.ts >= r.fix_ts),
+        |fw AS (
+        |  SELECT f.fail_id, r.fix_id AS f_id, r.fix_ts AS f_ts
+        |  FROM f ASOF LEFT JOIN fx r
+        |    ON f.user_id = r.user_id AND f.ts <= r.fix_ts),
+        |j AS (
+        |  SELECT b.fail_id, b.user_id, b.ts, b.b_id, b.b_ts, fw.f_id,
+        |         fw.f_ts,
+        |         epoch_us(b.ts) - epoch_us(b.b_ts) AS db,
+        |         epoch_us(fw.f_ts) - epoch_us(b.ts) AS df
+        |  FROM b JOIN fw USING (fail_id))
+        |SELECT fail_id, user_id,
+        |       CASE WHEN b_id IS NULL THEN f_id
+        |            WHEN f_id IS NULL THEN b_id
+        |            WHEN df < db THEN f_id ELSE b_id END AS fix_id,
+        |       CASE WHEN b_id IS NULL THEN df
+        |            WHEN f_id IS NULL THEN db
+        |            ELSE least(db, df) END AS delta_us
+        |FROM j ORDER BY fail_id""".stripMargin,
+
     // the c24 gram CTE with the %13 reference split; ratio stays in
     // exact integer ppm (truncating BIGINT division both engines share)
     "c57_novelty" ->
@@ -4715,6 +4789,38 @@ object SparkEntry {
         |       CAST((n_grams - n_seen) * 1000000 // n_grams AS BIGINT)
         |         AS novelty_ppm
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // the c14d cell replay + the c54 md5-rank quota formula per cell
+    "c59_cluster_quota" ->
+      """WITH idx AS (SELECT unnest(range(0, 64)) AS i),
+        |jj AS (SELECT unnest(range(0, 16)) AS j),
+        |codes AS (
+        |  SELECT vec_id, CAST(j.j AS INT) AS j,
+        |         CAST(sum((CASE WHEN ((j.j * 64 + i.i) * 2654435761)
+        |                             % 4294967296 < 2147483648
+        |                        THEN 1 ELSE -1 END)
+        |              * CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1]
+        |                     AS DOUBLE) * 1024 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS y
+        |  FROM embeddings CROSS JOIN idx i CROSS JOIN jj j
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT vec_id AS c, j, y FROM codes WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT v.vec_id, c.c, sum((v.y - c.y) * (v.y - c.y)) AS d
+        |  FROM codes v JOIN cent c ON v.j = c.j
+        |  GROUP BY 1, 2),
+        |own AS (
+        |  SELECT vec_id, CAST(c AS INT) AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d, c) AS rn FROM asg) t
+        |  WHERE rn = 1)
+        |SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |         row_number() OVER (PARTITION BY cell
+        |           ORDER BY md5(concat('quota:', CAST(vec_id AS VARCHAR))),
+        |                    CAST(vec_id AS VARCHAR)) AS rn
+        |  FROM own) t
+        |WHERE rn <= 20 ORDER BY vec_id""".stripMargin,
 
     // the c14d serving-path replay up to own-cell distance, then the
     // per-cell top-ceil(5%) rank — zero tolerance end to end

@@ -65,6 +65,71 @@ object AsofJoin {
     asofImpl(left, right, keys, leftTime, rightTime, rightPayload,
       forward = true)
 
+  /** Nearest-event as-of (B53): each left row matched to the right row
+    * minimizing |Δt| per key — the sensor/trace-alignment form, where
+    * "most recent" ([[asof]]) or "next" ([[asofForward]]) alone biases
+    * the alignment by half an arrival interval. Both carries run over
+    * ONE union and ONE keyed exchange: the ascending pass carries the
+    * latest earlier payload, the descending pass the earliest later one
+    * (two partition-local sorts, no second shuffle), then an exact
+    * integer-micros comparison picks the nearer side — ties to the
+    * EARLIER row, the deterministic DuckDB-replicable rule. Adds
+    * `delta_us` (null when no right row exists for the key at all).
+    * Same unique-per-(key, time) right contract as [[asof]].
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct(
+      rightPayload.map(col) :+ col(rightTime).as("__rt"): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+    val leftStruct = struct(leftCols.map(col): _*)
+    val leftType = left.select(leftStruct).schema.head.dataType
+
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__src"),
+        payloadStruct.as("__pay"),
+        lit(null).cast(leftType).as("__lrow")): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__src"),
+        lit(null).cast(payloadType).as("__pay"),
+        leftStruct.as("__lrow")): _*)
+
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn("__back", last(col("__pay"), ignoreNulls = true).over(wB))
+      .withColumn("__fwd", last(col("__pay"), ignoreNulls = true).over(wF))
+      .where(col("__src") === 1)
+
+    val dBack = unix_micros(col("__t")) -
+      unix_micros(col("__back").getField("__rt"))
+    val dFwd = unix_micros(col("__fwd").getField("__rt")) -
+      unix_micros(col("__t"))
+    val pick = when(col("__back").isNull, col("__fwd"))
+      .when(col("__fwd").isNull, col("__back"))
+      .when(dFwd < dBack, col("__fwd"))
+      .otherwise(col("__back"))
+    val delta = when(col("__back").isNull, dFwd)
+      .when(col("__fwd").isNull, dBack)
+      .otherwise(least(dBack, dFwd))
+
+    val outLeft = leftCols.map(c => col("__lrow").getField(c).as(c))
+    val outPay = rightPayload.map(c => col("__pick").getField(c).as(c))
+    carried
+      .withColumn("__pick", pick)
+      .withColumn("delta_us", delta)
+      .select(outLeft ++ outPay :+ col("delta_us"): _*)
+  }
+
   private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTime: String, rightTime: String,
                        rightPayload: Seq[String],

@@ -94,6 +94,48 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges === 1, s"expected exactly one exchange:\n${plan.take(800)}")
   }
 
+  test("b53 nearest: picks the side minimizing |Δt|, ties to the " +
+       "EARLIER row, one-sided keys fall back, and the plan is joinless") {
+    val near = AsofJoin
+      .asofNearest(left, right, Seq("k"), "t", "rt", Seq("rid"))
+    val got = near.collect()
+      .map(r => r.getString(2) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3))),
+          (if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+    // e1 t=100: only later rows exist → forward match rt=200, Δ=100s
+    assert(got("e1") === ((Some(10L), Some(100000000L))))
+    // e2 t=200: exact hit both directions → Δ=0, earlier(-or-equal) row
+    assert(got("e2") === ((Some(10L), Some(0L))))
+    // e3 t=250: rt=200 (Δ50) vs rt=300 (Δ50) — TIE goes to the earlier
+    assert(got("e3") === ((Some(10L), Some(50000000L))))
+    // e4 t=900: only earlier rows → backward match rt=300
+    assert(got("e4") === ((Some(11L), Some(600000000L))))
+    // e5 t=500: single right row at 400 → backward
+    assert(got("e5") === ((Some(20L), Some(100000000L))))
+    // e6: key has no right rows at all → null match, null delta
+    assert(got("e6") === ((None, None)))
+    // brute-force argmin over all (left, right) pairs agrees everywhere
+    val brute = left.as[(Long, java.sql.Timestamp, String)].collect().map {
+      case (k, t, tag) =>
+        val cands = right.as[(Long, java.sql.Timestamp, Long, Double)]
+          .collect().filter(_._1 == k)
+        if (cands.isEmpty) tag -> ((None, None))
+        else {
+          val best = cands.minBy(c =>
+            (math.abs(c._2.getTime - t.getTime), c._2.getTime))
+          tag -> ((Some(best._3),
+            Some(math.abs(best._2.getTime - t.getTime) * 1000L)))
+        }
+    }.toMap
+    assert(got === brute)
+    val p = near.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE prints the exchange twice
+    assert(!p.contains("Join"), p.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"both carries must share one exchange:\n${p.take(800)}")
+  }
+
   test("b42 forward: each left row matches the EARLIEST right row " +
        "at-or-after its time; no later row -> null; still joinless") {
     val fwd = AsofJoin
