@@ -77,7 +77,8 @@ object Bench {
     "c56_corpus_drift", "c2b_minhash_cross",
     "b49_seq_pattern", "b50_time_weighted", "b51_robust_outliers",
     "c57_novelty", "c58_embed_outliers", "d23_pattern_fold",
-    "b53_asof_nearest", "c59_cluster_quota",
+    "b53_asof_nearest", "c59_cluster_quota", "a38_pseudonymize",
+    "c60_effective_tokens", "d26_admission_cap",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -157,7 +158,10 @@ object Bench {
       "c57_novelty", "c58_embed_outliers",
       // c59 scans the replica-scaled embeddings corpus (b53 is
       // events-based → not probed)
-      "c59_cluster_quota")
+      "c59_cluster_quota",
+      // a38 scales with customer+orders, c60 with documents (d26 is
+      // events-based → not probed)
+      "a38_pseudonymize", "c60_effective_tokens")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -2660,6 +2660,67 @@ object SparkEntry {
           "user_id", "ts", "event_id", "event_type")
         .orderBy("user_id")),
 
+    // A38 deterministic pseudonymization: GDPR-grade keyed-hash
+    // tokenization of identifying columns — token = md5(secret:value),
+    // so the SAME value tokenizes identically EVERYWHERE and joins
+    // survive across tables while raw identifiers never leave the lake
+    // (C18 scrubs PII out of free text; this replaces it in keyed
+    // columns). Map-only on both tables; the query proves referential
+    // integrity by joining customer to orders ON THE TOKENS and
+    // aggregating exact integer cents. Nulls stay null.
+    "a38_pseudonymize" -> ((s, dir) => {
+      import graft.operators.Pseudonymize
+      val cust = Pseudonymize.tokenize(
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        "s3cr3t", Seq("c_custkey", "c_name"))
+      val ords = Pseudonymize.tokenize(
+        t(s, dir, "orders").select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "s3cr3t", Seq("o_custkey"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(count(col("o_custkey")).as("n_orders"),
+          coalesce(sum("cents"), lit(0L)).as("sum_price_cents"))
+        .orderBy("c_custkey")
+    }),
+
+    // C60 dedup-aware token accounting: per-source RAW vs EFFECTIVE
+    // token mass (each distinct text counted once) — the mixing-budget
+    // truth C25/C40 need when a source is largely re-crawl copies: its
+    // raw mass overstates what training will see after C1. Exact-dup
+    // copies planted in-plan (the c55 rule) since the base corpus is
+    // dup-free; grouping keys md5(text), never the text itself, so the
+    // wide column crosses the exchange once as a 32-char digest.
+    "c60_effective_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("source"), col("text")))
+      val nt = graft.functions.TextFunctions.tokenCount(col("text"))
+      corpus.select(col("source"), md5(col("text")).as("h"), nt.as("toks"))
+        .groupBy("source", "h")
+        .agg(count(lit(1)).as("n_copies"), min("toks").as("toks"))
+        .groupBy("source")
+        .agg(sum("n_copies").as("raw_docs"),
+          sum(col("n_copies") * col("toks")).as("raw_tokens"),
+          count(lit(1)).as("uniq_docs"),
+          sum("toks").as("effective_tokens"))
+        .withColumn("dup_ppm",
+          ((col("raw_tokens") - col("effective_tokens")) * lit(1000000L) /
+            col("raw_tokens")).cast("long"))
+        .orderBy("source")
+    }),
+
+    // D26 batch twin: the admission-cap verdicts as one window rank —
+    // the streaming form (admissionCapStream) decides the same
+    // first-40-per-user set from one counter per key, spec-locked
+    // including budgets exhausting mid-trigger and across triggers.
+    "d26_admission_cap" -> ((s, dir) =>
+      graft.streaming.EventStreams
+        .admissionCapBatch(t(s, dir, "events"), cap = 40)
+        .orderBy("event_id")),
+
     // B53 nearest-event as-of join: each error matched to the view
     // minimizing |Δt| per user — the alignment form where backward (B18)
     // or forward (B42) alone biases by half an interval. One union, one
@@ -4726,6 +4787,62 @@ object SparkEntry {
         |            AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad a ON d.event_type = a.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the identical md5(secret:value) tokens rebuilt on both tables,
+    // joined on the tokens — referential integrity is the check itself
+    "a38_pseudonymize" ->
+      """WITH cust AS (
+        |  SELECT md5(concat('s3cr3t:', CAST(c_custkey AS VARCHAR)))
+        |           AS c_custkey,
+        |         md5(concat('s3cr3t:', c_name)) AS c_name, c_mktsegment
+        |  FROM customer),
+        |ords AS (
+        |  SELECT md5(concat('s3cr3t:', CAST(o_custkey AS VARCHAR)))
+        |           AS o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |       count(o.o_custkey) AS n_orders,
+        |       CAST(coalesce(sum(o.cents), 0) AS BIGINT)
+        |         AS sum_price_cents
+        |FROM cust c LEFT JOIN ords o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // raw/effective/dup-ppm replayed from the token formula + md5 text
+    // identity, with the same planted re-crawl copies
+    "c60_effective_tokens" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT source, md5(text) AS h,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS toks
+        |  FROM corpus),
+        |u AS (
+        |  SELECT source, h, count(*) AS n_copies, min(toks) AS toks
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n_copies) AS BIGINT) AS raw_docs,
+        |       CAST(sum(n_copies * toks) AS BIGINT) AS raw_tokens,
+        |       count(*) AS uniq_docs,
+        |       CAST(sum(toks) AS BIGINT) AS effective_tokens,
+        |       CAST((CAST(sum(n_copies * toks) AS BIGINT)
+        |             - CAST(sum(toks) AS BIGINT)) * 1000000
+        |            // CAST(sum(n_copies * toks) AS BIGINT) AS BIGINT)
+        |         AS dup_ppm
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the first-cap-per-key verdict as a window rank over the (sec,
+    // event_id) total order
+    "d26_admission_cap" ->
+      """SELECT event_id, user_id,
+        |       row_number() OVER (PARTITION BY user_id
+        |         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+        |         <= 40 AS admitted
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // both native ASOF directions + the exact integer-micros nearer-side
     // pick, ties to the earlier row

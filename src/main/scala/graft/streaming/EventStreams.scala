@@ -122,6 +122,57 @@ object EventStreams {
       .toDF("user_id", "seq_len", "n_matches", "longest_run")
   }
 
+  /** D26 streaming admission cap: at most `cap` events per key admitted
+    * over the stream's LIFETIME, decided in event order — the frontier
+    * rate limiter (crawl budgets per host, free-tier caps per account)
+    * where C54's seeded-sample cap cannot apply because admission must
+    * be decided AS EVENTS ARRIVE, first-come: a batch resample would
+    * revoke already-granted admissions. State per key is ONE counter;
+    * within a trigger rows fold in (sec, event_id) order, across
+    * triggers event-time delivery is the contract (the D15 rule). Every
+    * event is emitted with its verdict, so downstream routing composes
+    * with D16's quarantine split.
+    */
+  def admissionCapStream(events: DataFrame, cap: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[Long]) => {
+          var admitted = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(r => (r._2, r._3)).map { r =>
+            val ok = admitted < cap
+            if (ok) admitted += 1
+            (r._3, uid, ok)
+          }
+          state.update(admitted)
+          out.iterator
+        })
+      .toDF("event_id", "user_id", "admitted")
+  }
+
+  /** Batch twin of [[admissionCapStream]]: the same first-`cap`-per-key
+    * verdicts as one window rank over the full history — what the
+    * d26 gate oracles; the spec locks stream ≡ batch including an
+    * admission budget that exhausts MID-trigger and across triggers.
+    */
+  def admissionCapBatch(events: DataFrame, cap: Long): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("sec"), col("event_id"))
+    events
+      .select(col("user_id").cast("long"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("event_id").cast("long"))
+      .withColumn("admitted", row_number().over(w) <= cap)
+      .select("event_id", "user_id", "admitted")
+  }
+
   /** Custom-state streaming aggregation: per-user lifetime totals kept in
     * a `GroupState[(count, sum)]` via `flatMapGroupsWithState` — the
     * pattern for state Spark's built-in aggregates can't express (decayed

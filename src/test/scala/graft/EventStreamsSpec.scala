@@ -895,6 +895,37 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d26: streaming admission cap — budget exhausts mid-trigger and " +
+       "across triggers, stream ≡ the batch window twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // cap=3: user 1 sends 2 then 2 events (budget dies mid-second-
+    // trigger); user 2 sends 4 in ONE trigger (dies mid-trigger)
+    val b1 = Seq((1L, ts(10), 1L, "view"), (1L, ts(20), 2L, "view"))
+    val b2 = Seq((1L, ts(30), 3L, "view"), (1L, ts(40), 4L, "view"),
+      (2L, ts(10), 5L, "view"), (2L, ts(20), 6L, "view"),
+      (2L, ts(30), 7L, "view"), (2L, ts(40), 8L, "view"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val stream = graft.streaming.EventStreams.admissionCapStream(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"), cap = 3)
+    val q = stream.writeStream.format("memory").queryName("d26_mem")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("d26_mem").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      val batch = graft.streaming.EventStreams.admissionCapBatch(
+        (b1 ++ b2).toDF("user_id", "ts", "event_id", "event_type"), cap = 3)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got === batch)
+      assert(got(3L) && !got(4L), "user 1's budget dies at its 4th event")
+      assert(got(7L) && !got(8L), "user 2's budget dies mid-trigger")
+    } finally q.stop()
+  }
+
   test("d25: streaming novelty against rolling history — exact repeats " +
        "score 0, same-epoch repeats read as novel, stream ≡ fold") {
     import graft.streaming.BloomStream
