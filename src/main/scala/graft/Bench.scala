@@ -78,7 +78,8 @@ object Bench {
     "b49_seq_pattern", "b50_time_weighted", "b51_robust_outliers",
     "c57_novelty", "c58_embed_outliers", "d23_pattern_fold",
     "b53_asof_nearest", "c59_cluster_quota", "a38_pseudonymize",
-    "c60_effective_tokens", "d26_admission_cap",
+    "c60_effective_tokens", "d26_admission_cap", "b54_interarrival",
+    "c61_embedding_pool",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -161,7 +162,10 @@ object Bench {
       "c59_cluster_quota",
       // a38 scales with customer+orders, c60 with documents (d26 is
       // events-based → not probed)
-      "a38_pseudonymize", "c60_effective_tokens")
+      "a38_pseudonymize", "c60_effective_tokens",
+      // c61 explodes the replica-scaled embeddings corpus (b54 is
+      // events-based → not probed)
+      "c61_embedding_pool")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

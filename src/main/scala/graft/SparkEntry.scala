@@ -2721,6 +2721,49 @@ object SparkEntry {
         .admissionCapBatch(t(s, dir, "events"), cap = 40)
         .orderBy("event_id")),
 
+    // B54 inter-arrival statistics: per-key event-gap distribution
+    // (min/p50/p90/max of exact integer micros between consecutive
+    // events) — the heartbeat/SLO profile behind D19's deadline choice;
+    // one lag window inside the user partition, then percentile_disc so
+    // both engines pick actual gap values (the d20 pairing).
+    "b54_interarrival" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        .withColumn("gap", col("us") - lag("us", 1).over(w))
+        .where(col("gap").isNotNull)
+        .createOrReplaceTempView("graft_b54_gaps")
+      s.sql("""SELECT user_id, count(*) AS n_gaps, min(gap) AS min_gap_us,
+              |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)
+              |       AS BIGINT) AS p50_gap_us,
+              |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)
+              |       AS BIGINT) AS p90_gap_us,
+              |  max(gap) AS max_gap_us
+              |FROM graft_b54_gaps GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // C61 chunk→document embedding pooling: mean-pool document vectors
+    // from chunk vectors ON THE INTEGER GRID — quantize each component
+    // (the c53 formula), sum exactly per (doc, dim), divide ONCE into a
+    // rounded double both engines derive from identical BIGINTs. The
+    // retrieval-side inverse of C21's chunking: indexes serve chunk
+    // vectors, dedup/clustering (C5/C19/C31) want one vector per doc.
+    // One explode + one keyed agg; chunk→doc here is vec_id DIV 4.
+    "c61_embedding_pool" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(expr("vec_id DIV 4").as("doc_id"),
+          posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * 1024 + lit(0.5)))))
+        .toDF("doc_id", "j", "q")
+        .groupBy("doc_id", "j")
+        .agg(count(lit(1)).as("n_chunks"), sum("q").as("sum_q"))
+        .select(col("doc_id"), col("j"), col("n_chunks"), col("sum_q"),
+          round(col("sum_q").cast("double") /
+            (col("n_chunks") * lit(1024.0)), 6).as("pooled"))
+        .orderBy("doc_id", "j")),
+
     // B53 nearest-event as-of join: each error matched to the view
     // minimizing |Δt| per user — the alignment form where backward (B18)
     // or forward (B42) alone biases by half an interval. One union, one
@@ -4843,6 +4886,36 @@ object SparkEntry {
         |         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
         |         <= 40 AS admitted
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // quantile_disc ≡ percentile_disc on exact integer gaps
+    "b54_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |           AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |       CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_us,
+        |       CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap_us,
+        |       CAST(max(gap) AS BIGINT) AS max_gap_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the c53 quantization formula, exact per-dim sums, one division
+    "c61_embedding_pool" ->
+      """WITH e AS (
+        |  SELECT vec_id // 4 AS doc_id, CAST(i.i AS INT) AS j,
+        |         CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1]
+        |              AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i)
+        |SELECT doc_id, j, count(*) AS n_chunks,
+        |       CAST(sum(q) AS BIGINT) AS sum_q,
+        |       round(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+        |             / (count(*) * CAST(1024 AS DOUBLE)), 6) AS pooled
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // both native ASOF directions + the exact integer-micros nearer-side
     // pick, ties to the earlier row
