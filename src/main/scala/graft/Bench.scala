@@ -79,7 +79,7 @@ object Bench {
     "c57_novelty", "c58_embed_outliers", "d23_pattern_fold",
     "b53_asof_nearest", "c59_cluster_quota", "a38_pseudonymize",
     "c60_effective_tokens", "d26_admission_cap", "b54_interarrival",
-    "c61_embedding_pool",
+    "c61_embedding_pool", "c62_hard_negatives", "c63_ann_recall",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -164,8 +164,9 @@ object Bench {
       // events-based → not probed)
       "a38_pseudonymize", "c60_effective_tokens",
       // c61 explodes the replica-scaled embeddings corpus (b54 is
-      // events-based → not probed)
-      "c61_embedding_pool")
+      // events-based → not probed); c62/c63 scan the replica-scaled
+      // codes — c63 twice (approx + truth), still linear
+      "c61_embedding_pool", "c62_hard_negatives", "c63_ann_recall")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
@@ -175,7 +176,10 @@ object Bench {
     Seq("q5_star_join", "c2_minhash_lsh",
       // the compression front end across two decades: map-only
       // projection over the 100x embeddings corpus
-      "c53_jl_projection")
+      "c53_jl_projection",
+      // the diversity cap across two decades: WindowGroupLimit's
+      // map-side heaps must keep the shuffle cap-sized as cells fill
+      "c59_cluster_quota")
 
   private val scale100Tables = Seq("lineitem", "orders", "customer",
     "region", "nation", "documents", "embeddings")

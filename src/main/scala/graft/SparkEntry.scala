@@ -2764,6 +2764,99 @@ object SparkEntry {
             (col("n_chunks") * lit(1024.0)), 6).as("pooled"))
         .orderBy("doc_id", "j")),
 
+    // C62 hard-negative mining: for each query, the nearest vectors
+    // whose LABEL differs — the contrastive-training data op (negatives
+    // that are hard because they're close, informative because they're
+    // wrong). Runs on the C53 integer codes so distances and ranks are
+    // hash-exact; the 8-row query table broadcasts onto a single corpus
+    // scan (exhaustive ⇒ exact, the c14/c26 gate convention — the
+    // production candidate generator is c14d's cell probe).
+    "c62_hard_negatives" -> ((s, dir) => {
+      import graft.functions.GraftExpressions._
+      val signs = jlSigns(16, 64)
+      val coded = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          jlProject(col("embedding"), signs).as("code"))
+      import s.implicits._
+      val qdf = coded.where(col("vec_id") < 8)
+        .select("vec_id", "label", "code").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+        .toSeq.toDF("query_id", "qlabel", "qcode")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+      coded.join(broadcast(qdf),
+          col("label") =!= col("qlabel") &&
+            col("vec_id") =!= col("query_id"))
+        .withColumn("dist", aggregate(
+          zip_with(col("code"), col("qcode"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, e) => acc + e))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neg_id"), col("label"),
+          col("dist"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // C63 ANN recall report: measure the quantized serving path's
+    // recall@5 ON THE CORPUS — the ops gate behind every nProbe choice,
+    // run as a query instead of an offline eval. Approx = the c14d path
+    // DELIBERATELY under-probed at 2-of-16 cells so the report measures
+    // real misses (4 probes recall 100% here — a vacuous gate); truth =
+    // exhaustive integer L2 over the same codes; both sides are EXACT
+    // integer pipelines, so the recall itself (hits · 200000 ppm) is
+    // hash-checked, not a spec-side bound like the float-ANN recall
+    // specs. One corpus scan per side.
+    "c63_ann_recall" -> ((s, dir) => {
+      import graft.functions.GraftExpressions._
+      val signs = jlSigns(16, 64)
+      val coded = t(s, dir, "embeddings")
+        .select(col("vec_id"), jlProject(col("embedding"), signs).as("code"))
+      val cents: Array[Array[Long]] = coded.where(col("vec_id") < 16)
+        .orderBy("vec_id").collect().map(_.getSeq[Long](1).toArray)
+      val assigned = coded
+        .withColumn("cell", intCellAssign(col("code"), cents))
+      val qRows = assigned.where(col("vec_id") < 8)
+        .select("vec_id", "code").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      def d2(a: Array[Long], b: Array[Long]): Long = {
+        var acc = 0L; var i = 0
+        while (i < math.min(a.length, b.length)) {
+          val d = a(i) - b(i); acc += d * d; i += 1
+        }
+        acc
+      }
+      import s.implicits._
+      val probeRows = qRows.flatMap { case (q, qc) =>
+        cents.zipWithIndex.map { case (ct, ci) => (d2(qc, ct), ci) }
+          .sortBy(identity).take(2)
+          .map { case (_, ci) => (q, ci, qc.toSeq) }
+      }.toSeq
+      val qdfProbe = probeRows.toDF("query_id", "cell", "qcode")
+      val distOf = aggregate(
+        zip_with(col("code"), col("qcode"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, e) => acc + e)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+      val approx = assigned.join(broadcast(qdfProbe), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("dist", distOf)
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+        .select(col("query_id"), col("vec_id"))
+      val qdfFull = qRows.map { case (q, qc) => (q, qc.toSeq) }.toSeq
+        .toDF("query_id", "qcode")
+      val exact = coded.join(broadcast(qdfFull),
+          col("vec_id") =!= col("query_id"))
+        .withColumn("dist", distOf)
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+        .select(col("query_id"), col("vec_id"))
+      exact.join(approx.withColumn("hit", lit(1)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .withColumn("recall_ppm", col("n_hit") * lit(200000L))
+        .orderBy("query_id")
+    }),
+
     // B53 nearest-event as-of join: each error matched to the view
     // minimizing |Δt| per user — the alignment form where backward (B18)
     // or forward (B42) alone biases by half an interval. One union, one
@@ -4886,6 +4979,109 @@ object SparkEntry {
         |         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
         |         <= 40 AS admitted
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // both sides replayed — c14d's probe-limited top-5 AND the
+    // exhaustive top-5 — then recall counted; integer end to end
+    "c63_ann_recall" ->
+      """WITH idx AS (SELECT unnest(range(0, 64)) AS i),
+        |jj AS (SELECT unnest(range(0, 16)) AS j),
+        |codes AS (
+        |  SELECT vec_id, CAST(j.j AS INT) AS j,
+        |         CAST(sum((CASE WHEN ((j.j * 64 + i.i) * 2654435761)
+        |                             % 4294967296 < 2147483648
+        |                        THEN 1 ELSE -1 END)
+        |              * CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1]
+        |                     AS DOUBLE) * 1024 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS y
+        |  FROM embeddings CROSS JOIN idx i CROSS JOIN jj j
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT vec_id AS c, j, y FROM codes WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT v.vec_id, c.c, sum((v.y - c.y) * (v.y - c.y)) AS d
+        |  FROM codes v JOIN cent c ON v.j = c.j
+        |  GROUP BY 1, 2),
+        |cell AS (
+        |  SELECT vec_id, CAST(c AS INT) AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d, c) AS rn FROM asg) t
+        |  WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS query_id, CAST(c AS INT) AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d, c) AS rn
+        |    FROM asg WHERE vec_id < 8) t
+        |  WHERE rn <= 2),
+        |adist AS (
+        |  SELECT ca.query_id, ca.vec_id,
+        |         sum((a.y - b.y) * (a.y - b.y)) AS dist
+        |  FROM (SELECT q.query_id, v.vec_id
+        |        FROM cell v JOIN qprobe q ON v.cell = q.cell
+        |        WHERE v.vec_id <> q.query_id) ca
+        |  JOIN codes a ON a.vec_id = ca.query_id
+        |  JOIN codes b ON b.vec_id = ca.vec_id AND b.j = a.j
+        |  GROUP BY 1, 2),
+        |approx AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY dist, vec_id) AS rnk FROM adist) t
+        |  WHERE rnk <= 5),
+        |edist AS (
+        |  SELECT q.query_id, b.vec_id,
+        |         sum((a.y - b.y) * (a.y - b.y)) AS dist
+        |  FROM (SELECT vec_id AS query_id FROM embeddings
+        |        WHERE vec_id < 8) q
+        |  JOIN codes a ON a.vec_id = q.query_id
+        |  JOIN codes b ON b.j = a.j
+        |  WHERE b.vec_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY dist, vec_id) AS rnk FROM edist) t
+        |  WHERE rnk <= 5)
+        |SELECT e.query_id, count(*) AS n_exact,
+        |       count(a.vec_id) AS n_hit,
+        |       CAST(count(a.vec_id) * 200000 AS BIGINT) AS recall_ppm
+        |FROM exact e LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the c53 code replay + label-inequality filter + exact (dist, id)
+    // ranks — zero tolerance
+    "c62_hard_negatives" ->
+      """WITH idx AS (SELECT unnest(range(0, 64)) AS i),
+        |jj AS (SELECT unnest(range(0, 16)) AS j),
+        |codes AS (
+        |  SELECT vec_id, CAST(j.j AS INT) AS j,
+        |         CAST(sum((CASE WHEN ((j.j * 64 + i.i) * 2654435761)
+        |                             % 4294967296 < 2147483648
+        |                        THEN 1 ELSE -1 END)
+        |              * CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1]
+        |                     AS DOUBLE) * 1024 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS y
+        |  FROM embeddings CROSS JOIN idx i CROSS JOIN jj j
+        |  GROUP BY 1, 2),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT q.query_id, b.vec_id,
+        |         sum((a.y - b.y) * (a.y - b.y)) AS dist
+        |  FROM q
+        |  JOIN codes a ON a.vec_id = q.query_id
+        |  JOIN codes b ON b.j = a.j
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT d.query_id, d.vec_id, lb.label,
+        |         CAST(d.dist AS BIGINT) AS dist
+        |  FROM dist d
+        |  JOIN lab lb ON lb.vec_id = d.vec_id
+        |  JOIN lab lq ON lq.vec_id = d.query_id
+        |  WHERE lb.label <> lq.label AND d.vec_id <> d.query_id)
+        |SELECT query_id, vec_id AS neg_id, label, dist,
+        |       CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY dist, vec_id) AS rnk FROM f) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     // quantile_disc ≡ percentile_disc on exact integer gaps
     "b54_interarrival" ->
