@@ -2857,6 +2857,45 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // C64 boilerplate line removal (the CCNet/RefinedWeb rule): a line
+    // occurring in ≥30% of a SOURCE's documents is template chrome —
+    // nav bars, cookie banners, footers — and is stripped before
+    // training; doc-level dedup can't touch it because every PAGE is
+    // unique. Corpus synthesized in-plan (the c55 rule): a per-source
+    // crawl header planted as line 0 of every doc + fixed 12-word body
+    // windows. Cost: one explode + a (source, line)-keyed agg whose
+    // frequency table is boilerplate-sized; reconstruction sorts INSIDE
+    // the per-doc agg (the b49 pattern), no window. Integer percent
+    // compare, md5 reconstruction digest — hash-exact.
+    "c64_boilerplate_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val words = split(trim(regexp_replace(lower(col("text")),
+        "\\s+", " ")), " ")
+      val nLines = floor((size(words) + lit(11)) / lit(12)).cast("int")
+      val lineArr = transform(sequence(lit(0), nLines - 1),
+        i => concat_ws(" ", slice(words, i * 12 + 1, lit(12))))
+      val withHeader = docs.select(col("doc_id"), col("source"),
+        concat(array(concat(lit("from "), col("source"),
+          lit(" crawl header"))), lineArr).as("lines"))
+      val exploded = withHeader
+        .select(col("doc_id"), col("source"), posexplode(col("lines")))
+        .toDF("doc_id", "source", "idx", "line")
+      val stats = exploded.groupBy("source", "line")
+        .agg(countDistinct("doc_id").as("df"))
+      val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      exploded.join(stats, Seq("source", "line"))
+        .join(broadcast(nd), Seq("source"))
+        .withColumn("boiler", col("df") * 100 >= col("n_docs") * 30)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(!col("boiler"), 1L).otherwise(0L)).as("n_kept"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(when(!col("boiler"),
+              struct(col("idx"), col("line"))))),
+            x => x.getField("line")))).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // B53 nearest-event as-of join: each error matched to the view
     // minimizing |Δt| per user — the alignment form where backward (B18)
     // or forward (B42) alone biases by half an interval. One union, one
@@ -5082,6 +5121,42 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |          ORDER BY dist, vec_id) AS rnk FROM f) t
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // same line synthesis, doc-frequency threshold, and ordered
+    // reconstruction digest
+    "c64_boilerplate_lines" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |           ' ') AS words
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, source, 0 AS idx,
+        |         concat('from ', source, ' crawl header') AS line
+        |  FROM w
+        |  UNION ALL
+        |  SELECT doc_id, source, CAST(t.i + 1 AS INT) AS idx,
+        |         array_to_string(words[(t.i*12+1):(t.i*12+12)], ' ')
+        |           AS line
+        |  FROM w, unnest(range(0, (len(words) + 11) // 12)) t(i)),
+        |st AS (SELECT source, line, count(DISTINCT doc_id) AS df
+        |       FROM ln GROUP BY 1, 2),
+        |nd AS (SELECT source, count(*) AS n_docs
+        |       FROM documents GROUP BY 1),
+        |fl AS (
+        |  SELECT l.doc_id, l.idx, l.line,
+        |         (st.df * 100 >= nd.n_docs * 30) AS boiler
+        |  FROM ln l
+        |  JOIN st ON st.source = l.source AND st.line = l.line
+        |  JOIN nd ON nd.source = l.source)
+        |SELECT doc_id, count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN NOT boiler THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_kept,
+        |       md5(coalesce(string_agg(
+        |             CASE WHEN NOT boiler THEN line END, ' '
+        |             ORDER BY idx), '')) AS clean_md5
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // quantile_disc ≡ percentile_disc on exact integer gaps
     "b54_interarrival" ->
