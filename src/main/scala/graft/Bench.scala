@@ -80,7 +80,7 @@ object Bench {
     "b53_asof_nearest", "c59_cluster_quota", "a38_pseudonymize",
     "c60_effective_tokens", "d26_admission_cap", "b54_interarrival",
     "c61_embedding_pool", "c62_hard_negatives", "c63_ann_recall",
-    "c64_boilerplate_lines",
+    "c64_boilerplate_lines", "d27_centroid_maintenance",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -170,7 +170,10 @@ object Bench {
       "c61_embedding_pool", "c62_hard_negatives", "c63_ann_recall",
       // c64 explodes replica-scaled documents; its frequency table
       // scales with distinct (source, line), the true workload
-      "c64_boilerplate_lines")
+      "c64_boilerplate_lines",
+      // d27's three epochs each scan a third of the replica-scaled
+      // corpus; driver state stays k·dim regardless of scale
+      "d27_centroid_maintenance")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

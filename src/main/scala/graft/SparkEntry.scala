@@ -2896,6 +2896,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D27 batch twin: incremental centroid maintenance — mini-batch
+    // k-means over the C53 integer grid, folded through three
+    // event-ordered epochs. Codes are SHIFTED positive (+2^19) so the
+    // state's truncating integer mean ≡ DuckDB's floor `//` and the
+    // whole trajectory — assignments, counts, running sums — replays
+    // hash-exact; each epoch assigns against the centroids AS OF ITS
+    // START (the mini-batch rule). Per-epoch engine cost: one map-only
+    // codegen assignment scan + a (cell, dim) agg collected at k·dim
+    // rows. EventStreamsSpec locks the streaming delivery ≡ this fold.
+    "d27_centroid_maintenance" -> ((s, dir) => {
+      import graft.functions.GraftExpressions._
+      val signs = jlSigns(16, 64)
+      val coded = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(jlProject(col("embedding"), signs),
+            x => x + lit(524288L)).as("code"))
+      val seed: Array[Array[Long]] = coded.where(col("vec_id") < 8)
+        .orderBy("vec_id").collect().map(_.getSeq[Long](1).toArray)
+      val st = new graft.operators.Clustering.IntCentroidState(seed)
+      import s.implicits._
+      (0 until 3).flatMap { e =>
+        st.fold(coded.where(col("vec_id") % 3 === e), "code")
+          .map { case (c, n, pc, l1) => (e, c, n, pc, l1) }
+      }.toDF("epoch", "cell", "n_assigned", "post_count", "post_sum_l1")
+        .orderBy("epoch", "cell")
+    }),
+
     // B53 nearest-event as-of join: each error matched to the view
     // minimizing |Δt| per user — the alignment form where backward (B18)
     // or forward (B42) alone biases by half an interval. One union, one
@@ -5121,6 +5148,111 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |          ORDER BY dist, vec_id) AS rnk FROM f) t
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // the full three-epoch trajectory unrolled: shifted codes, integer
+    // centroids (// of positive sums), argmin assignment (ties to the
+    // lowest cell), state merge — zero tolerance end to end
+    "d27_centroid_maintenance" ->
+      """WITH idx AS (SELECT unnest(range(0, 64)) AS i),
+        |jj AS (SELECT unnest(range(0, 16)) AS j),
+        |codes AS (
+        |  SELECT vec_id, CAST(j.j AS INT) AS j,
+        |         CAST(sum((CASE WHEN ((j.j * 64 + i.i) * 2654435761)
+        |                             % 4294967296 < 2147483648
+        |                        THEN 1 ELSE -1 END)
+        |              * CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1]
+        |                     AS DOUBLE) * 1024 + 0.5) AS BIGINT))
+        |              AS BIGINT) + 524288 AS y
+        |  FROM embeddings CROSS JOIN idx i CROSS JOIN jj j
+        |  GROUP BY 1, 2),
+        |s0 AS (SELECT CAST(vec_id AS INT) AS cell, j, y AS sq
+        |       FROM codes WHERE vec_id < 8),
+        |n0 AS (SELECT CAST(vec_id AS INT) AS cell, CAST(1 AS BIGINT)
+        |         AS cnt FROM embeddings WHERE vec_id < 8),
+        |c0 AS (SELECT s0.cell, s0.j, s0.sq // n0.cnt AS y
+        |       FROM s0 JOIN n0 ON n0.cell = s0.cell),
+        |a0 AS (SELECT v.vec_id, c.cell,
+        |              sum((v.y - c.y) * (v.y - c.y)) AS d
+        |       FROM codes v JOIN c0 c ON v.j = c.j
+        |       WHERE v.vec_id % 3 = 0 GROUP BY 1, 2),
+        |g0 AS (SELECT vec_id, cell FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY d, cell) AS rn FROM a0) t
+        |       WHERE rn = 1),
+        |ac0 AS (SELECT cell, count(*) AS nn FROM g0 GROUP BY 1),
+        |u0 AS (SELECT g0.cell, cd.j, sum(cd.y) AS sq
+        |       FROM g0 JOIN codes cd ON cd.vec_id = g0.vec_id
+        |       GROUP BY 1, 2),
+        |s1 AS (SELECT s0.cell, s0.j, s0.sq + coalesce(u0.sq, 0) AS sq
+        |       FROM s0 LEFT JOIN u0
+        |         ON u0.cell = s0.cell AND u0.j = s0.j),
+        |n1 AS (SELECT n0.cell, n0.cnt + coalesce(ac0.nn, 0) AS cnt
+        |       FROM n0 LEFT JOIN ac0 ON ac0.cell = n0.cell),
+        |r0 AS (SELECT 0 AS epoch, n1.cell,
+        |              CAST(coalesce(ac0.nn, 0) AS BIGINT) AS n_assigned,
+        |              CAST(n1.cnt AS BIGINT) AS post_count, l1.sl1
+        |         AS post_sum_l1
+        |       FROM n1
+        |       LEFT JOIN ac0 ON ac0.cell = n1.cell
+        |       JOIN (SELECT cell, CAST(sum(sq) AS BIGINT) AS sl1
+        |             FROM s1 GROUP BY 1) l1 ON l1.cell = n1.cell),
+        |c1 AS (SELECT s1.cell, s1.j, s1.sq // n1.cnt AS y
+        |       FROM s1 JOIN n1 ON n1.cell = s1.cell),
+        |a1 AS (SELECT v.vec_id, c.cell,
+        |              sum((v.y - c.y) * (v.y - c.y)) AS d
+        |       FROM codes v JOIN c1 c ON v.j = c.j
+        |       WHERE v.vec_id % 3 = 1 GROUP BY 1, 2),
+        |g1 AS (SELECT vec_id, cell FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY d, cell) AS rn FROM a1) t
+        |       WHERE rn = 1),
+        |ac1 AS (SELECT cell, count(*) AS nn FROM g1 GROUP BY 1),
+        |u1 AS (SELECT g1.cell, cd.j, sum(cd.y) AS sq
+        |       FROM g1 JOIN codes cd ON cd.vec_id = g1.vec_id
+        |       GROUP BY 1, 2),
+        |s2 AS (SELECT s1.cell, s1.j, s1.sq + coalesce(u1.sq, 0) AS sq
+        |       FROM s1 LEFT JOIN u1
+        |         ON u1.cell = s1.cell AND u1.j = s1.j),
+        |n2 AS (SELECT n1.cell, n1.cnt + coalesce(ac1.nn, 0) AS cnt
+        |       FROM n1 LEFT JOIN ac1 ON ac1.cell = n1.cell),
+        |r1 AS (SELECT 1 AS epoch, n2.cell,
+        |              CAST(coalesce(ac1.nn, 0) AS BIGINT) AS n_assigned,
+        |              CAST(n2.cnt AS BIGINT) AS post_count, l1.sl1
+        |         AS post_sum_l1
+        |       FROM n2
+        |       LEFT JOIN ac1 ON ac1.cell = n2.cell
+        |       JOIN (SELECT cell, CAST(sum(sq) AS BIGINT) AS sl1
+        |             FROM s2 GROUP BY 1) l1 ON l1.cell = n2.cell),
+        |c2 AS (SELECT s2.cell, s2.j, s2.sq // n2.cnt AS y
+        |       FROM s2 JOIN n2 ON n2.cell = s2.cell),
+        |a2 AS (SELECT v.vec_id, c.cell,
+        |              sum((v.y - c.y) * (v.y - c.y)) AS d
+        |       FROM codes v JOIN c2 c ON v.j = c.j
+        |       WHERE v.vec_id % 3 = 2 GROUP BY 1, 2),
+        |g2 AS (SELECT vec_id, cell FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY d, cell) AS rn FROM a2) t
+        |       WHERE rn = 1),
+        |ac2 AS (SELECT cell, count(*) AS nn FROM g2 GROUP BY 1),
+        |u2 AS (SELECT g2.cell, cd.j, sum(cd.y) AS sq
+        |       FROM g2 JOIN codes cd ON cd.vec_id = g2.vec_id
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.cell, s2.j, s2.sq + coalesce(u2.sq, 0) AS sq
+        |       FROM s2 LEFT JOIN u2
+        |         ON u2.cell = s2.cell AND u2.j = s2.j),
+        |n3 AS (SELECT n2.cell, n2.cnt + coalesce(ac2.nn, 0) AS cnt
+        |       FROM n2 LEFT JOIN ac2 ON ac2.cell = n2.cell),
+        |r2 AS (SELECT 2 AS epoch, n3.cell,
+        |              CAST(coalesce(ac2.nn, 0) AS BIGINT) AS n_assigned,
+        |              CAST(n3.cnt AS BIGINT) AS post_count, l1.sl1
+        |         AS post_sum_l1
+        |       FROM n3
+        |       LEFT JOIN ac2 ON ac2.cell = n3.cell
+        |       JOIN (SELECT cell, CAST(sum(sq) AS BIGINT) AS sl1
+        |             FROM s3 GROUP BY 1) l1 ON l1.cell = n3.cell)
+        |SELECT * FROM r0 UNION ALL SELECT * FROM r1
+        |UNION ALL SELECT * FROM r2
+        |ORDER BY epoch, cell""".stripMargin,
 
     // same line synthesis, doc-frequency threshold, and ordered
     // reconstruction digest

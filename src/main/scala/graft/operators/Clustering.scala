@@ -119,6 +119,78 @@ object Clustering {
   def semDedupK(n: Long, targetCell: Int = 300): Int =
     math.max(8, math.ceil(n.toDouble / targetCell).toInt)
 
+  /** Incremental integer-centroid state (D27) — mini-batch k-means
+    * (Sculley 2010) over the C53 code grid, the serving-index
+    * maintenance loop a crawl runs as embeddings ARRIVE instead of
+    * re-clustering the corpus: per cell the state is (Σ codes, count);
+    * the centroid served to an epoch is the INTEGER mean `sum / count`
+    * (truncating; callers shift codes positive so truncation ≡ floor ≡
+    * DuckDB's `//` and the whole trajectory replays cross-engine);
+    * each epoch assigns against the centroids AS OF ITS START (the
+    * mini-batch rule — assignment never sees its own epoch's updates),
+    * then folds its per-cell sums in. Driver state like D12's sketch
+    * shards: k·dim longs, constant, epoch-ordered.
+    */
+  final class IntCentroidState(seed: Array[Array[Long]]) extends Serializable {
+    require(seed.nonEmpty, "at least one seed centroid")
+    private val k = seed.length
+    private val dim = seed.head.length
+    private val sums: Array[Array[Long]] = seed.map(_.clone())
+    private val counts: Array[Long] = Array.fill(k)(1L)
+
+    /** Integer centroids as of now: sums/counts, truncating. */
+    def centroids: Array[Array[Long]] =
+      sums.zip(counts).map { case (s, n) => s.map(_ / n) }
+
+    private var lastFolded: Long = Long.MinValue
+    private var lastReport: Seq[(Int, Long, Long, Long)] = Nil
+
+    /** [[fold]] keyed by epoch for at-least-once streaming delivery: a
+      * replayed epoch (id ≤ last folded) must NOT re-absorb its sums —
+      * identical input ⇒ identical report, so the remembered one is
+      * returned and the state stays exactly-once (the D21 replay rule).
+      */
+    def foldEpoch(epoch: Long, codes: DataFrame,
+                  codeCol: String): Seq[(Int, Long, Long, Long)] = {
+      if (epoch <= lastFolded) lastReport
+      else {
+        val r = fold(codes, codeCol)
+        lastFolded = epoch
+        lastReport = r
+        r
+      }
+    }
+
+    /** Fold one epoch of codes: assign against the CURRENT centroids,
+      * absorb per-cell sums, return the per-cell epoch report
+      * (cell, n_assigned, post_count, post_sum_l1). Cost: one map-only
+      * codegen assignment scan + a (cell, dim)-keyed agg collected at
+      * k·dim rows.
+      */
+    def fold(codes: DataFrame, codeCol: String): Seq[(Int, Long, Long, Long)] = {
+      import graft.functions.GraftExpressions.intCellAssign
+      val cents = centroids
+      val perDim = codes
+        .select(intCellAssign(col(codeCol), cents).as("cell"),
+          posexplode(col(codeCol)))
+        .toDF("cell", "j", "q")
+        .groupBy("cell", "j")
+        .agg(count(lit(1)).as("n"), sum("q").as("s"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      require(perDim.length <= k * dim, "assignment produced unknown cells")
+      val nAssigned = Array.fill(k)(0L)
+      perDim.foreach { case (c, j, n, s) =>
+        sums(c)(j) += s
+        if (j == 0) nAssigned(c) = n
+      }
+      (0 until k).map { c =>
+        counts(c) += nAssigned(c)
+        (c, nAssigned(c), counts(c), sums(c).sum)
+      }
+    }
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication with the pairwise cosine confined INSIDE k-means
     * clusters — the trick that makes embedding dedup tractable at

@@ -926,6 +926,69 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("d27: streaming centroid maintenance — stream ≡ fold epoch by " +
+       "epoch, replayed epochs leave the state untouched") {
+    import graft.functions.GraftExpressions._
+    import graft.operators.Clustering.IntCentroidState
+    import spark.implicits._
+    val signs = jlSigns(16, 64)
+    val coded = Tables(spark, sfDir(), "embeddings")
+      .select(col("vec_id"),
+        transform(jlProject(col("embedding"), signs),
+          x => x + lit(524288L)).as("code"))
+    val seed: Array[Array[Long]] = coded.where(col("vec_id") < 8)
+      .orderBy("vec_id").collect().map(_.getSeq[Long](1).toArray)
+
+    // reference fold
+    val stF = new IntCentroidState(seed)
+    val folded = (0 until 3).map { e =>
+      e.toLong -> stF.fold(coded.where(col("vec_id") % 3 === e), "code")
+    }.toMap
+
+    // replay guard: same epoch twice → same report, state not advanced
+    val stR = new IntCentroidState(seed)
+    val ep0 = coded.where(col("vec_id") % 3 === 0)
+    val first = stR.foldEpoch(0L, ep0, "code")
+    assert(stR.foldEpoch(0L, ep0, "code") === first,
+      "replayed epoch must return the remembered report")
+    assert(first === folded(0L))
+    assert(stR.foldEpoch(1L,
+      coded.where(col("vec_id") % 3 === 1), "code") === folded(1L),
+      "state after a replay must equal the no-replay trajectory")
+
+    // streaming delivery: one file per epoch through the real sink
+    val staged = Files.createTempDirectory("graft_d27_src")
+    (0 until 3).foreach { e =>
+      val tmp = Files.createTempDirectory(s"graft_d27_ep$e")
+      coded.where(col("vec_id") % 3 === e).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        staged.resolve(f"ep$e%02d.parquet"))
+    }
+    val out = Files.createTempDirectory("graft_d27_out")
+    val src = spark.readStream
+      .schema(coded.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val stS = new IntCentroidState(seed)
+    val q = graft.streaming.CentroidStream.maintenanceSink(src, stS,
+      "code", out.resolve("rep").toString, out.resolve("ckpt").toString)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out.resolve("rep").toString)
+      .select(col("__epoch").cast("long"), col("cell"),
+        col("n_assigned"), col("post_count"), col("post_sum_l1"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val expect = folded.flatMap { case (e, rows) =>
+      rows.map { case (c, n, pc, l1) => (e, c) -> ((n, pc, l1)) }
+    }
+    assert(streamed === expect, "stream must reproduce the fold exactly")
+  }
+
   test("d25: streaming novelty against rolling history — exact repeats " +
        "score 0, same-epoch repeats read as novel, stream ≡ fold") {
     import graft.streaming.BloomStream
