@@ -205,4 +205,28 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("funnel automaton ≡ Java-regex leftmost-non-overlapping scan on " +
+       "500 seeded random sequences (matches, longest run, length)") {
+    import graft.operators.SeqPattern
+    val rnd = new scala.util.Random(42)
+    val alphabet = "vcpes"
+    val pat = java.util.regex.Pattern.compile("v+c*p")
+    val runPat = java.util.regex.Pattern.compile("e+")
+    (1 to 500).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(48) + 1)(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val m = pat.matcher(s)
+      var expMatches = 0L
+      while (m.find()) expMatches += 1
+      val rm = runPat.matcher(s)
+      var expRun = 0L
+      while (rm.find()) expRun = math.max(expRun, rm.group().length.toLong)
+      var st = SeqPattern.FoldState.zero
+      s.foreach(ch => st = SeqPattern.advance(st, ch, 'v', 'c', 'p', 'e'))
+      assert(st.matches === expMatches, s"matches on '$s'")
+      assert(st.maxRun === expRun, s"run on '$s'")
+      assert(st.seqLen === s.length.toLong, s"len on '$s'")
+    }
+  }
 }
