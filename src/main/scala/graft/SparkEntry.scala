@@ -2943,6 +2943,24 @@ object SparkEntry {
         .orderBy("fail_id")
     }),
 
+    // B55 equi-width histogram: value-domain bucketing (A16 profiles
+    // quartiles, b10/b34 bucket TIME — this buckets the measure), the
+    // distribution report behind every monitoring dashboard. Buckets by
+    // exact floor(value/width); the only aggregates are counts, exact
+    // integer cents, and min/max of raw doubles — no fp summation
+    // ordering anywhere. One map-combined exchange.
+    "b55_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(floor(col("value") / 2).cast("long").as("bucket"),
+          col("value"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 2).as("min_value"),
+          round(max("value"), 2).as("max_value"),
+          sum("cents").as("sum_cents"))
+        .orderBy("bucket")),
+
     // C57 n-gram novelty scoring: the GRADED decontamination complement
     // (c24 flags any-overlap; this scores the fraction of a candidate
     // doc's shingles absent from a reference corpus) — the incremental
@@ -5351,6 +5369,16 @@ object SparkEntry {
         |            WHEN f_id IS NULL THEN db
         |            ELSE least(db, df) END AS delta_us
         |FROM j ORDER BY fail_id""".stripMargin,
+
+    // same exact floor-bucketing and integer cents
+    "b55_histogram" ->
+      """SELECT CAST(floor(value / 2) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       round(min(value), 2) AS min_value,
+        |       round(max(value), 2) AS max_value,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the c24 gram CTE with the %13 reference split; ratio stays in
     // exact integer ppm (truncating BIGINT division both engines share)
