@@ -2961,6 +2961,61 @@ object SparkEntry {
           sum("cents").as("sum_cents"))
         .orderBy("bucket")),
 
+    // B56 interval-OVERLAP join: both sides are INTERVALS (B19's point
+    // side generalized) — the temporal-concurrency class: which users'
+    // daily activity windows overlapped, for how long. Bucketed to an
+    // hour-grid equi-join (big-to-big safe, AQE-splittable); each pair
+    // emitted exactly once via the overlap-start-bucket rule, no
+    // distinct. Exact integer seconds; result aggregated per (user,
+    // day) so the output is dim-sized while the pair work is real.
+    "b56_interval_overlap" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("day", floor(col("sec") / 86400).cast("long"))
+        .groupBy("user_id", "day")
+        .agg(min("sec").as("lo"), max("sec").as("hi"))
+      val l = iv.where(col("user_id") < 5)
+        .select(col("user_id").as("user_a"), col("day").as("day_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a"))
+      val r = iv.where(col("user_id") >= 5)
+        .select(col("lo").as("lo_b"), col("hi").as("hi_b"))
+      graft.operators.RangeJoin.overlapJoin(l, r,
+          "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 3600L)
+        .groupBy("user_a", "day_a")
+        .agg(count(lit(1)).as("n_concurrent"),
+          sum(least(col("hi_a"), col("hi_b")) -
+            greatest(col("lo_a"), col("lo_b")) + 1).as("total_overlap_sec"))
+        .orderBy("user_a", "day_a")
+    }),
+
+    // C65 data-constrained epoch schedule: given mixing weights and a
+    // token budget, how many EPOCHS of each source does the plan imply
+    // over its EFFECTIVE (dedup-aware, c60) token mass — the repeat
+    // accounting behind data-constrained scaling (Muennighoff et al.
+    // 2023): epochs_ppm > 1e6 means repeating data, > 4e6 crosses the
+    // diminishing-returns line and flags. All integer ppm arithmetic;
+    // the corpus-sized work is one distinct-text token agg, the
+    // schedule itself is weights-sized.
+    "c65_epoch_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nt = graft.functions.TextFunctions.tokenCount(col("text"))
+      import s.implicits._
+      val wdf = Seq(("src0", 500000L), ("src1", 250000L),
+        ("src2", 150000L), ("src3", 100000L)).toDF("source", "w_ppm")
+      val eff = docs.select(col("source"), md5(col("text")).as("h"),
+          nt.as("toks"))
+        .groupBy("source", "h").agg(min("toks").as("toks"))
+        .groupBy("source").agg(sum("toks").as("effective_tokens"))
+      wdf.join(eff, Seq("source"))
+        .withColumn("allocated_tokens",
+          (col("w_ppm") * lit(3000000L) / lit(1000000L)).cast("long"))
+        .withColumn("epochs_ppm",
+          (col("allocated_tokens") * lit(1000000L) /
+            col("effective_tokens")).cast("long"))
+        .withColumn("over_repeat", col("epochs_ppm") > lit(4000000L))
+        .orderBy("source")
+    }),
+
     // C57 n-gram novelty scoring: the GRADED decontamination complement
     // (c24 flags any-overlap; this scores the fraction of a candidate
     // doc's shingles absent from a reference corpus) — the incremental
@@ -5369,6 +5424,53 @@ object SparkEntry {
         |            WHEN f_id IS NULL THEN db
         |            ELSE least(db, df) END AS delta_us
         |FROM j ORDER BY fail_id""".stripMargin,
+
+    // brute-force inequality overlap join — the oracle pays the
+    // cartesian the engine's bucketing avoids
+    "b56_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         min(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id AS user_a, day AS day_a, lo AS lo_a,
+        |             hi AS hi_a FROM iv WHERE user_id < 5),
+        |r AS (SELECT lo AS lo_b, hi AS hi_b FROM iv WHERE user_id >= 5),
+        |p AS (
+        |  SELECT user_a, day_a,
+        |         least(hi_a, hi_b) - greatest(lo_a, lo_b) + 1 AS ov
+        |  FROM l JOIN r ON lo_a <= hi_b AND lo_b <= hi_a)
+        |SELECT user_a, day_a, count(*) AS n_concurrent,
+        |       CAST(sum(ov) AS BIGINT) AS total_overlap_sec
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // weights table inlined, same distinct-text token mass and integer
+    // ppm schedule
+    "c65_epoch_schedule" ->
+      """WITH w AS (
+        |  SELECT source, CAST(w_ppm AS BIGINT) AS w_ppm
+        |  FROM (VALUES ('src0', 500000), ('src1', 250000),
+        |    ('src2', 150000), ('src3', 100000)) AS t(source, w_ppm)),
+        |tok AS (
+        |  SELECT source, md5(text) AS h,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS toks
+        |  FROM documents),
+        |u AS (SELECT source, h, min(toks) AS toks FROM tok GROUP BY 1, 2),
+        |eff AS (SELECT source, CAST(sum(toks) AS BIGINT)
+        |          AS effective_tokens FROM u GROUP BY 1)
+        |SELECT w.source, CAST(w.w_ppm AS BIGINT) AS w_ppm,
+        |       CAST(w.w_ppm * 3000000 // 1000000 AS BIGINT)
+        |         AS allocated_tokens,
+        |       eff.effective_tokens,
+        |       CAST((w.w_ppm * 3000000 // 1000000) * 1000000
+        |            // eff.effective_tokens AS BIGINT) AS epochs_ppm,
+        |       (w.w_ppm * 3000000 // 1000000) * 1000000
+        |         // eff.effective_tokens > 4000000 AS over_repeat
+        |FROM w JOIN eff ON eff.source = w.source
+        |ORDER BY w.source""".stripMargin,
 
     // same exact floor-bucketing and integer cents
     "b55_histogram" ->

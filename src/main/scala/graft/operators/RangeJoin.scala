@@ -43,6 +43,37 @@ object RangeJoin {
       .drop("__bucket")
   }
 
+  /** Interval-OVERLAP join (B56): pairs of intervals from two tables
+    * that overlap in time — the temporal-concurrency operator class
+    * (concurrent sessions, double-booked resources, co-occurring
+    * incidents) where [[pointInInterval]]'s point side becomes a second
+    * interval table. Same bucketing trick, extended: BOTH sides explode
+    * to their covered buckets, equi-join on bucket, exact overlap
+    * residual (`loA ≤ hiB AND loB ≤ hiA`, inclusive) — and each
+    * overlapping pair is kept EXACTLY once without a distinct: a pair
+    * co-occurs in every shared bucket, so only the bucket containing
+    * `greatest(loA, loB)` (the overlap's start, which is always a
+    * shared bucket) emits it. Shuffle keyed on bucket: big-to-big
+    * safe, AQE-skew-splittable; blowup = span/width per side. Result
+    * volume is the TRUE overlap count — workload-owned, like every
+    * join.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  loL: String, hiL: String, loR: String, hiR: String,
+                  bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(lo: String, hi: String) = sequence(
+      floor(col(lo).cast("double") / bucketWidth).cast("long"),
+      floor(col(hi).cast("double") / bucketWidth).cast("long"))
+    val l = left.withColumn("__bucket", explode(buckets(loL, hiL)))
+    val r = right.withColumn("__bucket", explode(buckets(loR, hiR)))
+    l.join(r, Seq("__bucket"))
+      .where(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
+        col("__bucket") === floor(greatest(col(loL), col(loR))
+          .cast("double") / bucketWidth).cast("long"))
+      .drop("__bucket")
+  }
+
   /** Broadcast variant for DIM-SIZED interval tables: no bucket explode, no
     * shuffle at all — the interval table ships to every executor and the
     * point side is streamed through a BroadcastNestedLoopJoin with the raw

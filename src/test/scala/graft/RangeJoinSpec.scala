@@ -115,4 +115,39 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(twice.exceptAll(once).count() === 0L)
     assert(once.exceptAll(twice).count() === 0L)
   }
+
+  test("b56 overlapJoin: every overlapping pair exactly once (multi-" +
+       "bucket spans, touching ends, containment), none twice, " +
+       "disjoint never") {
+    import graft.operators.RangeJoin
+    val s2 = spark
+    import s2.implicits._
+    val left = Seq(
+      (1L, 0L, 250L), // spans 3 buckets of width 100
+      (2L, 500L, 500L), // degenerate point interval
+      (3L, 900L, 1000L)
+    ).toDF("lid", "lo_a", "hi_a")
+    val right = Seq(
+      (10L, 240L, 260L), // overlaps 1 (multi-bucket left, shared tail)
+      (11L, 250L, 400L), // touches 1 exactly at 250 (inclusive ends)
+      (12L, 500L, 500L), // point-point exact hit with 2
+      (13L, 100L, 120L), // contained inside 1
+      (14L, 600L, 800L) // disjoint from everything
+    ).toDF("rid", "lo_b", "hi_b")
+    val got = RangeJoin.overlapJoin(left, right,
+        "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 100L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute force over all pairs
+    val brute = for {
+      (lid, la, ha) <- Seq((1L, 0L, 250L), (2L, 500L, 500L),
+        (3L, 900L, 1000L))
+      (rid, lb, hb) <- Seq((10L, 240L, 260L), (11L, 250L, 400L),
+        (12L, 500L, 500L), (13L, 100L, 120L), (14L, 600L, 800L))
+      if la <= hb && lb <= ha
+    } yield (lid, rid)
+    assert(got.sorted === brute.sorted.toArray,
+      s"got ${got.toSeq}, want $brute")
+    assert(got.length === got.distinct.length, "no pair may appear twice")
+  }
 }
