@@ -3016,6 +3016,37 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // B57 join-view incremental maintenance: an aggregate view over
+    // fact ⋈ dim advanced from the FACT change feed alone (Δ(F⋈D) =
+    // ΔF⋈D while the dim is static — the star-schema IVM case); the
+    // feed, not the fact table, joins the dim. THE ORACLE IS THE
+    // REBUILD from the merged snapshot — incremental ≡ rebuild is the
+    // check itself, not a replay of the same algorithm. Exact integer
+    // cents through decimal sums.
+    "b57_join_view_maintenance" -> ((s, dir) => {
+      import graft.operators.MaterializedView
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val base = orders.where(col("o_orderkey") % 5 =!= 0)
+      val view0 = MaterializedView.build(
+        base.join(cust, col("o_custkey") === col("c_custkey"))
+          .select("c_mktsegment", "cents"),
+        Seq("c_mktsegment"), Seq("cents"))
+      val feed = orders.where(col("o_orderkey") % 5 === 0)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(orders
+          .where(col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 7 === 0)
+          .withColumn("_change_type", lit("delete")))
+      MaterializedView.applyFactChanges(view0, feed, cust,
+          col("o_custkey") === col("c_custkey"),
+          Seq("c_mktsegment"), Seq("cents"))
+        .select(col("c_mktsegment"), col("__mv_n").as("n_orders"),
+          col("__mv_sum_cents").cast("long").as("sum_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     // C57 n-gram novelty scoring: the GRADED decontamination complement
     // (c24 flags any-overlap; this scores the fraction of a candidate
     // doc's shingles absent from a reference corpus) — the incremental
@@ -5444,6 +5475,16 @@ object SparkEntry {
         |SELECT user_a, day_a, count(*) AS n_concurrent,
         |       CAST(sum(ov) AS BIGINT) AS total_overlap_sec
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the REBUILD from the merged snapshot — the strongest possible
+    // check of the incremental path: a different algorithm, same answer
+    "b57_join_view_maintenance" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE o.o_orderkey % 5 = 0 OR o.o_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // weights table inlined, same distinct-text token mass and integer
     // ppm schedule

@@ -60,6 +60,23 @@ object MaterializedView {
           coalesce(sum(col(c).cast(SumType)),
             lit(0).cast(SumType)).as(sumCol(c))): _*)
 
+  /** JOIN-view maintenance (B57): advance an aggregate view over
+    * `fact ⋈ dim` from the FACT side's change feed alone — the classic
+    * IVM counting algorithm specialized to the star-schema case that
+    * dominates practice: the dim is static for the batch, so
+    * Δ(fact ⋈ dim) = Δfact ⋈ dim, and the enriched deltas flow through
+    * [[applyChanges]]' signed arithmetic unchanged. Dim-side changes
+    * need the full bilinear rule (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) and a
+    * dim-keyed re-aggregation — named out of scope, the B26 contract
+    * style. Cost: the feed (not the fact table) joins the dim —
+    * feed-sized work, broadcast when the dim is small.
+    */
+  def applyFactChanges(view: DataFrame, factChanges: DataFrame,
+                       dim: DataFrame, joinCond: org.apache.spark.sql.Column,
+                       viewKeys: Seq[String],
+                       measures: Seq[String]): DataFrame =
+    applyChanges(view, factChanges.join(dim, joinCond), viewKeys, measures)
+
   /** Advance `view` by one CDF batch (schema: base columns +
     * `_change_type`). Returns the maintained view, identical to
     * rebuilding from the merged snapshot.

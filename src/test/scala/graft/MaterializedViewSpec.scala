@@ -76,4 +76,38 @@ class MaterializedViewSpec extends AnyFunSuite with SparkSpec {
       r2.changes, keys, ms)
     assert(eq(inc, MaterializedView.build(r2.merged, keys, ms)))
   }
+
+  test("b57 applyFactChanges ≡ rebuild, including a group deleted to " +
+       "zero and a group born from the feed") {
+    val s2 = spark
+    import s2.implicits._
+    val dim = Seq((1L, "red"), (2L, "blue"), (3L, "green"))
+      .toDF("dk", "color")
+    // group green exists ONLY via fact row 30 (deleted below); group
+    // blue is born purely from the feed
+    val fact0 = Seq((10L, 1L, 5.0), (11L, 1L, 7.0), (30L, 3L, 9.0))
+      .toDF("fk", "dk_ref", "v")
+    val view0 = MaterializedView.build(
+      fact0.join(dim, col("dk_ref") === col("dk")).select("color", "v"),
+      Seq("color"), Seq("v"))
+    val feed = Seq(
+      (20L, 2L, 4.0, "insert"), (21L, 2L, 6.0, "insert"),
+      (30L, 3L, 9.0, "delete"), (11L, 1L, 7.0, "delete"))
+      .toDF("fk", "dk_ref", "v", "_change_type")
+    val inc = MaterializedView.applyFactChanges(view0, feed, dim,
+      col("dk_ref") === col("dk"), Seq("color"), Seq("v"))
+    val merged = Seq((10L, 1L, 5.0), (20L, 2L, 4.0), (21L, 2L, 6.0))
+      .toDF("fk", "dk_ref", "v")
+    val rebuilt = MaterializedView.build(
+      merged.join(dim, col("dk_ref") === col("dk")).select("color", "v"),
+      Seq("color"), Seq("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).longValueExact())).toSet
+    assert(canon(inc) === canon(rebuilt))
+    assert(!canon(inc).exists(_._1 == "green"),
+      "a group whose last fact row is deleted must vanish from the view")
+    assert(canon(inc).exists(t => t._1 == "blue" && t._2 == 2L),
+      "a group born from the feed must materialize")
+  }
 }
