@@ -82,7 +82,7 @@ object Bench {
     "c61_embedding_pool", "c62_hard_negatives", "c63_ann_recall",
     "c64_boilerplate_lines", "d27_centroid_maintenance",
     "b55_histogram", "b56_interval_overlap", "c65_epoch_schedule",
-    "b57_join_view_maintenance",
+    "b57_join_view_maintenance", "c66_eval_contamination",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't

@@ -3047,6 +3047,20 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // C66 eval-side contamination report: the REVERSE of c24 — per EVAL
+    // item, how many of its shingles occur in training data and from
+    // how many distinct training docs: the model-card audit table that
+    // says which eval numbers to distrust. Same broadcast-eval-grams
+    // scan shape as c24, aggregated on the eval side.
+    "c66_eval_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.evalContaminationReport(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0),
+          "text", "doc_id", n = 8)
+        .orderBy("eval_id")
+    }),
+
     // C57 n-gram novelty scoring: the GRADED decontamination complement
     // (c24 flags any-overlap; this scores the fraction of a candidate
     // doc's shingles absent from a reference corpus) — the incremental
@@ -5522,6 +5536,41 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |         AS sum_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // c24's gram CTE aggregated on the EVAL side: distinct compromised
+    // grams + distinct offending train docs per eval item
+    "c66_eval_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |           ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        |  FROM w, unnest(generate_series(1, len(words) - 7)) t(i)
+        |  WHERE len(words) >= 8
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(words, ' ') AS gram
+        |  FROM w WHERE len(words) < 8),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM g),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM dg
+        |       WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id AS train_id, gram FROM dg
+        |       WHERE doc_id % 97 <> 0),
+        |h AS (
+        |  SELECT ev.eval_id, count(DISTINCT ev.gram) AS n_grams_hit,
+        |         count(DISTINCT tr.train_id) AS n_train_docs
+        |  FROM ev JOIN tr ON tr.gram = ev.gram
+        |  GROUP BY 1),
+        |tot AS (SELECT eval_id, count(*) AS n_grams FROM ev GROUP BY 1)
+        |SELECT t.eval_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+        |       CAST(coalesce(h.n_grams_hit, 0) AS BIGINT) AS n_grams_hit,
+        |       CAST(coalesce(h.n_train_docs, 0) AS BIGINT)
+        |         AS n_train_docs,
+        |       coalesce(h.n_grams_hit, 0) = 0 AS clean
+        |FROM tot t LEFT JOIN h ON h.eval_id = t.eval_id
+        |ORDER BY t.eval_id""".stripMargin,
 
     // the c24 gram CTE with the %13 reference split; ratio stays in
     // exact integer ppm (truncating BIGINT division both engines share)

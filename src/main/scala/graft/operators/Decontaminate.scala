@@ -83,6 +83,39 @@ object Decontaminate {
           .cast("long").as("novelty_ppm"))
   }
 
+  /** Eval-side contamination report (C66) — the REVERSE direction of
+    * [[flagContaminated]]: per EVAL item, how badly is it compromised
+    * (how many of its shingles appear in training data, from how many
+    * distinct training documents). This is the audit table a model card
+    * publishes: c24 decides which training docs to drop, this measures
+    * which eval numbers to distrust if they weren't dropped.
+    *
+    * Scale shape: identical to c24 — the eval gram set broadcasts, the
+    * training corpus is scanned once map-side, only matched pairs reach
+    * the aggregation; distinct-counting is over (eval, gram) and
+    * (eval, train-doc) pairs, both bounded by hit volume.
+    */
+  def evalContaminationReport(trainDocs: DataFrame, evalDocs: DataFrame,
+                              textCol: String, idCol: String,
+                              n: Int = 8): DataFrame = {
+    val evalGrams = evalDocs
+      .select(col(idCol).as("eval_id"),
+        explode(Dedup.shingleHashes(col(textCol), n)).as("gram"))
+    val trainGrams = trainDocs.select(col(idCol).as("train_id"),
+      explode(Dedup.shingleHashes(col(textCol), n)).as("gram"))
+    val hits = trainGrams.join(F.broadcast(evalGrams), Seq("gram"))
+      .groupBy("eval_id")
+      .agg(countDistinct("gram").as("n_grams_hit"),
+        countDistinct("train_id").as("n_train_docs"))
+    val totals = evalDocs.select(col(idCol).as("eval_id"),
+      size(Dedup.shingleHashes(col(textCol), n)).cast("long").as("n_grams"))
+    totals.join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_grams_hit"), lit(0L)).as("n_grams_hit"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        (coalesce(col("n_grams_hit"), lit(0L)) === 0).as("clean"))
+  }
+
   /** Semantic decontamination — the EMBEDDING-space complement of
     * [[flagContaminated]]: an n-gram check misses paraphrased or
     * translated eval leakage, so pipelines also flag corpus items whose
