@@ -415,6 +415,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"the gram probe must never sort-merge:\n${p.take(600)}")
   }
 
+  test("b56: the interval-overlap join runs as a bucket equi-join — " +
+       "never nested-loop or cartesian") {
+    val df = SparkEntry.queries("b56_interval_overlap")(spark, sfDir())
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the bucketing must carry the non-equi predicate:\n${p.take(600)}")
+    assert(p.contains("Join"), "it IS a join — just an equi one")
+  }
+
+  test("b57: view maintenance joins the FEED to the dim by broadcast; " +
+       "the fact table itself never re-joins") {
+    val df = SparkEntry.queries("b57_join_view_maintenance")(spark, sfDir())
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both dim joins (base build + feed enrich) must broadcast:\n${p.take(600)}")
+    // the one SortMergeJoin allowed is the GROUP-sized view⟗delta
+    // full-outer merge (full-outer cannot broadcast-hash) — the same
+    // shape B26 plans; corpus-sized sides never sort-merge
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("c66: eval grams broadcast onto one train-corpus scan") {
+    val df = SparkEntry.queries("c66_eval_contamination")(spark, sfDir())
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval gram set must broadcast:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("c58: outlier scoring joins the dim-sized centroid table by " +
        "broadcast and scans the corpus once") {
     val df = SparkEntry.queries("c58_embed_outliers")(spark, sfDir())
