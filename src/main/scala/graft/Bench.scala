@@ -175,7 +175,12 @@ object Bench {
       "c64_boilerplate_lines",
       // d27's three epochs each scan a third of the replica-scaled
       // corpus; driver state stays k·dim regardless of scale
-      "d27_centroid_maintenance")
+      "d27_centroid_maintenance",
+      // b57's feed+dim scale with orders+customer; c65/c66 with
+      // documents (b56/b49/b50/b51/b54/b55/d23/d26 are events-based →
+      // not probed)
+      "b57_join_view_maintenance", "c65_epoch_schedule",
+      "c66_eval_contamination")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
