@@ -83,6 +83,7 @@ object Bench {
     "c64_boilerplate_lines", "d27_centroid_maintenance",
     "b55_histogram", "b56_interval_overlap", "c65_epoch_schedule",
     "b57_join_view_maintenance", "c66_eval_contamination",
+    "c67_script_profile", "c68_zipf",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -180,7 +181,10 @@ object Bench {
       // documents (b56/b49/b50/b51/b54/b55/d23/d26 are events-based →
       // not probed)
       "b57_join_view_maintenance", "c65_epoch_schedule",
-      "c66_eval_contamination")
+      "c66_eval_contamination",
+      // c67's regex projections and c68's vocab agg scale with
+      // documents
+      "c67_script_profile", "c68_zipf")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

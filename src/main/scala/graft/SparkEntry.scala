@@ -3061,6 +3061,68 @@ object SparkEntry {
         .orderBy("eval_id")
     }),
 
+    // C67 script-mix profiling: per-doc Unicode-script composition
+    // (Latin / CJK / Cyrillic counts, non-Latin ppm, mixed-script flag)
+    // — the mojibake / script-spam / wrong-language-router signal C8's
+    // n-gram lang-id can't give on mixed text. Counts via
+    // replace-and-measure (length minus length-after-strip) with
+    // explicit BMP ranges both regex engines share; ASCII corpus gets
+    // planted CJK/Cyrillic suffixes in-plan (the c49 rule: the list is
+    // a stand-in, the machinery is the product). Map-only codegen.
+    "c67_script_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val text2 = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" 你好世界"))
+          .when(col("doc_id") % 11 === 0,
+            lit(" привет"))
+          .otherwise(lit("")))
+      def strip(c: org.apache.spark.sql.Column, cls: String) =
+        length(c) - length(regexp_replace(c, cls, ""))
+      docs.select(col("doc_id"), text2.as("t2"))
+        .select(col("doc_id"),
+          strip(col("t2"), "[a-zA-Z]").as("n_latin"),
+          strip(col("t2"), "[一-鿿]").as("n_cjk"),
+          strip(col("t2"), "[Ѐ-ӿ]").as("n_cyr"))
+        .withColumn("nonlatin_ppm",
+          when(col("n_latin") + col("n_cjk") + col("n_cyr") === 0, lit(0L))
+            .otherwise(((col("n_cjk") + col("n_cyr")) * lit(1000000L) /
+              (col("n_latin") + col("n_cjk") + col("n_cyr")))
+              .cast("long")))
+        .withColumn("mixed_script",
+          col("n_latin") > 0 && (col("n_cjk") > 0 || col("n_cyr") > 0))
+        .orderBy("doc_id")
+    }),
+
+    // C68 Zipf spectrum report: rank-frequency shape of the corpus
+    // vocabulary — a healthy natural corpus fits ln(freq) ≈ a − s·ln(rank)
+    // with s near 1; template/spam/boilerplate-heavy corpora bend the
+    // curve, making the fitted slope a one-number corpus-health gate.
+    // One (token) count agg (vocab-sized), top-200 by (count desc,
+    // token), OLS over (ln rank, ln count) via the b36-proven regr_*
+    // pairing; transcendental outputs rounded to 4 (the c30 contract).
+    "c68_zipf" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .createOrReplaceTempView("graft_c68_vocab")
+      s.sql("""WITH top AS (
+              |  SELECT tok, cnt,
+              |         row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+              |  FROM graft_c68_vocab ORDER BY cnt DESC, tok LIMIT 200)
+              |SELECT count(*) AS n_terms,
+              |  CAST(sum(cnt) AS BIGINT) AS top_mass,
+              |  min(CASE WHEN rnk = 1 THEN tok END) AS top_term,
+              |  CAST(min(CASE WHEN rnk = 1 THEN cnt END) AS BIGINT)
+              |    AS top_count,
+              |  round(regr_slope(ln(CAST(cnt AS DOUBLE)),
+              |                   ln(CAST(rnk AS DOUBLE))), 4)
+              |    AS zipf_slope,
+              |  round(regr_r2(ln(CAST(cnt AS DOUBLE)),
+              |                ln(CAST(rnk AS DOUBLE))), 4) AS zipf_r2
+              |FROM top""".stripMargin)
+    }),
+
     // C57 n-gram novelty scoring: the GRADED decontamination complement
     // (c24 flags any-overlap; this scores the fraction of a candidate
     // doc's shingles absent from a reference corpus) — the incremental
@@ -5536,6 +5598,54 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |         AS sum_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical planted suffixes, replace-and-measure counts over the
+    // same literal BMP ranges, integer ppm
+    "c67_script_profile" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         concat(text, CASE WHEN doc_id % 7 = 0 THEN ' 你好世界'
+        |                           WHEN doc_id % 11 = 0 THEN ' привет'
+        |                           ELSE '' END) AS t2
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         length(t2) - length(regexp_replace(t2, '[a-zA-Z]', '',
+        |           'g')) AS n_latin,
+        |         length(t2) - length(regexp_replace(t2, '[一-鿿]', '',
+        |           'g')) AS n_cjk,
+        |         length(t2) - length(regexp_replace(t2, '[Ѐ-ӿ]', '',
+        |           'g')) AS n_cyr
+        |  FROM d)
+        |SELECT doc_id, n_latin, n_cjk, n_cyr,
+        |       CASE WHEN n_latin + n_cjk + n_cyr = 0 THEN 0
+        |            ELSE (n_cjk + n_cyr) * 1000000
+        |                 // (n_latin + n_cjk + n_cyr) END AS nonlatin_ppm,
+        |       n_latin > 0 AND (n_cjk > 0 OR n_cyr > 0) AS mixed_script
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same vocab counts, same (cnt desc, tok) rank, regr_* over ln —
+    // the b36 pairing, rounded 4 (the c30 transcendental contract)
+    "c68_zipf" ->
+      """WITH v AS (
+        |  SELECT tok, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+        |      AS tok
+        |    FROM documents) t GROUP BY 1),
+        |top AS (
+        |  SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok)
+        |    AS rnk
+        |  FROM v ORDER BY cnt DESC, tok LIMIT 200)
+        |SELECT count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS top_mass,
+        |       min(CASE WHEN rnk = 1 THEN tok END) AS top_term,
+        |       CAST(min(CASE WHEN rnk = 1 THEN cnt END) AS BIGINT)
+        |         AS top_count,
+        |       round(regr_slope(ln(CAST(cnt AS DOUBLE)),
+        |                        ln(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+        |       round(regr_r2(ln(CAST(cnt AS DOUBLE)),
+        |                     ln(CAST(rnk AS DOUBLE))), 4) AS zipf_r2
+        |FROM top""".stripMargin,
 
     // c24's gram CTE aggregated on the EVAL side: distinct compromised
     // grams + distinct offending train docs per eval item
