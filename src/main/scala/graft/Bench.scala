@@ -83,7 +83,7 @@ object Bench {
     "c64_boilerplate_lines", "d27_centroid_maintenance",
     "b55_histogram", "b56_interval_overlap", "c65_epoch_schedule",
     "b57_join_view_maintenance", "c66_eval_contamination",
-    "c67_script_profile", "c68_zipf",
+    "c67_script_profile", "c68_zipf", "d29_debounce",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't

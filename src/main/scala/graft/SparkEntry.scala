@@ -2923,6 +2923,25 @@ object SparkEntry {
         .orderBy("epoch", "cell")
     }),
 
+    // D29 batch report: raw-predecessor debounce (an event is throttled
+    // if the PREVIOUS same-(user, type) event is within 10 min) — the
+    // window-expressible form; the kept-based fold (verdicts depend on
+    // the last ADMITTED time — no window can express it) is the
+    // streaming op, spec-locked stream ≡ fold and semantically
+    // separated from this form in EventStreamsSpec.
+    "d29_debounce" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("prev", lag("sec", 1).over(w))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (col("prev").isNull || col("sec") - col("prev") > 600)
+            .as("kept"))
+        .orderBy("event_id")
+    }),
+
     // B53 nearest-event as-of join: each error matched to the view
     // minimizing |Δt| per user — the alignment form where backward (B18)
     // or forward (B42) alone biases by half an interval. One union, one
@@ -5499,6 +5518,20 @@ object SparkEntry {
         |       round(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
         |             / (count(*) * CAST(1024 AS DOUBLE)), 6) AS pooled
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same lag window over the (sec, event_id) order
+    "d29_debounce" ->
+      """SELECT event_id, user_id, event_type,
+        |       prev IS NULL OR sec - prev > 600 AS kept
+        |FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+        |           AS prev
+        |  FROM events) t
+        |ORDER BY event_id""".stripMargin,
 
     // both native ASOF directions + the exact integer-micros nearer-side
     // pick, ties to the earlier row

@@ -173,6 +173,70 @@ object EventStreams {
       .select("event_id", "user_id", "admitted")
   }
 
+  /** D29 streaming debounce (kept-based): an event is admitted iff at
+    * least `gapSec` has passed since the last ADMITTED event of its
+    * (user, type) — the time-axis rate limiter completing D26's
+    * count-axis cap (alert throttling, notification dedup, sensor
+    * downsampling). Kept-based semantics are a sequential per-key FOLD
+    * (the next verdict depends on the last KEPT time, not the previous
+    * event), which no window function expresses — exactly the
+    * flatMapGroupsWithState shape, one timestamp of state per key. The
+    * batch twin [[debounceBatchKept]] runs the same fold via
+    * mapGroups; the spec locks stream ≡ fold AND the semantic gap to
+    * the window-expressible raw-predecessor form (`d29_debounce`):
+    * under a sustained sub-gap event train, raw-based keeps only the
+    * first event ever, kept-based keeps one per ~gap.
+    */
+  def debounceStream(events: DataFrame, gapSec: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        substring(col("event_type"), 1, 1).as("ty"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[Long]) => {
+          var lastKept = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toArray.sortBy(r => (r._3, r._4)).map { r =>
+            val keep = lastKept == Long.MinValue || r._3 - lastKept > gapSec
+            if (keep) lastKept = r._3
+            (r._4, key._1, keep)
+          }
+          state.update(lastKept)
+          out.iterator
+        })
+      .toDF("event_id", "user_id", "kept")
+  }
+
+  /** Batch twin of [[debounceStream]]: the same kept-based fold over
+    * full histories (mapGroups, (sec, event_id) order).
+    */
+  def debounceBatchKept(events: DataFrame, gapSec: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        substring(col("event_type"), 1, 1).as("ty"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, String),
+                        rows: Iterator[(Long, String, Long, Long)]) =>
+        var lastKept = Long.MinValue
+        rows.toArray.sortBy(r => (r._3, r._4)).iterator.map { r =>
+          val keep = lastKept == Long.MinValue || r._3 - lastKept > gapSec
+          if (keep) lastKept = r._3
+          (r._4, key._1, keep)
+        }
+      }
+      .toDF("event_id", "user_id", "kept")
+  }
+
   /** Custom-state streaming aggregation: per-user lifetime totals kept in
     * a `GroupState[(count, sum)]` via `flatMapGroupsWithState` — the
     * pattern for state Spark's built-in aggregates can't express (decayed

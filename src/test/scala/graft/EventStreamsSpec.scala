@@ -989,6 +989,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === expect, "stream must reproduce the fold exactly")
   }
 
+  test("d29: kept-based debounce — stream ≡ fold across triggers, and " +
+       "a sub-gap event train separates kept-based from raw-based") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // one user, clicks every 400s, gap 600s: kept-based admits 0 and
+    // 800 (one per ~gap); raw-based admits only the FIRST ever
+    val evs = Seq(0, 400, 800, 1200).zipWithIndex
+      .map { case (t0, i) => (1L, ts(t0), i.toLong, "click") }
+    val all = evs.toDF("user_id", "ts", "event_id", "event_type")
+    val fold = graft.streaming.EventStreams
+      .debounceBatchKept(all, gapSec = 600L).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(fold === Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
+    // the window-expressible raw form keeps only event 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+    val raw = all.select(col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("user_id"),
+        col("event_type"))
+      .withColumn("prev", lag("sec", 1).over(w))
+      .select(col("event_id"),
+        (col("prev").isNull || col("sec") - col("prev") > 600).as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(raw === Map(0L -> true, 1L -> false, 2L -> false, 3L -> false))
+    // streaming, split across triggers mid-train
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val stream = graft.streaming.EventStreams.debounceStream(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      gapSec = 600L)
+    val q = stream.writeStream.format("memory").queryName("d29_mem")
+      .outputMode("update").start()
+    try {
+      input.addData(evs.take(2): _*); q.processAllAvailable()
+      input.addData(evs.drop(2): _*); q.processAllAvailable()
+      val got = spark.table("d29_mem").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got === fold, "stream must reproduce the kept-based fold")
+    } finally q.stop()
+  }
+
   test("d25: streaming novelty against rolling history — exact repeats " +
        "score 0, same-epoch repeats read as novel, stream ≡ fold") {
     import graft.streaming.BloomStream
