@@ -3142,6 +3142,28 @@ object SparkEntry {
               |FROM top""".stripMargin)
     }),
 
+    // C69 character-entropy quality signal: per-doc Shannon entropy of
+    // the character distribution — low entropy = repetitive/template
+    // junk, the compressibility proxy quality pipelines use beside
+    // C9's ratios and C17's repetition gates. Characters enumerated by
+    // position (substring over a sequence — identical in both engines,
+    // no split-semantics edge), counts exact; H = ln n − Σ c·ln c / n
+    // with the transcendental sum rounded 3, the c30 contract.
+    "c69_char_entropy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("i", explode(sequence(lit(1), length(col("text")))))
+        .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("nc"))
+        .groupBy("doc_id")
+        .agg(sum("nc").as("n_chars"),
+          count(lit(1)).as("n_distinct"),
+          round(
+            log(sum("nc")) -
+              sum(col("nc") * log(col("nc"))) / sum("nc"), 3)
+            .as("entropy"))
+        .orderBy("doc_id")),
+
     // C57 n-gram novelty scoring: the GRADED decontamination complement
     // (c24 flags any-overlap; this scores the fraction of a candidate
     // doc's shingles absent from a reference corpus) — the incremental
@@ -5631,6 +5653,20 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |         AS sum_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical positional enumeration, exact counts, same entropy
+    // formula rounded 3
+    "c69_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, CAST(t.i AS INT), 1) AS ch
+        |  FROM documents, unnest(range(1, length(text) + 1)) t(i)),
+        |cc AS (SELECT doc_id, ch, count(*) AS nc FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n_chars,
+        |       count(*) AS n_distinct,
+        |       round(ln(CAST(sum(nc) AS DOUBLE))
+        |             - sum(nc * ln(CAST(nc AS DOUBLE)))
+        |               / CAST(sum(nc) AS DOUBLE), 3) AS entropy
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical planted suffixes, replace-and-measure counts over the
     // same literal BMP ranges, integer ppm
