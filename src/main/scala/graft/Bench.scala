@@ -84,7 +84,7 @@ object Bench {
     "b55_histogram", "b56_interval_overlap", "c65_epoch_schedule",
     "b57_join_view_maintenance", "c66_eval_contamination",
     "c67_script_profile", "c68_zipf", "d29_debounce",
-    "c69_char_entropy",
+    "c69_char_entropy", "c70_soft_dedup_weights", "c71_k_anonymity",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -185,7 +185,10 @@ object Bench {
       "c66_eval_contamination",
       // c67's regex projections and c68's vocab agg scale with
       // documents, as does c69's char explode
-      "c67_script_profile", "c68_zipf", "c69_char_entropy")
+      "c67_script_profile", "c68_zipf", "c69_char_entropy",
+      // c70 windows over replica-scaled documents; c71 aggregates
+      // replica-scaled customer
+      "c70_soft_dedup_weights", "c71_k_anonymity")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -3164,6 +3164,40 @@ object SparkEntry {
             .as("entropy"))
         .orderBy("doc_id")),
 
+    // C70 soft dedup weighting: keep EVERY copy but down-weight each
+    // duplicate-cluster member to 1e6/size ppm — the duplicate-aware
+    // sampling alternative to C1's hard drop (training keeps document
+    // diversity inside a cluster while its total mass stays one
+    // document's worth); clusters keyed on md5(text) like C60, planted
+    // copies in-plan (the c55 rule), truncating integer ppm.
+    "c70_soft_dedup_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text")))
+      corpus
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("weight_ppm",
+          (lit(1000000L) / col("cluster_size")).cast("long"))
+        .select("doc_id", "cluster_size", "weight_ppm")
+        .orderBy("doc_id")
+    }),
+
+    // C71 k-anonymity audit: group sizes over quasi-identifier columns
+    // with a k threshold — the privacy gate a published table passes
+    // AFTER A38's pseudonymization (tokens hide identity; a (nation,
+    // segment) cell of size 1 re-identifies anyway). One map-combined
+    // agg; the flagged rows are the suppression worklist.
+    "c71_k_anonymity" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("k_ok", col("n") >= 5)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     // C57 n-gram novelty scoring: the GRADED decontamination complement
     // (c24 flags any-overlap; this scores the fraction of a candidate
     // doc's shingles absent from a reference corpus) — the incremental
@@ -5653,6 +5687,25 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |         AS sum_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same planted corpus, md5 clusters, truncating ppm
+    "c70_soft_dedup_weights" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 5 = 0)
+        |SELECT doc_id,
+        |       count(*) OVER (PARTITION BY md5(text)) AS cluster_size,
+        |       1000000 // count(*) OVER (PARTITION BY md5(text))
+        |         AS weight_ppm
+        |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    // plain group sizes + the k threshold
+    "c71_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |       count(*) >= 5 AS k_ok
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical positional enumeration, exact counts, same entropy
     // formula rounded 3
