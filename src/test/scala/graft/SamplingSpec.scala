@@ -250,6 +250,71 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(rows(streamed) === rows(twin))
   }
 
+  test("splitRouterSink (d30): streamed docs land in exactly one sink " +
+    "with the batch split's verdicts; a replayed epoch changes nothing") {
+    import graft.streaming.{EventStreams, SplitStream}
+    val docs = Tables(spark, sfDir(), "documents")
+      .select("doc_id", "text")
+    val e0 = docs.where(col("doc_id") % 2 === 0)
+    val e1 = docs.where(col("doc_id") % 2 === 1)
+    val out = java.nio.file.Files.createTempDirectory("graft_d30")
+    val dirs = Seq("train", "val", "test").map(s => s -> out.resolve(s).toString)
+    // drive the sink function manually per epoch + replay (the D8 rule)
+    def deliver(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val routed = graft.operators.Sampling.hashSplit(b, "text")
+      dirs.foreach { case (s, d) =>
+        EventStreams.epochIdempotentSink(
+          routed.where(col("split") === s).drop("split"), id, d)
+      }
+    }
+    deliver(e0, 0L); deliver(e1, 1L); deliver(e0, 0L) // replay epoch 0
+    val landed = dirs.map { case (s, d) =>
+      s -> spark.read.parquet(d).select("doc_id").collect()
+        .map(_.getLong(0)).toSeq
+    }.toMap
+    // every doc exactly once across the three sinks, despite the replay
+    val allIds = landed.values.flatten.toSeq
+    assert(allIds.length === allIds.distinct.length, "no doc lands twice")
+    assert(allIds.toSet === docs.collect().map(_.getLong(0)).toSet)
+    // verdicts ≡ the batch split over the full corpus
+    val batch = graft.operators.Sampling.hashSplit(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    landed.foreach { case (s, ids) =>
+      ids.foreach(id => assert(batch(id) === s, s"doc $id routed to $s"))
+    }
+    // end-to-end: the wired streaming query delivers the same routing
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((901L, "routed through the live query"),
+      (902L, "second streamed document here"))
+    val out2 = java.nio.file.Files.createTempDirectory("graft_d30_q")
+    val q = SplitStream.splitRouterSink(
+      input.toDF().toDF("doc_id", "text"), "text",
+      out2.resolve("train").toString, out2.resolve("val").toString,
+      out2.resolve("test").toString, out2.resolve("ck").toString)
+    try q.awaitTermination(60000) finally q.stop()
+    def hasParquet(f: java.io.File): Boolean =
+      f.exists() && {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.exists(k => k.getName.endsWith(".parquet")) ||
+          kids.filter(_.isDirectory).exists(hasParquet)
+      }
+    val streamed = Seq("train", "val", "test").flatMap { s =>
+      val d = new java.io.File(out2.resolve(s).toString)
+      if (!hasParquet(d)) Nil
+      else spark.read.parquet(d.toString).select("doc_id").collect()
+        .map(r => r.getLong(0) -> s)
+    }.toMap
+    val twin = graft.operators.Sampling.hashSplit(
+      Seq((901L, "routed through the live query"),
+        (902L, "second streamed document here")).toDF("doc_id", "text"),
+      "text").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(streamed === twin)
+  }
+
   test("leakProofSplit: cluster members inherit the representative's " +
     "split through multi-hop components; singletons match splitCol") {
     val docs = Tables(spark, sfDir(), "documents").select("doc_id")
