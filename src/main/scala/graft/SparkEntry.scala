@@ -2942,6 +2942,29 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // B58 dynamic pivot: B44 demands an explicit value list ("no
+    // discovery job"); this is the discovery variant done SAFELY — one
+    // bounded distinct pass collects the pivot domain (loud require,
+    // the BalancedRepartition guard rule: a high-cardinality pivot
+    // column should fail, not OOM the driver or explode columns), then
+    // the same native pivot. Values sorted so the column order is
+    // deterministic cross-engine.
+    "b58_pivot_auto" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val vals = orders.select("o_orderpriority").distinct()
+        .limit(51).collect().map(_.getString(0))
+      require(vals.length <= 50,
+        "pivotAuto: pivot domain exceeds 50 values — pivot on a " +
+          "lower-cardinality column or pass the list explicitly")
+      orders
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", vals.sorted.toSeq)
+        .agg(sum("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // B53 nearest-event as-of join: each error matched to the view
     // minimizing |Δt| per user — the alignment form where backward (B18)
     // or forward (B42) alone biases by half an interval. One union, one
@@ -5574,6 +5597,25 @@ object SparkEntry {
         |       round(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
         |             / (count(*) * CAST(1024 AS DOUBLE)), 6) AS pooled
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the discovered domain enumerated as explicit conditional sums —
+    // identical column names, null for empty cells on both engines
+    "b58_pivot_auto" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN cents
+        |           END) AS BIGINT) AS "1-URGENT",
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN cents
+        |           END) AS BIGINT) AS "2-HIGH",
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN cents
+        |           END) AS BIGINT) AS "3-MEDIUM",
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |           THEN cents END) AS BIGINT) AS "4-NOT SPECIFIED",
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN cents
+        |           END) AS BIGINT) AS "5-LOW"
+        |FROM (SELECT o_orderstatus, o_orderpriority,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same lag window over the (sec, event_id) order
     "d29_debounce" ->
