@@ -2965,6 +2965,32 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // B59 retention cohort matrix (the week-over-week retention
+    // triangle — THE product-analytics report class, distinct from
+    // B35's conversion funnel): users cohorted by first-activity week,
+    // then for each offset k the fraction still active in week
+    // cohort+k, as exact integer ppm. Two keyed aggs + one dim-sized
+    // join; activity dedup makes each (user, week) count once.
+    "b59_retention_cohorts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT)")
+            .as("wk"))
+      val first = ev.groupBy("user_id").agg(min("wk").as("cw"))
+      val act = ev.distinct()
+      val active = act.join(first, Seq("user_id"))
+        .withColumn("k", col("wk") - col("cw"))
+        .where(col("k").between(0, 3))
+        .groupBy("cw", "k")
+        .agg(countDistinct("user_id").as("n_active"))
+      val cohorts = first.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+      active.join(cohorts, Seq("cw"))
+        .withColumn("retention_ppm",
+          (col("n_active") * lit(1000000L) / col("n_cohort")).cast("long"))
+        .select("cw", "k", "n_cohort", "n_active", "retention_ppm")
+        .orderBy("cw", "k")
+    }),
+
     // B53 nearest-event as-of join: each error matched to the view
     // minimizing |Δt| per user — the alignment form where backward (B18)
     // or forward (B42) alone biases by half an interval. One union, one
@@ -5616,6 +5642,28 @@ object SparkEntry {
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |      FROM orders) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same weekly cohorting, distinct activity, exact ppm
+    "b59_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cw FROM ev GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, wk FROM ev),
+        |act AS (
+        |  SELECT f.cw, a.wk - f.cw AS k,
+        |         count(DISTINCT a.user_id) AS n_active
+        |  FROM a JOIN f ON f.user_id = a.user_id
+        |  WHERE a.wk - f.cw BETWEEN 0 AND 3
+        |  GROUP BY 1, 2),
+        |coh AS (SELECT cw, count(*) AS n_cohort FROM f GROUP BY 1)
+        |SELECT act.cw, act.k, coh.n_cohort,
+        |       CAST(act.n_active AS BIGINT) AS n_active,
+        |       CAST(act.n_active * 1000000 // coh.n_cohort AS BIGINT)
+        |         AS retention_ppm
+        |FROM act JOIN coh ON coh.cw = act.cw
+        |ORDER BY act.cw, act.k""".stripMargin,
 
     // same lag window over the (sec, event_id) order
     "d29_debounce" ->
