@@ -86,6 +86,7 @@ object Bench {
     "c67_script_profile", "c68_zipf", "d29_debounce",
     "c69_char_entropy", "c70_soft_dedup_weights", "c71_k_anonymity",
     "b58_pivot_auto", "b59_retention_cohorts",
+    "c72_datasheet_maintenance",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't

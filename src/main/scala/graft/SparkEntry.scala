@@ -3247,6 +3247,35 @@ object SparkEntry {
         .withColumn("k_ok", col("n") >= 5)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // C72 incremental corpus-datasheet maintenance: C48's per-source
+    // doc/token/char counters advanced from the ingest CHANGE FEED
+    // alone (B26's signed arithmetic on the curation surface) — the
+    // datasheet stays fresh without rescanning a 100 TB corpus; like
+    // b57 THE ORACLE IS THE REBUILD from the merged snapshot, so
+    // incremental ≡ rebuild is the check itself.
+    "c72_datasheet_maintenance" -> ((s, dir) => {
+      import graft.operators.MaterializedView
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("toks"),
+          length(col("text")).cast("long").as("chars"))
+      val base = docs.where(col("doc_id") % 4 =!= 0)
+      val view0 = MaterializedView.build(base.drop("doc_id"),
+        Seq("source"), Seq("toks", "chars"))
+      val feed = docs.where(col("doc_id") % 4 === 0)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(docs
+          .where(col("doc_id") % 4 =!= 0 && col("doc_id") % 6 === 0)
+          .withColumn("_change_type", lit("delete")))
+      MaterializedView.applyChanges(view0, feed.drop("doc_id"),
+          Seq("source"), Seq("toks", "chars"))
+        .select(col("source"), col("__mv_n").as("n_docs"),
+          col("__mv_sum_toks").cast("long").as("sum_toks"),
+          col("__mv_sum_chars").cast("long").as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // C57 n-gram novelty scoring: the GRADED decontamination complement
     // (c24 flags any-overlap; this scores the fraction of a candidate
     // doc's shingles absent from a reference corpus) — the incremental
@@ -5777,6 +5806,18 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |         AS sum_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the rebuild from the merged snapshot — a different algorithm,
+    // same answer (the b57 oracle shape)
+    "c72_datasheet_maintenance" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text),
+        |                     '\s+')) END) AS BIGINT) AS sum_toks,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 4 = 0 OR doc_id % 6 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same planted corpus, md5 clusters, truncating ppm
     "c70_soft_dedup_weights" ->
