@@ -189,8 +189,11 @@ object Bench {
       // documents, as does c69's char explode
       "c67_script_profile", "c68_zipf", "c69_char_entropy",
       // c70 windows over replica-scaled documents; c71 aggregates
-      // replica-scaled customer
-      "c70_soft_dedup_weights", "c71_k_anonymity")
+      // replica-scaled customer; b58 pivots replica-scaled orders;
+      // c72's feed+rebuild scale with documents (b59 is events-based →
+      // not probed)
+      "c70_soft_dedup_weights", "c71_k_anonymity", "b58_pivot_auto",
+      "c72_datasheet_maintenance")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
