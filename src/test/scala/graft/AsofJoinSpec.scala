@@ -136,6 +136,34 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
       s"both carries must share one exchange:\n${p.take(800)}")
   }
 
+  test("b53 nearest property sweep: ≡ brute-force argmin on a seeded " +
+       "random table (200 left x 80 right rows, 10 keys, dense ties)") {
+    val rnd = new scala.util.Random(42)
+    // small time domain forces equal-timestamp and equal-distance ties
+    val lRows = (0 until 200).map(i =>
+      (rnd.nextInt(10).toLong, ts(rnd.nextInt(50).toLong), s"L$i"))
+    val rAll = (0 until 80).map(i =>
+      (rnd.nextInt(10).toLong, ts(rnd.nextInt(50).toLong), i.toLong, 0.0))
+    // enforce the unique-(key, time) right contract
+    val rRows = rAll.groupBy(r => (r._1, r._2)).values
+      .map(_.minBy(_._3)).toSeq
+    val lDf = lRows.toDF("k", "t", "tag")
+    val rDf = rRows.toDF("k", "rt", "rid", "price")
+    val got = AsofJoin
+      .asofNearest(lDf, rDf, Seq("k"), "t", "rt", Seq("rid"))
+      .collect()
+      .map(r => r.getString(2) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    val brute = lRows.map { case (k, t, tag) =>
+      val cands = rRows.filter(_._1 == k)
+      tag -> (if (cands.isEmpty) None
+      else Some(cands.minBy(c =>
+        (math.abs(c._2.getTime - t.getTime), c._2.getTime, c._3))._3))
+    }.toMap
+    assert(got === brute)
+  }
+
   test("b42 forward: each left row matches the EARLIEST right row " +
        "at-or-after its time; no later row -> null; still joinless") {
     val fwd = AsofJoin

@@ -452,6 +452,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("b59: the retention matrix never sort-merges — cohort and " +
+       "activity frames are user-keyed aggregates") {
+    val df = SparkEntry.queries("b59_retention_cohorts")(spark, sfDir())
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("c72: datasheet maintenance joins only GROUP-sized frames — " +
+       "the corpus is scanned, never sort-merged against itself") {
+    val df = SparkEntry.queries("c72_datasheet_maintenance")(spark, sfDir())
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the one permitted SortMergeJoin is the b26/b57 view⟗delta
+    // full-outer merge over source-keyed (dim-sized) aggregates
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("c58: outlier scoring joins the dim-sized centroid table by " +
        "broadcast and scans the corpus once") {
     val df = SparkEntry.queries("c58_embed_outliers")(spark, sfDir())

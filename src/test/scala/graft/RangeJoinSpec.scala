@@ -116,6 +116,35 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(once.exceptAll(twice).count() === 0L)
   }
 
+  test("b56 overlapJoin property sweep: pair-set ≡ brute force on 150x150 " +
+       "seeded random intervals across bucket widths 1, 7, 100, 10000") {
+    import graft.operators.RangeJoin
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(7)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (idBase + i, lo, lo + rnd.nextInt(60))
+    }
+    val ls = mk(150, 0L)
+    val rs = mk(150, 10000L)
+    val brute = (for {
+      (lid, la, ha) <- ls
+      (rid, lb, hb) <- rs
+      if la <= hb && lb <= ha
+    } yield (lid, rid)).sorted
+    val lDf = ls.toDF("lid", "lo_a", "hi_a")
+    val rDf = rs.toDF("rid", "lo_b", "hi_b")
+    Seq(1L, 7L, 100L, 10000L).foreach { w =>
+      val got = RangeJoin.overlapJoin(lDf, rDf,
+          "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = w)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq === brute,
+        s"width $w: ${got.length} vs ${brute.length} pairs")
+    }
+  }
+
   test("b56 overlapJoin: every overlapping pair exactly once (multi-" +
        "bucket spans, touching ends, containment), none twice, " +
        "disjoint never") {
