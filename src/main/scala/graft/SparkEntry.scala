@@ -3276,6 +3276,24 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // C73 per-source length-decile report: the calibration table behind
+    // every length-filter threshold (C17 cuts at fixed bounds; this
+    // shows where each source's mass actually sits, so the bounds are
+    // chosen from data not folklore). ntile over the deterministic
+    // (n_chars, doc_id) order — both engines assign identical buckets
+    // including the remainder-to-first-buckets rule; all integers.
+    "c73_length_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("n_chars", "doc_id")
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("source", "decile")
+    }),
+
     // C57 n-gram novelty scoring: the GRADED decontamination complement
     // (c24 flags any-overlap; this scores the fraction of a candidate
     // doc's shingles absent from a reference corpus) — the incremental
@@ -5806,6 +5824,18 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |         AS sum_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same deterministic ntile order and bucket rule
+    "c73_length_deciles" ->
+      """SELECT source, decile, count(*) AS n_docs,
+        |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM (
+        |  SELECT source, n_chars,
+        |         ntile(10) OVER (PARTITION BY source
+        |           ORDER BY n_chars, doc_id) AS decile
+        |  FROM documents) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the rebuild from the merged snapshot — a different algorithm,
     // same answer (the b57 oracle shape)
