@@ -87,6 +87,7 @@ object Bench {
     "c69_char_entropy", "c70_soft_dedup_weights", "c71_k_anonymity",
     "b58_pivot_auto", "b59_retention_cohorts",
     "c72_datasheet_maintenance", "c73_length_deciles",
+    "b60_cumulative_distinct", "c74_novelty_trend",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -194,8 +195,9 @@ object Bench {
       // not probed)
       "c70_soft_dedup_weights", "c71_k_anonymity", "b58_pivot_auto",
       "c72_datasheet_maintenance",
-      // c73's per-source window scales with documents
-      "c73_length_deciles")
+      // c73's per-source window scales with documents, as does c74's
+      // novelty scan (b60 is events-based → not probed)
+      "c73_length_deciles", "c74_novelty_trend")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -2991,6 +2991,29 @@ object SparkEntry {
         .orderBy("cw", "k")
     }),
 
+    // B60 cumulative-distinct growth curve: running distinct users per
+    // day — the "how fast is the population growing" report whose naive
+    // form (per-day COUNT(DISTINCT) over an expanding window) rescans
+    // history per day; the scalable identity: a user contributes from
+    // their FIRST day onward, so cumulative-distinct = running sum of
+    // first-appearance counts — two keyed aggs + one dim-sized window.
+    "b60_cumulative_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)")
+            .as("day"))
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("fd"))
+        .groupBy("fd").agg(count(lit(1)).as("n_new"))
+      val days = ev.select("day").distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      days.join(firstDay, col("day") === col("fd"), "left")
+        .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_users", sum("n_new").over(w))
+        .orderBy("day")
+    }),
+
     // B53 nearest-event as-of join: each error matched to the view
     // minimizing |Δt| per user — the alignment form where backward (B18)
     // or forward (B42) alone biases by half an interval. One union, one
@@ -3292,6 +3315,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
         .orderBy("source", "decile")
+    }),
+
+    // C74 novelty saturation trend: C57's per-doc novelty averaged over
+    // arrival-order deciles — the "is the crawl saturating" curve that
+    // decides when to STOP crawling a source (marginal novelty falling
+    // toward zero means the budget buys re-reads); integer mean ppm
+    // (truncating), deterministic ntile buckets.
+    "c74_novelty_trend" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nov = graft.operators.Decontaminate.noveltyScores(
+        docs.where(col("doc_id") % 13 =!= 0),
+        docs.where(col("doc_id") % 13 === 0), "text", "doc_id", n = 8)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      nov.withColumn("bucket", ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_grams").as("sum_grams"), sum("n_seen").as("sum_seen"),
+          (sum("novelty_ppm") / count(lit(1))).cast("long")
+            .as("mean_novelty_ppm"))
+        .orderBy("bucket")
     }),
 
     // C57 n-gram novelty scoring: the GRADED decontamination complement
@@ -5825,6 +5868,23 @@ object SparkEntry {
         |         AS sum_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // same first-appearance identity: cumulative distinct = running
+    // sum of first-day counts
+    "b60_cumulative_distinct" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+        |  FROM events),
+        |fd AS (SELECT min(day) AS fd FROM ev GROUP BY user_id),
+        |nn AS (SELECT fd, count(*) AS n_new FROM fd GROUP BY 1),
+        |d AS (SELECT DISTINCT day FROM ev)
+        |SELECT d.day, CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY d.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_users
+        |FROM d LEFT JOIN nn ON nn.fd = d.day
+        |ORDER BY d.day""".stripMargin,
+
     // same deterministic ntile order and bucket rule
     "c73_length_deciles" ->
       """SELECT source, decile, count(*) AS n_docs,
@@ -5964,6 +6024,41 @@ object SparkEntry {
         |       coalesce(h.n_grams_hit, 0) = 0 AS clean
         |FROM tot t LEFT JOIN h ON h.eval_id = t.eval_id
         |ORDER BY t.eval_id""".stripMargin,
+
+    // c57's replica + deterministic ntile + truncating integer mean
+    "c74_novelty_trend" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |           ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        |  FROM w, unnest(generate_series(1, len(words) - 7)) t(i)
+        |  WHERE len(words) >= 8
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(words, ' ') AS gram
+        |  FROM w WHERE len(words) < 8),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM g),
+        |rg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 13 = 0),
+        |sc AS (
+        |  SELECT dg.doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN rg.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS n_seen
+        |  FROM dg LEFT JOIN rg ON rg.gram = dg.gram
+        |  WHERE dg.doc_id % 13 <> 0
+        |  GROUP BY 1),
+        |nv AS (
+        |  SELECT doc_id, n_grams, n_seen,
+        |         (n_grams - n_seen) * 1000000 // n_grams AS ppm,
+        |         ntile(10) OVER (ORDER BY doc_id) AS bucket
+        |  FROM sc)
+        |SELECT bucket, count(*) AS n_docs,
+        |       CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+        |       CAST(sum(n_seen) AS BIGINT) AS sum_seen,
+        |       CAST(sum(ppm) // count(*) AS BIGINT) AS mean_novelty_ppm
+        |FROM nv GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the c24 gram CTE with the %13 reference split; ratio stays in
     // exact integer ppm (truncating BIGINT division both engines share)
