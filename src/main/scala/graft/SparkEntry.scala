@@ -3240,6 +3240,12 @@ object SparkEntry {
     "c69_char_entropy" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"))
+        // empty-doc guard (r8 advice): Spark's sequence(1, 0) yields a
+        // DESCENDING [1, 0] — two phantom "" characters — while the
+        // oracle's range(1, 1) is empty; an empty document would
+        // diverge cross-engine. Entropy of zero characters is
+        // undefined anyway — excluded on BOTH sides.
+        .where(length(col("text")) > 0)
         .withColumn("i", explode(sequence(lit(1), length(col("text")))))
         .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
         .groupBy("doc_id", "ch").agg(count(lit(1)).as("nc"))
@@ -5945,11 +5951,13 @@ object SparkEntry {
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical positional enumeration, exact counts, same entropy
-    // formula rounded 3
+    // formula rounded 3; empty docs excluded on both sides (the engine
+    // guards them too — Spark's sequence(1, 0) is descending)
     "c69_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, substr(text, CAST(t.i AS INT), 1) AS ch
-        |  FROM documents, unnest(range(1, length(text) + 1)) t(i)),
+        |  FROM documents, unnest(range(1, length(text) + 1)) t(i)
+        |  WHERE length(text) > 0),
         |cc AS (SELECT doc_id, ch, count(*) AS nc FROM ch GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n_chars,
         |       count(*) AS n_distinct,

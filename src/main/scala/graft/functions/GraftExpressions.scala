@@ -50,6 +50,13 @@ object GraftExpressions {
   /** md5 hex of every w-token window (see [[SpanMd5sExpr]]). */
   def spanMd5s(tokens: Column, w: Int): Column = c(SpanMd5sExpr(x(tokens), w))
 
+  /** SQL `div` (IntegralDivide) as a Column: long-typed truncating
+    * integer division, exact over the FULL long range — the Column API
+    * only exposes `/` (double Divide), whose result is wrong past 2^53.
+    */
+  def longDiv(a: Column, b: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.IntegralDivide(x(a), x(b)))
+
   /** Exact Jaccard of two SORTED DISTINCT long arrays (see
     * [[SortedJaccardExpr]]).
     */

@@ -146,14 +146,23 @@ object Clustering {
     private var lastReport: Seq[(Int, Long, Long, Long)] = Nil
 
     /** [[fold]] keyed by epoch for at-least-once streaming delivery: a
-      * replayed epoch (id ≤ last folded) must NOT re-absorb its sums —
-      * identical input ⇒ identical report, so the remembered one is
-      * returned and the state stays exactly-once (the D21 replay rule).
+      * replayed LATEST epoch (id == last folded) must NOT re-absorb its
+      * sums — identical input ⇒ identical report, so the remembered one
+      * is returned and the state stays exactly-once (the D21 replay
+      * rule). An OLDER epoch id fails loudly: Structured Streaming only
+      * ever replays the latest uncommitted batch, so an older id means
+      * the caller lost ordering — silently returning the newest report
+      * for it would hand an idempotent sink the wrong epoch's rows to
+      * overwrite that older epoch's partition with.
       */
     def foldEpoch(epoch: Long, codes: DataFrame,
                   codeCol: String): Seq[(Int, Long, Long, Long)] = {
-      if (epoch <= lastFolded) lastReport
+      if (epoch == lastFolded) lastReport
       else {
+        require(epoch > lastFolded,
+          s"epoch $epoch < last folded $lastFolded: out-of-order " +
+            "delivery — only the latest epoch may replay (reports are " +
+            "not kept per epoch)")
         val r = fold(codes, codeCol)
         lastFolded = epoch
         lastReport = r

@@ -9,8 +9,18 @@ import org.apache.spark.sql.functions._
   *
   *   - the same value tokenizes identically in EVERY table → joins,
   *     group-bys, and referential integrity survive tokenization;
-  *   - without the secret the mapping is preimage-resistant (the secret
-  *     is a pepper held outside the lake, not stored with the data);
+  *   - without the secret the mapping is not invertible IN PRACTICE —
+  *     but the guarantee rests entirely on the pepper staying secret
+  *     AND the value domain not being enumerable. `md5(secret || value)`
+  *     is not a keyed MAC (length-extension, and md5 preimage margins
+  *     are historic): an attacker who learns the pepper, or who can
+  *     enumerate a low-entropy domain (integer keys, names) against a
+  *     leaked pepper, recovers every mapping. Deployments needing a
+  *     cryptographic keyed-PRF guarantee should swap `md5(concat(...))`
+  *     for an HMAC-SHA-256 expression; this operator keeps md5 because
+  *     the cross-engine oracle (DuckDB md5) is part of the correctness
+  *     contract, and the ENGINE property being exercised — deterministic
+  *     cross-table tokenization at scan speed — is hash-agnostic;
   *   - re-runs are idempotent — tokenizing twice is detectable (tokens
   *     are fixed-width hex) but applying the transform to fresh loads
   *     of the same entity yields the same token, append-safe.

@@ -28,16 +28,35 @@ object RangeJoin {
     * @param bucketWidth bucket width in the point/interval unit
     * @return points ⋈ intervals rows satisfying lo ≤ point ≤ hi
     */
+  /** Integer floor-division bucket id (r8 advice): the earlier
+    * `floor(value.cast(double) / width)` form is exact only for
+    * |value| < 2^53 — a silent-wrong path for very large long domains
+    * (nanosecond epochs, bit-packed ids). `(v - pmod(v, w)) div w` is
+    * exact floor division over the FULL long range: pmod is always
+    * non-negative for positive w, the numerator is an exact multiple of
+    * w, and SQL `div` is long-typed — no double ever appears. Identical
+    * bucket ids to the old form wherever the old form was exact.
+    */
+  private def floorBucket(c: Column, bucketWidth: Long): Column = {
+    val w = lit(bucketWidth)
+    graft.functions.GraftExpressions.longDiv((c.cast("long") - pmod(c.cast("long"), w)), w)
+  }
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("__bucket",
-      floor(col(pointCol).cast("double") / bucketWidth).cast("long"))
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(loCol).cast("double") / bucketWidth).cast("long"),
-        floor(col(hiCol).cast("double") / bucketWidth).cast("long"))))
+    val p = points.withColumn("__bucket", floorBucket(col(pointCol), bucketWidth))
+    val iv = intervals
+      // an inverted interval (hi < lo) contains nothing — and fed to
+      // sequence() it would silently generate a DESCENDING bucket list
+      // (r8 advice). Dropped explicitly: empty-interval semantics, not
+      // silent corruption.
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("__bucket",
+        explode(sequence(
+          floorBucket(col(loCol), bucketWidth),
+          floorBucket(col(hiCol), bucketWidth))))
     p.join(iv, Seq("__bucket"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
@@ -63,14 +82,18 @@ object RangeJoin {
                   bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def buckets(lo: String, hi: String) = sequence(
-      floor(col(lo).cast("double") / bucketWidth).cast("long"),
-      floor(col(hi).cast("double") / bucketWidth).cast("long"))
-    val l = left.withColumn("__bucket", explode(buckets(loL, hiL)))
-    val r = right.withColumn("__bucket", explode(buckets(loR, hiR)))
+      floorBucket(col(lo), bucketWidth), floorBucket(col(hi), bucketWidth))
+    // inverted intervals (hi < lo) contain nothing: dropped (empty-
+    // interval semantics) instead of silently exploding to a descending
+    // bucket list — same contract as pointInInterval's interval side
+    val l = left.where(col(loL) <= col(hiL))
+      .withColumn("__bucket", explode(buckets(loL, hiL)))
+    val r = right.where(col(loR) <= col(hiR))
+      .withColumn("__bucket", explode(buckets(loR, hiR)))
     l.join(r, Seq("__bucket"))
       .where(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
-        col("__bucket") === floor(greatest(col(loL), col(loR))
-          .cast("double") / bucketWidth).cast("long"))
+        col("__bucket") === floorBucket(greatest(col(loL), col(loR)),
+          bucketWidth))
       .drop("__bucket")
   }
 

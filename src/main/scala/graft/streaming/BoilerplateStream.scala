@@ -87,7 +87,12 @@ object BoilerplateStream {
       val flaggedKeys = cand.iterator.map { r =>
         val s = r.getString(0); val k = r.getLong(1)
         val est = snapshot.estimateCount(java.lang.Long.valueOf(k))
-        (k, est * 100 >= nDocs.getOrElse(s, 0L) * 30)
+        // a source absent from the doc counter (state loss, out-of-order
+        // delivery) is NEVER boilerplate: with n=0 the old `est*100 >=
+        // 0*30` form was trivially true and would have stripped every
+        // line of that source — fail safe toward keeping text
+        val n = nDocs.getOrElse(s, 0L)
+        (k, n > 0 && est * 100 >= n * 30)
       }.collect { case (k, true) => k }.toSet
       import spark.implicits._
       val flagDf = flaggedKeys.toSeq.toDF("k")
