@@ -4007,6 +4007,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // C76: multi-scale duplicated-span detection — the c27 scan at
+    // DOUBLING widths (8, 16, 32) over the same planted corpus: a
+    // duplicated substring of token length L fires every level ≤ L, so
+    // the largest firing level brackets the duplication's length within
+    // 2x (the suffix-array length axis, recovered at k token-linear
+    // passes). Long-form output: one row per (doc, level).
+    "c76_multiscale_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.multiScaleSpans(corpus, "text", "doc_id", Seq(8, 16, 32))
+        .orderBy("id", "w")
+    }),
+
     // C32: Unicode text normalization (codegen'd NormalizeTextExpr: NFC
     // composition + control-strip + whitespace collapse + trim). The
     // corpus text is ASCII, so non-trivial inputs are PLANTED around it:
@@ -8075,6 +8090,29 @@ object SparkEntry {
         |  FROM d LEFT JOIN reb USING (doc_id)) x
         |WHERE n_tokens + kept_tokens >= 0
         |ORDER BY 1""".stripMargin,
+
+    // c27's replica cross-joined with the level ladder: per (level,
+    // hash) counts, long-form per (doc, level) report
+    "c76_multiscale_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |      FROM corpus WHERE length(trim(text)) > 0),
+        |lvl AS (SELECT unnest([8, 16, 32]) AS w),
+        |s AS (SELECT doc_id, t, w, unnest(range(0, len(t) - w + 1)) AS pos
+        |      FROM d, lvl WHERE len(t) >= w),
+        |h AS (SELECT doc_id, w, pos,
+        |             md5(array_to_string(list_slice(t, pos + 1, pos + w), ' '))
+        |               AS h
+        |      FROM s),
+        |c AS (SELECT w, h, count(*) AS n_occ FROM h GROUP BY 1, 2)
+        |SELECT doc_id AS id, w, count(*) AS n_spans,
+        |       CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_spans
+        |FROM h JOIN c USING (w, h)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // byte-level replica of NormalizeTextExpr: DuckDB's nfc_normalize is
     // the same Unicode NFC; planted chars built with chr() so the SQL

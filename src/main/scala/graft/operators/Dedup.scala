@@ -408,6 +408,46 @@ object Dedup {
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
   }
 
+  /** Multi-scale duplicated-span detection (C76) — [[duplicatedSpans]]
+    * generalized from one fixed window to DOUBLING widths (w, 2w, 4w…),
+    * closing most of the gap to suffix-array dedup (Lee et al. 2022
+    * find arbitrary-length ≥50-char duplication with a suffix array —
+    * machinery that does not distribute; a geometric ladder of
+    * fixed-width passes over the same [[graft.functions.SpanMd5sExpr]]
+    * digest recovers the LENGTH AXIS at bounded cost):
+    *
+    *   - any duplicated substring of token length L ≥ w is caught by
+    *     EVERY level with width ≤ L (all its width-w' windows repeat),
+    *     so the largest firing level brackets the duplication's length
+    *     within a factor of 2 — the fixed-width pass alone cannot
+    *     distinguish a 16-token template echo from a wholesale 500-token
+    *     boilerplate block, and the difference decides strip-vs-drop in
+    *     a curation pipeline;
+    *   - each level is one token-linear digest pass + one hash-keyed
+    *     count (the [[duplicatedSpans]] shape — map-side combined,
+    *     nothing pairwise), so k levels cost k linear passes:
+    *     log₂(Lmax/w) levels cover every duplication length, the same
+    *     reason skip lists and HNSW ladders work;
+    *   - levels are independent — at 100 TB they run as one union job
+    *     whose stages share the scan (Spark reuses the exchange per
+    *     level's own keys; no level sees another's state).
+    *
+    * Output is long-form: (id, w, n_spans, n_dup_spans) — one row per
+    * document per level the document is long enough for.
+    */
+  def multiScaleSpans(df: DataFrame, textCol: String, idCol: String,
+                      widths: Seq[Int]): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 2),
+      s"widths must be >= 2, got $widths")
+    require(widths == widths.sorted && widths.distinct == widths,
+      s"widths must be strictly increasing, got $widths")
+    widths.map { w =>
+      duplicatedSpans(df, textCol, idCol, w)
+        .select(col("id"), lit(w).as("w"),
+          col("n_spans"), col("n_dup_spans"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Duplicated-span REMOVAL — the rewrite pass completing
     * [[duplicatedSpans]]'s detection: every w-token window that occurs
     * elsewhere in the corpus keeps exactly ONE canonical occurrence (the

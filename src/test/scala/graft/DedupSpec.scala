@@ -226,6 +226,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(5L) === ((17L, 2L)))
   }
 
+  test("multiScaleSpans finds a planted 3w-length duplicate at every " +
+    "level <= its length, and the largest firing level brackets it") {
+    // two docs share a 24-token block (3w for w=8) embedded in otherwise
+    // unrelated 40-token texts; levels 8 and 16 must fire on both docs
+    // (every 8- and 16-token window of the block repeats), level 32 must
+    // NOT (24 < 32 — no 32-token window fits inside the duplication):
+    // the largest firing level (16) brackets the true length in [16, 32).
+    val block = (1 to 24).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 8).map(i => s"a$i").mkString(" ") + " " + block +
+        " " + (1 to 8).map(i => s"a${i + 8}").mkString(" ")),
+      (2L, (1 to 8).map(i => s"b$i").mkString(" ") + " " + block +
+        " " + (1 to 8).map(i => s"b${i + 8}").mkString(" ")),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.multiScaleSpans(docs, "text", "doc_id", Seq(8, 16, 32))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    // w=8: the 24-token block contains 17 start positions of 8-windows
+    assert(out((1L, 8)) === 17L && out((2L, 8)) === 17L)
+    // w=16: 9 start positions of 16-windows fit inside 24 tokens
+    assert(out((1L, 16)) === 9L && out((2L, 16)) === 9L)
+    // w=32: nothing — the duplication is shorter than the window
+    assert(out((1L, 32)) === 0L && out((2L, 32)) === 0L)
+    // unrelated doc fires at no level
+    assert(Seq(8, 16, 32).forall(w => out((3L, w)) === 0L))
+    // per-level span totals stay token-linear: n - w + 1 windows per doc
+    val spans = Dedup.multiScaleSpans(docs, "text", "doc_id", Seq(8, 16, 32))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(spans((3L, 8)) === 33L && spans((3L, 16)) === 25L &&
+      spans((3L, 32)) === 9L)
+    // width ladder must be strictly increasing — loud, not silent
+    assertThrows[IllegalArgumentException] {
+      Dedup.multiScaleSpans(docs, "text", "doc_id", Seq(16, 8))
+    }
+  }
+
   test("removeDuplicatedSpans keeps canonical occurrences, empties full copies") {
     val prefix = (1 to 20).map(i => s"p$i").mkString(" ")
     val x30 = (1 to 30).map(i => s"x$i").mkString(" ")
