@@ -1754,6 +1754,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C75 distributed classifier TRAINING — the train side C37 scores
+    // with: mini-batch gradient descent on the same hashed
+    // unigram+bigram features, label = (lang = 'en'), ALL-INTEGER
+    // arithmetic (1/1024-grid weights, hard-sigmoid activation via
+    // non-negative integer division, positive-shifted floor-div
+    // updates) so the 6-update trajectory replays bit-exact in the
+    // DuckDB oracle — the rebuild-oracle shape applied to a TRAINING
+    // LOOP. Output: final weights + exact per-iteration loss/count
+    // trace in one long-form frame; one diverged update anywhere
+    // changes the final weights and breaks the hash.
+    "c75_classifier_train" -> ((s, dir) =>
+      graft.operators.ClassifierTrain.trainReport(
+        t(s, dir, "documents"), "text", "doc_id",
+        col("lang") === "en", nBuckets = 128, epochs = 3,
+        nBatches = 3, lrDiv = 64L)),
+
     // A30 incremental ingest ledger — the reference DAG's idempotence
     // rule (process only the years missing from the bucket) as an engine
     // operator: the target's partition LAYOUT is the ledger. An initial
@@ -4100,7 +4116,80 @@ object SparkEntry {
       "d23_pattern_fold" -> base("b49_seq_pattern"))
   }
 
+  /** c75's oracle is GENERATED from the same hyperparameters the engine
+    * trains with: an unrolled CTE chain — per iteration a margin agg, a
+    * hard-sigmoid residual, an exact loss, a per-bucket gradient and a
+    * floor-div weight update — so DuckDB replays the full descent
+    * trajectory bit-for-bit (all-integer arithmetic; `//` on the
+    * positive-shifted numerators ≡ the engine's truncating division).
+    */
+  private def c75OracleSql(nBuckets: Int, epochs: Int, nBatches: Int,
+                           lrDiv: Long): String = {
+    val feats =
+      s"""WITH tk AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |         doc_id % $nBatches AS batch,
+         |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |              ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+         |         END AS t
+         |  FROM documents),
+         |fa AS (
+         |  SELECT doc_id, y, batch,
+         |         list_concat(t,
+         |           CASE WHEN len(t) >= 2
+         |                THEN list_transform(range(1, len(t)),
+         |                       i -> t[i] || ' ' || t[i + 1])
+         |                ELSE CAST([] AS VARCHAR[]) END) AS feats
+         |  FROM tk),
+         |fx AS (SELECT doc_id, y, batch, unnest(feats) AS f FROM fa),
+         |fb AS MATERIALIZED (
+         |  SELECT doc_id, y, batch,
+         |         CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT)
+         |           % $nBuckets AS b,
+         |         count(*) AS x
+         |  FROM fx GROUP BY 1, 2, 3, 4),
+         |w0 AS MATERIALIZED (
+         |  SELECT CAST(u.b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+         |  FROM (SELECT unnest(range(0, $nBuckets)) AS b) u)""".stripMargin
+    val iters = (for (e <- 0 until epochs; t <- 0 until nBatches)
+      yield t).zipWithIndex.map { case (t, i0) => (i0 + 1, t) }
+    val steps = iters.map { case (i, t) =>
+      val p = i - 1
+      s""",
+         |m$i AS MATERIALIZED (SELECT fb.doc_id, fb.y, CAST(sum(fb.x * w$p.w) AS BIGINT) AS m
+         |        FROM fb JOIN w$p ON fb.b = w$p.b
+         |        WHERE fb.batch = $t GROUP BY 1, 2),
+         |r$i AS MATERIALIZED (SELECT doc_id,
+         |               (greatest(-2097152, least(2097152, m)) + 2097152)
+         |                 // 4096 - y * 1024 AS r
+         |        FROM m$i),
+         |s$i AS MATERIALIZED (SELECT count(*) AS n, CAST(sum(r * r) AS BIGINT) AS loss
+         |        FROM r$i),
+         |g$i AS MATERIALIZED (SELECT fb.b, CAST(sum(r$i.r * fb.x) AS BIGINT) AS g
+         |        FROM fb JOIN r$i USING (doc_id)
+         |        WHERE fb.batch = $t GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT w$p.b,
+         |               w$p.w - ((1024 * coalesce(g$i.g, 0)
+         |                         + 1048576 * ($lrDiv * s$i.n))
+         |                        // ($lrDiv * s$i.n) - 1048576) AS w
+         |        FROM w$p LEFT JOIN g$i ON w$p.b = g$i.b, s$i)""".stripMargin
+    }.mkString
+    val last = iters.last._1
+    val traceRows = iters.map { case (i, _) =>
+      s"""|UNION ALL SELECT 'loss' AS kind, CAST($i AS BIGINT) AS k, loss AS v FROM s$i
+          |UNION ALL SELECT 'n' AS kind, CAST($i AS BIGINT) AS k, CAST(n AS BIGINT) AS v FROM s$i""".stripMargin
+    }.mkString("\n")
+    s"""$feats$steps
+       |SELECT kind, k, v FROM (
+       |  SELECT 'w' AS kind, b AS k, w AS v FROM w$last
+       |$traceRows
+       |) ORDER BY kind, k""".stripMargin
+  }
+
   private def oracleSqlBase: Map[String, String] = Map(
+
+    "c75_classifier_train" ->
+      c75OracleSql(nBuckets = 128, epochs = 3, nBatches = 3, lrDiv = 64L),
 
     "a1_csv_schema_read" ->
       """SELECT l_returnflag, count(*) AS cnt,

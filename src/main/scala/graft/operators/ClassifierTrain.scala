@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExpressions, HashedClassifier}
+
+/** Distributed classifier TRAINING (C75) — the missing train side of the
+  * C37 quality-filter stack: a fastText-shaped linear classifier (Joulin
+  * et al. 2016) over the same hashed unigram+bigram features
+  * ([[HashedClassifier.features]]/[[HashedClassifier.bucket]]), fit by
+  * mini-batch gradient descent the way CCNet/DCLM-style filters are
+  * trained on in-corpus labels before they score a crawl.
+  *
+  * Spark-first shape (the D27 loop): the corpus is featurized ONCE into a
+  * long-form (doc, batch, bucket, count) frame — one tokenize+md5 scan,
+  * cached; each iteration is then two map-combined aggregations over that
+  * frame (margins keyed by doc, gradient keyed by bucket) with the
+  * current weights riding the plan as ONE array literal (nBuckets longs,
+  * KBs). Driver state is the weight vector only — k longs, constant in
+  * corpus size; per-iteration shuffle volume is docs + nBuckets rows.
+  * Nothing collects rows proportional to the corpus: the gradient
+  * COLLAPSES to nBuckets rows before `collect`, exactly like D27's
+  * centroid sums. At 100 TB the featurized frame is the thing you keep
+  * partitioned on doc_id; both per-iteration aggs combine map-side.
+  *
+  * Cross-engine-exact arithmetic — the trajectory REPLAYS bit-for-bit in
+  * the DuckDB oracle, no transcendental anywhere:
+  *
+  *   - weights live on the 1/2²⁰ integer grid (longs in 1/W units,
+  *     W = 2²⁰ — FINER than C37's 1/1024 scoring grid because the
+  *     per-update step `G/(lrDiv·n)` must survive integer flooring at
+  *     a small learning rate; on the 1/1024 grid a stable-lr update
+  *     floors to 0 and the model never moves);
+  *   - the margin `m = Σ w·x` is a sum of long products — exact,
+  *     order-independent;
+  *   - the activation is the HARD sigmoid `p = clamp(0.5 + z/4, 0, 1)`
+  *     (Courbariaux et al. 2016's piecewise-linear sigmoid): in grid
+  *     units `p1024 = (clamp(m, ±2W) + 2W) / 4096`, a NON-NEGATIVE
+  *     integer division — floor ≡ truncate, identical in Spark, Java
+  *     and DuckDB (the positive-shifted-grid rule). The smooth sigmoid
+  *     would make the trajectory depend on last-ulp `exp` agreement
+  *     between engines — one boundary-straddling round would cascade
+  *     through every later epoch;
+  *   - the residual `r = p1024 − 1024·y` and gradient `G_b = Σ r·x_b`
+  *     are exact integer sums;
+  *   - the update `w ← w − 1024·G/(lrDiv·n)` (the 1024 re-scales the
+  *     1/1024-unit residual onto the 1/W weight grid) floor-divides
+  *     via a positive shift (`(a + K·D)/D − K`, K = 2^20), again
+  *     engine-identical.
+  *
+  * The loss reported per mini-batch is the exact integer `Σ r²` (squared
+  * error in grid units against the hard-sigmoid output — the quantity
+  * this descent actually reduces; its epoch trend is the convergence
+  * contract the spec locks).
+  */
+object ClassifierTrain {
+
+  /** Per-iteration record: (iteration, epoch, batch, n_docs, loss). */
+  final case class IterStat(iter: Int, epoch: Int, batch: Int,
+                            n: Long, loss: Long)
+
+  final case class TrainResult(weights: Array[Long], trace: Seq[IterStat])
+
+  /** Featurize once: long-form (doc_id, y, batch, b, x). Blank docs have
+    * no features and drop out (they cannot move a linear model). Batch
+    * assignment is `pmod(doc_id, nBatches)` — deterministic, engine-
+    * independent, and at scale a hash-uniform split of the corpus.
+    */
+  def featurize(docs: DataFrame, textCol: String, idCol: String,
+                label: Column, nBuckets: Int, nBatches: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        label.cast("int").cast("long").as("y"),
+        pmod(col(idCol).cast("long"), lit(nBatches.toLong)).as("batch"),
+        explode(HashedClassifier.features(col(textCol))).as("f"))
+      .select(col("doc_id"), col("y"), col("batch"),
+        HashedClassifier.bucket(col("f"), nBuckets).as("b"))
+      .groupBy("doc_id", "y", "batch", "b")
+      .agg(count(lit(1)).as("x"))
+
+  /** Weight grid: 1/W units, W = 2²⁰. */
+  val WScale: Long = 1L << 20
+
+  /** The hard-sigmoid output in 1/1024 units for a margin column in
+    * 1/W units: `(clamp(m, ±2W) + 2W) div 4096` — non-negative long
+    * division, floor ≡ truncate on both engines.
+    */
+  private def p1024(m: Column): Column =
+    GraftExpressions.longDiv(
+      greatest(lit(-2 * WScale), least(lit(2 * WScale), m)) + lit(2 * WScale),
+      lit(4 * WScale / 1024L))
+
+  /** Driver-side exact floor division for the weight update: positive
+    * shift so Java's truncating `/` floors. K·D stays far above any
+    * reachable |G| (|G| ≤ 1024 · batch feature mass ≈ 4·10⁵·n while
+    * K·D = 2^20·lrDiv·n), and far below Long.MaxValue.
+    */
+  private def floorDiv(g: Long, d: Long): Long = {
+    val K = 1L << 20
+    require(g.abs < K * d, s"gradient $g out of the shift window for d=$d")
+    (g + K * d) / d - K
+  }
+
+  /** Run the descent: for each epoch, for each mini-batch in order,
+    * margins → residuals → per-bucket gradient → driver update. Two
+    * jobs per iteration (stats + gradient), both over the cached
+    * featurized frame.
+    */
+  def train(feats: DataFrame, nBuckets: Int, epochs: Int, nBatches: Int,
+            lrDiv: Long): TrainResult = {
+    require(epochs >= 1 && nBatches >= 1 && lrDiv >= 1, "bad hyperparams")
+    val w = Array.fill(nBuckets)(0L)
+    val trace = Seq.newBuilder[IterStat]
+    var iter = 0
+    for (e <- 0 until epochs; t <- 0 until nBatches) {
+      iter += 1
+      val wLit = typedlit(w.toSeq)
+      val batch = feats.where(col("batch") === t)
+      val resid = batch
+        .groupBy("doc_id", "y")
+        .agg(sum(col("x") *
+          element_at(wLit, (col("b") + 1).cast("int"))).as("m"))
+        .select(col("doc_id"),
+          (p1024(col("m")) - col("y") * lit(1024L)).as("r"))
+      val st = resid.agg(count(lit(1)).as("n"),
+        sum(col("r") * col("r")).as("loss")).head()
+      val n = st.getLong(0)
+      require(n > 0, s"mini-batch $t is empty — fewer docs than batches?")
+      val loss = st.getLong(1)
+      val grad = batch.join(resid, "doc_id")
+        .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val d = lrDiv * n
+      for (b <- 0 until nBuckets)
+        w(b) -= floorDiv(1024L * grad.getOrElse(b, 0L), d)
+      trace += IterStat(iter, e, t, n, loss)
+    }
+    TrainResult(w, trace.result())
+  }
+
+  /** The oracle-shaped report: long-form (kind, k, v) — final weights
+    * (`kind='w'`, one row per bucket) plus the per-iteration doc counts
+    * and exact losses (`kind='n'` / `kind='loss'`, keyed by iteration).
+    * A single frame so one hash locks the whole trajectory: any
+    * divergence in ANY update of ANY epoch changes the final weights.
+    */
+  def trainReport(docs: DataFrame, textCol: String, idCol: String,
+                  label: Column, nBuckets: Int, epochs: Int,
+                  nBatches: Int, lrDiv: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val feats = featurize(docs, textCol, idCol, label, nBuckets, nBatches)
+      .persist()
+    try {
+      val res = train(feats, nBuckets, epochs, nBatches, lrDiv)
+      import spark.implicits._
+      val rows =
+        res.weights.zipWithIndex.toSeq
+          .map { case (wv, b) => ("w", b.toLong, wv) } ++
+        res.trace.map(s => ("loss", s.iter.toLong, s.loss)) ++
+        res.trace.map(s => ("n", s.iter.toLong, s.n))
+      rows.toDF("kind", "k", "v").orderBy("kind", "k")
+    } finally { feats.unpersist() }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ClassifierTrain
+
+/** C75 training-loop contracts: the descent LEARNS on separable data,
+  * replays deterministically (the property the DuckDB trajectory oracle
+  * rests on), matches a hand-computed single step, and fails loudly on
+  * degenerate configurations.
+  */
+class ClassifierTrainSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private val B = 64
+
+  /** Two disjoint-vocabulary "languages" — linearly separable after
+    * hashing unless two vocab words collide into every bucket equally
+    * (vanishingly unlikely at 20 words / 64 buckets).
+    */
+  private def docs = {
+    val en = Seq("the", "of", "and", "to", "in", "is", "was", "for",
+      "on", "as")
+    val de = Seq("der", "die", "das", "und", "ist", "von", "mit",
+      "auf", "für", "als")
+    (0 until 60).map { i =>
+      val v = if (i % 2 == 0) en else de
+      val text = (0 until 30).map(j => v((i + j * 7) % 10)).mkString(" ")
+      (i.toLong, text, if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+  }
+
+  private def feats(nBatches: Int) =
+    ClassifierTrain.featurize(docs, "text", "doc_id",
+      col("lang") === "en", B, nBatches)
+
+  test("loss decreases monotonically per mini-batch across epochs on " +
+    "separable data, and the final epoch has learned most of the margin") {
+    val res = ClassifierTrain.train(feats(3).persist(), B, epochs = 3,
+      nBatches = 3, lrDiv = 64L)
+    val byBatch = res.trace.groupBy(_.batch).view.mapValues(
+      _.sortBy(_.epoch).map(_.loss)).toMap
+    byBatch.values.foreach { losses =>
+      assert(losses.zip(losses.tail).forall { case (a, b) => b < a },
+        s"per-batch loss not strictly decreasing: $losses")
+    }
+    // epoch-3 total loss well below the zero-model's (epoch-1 first
+    // sight of each batch starts at p=512 for every doc — maximal
+    // ignorance); separable vocab must cut it by more than half
+    val e1 = res.trace.filter(_.epoch == 0).map(_.loss).sum
+    val e3 = res.trace.filter(_.epoch == 2).map(_.loss).sum
+    assert(e3 < e1 / 2, s"epoch3=$e3 not < half of epoch1=$e1")
+  }
+
+  test("the trajectory is deterministic — two trains agree bit-for-bit") {
+    val f = feats(3).persist()
+    val a = ClassifierTrain.train(f, B, 2, 3, 64L)
+    val b = ClassifierTrain.train(f, B, 2, 3, 64L)
+    assert(a.weights.toSeq === b.weights.toSeq)
+    assert(a.trace === b.trace)
+  }
+
+  test("one full-batch step equals the hand-computed gradient formula") {
+    val f = feats(1).persist()
+    val res = ClassifierTrain.train(f, B, epochs = 1, nBatches = 1,
+      lrDiv = 64L)
+    // zero weights → every doc's margin is 0 → p1024 = 512 exactly →
+    // r = 512 - 1024y; expected w_b = -floor(1024 * Σ r·x_b / (64 n))
+    val rows = f.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("y"), r.getAs[Long]("b"), r.getAs[Long]("x")))
+    val n = rows.map(_._1).distinct.length.toLong
+    val g = rows.groupBy(_._3).view.mapValues(_.map { case (_, y, _, x) =>
+      (512L - 1024L * y) * x }.sum).toMap
+    val expected = (0 until B).map { b =>
+      val num = 1024L * g.getOrElse(b.toLong, 0L)
+      -(Math.floorDiv(num, 64L * n))
+    }
+    assert(res.weights.toSeq === expected)
+    // and the reported loss is the exact zero-model loss: n · 512²
+    assert(res.trace.head.loss === n * 512L * 512L)
+  }
+
+  test("blank documents carry no features and drop out of every batch") {
+    val withBlank = docs.unionByName(
+      Seq((1000L, "   ", "en")).toDF("doc_id", "text", "lang"))
+    val f = ClassifierTrain.featurize(withBlank, "text", "doc_id",
+      col("lang") === "en", B, 3)
+    assert(f.where(col("doc_id") === 1000L).count() === 0L)
+  }
+
+  test("degenerate configurations fail loudly") {
+    assertThrows[IllegalArgumentException] {
+      ClassifierTrain.train(feats(1), B, epochs = 0, nBatches = 1, 64L)
+    }
+    // more batches than docs → some batch empty → loud, not silent
+    val tiny = Seq((0L, "a b c d", "en")).toDF("doc_id", "text", "lang")
+    val f = ClassifierTrain.featurize(tiny, "text", "doc_id",
+      col("lang") === "en", B, 3)
+    assertThrows[IllegalArgumentException] {
+      ClassifierTrain.train(f, B, 1, 3, 64L)
+    }
+  }
+}
