@@ -2753,6 +2753,30 @@ object SparkEntry {
         .admissionCapBatch(t(s, dir, "events"), cap = 40)
         .orderBy("event_id")),
 
+    // D32 frontier-ingest composition gate: cap → debounce → quality
+    // route as ONE composed per-key fold (batch twin of the fused
+    // flatMapGroupsWithState stream; the spec locks stream ≡ batch).
+    // Every event spends budget; the debounce clock advances only on
+    // admitted events; quality routes but never touches state. The
+    // oracle replays the greedy kept-based debounce with a RECURSIVE
+    // CTE — a different algorithm (rank-synchronous recursion) for the
+    // same sequential fold, the rebuild-oracle shape.
+    "d32_frontier_gate" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val verdicts = graft.streaming.EventStreams
+        .frontierGateBatch(ev, cap = 40, gapSec = 600L)
+      ev.select(col("event_id"), col("event_type"), col("value"))
+        .join(verdicts, "event_id")
+        .withColumn("verdict",
+          when(!col("admitted"), "capped")
+            .when(!col("kept"), "debounced")
+            .when(col("quarantined"), "quarantine")
+            .otherwise("pass"))
+        .groupBy("verdict", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("verdict", "event_type")
+    }),
+
     // B54 inter-arrival statistics: per-key event-gap distribution
     // (min/p50/p90/max of exact integer micros between consecutive
     // events) — the heartbeat/SLO profile behind D19's deadline choice;
@@ -5565,6 +5589,50 @@ object SparkEntry {
         |         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
         |         <= 40 AS admitted
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the composed fold replayed by a DIFFERENT algorithm: admission =
+    // the d26 window rank; the kept-based debounce (no window form
+    // exists — the next verdict depends on the last KEPT time) as a
+    // rank-synchronous RECURSIVE CTE advancing one admitted event per
+    // (user, type-initial) per step; quality = the d16 predicate
+    "d32_frontier_gate" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         substr(event_type, 1, 1) AS ty,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         NOT coalesce(user_id IS NOT NULL
+        |             AND value >= 0 AND value <= 300
+        |             AND event_type IN ('click', 'view', 'purchase',
+        |                                'signup'), false) AS quarantined
+        |  FROM events),
+        |adm AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |           ORDER BY sec, event_id) <= 40 AS admitted
+        |  FROM ev),
+        |ranked AS (
+        |  SELECT event_id, user_id, ty, sec,
+        |         row_number() OVER (PARTITION BY user_id, ty
+        |           ORDER BY sec, event_id) AS rn
+        |  FROM adm WHERE admitted),
+        |rec AS (
+        |  SELECT user_id, ty, rn, sec, event_id,
+        |         true AS kept, sec AS last_kept
+        |  FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT a.user_id, a.ty, a.rn, a.sec, a.event_id,
+        |         a.sec - d.last_kept > 600,
+        |         CASE WHEN a.sec - d.last_kept > 600
+        |              THEN a.sec ELSE d.last_kept END
+        |  FROM ranked a JOIN rec d
+        |    ON a.user_id = d.user_id AND a.ty = d.ty AND a.rn = d.rn + 1)
+        |SELECT CASE WHEN NOT a.admitted THEN 'capped'
+        |            WHEN NOT coalesce(r.kept, false) THEN 'debounced'
+        |            WHEN a.quarantined THEN 'quarantine'
+        |            ELSE 'pass' END AS verdict,
+        |       a.event_type, count(*) AS n,
+        |       round(sum(a.value), 2) AS sum_value
+        |FROM adm a LEFT JOIN rec r USING (event_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // both sides replayed — c14d's probe-limited top-5 AND the
     // exhaustive top-5 — then recall counted; integer end to end

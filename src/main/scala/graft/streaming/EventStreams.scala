@@ -237,6 +237,105 @@ object EventStreams {
       .toDF("event_id", "user_id", "kept")
   }
 
+  /** D32 frontier-ingest composition — D26's admission cap, D29's
+    * kept-based debounce and D16's quality route fused into ONE
+    * streaming operator, the production crawl-frontier shape
+    * (budget → throttle → content gate). The composition is the point:
+    * the three per-key state contracts must hold SIMULTANEOUSLY in one
+    * state machine —
+    *
+    *   - stage order is semantic, not cosmetic: the cap counts every
+    *     arriving event (it protects the pipeline from VOLUME, so a
+    *     debounced or quarantined event still spends budget — a host
+    *     hammering you with junk exhausts its allowance, which is what
+    *     a frontier wants); the debounce clock advances only on events
+    *     that passed the cap; the quality verdict routes but never
+    *     touches state (content must not perturb admission timing, or
+    *     replaying with a new quality model would change history);
+    *   - state per key is ONE counter + one last-kept timestamp per
+    *     type initial ((1 + |types|) longs — the D26 and D29 states
+    *     side by side, keyed once by user instead of twice);
+    *   - within a trigger rows fold in (sec, event_id) order; across
+    *     triggers event-time delivery is the contract (the D15 rule).
+    *
+    * Emits every event with the full verdict triple so downstream
+    * splits stay composable; [[frontierGateBatch]] runs the identical
+    * fold over full histories (the spec locks stream ≡ batch with
+    * budgets dying mid-trigger and debounce state crossing triggers).
+    */
+  def frontierGateStream(events: DataFrame, cap: Long,
+                         gapSec: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    frontierPrepped(events)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, String, Long, Long, Boolean)],
+         state: GroupState[(Long, Map[String, Long])]) => {
+          val (st, out) = frontierFold(uid, rows,
+            state.getOption.getOrElse((0L, Map.empty[String, Long])),
+            cap, gapSec)
+          state.update(st)
+          out.iterator
+        })
+      .toDF("event_id", "user_id", "admitted", "kept", "quarantined")
+  }
+
+  /** Batch twin of [[frontierGateStream]]: the same composed fold over
+    * full per-user histories.
+    */
+  def frontierGateBatch(events: DataFrame, cap: Long,
+                        gapSec: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    frontierPrepped(events)
+      .groupByKey(_._1)
+      .flatMapGroups {
+        (uid: Long, rows: Iterator[(Long, String, Long, Long, Boolean)]) =>
+          frontierFold(uid, rows, (0L, Map.empty[String, Long]),
+            cap, gapSec)._2.iterator
+      }
+      .toDF("event_id", "user_id", "admitted", "kept", "quarantined")
+  }
+
+  private def frontierPrepped(events: DataFrame) = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    gateVerdict(events).select(
+      col("user_id").cast("long"),
+      substring(col("event_type"), 1, 1).as("ty"),
+      unix_timestamp(col("ts")).as("sec"),
+      col("event_id").cast("long"),
+      col("quarantined"))
+      .as[(Long, String, Long, Long, Boolean)]
+  }
+
+  /** The composed per-key fold shared by stream and batch: admission
+    * first (every event spends budget), debounce on admitted events
+    * only, quality routed through unchanged.
+    */
+  private def frontierFold(uid: Long,
+                           rows: Iterator[(Long, String, Long, Long, Boolean)],
+                           st0: (Long, Map[String, Long]),
+                           cap: Long, gapSec: Long)
+      : ((Long, Map[String, Long]),
+         Array[(Long, Long, Boolean, Boolean, Boolean)]) = {
+    var admitted = st0._1
+    var lastKept = st0._2
+    val out = rows.toArray.sortBy(r => (r._3, r._4)).map { r =>
+      val adm = admitted < cap
+      if (adm) admitted += 1
+      val keep = adm && {
+        val lk = lastKept.get(r._2)
+        val k = lk.isEmpty || r._3 - lk.get > gapSec
+        if (k) lastKept = lastKept.updated(r._2, r._3)
+        k
+      }
+      (r._4, uid, adm, keep, r._5)
+    }
+    ((admitted, lastKept), out)
+  }
+
   /** Custom-state streaming aggregation: per-user lifetime totals kept in
     * a `GroupState[(count, sum)]` via `flatMapGroupsWithState` — the
     * pattern for state Spark's built-in aggregates can't express (decayed

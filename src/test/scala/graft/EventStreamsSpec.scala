@@ -926,6 +926,57 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("d32: frontier composition gate — stream ≡ batch across triggers, " +
+       "debounced and quarantined events still spend budget, the " +
+       "quality verdict never perturbs the debounce clock") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // cap=3, gap=600. user 1: four 'view's 100s apart (all sub-gap
+    // after the first) — events 2,3 debounced but budget-spending, so
+    // event 4 is CAPPED (not debounced: the cap fires first);
+    // user 2: a kept event with a BAD value (quarantined) at t=10,
+    // then a good event at t=400 (sub-gap of the QUARANTINED kept
+    // event — must be debounced, proving quality didn't reset the
+    // clock), then a good event at t=700 (past the gap — kept+pass)
+    val b1 = Seq((1L, ts(100), 1L, "view", 5.0),
+      (1L, ts(200), 2L, "view", 5.0))
+    val b2 = Seq((1L, ts(300), 3L, "view", 5.0),
+      (1L, ts(400), 4L, "view", 5.0),
+      (2L, ts(10), 5L, "view", 999.0),
+      (2L, ts(400), 6L, "view", 5.0),
+      (2L, ts(700), 7L, "view", 5.0))
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val stream = graft.streaming.EventStreams.frontierGateStream(
+      input.toDF().toDF(cols: _*), cap = 3, gapSec = 600L)
+    val q = stream.writeStream.format("memory").queryName("d32_mem")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+      val got = verdicts(spark.table("d32_mem"))
+      val batch = verdicts(graft.streaming.EventStreams.frontierGateBatch(
+        (b1 ++ b2).toDF(cols: _*), cap = 3, gapSec = 600L))
+      assert(got === batch, "stream must equal the batch fold")
+      // user 1: admitted/kept/quarantined per event
+      assert(got(1L) === ((true, true, false)))
+      assert(got(2L) === ((true, false, false)), "sub-gap → debounced")
+      assert(got(3L) === ((true, false, false)), "budget spent anyway")
+      assert(got(4L) === ((false, false, false)),
+        "4th event capped — debounced events spent the budget")
+      // user 2: quarantined event holds the debounce clock
+      assert(got(5L) === ((true, true, true)), "kept but quarantined")
+      assert(got(6L) === ((true, false, false)),
+        "sub-gap of the QUARANTINED kept event → debounced")
+      assert(got(7L) === ((true, true, false)), "past the gap → pass")
+    } finally q.stop()
+  }
+
   test("d27: streaming centroid maintenance — stream ≡ fold epoch by " +
        "epoch, replayed epochs leave the state untouched") {
     import graft.functions.GraftExpressions._
