@@ -88,6 +88,9 @@ object Bench {
     "b58_pivot_auto", "b59_retention_cohorts",
     "c72_datasheet_maintenance", "c73_length_deciles",
     "b60_cumulative_distinct", "c74_novelty_trend",
+    // r9 additions: c75 training loop, c76 multi-scale spans, d32
+    // composed frontier gate (events-based → not probed)
+    "c75_classifier_train", "c76_multiscale_spans", "d32_frontier_gate",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -197,7 +200,11 @@ object Bench {
       "c72_datasheet_maintenance",
       // c73's per-source window scales with documents, as does c74's
       // novelty scan (b60 is events-based → not probed)
-      "c73_length_deciles", "c74_novelty_trend")
+      "c73_length_deciles", "c74_novelty_trend",
+      // r9: c75's featurize pass + per-iteration aggs scale with
+      // documents (driver state is 128 longs at any corpus size); c76
+      // runs three token-linear c27 passes
+      "c75_classifier_train", "c76_multiscale_spans")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
@@ -338,6 +345,17 @@ object Bench {
         // pre-GC'd samples pin the number)
         scaling100Probe.map(n => n -> bestOf(3)(
           timed(spark, n, dir, gcFirst = true)))
+      case "sf1base" =>
+        val dir = ScaleReplica.ensure(spark, sfDir, copies = 10)
+        ScaleReplica.drainBuildState(spark)
+        warmup(spark, sf1Probe)
+        sf1Probe.map(n => n -> bestOf(2)(timed(spark, n, dir, gcFirst = true)))
+      case "sf1x10" =>
+        val dir = ScaleReplica.ensure(spark, sfDir, copies = 100,
+          tables = scale100Tables)
+        ScaleReplica.drainBuildState(spark)
+        warmup(spark, sf1Probe)
+        sf1Probe.map(n => n -> bestOf(2)(timed(spark, n, dir, gcFirst = true)))
       case other => sys.error(s"unknown bench phase '$other'")
     }
     writeTimes(out, times)
@@ -367,7 +385,10 @@ object Bench {
       .redirectOutput(ProcessBuilder.Redirect.to(log))
       .redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
-    val done = proc.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+    // the sf1 blocks time ~20 probes on 10x/100x data in one child —
+    // wider window than the driver-run phases
+    val limitMin = if (phase.startsWith("sf1")) 90L else 45L
+    val done = proc.waitFor(limitMin, java.util.concurrent.TimeUnit.MINUTES)
     if (!done) { proc.destroyForcibly(); proc.waitFor() }
     val ok = done && proc.exitValue == 0 && new java.io.File(out).exists()
     if (!ok) System.err.println(
@@ -385,13 +406,60 @@ object Bench {
     readTimes(out).toMap
   }
 
+  /** The sf1 probe set (r8 ask #10): the bench base bumped one decade —
+    * base = the 10-copy replica (sf1-equivalent data volume), probes =
+    * the 100-copy replica, so the sub-linear table covers 10x→100x
+    * effective range and JVM noise shrinks relative to signal. Both
+    * replicas carry the same 7 tables, so any scalingProbe entry
+    * qualifies; this curated subset keeps the run inside one fork
+    * window: the heavy dedup/ANN/codec/training representatives plus
+    * the two r9 additions. sf0.1 stays the correctness + headline base.
+    */
+  val sf1Probe: Seq[String] = Seq(
+    "q1_agg", "q5_star_join", "c2_minhash_lsh", "c3_simhash",
+    "c13_dup_clusters", "c27_span_dedup", "c29_span_removal",
+    "b25_fuzzy_join", "c35_bm25", "c37_classifier_score",
+    "c34_bloom_flag", "b20_quantile_sketch",
+    "c12b_image_codec_batched", "c12c_image_codec_columnar",
+    "c12f_frame_deltas", "c53_jl_projection", "c59_cluster_quota",
+    "c14c_ivf_rank_many", "c64_boilerplate_lines", "c68_zipf",
+    "c75_classifier_train", "c76_multiscale_spans")
+
   def main(args: Array[String]): Unit = args.toList match {
     case "--phase" :: phase :: out :: Nil =>
       runPhase(phase, out)
       // non-daemon Spark threads can outlive stop(); exit explicitly so
       // the parent's waitFor returns
       sys.exit(0)
+    case "--sf1" :: Nil => sf1Orchestrate()
     case _ => orchestrate()
+  }
+
+  /** One-decade-up bench: times [[sf1Probe]] on the 10-copy replica
+    * (base) and the 100-copy replica (x10), each block in its own
+    * forked JVM, and writes the same-shape ratio artifact to
+    * target/bench_sf1.json (committed as BENCH_local_r*_sf1.json).
+    */
+  private def sf1Orchestrate(): Unit = {
+    val spark = makeSession("sf1-replica-build")
+    ScaleReplica.ensure(spark, sfDir, copies = 10)
+    ScaleReplica.ensure(spark, sfDir, copies = 100, tables = scale100Tables)
+    spark.stop()
+    val base = phaseTimes("sf1base", "target/bench_sf1base.tsv")
+    val t10 = phaseTimes("sf1x10", "target/bench_sf1x10.tsv")
+    val entries = sf1Probe.map { name =>
+      val t1 = base.getOrElse(name, -1.0)
+      val tN = t10.getOrElse(name, -1.0)
+      val ratio = if (t1 > 0 && tN > 0) tN / t1 else -1.0
+      "\"%s\":{\"base\":%.3f,\"x10\":%.3f,\"ratio\":%.2f}"
+        .formatLocal(Locale.ROOT, name, t1, tN, ratio)
+    }
+    val json = entries.mkString(
+      s"""{"metric":"sf1_scaling","unit":"sec","base":"10x $sfDir","x10":"100x $sfDir","queries":{""",
+      ",", "}}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_sf1.json"), json + "\n")
+    println(json)
   }
 
   private def orchestrate(): Unit = {
