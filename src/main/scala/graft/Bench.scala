@@ -89,8 +89,10 @@ object Bench {
     "c72_datasheet_maintenance", "c73_length_deciles",
     "b60_cumulative_distinct", "c74_novelty_trend",
     // r9 additions: c75 training loop, c76 multi-scale spans, d32
-    // composed frontier gate (events-based → not probed)
+    // composed frontier gate (events-based → not probed), b61 bilinear
+    // view maintenance, d33 online training
     "c75_classifier_train", "c76_multiscale_spans", "d32_frontier_gate",
+    "b61_bilinear_view_maintenance", "d33_online_train",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -203,8 +205,10 @@ object Bench {
       "c73_length_deciles", "c74_novelty_trend",
       // r9: c75's featurize pass + per-iteration aggs scale with
       // documents (driver state is 128 longs at any corpus size); c76
-      // runs three token-linear c27 passes
-      "c75_classifier_train", "c76_multiscale_spans")
+      // runs three token-linear c27 passes; b61's three signed joins
+      // scale with orders+customer; d33 is c75's machinery single-pass
+      "c75_classifier_train", "c76_multiscale_spans",
+      "b61_bilinear_view_maintenance", "d33_online_train")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

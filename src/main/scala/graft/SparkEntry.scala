@@ -1770,6 +1770,33 @@ object SparkEntry {
         col("lang") === "en", nBuckets = 128, epochs = 3,
         nBatches = 3, lrDiv = 64L)),
 
+    // D33 online classifier maintenance (batch-identical gate): C75's
+    // descent folded one ARRIVING epoch at a time through the
+    // OnlineClassifierState (single-pass SGD, the D27 replay
+    // discipline) — epoch e carries batch-e docs, so the online
+    // trajectory is BIT-IDENTICAL to train(epochs=1, nBatches=3) and
+    // the gate reuses the same generated DuckDB trajectory oracle with
+    // epochs=1. One diverged fold anywhere changes the final weights.
+    "d33_online_train" -> ((s, dir) => {
+      import graft.operators.ClassifierTrain
+      val feats = ClassifierTrain.featurize(
+        t(s, dir, "documents"), "text", "doc_id",
+        col("lang") === "en", nBuckets = 128, nBatches = 3).persist()
+      try {
+        val st = new ClassifierTrain.OnlineClassifierState(128, 64L)
+        val trace = (0 until 3).map { e =>
+          e -> st.foldEpoch(e.toLong, feats.where(col("batch") === e))
+        }
+        import s.implicits._
+        val rows =
+          st.weights.zipWithIndex.toSeq
+            .map { case (wv, b) => ("w", b.toLong, wv) } ++
+          trace.map { case (e, (_, loss)) => ("loss", (e + 1).toLong, loss) } ++
+          trace.map { case (e, (n, _)) => ("n", (e + 1).toLong, n) }
+        rows.toDF("kind", "k", "v").orderBy("kind", "k")
+      } finally { feats.unpersist(); () }
+    }),
+
     // A30 incremental ingest ledger — the reference DAG's idempotence
     // rule (process only the years missing from the bucket) as an engine
     // operator: the target's partition LAYOUT is the ledger. An initial
@@ -3170,6 +3197,49 @@ object SparkEntry {
     // REBUILD from the merged snapshot — incremental ≡ rebuild is the
     // check itself, not a replay of the same algorithm. Exact integer
     // cents through decimal sums.
+    // B61 FULL bilinear join-view maintenance — the dim-side case B57
+    // names out of scope: Δ(F⋈D) = ΔF⋈D_old ∪ F_old⋈ΔD ∪ ΔF⋈ΔD with
+    // product signs. The batch composes every hard case at once: fact
+    // inserts AND deletes, a dim ATTRIBUTE move (every %3 customer's
+    // segment → 'MOVED', re-grouping their full history), an
+    // unreferenced dim insert (must be a no-op), and fact inserts
+    // referencing same-batch-moved dims (the ΔF⋈ΔD cancellation). The
+    // oracle REBUILDS from the merged snapshots — different algorithm,
+    // same answer.
+    "b61_bilinear_view_maintenance" -> ((s, dir) => {
+      import graft.operators.MaterializedView
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val factOld = orders.where(col("o_orderkey") % 5 =!= 0)
+      val view0 = MaterializedView.build(
+        factOld.join(cust, col("o_custkey") === col("c_custkey"))
+          .select("c_mktsegment", "cents"),
+        Seq("c_mktsegment"), Seq("cents"))
+      val factFeed = orders.where(col("o_orderkey") % 5 === 0)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(orders
+          .where(col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 7 === 0)
+          .withColumn("_change_type", lit("delete")))
+      val moved = cust.where(col("c_custkey") % 3 === 0)
+      val dimFeed = moved
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(moved
+          .withColumn("c_mktsegment", lit("MOVED"))
+          .withColumn("_change_type", lit("update_postimage")))
+        .unionByName(s.range(1).select(
+          lit(1000000000L).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"),
+          lit("insert").as("_change_type")))
+      MaterializedView.applyJoinChanges(view0, factFeed, dimFeed,
+          factOld, cust, "o_custkey", "c_custkey",
+          Seq("c_mktsegment"), Seq("cents"))
+        .select(col("c_mktsegment"), col("__mv_n").as("n_orders"),
+          col("__mv_sum_cents").cast("long").as("sum_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     "b57_join_view_maintenance" -> ((s, dir) => {
       import graft.operators.MaterializedView
       val orders = t(s, dir, "orders").select(col("o_orderkey"),
@@ -4214,6 +4284,11 @@ object SparkEntry {
 
     "c75_classifier_train" ->
       c75OracleSql(nBuckets = 128, epochs = 3, nBatches = 3, lrDiv = 64L),
+
+    // d33's online fold is bit-identical to train(epochs=1): the same
+    // generated trajectory replica, one epoch
+    "d33_online_train" ->
+      c75OracleSql(nBuckets = 128, epochs = 1, nBatches = 3, lrDiv = 64L),
 
     "a1_csv_schema_read" ->
       """SELECT l_returnflag, count(*) AS cnt,
@@ -6022,6 +6097,24 @@ object SparkEntry {
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |            AS BIGINT) AS sum_cents
         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE o.o_orderkey % 5 = 0 OR o.o_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // rebuild from BOTH merged snapshots: fact' = base + inserts −
+    // deletes, dim' = segments with %3 customers moved (the
+    // unreferenced NEWSEG insert joins nothing — its absence from the
+    // result IS the no-op check)
+    "b61_bilinear_view_maintenance" ->
+      """WITH dim_new AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 3 = 0 THEN 'MOVED'
+        |              ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
+        |  UNION ALL SELECT 1000000000, 'NEWSEG')
+        |SELECT d.c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM orders o JOIN dim_new d ON d.c_custkey = o.o_custkey
         |WHERE o.o_orderkey % 5 = 0 OR o.o_orderkey % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

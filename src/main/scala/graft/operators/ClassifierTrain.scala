@@ -101,10 +101,41 @@ object ClassifierTrain {
     (g + K * d) / d - K
   }
 
+  /** One gradient step over an already-featurized batch against
+    * weights `w`: margins → residuals → exact (n, loss, per-bucket
+    * gradient). Two map-combined jobs; the gradient collapses to
+    * nBuckets rows before collect. Shared by [[train]] and the D33
+    * online state — batch and stream run the LITERAL same arithmetic.
+    */
+  def step(batch: DataFrame, w: Array[Long])
+      : (Long, Long, Map[Int, Long]) = {
+    val wLit = typedlit(w.toSeq)
+    val resid = batch
+      .groupBy("doc_id", "y")
+      .agg(sum(col("x") *
+        element_at(wLit, (col("b") + 1).cast("int"))).as("m"))
+      .select(col("doc_id"),
+        (p1024(col("m")) - col("y") * lit(1024L)).as("r"))
+    val st = resid.agg(count(lit(1)).as("n"),
+      sum(col("r") * col("r")).as("loss")).head()
+    val n = st.getLong(0)
+    require(n > 0, "empty mini-batch — fewer docs than batches?")
+    val grad = batch.join(resid, "doc_id")
+      .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (n, st.getLong(1), grad)
+  }
+
+  /** Apply one collected gradient to `w` in place (exact floor-div). */
+  def applyStep(w: Array[Long], grad: Map[Int, Long], n: Long,
+                lrDiv: Long): Unit = {
+    val d = lrDiv * n
+    for (b <- w.indices)
+      w(b) -= floorDiv(1024L * grad.getOrElse(b, 0L), d)
+  }
+
   /** Run the descent: for each epoch, for each mini-batch in order,
-    * margins → residuals → per-bucket gradient → driver update. Two
-    * jobs per iteration (stats + gradient), both over the cached
-    * featurized frame.
+    * one [[step]] + one [[applyStep]].
     */
   def train(feats: DataFrame, nBuckets: Int, epochs: Int, nBatches: Int,
             lrDiv: Long): TrainResult = {
@@ -114,28 +145,47 @@ object ClassifierTrain {
     var iter = 0
     for (e <- 0 until epochs; t <- 0 until nBatches) {
       iter += 1
-      val wLit = typedlit(w.toSeq)
-      val batch = feats.where(col("batch") === t)
-      val resid = batch
-        .groupBy("doc_id", "y")
-        .agg(sum(col("x") *
-          element_at(wLit, (col("b") + 1).cast("int"))).as("m"))
-        .select(col("doc_id"),
-          (p1024(col("m")) - col("y") * lit(1024L)).as("r"))
-      val st = resid.agg(count(lit(1)).as("n"),
-        sum(col("r") * col("r")).as("loss")).head()
-      val n = st.getLong(0)
-      require(n > 0, s"mini-batch $t is empty — fewer docs than batches?")
-      val loss = st.getLong(1)
-      val grad = batch.join(resid, "doc_id")
-        .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
-        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-      val d = lrDiv * n
-      for (b <- 0 until nBuckets)
-        w(b) -= floorDiv(1024L * grad.getOrElse(b, 0L), d)
+      val (n, loss, grad) = step(feats.where(col("batch") === t), w)
+      applyStep(w, grad, n, lrDiv)
       trace += IterStat(iter, e, t, n, loss)
     }
     TrainResult(w, trace.result())
+  }
+
+  /** D33: the C75 descent as ONLINE maintenance — one gradient step per
+    * ARRIVING epoch (single-pass SGD, the way a filter tracks a live
+    * crawl instead of retraining on the full corpus), with the D27
+    * epoch-replay discipline: a redelivered LATEST epoch returns the
+    * remembered report and leaves the weights untouched; an older epoch
+    * id fails loudly (Structured Streaming replays only the latest
+    * uncommitted batch — an older id means lost ordering, and replaying
+    * it would corrupt the trajectory). Driver state: the weight vector
+    * + one epoch id — constant in corpus size. Folding epochs 0..k−1
+    * where epoch e holds batch-e docs is BIT-IDENTICAL to
+    * `train(epochs = 1, nBatches = k)` (same [[step]], same
+    * [[applyStep]]) — which is what lets the d33 gate reuse the
+    * unrolled DuckDB trajectory oracle.
+    */
+  final class OnlineClassifierState(nBuckets: Int,
+                                    lrDiv: Long) extends Serializable {
+    val weights: Array[Long] = Array.fill(nBuckets)(0L)
+    private var lastFolded: Long = Long.MinValue
+    private var lastReport: (Long, Long) = _
+
+    /** Fold one arriving epoch of featurized docs; returns (n, loss). */
+    def foldEpoch(epoch: Long, feats: DataFrame): (Long, Long) = {
+      if (epoch == lastFolded) lastReport
+      else {
+        require(epoch > lastFolded,
+          s"epoch $epoch < last folded $lastFolded: out-of-order " +
+            "delivery — only the latest epoch may replay")
+        val (n, loss, grad) = step(feats, weights)
+        applyStep(weights, grad, n, lrDiv)
+        lastFolded = epoch
+        lastReport = (n, loss)
+        lastReport
+      }
+    }
   }
 
   /** The oracle-shaped report: long-form (kind, k, v) — final weights

@@ -77,18 +77,79 @@ object MaterializedView {
                        measures: Seq[String]): DataFrame =
     applyChanges(view, factChanges.join(dim, joinCond), viewKeys, measures)
 
+  private def cdfSign = when(
+    col("_change_type").isin("insert", "update_postimage"), 1L)
+    .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+    .otherwise(lit(null).cast("long"))
+
+  /** B61: FULL bilinear join-view maintenance — the dim-side case B57
+    * names out of scope, closed. For a view `γ(F ⋈ D)` with changes on
+    * BOTH inputs, the delta relation is the bilinear expansion
+    *
+    *   Δ(F ⋈ D) = ΔF ⋈ D_old  ∪  F_old ⋈ ΔD  ∪  ΔF ⋈ ΔD
+    *
+    * with each delta row's sign the PRODUCT of its inputs' signs
+    * (Griffin & Libkin's counting algebra). The third term is what
+    * makes same-batch composition exact: a fact INSERTED referencing a
+    * dim row UPDATED in the same batch contributes (+1)·(old dim) via
+    * term 1, then (+1)·(−1)·(old) + (+1)·(+1)·(new) via term 3 — the
+    * old-group mass cancels algebraically and exactly one unit lands
+    * in the new group (spec-locked). This is also the operator that
+    * RE-GROUPS history when a dim ATTRIBUTE moves (a customer changes
+    * segment): the preimage joins every old fact row out of the old
+    * group, the postimage joins them into the new one — B57's
+    * fact-only rule cannot express that.
+    *
+    * Cost honesty, stated not hidden: term 2 scans the OLD fact table
+    * against the dim feed — dim changes cost one fact-side pass probed
+    * by a broadcast of the (small) dim delta; with the fact bucketed or
+    * partitioned on the FK, dynamic partition pruning cuts the scan to
+    * affected keys. This asymmetry (fact deltas are feed-sized, dim
+    * deltas are fact-scan-sized) is exactly why slowly-changing dims
+    * are usually modeled as SCD2 versions (A24) instead of in-place
+    * updates — the operator exists for when in-place is the contract.
+    *
+    * `factOld`/`dimOld` must be the PRE-batch snapshots; both feeds are
+    * CDF-shaped (`_change_type` + their table's columns).
+    */
+  def applyJoinChanges(view: DataFrame,
+                       factChanges: DataFrame, dimChanges: DataFrame,
+                       factOld: DataFrame, dimOld: DataFrame,
+                       fk: String, pk: String,
+                       viewKeys: Seq[String],
+                       measures: Seq[String]): DataFrame = {
+    val df = factChanges.withColumn("__sf", cdfSign).drop("_change_type")
+    val dd = dimChanges.withColumn("__sd", cdfSign).drop("_change_type")
+    val on = col(fk) === col(pk)
+    val out = viewKeys.map(col) ++ measures.map(col)
+    val term1 = df.join(dimOld, on)
+      .select(out :+ col("__sf").as("__sign"): _*)
+    val term2 = factOld.join(dd, on)
+      .select(out :+ col("__sd").as("__sign"): _*)
+    val term3 = df.join(dd, on)
+      .select(out :+ (col("__sf") * col("__sd")).as("__sign"): _*)
+    applySignedDeltas(view,
+      Seq(term1, term2, term3).reduce(_ unionByName _),
+      viewKeys, measures)
+  }
+
   /** Advance `view` by one CDF batch (schema: base columns +
     * `_change_type`). Returns the maintained view, identical to
     * rebuilding from the merged snapshot.
     */
   def applyChanges(view: DataFrame, changes: DataFrame, keys: Seq[String],
-                   measures: Seq[String]): DataFrame = {
-    val sign = when(
-      col("_change_type").isin("insert", "update_postimage"), 1L)
-      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
-      .otherwise(lit(null).cast("long"))
-    val delta = changes
-      .withColumn("__sign", sign)
+                   measures: Seq[String]): DataFrame =
+    applySignedDeltas(view, changes.withColumn("__sign", cdfSign)
+      .drop("_change_type"), keys, measures)
+
+  /** The shared signed-delta merge: aggregate `__sign`-weighted rows,
+    * full-outer merge into the view, drop groups whose count reaches
+    * zero — exactly what a rebuild would do.
+    */
+  def applySignedDeltas(view: DataFrame, signedRows: DataFrame,
+                        keys: Seq[String],
+                        measures: Seq[String]): DataFrame = {
+    val delta = signedRows
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__sign")).as("__d_n"),
         measures.map(c =>

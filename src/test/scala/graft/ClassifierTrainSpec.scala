@@ -91,6 +91,66 @@ class ClassifierTrainSpec extends AnyFunSuite with SparkSpec {
     assert(f.where(col("doc_id") === 1000L).count() === 0L)
   }
 
+  test("d33: online epoch folds are bit-identical to one-epoch " +
+    "mini-batch training, replayed epochs leave the weights untouched, " +
+    "older epochs fail loudly") {
+    val f = feats(3).persist()
+    val ref = ClassifierTrain.train(f, B, epochs = 1, nBatches = 3, 64L)
+    val st = new ClassifierTrain.OnlineClassifierState(B, 64L)
+    val reports = (0 until 3).map { e =>
+      st.foldEpoch(e.toLong, f.where(col("batch") === e))
+    }
+    assert(st.weights.toSeq === ref.weights.toSeq,
+      "online fold must equal train(epochs = 1)")
+    assert(reports.map(_._2) === ref.trace.map(_.loss),
+      "per-epoch losses must match the trace")
+    // replay of the LATEST epoch: same report, weights untouched
+    val before = st.weights.toSeq
+    assert(st.foldEpoch(2L, f.where(col("batch") === 2)) === reports(2))
+    assert(st.weights.toSeq === before)
+    // an OLDER epoch is lost ordering — loud, never silent
+    assertThrows[IllegalArgumentException] {
+      st.foldEpoch(0L, f.where(col("batch") === 0))
+    }
+  }
+
+  test("d33: streaming delivery through the maintenance sink ≡ the fold") {
+    import java.nio.file.Files
+    val byEpoch = (0 until 3).map(e => docs.where(col("doc_id") % 3 === e))
+    // reference: fold the three epochs directly
+    val stRef = new ClassifierTrain.OnlineClassifierState(B, 64L)
+    byEpoch.zipWithIndex.foreach { case (d, e) =>
+      stRef.foldEpoch(e.toLong,
+        ClassifierTrain.featurize(d, "text", "doc_id",
+          col("lang") === "en", B, 1))
+    }
+    // stream: one file per epoch through the real sink
+    val staged = Files.createTempDirectory("graft_d33_src")
+    byEpoch.zipWithIndex.foreach { case (d, e) =>
+      val tmp = Files.createTempDirectory(s"graft_d33_ep$e")
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, staged.resolve(f"ep$e%02d.parquet"))
+    }
+    val out = Files.createTempDirectory("graft_d33_out")
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val stS = new ClassifierTrain.OnlineClassifierState(B, 64L)
+    val q = graft.streaming.ClassifierStream.maintenanceSink(src, stS,
+      "text", "doc_id", col("lang") === "en", B,
+      out.resolve("rep").toString, out.resolve("ckpt").toString)
+    q.awaitTermination(120000)
+    assert(stS.weights.toSeq === stRef.weights.toSeq,
+      "streamed folds must reproduce the direct trajectory")
+    // the landed per-epoch reports carry the post-step weights
+    val lastRep = spark.read.parquet(out.resolve("rep").toString)
+      .where(col("__epoch") === 2 && col("kind") === "w")
+      .collect()
+      .map(r => r.getAs[Long]("k").toInt -> r.getAs[Long]("v")).toMap
+    assert((0 until B).map(b => lastRep(b)) === stS.weights.toSeq)
+  }
+
   test("degenerate configurations fail loudly") {
     assertThrows[IllegalArgumentException] {
       ClassifierTrain.train(feats(1), B, epochs = 0, nBatches = 1, 64L)

@@ -110,4 +110,52 @@ class MaterializedViewSpec extends AnyFunSuite with SparkSpec {
     assert(canon(inc).exists(t => t._1 == "blue" && t._2 == 2L),
       "a group born from the feed must materialize")
   }
+
+  test("b61 bilinear applyJoinChanges ≡ rebuild: a dim attribute move " +
+       "re-groups history, an unreferenced dim insert is a no-op, and " +
+       "a fact insert referencing a same-batch-moved dim lands in the " +
+       "NEW group exactly once (the ΔF⋈ΔD cancellation)") {
+    val s2 = spark
+    import s2.implicits._
+    val dim0 = Seq((1L, "red"), (2L, "blue"), (3L, "green"))
+      .toDF("dk", "color")
+    val fact0 = Seq((10L, 1L, 5.0), (11L, 1L, 7.0), (20L, 2L, 4.0),
+      (30L, 3L, 9.0)).toDF("fk", "dk_ref", "v")
+    val view0 = MaterializedView.build(
+      fact0.join(dim0, col("dk_ref") === col("dk")).select("color", "v"),
+      Seq("color"), Seq("v"))
+    // dim batch: customer 1 moves red→gold (re-groups facts 10, 11 AND
+    // the same-batch fact insert 12); dim 9 inserted but unreferenced
+    val dimFeed = Seq(
+      (1L, "red", "update_preimage"), (1L, "gold", "update_postimage"),
+      (9L, "violet", "insert"))
+      .toDF("dk", "color", "_change_type")
+    // fact batch: 12 inserts onto the MOVED dim, 30 deletes (emptying
+    // green), 21 inserts onto the untouched blue
+    val factFeed = Seq(
+      (12L, 1L, 1.0, "insert"), (30L, 3L, 9.0, "delete"),
+      (21L, 2L, 6.0, "insert"))
+      .toDF("fk", "dk_ref", "v", "_change_type")
+    val inc = MaterializedView.applyJoinChanges(view0, factFeed, dimFeed,
+      fact0, dim0, "dk_ref", "dk", Seq("color"), Seq("v"))
+    val mergedFact = Seq((10L, 1L, 5.0), (11L, 1L, 7.0), (12L, 1L, 1.0),
+      (20L, 2L, 4.0), (21L, 2L, 6.0)).toDF("fk", "dk_ref", "v")
+    val mergedDim = Seq((1L, "gold"), (2L, "blue"), (3L, "green"),
+      (9L, "violet")).toDF("dk", "color")
+    val rebuilt = MaterializedView.build(
+      mergedFact.join(mergedDim, col("dk_ref") === col("dk"))
+        .select("color", "v"),
+      Seq("color"), Seq("v"))
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).longValueExact())).toSet
+    assert(canon(inc) === canon(rebuilt))
+    val m = canon(inc).map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(!m.contains("red"), "moved-out group must vanish")
+    assert(m("gold") === ((3L, 13L)),
+      "old facts re-grouped AND the same-batch insert lands once")
+    assert(!m.contains("violet"), "unreferenced dim insert is a no-op")
+    assert(m("blue") === ((2L, 10L)))
+    assert(!m.contains("green"))
+  }
 }
