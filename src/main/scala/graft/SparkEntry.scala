@@ -3322,11 +3322,19 @@ object SparkEntry {
         .select(explode(split(trim(regexp_replace(lower(col("text")),
           "\\s+", " ")), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        // top-200 FIRST, distributed (TakeOrderedAndProject: per-task
+        // heaps, no global sort) — the prior phrasing ranked the FULL
+        // vocabulary through an unpartitioned window, i.e. a single-
+        // partition sort of every distinct token (r9 sf1 finding: fine
+        // at sf0.1, a one-task corpus-vocabulary sort at scale). The
+        // 200-row window after the limit is free; (cnt DESC, tok) makes
+        // limit-then-rank ≡ rank-then-limit deterministically.
+        .orderBy(col("cnt").desc, col("tok")).limit(200)
         .createOrReplaceTempView("graft_c68_vocab")
       s.sql("""WITH top AS (
               |  SELECT tok, cnt,
               |         row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
-              |  FROM graft_c68_vocab ORDER BY cnt DESC, tok LIMIT 200)
+              |  FROM graft_c68_vocab)
               |SELECT count(*) AS n_terms,
               |  CAST(sum(cnt) AS BIGINT) AS top_mass,
               |  min(CASE WHEN rnk = 1 THEN tok END) AS top_term,

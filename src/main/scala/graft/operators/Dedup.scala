@@ -402,7 +402,14 @@ object Dedup {
         posexplode(graft.functions.GraftExpressions.spanMd5s(toks, w))
           .as(Seq("pos", "h")))
     val counts = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
-    spans.join(counts, "h")
+    // shuffle_hash, NOT auto-broadcast (r9 sf1 finding): Catalyst's
+    // size estimate for an aggregate output is optimistic enough that
+    // at one decade past the usual probe (100x) it broadcast a span-
+    // count table whose real HashedRelation was 4 GiB and killed the
+    // query — the same join OOMs a real cluster executor identically.
+    // The count table is corpus-vocabulary-sized (one row per distinct
+    // window), never dim-sized: force the shuffle join.
+    spans.join(counts.hint("shuffle_hash"), "h")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
