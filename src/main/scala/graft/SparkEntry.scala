@@ -1770,6 +1770,21 @@ object SparkEntry {
         col("lang") === "en", nBuckets = 128, epochs = 3,
         nBatches = 3, lrDiv = 64L)),
 
+    // C77 distributed BPE vocabulary induction — the TRAINER C23's
+    // tokenizer consumes, at corpus scale (c23's own trainFromCorpus
+    // samples to the driver by documented contract): one corpus pass
+    // builds the word-frequency table, then every merge round is a
+    // vocabulary-sized map-combined agg + a 1-row collect. The whole
+    // 24-merge trajectory replays in a generated DuckDB oracle —
+    // segmentations are chr(1)-delimited strings and a round's merge
+    // is EXACTLY three left-to-right replace passes on BOTH engines,
+    // so agreement is by construction (the c75 rebuild-a-training-loop
+    // shape applied to tokenizer induction). One diverged pair pick
+    // anywhere reorders every later merge.
+    "c77_bpe_train" -> ((s, dir) =>
+      graft.operators.BpeTrain.trainReport(
+        t(s, dir, "documents"), "text", numMerges = 24)),
+
     // D33 online classifier maintenance (batch-identical gate): C75's
     // descent folded one ARRIVING epoch at a time through the
     // OnlineClassifierState (single-pass SGD, the D27 replay
@@ -4288,7 +4303,56 @@ object SparkEntry {
        |) ORDER BY kind, k""".stripMargin
   }
 
+  /** c77's oracle: the BPE merge trajectory unrolled — per round a
+    * pair-count CTE, a top-1 pick ((total DESC, pair) byte order) and a
+    * three-pass replace rewrite, all over chr(1)-delimited segmentation
+    * strings. Pass count and scan semantics are engine-shared (see
+    * BpeTrain's scaladoc), so the replay is bit-exact by construction.
+    */
+  private def c77OracleSql(numMerges: Int): String = {
+    val head =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT chr(1) || regexp_replace(w, '(.)', '\1' || chr(1), 'g')
+        |           AS s,
+        |         count(*) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |          AS w
+        |        FROM documents WHERE length(trim(text)) > 0) z
+        |  WHERE length(w) > 0 AND w NOT LIKE '%' || chr(1) || '%'
+        |        AND w NOT LIKE '%' || chr(2) || '%'
+        |  GROUP BY 1)""".stripMargin
+    val rounds = (1 to numMerges).map { r =>
+      val p = r - 1
+      s""",
+         |pc$r AS MATERIALIZED (
+         |  SELECT t[i] || chr(2) || t[i + 1] AS pair,
+         |         CAST(sum(cnt) AS BIGINT) AS total
+         |  FROM (SELECT list_filter(string_split(s, chr(1)),
+         |                           x -> len(x) > 0) AS t, cnt
+         |        FROM w$p) z, unnest(range(1, len(z.t))) u(i)
+         |  GROUP BY 1),
+         |tp$r AS MATERIALIZED (
+         |  SELECT pair FROM pc$r ORDER BY total DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT replace(replace(replace(w.s, p.pat, p.rep),
+         |                 p.pat, p.rep), p.pat, p.rep) AS s, w.cnt
+         |  FROM w$p w, (SELECT chr(1) || replace(pair, chr(2), chr(1))
+         |                        || chr(1) AS pat,
+         |                      chr(1) || replace(pair, chr(2), '')
+         |                        || chr(1) AS rep
+         |               FROM tp$r) p)""".stripMargin
+    }.mkString
+    val out = (1 to numMerges).map { r =>
+      s"""|  SELECT CAST($r AS BIGINT) AS rank,
+          |         split_part(pair, chr(2), 1) AS lhs,
+          |         split_part(pair, chr(2), 2) AS rhs FROM tp$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$head$rounds\nSELECT rank, lhs, rhs FROM (\n$out\n) ORDER BY rank"
+  }
+
   private def oracleSqlBase: Map[String, String] = Map(
+
+    "c77_bpe_train" -> c77OracleSql(numMerges = 24),
 
     "c75_classifier_train" ->
       c75OracleSql(nBuckets = 128, epochs = 3, nBatches = 3, lrDiv = 64L),

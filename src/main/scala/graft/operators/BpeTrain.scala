@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary induction (C77) — the TRAINER the C23
+  * tokenizer consumes. `Bpe.trainFromCorpus` (the c23 gate's entry
+  * point) collects a documented driver-side sample; this is the
+  * corpus-scale version, shaped the way industrial BPE trainers
+  * actually run (Sennrich et al. 2016's algorithm over a word-frequency
+  * table):
+  *
+  *   - ONE corpus-scale pass builds the (word, count) table — from
+  *     there on, state is VOCABULARY-sized, never corpus-sized, and
+  *     every merge round is a map-combined aggregation over it plus a
+  *     1-row collect (the D27 driver-state shape: the driver holds the
+  *     merge list, nothing else);
+  *   - each round: count adjacent symbol pairs weighted by word
+  *     frequency (top pair via distributed orderBy+limit — per-task
+  *     heaps, no global sort), then rewrite every word's segmentation.
+  *
+  * Cross-engine-exact by CONSTRUCTION, not by fixpoint analysis: a
+  * word's segmentation lives as a chr(1)-DELIMITED STRING
+  * (SOH-joined: `␁a␁b␁…`), and a merge round applies EXACTLY THREE
+  * left-to-right all-occurrence `replace(s, ␁a␁b␁, ␁ab␁)` passes.
+  * Multiple passes are needed because one pass's consumption of the
+  * shared delimiter hides an immediately-following occurrence
+  * (`␁a␁b␁a␁b␁` → one pass yields `␁ab␁a␁b␁`); rather than prove a
+  * universal fixpoint bound, BOTH engines run the same fixed pass
+  * count, so their segmentations agree bit-for-bit even on inputs
+  * where three passes are not yet a fixpoint. Java's `String.replace`
+  * and DuckDB's `replace` share the scan-left non-overlapping
+  * contract, pair ranking ties break on the exact (count DESC,
+  * pair-string ASC) byte order, and all counts are exact integers —
+  * so the WHOLE merge trajectory replays in an unrolled SQL oracle,
+  * the c75 rebuild-a-training-loop shape applied to tokenizer
+  * induction.
+  */
+object BpeTrain {
+
+  private val D = "\u0001" // symbol delimiter: never appears in corpus text
+  private val P = "\u0002" // pair-string separator for ranking/tie-break
+
+  /** Passes per merge round — fixed and engine-shared (see scaladoc). */
+  val MergePasses = 3
+
+  final case class Merge(rank: Int, left: String, right: String)
+
+  /** Run `numMerges` rounds; returns the learned merge list in order.
+    * Words containing the delimiter characters are dropped (impossible
+    * in whitespace-tokenized text, guarded anyway — silently merging
+    * them would corrupt segmentations).
+    */
+  def train(docs: DataFrame, textCol: String,
+            numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    import org.apache.spark.storage.StorageLevel
+    var words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .where(length(col("w")) > 0 &&
+        !col("w").contains(D) && !col("w").contains(P))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(D), regexp_replace(col("w"), "(.)", "$1" + D))
+        .as("s"), col("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[Merge]
+    for (r <- 1 to numMerges) {
+      val t = filter(split(col("s"), D), x => length(x) > 0)
+      val top = words
+        .where(size(t) >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          (a, b) => concat(a, lit(P), b))).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("total"))
+        .orderBy(col("total").desc, col("pair"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"round $r: no adjacent pairs left to merge")
+      val Array(a, b) = top.head.getString(0).split(P, 2)
+      merges += Merge(r, a, b)
+      val merged = (1 to MergePasses).foldLeft(col("s")) { (c, _) =>
+        replace(c, lit(D + a + D + b + D), lit(D + a + b + D))
+      }
+      val next = words.select(merged.as("s"), col("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // one action per round materializes `next` so the lineage stays
+      // one round deep (20 rounds of stacked replace columns would
+      // otherwise grow the plan quadratically)
+      next.count()
+      words.unpersist()
+      words = next
+    }
+    words.unpersist()
+    merges.result()
+  }
+
+  /** The oracle-shaped report: one row per learned merge. */
+  def trainReport(docs: DataFrame, textCol: String,
+                  numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, textCol, numMerges)
+      .map(m => (m.rank.toLong, m.left, m.right))
+      .toDF("rank", "lhs", "rhs")
+      .orderBy("rank")
+  }
+}

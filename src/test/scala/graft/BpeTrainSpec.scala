@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BpeTrain
+
+/** C77 trainer contracts, checked against an INDEPENDENT sequential
+  * reference: the same (count DESC, pair ASC) ranking and the same
+  * fixed-pass delimited-string merge, implemented with a plain Scala
+  * map instead of DataFrames — a second implementation of the declared
+  * semantics, not a replay of the Spark code.
+  */
+class BpeTrainSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private val D = "\u0001"
+  private val P = "\u0002"
+
+  /** Sequential reference trainer over a word-count map. */
+  private def refTrain(texts: Seq[String],
+                       numMerges: Int): Seq[(String, String)] = {
+    var words: Map[String, Long] = texts
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) =>
+        (D + w.toCharArray.map(_ + D).mkString) -> g.size.toLong
+      }
+    (1 to numMerges).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for ((s0, cnt) <- words) {
+        val syms = s0.split(D).filter(_.nonEmpty)
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          val k = p(0) + P + p(1)
+          counts(k) = counts.getOrElse(k, 0L) + cnt
+        }
+      }
+      val best = counts.toSeq.minBy { case (pair, n) => (-n, pair) }._1
+      val Array(a, b) = best.split(P, 2)
+      val pat = D + a + D + b + D
+      val rep = D + a + b + D
+      words = words.toSeq.map { case (s0, cnt) =>
+        var cur = s0
+        (1 to BpeTrain.MergePasses).foreach(_ => cur = cur.replace(pat, rep))
+        cur -> cnt
+      }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      (a, b)
+    }
+  }
+
+  test("learned merges equal the sequential reference on a classic corpus") {
+    val texts = Seq("low low low lower lower lowest",
+      "new newer newest", "low new")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = BpeTrain.train(docs, "text", numMerges = 8)
+      .map(m => (m.left, m.right))
+    assert(got === refTrain(texts, 8))
+    // the most frequent pair of this corpus must be learned first:
+    // 'l o' appears in low(4 incl. "low new")+lower(2)+lowest = 7 times
+    assert(got.head === (("l", "o")))
+  }
+
+  test("ties break on the exact pair byte order, deterministically") {
+    // 'ab' and 'cd' each appear exactly 3 times; (a,b) < (c,d)
+    val docs = Seq((1L, "ab ab ab cd cd cd")).toDF("doc_id", "text")
+    val got = BpeTrain.train(docs, "text", numMerges = 2)
+      .map(m => (m.left, m.right))
+    assert(got === Seq(("a", "b"), ("c", "d")))
+    val again = BpeTrain.train(docs, "text", numMerges = 2)
+      .map(m => (m.left, m.right))
+    assert(got === again)
+  }
+
+  test("learned merges drive the C23 tokenizer losslessly") {
+    val docs = Seq((1L, "the theme then the then theme"),
+      (2L, "other the them")).toDF("doc_id", "text")
+    val merges = BpeTrain.train(docs, "text", numMerges = 6)
+      .map(m => (m.left, m.right)).toArray
+    val toks = docs.select(org.apache.spark.sql.functions.col("text"),
+      graft.functions.Bpe.tokens(
+        org.apache.spark.sql.functions.col("text"), merges).as("t"))
+      .collect()
+    toks.foreach { r =>
+      assert(r.getSeq[String](1).mkString("") ===
+        r.getString(0).replaceAll("\\s+", ""))
+    }
+  }
+
+  test("degenerate configurations fail loudly") {
+    assertThrows[IllegalArgumentException] {
+      BpeTrain.train(Seq((1L, "a b")).toDF("doc_id", "text"), "text", 0)
+    }
+    // single-char vocabulary exhausts after its only pairs are merged
+    assertThrows[IllegalArgumentException] {
+      BpeTrain.train(Seq((1L, "ab")).toDF("doc_id", "text"), "text", 5)
+    }
+  }
+}
