@@ -69,7 +69,7 @@ object BpeTrain {
       val top = words
         .where(size(t) >= 2)
         .select(col("cnt"), explode(zip_with(
-          slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (a, b) => concat(a, lit(P), b))).as("pair"))
         .groupBy("pair").agg(sum("cnt").as("total"))
         .orderBy(col("total").desc, col("pair"))
@@ -80,12 +80,14 @@ object BpeTrain {
       val merged = (1 to MergePasses).foldLeft(col("s")) { (c, _) =>
         replace(c, lit(D + a + D + b + D), lit(D + a + b + D))
       }
+      // localCheckpoint, not persist: persist caches DATA but keeps the
+      // LOGICAL plan nested, and 20+ rounds of stacked
+      // split/zip_with/replace lineage blow up analysis long before
+      // data size matters (measured: OOM at 24 rounds on a 31-word
+      // vocabulary). The c13 lesson applied to a training loop —
+      // truncate lineage every round, eagerly.
       val next = words.select(merged.as("s"), col("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // one action per round materializes `next` so the lineage stays
-      // one round deep (20 rounds of stacked replace columns would
-      // otherwise grow the plan quadratically)
-      next.count()
+        .localCheckpoint(true)
       words.unpersist()
       words = next
     }
