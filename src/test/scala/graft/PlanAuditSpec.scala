@@ -163,6 +163,60 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "span removal must not drag unused document columns through the scan")
   }
 
+  test("c27/c76: the span-count join is SHUFFLED hash, never broadcast — " +
+    "the r9 sf1 fix locked in-plan (Catalyst's optimistic estimate of " +
+    "the aggregate output auto-broadcast a 4 GiB HashedRelation at " +
+    "100x and killed the query)") {
+    val p27 = plan("c27_span_dedup")
+    assert(p27.contains("ShuffledHashJoin"),
+      "the vocabulary-sized count table must join shuffled")
+    assert(!p27.contains("BroadcastHashJoin"),
+      "no broadcast anywhere in the span-count path")
+    val p76 = plan("c76_multiscale_spans")
+    assert("ShuffledHashJoin".r.findAllIn(p76).size >= 3,
+      "every level's count join must be shuffled")
+    assert(!p76.contains("BroadcastHashJoin"))
+  }
+
+  test("c68: the vocabulary top-k is a distributed TakeOrdered, and no " +
+    "window runs over the unbounded token domain (the r9 sf1 fix: the " +
+    "prior plan sorted every distinct token in ONE task)") {
+    val p = plan("c68_zipf")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-200 must use per-task heaps")
+    // the only Window left operates on the 200-row post-limit frame,
+    // which sits ABOVE the TakeOrdered in the plan tree
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      "the rank window must consume the limited frame, not the vocab")
+  }
+
+  test("b61: fact and dim feeds join the snapshots hash-equi, never " +
+    "nested-loop; the signed-delta merge is one full-outer on the view " +
+    "keys") {
+    val p = plan("b61_bilinear_view_maintenance")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    assert(p.contains("SortMergeJoin FullOuter") ||
+      p.contains("full_outer") || p.contains("FullOuter"),
+      "view merge must be the keyed full-outer, not a rebuild scan")
+  }
+
+  test("c75/d33: the per-iteration gradient aggregates map-side partials " +
+    "(weights ride as literals — no model join anywhere in the step)") {
+    import graft.operators.ClassifierTrain
+    val feats = ClassifierTrain.featurize(
+      Tables(spark, sfDir(), "documents"), "text", "doc_id",
+      col("lang") === "en", 128, 3)
+    val wLit = typedlit(Array.fill(128)(0L).toSeq)
+    val grad = feats.where(col("batch") === 0)
+      .groupBy("doc_id", "y")
+      .agg(sum(col("x") *
+        element_at(wLit, (col("b") + 1).cast("int"))).as("m"))
+    val p = grad.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), "margin agg must hash-aggregate")
+    assert(!p.contains("Join"), "no model join: weights are plan literals")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // Third layer of the join-scale story (after broadcast dims and AQE
     // skew splits): when BOTH sides are too big to broadcast, Spark's
