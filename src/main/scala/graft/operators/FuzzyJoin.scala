@@ -49,7 +49,14 @@ object FuzzyJoin {
            |  flatten(transform($d1,
            |    d -> transform(sequence(1, length(d)),
            |      i -> concat(substring(d, 1, i-1), substring(d, i+1))))))""".stripMargin
-    expr(s"transform(array_distinct($all), v -> md5(v))")
+    // xxhash64, not md5 (r9 sf1 follow-up): the variant hash is ONLY a
+    // blocking key, and it is the thing the one wide exchange carries —
+    // an 8-byte long shuffles at a fraction of a 32-char hex string's
+    // width and hashes cheaper too. The b25 100x probe was single-box
+    // shuffle-spill-bound, so key width IS the constant. Collisions
+    // still only ADD candidates (the exact levenshtein verify removes
+    // them) — the result set is provably unchanged.
+    expr(s"transform(array_distinct($all), v -> xxhash64(v))")
   }
 
   /** All pairs (id_a < id_b) of rows whose `strCol` values are within
