@@ -226,7 +226,13 @@ object Bench {
       "c53_jl_projection",
       // the diversity cap across two decades: WindowGroupLimit's
       // map-side heaps must keep the shuffle cap-sized as cells fill
-      "c59_cluster_quota")
+      "c59_cluster_quota",
+      // r9 additions: c27 carries the shuffle_hash span-count fix —
+      // its 100x row in the DRIVER's artifact is the proof the 4 GiB
+      // auto-broadcast death stays dead; c76 is the 3-level ladder on
+      // the same machinery; c75 shows the training loop's near-flat
+      // driver-side-bounded shape across two decades
+      "c27_span_dedup", "c76_multiscale_spans", "c75_classifier_train")
 
   private val scale100Tables = Seq("lineitem", "orders", "customer",
     "region", "nation", "documents", "embeddings")

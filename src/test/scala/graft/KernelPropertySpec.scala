@@ -206,6 +206,40 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("the pmod-adjusted IntegralDivide bucket formula is exact floor " +
+    "division over the FULL long range — where the old double-division " +
+    "form provably corrupts past 2^53 (the r8-advice fix's law)") {
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Pmod, Subtract}
+    def bucketExpr(v: Long, w: Long): Long =
+      IntegralDivide(
+        Subtract(Literal(v), Pmod(Literal(v), Literal(w))),
+        Literal(w)).eval().asInstanceOf[Long]
+    val r = rng(4242)
+    (1 to 500).foreach { _ =>
+      val w = 1L + r.nextInt(1000000).toLong
+      // mix small values with values far past 2^53
+      val v = if (r.nextBoolean()) r.nextLong() % (1L << 40)
+              else (1L << 53) + math.abs(r.nextLong() % (1L << 60))
+      assert(bucketExpr(v, w) === Math.floorDiv(v, w),
+        s"formula must floor-divide exactly for v=$v w=$w")
+    }
+    // the old form's failure is CONSTRUCTED, not sampled (a random hit
+    // needs v within double-rounding error of a bucket boundary —
+    // ~1e-4 per draw): v = (multiple of w) − 1 at 2^62 magnitude
+    // rounds UP to the multiple in double, flipping the bucket
+    var doubleFormDiverged = 0
+    (1 to 50).foreach { _ =>
+      val w = 1000L + r.nextInt(1000000).toLong
+      val v = ((1L << 62) / w) * w - 1
+      assert(bucketExpr(v, w) === Math.floorDiv(v, w))
+      if (math.floor(v.toDouble / w).toLong != Math.floorDiv(v, w))
+        doubleFormDiverged += 1
+    }
+    assert(doubleFormDiverged > 0,
+      "the constructed boundary cases must expose the double form " +
+        "— otherwise this test proves nothing about the fix")
+  }
+
   test("funnel automaton ≡ Java-regex leftmost-non-overlapping scan on " +
        "500 seeded random sequences (matches, longest run, length)") {
     import graft.operators.SeqPattern
