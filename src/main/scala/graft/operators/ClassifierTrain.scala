@@ -97,6 +97,12 @@ object ClassifierTrain {
     */
   private def floorDiv(g: Long, d: Long): Long = {
     val K = 1L << 20
+    // K·d must not overflow: d = lrDiv·n, so the shift window caps the
+    // per-batch doc count at 2^42/lrDiv (≈ 6.9e10 docs at lrDiv=64) —
+    // far beyond any mini-batch, but checked loudly rather than letting
+    // an overflowed shift silently flip the division's sign
+    require(d > 0 && d < (1L << 42),
+      s"lrDiv·n = $d outside the exact-shift window — shard the batch")
     require(g.abs < K * d, s"gradient $g out of the shift window for d=$d")
     (g + K * d) / d - K
   }
