@@ -93,7 +93,7 @@ object Bench {
     // view maintenance, d33 online training
     "c75_classifier_train", "c76_multiscale_spans", "d32_frontier_gate",
     "b61_bilinear_view_maintenance", "d33_online_train",
-    "c77_bpe_train",
+    "c77_bpe_train", "c78_tokenizer_fertility",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -212,8 +212,9 @@ object Bench {
       "b61_bilinear_view_maintenance", "d33_online_train",
       // c77's corpus pass scales with documents; its 24 rounds are
       // vocabulary-sized aggs (the synthetic vocab stays small, so the
-      // probe measures the corpus pass + fixed round overhead)
-      "c77_bpe_train")
+      // probe measures the corpus pass + fixed round overhead); c78
+      // adds one corpus-word join + agg on top of the c77 loop
+      "c77_bpe_train", "c78_tokenizer_fertility")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

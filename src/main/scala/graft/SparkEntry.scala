@@ -1785,6 +1785,17 @@ object SparkEntry {
       graft.operators.BpeTrain.trainReport(
         t(s, dir, "documents"), "text", numMerges = 24)),
 
+    // C78 tokenizer fertility report — the standard tokenizer-eval
+    // table over the C77-learned vocabulary: per-source tokens/word
+    // (fertility) and chars/token as truncating integer ppm. A vocab
+    // trained on one distribution quietly taxes another in sequence
+    // length; this is how the tax is seen before a training run pays
+    // it. Exact integers end to end, replayed by the same unrolled
+    // trajectory oracle that replays training.
+    "c78_tokenizer_fertility" -> ((s, dir) =>
+      graft.operators.BpeTrain.fertilityReport(
+        t(s, dir, "documents"), "text", "source", numMerges = 24)),
+
     // D33 online classifier maintenance (batch-identical gate): C75's
     // descent folded one ARRIVING epoch at a time through the
     // OnlineClassifierState (single-pass SGD, the D27 replay
@@ -4350,9 +4361,46 @@ object SparkEntry {
     s"$head$rounds\nSELECT rank, lhs, rhs FROM (\n$out\n) ORDER BY rank"
   }
 
+  /** c78's oracle: the c77 trajectory chain's FINAL segmentation state
+    * (w_n) aggregated into the per-source fertility table — same
+    * delimiter arithmetic for token counts, truncating integer ppm.
+    */
+  private def c78OracleSql(numMerges: Int): String = {
+    val chain = c77OracleSql(numMerges)
+    val body = chain.substring(0, chain.indexOf("\nSELECT rank"))
+    // the tail is stripMargin'd ON ITS OWN: running stripMargin over a
+    // string with $body interpolated would ALSO strip the body's `||`
+    // concatenations down to single `|`s (it already went through its
+    // own stripMargin once)
+    body + ",\n" + s"""seg AS (
+       |  SELECT replace(s, chr(1), '') AS word,
+       |         CAST(length(s) - length(replace(s, chr(1), '')) - 1
+       |              AS BIGINT) AS n_tokens
+       |  FROM w$numMerges),
+       |occ AS (
+       |  SELECT source, w AS word FROM (
+       |    SELECT source,
+       |           unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents WHERE length(trim(text)) > 0) z
+       |  WHERE length(w) > 0 AND w NOT LIKE '%' || chr(1) || '%'
+       |        AND w NOT LIKE '%' || chr(2) || '%'),
+       |j AS (SELECT o.source, s.n_tokens, length(o.word) AS wl
+       |      FROM occ o JOIN seg s USING (word))
+       |SELECT source, count(*) AS n_words,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(wl) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_tokens) AS BIGINT) * 1000000 // count(*)
+       |         AS fertility_ppm,
+       |       CAST(sum(wl) AS BIGINT) * 1000000
+       |         // CAST(sum(n_tokens) AS BIGINT) AS chars_per_token_ppm
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def oracleSqlBase: Map[String, String] = Map(
 
     "c77_bpe_train" -> c77OracleSql(numMerges = 24),
+
+    "c78_tokenizer_fertility" -> c78OracleSql(numMerges = 24),
 
     "c75_classifier_train" ->
       c75OracleSql(nBuckets = 128, epochs = 3, nBatches = 3, lrDiv = 64L),

@@ -95,6 +95,93 @@ object BpeTrain {
     merges.result()
   }
 
+  /** [[train]] variant that also returns the final SEGMENTATION state —
+    * one row per distinct word: the restored word, its delimited
+    * segmentation under the learned merges (sequential rank-order
+    * application, the training loop's own semantics), its symbol count
+    * and its corpus frequency. This is the state C78's fertility
+    * report aggregates; exposing it costs nothing (the loop holds it
+    * anyway).
+    */
+  def trainWithSegmentation(docs: DataFrame, textCol: String,
+                            numMerges: Int): (Seq[Merge], DataFrame) = {
+    val (merges, words) = trainKeepingWords(docs, textCol, numMerges)
+    val seg = words.select(
+      regexp_replace(col("s"), D, "").as("word"),
+      (length(col("s")) - length(regexp_replace(col("s"), D, "")) - 1)
+        .cast("long").as("n_tokens"),
+      col("cnt"))
+    (merges, seg)
+  }
+
+  /** C78: tokenizer fertility report — the standard tokenizer-eval
+    * table (tokens-per-word a.k.a. fertility, and chars-per-token
+    * compression) PER SOURCE, under the C77-learned vocabulary. A
+    * vocabulary trained on one distribution quietly taxes another
+    * (higher fertility = more sequence length spent per word = less
+    * effective context); this report is how that tax is seen BEFORE a
+    * training run pays it. Exact integers end to end: token counts
+    * come from the segmentation state's delimiter arithmetic,
+    * fertility and compression ship as truncating integer ppm —
+    * hash-exact cross-engine, replayed by the same unrolled trajectory
+    * oracle that replays training. Cost: the train loop + ONE
+    * corpus-word join against the vocabulary-sized segmentation
+    * (broadcast when vocab is small) + one per-source agg.
+    */
+  def fertilityReport(docs: DataFrame, textCol: String,
+                      sourceCol: String, numMerges: Int): DataFrame = {
+    val (_, seg) = trainWithSegmentation(docs, textCol, numMerges)
+    val occ = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(length(col("word")) > 0 &&
+        !col("word").contains(D) && !col("word").contains(P))
+    occ.join(seg.select(col("word"), col("n_tokens")), "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        GraftExpr.longDiv(col("n_tokens") * lit(1000000L),
+          col("n_words")).as("fertility_ppm"),
+        GraftExpr.longDiv(col("n_chars") * lit(1000000L),
+          col("n_tokens")).as("chars_per_token_ppm"))
+      .orderBy("source")
+  }
+
+  private object GraftExpr {
+    def longDiv(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) =
+      graft.functions.GraftExpressions.longDiv(a, b)
+  }
+
+  private def trainKeepingWords(docs: DataFrame, textCol: String,
+                                numMerges: Int): (Seq[Merge], DataFrame) = {
+    val merges = train(docs, textCol, numMerges)
+    // replay the final segmentation from the learned merges in one
+    // deterministic pass (cheaper than threading the loop's last frame
+    // out, and it re-states the semantics: sequential rank-order
+    // application, MergePasses replaces per merge)
+    var words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .where(length(col("w")) > 0 &&
+        !col("w").contains(D) && !col("w").contains(P))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(D), regexp_replace(col("w"), "(.)", "$1" + D))
+        .as("s"), col("cnt"))
+    merges.grouped(6).foreach { chunk =>
+      val applied = chunk.foldLeft(col("s")) { (c0, m) =>
+        (1 to MergePasses).foldLeft(c0) { (c, _) =>
+          replace(c, lit(D + m.left + D + m.right + D),
+            lit(D + m.left + m.right + D))
+        }
+      }
+      words = words.select(applied.as("s"), col("cnt")).localCheckpoint(true)
+    }
+    (merges, words)
+  }
+
   /** The oracle-shaped report: one row per learned merge. */
   def trainReport(docs: DataFrame, textCol: String,
                   numMerges: Int): DataFrame = {

@@ -87,6 +87,34 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("c78: fertility falls as the vocabulary grows, chars are " +
+    "invariant, and every word costs at least one token") {
+    val docs = Seq(
+      (1L, "low low low lower lowest new newer", "a"),
+      (2L, "low lower newest new low", "b"),
+      (3L, "low low new", "a")).toDF("doc_id", "text", "source")
+    def report(k: Int) = BpeTrain
+      .fertilityReport(docs, "text", "source", numMerges = k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val small = report(2)
+    val big = report(10)
+    assert(small.keySet === Set("a", "b"))
+    small.keySet.foreach { src =>
+      // chars don't depend on the vocab; token counts only shrink
+      assert(small(src)._3 === big(src)._3, "n_chars must be invariant")
+      assert(big(src)._2 <= small(src)._2, "more merges → fewer tokens")
+      assert(big(src)._4 < small(src)._4, "fertility must fall")
+      assert(big(src)._4 >= 1000000L, ">= one token per word always")
+    }
+    // zero merges is degenerate for train(); the fertility floor is
+    // exercised instead: with a big vocab every corpus word is common
+    // enough to collapse far below character fertility
+    val charFertility = small("a")._3 * 1000000L / small("a")._1
+    assert(big("a")._4 < charFertility)
+  }
+
   test("degenerate configurations fail loudly") {
     assertThrows[IllegalArgumentException] {
       BpeTrain.train(Seq((1L, "a b")).toDF("doc_id", "text"), "text", 0)
