@@ -127,6 +127,13 @@ object BpeTrain {
     * oracle that replays training. Cost: the train loop + ONE
     * corpus-word join against the vocabulary-sized segmentation
     * (broadcast when vocab is small) + one per-source agg.
+    *
+    * Contract: the report corpus IS the training corpus (the join is
+    * inner — every corpus word appears in the vocabulary it trained).
+    * Scoring a DIFFERENT corpus would silently drop out-of-vocabulary
+    * words at the join; that variant needs a left join with a
+    * character-fallback fertility and is deliberately not hidden
+    * behind this signature.
     */
   def fertilityReport(docs: DataFrame, textCol: String,
                       sourceCol: String, numMerges: Int): DataFrame = {
