@@ -543,8 +543,11 @@ object Bench {
     // the 81-entry ratios map alone was ~2.4 KB). So the line carries
     // summary STATISTICS, not the full map: probe counts, the
     // min/median/max of the 10x ratios, the WORST 12 probes by ratio
-    // (the adversarial rows a grader needs), and the full (4-entry) 100x
-    // block. The complete per-query artifact is target/bench.json.
+    // (the adversarial rows a grader needs), and the full 100x block
+    // (currently 7 entries, ~25 bytes each — base fields ~300 B +
+    // worst-12 ~300 B + ratios100 ~180 B lands near 800 B, and the
+    // 12/6/0 worst-list ladder below degrades toward the 1500-byte cap
+    // if the blocks ever grow). Complete artifact: target/bench.json.
     def ratios(probe: Seq[String], t: Map[String, Double]): Seq[(String, Double)] =
       probe.flatMap { name =>
         val tN = t.getOrElse(name, -1.0)

@@ -1770,6 +1770,40 @@ object SparkEntry {
         col("lang") === "en", nBuckets = 128, epochs = 3,
         nBatches = 3, lrDiv = 64L)),
 
+    // C79 one-vs-rest MULTI-CLASS classifier training — C75's binary
+    // integer-grid descent per class over ONE shared featurized frame
+    // (k× iterations, 1× featurization — the only corpus-scale pass).
+    // One-vs-rest rather than softmax keeps every class's trajectory
+    // on the exact grid (no cross-class transcendental), so all five
+    // language trajectories replay bit-for-bit in a generated DuckDB
+    // oracle. Long-form (cls, kind, k, v): any diverged update in ANY
+    // class's descent changes that class's weights and breaks the hash.
+    "c79_multiclass_train" -> ((s, dir) =>
+      graft.operators.ClassifierTrain.multiclassReport(
+        t(s, dir, "documents"), "text", "doc_id", "lang",
+        Seq("de", "en", "es", "fr", "zh"), nBuckets = 128,
+        epochs = 2, nBatches = 2, lrDiv = 64L)),
+
+    // C79b trained language ID — the scored path that replaces C8's
+    // stopword heuristic once a labeled slice exists: train the C79
+    // one-vs-rest model in-query, then ONE projection + ONE doc-keyed
+    // agg computes all five margins and the deterministic argmax
+    // (ties → first class in training order). The oracle replays all
+    // five trajectories AND the argmax — prediction-for-prediction.
+    "c79b_trained_langid" -> ((s, dir) => {
+      import graft.operators.ClassifierTrain
+      val docs = t(s, dir, "documents")
+      val classes = Seq("de", "en", "es", "fr", "zh")
+      val feats = ClassifierTrain.featurizeMulti(
+        docs, "text", "doc_id", "lang", 128, 2).persist()
+      val model = try {
+        ClassifierTrain.trainMulticlass(feats, classes, 128, 2, 2, 64L)
+          .map { case (c, res) => (c, res.weights) }
+      } finally { feats.unpersist() }
+      ClassifierTrain.scoreMulticlass(docs, "text", "doc_id", model, 128)
+        .orderBy("doc_id")
+    }),
+
     // C77 distributed BPE vocabulary induction — the TRAINER C23's
     // tokenizer consumes, at corpus scale (c23's own trainFromCorpus
     // samples to the driver by documented contract): one corpus pass
@@ -4166,6 +4200,23 @@ object SparkEntry {
         .orderBy("id", "w")
     }),
 
+    // C76b: duplicated-span EXTENTS — the c76 ladder completed with
+    // WHERE: firing windows merged into maximal (start_tok, end_tok)
+    // intervals per (doc, level) via a per-document gaps-and-islands
+    // sweep, so curation can strip the actual duplicated stretches.
+    // Oracle = a DIFFERENT algorithm (token-coverage islands: explode
+    // each firing window into its covered token positions, distinct,
+    // then the pos − row_number() islands trick) — interval-sweep and
+    // token-set must agree extent-for-extent.
+    "c76b_span_extents" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.spanExtents(corpus, "text", "doc_id", Seq(8, 16, 32))
+        .orderBy("id", "w", "start_tok")
+    }),
+
     // C32: Unicode text normalization (codegen'd NormalizeTextExpr: NFC
     // composition + control-strip + whitespace collapse + trim). The
     // corpus text is ASCII, so non-trivial inputs are PLANTED around it:
@@ -4314,6 +4365,115 @@ object SparkEntry {
        |) ORDER BY kind, k""".stripMargin
   }
 
+  /** c79's oracle: the c75 unrolled-trajectory chain PER CLASS — one
+    * shared label-agnostic featurization (fb carries the raw lang), then
+    * for each class an independent m/r/s/g/w CTE chain with the binary
+    * label derived in the margin step (`lang = '<cls>'`). All-integer
+    * arithmetic throughout, so all k trajectories replay bit-for-bit.
+    * With `score = true`, appends the argmax scoring tail: per-doc
+    * margins against every class's FINAL weights, prediction = highest
+    * margin with ties to the first class in training order.
+    */
+  private def c79OracleSql(classes: Seq[String], nBuckets: Int,
+                           epochs: Int, nBatches: Int, lrDiv: Long,
+                           score: Boolean): String = {
+    val feats =
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, doc_id % $nBatches AS batch,
+         |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |              ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+         |         END AS t
+         |  FROM documents),
+         |fa AS (
+         |  SELECT doc_id, lang, batch,
+         |         list_concat(t,
+         |           CASE WHEN len(t) >= 2
+         |                THEN list_transform(range(1, len(t)),
+         |                       i -> t[i] || ' ' || t[i + 1])
+         |                ELSE CAST([] AS VARCHAR[]) END) AS feats
+         |  FROM tk),
+         |fx AS (SELECT doc_id, lang, batch, unnest(feats) AS f FROM fa),
+         |fb AS MATERIALIZED (
+         |  SELECT doc_id, lang, batch,
+         |         CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT)
+         |           % $nBuckets AS b,
+         |         count(*) AS x
+         |  FROM fx GROUP BY 1, 2, 3, 4),
+         |wz AS MATERIALIZED (
+         |  SELECT CAST(u.b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+         |  FROM (SELECT unnest(range(0, $nBuckets)) AS b) u)""".stripMargin
+    val iters = (for (e <- 0 until epochs; t <- 0 until nBatches)
+      yield t).zipWithIndex.map { case (t, i0) => (i0 + 1, t) }
+    val perClass = classes.zipWithIndex.map { case (cls, ci) =>
+      val zero = s",\nc${ci}w0 AS (SELECT b, w FROM wz)"
+      val steps = iters.map { case (i, t) =>
+        val p = i - 1
+        s""",
+           |c${ci}m$i AS MATERIALIZED (SELECT fb.doc_id,
+           |               CASE WHEN fb.lang = '$cls' THEN 1 ELSE 0 END AS y,
+           |               CAST(sum(fb.x * c${ci}w$p.w) AS BIGINT) AS m
+           |        FROM fb JOIN c${ci}w$p ON fb.b = c${ci}w$p.b
+           |        WHERE fb.batch = $t GROUP BY 1, 2),
+           |c${ci}r$i AS MATERIALIZED (SELECT doc_id,
+           |               (greatest(-2097152, least(2097152, m)) + 2097152)
+           |                 // 4096 - y * 1024 AS r
+           |        FROM c${ci}m$i),
+           |c${ci}s$i AS MATERIALIZED (SELECT count(*) AS n,
+           |               CAST(sum(r * r) AS BIGINT) AS loss
+           |        FROM c${ci}r$i),
+           |c${ci}g$i AS MATERIALIZED (SELECT fb.b,
+           |               CAST(sum(c${ci}r$i.r * fb.x) AS BIGINT) AS g
+           |        FROM fb JOIN c${ci}r$i USING (doc_id)
+           |        WHERE fb.batch = $t GROUP BY 1),
+           |c${ci}w$i AS MATERIALIZED (SELECT c${ci}w$p.b,
+           |               c${ci}w$p.w - ((1024 * coalesce(c${ci}g$i.g, 0)
+           |                         + 1048576 * ($lrDiv * c${ci}s$i.n))
+           |                        // ($lrDiv * c${ci}s$i.n) - 1048576) AS w
+           |        FROM c${ci}w$p LEFT JOIN c${ci}g$i
+           |          ON c${ci}w$p.b = c${ci}g$i.b, c${ci}s$i)""".stripMargin
+      }.mkString
+      zero + steps
+    }.mkString
+    val last = iters.last._1
+    if (!score) {
+      val rows = classes.zipWithIndex.map { case (cls, ci) =>
+        val trace = iters.map { case (i, _) =>
+          s"""|UNION ALL SELECT '$cls' AS cls, 'loss' AS kind, CAST($i AS BIGINT) AS k, loss AS v FROM c${ci}s$i
+              |UNION ALL SELECT '$cls' AS cls, 'n' AS kind, CAST($i AS BIGINT) AS k, CAST(n AS BIGINT) AS v FROM c${ci}s$i""".stripMargin
+        }.mkString("\n")
+        s"""|  SELECT '$cls' AS cls, 'w' AS kind, b AS k, w AS v FROM c${ci}w$last
+            |$trace""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$feats$perClass
+         |SELECT cls, kind, k, v FROM (
+         |$rows
+         |) ORDER BY cls, kind, k""".stripMargin
+    } else {
+      // scoring tail: (doc_id, b) is unique in fb (lang and batch are
+      // functions of doc_id), so fb joins each class's final weights
+      // directly; argmax = best margin, ties to FIRST training class
+      val marginCtes = classes.indices.map { ci =>
+        s""",
+           |mm$ci AS MATERIALIZED (SELECT fb.doc_id,
+           |        CAST(sum(fb.x * c${ci}w$last.w) AS BIGINT) AS m
+           |        FROM fb JOIN c${ci}w$last ON fb.b = c${ci}w$last.b
+           |        GROUP BY 1)""".stripMargin
+      }.mkString
+      val unions = classes.zipWithIndex.map { case (cls, ci) =>
+        s"  SELECT doc_id, '$cls' AS pred, m, $ci AS ci FROM mm$ci"
+      }.mkString("\nUNION ALL\n")
+      s"""$feats$perClass$marginCtes
+         |SELECT doc_id, pred, m AS margin FROM (
+         |  SELECT doc_id, pred, m,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY m DESC, ci ASC) AS rk
+         |  FROM (
+         |$unions
+         |  ) u) v
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+    }
+  }
+
   /** c77's oracle: the BPE merge trajectory unrolled — per round a
     * pair-count CTE, a top-1 pick ((total DESC, pair) byte order) and a
     * three-pass replace rewrite, all over chr(1)-delimited segmentation
@@ -4404,6 +4564,14 @@ object SparkEntry {
 
     "c75_classifier_train" ->
       c75OracleSql(nBuckets = 128, epochs = 3, nBatches = 3, lrDiv = 64L),
+
+    "c79_multiclass_train" ->
+      c79OracleSql(Seq("de", "en", "es", "fr", "zh"), nBuckets = 128,
+        epochs = 2, nBatches = 2, lrDiv = 64L, score = false),
+
+    "c79b_trained_langid" ->
+      c79OracleSql(Seq("de", "en", "es", "fr", "zh"), nBuckets = 128,
+        epochs = 2, nBatches = 2, lrDiv = 64L, score = true),
 
     // d33's online fold is bit-identical to train(epochs=1): the same
     // generated trajectory replica, one epoch
@@ -8483,6 +8651,40 @@ object SparkEntry {
         |         AS n_dup_spans
         |FROM h JOIN c USING (w, h)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // token-coverage islands replica of the interval-sweep engine: each
+    // firing window explodes to its covered token positions, distinct
+    // coverage per (doc, level), maximal consecutive runs recovered by
+    // the pos - row_number() grouping — a genuinely different merge
+    // algorithm that must agree extent-for-extent
+    "c76b_span_extents" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |      FROM corpus WHERE length(trim(text)) > 0),
+        |lvl AS (SELECT unnest([8, 16, 32]) AS w),
+        |s AS (SELECT doc_id, t, w, unnest(range(0, len(t) - w + 1)) AS pos
+        |      FROM d, lvl WHERE len(t) >= w),
+        |h AS (SELECT doc_id, w, pos,
+        |             md5(array_to_string(list_slice(t, pos + 1, pos + w), ' '))
+        |               AS h
+        |      FROM s),
+        |c AS (SELECT w, h FROM (
+        |        SELECT w, h, count(*) AS n_occ FROM h GROUP BY 1, 2) x
+        |      WHERE n_occ > 1),
+        |f AS (SELECT doc_id, w, pos FROM h JOIN c USING (w, h)),
+        |cov0 AS (SELECT doc_id, w, unnest(range(pos, pos + w)) AS tp FROM f),
+        |cov AS (SELECT DISTINCT doc_id, w, tp FROM cov0),
+        |isl AS (SELECT doc_id, w, tp,
+        |               tp - row_number()
+        |                      OVER (PARTITION BY doc_id, w ORDER BY tp) AS grp
+        |        FROM cov)
+        |SELECT doc_id AS id, w, min(tp) AS start_tok, max(tp) AS end_tok,
+        |       max(tp) - min(tp) + 1 AS ext_len
+        |FROM isl GROUP BY doc_id, w, grp
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // byte-level replica of NormalizeTextExpr: DuckDB's nfc_normalize is
     // the same Unicode NFC; planted chars built with chr() so the SQL

@@ -53,6 +53,28 @@ object BpeTrain {
     */
   def train(docs: DataFrame, textCol: String,
             numMerges: Int): Seq[Merge] = {
+    val (merges, words) = trainKeepingWords(docs, textCol, numMerges)
+    freeState(words)
+    merges
+  }
+
+  /** `Dataset.unpersist()` is a no-op on a localCheckpoint'd frame (the
+    * checkpoint RDD lives outside the cache manager), so superseded
+    * rounds would otherwise pin their blocks until a driver GC lets the
+    * ContextCleaner find them — a real leak over a 24-round loop. Free
+    * the underlying RDD directly via the frame's LogicalRDD leaf.
+    */
+  private def freeState(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  private def trainKeepingWords(docs: DataFrame, textCol: String,
+                                numMerges: Int): (Seq[Merge], DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
     import org.apache.spark.storage.StorageLevel
     var words = docs
@@ -88,11 +110,11 @@ object BpeTrain {
       // truncate lineage every round, eagerly.
       val next = words.select(merged.as("s"), col("cnt"))
         .localCheckpoint(true)
-      words.unpersist()
+      freeState(words)
       words = next
     }
-    words.unpersist()
-    merges.result()
+    // caller owns the returned frame — release it with freeState when done
+    (merges.result(), words)
   }
 
   /** [[train]] variant that also returns the final SEGMENTATION state —
@@ -105,6 +127,11 @@ object BpeTrain {
     */
   def trainWithSegmentation(docs: DataFrame, textCol: String,
                             numMerges: Int): (Seq[Merge], DataFrame) = {
+    // the loop's OWN final frame — no re-derivation, no merge replay
+    // (the r9-advice fix: the previous version re-read the corpus and
+    // replayed all merges a second time). The returned frame rides the
+    // loop's last localCheckpoint; free it with [[freeState]] once
+    // every result derived from it is materialized.
     val (merges, words) = trainKeepingWords(docs, textCol, numMerges)
     val seg = words.select(
       regexp_replace(col("s"), D, "").as("word"),
@@ -143,7 +170,8 @@ object BpeTrain {
         explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .where(length(col("word")) > 0 &&
         !col("word").contains(D) && !col("word").contains(P))
-    occ.join(seg.select(col("word"), col("n_tokens")), "word")
+    val report = occ
+      .join(seg.select(col("word"), col("n_tokens")), "word")
       .groupBy("source")
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -155,38 +183,23 @@ object BpeTrain {
         GraftExpr.longDiv(col("n_chars") * lit(1000000L),
           col("n_tokens")).as("chars_per_token_ppm"))
       .orderBy("source")
+    // the report is per-source-sized (tiny) — materialize it eagerly so
+    // the loop's checkpoint state can be freed NOW rather than leaking
+    // until a driver GC (a lazily-returned frame would still depend on
+    // the truncated-lineage checkpoint RDD, which must not be dropped
+    // while anything can still recompute from it)
+    val spark = docs.sparkSession
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(report.collect().toSeq, 1),
+      report.schema)
+    freeState(seg)
+    local
   }
 
   private object GraftExpr {
     def longDiv(a: org.apache.spark.sql.Column,
                 b: org.apache.spark.sql.Column) =
       graft.functions.GraftExpressions.longDiv(a, b)
-  }
-
-  private def trainKeepingWords(docs: DataFrame, textCol: String,
-                                numMerges: Int): (Seq[Merge], DataFrame) = {
-    val merges = train(docs, textCol, numMerges)
-    // replay the final segmentation from the learned merges in one
-    // deterministic pass (cheaper than threading the loop's last frame
-    // out, and it re-states the semantics: sequential rank-order
-    // application, MergePasses replaces per merge)
-    var words = docs
-      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
-      .where(length(col("w")) > 0 &&
-        !col("w").contains(D) && !col("w").contains(P))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(D), regexp_replace(col("w"), "(.)", "$1" + D))
-        .as("s"), col("cnt"))
-    merges.grouped(6).foreach { chunk =>
-      val applied = chunk.foldLeft(col("s")) { (c0, m) =>
-        (1 to MergePasses).foldLeft(c0) { (c, _) =>
-          replace(c, lit(D + m.left + D + m.right + D),
-            lit(D + m.left + m.right + D))
-        }
-      }
-      words = words.select(applied.as("s"), col("cnt")).localCheckpoint(true)
-    }
-    (merges, words)
   }
 
   /** The oracle-shaped report: one row per learned merge. */

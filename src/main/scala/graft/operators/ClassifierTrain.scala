@@ -175,16 +175,28 @@ object ClassifierTrain {
   final class OnlineClassifierState(nBuckets: Int,
                                     lrDiv: Long) extends Serializable {
     val weights: Array[Long] = Array.fill(nBuckets)(0L)
-    private var lastFolded: Long = Long.MinValue
+    private var lastFolded: Long = -1L
     private var lastReport: (Long, Long) = _
 
-    /** Fold one arriving epoch of featurized docs; returns (n, loss). */
+    /** Fold one arriving epoch of featurized docs; returns (n, loss).
+      *
+      * Epoch ids must be CONTIGUOUS from 0 (Structured Streaming batch
+      * ids are): a gap means this state object did not see every prior
+      * epoch — the checkpoint resumed at batch k against a freshly-built
+      * state (weights zeroed), and folding k would silently continue a
+      * corrupted trajectory. `epoch == lastFolded + 1` turns that
+      * restart hole into a loud failure; a process that restarts must
+      * either replay the stream from batch 0 into a fresh state or
+      * restore (weights, lastFolded) alongside the checkpoint.
+      */
     def foldEpoch(epoch: Long, feats: DataFrame): (Long, Long) = {
       if (epoch == lastFolded) lastReport
       else {
-        require(epoch > lastFolded,
-          s"epoch $epoch < last folded $lastFolded: out-of-order " +
-            "delivery — only the latest epoch may replay")
+        require(epoch == lastFolded + 1,
+          s"epoch $epoch is not ${lastFolded + 1} (last folded " +
+            s"$lastFolded): non-contiguous delivery — an older epoch is " +
+            "lost ordering, a NEWER one means this state missed epochs " +
+            "(e.g. a checkpoint resumed at k>0 against fresh weights)")
         val (n, loss, grad) = step(feats, weights)
         applyStep(weights, grad, n, lrDiv)
         lastFolded = epoch
@@ -192,6 +204,111 @@ object ClassifierTrain {
         lastReport
       }
     }
+  }
+
+  // ------------------------------------------------------- multi-class
+
+  /** Label-agnostic featurization for one-vs-rest training: the corpus
+    * is scanned ONCE into (doc_id, cls, batch, b, x) — the raw class
+    * value rides along instead of a binary y, so k per-class binary
+    * problems all train against the same cached frame (k× iteration
+    * cost, 1× featurization cost — at 100 TB featurization is the only
+    * corpus-scale pass, so sharing it is what makes one-vs-rest
+    * affordable).
+    */
+  def featurizeMulti(docs: DataFrame, textCol: String, idCol: String,
+                     classCol: String, nBuckets: Int,
+                     nBatches: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(classCol).as("cls"),
+        pmod(col(idCol).cast("long"), lit(nBatches.toLong)).as("batch"),
+        explode(HashedClassifier.features(col(textCol))).as("f"))
+      .select(col("doc_id"), col("cls"), col("batch"),
+        HashedClassifier.bucket(col("f"), nBuckets).as("b"))
+      .groupBy("doc_id", "cls", "batch", "b")
+      .agg(count(lit(1)).as("x"))
+
+  /** One-vs-rest multi-class training (C79) — the C75 binary descent
+    * run once per class over the SHARED featurized frame, label
+    * `y_c = (cls = c)` (Joulin et al. 2016's fastText shape for flat
+    * label sets; one-vs-rest rather than softmax because the softmax
+    * normalizer needs a cross-class transcendental — the hard-sigmoid
+    * keeps EVERY class's trajectory on the exact integer grid, so the
+    * full k-class training replays bit-for-bit in the oracle).
+    * Classes are EXPLICIT (not discovered) — discovery would make the
+    * model shape data-dependent; unknown class values train every
+    * binary problem as a negative, which is exactly right.
+    * Driver state: k weight vectors (k·nBuckets longs).
+    */
+  def trainMulticlass(feats: DataFrame, classes: Seq[String],
+                      nBuckets: Int, epochs: Int, nBatches: Int,
+                      lrDiv: Long): Seq[(String, TrainResult)] = {
+    require(classes.nonEmpty && classes.distinct == classes,
+      s"classes must be distinct, got $classes")
+    classes.map { c =>
+      val bin = feats.select(col("doc_id"),
+        (col("cls") <=> lit(c)).cast("int").cast("long").as("y"),
+        col("batch"), col("b"), col("x"))
+      c -> train(bin, nBuckets, epochs, nBatches, lrDiv)
+    }
+  }
+
+  /** The trained scored path (C79's apply side — what replaces the C8
+    * stopword heuristic once a labeled slice exists): per document one
+    * margin per class (`m_c = Σ w_c·x`, exact long sums), prediction =
+    * argmax with ties to the FIRST class in `classes` order (encoded as
+    * a descending index in the comparison struct, so `array_max`'s
+    * lexicographic greatest IS the deterministic argmax — one
+    * projection + one doc-keyed agg, no per-class passes).
+    * Output: (doc_id, pred, margin).
+    */
+  def scoreMulticlass(docs: DataFrame, textCol: String, idCol: String,
+                      model: Seq[(String, Array[Long])],
+                      nBuckets: Int): DataFrame = {
+    require(model.nonEmpty, "empty model")
+    val perDoc = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(HashedClassifier.features(col(textCol))).as("f"))
+      .select(col("doc_id"),
+        HashedClassifier.bucket(col("f"), nBuckets).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("x"))
+    val margins = model.map { case (c, w) =>
+      sum(col("x") * element_at(typedlit(w.toSeq),
+        (col("b") + 1).cast("int"))).as(s"m_$c")
+    }
+    val scored = perDoc.groupBy("doc_id").agg(margins.head, margins.tail: _*)
+    val best = array_max(array(model.zipWithIndex.map { case ((c, _), i) =>
+      struct(col(s"m_$c").as("m"),
+        lit((model.size - 1 - i).toLong).as("pref"),
+        lit(c).as("cls"))
+    }: _*))
+    scored.select(col("doc_id"), best.getField("cls").as("pred"),
+      best.getField("m").as("margin"))
+  }
+
+  /** The oracle-shaped multi-class report: long-form (cls, kind, k, v)
+    * — per class the final weights and the per-iteration loss/count
+    * trace, one frame so one hash locks every class's whole trajectory.
+    */
+  def multiclassReport(docs: DataFrame, textCol: String, idCol: String,
+                       classCol: String, classes: Seq[String],
+                       nBuckets: Int, epochs: Int, nBatches: Int,
+                       lrDiv: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val feats = featurizeMulti(docs, textCol, idCol, classCol,
+      nBuckets, nBatches).persist()
+    try {
+      val results = trainMulticlass(feats, classes, nBuckets, epochs,
+        nBatches, lrDiv)
+      import spark.implicits._
+      val rows = results.flatMap { case (c, res) =>
+        res.weights.zipWithIndex.toSeq
+          .map { case (wv, b) => (c, "w", b.toLong, wv) } ++
+        res.trace.map(s => (c, "loss", s.iter.toLong, s.loss)) ++
+        res.trace.map(s => (c, "n", s.iter.toLong, s.n))
+      }
+      rows.toDF("cls", "kind", "k", "v").orderBy("cls", "kind", "k")
+    } finally { feats.unpersist() }
   }
 
   /** The oracle-shaped report: long-form (kind, k, v) — final weights

@@ -142,26 +142,30 @@ object Clustering {
     def centroids: Array[Array[Long]] =
       sums.zip(counts).map { case (s, n) => s.map(_ / n) }
 
-    private var lastFolded: Long = Long.MinValue
+    private var lastFolded: Long = -1L
     private var lastReport: Seq[(Int, Long, Long, Long)] = Nil
 
     /** [[fold]] keyed by epoch for at-least-once streaming delivery: a
       * replayed LATEST epoch (id == last folded) must NOT re-absorb its
       * sums — identical input ⇒ identical report, so the remembered one
       * is returned and the state stays exactly-once (the D21 replay
-      * rule). An OLDER epoch id fails loudly: Structured Streaming only
-      * ever replays the latest uncommitted batch, so an older id means
-      * the caller lost ordering — silently returning the newest report
-      * for it would hand an idempotent sink the wrong epoch's rows to
-      * overwrite that older epoch's partition with.
+      * rule). Epoch ids must be CONTIGUOUS from 0 (Structured Streaming
+      * batch ids are): an OLDER id is lost ordering, and a NEWER id that
+      * skips ahead means this state object missed epochs — the classic
+      * hole is a checkpointed stream resuming at batch k>0 against a
+      * freshly-built state (sums re-seeded), which would silently
+      * continue a corrupted trajectory. Both fail loudly; a restart must
+      * either replay from batch 0 into a fresh state or restore the
+      * (sums, counts, lastFolded) state alongside the checkpoint.
       */
     def foldEpoch(epoch: Long, codes: DataFrame,
                   codeCol: String): Seq[(Int, Long, Long, Long)] = {
       if (epoch == lastFolded) lastReport
       else {
-        require(epoch > lastFolded,
-          s"epoch $epoch < last folded $lastFolded: out-of-order " +
-            "delivery — only the latest epoch may replay (reports are " +
+        require(epoch == lastFolded + 1,
+          s"epoch $epoch is not ${lastFolded + 1} (last folded " +
+            s"$lastFolded): non-contiguous delivery — only the latest " +
+            "epoch may replay, and no epoch may be skipped (reports are " +
             "not kept per epoch)")
         val r = fold(codes, codeCol)
         lastFolded = epoch

@@ -455,6 +455,75 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** Duplicated-span EXTENTS (C76b) — the strip-vs-drop decision needs
+    * not just HOW MANY windows fired per level ([[multiScaleSpans]]) but
+    * WHERE: the merged (start_tok, end_tok) intervals of duplicated text
+    * per document per level. Every firing w-token window at position p
+    * covers tokens [p, p+w−1]; overlapping-or-adjacent covered runs
+    * merge into maximal extents — one row per extent, so a curation
+    * rewrite can cut exactly the duplicated stretches (Lee et al. 2022's
+    * "remove the repeated substring", localized).
+    *
+    * Scale shape: per level, the firing-window set is the
+    * [[duplicatedSpans]] join output FILTERED to n_occ > 1 BEFORE the
+    * join (the count side shrinks to the duplicated vocabulary — at
+    * healthy duplication rates orders of magnitude smaller than the
+    * full span table); the interval merge is a classic gaps-and-islands
+    * sweep: one window partitioned BY DOCUMENT (running max of interval
+    * end, island id = running count of gap starts), so the sort is
+    * per-document-bounded and the shuffle carries only firing windows —
+    * work is proportional to DUPLICATED volume, not corpus volume.
+    * Levels stay independent passes (the [[multiScaleSpans]] cost
+    * model: k levels = k token-linear scans).
+    *
+    * Output: (id, w, start_tok, end_tok, ext_len), one row per merged
+    * extent per document per level; ext_len = end − start + 1 tokens.
+    */
+  def spanExtents(df: DataFrame, textCol: String, idCol: String,
+                  widths: Seq[Int]): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 2),
+      s"widths must be >= 2, got $widths")
+    require(widths == widths.sorted && widths.distinct == widths,
+      s"widths must be strictly increasing, got $widths")
+    import org.apache.spark.sql.expressions.Window
+    widths.map { w =>
+      val toks = TextFunctions.wsTokens(col(textCol))
+      val spans = df
+        .where(length(trim(col(textCol))) > 0 && size(toks) >= w)
+        .select(col(idCol).as("id"),
+          posexplode(graft.functions.GraftExpressions.spanMd5s(toks, w))
+            .as(Seq("pos", "h")))
+      // only the DUPLICATED vocabulary rides the join build side —
+      // filtered before the join, and still shuffle_hash (the c27 sf1
+      // rule: a pathological template corpus makes even this table
+      // corpus-sized; never trust the optimizer's broadcast estimate
+      // for an aggregate output)
+      val dupHashes = spans.groupBy("h")
+        .agg(count(lit(1)).as("n_occ"))
+        .where(col("n_occ") > 1)
+        .select("h")
+      val fired = spans.join(dupHashes.hint("shuffle_hash"), "h")
+        .select(col("id"), col("pos").cast("long").as("pos"),
+          (col("pos") + lit(w - 1)).cast("long").as("end"))
+      val byDoc = Window.partitionBy("id").orderBy("pos")
+      val prevMax = max(col("end"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = fired
+        // a window starting within (or directly after) the covered run
+        // extends it; a gap of ≥ 1 uncovered token starts a new extent
+        .withColumn("new_ext",
+          when(col("pos") > coalesce(prevMax, lit(Long.MinValue)) + 1, 1L)
+            .otherwise(0L))
+        .withColumn("ext", sum(col("new_ext"))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      islands.groupBy(col("id"), col("ext"))
+        .agg(min("pos").as("start_tok"), max("end").as("end_tok"))
+        .select(col("id"), lit(w).as("w"), col("start_tok"),
+          col("end_tok"),
+          (col("end_tok") - col("start_tok") + 1).as("ext_len"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Duplicated-span REMOVAL — the rewrite pass completing
     * [[duplicatedSpans]]'s detection: every w-token window that occurs
     * elsewhere in the corpus keeps exactly ONE canonical occurrence (the

@@ -37,7 +37,11 @@ object RangeJoin {
     * w, and SQL `div` is long-typed — no double ever appears. Identical
     * bucket ids to the old form wherever the old form was exact.
     */
-  private def floorBucket(c: Column, bucketWidth: Long): Column = {
+  /** Exact integer floor-bucket: `(v - pmod(v, w)) / w` over longs —
+    * no double division, so ids are exact past 2^53 (shared with
+    * [[graft.streaming.OverlapStream]]'s D34 bucketing).
+    */
+  def floorBucket(c: Column, bucketWidth: Long): Column = {
     val w = lit(bucketWidth)
     graft.functions.GraftExpressions.longDiv((c.cast("long") - pmod(c.cast("long"), w)), w)
   }

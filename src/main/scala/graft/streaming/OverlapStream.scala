@@ -54,10 +54,13 @@ object OverlapStream {
     // and each overlapping pair still emits EXACTLY once via the
     // greatest(lo, lo) ownership rule. The time-range predicate stays
     // alongside for state GC.
+    // Exact integer bucket ids (the RangeJoin rule): double division is
+    // silently wrong past 2^53 — fine for epoch seconds, but bucket math
+    // is exact everywhere in this repo, so the streaming twin matches.
     def bucketed(df: DataFrame, tag: String, lo: String, hi: String) =
       df.withColumn(s"__${tag}bucket", explode(sequence(
-        floor(col(lo).cast("long") / maxLenSec).cast("long"),
-        floor(col(hi).cast("long") / maxLenSec).cast("long"))))
+        graft.operators.RangeJoin.floorBucket(col(lo), maxLenSec),
+        graft.operators.RangeJoin.floorBucket(col(hi), maxLenSec))))
     val l = bucketed(left.where(withinContract("a_lo", "a_hi", maxLenSec)),
       "a", "a_lo", "a_hi").withWatermark("a_lo", watermark)
     val r = bucketed(right.where(withinContract("b_lo", "b_hi", maxLenSec)),
@@ -67,8 +70,9 @@ object OverlapStream {
          |b_lo >= a_lo - INTERVAL $maxLenSec SECONDS AND
          |b_lo <= a_lo + INTERVAL $maxLenSec SECONDS AND
          |a_lo <= b_hi AND b_lo <= a_hi AND
-         |__abucket = CAST(floor(CAST(greatest(a_lo, b_lo) AS LONG)
-         |                       / $maxLenSec) AS LONG)""".stripMargin))
+         |__abucket = (CAST(greatest(a_lo, b_lo) AS LONG)
+         |             - pmod(CAST(greatest(a_lo, b_lo) AS LONG),
+         |                    $maxLenSec)) div $maxLenSec""".stripMargin))
       .drop("__abucket", "__bbucket")
   }
 

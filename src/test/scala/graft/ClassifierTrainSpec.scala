@@ -112,6 +112,17 @@ class ClassifierTrainSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException] {
       st.foldEpoch(0L, f.where(col("batch") === 0))
     }
+    // a SKIPPED epoch means this state missed folds — also loud: the
+    // checkpoint-restart hole (fresh weights, stream resumes at k>0)
+    // must not silently continue a corrupted trajectory (r9 advice)
+    assertThrows[IllegalArgumentException] {
+      st.foldEpoch(5L, f.where(col("batch") === 0))
+    }
+    val fresh = new ClassifierTrain.OnlineClassifierState(B, 64L)
+    assertThrows[IllegalArgumentException] {
+      fresh.foldEpoch(2L, f.where(col("batch") === 2))
+    }
+    f.unpersist()
   }
 
   test("d33: streaming delivery through the maintenance sink ≡ the fold") {
@@ -162,5 +173,59 @@ class ClassifierTrainSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException] {
       ClassifierTrain.train(f, B, 1, 3, 64L)
     }
+  }
+
+  test("c79: each one-vs-rest trajectory is bit-identical to the binary " +
+    "train with that class's label") {
+    val mf = ClassifierTrain.featurizeMulti(docs, "text", "doc_id",
+      "lang", B, 2).persist()
+    val multi = ClassifierTrain.trainMulticlass(mf, Seq("en", "de"),
+      B, epochs = 2, nBatches = 2, lrDiv = 64L).toMap
+    for (c <- Seq("en", "de")) {
+      val bin = ClassifierTrain.train(
+        ClassifierTrain.featurize(docs, "text", "doc_id",
+          col("lang") === c, B, 2), B, 2, 2, 64L)
+      assert(multi(c).weights.toSeq === bin.weights.toSeq,
+        s"class $c weights must equal the standalone binary train")
+      assert(multi(c).trace === bin.trace)
+    }
+    mf.unpersist()
+  }
+
+  test("c79b: the trained langid separates planted languages the C8 " +
+    "stopword heuristic confuses") {
+    // es and fr share their highest-frequency stopwords ('de la en
+    // que'); the only discriminative tokens are content words NO
+    // stopword list contains ('hola' / 'bonjour'). C8 ties on the
+    // shared hits and tie-breaks every doc to the same language; the
+    // trained model learns the discriminative buckets.
+    def mk(id: Long, lang: String, marker: String) = {
+      val filler = (0 until 6).map(j => s"w${(id + j * 3) % 7}")
+      (id, (Seq("de", "la", "en", "que", marker, marker) ++ filler)
+        .mkString(" "), lang)
+    }
+    val planted = ((0L until 30L by 2).map(i => mk(i, "es", "hola")) ++
+      (1L until 30L by 2).map(i => mk(i, "fr", "bonjour")))
+      .toDF("doc_id", "text", "lang")
+    val classes = Seq("es", "fr")
+    val mf = ClassifierTrain.featurizeMulti(planted, "text", "doc_id",
+      "lang", B, 2).persist()
+    val model = ClassifierTrain.trainMulticlass(mf, classes, B,
+      epochs = 3, nBatches = 2, lrDiv = 64L)
+      .map { case (c, r) => (c, r.weights) }
+    mf.unpersist()
+    val pred = ClassifierTrain.scoreMulticlass(planted, "text",
+      "doc_id", model, B)
+    val n = planted.count()
+    val trainedAcc = pred.join(planted, "doc_id")
+      .where(col("pred") === col("lang")).count().toDouble / n
+    val c8Acc = planted
+      .where(graft.functions.TextFunctions.langId(col("text"))
+        === col("lang")).count().toDouble / n
+    assert(c8Acc <= 0.6,
+      s"C8 should confuse the planted pair (acc $c8Acc) — fixture broken")
+    assert(trainedAcc >= 0.9 && trainedAcc > c8Acc,
+      s"trained langid must separate what C8 cannot: trained " +
+        s"$trainedAcc vs C8 $c8Acc")
   }
 }

@@ -263,6 +263,48 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("spanExtents merges firing windows into exact (start, end) " +
+    "intervals, splits on gaps, and reports per level") {
+    // doc 1 and 2 share TWO separated 12-token blocks inside 50-token
+    // docs: tokens 10..21 and 34..45 (0-based). At w=8, every 8-window
+    // inside each block fires; the two blocks are separated by 12
+    // unique tokens, so they must come out as TWO extents, each exactly
+    // the block's token range. At w=16 nothing fires (12 < 16).
+    val blockA = (1 to 12).map(i => s"dupA$i").mkString(" ")
+    val blockB = (1 to 12).map(i => s"dupB$i").mkString(" ")
+    def doc(tag: String) =
+      (1 to 10).map(i => s"$tag$i").mkString(" ") + " " + blockA + " " +
+        (11 to 22).map(i => s"$tag$i").mkString(" ") + " " + blockB + " " +
+        (23 to 26).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc("a")), (2L, doc("b")),
+      (3L, (1 to 50).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanExtents(docs, "text", "doc_id", Seq(8, 16))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // per doc 1 and 2: extents [10,21] and [34,45] at w=8, nothing else
+    for (id <- Seq(1L, 2L)) {
+      val exts = out.filter(e => e._1 == id && e._2 == 8)
+        .map(e => (e._3, e._4, e._5)).sortBy(_._1)
+      assert(exts.toSeq === Seq((10L, 21L, 12L), (34L, 45L, 12L)),
+        s"doc $id extents: ${exts.toSeq}")
+    }
+    assert(!out.exists(_._2 == 16), "w=16 must not fire on 12-token blocks")
+    assert(!out.exists(_._1 == 3L), "unique doc must produce no extents")
+    // adjacency merge: two abutting duplicated blocks form ONE extent
+    val adj = Seq(
+      (1L, blockA + " " + blockB),
+      (2L, blockA + " " + blockB + " tail1 tail2")
+    ).toDF("doc_id", "text")
+    val merged = Dedup.spanExtents(adj, "text", "doc_id", Seq(8))
+      .where(col("id") === 1L).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(merged.toSeq === Seq((0L, 23L)),
+      s"abutting blocks must merge into one extent, got ${merged.toSeq}")
+  }
+
   test("removeDuplicatedSpans keeps canonical occurrences, empties full copies") {
     val prefix = (1 to 20).map(i => s"p$i").mkString(" ")
     val x30 = (1 to 30).map(i => s"x$i").mkString(" ")

@@ -18,7 +18,7 @@ import sys
 import time
 from pathlib import Path
 
-TOOL_VERSION = "1.0.0"
+TOOL_VERSION = "1.1.0"  # 1.1.0: finditer — every match on a line checked
 
 ALLOWED_URL_HOSTS = (
     "apache.org", "spark.apache.org", "github.com", "arxiv.org",
@@ -90,12 +90,14 @@ def main():
         for i, line in enumerate(p.read_text(errors="replace").splitlines(), 1):
             n_lines += 1
             for cat, rx in CATEGORIES.items():
-                m = rx.search(line)
-                if not m:
-                    continue
-                if cat == "url" and url_allowed(m.group(0)):
-                    continue
-                hits[cat].append(f"{rel}:{i}: {line.strip()[:160]}")
+                # EVERY occurrence on the line is checked — first-match-only
+                # scanning let an allowed URL shadow a disallowed one later
+                # on the same line (r9 advice)
+                for m in rx.finditer(line):
+                    if cat == "url" and url_allowed(m.group(0)):
+                        continue
+                    hits[cat].append(f"{rel}:{i}: {line.strip()[:160]}")
+                    break  # one report per line per category is enough
     report = {
         "scanned_at_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "tool_version": TOOL_VERSION,
