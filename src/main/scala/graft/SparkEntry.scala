@@ -1830,6 +1830,47 @@ object SparkEntry {
       graft.operators.BpeTrain.fertilityReport(
         t(s, dir, "documents"), "text", "source", numMerges = 24)),
 
+    // C80 frozen-vocabulary encode fertility — the C77 merge list
+    // applied as a FROZEN artifact to (a) its own training corpus,
+    // where the encode must reproduce the C78 report bit-for-bit
+    // (training-state replay vs fresh re-encode: the oracle derives
+    // the train block from the trajectory's final state, the engine
+    // re-applies the merges — agreement proves encode ≡ training
+    // semantics), and (b) a SHIFTED corpus (every word reversed),
+    // where fertility visibly degrades: the sequence-length tax a
+    // frozen tokenizer charges a distribution it wasn't trained on,
+    // with OOV words segmenting as far as the learned pairs reach
+    // (real BPE behavior, not a fallback). Encode cost is
+    // vocabulary-sized merge passes + ONE corpus occurrence join.
+    "c80_frozen_encode_fertility" -> ((s, dir) => {
+      import graft.operators.BpeTrain
+      val docs = t(s, dir, "documents")
+      val merges = BpeTrain.train(docs, "text", numMerges = 24)
+      val trainRep = BpeTrain
+        .fertilityUnderMerges(docs, "text", "source", merges)
+        .withColumn("corpus", lit("train"))
+      val shifted = docs.withColumn("text", reverse(col("text")))
+      val shiftRep = BpeTrain
+        .fertilityUnderMerges(shifted, "text", "source", merges)
+        .withColumn("corpus", lit("shifted"))
+      trainRep.unionByName(shiftRep)
+        .select("corpus", "source", "n_words", "n_tokens", "n_chars",
+          "fertility_ppm", "chars_per_token_ppm")
+        .orderBy("corpus", "source")
+    }),
+
+    // C80b strict frozen-vocabulary audit — eval words LEFT join the
+    // TRAINING segmentation; out-of-vocabulary words fall back to
+    // character level and are counted (n_oov): the single-join audit
+    // a serving pipeline runs against a published vocabulary table,
+    // bounding the exact encode from above.
+    "c80b_frozen_fallback_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shifted = docs.withColumn("text", reverse(col("text")))
+      graft.operators.BpeTrain.frozenFertilityReport(
+        docs, shifted, "text", "source", numMerges = 24)
+    }),
+
     // D33 online classifier maintenance (batch-identical gate): C75's
     // descent folded one ARRIVING epoch at a time through the
     // OnlineClassifierState (single-pass SGD, the D27 replay
@@ -4556,9 +4597,131 @@ object SparkEntry {
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** c80's oracle: the c77 trajectory chain + a SECOND apply chain over
+    * the reversed-corpus word table (e0..e_n — the same three-pass
+    * replace per learned pair, pairs read from the trajectory's tp
+    * CTEs), then both corpora's fertility tails united. The 'train'
+    * block aggregates the trajectory's FINAL STATE (w_n) while the
+    * engine RE-APPLIES the frozen merges — their agreement is the
+    * encode ≡ training-semantics proof. Tails are built stripMargin'd
+    * on their own and concatenated (the c78 interpolation rule).
+    */
+  private def c80OracleSql(numMerges: Int): String = {
+    val chain = c77OracleSql(numMerges)
+    val body = chain.substring(0, chain.indexOf("\nSELECT rank"))
+    val e0 =
+      """,
+        |e0 AS MATERIALIZED (
+        |  SELECT chr(1) || regexp_replace(w, '(.)', '\1' || chr(1), 'g')
+        |           AS s,
+        |         count(*) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(reverse(text)),
+        |                                            '\s+')) AS w
+        |        FROM documents
+        |        WHERE length(trim(reverse(text))) > 0) z
+        |  WHERE length(w) > 0 AND w NOT LIKE '%' || chr(1) || '%'
+        |        AND w NOT LIKE '%' || chr(2) || '%'
+        |  GROUP BY 1)""".stripMargin
+    val evalChain = (1 to numMerges).map { r =>
+      val p = r - 1
+      s""",
+         |e$r AS MATERIALIZED (
+         |  SELECT replace(replace(replace(w.s, p.pat, p.rep),
+         |                 p.pat, p.rep), p.pat, p.rep) AS s, w.cnt
+         |  FROM e$p w, (SELECT chr(1) || replace(pair, chr(2), chr(1))
+         |                        || chr(1) AS pat,
+         |                      chr(1) || replace(pair, chr(2), '')
+         |                        || chr(1) AS rep
+         |               FROM tp$r) p)""".stripMargin
+    }.mkString
+    val tail = s""",
+       |segt AS (
+       |  SELECT replace(s, chr(1), '') AS word,
+       |         CAST(length(s) - length(replace(s, chr(1), '')) - 1
+       |              AS BIGINT) AS n_tokens
+       |  FROM w$numMerges),
+       |sege AS (
+       |  SELECT replace(s, chr(1), '') AS word,
+       |         CAST(length(s) - length(replace(s, chr(1), '')) - 1
+       |              AS BIGINT) AS n_tokens
+       |  FROM e$numMerges),
+       |occt AS (
+       |  SELECT source, w AS word FROM (
+       |    SELECT source,
+       |           unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents WHERE length(trim(text)) > 0) z
+       |  WHERE length(w) > 0 AND w NOT LIKE '%' || chr(1) || '%'
+       |        AND w NOT LIKE '%' || chr(2) || '%'),
+       |occe AS (
+       |  SELECT source, w AS word FROM (
+       |    SELECT source,
+       |           unnest(regexp_split_to_array(trim(reverse(text)),
+       |                                        '\\s+')) AS w
+       |    FROM documents WHERE length(trim(reverse(text))) > 0) z
+       |  WHERE length(w) > 0 AND w NOT LIKE '%' || chr(1) || '%'
+       |        AND w NOT LIKE '%' || chr(2) || '%'),
+       |u AS (
+       |  SELECT 'train' AS corpus, o.source, s.n_tokens,
+       |         length(o.word) AS wl
+       |  FROM occt o JOIN segt s USING (word)
+       |  UNION ALL
+       |  SELECT 'shifted' AS corpus, o.source, s.n_tokens,
+       |         length(o.word) AS wl
+       |  FROM occe o JOIN sege s USING (word))
+       |SELECT corpus, source, count(*) AS n_words,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(wl) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_tokens) AS BIGINT) * 1000000 // count(*)
+       |         AS fertility_ppm,
+       |       CAST(sum(wl) AS BIGINT) * 1000000
+       |         // CAST(sum(n_tokens) AS BIGINT) AS chars_per_token_ppm
+       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    body + e0 + evalChain + tail
+  }
+
+  /** c80b's oracle: the c77 chain's final segmentation LEFT-joined by
+    * the reversed corpus's occurrences — OOV rows fall back to
+    * character-level token counts and are counted per source.
+    */
+  private def c80bOracleSql(numMerges: Int): String = {
+    val chain = c77OracleSql(numMerges)
+    val body = chain.substring(0, chain.indexOf("\nSELECT rank"))
+    body + ",\n" + s"""seg AS (
+       |  SELECT replace(s, chr(1), '') AS word,
+       |         CAST(length(s) - length(replace(s, chr(1), '')) - 1
+       |              AS BIGINT) AS n_tokens
+       |  FROM w$numMerges),
+       |occ AS (
+       |  SELECT source, w AS word FROM (
+       |    SELECT source,
+       |           unnest(regexp_split_to_array(trim(reverse(text)),
+       |                                        '\\s+')) AS w
+       |    FROM documents WHERE length(trim(reverse(text))) > 0) z
+       |  WHERE length(w) > 0 AND w NOT LIKE '%' || chr(1) || '%'
+       |        AND w NOT LIKE '%' || chr(2) || '%'),
+       |j AS (SELECT o.source,
+       |             CASE WHEN s.n_tokens IS NULL THEN 1 ELSE 0 END AS oov,
+       |             coalesce(s.n_tokens, length(o.word)) AS n_tok_eff,
+       |             length(o.word) AS wl
+       |      FROM occ o LEFT JOIN seg s USING (word))
+       |SELECT source, count(*) AS n_words,
+       |       CAST(sum(oov) AS BIGINT) AS n_oov,
+       |       CAST(sum(n_tok_eff) AS BIGINT) AS n_tokens,
+       |       CAST(sum(wl) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_tok_eff) AS BIGINT) * 1000000 // count(*)
+       |         AS fertility_ppm,
+       |       CAST(sum(wl) AS BIGINT) * 1000000
+       |         // CAST(sum(n_tok_eff) AS BIGINT) AS chars_per_token_ppm
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def oracleSqlBase: Map[String, String] = Map(
 
     "c77_bpe_train" -> c77OracleSql(numMerges = 24),
+
+    "c80_frozen_encode_fertility" -> c80OracleSql(numMerges = 24),
+
+    "c80b_frozen_fallback_fertility" -> c80bOracleSql(numMerges = 24),
 
     "c78_tokenizer_fertility" -> c78OracleSql(numMerges = 24),
 

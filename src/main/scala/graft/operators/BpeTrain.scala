@@ -202,6 +202,141 @@ object BpeTrain {
       graft.functions.GraftExpressions.longDiv(a, b)
   }
 
+  // -------------------------------------------- frozen-vocabulary encode
+
+  /** The delimited word-frequency table every train/apply pass starts
+    * from: one row per distinct word of the corpus.
+    */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .where(length(col("w")) > 0 &&
+        !col("w").contains(D) && !col("w").contains(P))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(D), regexp_replace(col("w"), "(.)", "$1" + D))
+        .as("s"), col("cnt"))
+
+  /** Apply a FROZEN merge list to a delimited word table — the encode
+    * side of a versioned tokenizer artifact: merges applied in rank
+    * order with the training loop's own semantics (exactly
+    * [[MergePasses]] left-to-right replace passes per merge), so
+    * encoding the training corpus reproduces the final training state
+    * bit-for-bit, and an out-of-vocabulary word simply keeps whatever
+    * characters no learned pair covers — real BPE OOV behavior, not a
+    * fallback approximation. Cost: numMerges vocabulary-sized
+    * projection passes (6 merges per checkpointed chunk; superseded
+    * chunk state freed eagerly) — corpus-scale cost lives only in the
+    * caller's occurrence join. Caller owns the returned frame
+    * (checkpointed); release with the freeState discipline once
+    * everything derived from it is materialized.
+    */
+  def applyMerges(words0: DataFrame, merges: Seq[Merge]): DataFrame = {
+    var words = words0
+    var owned: Option[DataFrame] = None // frames WE checkpointed
+    merges.grouped(6).foreach { chunk =>
+      val applied = chunk.foldLeft(col("s")) { (c0, m) =>
+        (1 to MergePasses).foldLeft(c0) { (c, _) =>
+          replace(c, lit(D + m.left + D + m.right + D),
+            lit(D + m.left + m.right + D))
+        }
+      }
+      val next = words.select(applied.as("s"), col("cnt"))
+        .localCheckpoint(true)
+      owned.foreach(freeState)
+      owned = Some(next)
+      words = next
+    }
+    words
+  }
+
+  /** Per-source fertility of `evalDocs` ENCODED under a frozen merge
+    * list (the cross-corpus variant the C78 contract names out of its
+    * own scope): the eval corpus's distinct words are segmented by
+    * [[applyMerges]] — in-vocabulary words segment exactly as training
+    * left them, out-of-vocabulary words segment as far as the learned
+    * pairs reach — then one occurrence join + per-source agg produce
+    * the same exact-integer report shape as [[fertilityReport]].
+    * On the training corpus itself this REPRODUCES the C78 report;
+    * on a shifted corpus the fertility rise is the sequence-length tax
+    * the frozen tokenizer will charge a training run.
+    */
+  def fertilityUnderMerges(evalDocs: DataFrame, textCol: String,
+                           sourceCol: String,
+                           merges: Seq[Merge]): DataFrame = {
+    val seg0 = applyMerges(wordTable(evalDocs, textCol), merges)
+    val seg = seg0.select(
+      regexp_replace(col("s"), D, "").as("word"),
+      (length(col("s")) - length(regexp_replace(col("s"), D, "")) - 1)
+        .cast("long").as("n_tokens"))
+    val occ = evalDocs
+      .select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(length(col("word")) > 0 &&
+        !col("word").contains(D) && !col("word").contains(P))
+    val report = occ.join(seg, "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        GraftExpr.longDiv(col("n_tokens") * lit(1000000L),
+          col("n_words")).as("fertility_ppm"),
+        GraftExpr.longDiv(col("n_chars") * lit(1000000L),
+          col("n_tokens")).as("chars_per_token_ppm"))
+      .orderBy("source")
+    val spark = evalDocs.sparkSession
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(report.collect().toSeq, 1),
+      report.schema)
+    freeState(seg0)
+    local
+  }
+
+  /** The STRICT frozen-vocabulary fertility variant: eval words LEFT
+    * join the TRAINING corpus's segmentation table; a word the training
+    * corpus never saw falls back to character-level (n_tokens =
+    * word length) and is counted as OOV. This is the cheap
+    * (single-join, no merge application) audit a serving pipeline runs
+    * against a published vocabulary table — [[fertilityUnderMerges]] is
+    * the exact encode; this bounds it from above and surfaces OOV mass
+    * explicitly. Output adds n_oov per source.
+    */
+  def frozenFertilityReport(trainDocs: DataFrame, evalDocs: DataFrame,
+                            textCol: String, sourceCol: String,
+                            numMerges: Int): DataFrame = {
+    val (_, seg) = trainWithSegmentation(trainDocs, textCol, numMerges)
+    val occ = evalDocs
+      .select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(length(col("word")) > 0 &&
+        !col("word").contains(D) && !col("word").contains(P))
+    val report = occ
+      .join(seg.select(col("word"), col("n_tokens")), Seq("word"), "left")
+      .select(col("source"), col("word"),
+        col("n_tokens").isNull.cast("long").as("oov"),
+        coalesce(col("n_tokens"), length(col("word")).cast("long"))
+          .as("n_tok_eff"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("n_tok_eff")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_oov"),
+        col("n_tokens"), col("n_chars"),
+        GraftExpr.longDiv(col("n_tokens") * lit(1000000L),
+          col("n_words")).as("fertility_ppm"),
+        GraftExpr.longDiv(col("n_chars") * lit(1000000L),
+          col("n_tokens")).as("chars_per_token_ppm"))
+      .orderBy("source")
+    val spark = evalDocs.sparkSession
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(report.collect().toSeq, 1),
+      report.schema)
+    freeState(seg)
+    local
+  }
+
   /** The oracle-shaped report: one row per learned merge. */
   def trainReport(docs: DataFrame, textCol: String,
                   numMerges: Int): DataFrame = {

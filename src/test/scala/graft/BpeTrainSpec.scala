@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.BpeTrain
@@ -123,5 +124,53 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException] {
       BpeTrain.train(Seq((1L, "ab")).toDF("doc_id", "text"), "text", 5)
     }
+  }
+
+  test("c80: frozen-merge encode reproduces the C78 report on the " +
+    "training corpus and degrades on a shifted one") {
+    val docs = Seq(
+      (1L, "low low low lower lowest new newer", "a"),
+      (2L, "low lower newest new low", "b"),
+      (3L, "low low new", "a")).toDF("doc_id", "text", "source")
+    val k = 8
+    val merges = BpeTrain.train(docs, "text", numMerges = k)
+    val c78 = BpeTrain.fertilityReport(docs, "text", "source", k)
+      .collect().map(r => r.toSeq).toSeq
+    val encoded = BpeTrain
+      .fertilityUnderMerges(docs, "text", "source", merges)
+      .collect().map(r => r.toSeq).toSeq
+    assert(encoded === c78,
+      "re-encoding the training corpus must reproduce the C78 report")
+    // shifted corpus: every word reversed — same chars, alien pair
+    // statistics → fertility strictly rises for every source
+    val shifted = docs.withColumn("text",
+      org.apache.spark.sql.functions.reverse(col("text")))
+    val shiftRep = BpeTrain
+      .fertilityUnderMerges(shifted, "text", "source", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val trainRep = c78.map(s =>
+      s.head.asInstanceOf[String] -> s(4).asInstanceOf[Long]).toMap
+    trainRep.foreach { case (src, fppm) =>
+      assert(shiftRep(src) > fppm,
+        s"shifted fertility must exceed training fertility for $src: " +
+          s"${shiftRep(src)} vs $fppm")
+    }
+  }
+
+  test("c80b: frozen fallback counts OOV words at character fertility") {
+    val train = Seq((1L, "low low lower low new")).toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    // eval: 'low' in-vocab, 'zzzz' OOV (4 chars → 4 fallback tokens)
+    val eval = Seq((10L, "low zzzz")).toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    val k = 2 // merges: (l,o) then (lo,w) → 'low' is one token
+    val rep = BpeTrain
+      .frozenFertilityReport(train, eval, "text", "source", k)
+      .collect().head
+    assert(rep.getLong(1) === 2L, "two eval words")
+    assert(rep.getLong(2) === 1L, "one OOV word")
+    // tokens: low = 1, zzzz = 4 (char fallback) → 5
+    assert(rep.getLong(3) === 5L, s"token total: $rep")
+    assert(rep.getLong(5) === 2500000L, "fertility = 5/2 words = 2.5")
   }
 }
