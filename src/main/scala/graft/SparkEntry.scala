@@ -4193,6 +4193,32 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // C81 index-as-artifact serving: the c28 IVFPQ index BUILT once,
+    // PUBLISHED as two versioned tables through A37's atomic
+    // multi-table commit (a torn cells/codebooks pair would silently
+    // mis-rank every query), then LOADED back and SERVED — the
+    // Faiss write_index/read_index contract, relationally. Floats
+    // round-trip parquet bit-exactly and the build is deterministic,
+    // so the loaded index answers hash-identically to c28's in-memory
+    // build — same exhaustive-probe brute-force ADC oracle.
+    "c81_ann_index_serve" -> ((s, dir) => {
+      import graft.sources.AnnIndexStore
+      import org.apache.hadoop.fs.Path
+      val emb = t(s, dir, "embeddings")
+      val root = Tables.scratch("c81_ann_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val (cells, pq) = Similarity.buildIvfpqIndex(
+        emb, "vec_id", "embedding", nLists = 8, m = 8, kCodes = 16)
+      val rep = AnnIndexStore.publish(s, root, cells, pq)
+      require(rep.committed, s"index publish failed: ${rep.failures}")
+      val (loadedCells, loadedPq) = AnnIndexStore.load(s, root)
+      Similarity.ivfpqTopKWith(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", loadedCells, loadedPq, k = 6, nProbe = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
     // C27: duplicated-span scan (exact substring dedup at 16-word
     // granularity, stride 1). Every 10th document gets a planted
     // id-shifted copy, so dup spans exist deterministically; natural
@@ -4329,6 +4355,12 @@ object SparkEntry {
     // (batched joinless scan vs per-query broadcast join) — exhaustive
     // probes make both exact, so they share one brute-force replica
     base + ("c28b_ivfpq_rank_many" -> base("c28_ivfpq_topk"),
+      // c81 serves c28's exact question from a published-then-loaded
+      // index — floats round-trip parquet bit-exactly, so the same
+      // exhaustive-probe brute-force ADC replica is the oracle; any
+      // load-path corruption (torn version, reordered codebook row)
+      // breaks the hash
+      "c81_ann_index_serve" -> base("c28_ivfpq_topk"),
       // d23's batch twin computes b49's report through the O(1)
       // streaming automaton instead of the regex scan — same question,
       // same answer, so the shared oracle makes automaton ≡ RE2 itself

@@ -441,7 +441,22 @@ object Similarity {
   def ivfpqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int = 10, nLists: Int = 8,
                 nProbe: Int = 2, m: Int = 8, kCodes: Int = 16): DataFrame = {
-    import org.apache.spark.sql.classic.GraftColumnBridge
+    val (cells, pq) = buildIvfpqIndex(corpus, idCol, vecCol, nLists, m,
+      kCodes)
+    ivfpqTopKWith(corpus, queries, idCol, vecCol, cells, pq, k, nProbe)
+  }
+
+  /** The IVFPQ index-BUILD step on its own — the state a serving
+    * pipeline persists as a versioned artifact ([[graft.sources
+    * .AnnIndexStore]]) instead of rebuilding per session: the L2 coarse
+    * cells and the per-subspace PQ codebooks, both from the same
+    * deterministic md5-ordered sample pool (so build is reproducible
+    * run-to-run — the property that makes the index VERSIONABLE at
+    * all). KB-sized driver state: nLists·dim + m·kCodes·(dim/m) floats.
+    */
+  def buildIvfpqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      nLists: Int = 8, m: Int = 8,
+                      kCodes: Int = 16): (L2Cells, PqIndex) = {
     require(kCodes <= 128, "byte codes: kCodes must be <= 128")
     // both codebooks from the same deterministic md5-ordered sample pool
     val pool: Array[Array[Float]] = corpus
@@ -450,13 +465,27 @@ object Similarity {
       .limit(math.max(kCodes, nLists))
       .collect()
       .map(_.getSeq[Float](1).toArray)
-    require(pool.nonEmpty, "ivfpqTopK: empty corpus")
+    require(pool.nonEmpty, "buildIvfpqIndex: empty corpus")
     val dim = pool.head.length
-    require(dim % m == 0, s"ivfpqTopK: dim $dim not divisible by m=$m")
+    require(dim % m == 0, s"buildIvfpqIndex: dim $dim not divisible by m=$m")
     val dsub = dim / m
     val pq = new PqIndex(Array.tabulate(m)(j =>
       pool.take(kCodes).map(_.slice(j * dsub, (j + 1) * dsub))))
     val cells = new L2Cells(pool.take(nLists))
+    (cells, pq)
+  }
+
+  /** [[ivfpqTopK]] served from a PREBUILT index — the load path of a
+    * published index artifact. Same expressions, same quantized
+    * ranking: serving from a loaded index is hash-identical to serving
+    * from an in-memory build by construction (spec-locked in
+    * AnnIndexStoreSpec).
+    */
+  def ivfpqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, cells: L2Cells, pq: PqIndex,
+                    k: Int = 10, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    val nLists = cells.cents.length
 
     def cellOf(v: org.apache.spark.sql.Column) = GraftColumnBridge.column(
       L2CellsExpr(GraftColumnBridge.expression(v), cells))

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{L2Cells, PqIndex}
+
+/** Versioned ANN index persistence (C81) — the missing third leg of the
+  * ANN serving story: C14/C26/C28 BUILD their IVF cells and PQ
+  * codebooks in-session and throw them away, but a real serving
+  * pipeline builds an index ONCE, publishes it as a versioned
+  * artifact, and every serving session LOADS it (Faiss's
+  * write_index/read_index contract, expressed relationally).
+  *
+  * The index state is two KB-sized TABLES — coarse cells
+  * (cell, centroid) and PQ codebooks (sub, code, centroid) — published
+  * together through [[MultiPublish.publishAll]]'s ATOMIC multi-table
+  * commit (A37): a reader following the commit pointer can never see
+  * cells from one build and codebooks from another, which silently
+  * mis-ranks every query (codes decoded against the wrong centroids) —
+  * the exact torn-index failure the atomic pointer exists to prevent.
+  * Structural audits ride the publish: cell count, subspace coverage,
+  * dimension consistency.
+  *
+  * Floats round-trip parquet bit-exactly, and the build itself is
+  * deterministic (md5-ordered sample pool,
+  * [[graft.operators.Similarity.buildIvfpqIndex]]), so serve-from-load
+  * is HASH-IDENTICAL to serve-from-build — the property
+  * AnnIndexStoreSpec locks and the c81 oracle row rests on.
+  *
+  * At 100 TB: the index tables are KBs (nLists·dim + m·kCodes·dim/m
+  * floats) — publish and load are metadata-cost; the corpus-scale
+  * encode/scan cost lives entirely in serving, unchanged from c28.
+  */
+object AnnIndexStore {
+
+  val CellsTable = "ann_cells"
+  val CodebooksTable = "ann_pq"
+
+  /** The coarse-cell table: (cell, centroid). */
+  def cellsFrame(spark: SparkSession, cells: L2Cells): DataFrame = {
+    import spark.implicits._
+    cells.cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+  }
+
+  /** The PQ codebook table: (sub, code, centroid). */
+  def codebooksFrame(spark: SparkSession, pq: PqIndex): DataFrame = {
+    import spark.implicits._
+    (for {
+      (book, j) <- pq.codebooks.zipWithIndex.toSeq
+      (c, w) <- book.zipWithIndex
+    } yield (j, w, c.toSeq)).toDF("sub", "code", "centroid")
+  }
+
+  /** Publish both index tables atomically under `root`; returns the
+    * publish report (versions advance together or not at all).
+    */
+  def publish(spark: SparkSession, root: String, cells: L2Cells,
+              pq: PqIndex,
+              batchId: Option[Long] = None): MultiPublish.MultiReport = {
+    val dim = cells.cents.headOption.map(_.length).getOrElse(0)
+    val m = pq.codebooks.length
+    require(m > 0 && dim > 0 && dim % m == 0,
+      s"inconsistent index: dim=$dim, m=$m")
+    val dsub = dim / m
+    def dimAudit(want: Int): Wap.Audit = (s"centroid_dim($want)", df => {
+      val bad = df.where(size(col("centroid")) =!= want).count()
+      if (bad > 0) Some(s"$bad centroids not $want-dimensional") else None
+    })
+    MultiPublish.publishAll(spark, Map(
+      CellsTable -> ((cellsFrame(spark, cells),
+        Seq(Wap.minRows(1), dimAudit(dim)))),
+      CodebooksTable -> ((codebooksFrame(spark, pq),
+        Seq(Wap.minRows(1), dimAudit(dsub))))),
+      root, batchId)
+  }
+
+  /** Load the COMMITTED index version and reconstruct the serving
+    * objects — what a fresh session does instead of rebuilding. Loud on
+    * structural holes (a missing cell id or subspace would silently
+    * shift every code).
+    */
+  def load(spark: SparkSession, root: String): (L2Cells, PqIndex) = {
+    val cellRows = MultiPublish.readCommitted(spark, root, CellsTable)
+      .select("cell", "centroid").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    require(cellRows.nonEmpty &&
+      cellRows.map(_._1).toSeq == cellRows.indices.toSeq,
+      s"cells table holes: ${cellRows.map(_._1).mkString(",")}")
+    val cbRows = MultiPublish.readCommitted(spark, root, CodebooksTable)
+      .select("sub", "code", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(cbRows.nonEmpty, "empty codebooks table")
+    val m = cbRows.map(_._1).max + 1
+    val codebooks = Array.tabulate(m) { j =>
+      val book = cbRows.filter(_._1 == j).sortBy(_._2)
+      require(book.map(_._2).toSeq == book.indices.toSeq,
+        s"codebook $j holes: ${book.map(_._2).mkString(",")}")
+      book.map(_._3)
+    }
+    (new L2Cells(cellRows.map(_._2)), new PqIndex(codebooks))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.{AnnIndexStore, MultiPublish}
+
+/** C81 contracts: a published-then-loaded index serves HASH-IDENTICAL
+  * top-k to the in-memory build, versions advance atomically across
+  * both tables, and structural corruption is loud at load.
+  */
+class AnnIndexStoreSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  /** Deterministic synthetic embeddings: 64-dim, 40 vectors. */
+  private def corpus = {
+    (0 until 40).map { i =>
+      (i.toLong, (0 until 64).map(j =>
+        (((i * 31 + j * 17) % 97) / 97.0f) - 0.5f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("load-vs-build rank identity: serving from the published index " +
+    "equals serving from the in-memory build, row for row") {
+    val root = Files.createTempDirectory("graft_c81").toString
+    val (cells, pq) = Similarity.buildIvfpqIndex(
+      corpus, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 8)
+    val rep = AnnIndexStore.publish(s, root, cells, pq)
+    assert(rep.committed, rep.failures.mkString("; "))
+    assert(rep.versions === Map(AnnIndexStore.CellsTable -> 1,
+      AnnIndexStore.CodebooksTable -> 1))
+    val (lc, lpq) = AnnIndexStore.load(s, root)
+    // bit-exact float round-trip through parquet
+    assert(lc.cents.map(_.toSeq).toSeq === cells.cents.map(_.toSeq).toSeq)
+    assert(lpq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val queries = corpus.where(col("vec_id") < 3)
+    for (nProbe <- Seq(1, 2, 4)) { // partial AND exhaustive probes
+      val built = Similarity.ivfpqTopKWith(corpus, queries, "vec_id",
+        "embedding", cells, pq, k = 5, nProbe = nProbe)
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      val loaded = Similarity.ivfpqTopKWith(corpus, queries, "vec_id",
+        "embedding", lc, lpq, k = 5, nProbe = nProbe)
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      assert(loaded === built, s"nProbe=$nProbe: loaded serve diverged")
+    }
+  }
+
+  test("republish bumps both versions atomically; the previous index " +
+    "version stays readable until expiry") {
+    val root = Files.createTempDirectory("graft_c81v").toString
+    val (cells, pq) = Similarity.buildIvfpqIndex(
+      corpus, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 8)
+    assert(AnnIndexStore.publish(s, root, cells, pq).committed)
+    // rebuild from a shifted corpus → different index, next version
+    val shifted = corpus.withColumn("vec_id", col("vec_id") + 100L)
+    val (c2, p2) = Similarity.buildIvfpqIndex(
+      shifted, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 8)
+    val rep2 = AnnIndexStore.publish(s, root, c2, p2)
+    assert(rep2.committed && rep2.versions ===
+      Map(AnnIndexStore.CellsTable -> 2, AnnIndexStore.CodebooksTable -> 2))
+    // committed load sees v2; v1 still present for pinned readers
+    val (lc, _) = AnnIndexStore.load(s, root)
+    assert(lc.cents.map(_.toSeq).toSeq === c2.cents.map(_.toSeq).toSeq)
+    assert(MultiPublish.readVersion(s, root,
+      AnnIndexStore.CellsTable, 1).count() === 4L)
+  }
+
+  test("structural corruption is loud: a codebook hole fails load") {
+    val root = Files.createTempDirectory("graft_c81bad").toString
+    val (cells, pq) = Similarity.buildIvfpqIndex(
+      corpus, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 8)
+    // publish a torn codebook table (code 3 of subspace 0 missing)
+    // through the same atomic machinery — load must refuse it
+    val holed = AnnIndexStore.codebooksFrame(s, pq)
+      .where(!(col("sub") === 0 && col("code") === 3))
+    val rep = MultiPublish.publishAll(s, Map(
+      AnnIndexStore.CellsTable ->
+        ((AnnIndexStore.cellsFrame(s, cells), Nil)),
+      AnnIndexStore.CodebooksTable -> ((holed, Nil))), root)
+    assert(rep.committed)
+    assertThrows[IllegalArgumentException] {
+      AnnIndexStore.load(s, root)
+    }
+  }
+}
