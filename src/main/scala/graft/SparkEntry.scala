@@ -3932,6 +3932,30 @@ object SparkEntry {
       EventStreams.attributionPairs(t(s, dir, "events"))
         .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)),
 
+    // D34 stream-stream interval-OVERLAP join (batch twin, the d6
+    // pattern): the drained streaming pair set is spec-locked equal to
+    // overlapBatch (OverlapStreamSpec, across triggers), and
+    // overlapBatch — WITH the max-length contract filter that bounds
+    // the streaming state — is what the oracle checks pair-for-pair.
+    // L = 12 h routes the longest user-day intervals out by contract,
+    // so the filter path is exercised, not vacuous.
+    "d34_overlap_stream" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("day", floor(col("sec") / 86400).cast("long"))
+        .groupBy("user_id", "day")
+        .agg(min("sec").as("lo"), max("sec").as("hi"))
+      val l = iv.where(col("user_id") < 5)
+        .select((col("user_id") * 1000000L + col("day")).as("a_id"),
+          col("lo").as("a_lo"), col("hi").as("a_hi"))
+      val r = iv.where(col("user_id") >= 5)
+        .select((col("user_id") * 1000000L + col("day")).as("b_id"),
+          col("lo").as("b_lo"), col("hi").as("b_hi"))
+      graft.streaming.OverlapStream.overlapBatch(l, r, maxLenSec = 43200L)
+        .select("a_id", "b_id", "a_lo", "a_hi", "b_lo", "b_hi")
+        .orderBy("a_id", "b_id")
+    }),
+
     // batch twin of the stream-static enrichment join (D9): events
     // broadcast-joined to the customer dimension, aggregated per
     // (hour, segment); the streaming twin's row-level equality and its
@@ -6572,6 +6596,26 @@ object SparkEntry {
         |SELECT user_a, day_a, count(*) AS n_concurrent,
         |       CAST(sum(ov) AS BIGINT) AS total_overlap_sec
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // d34's batch twin (stream equality spec-locked): the same interval
+    // derivation as b56 plus the max-length CONTRACT filter that bounds
+    // streaming state, pair-level output
+    "d34_overlap_stream" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         min(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id * 1000000 + day AS a_id, lo AS a_lo,
+        |             hi AS a_hi
+        |      FROM iv WHERE user_id < 5 AND hi - lo <= 43200 AND lo <= hi),
+        |r AS (SELECT user_id * 1000000 + day AS b_id, lo AS b_lo,
+        |             hi AS b_hi
+        |      FROM iv WHERE user_id >= 5 AND hi - lo <= 43200 AND lo <= hi)
+        |SELECT a_id, b_id, a_lo, a_hi, b_lo, b_hi
+        |FROM l JOIN r ON a_lo <= b_hi AND b_lo <= a_hi
+        |ORDER BY 1, 2""".stripMargin,
 
     // the REBUILD from the merged snapshot — the strongest possible
     // check of the incremental path: a different algorithm, same answer
