@@ -178,6 +178,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p76.contains("BroadcastHashJoin"))
   }
 
+  test("b25: the variant blocking self-join is SHUFFLED hash with the " +
+    "exploded side never broadcast, and no join-backs remain (the r10 " +
+    "constant fix: Catalyst's optimistic Generate estimate built the " +
+    "whole n*(len+1)-row variant table as a broadcast HashedRelation, " +
+    "and the old shape re-joined the corpus twice to fetch strings)") {
+    val p = plan("b25_fuzzy_join")
+    assert(p.contains("ShuffledHashJoin"),
+      "the corpus-sized variant table must join shuffled")
+    assert(!p.contains("BroadcastHashJoin"),
+      "no broadcast anywhere in the blocking path")
+    // strings ride the blocking join: exactly ONE join in the plan
+    assert(!p.contains("SortMergeJoin"), "no sort-merge anywhere")
+    assert("ShuffledHashJoin".r.findAllIn(p).size == 1,
+      "exactly one join: the join-backs must be gone")
+  }
+
   test("c68: the vocabulary top-k is a distributed TakeOrdered, and no " +
     "window runs over the unbounded token domain (the r9 sf1 fix: the " +
     "prior plan sorted every distinct token in ONE task)") {
