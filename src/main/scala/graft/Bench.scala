@@ -94,6 +94,15 @@ object Bench {
     "c75_classifier_train", "c76_multiscale_spans", "d32_frontier_gate",
     "b61_bilinear_view_maintenance", "d33_online_train",
     "c77_bpe_train", "c78_tokenizer_fertility",
+    // r10 additions: span extents + both rewrite arms, multiclass
+    // training + trained langid, frozen-vocab encode audits, ANN
+    // index persist/serve + incremental stored-code serving, and the
+    // promoted d34 batch twin (events-based → not probed)
+    "c76b_span_extents", "c76c_extent_strip",
+    "c79_multiclass_train", "c79b_trained_langid",
+    "c80_frozen_encode_fertility", "c80b_frozen_fallback_fertility",
+    "c81_ann_index_serve", "c82_incremental_codes_serve",
+    "d34_overlap_stream",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -214,7 +223,17 @@ object Bench {
       // vocabulary-sized aggs (the synthetic vocab stays small, so the
       // probe measures the corpus pass + fixed round overhead); c78
       // adds one corpus-word join + agg on top of the c77 loop
-      "c77_bpe_train", "c78_tokenizer_fertility")
+      "c77_bpe_train", "c78_tokenizer_fertility",
+      // r10: c76b/c76c ride the c27 span machinery (firing-window work
+      // is proportional to duplicated volume, which the planted-copy
+      // replica scales linearly); c79 is c75's loop x5 classes over one
+      // shared featurized frame; c80's encode is vocabulary-sized merge
+      // passes + one corpus occurrence join (x2 corpora); c81/c82 scan
+      // the replica-scaled embeddings corpus once per serve (the index
+      // tables stay KBs at any scale); d34 is events-based → not probed
+      "c76b_span_extents", "c76c_extent_strip",
+      "c79_multiclass_train", "c80_frozen_encode_fertility",
+      "c81_ann_index_serve", "c82_incremental_codes_serve")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -4217,6 +4217,40 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // C82 incremental code-table serving: the corpus PQ-encoded in TWO
+    // ingest epochs against the index (the c81 artifact's frozen-index
+    // discipline applied to the DATA side — at 100 TB the float corpus
+    // stays cold and serving reads the m-byte code table), appended
+    // under the D8 epoch-partition rule with one epoch REPLAYED
+    // (at-least-once delivery), then served from the stored codes at
+    // exhaustive probes. Oracle = c28's brute-force ADC replica — a
+    // replay that duplicated rows would shift every rank and break the
+    // hash, so oracle-green IS the exactly-once proof.
+    "c82_incremental_codes_serve" -> ((s, dir) => {
+      import graft.sources.AnnIndexStore
+      import org.apache.hadoop.fs.Path
+      val emb = t(s, dir, "embeddings")
+      val root = Tables.scratch("c82_codes_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val (cells, pq) = Similarity.buildIvfpqIndex(
+        emb, "vec_id", "embedding", nLists = 8, m = 8, kCodes = 16)
+      val ep0 = Similarity.encodeCodes(
+        emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", cells, pq)
+      val ep1 = Similarity.encodeCodes(
+        emb.where(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", cells, pq)
+      AnnIndexStore.appendCodesEpoch(ep0, root, 0L)
+      AnnIndexStore.appendCodesEpoch(ep1, root, 1L)
+      AnnIndexStore.appendCodesEpoch(ep1, root, 1L) // replayed delivery
+      Similarity.ivfpqTopKFromCodes(AnnIndexStore.readCodes(s, root),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          cells, pq, k = 6, nProbe = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
     // C81 index-as-artifact serving: the c28 IVFPQ index BUILT once,
     // PUBLISHED as two versioned tables through A37's atomic
     // multi-table commit (a torn cells/codebooks pair would silently
@@ -4289,6 +4323,22 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
       Dedup.multiScaleSpans(corpus, "text", "doc_id", Seq(8, 16, 32))
         .orderBy("id", "w")
+    }),
+
+    // C76c: extent-STRIP rewrite — the other arm of the strip-vs-drop
+    // decision: where c29 keeps one canonical occurrence per duplicated
+    // window (dedup), this removes EVERY occurrence (boilerplate strip)
+    // and rebuilds the survivors; same output shape as c29 so the two
+    // rewrites compare directly. Oracle = the c29 replica without the
+    // canonical exemption.
+    "c76c_extent_strip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.stripDuplicatedExtents(corpus, "text", "doc_id", w = 16)
+        .where(col("n_tokens") + col("kept_tokens") >= 0)
+        .orderBy("id")
     }),
 
     // C76b: duplicated-span EXTENTS — the c76 ladder completed with
@@ -4385,6 +4435,10 @@ object SparkEntry {
       // load-path corruption (torn version, reordered codebook row)
       // breaks the hash
       "c81_ann_index_serve" -> base("c28_ivfpq_topk"),
+      // c82 answers c28's question from the stored-code table: same
+      // exhaustive-probe replica; a non-idempotent epoch replay would
+      // duplicate neighbors and shift every rank
+      "c82_incremental_codes_serve" -> base("c28_ivfpq_topk"),
       // d23's batch twin computes b49's report through the O(1)
       // streaming automaton instead of the regex scan — same question,
       // same answer, so the shared oracle makes automaton ≡ RE2 itself
@@ -8851,6 +8905,43 @@ object SparkEntry {
         |                 AS canon
         |        FROM h) x
         |      WHERE n_occ > 1 AND doc_id * 2147483648 + pos <> canon),
+        |rem AS (SELECT DISTINCT doc_id, pos + u.i AS tp
+        |        FROM m, (SELECT unnest(range(0, 16)) AS i) u),
+        |tokp AS (SELECT doc_id, unnest(range(0, len(t))) AS tp, t FROM d),
+        |kept AS (SELECT k.doc_id, k.tp, k.t[k.tp + 1] AS tok
+        |         FROM tokp k ANTI JOIN rem r
+        |           ON k.doc_id = r.doc_id AND k.tp = r.tp),
+        |reb AS (SELECT doc_id, count(*) AS kept_tokens,
+        |               md5(string_agg(tok, ' ' ORDER BY tp)) AS clean_md5
+        |        FROM kept GROUP BY 1)
+        |SELECT id, n_tokens, kept_tokens, clean_md5 FROM (
+        |  SELECT d.doc_id AS id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |         coalesce(reb.kept_tokens, 0) AS kept_tokens,
+        |         coalesce(reb.clean_md5, md5('')) AS clean_md5
+        |  FROM d LEFT JOIN reb USING (doc_id)) x
+        |WHERE n_tokens + kept_tokens >= 0
+        |ORDER BY 1""".stripMargin,
+
+    // the c29 replica WITHOUT the canonical exemption: every position
+    // covered by any duplicated window drops (strip, not dedup)
+    "c76c_extent_strip" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |      FROM corpus WHERE length(trim(text)) > 0),
+        |s AS (SELECT doc_id, t, unnest(range(0, len(t) - 16 + 1)) AS pos
+        |      FROM d WHERE len(t) >= 16),
+        |h AS (SELECT doc_id, pos,
+        |             md5(array_to_string(list_slice(t, pos + 1, pos + 16), ' '))
+        |               AS h
+        |      FROM s),
+        |m AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos,
+        |               count(*) OVER (PARTITION BY h) AS n_occ
+        |        FROM h) x
+        |      WHERE n_occ > 1),
         |rem AS (SELECT DISTINCT doc_id, pos + u.i AS tp
         |        FROM m, (SELECT unnest(range(0, 16)) AS i) u),
         |tokp AS (SELECT doc_id, unnest(range(0, len(t))) AS tp, t FROM d),

@@ -586,6 +586,57 @@ object Dedup {
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
   }
 
+  /** Extent-STRIP rewrite (C76c) — the other arm of the strip-vs-drop
+    * decision [[spanExtents]] informs: where [[removeDuplicatedSpans]]
+    * keeps ONE canonical occurrence of every duplicated window (dedup
+    * semantics — the corpus keeps the content once), this removes EVERY
+    * occurrence (strip semantics — the content is boilerplate/template
+    * noise and should survive nowhere). Token positions covered by ANY
+    * duplicated w-window are dropped from their documents and the
+    * survivors re-joined in order; output matches C29's shape
+    * (id, n_tokens, kept_tokens, clean_md5) so the two rewrites are
+    * directly comparable.
+    *
+    * Scale shape: same as [[spanExtents]] — the duplicated-vocabulary
+    * filter shrinks the join build side BEFORE the flag join
+    * (shuffle_hash by the c27 rule), the position explode runs only
+    * for firing windows (duplicated volume), and the rebuild is one
+    * id-keyed anti-join + agg over each document's own tokens.
+    */
+  def stripDuplicatedExtents(df: DataFrame, textCol: String,
+                             idCol: String, w: Int = 16): DataFrame = {
+    val toks = TextFunctions.wsTokens(col(textCol))
+    val base = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("id"), toks.as("toks"))
+    val spans = base.where(size(col("toks")) >= w)
+      .select(col("id"),
+        posexplode(graft.functions.GraftExpressions.spanMd5s(col("toks"), w))
+          .as(Seq("pos", "h")))
+    val dupHashes = spans.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") > 1)
+      .select("h")
+    val covered = spans.join(dupHashes.hint("shuffle_hash"), "h")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("tp"))
+      .distinct()
+    val tokenPos = base
+      .select(col("id"), posexplode(col("toks")).as(Seq("tp", "tok")))
+    val rebuilt = tokenPos
+      .join(covered, Seq("id", "tp"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok")), " ")).as("clean_md5"))
+    base
+      .select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Sorted distinct character n-gram hashes of normalized text

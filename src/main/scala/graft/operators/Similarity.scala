@@ -517,6 +517,58 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc", "rnk")
   }
 
+  /** Encode a corpus under a FROZEN index into its stored-code form —
+    * the C82 incremental-maintenance step: (id, cell, codes), the
+    * m-byte PQ representation a serving pipeline appends per ingest
+    * epoch instead of re-encoding the whole corpus. One map-only
+    * codegen pass; the same expressions serving uses.
+    */
+  def encodeCodes(corpus: DataFrame, idCol: String, vecCol: String,
+                  cells: L2Cells, pq: PqIndex): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    corpus.select(col(idCol).as("neighbor_id"),
+      GraftColumnBridge.column(L2CellsExpr(
+        GraftColumnBridge.expression(col(vecCol)), cells)).as("cell"),
+      GraftColumnBridge.column(PqEncodeExpr(
+        GraftColumnBridge.expression(col(vecCol)), pq)).as("codes"))
+  }
+
+  /** [[ivfpqTopKWith]] served from STORED codes ([[encodeCodes]]
+    * output read back from a codes table) — the scan side never touches
+    * raw vectors: at 100 TB the float corpus stays cold, the m-byte
+    * code table is what serving reads, and ingest appends code epochs
+    * incrementally against the frozen index version. ADC and ranking
+    * are the same expressions, so stored-code serving is hash-identical
+    * to encode-at-query-time serving (spec-locked).
+    */
+  def ivfpqTopKFromCodes(codes: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, cells: L2Cells,
+                         pq: PqIndex, k: Int = 10,
+                         nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    def probesOf(v: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      L2ProbesExpr(GraftColumnBridge.expression(v), cells,
+        math.min(nProbe, cells.cents.length)))
+    def lutOf(v: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      PqLutExpr(GraftColumnBridge.expression(v), pq))
+    def adcOf(c: org.apache.spark.sql.Column,
+              lut: org.apache.spark.sql.Column) = GraftColumnBridge.column(
+      PqAdcExpr(GraftColumnBridge.expression(c),
+        GraftColumnBridge.expression(lut)))
+    val q = queries.select(col(idCol).as("query_id"),
+      lutOf(col(vecCol)).as("lut"),
+      explode(probesOf(col(vecCol))).as("cell"))
+    val scored = codes.join(F.broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(adcOf(col("codes"), col("lut")), 6).as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "adc", "rnk")
+  }
+
   /** Batched IVFPQ top-k — the compressed-domain twin of [[ivfTopKMany]]:
     * N driver-side query vectors answered in ONE joinless scan of the
     * PQ-encoded corpus. Probe cells and ADC lookup tables are computed

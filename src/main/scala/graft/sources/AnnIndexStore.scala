@@ -36,6 +36,7 @@ object AnnIndexStore {
 
   val CellsTable = "ann_cells"
   val CodebooksTable = "ann_pq"
+  val CodesTable = "ann_codes"
 
   /** The coarse-cell table: (cell, centroid). */
   def cellsFrame(spark: SparkSession, cells: L2Cells): DataFrame = {
@@ -76,6 +77,24 @@ object AnnIndexStore {
         Seq(Wap.minRows(1), dimAudit(dsub))))),
       root, batchId)
   }
+
+  /** Append one ingest epoch's STORED CODES ([[graft.operators
+    * .Similarity.encodeCodes]] output) under the D8 epoch-partition
+    * rule: a replayed epoch overwrites its own partition with
+    * bit-identical rows — exactly-once under at-least-once delivery.
+    * This is the C82 incremental-maintenance step: the float corpus is
+    * encoded ONCE per epoch against a frozen index version; serving
+    * reads the m-byte code table, never the raw vectors.
+    */
+  def appendCodesEpoch(codes: DataFrame, root: String,
+                       epoch: Long): Unit =
+    graft.streaming.EventStreams.epochIdempotentSink(
+      codes, epoch, s"$root/$CodesTable")
+
+  /** All appended code epochs as one serving frame. */
+  def readCodes(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/$CodesTable")
+      .select("neighbor_id", "cell", "codes")
 
   /** Load the COMMITTED index version and reconstruct the serving
     * objects — what a fresh session does instead of rebuilding. Loud on

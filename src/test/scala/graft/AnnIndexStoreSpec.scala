@@ -71,6 +71,36 @@ class AnnIndexStoreSpec extends AnyFunSuite with SparkSpec {
       AnnIndexStore.CellsTable, 1).count() === 4L)
   }
 
+  test("c82: serving from incrementally appended stored codes equals " +
+    "encode-at-query serving, and a replayed epoch is a no-op") {
+    val root = Files.createTempDirectory("graft_c82").toString
+    val (cells, pq) = Similarity.buildIvfpqIndex(
+      corpus, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 8)
+    val ep0 = Similarity.encodeCodes(
+      corpus.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      cells, pq)
+    val ep1 = Similarity.encodeCodes(
+      corpus.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      cells, pq)
+    AnnIndexStore.appendCodesEpoch(ep0, root, 0L)
+    AnnIndexStore.appendCodesEpoch(ep1, root, 1L)
+    AnnIndexStore.appendCodesEpoch(ep1, root, 1L) // at-least-once replay
+    val stored = AnnIndexStore.readCodes(s, root)
+    assert(stored.count() === corpus.count(),
+      "replayed epoch must not duplicate rows")
+    val queries = corpus.where(col("vec_id") < 3)
+    for (nProbe <- Seq(2, 4)) {
+      val direct = Similarity.ivfpqTopKWith(corpus, queries, "vec_id",
+        "embedding", cells, pq, k = 5, nProbe = nProbe)
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      val fromCodes = Similarity.ivfpqTopKFromCodes(stored, queries,
+        "vec_id", "embedding", cells, pq, k = 5, nProbe = nProbe)
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      assert(fromCodes === direct,
+        s"nProbe=$nProbe: stored-code serving diverged")
+    }
+  }
+
   test("structural corruption is loud: a codebook hole fails load") {
     val root = Files.createTempDirectory("graft_c81bad").toString
     val (cells, pq) = Similarity.buildIvfpqIndex(

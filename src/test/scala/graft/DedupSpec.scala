@@ -305,6 +305,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"abutting blocks must merge into one extent, got ${merged.toSeq}")
   }
 
+  test("stripDuplicatedExtents removes EVERY occurrence where " +
+    "removeDuplicatedSpans keeps one canonical") {
+    val block = (1 to 16).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, block + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, block + " " + (1 to 10).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val strip = Dedup.stripDuplicatedExtents(docs, "text", "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // strip: BOTH copies of the 16-token block go — docs 1/2 keep only
+    // their unique 10-token tails
+    assert(strip(1L) === ((26L, 10L)) && strip(2L) === ((26L, 10L)))
+    assert(strip(3L) === ((20L, 20L)), "unique doc untouched")
+    // dedup (c29) on the same fixture keeps the canonical copy in doc 1
+    val dedup = Dedup.removeDuplicatedSpans(docs, "text", "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dedup(1L) === 26L, "c29 keeps the canonical occurrence")
+    assert(dedup(2L) === 10L)
+    // a doc that is ENTIRELY duplicated strips to empty
+    val full = Seq((1L, block), (2L, block)).toDF("doc_id", "text")
+    val fs = Dedup.stripDuplicatedExtents(full, "text", "doc_id", 16)
+      .collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(fs.forall(_._1 == 0L) &&
+      fs.forall(_._2 == java.security.MessageDigest.getInstance("MD5")
+        .digest("".getBytes).map("%02x".format(_)).mkString))
+  }
+
   test("removeDuplicatedSpans keeps canonical occurrences, empties full copies") {
     val prefix = (1 to 20).map(i => s"p$i").mkString(" ")
     val x30 = (1 to 30).map(i => s"x$i").mkString(" ")
