@@ -101,6 +101,46 @@ class AnnIndexStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d35: streaming code ingest through the real sink ≡ batch " +
+    "encode, including sink-level replay") {
+    val root = Files.createTempDirectory("graft_d35").toString
+    val (cells, pq) = Similarity.buildIvfpqIndex(
+      corpus, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 8)
+    // stage 3 epochs as single-file parquet arrivals (the d33 pattern)
+    val staged = Files.createTempDirectory("graft_d35_src")
+    (0 until 3).foreach { e =>
+      val tmp = Files.createTempDirectory(s"graft_d35_ep$e")
+      corpus.where(col("vec_id") % 3 === e).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, staged.resolve(f"ep$e%02d.parquet"))
+    }
+    val src = s.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = graft.streaming.CodesStream.ingestSink(src, "vec_id",
+      "embedding", cells, pq, root,
+      Files.createTempDirectory("graft_d35_ck").toString)
+    q.awaitTermination(120000)
+    val stored = AnnIndexStore.readCodes(s, root)
+    assert(stored.count() === corpus.count())
+    // sink-level replay: re-land epoch 2's batch directly — no-op
+    AnnIndexStore.appendCodesEpoch(
+      Similarity.encodeCodes(corpus.where(col("vec_id") % 3 === 2),
+        "vec_id", "embedding", cells, pq), root, 2L)
+    assert(AnnIndexStore.readCodes(s, root).count() === corpus.count(),
+      "replayed epoch must not duplicate rows")
+    // streamed codes ≡ one-shot batch encode, row for row
+    val batch = Similarity.encodeCodes(corpus, "vec_id", "embedding",
+      cells, pq).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Byte](2).toSeq)).toSet
+    val got = AnnIndexStore.readCodes(s, root).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Byte](2).toSeq)).toSet
+    assert(got === batch, "streamed code table diverged from batch encode")
+  }
+
   test("structural corruption is loud: a codebook hole fails load") {
     val root = Files.createTempDirectory("graft_c81bad").toString
     val (cells, pq) = Similarity.buildIvfpqIndex(
