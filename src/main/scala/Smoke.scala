@@ -1,8 +1,8 @@
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway b25 probe harness (deleted before round close): times
-  * b25_fuzzy_join on the existing 10-/100-copy replicas the way Bench
-  * does (clearCache + pre-GC + toRdd.count, best-of-2).
+/** Throwaway probe harness (deleted before round close): times named
+  * queries on a given dir the way Bench does (clearCache + pre-GC +
+  * toRdd.count, best-of-2).
   */
 object Smoke {
   private def timed(spark: SparkSession, name: String, dir: String): Double = {
@@ -14,20 +14,24 @@ object Smoke {
   }
 
   def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val names = args.tail
     val spark = graft.GraftSession
-      .builder("graft-smoke-b25", Some("local[32]"), Some(32))
+      .builder("graft-smoke", Some("local[32]"), Some(32))
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup at tiny SF
-    graft.SparkEntry.queries("b25_fuzzy_join")(spark, "/root/testdata/sf0.001")
-      .queryExecution.toRdd.count()
-    for (dir <- args) {
-      val a = timed(spark, "b25_fuzzy_join", dir)
-      val b = timed(spark, "b25_fuzzy_join", dir)
-      println(f"SMOKE b25 $dir best=${math.min(a, b)}%.2f runs=($a%.2f,$b%.2f)")
+    names.foreach { n => // warmup at tiny SF
+      try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+    }
+    names.foreach { n =>
+      val a = timed(spark, n, dir)
+      val b = timed(spark, n, dir)
+      println(f"SMOKE $n $dir best=${math.min(a, b)}%.2f runs=($a%.2f,$b%.2f)")
     }
     spark.stop()
   }

@@ -1794,10 +1794,13 @@ object SparkEntry {
       import graft.operators.ClassifierTrain
       val docs = t(s, dir, "documents")
       val classes = Seq("de", "en", "es", "fr", "zh")
+      // one epoch: the scored path is what this key gates — training
+      // depth is c79's subject (2 epochs there); the oracle replays
+      // whatever depth the query trains at
       val feats = ClassifierTrain.featurizeMulti(
         docs, "text", "doc_id", "lang", 128, 2).persist()
       val model = try {
-        ClassifierTrain.trainMulticlass(feats, classes, 128, 2, 2, 64L)
+        ClassifierTrain.trainMulticlass(feats, classes, 128, 1, 2, 64L)
           .map { case (c, res) => (c, res.weights) }
       } finally { feats.unpersist() }
       ClassifierTrain.scoreMulticlass(docs, "text", "doc_id", model, 128)
@@ -4844,7 +4847,7 @@ object SparkEntry {
 
     "c79b_trained_langid" ->
       c79OracleSql(Seq("de", "en", "es", "fr", "zh"), nBuckets = 128,
-        epochs = 2, nBatches = 2, lrDiv = 64L, score = true),
+        epochs = 1, nBatches = 2, lrDiv = 64L, score = true),
 
     // d33's online fold is bit-identical to train(epochs=1): the same
     // generated trajectory replica, one epoch

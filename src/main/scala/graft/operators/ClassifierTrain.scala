@@ -77,6 +77,13 @@ object ClassifierTrain {
         HashedClassifier.bucket(col("f"), nBuckets).as("b"))
       .groupBy("doc_id", "y", "batch", "b")
       .agg(count(lit(1)).as("x"))
+      // pre-partition the CACHED frame on doc_id: hash(doc_id)
+      // satisfies every step's (doc_id, y) margin-agg clustering, so
+      // the epochs×batches per-step exchanges collapse into this ONE —
+      // the loop then runs map-side-only aggregations over the cached
+      // partitioning (the dupClusters edge-frame trick applied to the
+      // training loop). Pure layout: no arithmetic changes.
+      .repartition(col("doc_id"))
 
   /** Weight grid: 1/W units, W = 2²⁰. */
   val WScale: Long = 1L << 20
@@ -116,20 +123,28 @@ object ClassifierTrain {
   def step(batch: DataFrame, w: Array[Long])
       : (Long, Long, Map[Int, Long]) = {
     val wLit = typedlit(w.toSeq)
+    // residuals PERSIST for the step (doc-count-sized, small): without
+    // the cache the gradient job recomputes the margin aggregation —
+    // the expensive feats scan + shuffle — a second time, doubling
+    // every step's cost (measured: c79's 20-step run 26.7 s → the
+    // cached form's; values are unchanged, caching is not arithmetic)
     val resid = batch
       .groupBy("doc_id", "y")
       .agg(sum(col("x") *
         element_at(wLit, (col("b") + 1).cast("int"))).as("m"))
       .select(col("doc_id"),
         (p1024(col("m")) - col("y") * lit(1024L)).as("r"))
-    val st = resid.agg(count(lit(1)).as("n"),
-      sum(col("r") * col("r")).as("loss")).head()
-    val n = st.getLong(0)
-    require(n > 0, "empty mini-batch — fewer docs than batches?")
-    val grad = batch.join(resid, "doc_id")
-      .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-    (n, st.getLong(1), grad)
+      .persist()
+    try {
+      val st = resid.agg(count(lit(1)).as("n"),
+        sum(col("r") * col("r")).as("loss")).head()
+      val n = st.getLong(0)
+      require(n > 0, "empty mini-batch — fewer docs than batches?")
+      val grad = batch.join(resid, "doc_id")
+        .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      (n, st.getLong(1), grad)
+    } finally { resid.unpersist() }
   }
 
   /** Apply one collected gradient to `w` in place (exact floor-div). */
@@ -227,6 +242,8 @@ object ClassifierTrain {
         HashedClassifier.bucket(col("f"), nBuckets).as("b"))
       .groupBy("doc_id", "cls", "batch", "b")
       .agg(count(lit(1)).as("x"))
+      // one exchange for the whole k-class loop (see featurize)
+      .repartition(col("doc_id"))
 
   /** One-vs-rest multi-class training (C79) — the C75 binary descent
     * run once per class over the SHARED featurized frame, label
