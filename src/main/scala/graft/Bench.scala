@@ -102,7 +102,7 @@ object Bench {
     "c79_multiclass_train", "c79b_trained_langid",
     "c80_frozen_encode_fertility", "c80b_frozen_fallback_fertility",
     "c81_ann_index_serve", "c82_incremental_codes_serve",
-    "d34_overlap_stream",
+    "d34_overlap_stream", "d36_online_multiclass",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't

@@ -1807,6 +1807,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D36 online MULTI-CLASS maintenance (batch-identical gate): the
+    // C79 one-vs-rest model folded one ARRIVING epoch at a time — the
+    // way a deployed langid filter tracks a live crawl. Epoch-major
+    // folding is bit-identical per class to class-major training at
+    // epochs=1 (classes are independent), so the same generated
+    // per-class trajectory oracle gates it; one diverged fold in ANY
+    // class changes that class's weights.
+    "d36_online_multiclass" -> ((s, dir) => {
+      import graft.operators.ClassifierTrain
+      val classes = Seq("de", "en", "es", "fr", "zh")
+      val feats = ClassifierTrain.featurizeMulti(
+        t(s, dir, "documents"), "text", "doc_id", "lang", 128, 3)
+        .persist()
+      try {
+        val st = new ClassifierTrain.OnlineMulticlassState(classes, 128, 64L)
+        val traces = (0 until 3).map { e =>
+          e -> st.foldEpoch(e.toLong, feats.where(col("batch") === e))
+        }
+        import s.implicits._
+        val rows = classes.flatMap { c =>
+          st.weights(c).zipWithIndex.toSeq
+            .map { case (wv, b) => (c, "w", b.toLong, wv) } ++
+          traces.map { case (e, rep) =>
+            (c, "loss", (e + 1).toLong, rep.toMap.apply(c)._2) } ++
+          traces.map { case (e, rep) =>
+            (c, "n", (e + 1).toLong, rep.toMap.apply(c)._1) }
+        }
+        rows.toDF("cls", "kind", "k", "v").orderBy("cls", "kind", "k")
+      } finally { feats.unpersist() }
+    }),
+
     // C77 distributed BPE vocabulary induction — the TRAINER C23's
     // tokenizer consumes, at corpus scale (c23's own trainFromCorpus
     // samples to the driver by documented contract): one corpus pass
@@ -4844,6 +4875,11 @@ object SparkEntry {
     "c79_multiclass_train" ->
       c79OracleSql(Seq("de", "en", "es", "fr", "zh"), nBuckets = 128,
         epochs = 2, nBatches = 2, lrDiv = 64L, score = false),
+
+    // d36's epoch-major online fold ≡ class-major training at epochs=1
+    "d36_online_multiclass" ->
+      c79OracleSql(Seq("de", "en", "es", "fr", "zh"), nBuckets = 128,
+        epochs = 1, nBatches = 3, lrDiv = 64L, score = false),
 
     "c79b_trained_langid" ->
       c79OracleSql(Seq("de", "en", "es", "fr", "zh"), nBuckets = 128,

@@ -303,6 +303,41 @@ object ClassifierTrain {
       best.getField("m").as("margin"))
   }
 
+  /** D36: the C79 one-vs-rest model as ONLINE maintenance — one
+    * [[OnlineClassifierState]] per class, every arriving epoch folded
+    * into ALL classes before the next epoch arrives. Classes are
+    * independent (separate weight vectors, each seeing the same epoch
+    * order), so epoch-major folding is BIT-IDENTICAL per class to
+    * [[trainMulticlass]] at epochs = 1 — which lets the d36 gate reuse
+    * the generated per-class trajectory oracle. The contiguity/replay
+    * discipline is inherited per class from the binary state (a
+    * replayed LATEST epoch is a remembered no-op for every class; a
+    * gap fails loudly on the first class checked). Driver state:
+    * k·nBuckets longs + k epoch ids.
+    */
+  final class OnlineMulticlassState(classes: Seq[String], nBuckets: Int,
+                                    lrDiv: Long) extends Serializable {
+    require(classes.nonEmpty && classes.distinct == classes,
+      s"classes must be distinct, got $classes")
+    private val states: Map[String, OnlineClassifierState] =
+      classes.map(c => c -> new OnlineClassifierState(nBuckets, lrDiv)).toMap
+
+    def weights(c: String): Array[Long] = states(c).weights
+
+    /** Fold one arriving epoch of label-agnostic features
+      * ([[featurizeMulti]] shape) into every class; returns the
+      * per-class (n, loss) reports in class order.
+      */
+    def foldEpoch(epoch: Long,
+                  feats: DataFrame): Seq[(String, (Long, Long))] =
+      classes.map { c =>
+        val bin = feats.select(col("doc_id"),
+          (col("cls") <=> lit(c)).cast("int").cast("long").as("y"),
+          col("batch"), col("b"), col("x"))
+        c -> states(c).foldEpoch(epoch, bin)
+      }
+  }
+
   /** The oracle-shaped multi-class report: long-form (cls, kind, k, v)
     * — per class the final weights and the per-iteration loss/count
     * trace, one frame so one hash locks every class's whole trajectory.

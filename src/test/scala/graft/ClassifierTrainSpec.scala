@@ -192,6 +192,34 @@ class ClassifierTrainSpec extends AnyFunSuite with SparkSpec {
     mf.unpersist()
   }
 
+  test("d36: epoch-major multiclass folds are bit-identical to " +
+    "class-major training, with per-class replay/gap discipline") {
+    val classes = Seq("en", "de")
+    val mf = ClassifierTrain.featurizeMulti(docs, "text", "doc_id",
+      "lang", B, 3).persist()
+    val ref = ClassifierTrain.trainMulticlass(mf, classes, B,
+      epochs = 1, nBatches = 3, lrDiv = 64L).toMap
+    val st = new ClassifierTrain.OnlineMulticlassState(classes, B, 64L)
+    val reports = (0 until 3).map { e =>
+      st.foldEpoch(e.toLong, mf.where(col("batch") === e)).toMap
+    }
+    for (c <- classes) {
+      assert(st.weights(c).toSeq === ref(c).weights.toSeq,
+        s"class $c: online fold must equal trainMulticlass(epochs=1)")
+      assert(reports.map(_(c)._2) === ref(c).trace.map(_.loss))
+    }
+    // replay of the LATEST epoch: remembered reports, weights untouched
+    val before = classes.map(c => st.weights(c).toSeq)
+    assert(st.foldEpoch(2L, mf.where(col("batch") === 2)).toMap
+      === reports(2))
+    assert(classes.map(c => st.weights(c).toSeq) === before)
+    // a gap fails loudly (the checkpoint-restart hole, per class)
+    assertThrows[IllegalArgumentException] {
+      st.foldEpoch(7L, mf.where(col("batch") === 0))
+    }
+    mf.unpersist()
+  }
+
   test("c79b: the trained langid separates planted languages the C8 " +
     "stopword heuristic confuses") {
     // es and fr share their highest-frequency stopwords ('de la en
