@@ -103,6 +103,7 @@ object Bench {
     "c80_frozen_encode_fertility", "c80b_frozen_fallback_fertility",
     "c81_ann_index_serve", "c82_incremental_codes_serve",
     "d34_overlap_stream", "d36_online_multiclass",
+    "b62_scd2_view_maintenance",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't

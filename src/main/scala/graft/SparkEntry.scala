@@ -3341,6 +3341,51 @@ object SparkEntry {
     // referencing same-batch-moved dims (the ΔF⋈ΔD cancellation). The
     // oracle REBUILDS from the merged snapshots — different algorithm,
     // same answer.
+    // B62 SCD2-aware TEMPORAL view maintenance — the dim-HISTORY case
+    // B61's scaladoc names as why slowly-changing dims are versioned:
+    // facts join the dim version valid AT THEIR EVENT TIME, and the
+    // view stays exact under late facts, retractions, and NEW VERSIONS
+    // — including an out-of-order effective date ('MID' at 1993 lands
+    // AFTER 'MOVED' at 1995 already versioned the %21 keys, splitting
+    // an interior window and re-attributing every fact inside it).
+    // The maintained view must equal the rebuild; the oracle IS the
+    // rebuild (temporal argmax join + group), a different algorithm.
+    "b62_scd2_view_maintenance" -> ((s, dir) => {
+      import graft.operators.{MaterializedView, Upsert}
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cust = t(s, dir, "customer")
+      val histOld = cust.select(col("c_custkey"),
+        lit("1990-01-01").cast("date").as("valid_from"),
+        col("c_mktsegment").as("segment"))
+      val updates = cust.where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), lit("MOVED").as("segment"),
+          lit("1995-06-01").cast("date").as("eff"))
+        .unionByName(cust.where(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("MID").as("segment"),
+            lit("1993-03-01").cast("date").as("eff")))
+      // A24's SCD2 apply derives the new history (every constructed
+      // version differs from its neighbors, so the version set is
+      // exactly base ∪ updates — which is what the oracle replays)
+      val histNew = Upsert.scd2Apply(Some(histOld), updates,
+        Seq("c_custkey"), "eff", Seq("segment"))
+      val factOld = orders.where(col("o_orderkey") % 2 === 0)
+      val view0 = MaterializedView.buildTemporal(factOld, histOld,
+        "o_custkey", "c_custkey", "o_orderdate", "o_orderkey",
+        Seq("segment"), Seq("cents"))
+      val factFeed = orders.where(col("o_orderkey") % 10 === 1)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(orders.where(col("o_orderkey") % 10 === 2)
+          .withColumn("_change_type", lit("delete")))
+      MaterializedView.applyScd2Changes(view0, factFeed, factOld,
+          histOld, histNew, "o_custkey", "c_custkey", "o_orderdate",
+          "o_orderkey", Seq("segment"), Seq("cents"))
+        .select(col("segment"), col("__mv_n").as("n_orders"),
+          col("__mv_sum_cents").cast("long").as("sum_cents"))
+        .orderBy("segment")
+    }),
+
     "b61_bilinear_view_maintenance" -> ((s, dir) => {
       import graft.operators.MaterializedView
       val orders = t(s, dir, "orders").select(col("o_orderkey"),
@@ -6709,6 +6754,38 @@ object SparkEntry {
         |SELECT a_id, b_id, a_lo, a_hi, b_lo, b_hi
         |FROM l JOIN r ON a_lo <= b_hi AND b_lo <= a_hi
         |ORDER BY 1, 2""".stripMargin,
+
+    // b62: the REBUILD — new history (base ∪ updates), new fact set,
+    // temporal argmax attribution (latest valid_from <= orderdate per
+    // fact), one group — where the engine maintained incrementally
+    "b62_scd2_view_maintenance" ->
+      """WITH hist_new AS (
+        |  SELECT c_custkey AS pk, DATE '1990-01-01' AS vf,
+        |         c_mktsegment AS segment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, DATE '1995-06-01', 'MOVED'
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, DATE '1993-03-01', 'MID'
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |f_new AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE (o_orderkey % 2 = 0 AND o_orderkey % 10 <> 2)
+        |     OR o_orderkey % 10 = 1),
+        |attributed AS (
+        |  SELECT o_orderkey, cents, segment FROM (
+        |    SELECT f.o_orderkey, f.cents, h.segment,
+        |           row_number() OVER (PARTITION BY f.o_orderkey
+        |                              ORDER BY h.vf DESC) AS rn
+        |    FROM f_new f JOIN hist_new h
+        |      ON f.o_custkey = h.pk AND h.vf <= f.o_orderdate) x
+        |  WHERE rn = 1)
+        |SELECT segment, count(*) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM attributed GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the REBUILD from the merged snapshot — the strongest possible
     // check of the incremental path: a different algorithm, same answer

@@ -158,4 +158,66 @@ class MaterializedViewSpec extends AnyFunSuite with SparkSpec {
     assert(m("blue") === ((2L, 10L)))
     assert(!m.contains("green"))
   }
+
+  test("b62 applyScd2Changes ≡ temporal rebuild: an out-of-order " +
+       "interior version re-attributes exactly the facts inside the " +
+       "split window, late facts attribute against the NEW history") {
+    val s2 = spark
+    import s2.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // key 1: base 'red' from 1990; key 2: base 'blue' from 1990
+    val histOld = Seq(
+      (1L, d("1990-01-01"), "red"), (2L, d("1990-01-01"), "blue"),
+      // key 1 already versioned once: 'gold' from 2000
+      (1L, d("2000-01-01"), "gold"))
+      .toDF("dk", "valid_from", "attr")
+    // NEW versions: key 1 gets an OUT-OF-ORDER interior 'mid' at 1995
+    // (splits [1990,2000) — facts in [1995,2000) must move red→mid,
+    // facts before 1995 and after 2000 must NOT move); key 2 versions
+    // normally at 1998
+    val histNew = histOld.unionByName(Seq(
+      (1L, d("1995-01-01"), "mid"), (2L, d("1998-01-01"), "navy"))
+      .toDF("dk", "valid_from", "attr"))
+    val factOld = Seq(
+      (10L, 1L, d("1992-06-01"), 5.0),  // red, stays
+      (11L, 1L, d("1996-06-01"), 7.0),  // red → mid (inside the split)
+      (12L, 1L, d("2001-06-01"), 9.0),  // gold, stays
+      (20L, 2L, d("1997-01-01"), 4.0),  // blue, stays
+      (21L, 2L, d("1999-01-01"), 6.0))  // blue → navy
+      .toDF("fid", "dk_ref", "ts", "v")
+    val view0 = MaterializedView.buildTemporal(factOld, histOld,
+      "dk_ref", "dk", "ts", "fid", Seq("attr"), Seq("v"))
+    // fact deltas: a LATE fact dated inside the new interior window
+    // (must land in 'mid'), and a retraction of fact 20
+    val factFeed = Seq(
+      (13L, 1L, d("1999-06-01"), 2.0, "insert"),
+      (20L, 2L, d("1997-01-01"), 4.0, "delete"))
+      .toDF("fid", "dk_ref", "ts", "v", "_change_type")
+    val inc = MaterializedView.applyScd2Changes(view0, factFeed,
+      factOld, histOld, histNew, "dk_ref", "dk", "ts", "fid",
+      Seq("attr"), Seq("v"))
+    val factNew = Seq(
+      (10L, 1L, d("1992-06-01"), 5.0), (11L, 1L, d("1996-06-01"), 7.0),
+      (12L, 1L, d("2001-06-01"), 9.0), (21L, 2L, d("1999-01-01"), 6.0),
+      (13L, 1L, d("1999-06-01"), 2.0))
+      .toDF("fid", "dk_ref", "ts", "v")
+    val rebuilt = MaterializedView.buildTemporal(factNew, histNew,
+      "dk_ref", "dk", "ts", "fid", Seq("attr"), Seq("v"))
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).longValueExact())).toSet
+    assert(canon(inc) === canon(rebuilt))
+    val m = canon(inc).map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m("red") === ((1L, 5L)), "pre-split facts stay red")
+    assert(m("mid") === ((2L, 9L)),
+      "split-window fact MOVES and the late fact lands in mid")
+    assert(m("gold") === ((1L, 9L)), "post-2000 facts untouched")
+    assert(!m.contains("blue"), "retraction + re-version empty blue")
+    assert(m("navy") === ((1L, 6L)))
+    // an empty change set leaves the view bit-identical
+    val noop = MaterializedView.applyScd2Changes(view0,
+      factFeed.limit(0), factOld, histOld, histOld, "dk_ref", "dk",
+      "ts", "fid", Seq("attr"), Seq("v"))
+    assert(canon(noop) === canon(view0))
+  }
 }
