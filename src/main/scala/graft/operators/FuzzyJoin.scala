@@ -78,9 +78,10 @@ object FuzzyJoin {
     // distinct strings at distance ≤ k share O(k) deletion variants, so
     // a true pair is re-verified at most a couple of times, and the
     // per-occurrence levenshtein on short strings is cheaper than
-    // re-exchanging the candidate set. Measured single-JVM
-    // like-for-like with the shuffle_hash fix below: 10-copy replica
-    // 5.45 s → 3.99 s, 100-copy 64.5 s → 22.4 s.
+    // re-exchanging the candidate set. Dev-harness like-for-like with
+    // the shuffle_hash fix below: ~1.4x faster at the 10-copy replica,
+    // ~2.9x at the 100-copy; the committed per-round numbers live in
+    // BENCH_local_r10_sf1.json's b25 row.
     val variants = base.select(col("fj_id"), col("fj_str"),
       explode(variantHashes("fj_str", maxDist)).as("vh"))
     // shuffle_hash, NOT auto-broadcast (the c27 rule): Catalyst's
