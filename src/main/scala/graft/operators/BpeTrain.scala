@@ -161,6 +161,11 @@ object BpeTrain {
     * words at the join; that variant needs a left join with a
     * character-fallback fertility and is deliberately not hidden
     * behind this signature.
+    *
+    * EAGER: executes at call time and returns a driver-materialized
+    * local frame (one row per source; capped loudly at
+    * [[MaxReportRows]]) — the price of freeing the train loop's
+    * checkpoint state before returning.
     */
   def fertilityReport(docs: DataFrame, textCol: String,
                       sourceCol: String, numMerges: Int): DataFrame = {
@@ -188,12 +193,29 @@ object BpeTrain {
     // until a driver GC (a lazily-returned frame would still depend on
     // the truncated-lineage checkpoint RDD, which must not be dropped
     // while anything can still recompute from it)
-    val spark = docs.sparkSession
-    val local = spark.createDataFrame(
-      spark.sparkContext.parallelize(report.collect().toSeq, 1),
-      report.schema)
+    val local = localizeReport(report)
     freeState(seg)
     local
+  }
+
+  /** Reports are one row per SOURCE: tiny by contract. Materializing
+    * them eagerly lets [[freeState]] drop the train loop's checkpoint
+    * RDDs immediately — but makes these public DataFrame-returning
+    * APIs EXECUTE AT CALL TIME and hold the report in driver memory.
+    * That contract is stated on each method, and enforced here: if the
+    * source column turns out to be high-cardinality the collect is
+    * capped loudly rather than silently exhausting the driver.
+    */
+  private val MaxReportRows = 1 << 20
+  private def localizeReport(report: DataFrame): DataFrame = {
+    val spark = report.sparkSession
+    val rows = report.limit(MaxReportRows + 1).collect()
+    require(rows.length <= MaxReportRows,
+      s"fertility report exceeds $MaxReportRows rows — the source " +
+        "column is not the low-cardinality grouping this driver-sized " +
+        "report contract assumes")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), report.schema)
   }
 
   private object GraftExpr {
@@ -259,6 +281,9 @@ object BpeTrain {
     * On the training corpus itself this REPRODUCES the C78 report;
     * on a shifted corpus the fertility rise is the sequence-length tax
     * the frozen tokenizer will charge a training run.
+    *
+    * EAGER: executes at call time, driver-materialized per-source rows
+    * (capped loudly at [[MaxReportRows]]) — see [[fertilityReport]].
     */
   def fertilityUnderMerges(evalDocs: DataFrame, textCol: String,
                            sourceCol: String,
@@ -285,10 +310,7 @@ object BpeTrain {
         GraftExpr.longDiv(col("n_chars") * lit(1000000L),
           col("n_tokens")).as("chars_per_token_ppm"))
       .orderBy("source")
-    val spark = evalDocs.sparkSession
-    val local = spark.createDataFrame(
-      spark.sparkContext.parallelize(report.collect().toSeq, 1),
-      report.schema)
+    val local = localizeReport(report)
     freeState(seg0)
     local
   }
@@ -301,6 +323,9 @@ object BpeTrain {
     * against a published vocabulary table — [[fertilityUnderMerges]] is
     * the exact encode; this bounds it from above and surfaces OOV mass
     * explicitly. Output adds n_oov per source.
+    *
+    * EAGER: executes at call time, driver-materialized per-source rows
+    * (capped loudly at [[MaxReportRows]]) — see [[fertilityReport]].
     */
   def frozenFertilityReport(trainDocs: DataFrame, evalDocs: DataFrame,
                             textCol: String, sourceCol: String,
@@ -329,10 +354,7 @@ object BpeTrain {
         GraftExpr.longDiv(col("n_chars") * lit(1000000L),
           col("n_tokens")).as("chars_per_token_ppm"))
       .orderBy("source")
-    val spark = evalDocs.sparkSession
-    val local = spark.createDataFrame(
-      spark.sparkContext.parallelize(report.collect().toSeq, 1),
-      report.schema)
+    val local = localizeReport(report)
     freeState(seg)
     local
   }

@@ -205,6 +205,10 @@ object ClassifierTrain {
       * restore (weights, lastFolded) alongside the checkpoint.
       */
     def foldEpoch(epoch: Long, feats: DataFrame): (Long, Long) = {
+      // epoch >= 0 BEFORE the replay short-circuit: foldEpoch(-1) on a
+      // fresh state would otherwise match lastFolded's initial -1 and
+      // return the still-null lastReport instead of failing loudly.
+      require(epoch >= 0, s"epoch $epoch < 0: ids are batch ids from 0")
       if (epoch == lastFolded) lastReport
       else {
         require(epoch == lastFolded + 1,

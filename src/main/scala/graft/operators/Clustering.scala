@@ -160,6 +160,10 @@ object Clustering {
       */
     def foldEpoch(epoch: Long, codes: DataFrame,
                   codeCol: String): Seq[(Int, Long, Long, Long)] = {
+      // epoch >= 0 BEFORE the replay short-circuit: foldEpoch(-1) on a
+      // fresh state would otherwise match lastFolded's initial -1 and
+      // return the empty initial report instead of failing loudly.
+      require(epoch >= 0, s"epoch $epoch < 0: ids are batch ids from 0")
       if (epoch == lastFolded) lastReport
       else {
         require(epoch == lastFolded + 1,

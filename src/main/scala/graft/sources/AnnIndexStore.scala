@@ -70,11 +70,25 @@ object AnnIndexStore {
       val bad = df.where(size(col("centroid")) =!= want).count()
       if (bad > 0) Some(s"$bad centroids not $want-dimensional") else None
     })
+    // Subspace coverage: every sub 0..m-1 present, all with the SAME
+    // code count — a torn or partial codebook table must fail the
+    // publish audit, not surface as a mis-decode at query time.
+    val subAudit: Wap.Audit = (s"subspace_coverage($m)", df => {
+      val rows = df.groupBy(col("sub"))
+        .agg(countDistinct(col("code")).as("k")).collect()
+      val subs = rows.map(_.getInt(0)).sorted.toSeq
+      val ks = rows.map(_.getLong(1)).distinct.toSeq
+      if (subs != (0 until m))
+        Some(s"subspaces present=${subs.mkString(",")}, want 0..${m - 1}")
+      else if (ks.length != 1)
+        Some(s"non-uniform code counts across subspaces: ${ks.mkString(",")}")
+      else None
+    })
     MultiPublish.publishAll(spark, Map(
       CellsTable -> ((cellsFrame(spark, cells),
         Seq(Wap.minRows(1), dimAudit(dim)))),
       CodebooksTable -> ((codebooksFrame(spark, pq),
-        Seq(Wap.minRows(1), dimAudit(dsub))))),
+        Seq(Wap.minRows(1), dimAudit(dsub), subAudit)))),
       root, batchId)
   }
 
@@ -116,10 +130,16 @@ object AnnIndexStore {
     val m = cbRows.map(_._1).max + 1
     val codebooks = Array.tabulate(m) { j =>
       val book = cbRows.filter(_._1 == j).sortBy(_._2)
+      // nonEmpty FIRST: an entirely-missing subspace would otherwise
+      // pass the holes check vacuously and mis-serve at query time.
+      require(book.nonEmpty, s"codebook $j missing entirely (m=$m)")
       require(book.map(_._2).toSeq == book.indices.toSeq,
         s"codebook $j holes: ${book.map(_._2).mkString(",")}")
       book.map(_._3)
     }
+    require(codebooks.map(_.length).distinct.length == 1,
+      s"non-uniform kCodes across subspaces: " +
+        codebooks.map(_.length).mkString(","))
     (new L2Cells(cellRows.map(_._2)), new PqIndex(codebooks))
   }
 }

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Similarity
+import graft.operators.{PqIndex, Similarity}
 import graft.sources.{AnnIndexStore, MultiPublish}
 
 /** C81 contracts: a published-then-loaded index serves HASH-IDENTICAL
@@ -157,5 +157,40 @@ class AnnIndexStoreSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException] {
       AnnIndexStore.load(s, root)
     }
+    // an ENTIRELY-missing subspace must not pass vacuously (r10 advice:
+    // book.indices == Nil == codes when sub 0 is absent but sub 7 is
+    // present) — both the load guard and publish's coverage audit refuse
+    val root2 = Files.createTempDirectory("graft_c81bad2").toString
+    val noSub0 = AnnIndexStore.codebooksFrame(s, pq)
+      .where(col("sub") =!= 0)
+    val rep2 = MultiPublish.publishAll(s, Map(
+      AnnIndexStore.CellsTable ->
+        ((AnnIndexStore.cellsFrame(s, cells), Nil)),
+      AnnIndexStore.CodebooksTable -> ((noSub0, Nil))), root2)
+    assert(rep2.committed)
+    assertThrows[IllegalArgumentException] {
+      AnnIndexStore.load(s, root2)
+    }
+    // publish() itself audits subspace coverage: a torn in-memory index
+    // (empty subspace 0; uneven code counts) must FAIL the staged audit
+    // and leave the pointer unmoved — not surface as a query-time
+    // mis-decode
+    // an empty subspace can't even be CONSTRUCTED (PqIndex derives
+    // kCodes/dsub from codebooks.head — loud at new), so the audit's
+    // remaining in-memory reachable case is uneven code counts:
+    assertThrows[RuntimeException] {
+      new PqIndex(pq.codebooks.zipWithIndex.map { case (b, j) =>
+        if (j == 0) Array.empty[Array[Float]] else b
+      })
+    }
+    val root4 = Files.createTempDirectory("graft_c81bad4").toString
+    val unevenSub0 = new PqIndex(
+      pq.codebooks.zipWithIndex.map { case (b, j) =>
+        if (j == 0) b.dropRight(1) else b
+      })
+    val rep4 = AnnIndexStore.publish(s, root4, cells, unevenSub0)
+    assert(!rep4.committed &&
+      rep4.failures.exists(_.contains("subspace_coverage")),
+      s"uneven code counts must fail the publish audit: ${rep4.failures}")
   }
 }

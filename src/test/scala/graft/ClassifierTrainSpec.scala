@@ -122,6 +122,12 @@ class ClassifierTrainSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException] {
       fresh.foldEpoch(2L, f.where(col("batch") === 2))
     }
+    // a NEGATIVE epoch on a fresh state must not match the initial
+    // lastFolded = -1 replay branch and return a null report (r10 advice)
+    val fresh2 = new ClassifierTrain.OnlineClassifierState(B, 64L)
+    assertThrows[IllegalArgumentException] {
+      fresh2.foldEpoch(-1L, f.where(col("batch") === 0))
+    }
     f.unpersist()
   }
 
