@@ -4296,6 +4296,22 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // C83 MinHash estimator calibration: every id-sampled doc paired
+    // with planted variants at a 9-level overlap grid (tail words
+    // replaced by synthetic tokens), then bucketed by exact shingle
+    // Jaccard. The oracle reproduces bucket/n_pairs/mean_exact_ppm
+    // (integer arithmetic over its own string-shingle rebuild) and
+    // theory_cand (one correctly-rounded division + an IEEE
+    // multiplication chain — no pow); the engine-native measured
+    // columns (mean_est_ppm, cand_ppm — XXH64 signatures have no
+    // DuckDB twin) are spec-locked in DedupSpec instead.
+    "c83_minhash_calibration" -> ((s, dir) => {
+      Dedup.minhashCalibrationReport(t(s, dir, "documents"),
+          "text", "doc_id")
+        .select("bucket", "n_pairs", "mean_exact_ppm", "theory_cand")
+        .orderBy("bucket")
+    }),
+
     // C82 incremental code-table serving: the corpus PQ-encoded in TWO
     // ingest epochs against the index (the c81 artifact's frozen-index
     // discipline applied to the DATA side — at 100 TB the float corpus
@@ -4913,6 +4929,62 @@ object SparkEntry {
     "c80b_frozen_fallback_fertility" -> c80bOracleSql(numMerges = 24),
 
     "c78_tokenizer_fertility" -> c78OracleSql(numMerges = 24),
+
+    // c83: the DuckDB side REBUILDS the planted-variant grid from raw
+    // text (string shingles, not the engine's XXH64 hash sets) and
+    // re-derives the calibration table — integer ppm throughout; the
+    // theory column is one correctly-rounded division then
+    // left-associated IEEE multiplications (j^4 and q^16 written out),
+    // bit-identical cross-engine without pow()
+    "c83_minhash_calibration" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |           ' ') AS w
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), elig AS (
+        |  SELECT id, w, len(w) AS n FROM base WHERE len(w) >= 5
+        |), grid AS (
+        |  SELECT unnest([0, 125000, 250000, 375000, 500000, 625000,
+        |                 750000, 875000, 1000000]) AS f_ppm
+        |), paired AS (
+        |  SELECT id, w, n, f_ppm, (n * f_ppm) // 1000000 AS m
+        |  FROM elig, grid
+        |), varw AS (
+        |  SELECT id, f_ppm, w,
+        |         list_concat(w[1:m],
+        |           list_transform(range(m + 1, n + 1),
+        |             i -> 'x' || id || 'q' || i)) AS v
+        |  FROM paired
+        |), sh AS (
+        |  SELECT id, f_ppm,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sa,
+        |         list_distinct(list_transform(range(1, len(v) - 1),
+        |           i -> v[i] || ' ' || v[i+1] || ' ' || v[i+2])) AS sb
+        |  FROM varw
+        |), px AS (
+        |  SELECT id, f_ppm,
+        |         (len(list_intersect(sa, sb)) * 1000000) //
+        |           (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+        |           AS exact_ppm
+        |  FROM sh
+        |), bk AS (
+        |  SELECT least(19, exact_ppm // 50000) AS bucket,
+        |         count(*) AS n_pairs,
+        |         CAST(sum(exact_ppm) AS BIGINT) // count(*)
+        |           AS mean_exact_ppm
+        |  FROM px GROUP BY 1
+        |)
+        |SELECT bucket, n_pairs, mean_exact_ppm,
+        |       round(1.0 - q*q*q*q*q*q*q*q*q*q*q*q*q*q*q*q, 6)
+        |         AS theory_cand
+        |FROM (SELECT bucket, n_pairs, mean_exact_ppm, 1.0 - j*j*j*j AS q
+        |      FROM (SELECT bucket, n_pairs, mean_exact_ppm,
+        |                   CAST(mean_exact_ppm AS DOUBLE) / 1000000.0 AS j
+        |            FROM bk))
+        |ORDER BY bucket""".stripMargin,
 
     "c75_classifier_train" ->
       c75OracleSql(nBuckets = 128, epochs = 3, nBatches = 3, lrDiv = 64L),

@@ -720,4 +720,124 @@ object Dedup {
       .select((-col("__m.__nid")).as(idCol), col("__m.__q").as("quality"),
         col("cluster_size"))
   }
+
+  // ------------------------------------------------- estimator calibration
+
+  /** MinHash estimator-calibration pairs (C83) — C2's banded LSH drives
+    * kept/dropped decisions, but nothing in the pipeline measured how
+    * well its ESTIMATOR tracks exact Jaccard, or whether the banded
+    * candidacy S-curve sits where (1 − (1 − j^r)^b) says it should.
+    * This builds the measurement set: every id-sampled document is
+    * paired with PLANTED VARIANTS at a deterministic overlap grid —
+    * variant f keeps the first ⌊n·f⌋ normalized words and replaces the
+    * tail with synthetic tokens (`x<id>q<i>`) no real document
+    * contains, so planted pairs sweep exact Jaccard from 0 to 1. Per
+    * pair it emits the exact shingle Jaccard (integer ppm, truncating),
+    * the k-component signature-agreement estimate, and the banded
+    * candidacy bit (would C2's LSH have surfaced this pair?).
+    *
+    * Scale shape: the pair is (document, its own constructed variant) —
+    * both sides live in the SAME ROW, so exact Jaccard, estimate, and
+    * candidacy are all per-row projections: a map-only scan of the
+    * id-sampled slice, no join, no shuffle, no LSH bucket exchange. At
+    * 100 TB the sample modulus bounds cost to corpus/sampleMod rows of
+    * codegen'd expression work.
+    *
+    * Returns (id, f_ppm, exact_ppm, est_ppm, candidate).
+    */
+  def minhashCalibrationPairs(df: DataFrame, textCol: String,
+                              idCol: String, k: Int = 64, bands: Int = 16,
+                              sampleMod: Int = 3,
+                              overlapGridPpm: Seq[Long] =
+                                (0L to 8L).map(_ * 125000L)): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val G = graft.functions.GraftExpressions
+    val base = df
+      .where(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("id"),
+        TextFunctions.wsTokens(TextFunctions.normalize(col(textCol)))
+          .as("w"))
+      .where(size(col("w")) >= 5)
+      .select(col("id"), col("w"), size(col("w")).cast("long").as("n"))
+    val paired = base
+      .withColumn("f_ppm", explode(array(overlapGridPpm.map(lit): _*)))
+      .withColumn("m", G.longDiv(col("n") * col("f_ppm"), lit(1000000L)))
+      // sequence(m+1, n) DESCENDS when m = n — guard the full-overlap row
+      .withColumn("v", concat(
+        slice(col("w"), lit(1), col("m").cast("int")),
+        when(col("m") < col("n"),
+          transform(sequence(col("m") + 1, col("n")),
+            i => concat(lit("x"), col("id").cast("string"),
+              lit("q"), i.cast("string"))))
+          .otherwise(array().cast("array<string>"))))
+    val sets = paired.select(
+      col("id"), col("f_ppm"),
+      G.shingleHashes(col("w"), 3).as("sh_a"),
+      G.shingleHashes(col("v"), 3).as("sh_b"),
+      G.minhashSignature(col("w"), 3, k).as("sig_a"),
+      G.minhashSignature(col("v"), 3, k).as("sig_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val union = size(col("sh_a")).cast("long") +
+      size(col("sh_b")).cast("long") - inter
+    val estMatches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, e) => acc + e)
+    val candidate = (0 until bands)
+      .map(j => slice(col("sig_a"), j * r + 1, r) ===
+        slice(col("sig_b"), j * r + 1, r))
+      .reduce(_ || _)
+    sets.select(col("id"), col("f_ppm"),
+      G.longDiv(inter * lit(1000000L), union).as("exact_ppm"),
+      G.longDiv(estMatches * lit(1000000L), lit(k.toLong)).as("est_ppm"),
+      candidate.as("candidate"))
+  }
+
+  /** The C83 calibration REPORT: [[minhashCalibrationPairs]] bucketed
+    * into 20 exact-Jaccard bins. Per bucket: pair count, truncating mean
+    * exact/estimated ppm, the MEASURED banded-candidacy rate, and the
+    * THEORETICAL S-curve 1 − (1 − j^r)^b at the bucket's mean exact
+    * Jaccard — the table that says whether C2's threshold sits where
+    * the math puts it and how biased the estimator runs per bin.
+    *
+    * Cross-engine exactness: bucket ids, counts, and means are integer
+    * arithmetic; the theory column is built from ONE correctly-rounded
+    * division followed by a left-associated chain of IEEE
+    * multiplications (no `pow`) — bit-identical in any IEEE-754 engine,
+    * so the DuckDB oracle reproduces bucket/n_pairs/mean_exact_ppm/
+    * theory_cand exactly from its own string-shingle rebuild of the
+    * planted grid. mean_est_ppm and cand_ppm have no cross-engine twin
+    * (the XXH64 signature chain is engine-native) — they are the
+    * SPEC-locked columns: DedupSpec pins est-vs-exact bias and
+    * measured-vs-theory S-curve agreement.
+    */
+  def minhashCalibrationReport(df: DataFrame, textCol: String,
+                               idCol: String, k: Int = 64, bands: Int = 16,
+                               sampleMod: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val G = graft.functions.GraftExpressions
+    val pairs = minhashCalibrationPairs(df, textCol, idCol, k, bands,
+      sampleMod)
+    val agg0 = pairs
+      .groupBy(least(lit(19L), G.longDiv(col("exact_ppm"), lit(50000L)))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("exact_ppm")).as("__se"),
+        sum(col("est_ppm")).as("__sm"),
+        sum(col("candidate").cast("long")).as("__sc"))
+    val meanExact = G.longDiv(col("__se"), col("n_pairs"))
+    val j = meanExact.cast("double") / lit(1000000.0)
+    val jr = Seq.fill(r)(j).reduce(_ * _)
+    val q = lit(1.0) - jr
+    val theory = lit(1.0) - Seq.fill(bands)(q).reduce(_ * _)
+    agg0.select(col("bucket"), col("n_pairs"),
+        meanExact.as("mean_exact_ppm"),
+        G.longDiv(col("__sm"), col("n_pairs")).as("mean_est_ppm"),
+        G.longDiv(col("__sc") * lit(1000000L), col("n_pairs"))
+          .as("cand_ppm"),
+        round(theory, 6).as("theory_cand"))
+      .orderBy("bucket")
+  }
 }

@@ -398,6 +398,50 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (7L, 0.8, 3L)))
   }
 
+  test("c83 calibration: estimator tracks exact Jaccard and measured " +
+    "candidacy sits on the banded S-curve (threshold where theory puts it)") {
+    // 120 mutually-unrelated docs (disjoint per-doc vocab) — every
+    // calibration pair's similarity comes from its planted variant only
+    val corpus = (1 to 120).map { i =>
+      (i.toLong, (1 to 40 + (i % 41)).map(j => s"d${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.minhashCalibrationPairs(corpus, "text", "doc_id",
+      sampleMod = 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(pairs.length === 120 * 9)
+    // full-overlap rows are exact copies: J = est = 1, always candidates
+    val full = pairs.filter(_._1 == 1000000L)
+    assert(full.forall(p => p._2 == 1000000L && p._3 == 1000000L && p._4))
+    // zero-overlap rows share no shingles: J = 0, (near-)never candidates
+    val none = pairs.filter(_._1 == 0L)
+    assert(none.forall(_._2 == 0L))
+    assert(none.count(_._4) <= math.max(2, none.length / 50),
+      "disjoint pairs must (almost) never be LSH candidates")
+    val report = Dedup.minhashCalibrationReport(corpus, "text", "doc_id",
+      sampleMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // theory is monotone in the bucket's mean exact Jaccard
+    assert(report.sortBy(_._1).map(_._6).sliding(2).forall(w =>
+      w.length < 2 || w(0) <= w(1)))
+    val solid = report.filter(_._2 >= 30)
+    assert(solid.nonEmpty)
+    solid.foreach { case (bucket, n, exact, est, cand, theory) =>
+      // estimator bias: bucket-mean estimate within 0.08 of exact (k=64)
+      assert(math.abs(est - exact) <= 80000L,
+        s"bucket $bucket: est $est vs exact $exact (n=$n)")
+      // measured candidacy within 0.25 of the S-curve at the bucket mean
+      assert(math.abs(cand - math.round(theory * 1000000)) <= 250000L,
+        s"bucket $bucket: cand $cand vs theory $theory (n=$n)")
+      // the banded threshold sits where theory says (~0.454 for r=4,b=16):
+      // well-above buckets are majority-candidates, well-below are not
+      if (exact >= 600000L) assert(cand >= 500000L,
+        s"bucket $bucket above threshold but cand=$cand")
+      if (exact <= 300000L) assert(cand < 500000L,
+        s"bucket $bucket below threshold but cand=$cand")
+    }
+  }
+
   test("shingle-based signatures are deterministic across evaluations") {
     val sig = graft.functions.GraftExpressions.minhashSignature(
       split(col("text"), " "), 3, 64)
