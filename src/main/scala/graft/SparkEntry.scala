@@ -4436,6 +4436,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // C84: extent-granularity CANONICAL strip — the composition between
+    // c29 (keep one canonical per duplicated WINDOW) and c76c (strip
+    // every occurrence): firing windows merge to maximal extents,
+    // extents cluster by exact token content, the least (doc, start)
+    // member survives intact, every other member strips whole. Oracle =
+    // the c76c replica plus the exemption (token-coverage islands →
+    // extents → content-md5 clusters → min-enc canonical).
+    "c84_canonical_extent_strip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.canonicalStripExtents(corpus, "text", "doc_id", w = 16)
+        .where(col("n_tokens") + col("kept_tokens") >= 0)
+        .orderBy("id")
+    }),
+
     // C76b: duplicated-span EXTENTS — the c76 ladder completed with
     // WHERE: firing windows merged into maximal (start_tok, end_tok)
     // intervals per (doc, level) via a per-document gaps-and-islands
@@ -9169,6 +9186,63 @@ object SparkEntry {
         |         AS n_dup_spans
         |FROM h JOIN c USING (w, h)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the c76c strip replica PLUS the canonical exemption: extents
+    // recovered by the token-coverage-islands algorithm (not the
+    // engine's interval sweep), content-hashed with the same md5 slice,
+    // canonical elected by the same single-BIGINT min-enc rule as c29;
+    // only non-canonical extents' positions drop
+    "c84_canonical_extent_strip" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |      FROM corpus WHERE length(trim(text)) > 0),
+        |s AS (SELECT doc_id, t, unnest(range(0, len(t) - 16 + 1)) AS pos
+        |      FROM d WHERE len(t) >= 16),
+        |h AS (SELECT doc_id, pos,
+        |             md5(array_to_string(list_slice(t, pos + 1, pos + 16), ' '))
+        |               AS h
+        |      FROM s),
+        |c AS (SELECT h FROM (
+        |        SELECT h, count(*) AS n_occ FROM h GROUP BY 1) x
+        |      WHERE n_occ > 1),
+        |f AS (SELECT doc_id, pos FROM h JOIN c USING (h)),
+        |cov0 AS (SELECT doc_id, unnest(range(pos, pos + 16)) AS tp FROM f),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM cov0),
+        |isl AS (SELECT doc_id, tp,
+        |               tp - row_number()
+        |                      OVER (PARTITION BY doc_id ORDER BY tp) AS grp
+        |        FROM cov),
+        |ext AS (SELECT doc_id, min(tp) AS st, max(tp) AS en
+        |        FROM isl GROUP BY doc_id, grp),
+        |eh AS (SELECT e.doc_id, e.st, e.en,
+        |              md5(array_to_string(
+        |                list_slice(d.t, e.st + 1, e.en + 1), ' ')) AS ehash
+        |       FROM ext e JOIN d USING (doc_id)),
+        |strip AS (SELECT doc_id, st, en FROM (
+        |            SELECT doc_id, st, en,
+        |                   doc_id * 2147483648 + st AS enc,
+        |                   min(doc_id * 2147483648 + st)
+        |                     OVER (PARTITION BY ehash) AS canon
+        |            FROM eh) x
+        |          WHERE enc <> canon),
+        |rem AS (SELECT doc_id, unnest(range(st, en + 1)) AS tp FROM strip),
+        |tokp AS (SELECT doc_id, unnest(range(0, len(t))) AS tp, t FROM d),
+        |kept AS (SELECT k.doc_id, k.tp, k.t[k.tp + 1] AS tok
+        |         FROM tokp k ANTI JOIN rem r
+        |           ON k.doc_id = r.doc_id AND k.tp = r.tp),
+        |reb AS (SELECT doc_id, count(*) AS kept_tokens,
+        |               md5(string_agg(tok, ' ' ORDER BY tp)) AS clean_md5
+        |        FROM kept GROUP BY 1)
+        |SELECT id, n_tokens, kept_tokens, clean_md5 FROM (
+        |  SELECT d.doc_id AS id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |         coalesce(reb.kept_tokens, 0) AS kept_tokens,
+        |         coalesce(reb.clean_md5, md5('')) AS clean_md5
+        |  FROM d LEFT JOIN reb USING (doc_id)) x
+        |WHERE n_tokens + kept_tokens >= 0
+        |ORDER BY 1""".stripMargin,
 
     // token-coverage islands replica of the interval-sweep engine: each
     // firing window explodes to its covered token positions, distinct

@@ -637,6 +637,102 @@ object Dedup {
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
   }
 
+  /** Extent-granularity CANONICAL strip (C84) — the composition the
+    * strip-vs-drop axis was missing: [[removeDuplicatedSpans]] (C29)
+    * keeps one canonical occurrence but at fixed-WINDOW granularity
+    * (adjacent windows may elect canonicals in different documents, so
+    * a long duplicated run can survive stitched across docs), while
+    * [[stripDuplicatedExtents]] (C76c) strips EVERY occurrence and the
+    * content survives nowhere. The production dedup rule sits between:
+    * merge firing windows into maximal per-document extents
+    * ([[spanExtents]]'s sweep), CLUSTER extents by their exact token
+    * content (md5), keep the lexicographically least (doc, start)
+    * member of each cluster INTACT, strip every other member whole.
+    * One canonical copy of each maximal duplicated stretch survives —
+    * Lee et al. 2022's "train on it once", at the granularity a human
+    * would point at.
+    *
+    * Partial-overlap extents (shared middle, differing ends) hash to
+    * DIFFERENT clusters and each keeps its own canonical — deliberate:
+    * the unit of curation here is the maximal duplicated stretch a
+    * document actually contains; sub-extent surgery stays C29's
+    * window-granularity job.
+    *
+    * Scale shape: [[spanExtents]]'s cost model (duplicated-vocabulary
+    * filter before a shuffle_hash join, per-document bounded island
+    * sweep), plus one id-keyed join of the extent table (duplicated
+    * volume) back to tokens for the content hash, one hash-keyed
+    * window over the extent table to elect canonicals, and the same
+    * anti-join rebuild as C29/C76c. Work stays proportional to
+    * duplicated volume; no corpus-sized window, no cross join.
+    *
+    * Returns (id, n_tokens, kept_tokens, clean_md5) — C29/C76c's shape,
+    * so all three rewrites compare directly.
+    */
+  def canonicalStripExtents(df: DataFrame, textCol: String,
+                            idCol: String, w: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFunctions.wsTokens(col(textCol))
+    val base = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("id"), toks.as("toks"))
+    val spans = base.where(size(col("toks")) >= w)
+      .select(col("id"),
+        posexplode(graft.functions.GraftExpressions.spanMd5s(col("toks"), w))
+          .as(Seq("pos", "h")))
+    val dupHashes = spans.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") > 1)
+      .select("h")
+    val fired = spans.join(dupHashes.hint("shuffle_hash"), "h")
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        (col("pos") + lit(w - 1)).cast("long").as("end"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevMax = max(col("end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val extents = fired
+      .withColumn("new_ext",
+        when(col("pos") > coalesce(prevMax, lit(Long.MinValue)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("ext", sum(col("new_ext"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("ext"))
+      .agg(min("pos").as("start_tok"), max("end").as("end_tok"))
+    // content hash: the extent's own token slice (id-keyed equi-join of
+    // the duplicated-volume extent table back to the doc tokens)
+    val hashed = extents.join(base, "id")
+      .select(col("id"), col("start_tok"), col("end_tok"),
+        md5(array_join(slice(col("toks"),
+          (col("start_tok") + 1).cast("int"),
+          (col("end_tok") - col("start_tok") + 1).cast("int")), " "))
+          .as("ehash"))
+    // one canonical per identical-content cluster: least (doc, start)
+    // via the same single-BIGINT encoding C29 uses (cross-engine safe)
+    val enc = col("id") * lit(2147483648L) + col("start_tok")
+    val byContent = Window.partitionBy("ehash")
+    val stripped = hashed
+      .withColumn("__enc", enc)
+      .withColumn("__canon", min(enc).over(byContent))
+      .where(col("__enc") =!= col("__canon"))
+    val covered = stripped
+      .select(col("id"),
+        explode(sequence(col("start_tok"), col("end_tok"))).as("tp"))
+    val tokenPos = base
+      .select(col("id"), posexplode(col("toks")).as(Seq("tp", "tok")))
+    val rebuilt = tokenPos
+      .join(covered, Seq("id", "tp"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok")), " ")).as("clean_md5"))
+    base
+      .select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Sorted distinct character n-gram hashes of normalized text

@@ -333,6 +333,52 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         .digest("".getBytes).map("%02x".format(_)).mkString))
   }
 
+  test("c84 canonicalStripExtents: exactly ONE canonical member per " +
+    "identical-content extent cluster survives; kept mass sits between " +
+    "c76c strip and full text") {
+    val block = (1 to 16).map(i => s"dup$i").mkString(" ")
+    val other = (1 to 16).map(i => s"tpl$i").mkString(" ")
+    val docs = Seq(
+      // cluster A: the same 16-token block in docs 1, 2, 5
+      (1L, block + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, block + " " + (1 to 10).map(i => s"b$i").mkString(" ")),
+      (5L, block + " " + (1 to 10).map(i => s"e$i").mkString(" ")),
+      // cluster B: a different block, docs 3 and 4
+      (3L, other + " " + (1 to 10).map(i => s"c$i").mkString(" ")),
+      (4L, other + " " + (1 to 10).map(i => s"d$i").mkString(" ")),
+      // unique doc: untouched
+      (6L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.canonicalStripExtents(docs, "text", "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // one canonical per cluster: min (doc, start) — doc 1 for A, doc 3
+    // for B — keeps the extent; every other member strips it whole
+    assert(out(1L) === ((26L, 26L)), "cluster A canonical keeps all")
+    assert(out(2L) === ((26L, 10L)) && out(5L) === ((26L, 10L)),
+      "non-canonical cluster-A members strip the extent")
+    assert(out(3L) === ((26L, 26L)), "cluster B canonical keeps all")
+    assert(out(4L) === ((26L, 10L)))
+    assert(out(6L) === ((20L, 20L)), "unique doc untouched")
+    // kept-mass accounting: across each cluster the extent survives
+    // EXACTLY once (strip would keep it 0 times, raw corpus 3/2 times)
+    val strip = Dedup.stripDuplicatedExtents(docs, "text", "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(strip(1L) === 10L, "c76c strips even the canonical")
+    val keptA = Seq(1L, 2L, 5L).map(i => out(i)._2).sum
+    assert(keptA === 16L + 3 * 10L, "cluster A content kept exactly once")
+    // a WITHIN-document repeat is one cluster of two extents: the first
+    // occurrence survives, the second strips
+    val twice = Seq((7L, block + " mid1 mid2 mid3 mid4 " + block))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((8L, block + " " +
+        (1 to 10).map(i => s"h$i").mkString(" "))).toDF("doc_id", "text"))
+    val rep = Dedup.canonicalStripExtents(twice, "text", "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep(7L) === ((36L, 20L)),
+      "doc 7 keeps first occurrence + middle, strips the second")
+    assert(rep(8L) === ((26L, 10L)))
+  }
+
   test("removeDuplicatedSpans keeps canonical occurrences, empties full copies") {
     val prefix = (1 to 20).map(i => s"p$i").mkString(" ")
     val x30 = (1 to 30).map(i => s"x$i").mkString(" ")
