@@ -4337,10 +4337,10 @@ object SparkEntry {
       val ep1 = Similarity.encodeCodes(
         emb.where(pmod(col("vec_id"), lit(2)) === 1),
         "vec_id", "embedding", cells, pq)
-      AnnIndexStore.appendCodesEpoch(ep0, root, 0L)
-      AnnIndexStore.appendCodesEpoch(ep1, root, 1L)
-      AnnIndexStore.appendCodesEpoch(ep1, root, 1L) // replayed delivery
-      Similarity.ivfpqTopKFromCodes(AnnIndexStore.readCodes(s, root),
+      AnnIndexStore.appendCodesEpoch(ep0, root, 1, 0L)
+      AnnIndexStore.appendCodesEpoch(ep1, root, 1, 1L)
+      AnnIndexStore.appendCodesEpoch(ep1, root, 1, 1L) // replayed delivery
+      Similarity.ivfpqTopKFromCodes(AnnIndexStore.readCodes(s, root, 1),
           emb.where(col("vec_id") < 5), "vec_id", "embedding",
           cells, pq, k = 6, nProbe = 8)
         .orderBy("query_id", "rnk")
@@ -4370,6 +4370,65 @@ object SparkEntry {
       Similarity.ivfpqTopKWith(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", loadedCells, loadedPq, k = 6, nProbe = 8)
         .orderBy("query_id", "rnk")
+    }),
+
+    // C85 blue/green stored-code rollover: codes are KEYED BY INDEX
+    // VERSION, so a re-built index (new C81 publish with different
+    // codebooks — kCodes 16 → 12) cannot silently invalidate the old
+    // version's codes. The old version keeps serving its own
+    // (cells, codebooks, iv1-codes) triple via the loadAt/readCodes
+    // pin while the new version backfills as ordinary epochs (one
+    // replayed — the D8 rule holds per version key). Output = BOTH
+    // pins' servings tagged by version; the oracle is the c28
+    // brute-force ADC replica built TWICE (sample LIMIT 16 and 12) —
+    // each serving must hash-match its own replica, which a version
+    // mix-up (codes decoded against the wrong codebooks) cannot.
+    "c85_blue_green_codes" -> ((s, dir) => {
+      import graft.sources.AnnIndexStore
+      import org.apache.hadoop.fs.Path
+      val emb = t(s, dir, "embeddings")
+      val root = Tables.scratch("c85_bg_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val queries = emb.where(col("vec_id") < 5)
+      def ingest(cells: graft.operators.L2Cells,
+                 pq: graft.operators.PqIndex, iv: Int): Unit = {
+        val ep0 = Similarity.encodeCodes(
+          emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", cells, pq)
+        val ep1 = Similarity.encodeCodes(
+          emb.where(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", cells, pq)
+        AnnIndexStore.appendCodesEpoch(ep0, root, iv, 0L)
+        AnnIndexStore.appendCodesEpoch(ep1, root, iv, 1L)
+        AnnIndexStore.appendCodesEpoch(ep1, root, iv, 1L) // replay
+      }
+      // BLUE: v1 index published + codes ingested under iv1
+      val (c1, p1) = Similarity.buildIvfpqIndex(
+        emb, "vec_id", "embedding", nLists = 8, m = 8, kCodes = 16)
+      val rep1 = AnnIndexStore.publish(s, root, c1, p1)
+      require(rep1.committed, s"v1 publish failed: ${rep1.failures}")
+      val v1 = AnnIndexStore.committedVersion(s, root)
+      ingest(c1, p1, v1)
+      // GREEN: the index is REBUILT (kCodes 12) and published as v2;
+      // iv2 codes backfill while v1 stays fully servable
+      val (c2, p2) = Similarity.buildIvfpqIndex(
+        emb, "vec_id", "embedding", nLists = 8, m = 8, kCodes = 12)
+      val rep2 = AnnIndexStore.publish(s, root, c2, p2)
+      require(rep2.committed, s"v2 publish failed: ${rep2.failures}")
+      val v2 = AnnIndexStore.committedVersion(s, root)
+      require(v2 == v1 + 1, s"expected rollover $v1 -> ${v1 + 1}, got $v2")
+      ingest(c2, p2, v2)
+      // serve BOTH pins — each from its own version triple
+      def serve(iv: Int): DataFrame = {
+        val (lc, lpq) = AnnIndexStore.loadAt(s, root, iv)
+        Similarity.ivfpqTopKFromCodes(AnnIndexStore.readCodes(s, root, iv),
+          queries, "vec_id", "embedding", lc, lpq, k = 6, nProbe = 8)
+          .withColumn("version", lit(iv))
+      }
+      serve(v1).unionByName(serve(v2))
+        .orderBy("version", "query_id", "rnk")
     }),
 
     // C27: duplicated-span scan (exact substring dedup at 16-word
@@ -4555,7 +4614,14 @@ object SparkEntry {
       // streaming automaton instead of the regex scan — same question,
       // same answer, so the shared oracle makes automaton ≡ RE2 itself
       // a driver-gated contract
-      "d23_pattern_fold" -> base("b49_seq_pattern"))
+      "d23_pattern_fold" -> base("b49_seq_pattern"),
+      // c85: each rollover side must match ITS OWN brute-force ADC
+      // replica (kCodes 16 for v1, 12 for v2) — assembled by plain
+      // concatenation of two independently-stripMargin'd blocks
+      "c85_blue_green_codes" ->
+        (c85AdcSql(kCodes = 16, version = 1) + "\nUNION ALL\n" +
+          c85AdcSql(kCodes = 12, version = 2) +
+          "\nORDER BY version, query_id, rnk"))
   }
 
   /** c75's oracle is GENERATED from the same hyperparameters the engine
@@ -4565,6 +4631,58 @@ object SparkEntry {
     * trajectory bit-for-bit (all-integer arithmetic; `//` on the
     * positive-shifted numerators ≡ the engine's truncating division).
     */
+  /** One version's brute-force ADC replica for c85 — the c28 oracle
+    * parameterized by codebook size (the rollover changes kCodes, so
+    * each index version has its own sample pool LIMIT and therefore its
+    * own codebooks/encodings/distances) and tagged with the version.
+    * Emitted WITHOUT a trailing ORDER BY so two instances union; built
+    * as its own stripMargin block and concatenated (never re-interpolated
+    * into another stripMargin — the c78 lesson).
+    */
+  private def c85AdcSql(kCodes: Int, version: Int): String = {
+    val limit = math.max(kCodes, 8) // buildIvfpqIndex pool: max(kCodes, nLists)
+    s"""SELECT query_id, neighbor_id, adc, rnk,
+       |       CAST($version AS INT) AS version FROM (
+       |WITH corp AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |samp AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |                            CAST(vec_id AS VARCHAR)) - 1 AS cw, v
+       |  FROM (SELECT vec_id, v FROM corp
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+       |        LIMIT $limit)),
+       |cwv AS (SELECT cw, v FROM samp WHERE cw < $kCodes),
+       |subs AS (SELECT unnest(range(0, 8)) AS sub),
+       |cb AS (
+       |  SELECT s.sub, p.cw,
+       |         list_slice(p.v, s.sub*8 + 1, s.sub*8 + 8) AS cvec
+       |  FROM cwv p CROSS JOIN subs s),
+       |enc AS (
+       |  SELECT vec_id, sub, cw FROM (
+       |    SELECT c.vec_id, b.sub, b.cw,
+       |           row_number() OVER (PARTITION BY c.vec_id, b.sub
+       |             ORDER BY list_distance(
+       |                 list_slice(c.v, b.sub*8 + 1, b.sub*8 + 8), b.cvec),
+       |               b.cw) AS rn
+       |    FROM corp c CROSS JOIN cb b) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 5),
+       |adc AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         round(sum(list_distance(
+       |             list_slice(q.qv, e.sub*8 + 1, e.sub*8 + 8), b.cvec)), 6)
+       |           AS adc
+       |  FROM q CROSS JOIN enc e
+       |  JOIN cb b ON b.sub = e.sub AND b.cw = e.cw
+       |  WHERE e.vec_id <> q.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc, rnk FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |         row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc, neighbor_id) AS rnk
+       |  FROM adc) r
+       |WHERE rnk <= 6)""".stripMargin
+  }
+
   private def c75OracleSql(nBuckets: Int, epochs: Int, nBatches: Int,
                            lrDiv: Long): String = {
     val feats =

@@ -96,34 +96,74 @@ object AnnIndexStore {
     * .Similarity.encodeCodes]] output) under the D8 epoch-partition
     * rule: a replayed epoch overwrites its own partition with
     * bit-identical rows — exactly-once under at-least-once delivery.
-    * This is the C82 incremental-maintenance step: the float corpus is
-    * encoded ONCE per epoch against a frozen index version; serving
+    * This is the C82/C85 incremental-maintenance step: the float corpus
+    * is encoded ONCE per epoch against a frozen index version; serving
     * reads the m-byte code table, never the raw vectors.
+    *
+    * Codes are KEYED BY INDEX VERSION (`iv<version>/` under the codes
+    * table): a code is only meaningful against the codebooks that
+    * produced it, so a re-built index (a new [[publish]]) must NOT
+    * silently invalidate the stored codes — the new version re-encodes
+    * as ordinary epochs into its own key space while the old version
+    * keeps serving from its own (the C85 blue/green rollover). Serving
+    * always pins (version, codes-at-version) together via
+    * [[loadAt]] + [[readCodes]].
     */
   def appendCodesEpoch(codes: DataFrame, root: String,
-                       epoch: Long): Unit =
+                       indexVersion: Int, epoch: Long): Unit = {
+    require(indexVersion >= 1, s"indexVersion $indexVersion < 1")
     graft.streaming.EventStreams.epochIdempotentSink(
-      codes, epoch, s"$root/$CodesTable")
+      codes, epoch, s"$root/$CodesTable/iv$indexVersion")
+  }
 
-  /** All appended code epochs as one serving frame. */
-  def readCodes(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/$CodesTable")
+  /** All code epochs stored under ONE index version, as one serving
+    * frame — codes from any other version are invisible by key.
+    */
+  def readCodes(spark: SparkSession, root: String,
+                indexVersion: Int): DataFrame =
+    spark.read.parquet(s"$root/$CodesTable/iv$indexVersion")
       .select("neighbor_id", "cell", "codes")
+
+  /** The COMMITTED index version — the default pin for a fresh serving
+    * session. Both index tables advance together through the A37
+    * atomic commit, so a split pointer is structural corruption and
+    * fails loudly.
+    */
+  def committedVersion(spark: SparkSession, root: String): Int = {
+    val vs = MultiPublish.commitVersions(spark, root)
+    val vc = vs.getOrElse(CellsTable, throw new IllegalStateException(
+      s"no committed $CellsTable under $root"))
+    val vb = vs.getOrElse(CodebooksTable, throw new IllegalStateException(
+      s"no committed $CodebooksTable under $root"))
+    require(vc == vb, s"torn index pointer: cells v$vc vs codebooks v$vb")
+    vc
+  }
 
   /** Load the COMMITTED index version and reconstruct the serving
     * objects — what a fresh session does instead of rebuilding. Loud on
     * structural holes (a missing cell id or subspace would silently
     * shift every code).
     */
-  def load(spark: SparkSession, root: String): (L2Cells, PqIndex) = {
-    val cellRows = MultiPublish.readCommitted(spark, root, CellsTable)
+  def load(spark: SparkSession, root: String): (L2Cells, PqIndex) =
+    loadAt(spark, root, committedVersion(spark, root))
+
+  /** Load an EXPLICIT index version (time-travel pin) — what blue/green
+    * serving does during a rollover: the old version keeps serving its
+    * own (cells, codebooks, codes) triple while the new version's codes
+    * backfill. Same structural audits as [[load]].
+    */
+  def loadAt(spark: SparkSession, root: String,
+             version: Int): (L2Cells, PqIndex) = {
+    val cellRows = MultiPublish.readVersion(spark, root, CellsTable,
+        version)
       .select("cell", "centroid").collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
     require(cellRows.nonEmpty &&
       cellRows.map(_._1).toSeq == cellRows.indices.toSeq,
       s"cells table holes: ${cellRows.map(_._1).mkString(",")}")
-    val cbRows = MultiPublish.readCommitted(spark, root, CodebooksTable)
+    val cbRows = MultiPublish.readVersion(spark, root, CodebooksTable,
+        version)
       .select("sub", "code", "centroid").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
     require(cbRows.nonEmpty, "empty codebooks table")

@@ -32,15 +32,20 @@ import graft.sources.AnnIndexStore
   */
 object CodesStream {
 
+  /** @param indexVersion the frozen index version the codes are encoded
+    *        against — keys the stored-code table (C85's blue/green
+    *        rule: codes are meaningless against any other codebooks)
+    */
   def ingestSink(stream: DataFrame, idCol: String, vecCol: String,
                  cells: L2Cells, pq: PqIndex, root: String,
-                 checkpoint: String): StreamingQuery =
+                 checkpoint: String, indexVersion: Int = 1): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         AnnIndexStore.appendCodesEpoch(
-          Similarity.encodeCodes(b, idCol, vecCol, cells, pq), root, id)
+          Similarity.encodeCodes(b, idCol, vecCol, cells, pq), root,
+          indexVersion, id)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -71,6 +71,63 @@ class AnnIndexStoreSpec extends AnyFunSuite with SparkSpec {
       AnnIndexStore.CellsTable, 1).count() === 4L)
   }
 
+  test("c85 blue/green rollover: version-keyed codes stay valid across " +
+    "an index rebuild; each pin serves exactly its own triple") {
+    val root = Files.createTempDirectory("graft_c85").toString
+    val queries = corpus.where(col("vec_id") < 3)
+    def ingest(cells: graft.operators.L2Cells,
+               pq: graft.operators.PqIndex, iv: Int): Unit = {
+      val ep0 = Similarity.encodeCodes(corpus.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", cells, pq)
+      val ep1 = Similarity.encodeCodes(corpus.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", cells, pq)
+      AnnIndexStore.appendCodesEpoch(ep0, root, iv, 0L)
+      AnnIndexStore.appendCodesEpoch(ep1, root, iv, 1L)
+      AnnIndexStore.appendCodesEpoch(ep1, root, iv, 1L) // replay, per key
+    }
+    val (c1, p1) = Similarity.buildIvfpqIndex(
+      corpus, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 8)
+    assert(AnnIndexStore.publish(s, root, c1, p1).committed)
+    assert(AnnIndexStore.committedVersion(s, root) === 1)
+    ingest(c1, p1, 1)
+    val blueBefore = Similarity.ivfpqTopKFromCodes(
+      AnnIndexStore.readCodes(s, root, 1), queries, "vec_id", "embedding",
+      c1, p1, k = 5, nProbe = 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    // ROLLOVER: rebuilt index (different codebooks) publishes as v2
+    val (c2, p2) = Similarity.buildIvfpqIndex(
+      corpus, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 12)
+    assert(AnnIndexStore.publish(s, root, c2, p2).committed)
+    assert(AnnIndexStore.committedVersion(s, root) === 2)
+    ingest(c2, p2, 2)
+    // the v1 pin is UNCHANGED by the rollover — same rows, same ranks
+    val (lc1, lp1) = AnnIndexStore.loadAt(s, root, 1)
+    val blueAfter = Similarity.ivfpqTopKFromCodes(
+      AnnIndexStore.readCodes(s, root, 1), queries, "vec_id", "embedding",
+      lc1, lp1, k = 5, nProbe = 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(blueAfter === blueBefore,
+      "v1 serving changed across the v2 rollover")
+    // the v2 pin serves the rebuilt index exactly (≡ in-memory build)
+    val (lc2, lp2) = AnnIndexStore.loadAt(s, root, 2)
+    val green = Similarity.ivfpqTopKFromCodes(
+      AnnIndexStore.readCodes(s, root, 2), queries, "vec_id", "embedding",
+      lc2, lp2, k = 5, nProbe = 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val direct = Similarity.ivfpqTopKWith(corpus, queries, "vec_id",
+      "embedding", c2, p2, k = 5, nProbe = 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(green === direct, "v2 serving diverged from the rebuilt index")
+    assert(green !== blueAfter,
+      "rollover fixture must actually change rankings (kCodes 8 vs 12)")
+    // code key spaces are disjoint: each version sees its own rows only
+    assert(AnnIndexStore.readCodes(s, root, 1).count() === 40L)
+    assert(AnnIndexStore.readCodes(s, root, 2).count() === 40L)
+    // default load follows the pointer (v2), loadAt pins history
+    val (lcDef, _) = AnnIndexStore.load(s, root)
+    assert(lcDef.cents.map(_.toSeq).toSeq === c2.cents.map(_.toSeq).toSeq)
+  }
+
   test("c82: serving from incrementally appended stored codes equals " +
     "encode-at-query serving, and a replayed epoch is a no-op") {
     val root = Files.createTempDirectory("graft_c82").toString
@@ -82,10 +139,10 @@ class AnnIndexStoreSpec extends AnyFunSuite with SparkSpec {
     val ep1 = Similarity.encodeCodes(
       corpus.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
       cells, pq)
-    AnnIndexStore.appendCodesEpoch(ep0, root, 0L)
-    AnnIndexStore.appendCodesEpoch(ep1, root, 1L)
-    AnnIndexStore.appendCodesEpoch(ep1, root, 1L) // at-least-once replay
-    val stored = AnnIndexStore.readCodes(s, root)
+    AnnIndexStore.appendCodesEpoch(ep0, root, 1, 0L)
+    AnnIndexStore.appendCodesEpoch(ep1, root, 1, 1L)
+    AnnIndexStore.appendCodesEpoch(ep1, root, 1, 1L) // at-least-once replay
+    val stored = AnnIndexStore.readCodes(s, root, 1)
     assert(stored.count() === corpus.count(),
       "replayed epoch must not duplicate rows")
     val queries = corpus.where(col("vec_id") < 3)
@@ -122,20 +179,20 @@ class AnnIndexStoreSpec extends AnyFunSuite with SparkSpec {
       "embedding", cells, pq, root,
       Files.createTempDirectory("graft_d35_ck").toString)
     q.awaitTermination(120000)
-    val stored = AnnIndexStore.readCodes(s, root)
+    val stored = AnnIndexStore.readCodes(s, root, 1)
     assert(stored.count() === corpus.count())
     // sink-level replay: re-land epoch 2's batch directly — no-op
     AnnIndexStore.appendCodesEpoch(
       Similarity.encodeCodes(corpus.where(col("vec_id") % 3 === 2),
-        "vec_id", "embedding", cells, pq), root, 2L)
-    assert(AnnIndexStore.readCodes(s, root).count() === corpus.count(),
+        "vec_id", "embedding", cells, pq), root, 1, 2L)
+    assert(AnnIndexStore.readCodes(s, root, 1).count() === corpus.count(),
       "replayed epoch must not duplicate rows")
     // streamed codes ≡ one-shot batch encode, row for row
     val batch = Similarity.encodeCodes(corpus, "vec_id", "embedding",
       cells, pq).collect()
       .map(r => (r.getLong(0), r.getInt(1),
         r.getSeq[Byte](2).toSeq)).toSet
-    val got = AnnIndexStore.readCodes(s, root).collect()
+    val got = AnnIndexStore.readCodes(s, root, 1).collect()
       .map(r => (r.getLong(0), r.getInt(1),
         r.getSeq[Byte](2).toSeq)).toSet
     assert(got === batch, "streamed code table diverged from batch encode")
