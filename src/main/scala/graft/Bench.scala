@@ -104,6 +104,10 @@ object Bench {
     "c81_ann_index_serve", "c82_incremental_codes_serve",
     "d34_overlap_stream", "d36_online_multiclass",
     "b62_scd2_view_maintenance",
+    // r11 additions: minhash calibration, extent-canonical strip,
+    // blue/green code rollover
+    "c83_minhash_calibration", "c84_canonical_extent_strip",
+    "c85_blue_green_codes",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -234,7 +238,17 @@ object Bench {
       // tables stay KBs at any scale); d34 is events-based → not probed
       "c76b_span_extents", "c76c_extent_strip",
       "c79_multiclass_train", "c80_frozen_encode_fertility",
-      "c81_ann_index_serve", "c82_incremental_codes_serve")
+      "c81_ann_index_serve", "c82_incremental_codes_serve",
+      // r11 (the r6/r9 late-addition rule: every new oracle op ships
+      // with its probe row in the SAME round's artifact): c79b trains +
+      // scores over documents; c80b adds the left-join fallback audit
+      // over the same two corpora as c80; c83 is a map-only pass over
+      // the id-sampled documents slice; c84 rides the c27 span
+      // machinery; c85 encodes + serves the replica-scaled embeddings
+      // corpus twice (once per index version)
+      "c79b_trained_langid", "c80b_frozen_fallback_fertility",
+      "c83_minhash_calibration", "c84_canonical_extent_strip",
+      "c85_blue_green_codes")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
@@ -334,6 +348,18 @@ object Bench {
     if (runs.size == n) runs.min else -1.0
   }
 
+  /** Best AND worst of n — the 100x rows ship a per-row variance bound
+    * (worst/best of the 3 forked pre-GC'd samples) so a driver-vs-
+    * builder ratio dispute (r8, r10: q5/c2 read 2.4x apart on unchanged
+    * code) can be judged against the row's own measured spread instead
+    * of a cross-harness guess. worst/best ≈ 1 says the number is
+    * load-stable; a wide spread says re-pin on a quiet box.
+    */
+  private def bestWorstOf(n: Int)(run: => Double): (Double, Double) = {
+    val runs = Iterator.continually(run).take(n).takeWhile(_ >= 0).toSeq
+    if (runs.size == n) (runs.min, runs.max) else (-1.0, -1.0)
+  }
+
   // ---- phase protocol: child JVMs write `name<TAB>seconds` lines -------
 
   private def writeTimes(out: String, times: Seq[(String, Double)]): Unit = {
@@ -376,11 +402,14 @@ object Bench {
           tables = scale100Tables)
         ScaleReplica.drainBuildState(spark)
         warmup(spark, scaling100Probe)
-        // only 4 probes at 100x: all get n=3 (r8 ask — the driver's q5
-        // 100x read 52.44x where the builder's read 15.04x; three forked
-        // pre-GC'd samples pin the number)
-        scaling100Probe.map(n => n -> bestOf(3)(
-          timed(spark, n, dir, gcFirst = true)))
+        // every 100x probe: n=3 (r8 ask), and BOTH best and worst land
+        // in the phase file (`name!worst` rows) so the artifact carries
+        // the per-row variance bound the r10 verdict demanded
+        scaling100Probe.flatMap { n =>
+          val (best, worst) = bestWorstOf(3)(
+            timed(spark, n, dir, gcFirst = true))
+          Seq(n -> best, s"$n!worst" -> worst)
+        }
       case "sf1base" =>
         val dir = ScaleReplica.ensure(spark, sfDir, copies = 10)
         ScaleReplica.drainBuildState(spark)
@@ -459,7 +488,13 @@ object Bench {
     "c12b_image_codec_batched", "c12c_image_codec_columnar",
     "c12f_frame_deltas", "c53_jl_projection", "c59_cluster_quota",
     "c14c_ivf_rank_many", "c64_boilerplate_lines", "c68_zipf",
-    "c75_classifier_train", "c76_multiscale_spans")
+    "c75_classifier_train", "c76_multiscale_spans",
+    // r11 (the r10 verdict's ask #7: the sf1 list folds in the r10
+    // training/encode ops, and new oracle ops ship second-decade rows
+    // in the same round): multiclass training, frozen-vocab encode,
+    // and the extent-canonical strip on the span machinery
+    "c79_multiclass_train", "c80_frozen_encode_fertility",
+    "c84_canonical_extent_strip")
 
   def main(args: Array[String]): Unit = args.toList match {
     case "--phase" :: phase :: out :: Nil =>
@@ -519,13 +554,20 @@ object Bench {
 
     def scaleBlock(blockName: String, probe: Seq[String],
                    t: Map[String, Double], key: String,
-                   copies: Int): String = {
+                   copies: Int, withVar: Boolean = false): String = {
       val entries = probe.map { name =>
         val tN = t.getOrElse(name, -1.0)
         val t1 = base.getOrElse(name, -1.0)
         val ratio = if (t1 > 0 && tN > 0) tN / t1 else -1.0
-        "\"%s\":{\"base\":%.3f,\"%s\":%.3f,\"ratio\":%.2f}"
-          .formatLocal(Locale.ROOT, name, t1, key, tN, ratio)
+        // var = worst/best of the row's 3 samples — the self-enforcing
+        // spread bound the r10 verdict asked for on every 100x row
+        val worst = t.getOrElse(s"$name!worst", -1.0)
+        val varStr =
+          if (withVar && worst > 0 && tN > 0)
+            ",\"var\":%.2f".formatLocal(Locale.ROOT, worst / tN)
+          else ""
+        "\"%s\":{\"base\":%.3f,\"%s\":%.3f,\"ratio\":%.2f%s}"
+          .formatLocal(Locale.ROOT, name, t1, key, tN, ratio, varStr)
       }
       s""","$blockName":""" +
         entries.mkString(s"""{"copies":$copies,""", ",", "}")
@@ -545,7 +587,8 @@ object Bench {
         val t10 = phaseTimes("scale10", "target/bench_scale10.tsv")
         val t100 = phaseTimes("scale100", "target/bench_scale100.tsv")
         (scaleBlock("scaling", scalingProbe, t10, "x10", 10),
-         scaleBlock("scaling100", scaling100Probe, t100, "x100", 100))
+         scaleBlock("scaling100", scaling100Probe, t100, "x100", 100,
+           withVar = true))
       }
 
     // Full artifact (everything) → target/bench.json.
@@ -563,11 +606,12 @@ object Bench {
     // the 81-entry ratios map alone was ~2.4 KB). So the line carries
     // summary STATISTICS, not the full map: probe counts, the
     // min/median/max of the 10x ratios, the WORST 12 probes by ratio
-    // (the adversarial rows a grader needs), and the full 100x block
-    // (currently 7 entries, ~25 bytes each — base fields ~300 B +
-    // worst-12 ~300 B + ratios100 ~180 B lands near 800 B, and the
-    // 12/6/0 worst-list ladder below degrades toward the 1500-byte cap
-    // if the blocks ever grow). Complete artifact: target/bench.json.
+    // (the adversarial rows a grader needs), the full 100x block, and
+    // its per-row variance bounds (currently 7 entries each, ~25 bytes
+    // per entry — base fields ~300 B + worst-12 ~300 B + ratios100
+    // ~180 B + var100 ~180 B lands near 1000 B, and the 12/6/0
+    // worst-list ladder below degrades toward the 1500-byte cap if the
+    // blocks ever grow). Complete artifact: target/bench.json.
     def ratios(probe: Seq[String], t: Map[String, Double]): Seq[(String, Double)] =
       probe.flatMap { name =>
         val tN = t.getOrElse(name, -1.0)
@@ -577,10 +621,20 @@ object Bench {
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) =>
         "\"%s\":%.2f".formatLocal(Locale.ROOT, k, v) }.mkString("{", ",", "}")
-    val (r10, r100) =
-      if (!probesOn) (Seq.empty[(String, Double)], Seq.empty[(String, Double)])
-      else (ratios(scalingProbe, readTimes("target/bench_scale10.tsv").toMap),
-            ratios(scaling100Probe, readTimes("target/bench_scale100.tsv").toMap))
+    val (r10, r100, v100) =
+      if (!probesOn) (Seq.empty[(String, Double)], Seq.empty[(String, Double)],
+        Seq.empty[(String, Double)])
+      else {
+        val t100 = readTimes("target/bench_scale100.tsv").toMap
+        (ratios(scalingProbe, readTimes("target/bench_scale10.tsv").toMap),
+         ratios(scaling100Probe, t100),
+         // per-row spread bound (worst/best of 3) for the 100x rows
+         scaling100Probe.flatMap { n =>
+           val b = t100.getOrElse(n, -1.0)
+           val w = t100.getOrElse(s"$n!worst", -1.0)
+           if (b > 0 && w > 0) Some(n -> w / b) else None
+         })
+      }
     val sorted10 = r10.map(_._2).sorted
     def pct(s: Seq[Double], q: Double): Double =
       if (s.isEmpty) -1.0 else s(((s.size - 1) * q).round.toInt)
@@ -589,7 +643,7 @@ object Bench {
         pct(sorted10, 0.0), pct(sorted10, 0.5), pct(sorted10, 1.0))
     def compactLine(worstK: Int): String = {
       val worst = jmap(r10.sortBy(-_._2).take(worstK))
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_probes10":${r10.size},"n_sublinear10":${r10.count(_._2 < 10.0)},"r10":$summary10,"worst10":$worst,"ratios100":${jmap(r100)},"queries_full":"target/bench.json"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_probes10":${r10.size},"n_sublinear10":${r10.count(_._2 < 10.0)},"r10":$summary10,"worst10":$worst,"ratios100":${jmap(r100)},"var100":${jmap(v100)},"queries_full":"target/bench.json"}"""
     }
     // 1500-char hard cap (driver tail 2000 minus sbt's trailer, with
     // margin); degrade by shrinking the worst-list, never by growing
