@@ -156,4 +156,108 @@ class SocketStreamSpec extends AnyFunSuite with SparkSpec {
         s"throughput collapsed: $rowsPerSec rows/sec")
     } finally { done = true; q.stop() }
   }
+
+  test("multi-connection fan-in soak: 4 concurrent producers through " +
+       "the D31 pipeline, per-connection quarantine split exact, " +
+       "per-source parallelism visible in progress metrics") {
+    // The r10 verdict's remaining broker-shaped slice: the single soak
+    // drives ONE socket (one source task); a broker fans consumption
+    // across topic partitions. Four independent TCP servers, each with
+    // its own producer and its own socket SOURCE (four reader tasks),
+    // union into the one decode+gate pipeline — the fan-in shape a
+    // 4-partition topic would give the same query, minus offsets.
+    val conns = 4
+    val perConn = 30000
+    val servers = Seq.fill(conns)(new ServerSocket(0))
+    @volatile var done = false
+    val producers = servers.zipWithIndex.map { case (server, c) =>
+      val t = new Thread(() => {
+        val sock = server.accept()
+        val out = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(sock.getOutputStream), 1 << 16)
+        var i = 0
+        while (i < perConn) {
+          // same wire mix as the single soak: 1/16 malformed, a further
+          // 1/16 out-of-range (i%8==7 minus the malformed overlap) →
+          // exactly 1/8 quarantined per connection
+          if (i % 16 == 15) out.write(s"malformed line $c-$i\n")
+          else {
+            val typ = Seq("view", "click", "purchase")(i % 3)
+            val v = if (i % 8 == 7) 999.0 else (i % 90).toDouble
+            out.write(s"${i % 97},${1000 + i},${c * 10000000 + i},$typ,$v\n")
+          }
+          i += 1
+        }
+        out.flush()
+        while (!done) Thread.sleep(50)
+        sock.close(); server.close()
+      })
+      t.setDaemon(true); t.start(); t
+    }
+
+    // one stream PER CONNECTION (its own source → its own reader task),
+    // each gated then tagged, unioned into one query — decode/gate are
+    // stateless map stages, so the union is the whole fan-in story
+    val gatedPerConn = servers.zipWithIndex.map { case (server, c) =>
+      SocketIngest.gatedDecode(spark.readStream
+          .format("socket")
+          .option("host", "localhost").option("port", server.getLocalPort)
+          .load())
+        .withColumn("conn", lit(c))
+    }
+    val counted = gatedPerConn.reduce(_ unionByName _)
+      .groupBy("conn", "quarantined")
+      .agg(count(lit(1)).as("cnt"))
+    val n = (conns * perConn).toLong
+    val t0 = System.nanoTime()
+    val q = counted.writeStream.format("memory").queryName("d31_fanin")
+      .outputMode("complete").start()
+    try {
+      val deadline = System.currentTimeMillis() + 240000
+      def total(): Long = spark.table("d31_fanin")
+        .agg(sum("cnt")).collect().head.getLong(0)
+      var seen = 0L
+      while ({ seen = try total() catch { case _: Exception => 0L }
+               seen < n && System.currentTimeMillis() < deadline }) {
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(seen === n, s"drained $seen of $n lines")
+      val rowsPerSec = (n / secs).toLong
+      val byConn = spark.table("d31_fanin").collect()
+        .map(r => (r.getInt(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+      // EXACT per-connection split: 1/8 quarantined, 7/8 passed
+      (0 until conns).foreach { c =>
+        assert(byConn((c, true)) === perConn / 8L,
+          s"conn $c quarantine split: $byConn")
+        assert(byConn((c, false)) === perConn * 7L / 8L,
+          s"conn $c passed split: $byConn")
+      }
+      // per-source-task parallelism, from the query's own progress
+      // metrics: every micro-batch reports all 4 sources; each source
+      // must have moved rows (no connection starved behind another)
+      val progresses = q.recentProgress.toSeq
+      val nSources = progresses.map(_.sources.length).max
+      assert(nSources === conns,
+        s"expected $conns sources in progress metrics, saw $nSources")
+      val perSourceRows = progresses.flatMap(_.sources.toSeq)
+        .groupBy(_.description)
+        .view.mapValues(_.map(_.numInputRows).sum).toMap
+      assert(perSourceRows.size === conns,
+        s"source descriptions collapsed: ${perSourceRows.keys}")
+      assert(perSourceRows.values.forall(_ > 0L),
+        s"a source task never moved rows: $perSourceRows")
+      info(f"fan-in soak: $n%d rows over $conns connections in " +
+        f"$secs%.2f s = $rowsPerSec%d rows/sec")
+      val perConnJson = (0 until conns).map { c =>
+        s""""$c":{"quarantined":${byConn((c, true))},"passed":${byConn((c, false))}}"""
+      }.mkString("{", ",", "}")
+      val out = java.nio.file.Paths.get("target/d31_soak_multi.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out,
+        s"""{"op":"d31_multi_socket_soak","connections":$conns,"rows":$n,"secs":${"%.3f".format(secs)},"rows_per_sec":$rowsPerSec,"n_source_tasks":$nSources,"per_conn":$perConnJson}""" + "\n")
+      assert(rowsPerSec > 2000,
+        s"throughput collapsed: $rowsPerSec rows/sec")
+    } finally { done = true; q.stop() }
+  }
 }
