@@ -194,6 +194,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "exactly one join: the join-backs must be gone")
   }
 
+  test("c83: the calibration scan is JOINLESS — pair, estimate, and " +
+    "candidacy all live in one row, so the only exchanges are the " +
+    "20-bucket agg and its output sort") {
+    val p = plan("c83_minhash_calibration")
+    assert(!p.contains("Join"),
+      "variant pairs are constructed in-row: no join anywhere")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "the sampled scan must prune to id+text")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"one bucket-agg exchange at most:\n${p.take(600)}")
+  }
+
+  test("c84: the extent path keeps the c27 span-count discipline — the " +
+    "duplicated-vocabulary join is SHUFFLED hash, and nothing goes " +
+    "nested-loop or cartesian") {
+    val p = plan("c84_canonical_extent_strip")
+    assert(p.contains("ShuffledHashJoin"),
+      "the span-count join must stay shuffled (the r9 sf1 rule)")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "the span scan must prune to id+text")
+  }
+
   test("c68: the vocabulary top-k is a distributed TakeOrdered, and no " +
     "window runs over the unbounded token domain (the r9 sf1 fix: the " +
     "prior plan sorted every distinct token in ONE task)") {
