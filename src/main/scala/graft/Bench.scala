@@ -105,9 +105,9 @@ object Bench {
     "d34_overlap_stream", "d36_online_multiclass",
     "b62_scd2_view_maintenance",
     // r11 additions: minhash calibration, extent-canonical strip,
-    // blue/green code rollover
+    // blue/green code rollover + retired-version vacuum
     "c83_minhash_calibration", "c84_canonical_extent_strip",
-    "c85_blue_green_codes",
+    "c85_blue_green_codes", "c86_codes_vacuum",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -248,7 +248,10 @@ object Bench {
       // corpus twice (once per index version)
       "c79b_trained_langid", "c80b_frozen_fallback_fertility",
       "c83_minhash_calibration", "c84_canonical_extent_strip",
-      "c85_blue_green_codes")
+      "c85_blue_green_codes",
+      // c86 encodes + vacuums + serves over the replica-scaled
+      // embeddings corpus (the vacuum itself is a directory delete)
+      "c86_codes_vacuum")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

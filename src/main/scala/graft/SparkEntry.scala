@@ -4431,6 +4431,55 @@ object SparkEntry {
         .orderBy("version", "query_id", "rnk")
     }),
 
+    // C86 retired-version code vacuum: the C85 lifecycle completed —
+    // after the rollover flips serving to v2, v1's corpus-sized codes
+    // are dead weight; vacuumRetiredCodes removes iv1 (and ONLY iv1:
+    // the committed pin and any in-flight newer backfill are refused),
+    // then the committed version serves exactly as before. Oracle =
+    // the v2 brute-force ADC replica — if the vacuum touched live
+    // bytes the hash breaks; the engine additionally requires the
+    // accounting (removed=[1], kept=[2]) and that the retired key
+    // space is gone before emitting rows.
+    "c86_codes_vacuum" -> ((s, dir) => {
+      import graft.sources.AnnIndexStore
+      import org.apache.hadoop.fs.Path
+      val emb = t(s, dir, "embeddings")
+      val root = Tables.scratch("c86_vac_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      def ingest(cells: graft.operators.L2Cells,
+                 pq: graft.operators.PqIndex, iv: Int): Unit = {
+        val ep0 = Similarity.encodeCodes(
+          emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", cells, pq)
+        val ep1 = Similarity.encodeCodes(
+          emb.where(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", cells, pq)
+        AnnIndexStore.appendCodesEpoch(ep0, root, iv, 0L)
+        AnnIndexStore.appendCodesEpoch(ep1, root, iv, 1L)
+      }
+      val (c1, p1) = Similarity.buildIvfpqIndex(
+        emb, "vec_id", "embedding", nLists = 8, m = 8, kCodes = 16)
+      require(AnnIndexStore.publish(s, root, c1, p1).committed)
+      ingest(c1, p1, 1)
+      val (c2, p2) = Similarity.buildIvfpqIndex(
+        emb, "vec_id", "embedding", nLists = 8, m = 8, kCodes = 12)
+      require(AnnIndexStore.publish(s, root, c2, p2).committed)
+      ingest(c2, p2, 2)
+      val rep = AnnIndexStore.vacuumRetiredCodes(s, root, keepVersions = 1)
+      require(rep.committed == 2 && rep.removed == Seq(1) &&
+        rep.kept == Seq(2), s"vacuum accounting off: $rep")
+      require(!fs.exists(new Path(s"$root/${AnnIndexStore.CodesTable}/iv1")),
+        "retired key space must be gone")
+      val (lc2, lp2) = AnnIndexStore.loadAt(s, root, 2)
+      Similarity.ivfpqTopKFromCodes(AnnIndexStore.readCodes(s, root, 2),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          lc2, lp2, k = 6, nProbe = 8)
+        .withColumn("version", lit(2))
+        .orderBy("query_id", "rnk")
+    }),
+
     // C27: duplicated-span scan (exact substring dedup at 16-word
     // granularity, stride 1). Every 10th document gets a planted
     // id-shifted copy, so dup spans exist deterministically; natural
@@ -4621,7 +4670,12 @@ object SparkEntry {
       "c85_blue_green_codes" ->
         (c85AdcSql(kCodes = 16, version = 1) + "\nUNION ALL\n" +
           c85AdcSql(kCodes = 12, version = 2) +
-          "\nORDER BY version, query_id, rnk"))
+          "\nORDER BY version, query_id, rnk"),
+      // c86: after the vacuum, the committed version must serve
+      // EXACTLY its own replica — vacuumed bytes were dead by proof
+      "c86_codes_vacuum" ->
+        (c85AdcSql(kCodes = 12, version = 2) +
+          "\nORDER BY query_id, rnk"))
   }
 
   /** c75's oracle is GENERATED from the same hyperparameters the engine

@@ -124,6 +124,50 @@ object AnnIndexStore {
     spark.read.parquet(s"$root/$CodesTable/iv$indexVersion")
       .select("neighbor_id", "cell", "codes")
 
+  /** [[vacuumRetiredCodes]] accounting: the pointer the decision was
+    * made against, the version keys removed, and the ones kept (both
+    * still-serving and in-flight-newer).
+    */
+  case class CodesVacuumReport(committed: Int, removed: Seq[Int],
+                               kept: Seq[Int])
+
+  /** Retire dead code epochs after a completed blue/green rollover
+    * (C86 — the A21 orphan rule applied under `ann_codes/iv*`): once
+    * serving has flipped to the committed version, older versions'
+    * codes are corpus-sized dead weight — this removes every
+    * `iv<N>` tree with N ≤ committed − keepVersions, and REFUSES to
+    * touch the committed version, anything newer (a `iv` key above the
+    * pointer is an in-flight backfill for the NEXT rollover — deleting
+    * it would silently restart that ingest), or anything inside the
+    * keepVersions window (keepVersions = 2 keeps one rollback pin
+    * alive through the overlap period). The INDEX tables are not
+    * touched: they are KBs and stay readable for time travel
+    * ([[MultiPublish.readVersion]]); the codes are the m·n bytes that
+    * matter at 100 TB. Idempotent — a rerun finds nothing to remove.
+    */
+  def vacuumRetiredCodes(spark: SparkSession, root: String,
+                         keepVersions: Int = 1): CodesVacuumReport = {
+    require(keepVersions >= 1, s"keepVersions $keepVersions < 1")
+    val committed = committedVersion(spark, root)
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$root/$CodesTable")
+    val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ivs =
+      if (!fs.exists(codesRoot)) Seq.empty[Int]
+      else fs.listStatus(codesRoot).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("iv") &&
+          n.drop(2).forall(_.isDigit) => n.drop(2).toInt }
+        .sorted
+    val cutoff = committed - keepVersions
+    val (dead, live) = ivs.partition(_ <= cutoff)
+    dead.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$CodesTable/iv$v"),
+        true)
+    }
+    CodesVacuumReport(committed, dead, live)
+  }
+
   /** The COMMITTED index version — the default pin for a fresh serving
     * session. Both index tables advance together through the A37
     * atomic commit, so a split pointer is structural corruption and

@@ -128,6 +128,54 @@ class AnnIndexStoreSpec extends AnyFunSuite with SparkSpec {
     assert(lcDef.cents.map(_.toSeq).toSeq === c2.cents.map(_.toSeq).toSeq)
   }
 
+  test("c86 vacuum: retired code versions go, the committed pin and " +
+    "in-flight backfills are refused, rerun is a no-op") {
+    val root = Files.createTempDirectory("graft_c86").toString
+    def ingest(cells: graft.operators.L2Cells,
+               pq: graft.operators.PqIndex, iv: Int): Unit =
+      AnnIndexStore.appendCodesEpoch(
+        Similarity.encodeCodes(corpus, "vec_id", "embedding", cells, pq),
+        root, iv, 0L)
+    val (c1, p1) = Similarity.buildIvfpqIndex(
+      corpus, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 8)
+    assert(AnnIndexStore.publish(s, root, c1, p1).committed)
+    ingest(c1, p1, 1)
+    val (c2, p2) = Similarity.buildIvfpqIndex(
+      corpus, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 12)
+    assert(AnnIndexStore.publish(s, root, c2, p2).committed)
+    ingest(c2, p2, 2)
+    // an in-flight backfill ABOVE the pointer (the next rollover's
+    // codes landing before its publish) — the vacuum must not touch it
+    ingest(c2, p2, 3)
+    // keepVersions = 2: the rollback pin survives, nothing dies yet
+    val rep2 = AnnIndexStore.vacuumRetiredCodes(s, root, keepVersions = 2)
+    assert(rep2 === AnnIndexStore.CodesVacuumReport(2, Nil, Seq(1, 2, 3)),
+      s"keepVersions=2 must keep the rollback pin: $rep2")
+    // keepVersions = 1: exactly iv1 goes; committed (2) and in-flight
+    // (3) stay
+    val served2Before = Similarity.ivfpqTopKFromCodes(
+      AnnIndexStore.readCodes(s, root, 2),
+      corpus.where(col("vec_id") < 3), "vec_id", "embedding", c2, p2,
+      k = 5, nProbe = 4).orderBy("query_id", "rnk")
+      .collect().map(_.toSeq).toSeq
+    val rep1 = AnnIndexStore.vacuumRetiredCodes(s, root, keepVersions = 1)
+    assert(rep1 === AnnIndexStore.CodesVacuumReport(2, Seq(1), Seq(2, 3)),
+      s"keepVersions=1 must retire exactly iv1: $rep1")
+    // retired key space is loudly unreadable; live ones are untouched
+    assertThrows[Exception] { AnnIndexStore.readCodes(s, root, 1).count() }
+    assert(AnnIndexStore.readCodes(s, root, 3).count() === corpus.count())
+    val served2After = Similarity.ivfpqTopKFromCodes(
+      AnnIndexStore.readCodes(s, root, 2),
+      corpus.where(col("vec_id") < 3), "vec_id", "embedding", c2, p2,
+      k = 5, nProbe = 4).orderBy("query_id", "rnk")
+      .collect().map(_.toSeq).toSeq
+    assert(served2After === served2Before,
+      "committed-version serving changed across the vacuum")
+    // idempotent: the rerun finds nothing below the cutoff
+    val rep1b = AnnIndexStore.vacuumRetiredCodes(s, root, keepVersions = 1)
+    assert(rep1b === AnnIndexStore.CodesVacuumReport(2, Nil, Seq(2, 3)))
+  }
+
   test("c82: serving from incrementally appended stored codes equals " +
     "encode-at-query serving, and a replayed epoch is a no-op") {
     val root = Files.createTempDirectory("graft_c82").toString
