@@ -4561,6 +4561,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // C87: QUALITY-aware extent canonical — C36's keep-the-best-copy
+    // rule at C84's granularity: each extent cluster keeps the member
+    // whose HOST document scores highest (ties to least (doc, start)).
+    // The planted corpus makes quality DECISIVE, not decorative: every
+    // 10th original is degraded with a junk tail while its +1e6 copy
+    // stays clean — min-enc (c84) would keep the degraded original;
+    // the quality rule must keep the clean higher-id copy.
+    "c87_quality_extent_strip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(col("text"), lit(" 00 11 22 !!! ???")))
+            .otherwise(col("text")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.canonicalStripExtents(corpus, "text", "doc_id", w = 16,
+          quality = Some(TextFunctions.qualityScore(col("text"))))
+        .where(col("n_tokens") + col("kept_tokens") >= 0)
+        .orderBy("id")
+    }),
+
     // C76b: duplicated-span EXTENTS — the c76 ladder completed with
     // WHERE: firing windows merged into maximal (start_tok, end_tok)
     // intervals per (doc, level) via a per-document gaps-and-islands
@@ -9400,6 +9422,81 @@ object SparkEntry {
         |                     OVER (PARTITION BY ehash) AS canon
         |            FROM eh) x
         |          WHERE enc <> canon),
+        |rem AS (SELECT doc_id, unnest(range(st, en + 1)) AS tp FROM strip),
+        |tokp AS (SELECT doc_id, unnest(range(0, len(t))) AS tp, t FROM d),
+        |kept AS (SELECT k.doc_id, k.tp, k.t[k.tp + 1] AS tok
+        |         FROM tokp k ANTI JOIN rem r
+        |           ON k.doc_id = r.doc_id AND k.tp = r.tp),
+        |reb AS (SELECT doc_id, count(*) AS kept_tokens,
+        |               md5(string_agg(tok, ' ' ORDER BY tp)) AS clean_md5
+        |        FROM kept GROUP BY 1)
+        |SELECT id, n_tokens, kept_tokens, clean_md5 FROM (
+        |  SELECT d.doc_id AS id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |         coalesce(reb.kept_tokens, 0) AS kept_tokens,
+        |         coalesce(reb.clean_md5, md5('')) AS clean_md5
+        |  FROM d LEFT JOIN reb USING (doc_id)) x
+        |WHERE n_tokens + kept_tokens >= 0
+        |ORDER BY 1""".stripMargin,
+
+    // the c84 replica with the C36 quality formula deciding each
+    // cluster: degraded originals vs clean +1e6 copies, election by
+    // (q DESC, enc ASC) row_number — the quality rule must beat min-enc
+    "c87_quality_extent_strip" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0
+        |              THEN text || ' 00 11 22 !!! ???' ELSE text END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |qual AS (
+        |  SELECT doc_id,
+        |round(greatest(0.0, least(1.0,
+        |  (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.6
+        |  + (CASE WHEN (length(regexp_replace(text, '\s', '', 'g'))
+        |       / CAST(greatest(
+        |           CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+        |           1) AS DOUBLE))
+        |       BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+        |  - (length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+        |  - ((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+        |)), 4) AS q
+        |  FROM corpus),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |      FROM corpus WHERE length(trim(text)) > 0),
+        |s AS (SELECT doc_id, t, unnest(range(0, len(t) - 16 + 1)) AS pos
+        |      FROM d WHERE len(t) >= 16),
+        |h AS (SELECT doc_id, pos,
+        |             md5(array_to_string(list_slice(t, pos + 1, pos + 16), ' '))
+        |               AS h
+        |      FROM s),
+        |c AS (SELECT h FROM (
+        |        SELECT h, count(*) AS n_occ FROM h GROUP BY 1) x
+        |      WHERE n_occ > 1),
+        |f AS (SELECT doc_id, pos FROM h JOIN c USING (h)),
+        |cov0 AS (SELECT doc_id, unnest(range(pos, pos + 16)) AS tp FROM f),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM cov0),
+        |isl AS (SELECT doc_id, tp,
+        |               tp - row_number()
+        |                      OVER (PARTITION BY doc_id ORDER BY tp) AS grp
+        |        FROM cov),
+        |ext AS (SELECT doc_id, min(tp) AS st, max(tp) AS en
+        |        FROM isl GROUP BY doc_id, grp),
+        |eh AS (SELECT e.doc_id, e.st, e.en, q.q,
+        |              md5(array_to_string(
+        |                list_slice(d.t, e.st + 1, e.en + 1), ' ')) AS ehash
+        |       FROM ext e JOIN d USING (doc_id) JOIN qual q USING (doc_id)),
+        |strip AS (SELECT doc_id, st, en FROM (
+        |            SELECT doc_id, st, en,
+        |                   row_number() OVER (PARTITION BY ehash
+        |                     ORDER BY q DESC,
+        |                              doc_id * 2147483648 + st ASC) AS rn
+        |            FROM eh) x
+        |          WHERE rn > 1),
         |rem AS (SELECT doc_id, unnest(range(st, en + 1)) AS tp FROM strip),
         |tokp AS (SELECT doc_id, unnest(range(0, len(t))) AS tp, t FROM d),
         |kept AS (SELECT k.doc_id, k.tp, k.t[k.tp + 1] AS tok

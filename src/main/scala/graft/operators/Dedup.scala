@@ -669,12 +669,25 @@ object Dedup {
     * Returns (id, n_tokens, kept_tokens, clean_md5) — C29/C76c's shape,
     * so all three rewrites compare directly.
     */
+  /** @param quality OPTIONAL keep rule (C87): when set, each extent
+    *        cluster keeps the member whose HOST DOCUMENT scores highest
+    *        (ties to least (doc, start)) instead of plain least
+    *        (doc, start) — C36's keep-the-best-copy rule at extent
+    *        granularity (duplicates usually differ by truncation or
+    *        boilerplate damage, and extent members are content-identical
+    *        so the HOST is what differs). The column is any
+    *        deterministic projection of the document row (e.g.
+    *        [[graft.functions.TextFunctions.qualityScore]]), evaluated
+    *        once per document, map-only.
+    */
   def canonicalStripExtents(df: DataFrame, textCol: String,
-                            idCol: String, w: Int = 16): DataFrame = {
+                            idCol: String, w: Int = 16,
+                            quality: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextFunctions.wsTokens(col(textCol))
     val base = df.where(length(trim(col(textCol))) > 0)
-      .select(col(idCol).cast("long").as("id"), toks.as("toks"))
+      .select(col(idCol).cast("long").as("id"), toks.as("toks"),
+        quality.getOrElse(lit(0.0)).as("__q"))
     val spans = base.where(size(col("toks")) >= w)
       .select(col("id"),
         posexplode(graft.functions.GraftExpressions.spanMd5s(col("toks"), w))
@@ -698,21 +711,31 @@ object Dedup {
       .groupBy(col("id"), col("ext"))
       .agg(min("pos").as("start_tok"), max("end").as("end_tok"))
     // content hash: the extent's own token slice (id-keyed equi-join of
-    // the duplicated-volume extent table back to the doc tokens)
+    // the duplicated-volume extent table back to the doc tokens); the
+    // host quality rides the same join
     val hashed = extents.join(base, "id")
-      .select(col("id"), col("start_tok"), col("end_tok"),
+      .select(col("id"), col("start_tok"), col("end_tok"), col("__q"),
         md5(array_join(slice(col("toks"),
           (col("start_tok") + 1).cast("int"),
           (col("end_tok") - col("start_tok") + 1).cast("int")), " "))
           .as("ehash"))
     // one canonical per identical-content cluster: least (doc, start)
-    // via the same single-BIGINT encoding C29 uses (cross-engine safe)
+    // via the same single-BIGINT encoding C29 uses (cross-engine safe);
+    // under the C87 quality rule the max (host quality, −enc) struct
+    // wins — best host first, the same (doc, start) order as tiebreak
     val enc = col("id") * lit(2147483648L) + col("start_tok")
     val byContent = Window.partitionBy("ehash")
-    val stripped = hashed
-      .withColumn("__enc", enc)
-      .withColumn("__canon", min(enc).over(byContent))
-      .where(col("__enc") =!= col("__canon"))
+    val stripped =
+      if (quality.isEmpty)
+        hashed
+          .withColumn("__enc", enc)
+          .withColumn("__canon", min(enc).over(byContent))
+          .where(col("__enc") =!= col("__canon"))
+      else
+        hashed
+          .withColumn("__key", struct(col("__q"), (-enc).as("__ne")))
+          .withColumn("__best", max(col("__key")).over(byContent))
+          .where(col("__key") =!= col("__best"))
     val covered = stripped
       .select(col("id"),
         explode(sequence(col("start_tok"), col("end_tok"))).as("tp"))

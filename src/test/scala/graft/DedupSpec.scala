@@ -379,6 +379,36 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(rep(8L) === ((26L, 10L)))
   }
 
+  test("c87 quality-aware extent canonical: the best HOST wins the " +
+    "cluster, ties fall back to least (doc, start)") {
+    import graft.functions.TextFunctions
+    val block = (1 to 16).map(i => s"dup$i").mkString(" ")
+    val junk = " 00 11 22 !!! ???"
+    val docs = Seq(
+      // cluster: identical block in docs 1 (degraded host) and 2 (clean)
+      (1L, block + junk),
+      (2L, block + " " + (1 to 10).map(i => s"b$i").mkString(" ")),
+      // tie cluster: docs 3 and 4 share a block, hosts equally clean →
+      // least (doc, start) must break the tie
+      (3L, (1 to 16).map(i => s"tie$i").mkString(" ")),
+      (4L, (1 to 16).map(i => s"tie$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val q = Some(TextFunctions.qualityScore(col("text")))
+    val out = Dedup.canonicalStripExtents(docs, "text", "doc_id", 16, q)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // quality flips the min-enc choice: the CLEAN doc 2 keeps the block
+    assert(out(2L) === ((26L, 26L)), "clean host must win the cluster")
+    assert(out(1L) === ((21L, 5L)),
+      "degraded host strips the block, keeps its junk tail")
+    // equal quality → least (doc, start): doc 3 wins
+    assert(out(3L) === ((16L, 16L)) && out(4L) === ((16L, 0L)))
+    // and the default rule on the same fixture keeps doc 1 (min enc)
+    val dflt = Dedup.canonicalStripExtents(docs, "text", "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dflt(1L) === 21L && dflt(2L) === 10L,
+      "without quality, min-enc keeps the degraded original")
+  }
+
   test("removeDuplicatedSpans keeps canonical occurrences, empties full copies") {
     val prefix = (1 to 20).map(i => s"p$i").mkString(" ")
     val x30 = (1 to 30).map(i => s"x$i").mkString(" ")
