@@ -108,7 +108,7 @@ object Bench {
     // blue/green code rollover + retired-version vacuum
     "c83_minhash_calibration", "c84_canonical_extent_strip",
     "c85_blue_green_codes", "c86_codes_vacuum",
-    "c87_quality_extent_strip",
+    "c87_quality_extent_strip", "c88_simhash_calibration",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -254,7 +254,10 @@ object Bench {
       // embeddings corpus (the vacuum itself is a directory delete);
       // c87 rides c84's span machinery plus one map-only quality
       // projection
-      "c86_codes_vacuum", "c87_quality_extent_strip")
+      "c86_codes_vacuum", "c87_quality_extent_strip",
+      // c88 is c83's map-only calibration shape with the simhash vote
+      // expression instead of the signature chain
+      "c88_simhash_calibration")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -4312,6 +4312,19 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // C88 SimHash estimator calibration: the c83 harness pointed at
+    // the other candidate generator — per exact-Jaccard bucket, the
+    // mean 64-bit hamming distance and the C3 candidacy rate over the
+    // same planted grid. The oracle checks the DuckDB-reproducible
+    // exact columns; the hamming columns (xxhash64 vote chain) are
+    // spec-locked (monotone, endpoint contracts).
+    "c88_simhash_calibration" -> ((s, dir) => {
+      Dedup.simhashCalibrationReport(t(s, dir, "documents"),
+          "text", "doc_id")
+        .select("bucket", "n_pairs", "mean_exact_ppm")
+        .orderBy("bucket")
+    }),
+
     // C82 incremental code-table serving: the corpus PQ-encoded in TWO
     // ingest epochs against the index (the c81 artifact's frozen-index
     // discipline applied to the DATA side — at 100 TB the float corpus
@@ -5195,6 +5208,50 @@ object SparkEntry {
         |      FROM (SELECT bucket, n_pairs, mean_exact_ppm,
         |                   CAST(mean_exact_ppm AS DOUBLE) / 1000000.0 AS j
         |            FROM bk))
+        |ORDER BY bucket""".stripMargin,
+
+    // c88: the same string-shingle grid rebuild as c83, exact columns
+    // only (SimHash has no closed-form curve to derive)
+    "c88_simhash_calibration" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |           ' ') AS w
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), elig AS (
+        |  SELECT id, w, len(w) AS n FROM base WHERE len(w) >= 5
+        |), grid AS (
+        |  SELECT unnest([0, 125000, 250000, 375000, 500000, 625000,
+        |                 750000, 875000, 1000000]) AS f_ppm
+        |), paired AS (
+        |  SELECT id, w, n, f_ppm, (n * f_ppm) // 1000000 AS m
+        |  FROM elig, grid
+        |), varw AS (
+        |  SELECT id, f_ppm, w,
+        |         list_concat(w[1:m],
+        |           list_transform(range(m + 1, n + 1),
+        |             i -> 'x' || id || 'q' || i)) AS v
+        |  FROM paired
+        |), sh AS (
+        |  SELECT id, f_ppm,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sa,
+        |         list_distinct(list_transform(range(1, len(v) - 1),
+        |           i -> v[i] || ' ' || v[i+1] || ' ' || v[i+2])) AS sb
+        |  FROM varw
+        |), px AS (
+        |  SELECT id, f_ppm,
+        |         (len(list_intersect(sa, sb)) * 1000000) //
+        |           (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+        |           AS exact_ppm
+        |  FROM sh
+        |)
+        |SELECT least(19, exact_ppm // 50000) AS bucket,
+        |       count(*) AS n_pairs,
+        |       CAST(sum(exact_ppm) AS BIGINT) // count(*)
+        |         AS mean_exact_ppm
+        |FROM px GROUP BY 1
         |ORDER BY bucket""".stripMargin,
 
     "c75_classifier_train" ->

@@ -864,13 +864,16 @@ object Dedup {
     *
     * Returns (id, f_ppm, exact_ppm, est_ppm, candidate).
     */
-  def minhashCalibrationPairs(df: DataFrame, textCol: String,
-                              idCol: String, k: Int = 64, bands: Int = 16,
-                              sampleMod: Int = 3,
-                              overlapGridPpm: Seq[Long] =
-                                (0L to 8L).map(_ * 125000L)): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
+  /** The shared planted-variant grid ([[minhashCalibrationPairs]] /
+    * [[simhashCalibrationReport]]): every id-sampled doc paired with
+    * variants keeping the first ⌊n·f⌋ normalized words, tail replaced
+    * by synthetic tokens. Returns (id, f_ppm, w, v) — original and
+    * variant token arrays in ONE ROW, so every downstream similarity
+    * measurement is a map-only projection.
+    */
+  private def calibrationVariants(df: DataFrame, textCol: String,
+                                  idCol: String, sampleMod: Int,
+                                  overlapGridPpm: Seq[Long]): DataFrame = {
     val G = graft.functions.GraftExpressions
     val base = df
       .where(col(idCol) % sampleMod === 0)
@@ -879,7 +882,7 @@ object Dedup {
           .as("w"))
       .where(size(col("w")) >= 5)
       .select(col("id"), col("w"), size(col("w")).cast("long").as("n"))
-    val paired = base
+    base
       .withColumn("f_ppm", explode(array(overlapGridPpm.map(lit): _*)))
       .withColumn("m", G.longDiv(col("n") * col("f_ppm"), lit(1000000L)))
       // sequence(m+1, n) DESCENDS when m = n — guard the full-overlap row
@@ -890,6 +893,20 @@ object Dedup {
             i => concat(lit("x"), col("id").cast("string"),
               lit("q"), i.cast("string"))))
           .otherwise(array().cast("array<string>"))))
+  }
+
+  val CalibrationGridPpm: Seq[Long] = (0L to 8L).map(_ * 125000L)
+
+  def minhashCalibrationPairs(df: DataFrame, textCol: String,
+                              idCol: String, k: Int = 64, bands: Int = 16,
+                              sampleMod: Int = 3,
+                              overlapGridPpm: Seq[Long] =
+                                CalibrationGridPpm): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val G = graft.functions.GraftExpressions
+    val paired = calibrationVariants(df, textCol, idCol, sampleMod,
+      overlapGridPpm)
     val sets = paired.select(
       col("id"), col("f_ppm"),
       G.shingleHashes(col("w"), 3).as("sh_a"),
@@ -957,6 +974,57 @@ object Dedup {
         G.longDiv(col("__sc") * lit(1000000L), col("n_pairs"))
           .as("cand_ppm"),
         round(theory, 6).as("theory_cand"))
+      .orderBy("bucket")
+  }
+
+  /** SimHash estimator calibration (C88) — [[minhashCalibrationReport]]'s
+    * harness pointed at the OTHER candidate generator: over the same
+    * planted-variant grid, measure per exact-Jaccard bucket the mean
+    * 64-bit SimHash Hamming distance and the C3 candidacy rate
+    * (hamming ≤ maxHamming) — the table that says what Jaccard range
+    * C3's hamming threshold actually captures, next to C83's curve for
+    * the banded MinHash. No closed-form S-curve here (SimHash tracks
+    * the cosine of the token-frequency profile, not Jaccard), so the
+    * calibration IS the deliverable; monotonicity and the endpoint
+    * contracts (J=1 → hamming 0 and 100% candidacy; disjoint → ~32
+    * bits and ~0%) are spec-locked. Same scale shape as C83: one
+    * map-only pass over the sampled slice, one 20-row agg.
+    *
+    * Output: (bucket, n_pairs, mean_exact_ppm, mean_hamming_x100,
+    * cand_ppm) — exact columns oracle-checkable, hamming columns
+    * engine-native (the xxhash64 vote chain has no SQL twin).
+    */
+  def simhashCalibrationReport(df: DataFrame, textCol: String,
+                               idCol: String, maxHamming: Int = 3,
+                               sampleMod: Int = 3): DataFrame = {
+    val G = graft.functions.GraftExpressions
+    val paired = calibrationVariants(df, textCol, idCol, sampleMod,
+      CalibrationGridPpm)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val union = size(col("sh_a")).cast("long") +
+      size(col("sh_b")).cast("long") - inter
+    val pairs = paired.select(
+        G.shingleHashes(col("w"), 3).as("sh_a"),
+        G.shingleHashes(col("v"), 3).as("sh_b"),
+        G.simhash64(col("w")).as("s_a"),
+        G.simhash64(col("v")).as("s_b"))
+      .select(
+        G.longDiv(inter * lit(1000000L), union).as("exact_ppm"),
+        bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long")
+          .as("hamming"))
+    pairs
+      .groupBy(least(lit(19L), G.longDiv(col("exact_ppm"), lit(50000L)))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("exact_ppm")).as("__se"),
+        sum(col("hamming")).as("__sh"),
+        sum((col("hamming") <= maxHamming).cast("long")).as("__sc"))
+      .select(col("bucket"), col("n_pairs"),
+        G.longDiv(col("__se"), col("n_pairs")).as("mean_exact_ppm"),
+        G.longDiv(col("__sh") * lit(100L), col("n_pairs"))
+          .as("mean_hamming_x100"),
+        G.longDiv(col("__sc") * lit(1000000L), col("n_pairs"))
+          .as("cand_ppm"))
       .orderBy("bucket")
   }
 }

@@ -518,6 +518,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("c88 simhash calibration: hamming collapses to 0 on identical " +
+    "pairs, sits near 32 bits on disjoint ones, and falls with overlap") {
+    val corpus = (1 to 120).map { i =>
+      (i.toLong, (1 to 40 + (i % 41)).map(j => s"d${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rep = Dedup.simhashCalibrationReport(corpus, "text", "doc_id",
+      sampleMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byBucket = rep.map(r => r._1 -> r).toMap
+    // J = 1 endpoint: identical token stream → identical simhash
+    val top = byBucket(19L)
+    assert(top._4 === 0L && top._5 === 1000000L,
+      s"identical pairs must be hamming-0 candidates: $top")
+    // disjoint endpoint: independent vote vectors → ~32 of 64 bits
+    val bottom = byBucket(0L)
+    assert(bottom._4 >= 2000L, s"disjoint pairs should be ~32 bits: $bottom")
+    assert(bottom._5 <= 50000L,
+      s"disjoint pairs must (almost) never pass hamming<=3: $bottom")
+    // the curve falls with overlap: high-exact buckets are far below
+    // low-exact buckets in mean hamming
+    val solid = rep.filter(_._2 >= 30)
+    val hi = solid.filter(_._3 >= 750000L).map(_._4)
+    val lo = solid.filter(_._3 <= 250000L).map(_._4)
+    assert(hi.nonEmpty && lo.nonEmpty)
+    assert(hi.max < lo.min,
+      s"hamming must separate high from low overlap: hi=$hi lo=$lo")
+  }
+
   test("shingle-based signatures are deterministic across evaluations") {
     val sig = graft.functions.GraftExpressions.minhashSignature(
       split(col("text"), " "), 3, 64)
