@@ -109,6 +109,10 @@ object Bench {
     "c83_minhash_calibration", "c84_canonical_extent_strip",
     "c85_blue_green_codes", "c86_codes_vacuum",
     "c87_quality_extent_strip", "c88_simhash_calibration",
+    // r11 late wave: hyperplane calibration (the c83/c88 harness on
+    // the embedding generator), filtered + tombstone-aware ANN serving
+    "c89_hyperplane_calibration", "c90_filtered_ann_serve",
+    "c91_tombstone_ann_serve",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -257,7 +261,14 @@ object Bench {
       "c86_codes_vacuum", "c87_quality_extent_strip",
       // c88 is c83's map-only calibration shape with the simhash vote
       // expression instead of the signature chain
-      "c88_simhash_calibration")
+      "c88_simhash_calibration",
+      // r11 late wave: c89 is one map-only lattice pass over the
+      // replica-scaled embeddings (9-level grid x 128 sign planes per
+      // row); c90/c91 encode + serve the replica-scaled embeddings
+      // corpus once each (attribute pushdown / tombstone anti-join are
+      // scan-side, the index stays KBs)
+      "c89_hyperplane_calibration", "c90_filtered_ann_serve",
+      "c91_tombstone_ann_serve")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -4493,6 +4493,88 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // C89 hyperplane sign-LSH calibration: the c83/c88 harness pointed
+    // at the embedding-side candidate generator — a planted cosine grid
+    // on the 1/1024 integer lattice (prefix kept, tail NEGATED: equal
+    // norms, so cos = (2*Sm - S)/S is one integer division), bucketed
+    // by the positive-shifted cosine (Sm*1e6/S — truncate==floor on
+    // non-negatives). The oracle reproduces bucket/n_pairs/
+    // mean_cosp_ppm from its own lattice rebuild; the sign-agreement
+    // and candidacy columns ride the seeded Rademacher planes (no SQL
+    // twin) and are spec-locked against Goemans-Williamson 1 - theta/pi
+    // and its OR-amplified table curve.
+    "c89_hyperplane_calibration" -> ((s, dir) => {
+      Similarity.hyperplaneCalibrationReport(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .select("bucket", "n_pairs", "mean_cosp_ppm")
+        .orderBy("bucket")
+    }),
+
+    // C90 filtered ANN serving: the codes table WRITTEN WITH a
+    // filterable attribute (encodeCodes attrCols — the metadata lives
+    // in the m-byte table, not in a corpus-sized side join), served
+    // under a metadata predicate that parquet-PUSHES onTO the code
+    // scan. Filter-then-rank: top-k is taken among qualifying
+    // neighbors only, never under-filled by post-filtering. Oracle =
+    // the c28 brute-force ADC replica with the same candidate-side
+    // predicate (label IN (0,2,5,7) — an In filter parquet pushes);
+    // the pushdown and every served neighbor's label membership are
+    // spec-locked.
+    "c90_filtered_ann_serve" -> ((s, dir) => {
+      import graft.sources.AnnIndexStore
+      import org.apache.hadoop.fs.Path
+      val emb = t(s, dir, "embeddings")
+      val root = Tables.scratch("c90_filt_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val (cells, pq) = Similarity.buildIvfpqIndex(
+        emb, "vec_id", "embedding", nLists = 8, m = 8, kCodes = 16)
+      AnnIndexStore.appendCodesEpoch(
+        Similarity.encodeCodes(emb, "vec_id", "embedding", cells, pq,
+          attrCols = Seq("label")),
+        root, 1, 0L)
+      val served = AnnIndexStore.readCodesWith(s, root, 1, Seq("label"))
+        .where(col("label").isin(0, 2, 5, 7))
+        .select("neighbor_id", "cell", "codes")
+      Similarity.ivfpqTopKFromCodes(served,
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          cells, pq, k = 6, nProbe = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // C91 tombstone-aware ANN serving: a targeted delete (A33's
+    // GDPR key list, ids {7i+3 : i < 50}) marked as A36 merge-on-read
+    // DELETION VECTORS against the stored-code directory — serving
+    // honors the tombstones through the file-count-sized broadcast
+    // anti-join WITHOUT re-encoding or republishing the index. The
+    // queries keep running (vec_id 3 is itself deleted: it may still
+    // ASK, it must never be RETURNED). Oracle = the ADC replica minus
+    // the tombstoned candidates.
+    "c91_tombstone_ann_serve" -> ((s, dir) => {
+      import graft.sources.{AnnIndexStore, DeletionVectors}
+      import org.apache.hadoop.fs.Path
+      val emb = t(s, dir, "embeddings")
+      val root = Tables.scratch("c91_tomb_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val (cells, pq) = Similarity.buildIvfpqIndex(
+        emb, "vec_id", "embedding", nLists = 8, m = 8, kCodes = 16)
+      AnnIndexStore.appendCodesEpoch(
+        Similarity.encodeCodes(emb, "vec_id", "embedding", cells, pq),
+        root, 1, 0L)
+      val rep = DeletionVectors.markDeleted(s,
+        s"$root/${AnnIndexStore.CodesTable}/iv1", "neighbor_id",
+        (0L until 50L).map(_ * 7 + 3), "gdpr_batch_1")
+      require(rep.rowsMarked > 0, s"tombstone mark landed nothing: $rep")
+      Similarity.ivfpqTopKFromCodes(
+          AnnIndexStore.readCodesWithDeletes(s, root, 1),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          cells, pq, k = 6, nProbe = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
     // C27: duplicated-span scan (exact substring dedup at 16-word
     // granularity, stride 1). Every 10th document gets a planted
     // id-shifted copy, so dup spans exist deterministically; natural
@@ -4710,7 +4792,18 @@ object SparkEntry {
       // EXACTLY its own replica — vacuumed bytes were dead by proof
       "c86_codes_vacuum" ->
         (c85AdcSql(kCodes = 12, version = 2) +
-          "\nORDER BY query_id, rnk"))
+          "\nORDER BY query_id, rnk"),
+      // c90: the same replica with the candidate-side metadata
+      // predicate — filtered serving must equal brute force over the
+      // qualifying subset (queries stay unfiltered)
+      "c90_filtered_ann_serve" ->
+        adcCandFilterSql(kCodes = 16,
+          candWhere = "c.label IN (0, 2, 5, 7)"),
+      // c91: the replica minus the tombstoned candidates — a deleted id
+      // may still ASK (query 3) but must never be RETURNED
+      "c91_tombstone_ann_serve" ->
+        adcCandFilterSql(kCodes = 16,
+          candWhere = "NOT (c.vec_id % 7 = 3 AND c.vec_id <= 346)"))
   }
 
   /** c75's oracle is GENERATED from the same hyperparameters the engine
@@ -4770,6 +4863,60 @@ object SparkEntry {
        |             ORDER BY adc, neighbor_id) AS rnk
        |  FROM adc) r
        |WHERE rnk <= 6)""".stripMargin
+  }
+
+  /** c90/c91: the c28 brute-force ADC replica with a candidate-side
+    * predicate (filtered / tombstone-aware serving) — codebooks derive
+    * from the FULL corpus sample pool (the index predates the filter),
+    * only the candidate set is restricted; queries stay unfiltered.
+    * `candWhere` is a short margin-safe fragment interpolated into ONE
+    * stripMargin block (no '|', per the c78 rule — enforced).
+    */
+  private def adcCandFilterSql(kCodes: Int, candWhere: String): String = {
+    require(!candWhere.contains("|"),
+      s"candWhere must be margin-safe (c78 rule): $candWhere")
+    val limit = math.max(kCodes, 8) // buildIvfpqIndex pool: max(kCodes, nLists)
+    s"""WITH corp AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings),
+       |samp AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |                            CAST(vec_id AS VARCHAR)) - 1 AS cw, v
+       |  FROM (SELECT vec_id, v FROM corp
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+       |        LIMIT $limit)),
+       |cwv AS (SELECT cw, v FROM samp WHERE cw < $kCodes),
+       |subs AS (SELECT unnest(range(0, 8)) AS sub),
+       |cb AS (
+       |  SELECT s.sub, p.cw,
+       |         list_slice(p.v, s.sub*8 + 1, s.sub*8 + 8) AS cvec
+       |  FROM cwv p CROSS JOIN subs s),
+       |enc AS (
+       |  SELECT vec_id, sub, cw FROM (
+       |    SELECT c.vec_id, b.sub, b.cw,
+       |           row_number() OVER (PARTITION BY c.vec_id, b.sub
+       |             ORDER BY list_distance(
+       |                 list_slice(c.v, b.sub*8 + 1, b.sub*8 + 8), b.cvec),
+       |               b.cw) AS rn
+       |    FROM corp c CROSS JOIN cb b
+       |    WHERE $candWhere) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 5),
+       |adc AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         round(sum(list_distance(
+       |             list_slice(q.qv, e.sub*8 + 1, e.sub*8 + 8), b.cvec)), 6)
+       |           AS adc
+       |  FROM q CROSS JOIN enc e
+       |  JOIN cb b ON b.sub = e.sub AND b.cw = e.cw
+       |  WHERE e.vec_id <> q.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc, rnk FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |         row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc, neighbor_id) AS rnk
+       |  FROM adc) r
+       |WHERE rnk <= 6
+       |ORDER BY query_id, rnk""".stripMargin
   }
 
   private def c75OracleSql(nBuckets: Int, epochs: Int, nBatches: Int,
@@ -5251,6 +5398,41 @@ object SparkEntry {
         |       count(*) AS n_pairs,
         |       CAST(sum(exact_ppm) AS BIGINT) // count(*)
         |         AS mean_exact_ppm
+        |FROM px GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    // c89: the planted-cosine lattice rebuild — quantize to the 1/1024
+    // grid, keep the prefix / negate the tail, and the positive-shifted
+    // exact cosine is one integer division (Sm*1e6 // S)
+    "c89_hyperplane_calibration" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5)
+        |                     AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 3 = 0
+        |), el AS (
+        |  SELECT id, q,
+        |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+        |           AS s
+        |  FROM base
+        |), elig AS (
+        |  SELECT id, q, s FROM el WHERE s > 0
+        |), grid AS (
+        |  SELECT unnest([0, 125000, 250000, 375000, 500000, 625000,
+        |                 750000, 875000, 1000000]) AS f_ppm
+        |), pr AS (
+        |  SELECT id, q, s, f_ppm, (len(q) * f_ppm) // 1000000 AS m
+        |  FROM elig, grid
+        |), px AS (
+        |  SELECT (CAST(coalesce(
+        |            list_sum(list_transform(q[1:m], x -> x * x)), 0)
+        |            AS BIGINT) * 1000000) // s AS cosp_ppm
+        |  FROM pr
+        |)
+        |SELECT least(19, cosp_ppm // 50000) AS bucket,
+        |       count(*) AS n_pairs,
+        |       CAST(sum(cosp_ppm) AS BIGINT) // count(*) AS mean_cosp_ppm
         |FROM px GROUP BY 1
         |ORDER BY bucket""".stripMargin,
 

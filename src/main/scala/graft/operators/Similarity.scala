@@ -524,13 +524,18 @@ object Similarity {
     * codegen pass; the same expressions serving uses.
     */
   def encodeCodes(corpus: DataFrame, idCol: String, vecCol: String,
-                  cells: L2Cells, pq: PqIndex): DataFrame = {
+                  cells: L2Cells, pq: PqIndex,
+                  attrCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge
-    corpus.select(col(idCol).as("neighbor_id"),
+    // attrCols (C90): filterable metadata STORED WITH the codes, so a
+    // serving-time predicate is a parquet pushdown on the m-byte table —
+    // no corpus-sized attribute join, floats stay cold
+    corpus.select(col(idCol).as("neighbor_id") +:
       GraftColumnBridge.column(L2CellsExpr(
-        GraftColumnBridge.expression(col(vecCol)), cells)).as("cell"),
+        GraftColumnBridge.expression(col(vecCol)), cells)).as("cell") +:
       GraftColumnBridge.column(PqEncodeExpr(
-        GraftColumnBridge.expression(col(vecCol)), pq)).as("codes"))
+        GraftColumnBridge.expression(col(vecCol)), pq)).as("codes") +:
+      attrCols.map(col): _*)
   }
 
   /** [[ivfpqTopKWith]] served from STORED codes ([[encodeCodes]]
@@ -645,6 +650,100 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select("query_id", "neighbor_id", "adc", "rnk")
+  }
+
+  /** Hyperplane sign-LSH estimator calibration (C89) — the C83/C88
+    * calibration harness pointed at the EMBEDDING-side candidate
+    * generator: C5's OR-amplified random-hyperplane tables drive which
+    * embedding pairs ever reach exact-cosine verification, but nothing
+    * measured what cosine range a `tables`×`bitsPerTable` sign-LSH
+    * actually captures. This is that table, over a PLANTED cosine grid.
+    *
+    * The grid lives on the 1/1024 integer lattice: each id-sampled
+    * vector is quantized (q_i = ⌊x·1024 + 0.5⌋, the C53 grid) and
+    * paired with the variant keeping its first m = ⌊d·f⌋ coordinates
+    * and NEGATING the tail. Both norms are equal by construction, so
+    * cos(q, v) = (2·Sm − S)/S with S = Σq², Sm the kept-prefix mass —
+    * the exact cosine needs ONE integer division and sweeps −1 → 1 as
+    * f sweeps the grid. Reported positive-shifted as
+    * cosp_ppm = ⌊Sm·1e6/S⌋ = (cos+1)/2 in ppm, so Spark's truncating
+    * and DuckDB's flooring division agree (negative-dividend rule).
+    *
+    * Both pair sides live in ONE ROW: exact cosine, the production
+    * signatures (the SAME [[GraftExpressions.planeSignBuckets]]
+    * expression C5/C7 serve with, C5's 16×8 defaults), per-plane sign
+    * agreement (bits − popcount(xor) summed over tables) and any-table
+    * candidacy are map-only projections — no join, no bucket shuffle,
+    * just the 20-row bucket aggregate. At 100 TB `sampleMod` bounds
+    * cost to corpus/sampleMod rows of codegen'd expression work.
+    *
+    * Cross-engine exactness: bucket / n_pairs / mean_cosp_ppm are pure
+    * integer arithmetic — the DuckDB oracle reproduces them from its
+    * own lattice rebuild. mean_agree_ppm and cand_ppm have no SQL twin
+    * (the plane signs ride a seeded Rademacher matrix inside a codegen
+    * expression); they are the SPEC-locked columns: SimilaritySpec pins
+    * per-plane agreement against Goemans–Williamson 1 − θ/π at the
+    * bucket mean (θ = arccos(2·cosp − 1)) and candidacy against the
+    * OR-amplified 1 − (1 − p^bits)^tables curve, plus the endpoint
+    * contracts (v = q → everything collides; v = −q → nothing does).
+    *
+    * Returns (bucket, n_pairs, mean_cosp_ppm, mean_agree_ppm, cand_ppm).
+    */
+  def hyperplaneCalibrationReport(emb: DataFrame, idCol: String,
+                                  vecCol: String, tables: Int = 16,
+                                  bitsPerTable: Int = 8, dim: Int = 64,
+                                  seed: Long = 7L, sampleMod: Int = 3,
+                                  overlapGridPpm: Seq[Long] =
+                                    Dedup.CalibrationGridPpm): DataFrame = {
+    val G = GraftExpressions
+    val planes = hyperplanes(tables * bitsPerTable, dim, seed)
+    val nBits = (tables * bitsPerTable).toLong
+    val base = emb
+      .where(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * 1024 + lit(0.5)).cast("long"))
+          .as("q"))
+      .select(col("id"), col("q"),
+        aggregate(col("q"), lit(0L), (a, e) => a + e * e).as("s"))
+      .where(col("s") > 0)
+    val paired = base
+      .withColumn("f_ppm", explode(array(overlapGridPpm.map(lit): _*)))
+      .withColumn("m",
+        G.longDiv(size(col("q")).cast("long") * col("f_ppm"), lit(1000000L)))
+      .withColumn("sm",
+        coalesce(aggregate(slice(col("q"), lit(1), col("m").cast("int")),
+          lit(0L), (a, e) => a + e * e), lit(0L)))
+      .withColumn("v",
+        transform(col("q"), (x, i) => when(i < col("m"), x).otherwise(-x)))
+    def sigs(c: org.apache.spark.sql.Column) =
+      G.planeSignBuckets(transform(c, _.cast("float")), planes, tables,
+        bitsPerTable)
+    val pairs = paired.select(
+        G.longDiv(col("sm") * lit(1000000L), col("s")).as("cosp_ppm"),
+        zip_with(sigs(col("q")), sigs(col("v")), (a, b) =>
+          struct((lit(bitsPerTable) -
+            bit_count(a.bitwiseXOR(b))).cast("long").as("agree"),
+            (a === b).cast("long").as("coll"))).as("tb"))
+      .select(col("cosp_ppm"),
+        aggregate(col("tb"), lit(0L),
+          (acc, e) => acc + e("agree")).as("agree_bits"),
+        (aggregate(col("tb"), lit(0L),
+          (acc, e) => acc + e("coll")) > 0).cast("long").as("candidate"))
+    pairs
+      .groupBy(least(lit(19L), G.longDiv(col("cosp_ppm"), lit(50000L)))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cosp_ppm")).as("__sc"),
+        sum(col("agree_bits")).as("__sa"),
+        sum(col("candidate")).as("__sk"))
+      .select(col("bucket"), col("n_pairs"),
+        G.longDiv(col("__sc"), col("n_pairs")).as("mean_cosp_ppm"),
+        G.longDiv(col("__sa") * lit(1000000L), col("n_pairs") * nBits)
+          .as("mean_agree_ppm"),
+        G.longDiv(col("__sk") * lit(1000000L), col("n_pairs"))
+          .as("cand_ppm"))
+      .orderBy("bucket")
   }
 
   /** Embedding-cosine near-duplicate pairs, OR-amplified across `tables`

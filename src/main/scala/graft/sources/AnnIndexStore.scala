@@ -124,6 +124,34 @@ object AnnIndexStore {
     spark.read.parquet(s"$root/$CodesTable/iv$indexVersion")
       .select("neighbor_id", "cell", "codes")
 
+  /** [[readCodes]] keeping stored attribute columns (C90 — codes written
+    * by `encodeCodes(..., attrCols)`): a serving-time metadata predicate
+    * on these columns is a parquet PUSHDOWN on the m-byte code table —
+    * filtered vector search with no attribute join and no float read.
+    * Filter-then-rank, so the top-k is taken among the k qualifying
+    * neighbors, never under-filled by post-filtering a fixed pool.
+    */
+  def readCodesWith(spark: SparkSession, root: String, indexVersion: Int,
+                    attrCols: Seq[String]): DataFrame =
+    spark.read.parquet(s"$root/$CodesTable/iv$indexVersion")
+      .select(col("neighbor_id") +: col("cell") +: col("codes") +:
+        attrCols.map(col): _*)
+
+  /** [[readCodes]] with A36 merge-on-read deletion vectors honored
+    * (C91): tombstones marked against the version's code directory
+    * (`DeletionVectors.markDeleted` on `iv<V>/`, key `neighbor_id`)
+    * are anti-joined out at read time — a targeted delete (A33/GDPR)
+    * propagates to ANN serving WITHOUT re-encoding or republishing the
+    * index, and the sidecar anti-join is file-count-sized + broadcast.
+    * `applyDeletes` on the same directory compacts the marks away when
+    * the merge-on-read tax stops being worth it.
+    */
+  def readCodesWithDeletes(spark: SparkSession, root: String,
+                           indexVersion: Int): DataFrame =
+    DeletionVectors.readWithDeletes(spark,
+        s"$root/$CodesTable/iv$indexVersion", "neighbor_id")
+      .select("neighbor_id", "cell", "codes")
+
   /** [[vacuumRetiredCodes]] accounting: the pointer the decision was
     * made against, the version keys removed, and the ones kept (both
     * still-serving and in-flight-newer).

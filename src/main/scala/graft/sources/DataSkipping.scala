@@ -201,7 +201,12 @@ object DataSkipping {
     def walk(p: Path): Seq[String] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        // Spark's own visibility rule: '.'-prefixed and '_'-prefixed
+        // names are hidden UNLESS partition-style (containing '='), so
+        // epoch-partitioned layouts (`__epoch=0/`) stay visible to the
+        // same files a read sees (C91's tombstones over stored codes)
+        if (n.startsWith(".") ||
+            (n.startsWith("_") && !n.contains("="))) Seq.empty
         else if (st.isDirectory) walk(st.getPath)
         else if (n.endsWith(".parquet")) Seq(st.getPath.toString)
         else Seq.empty

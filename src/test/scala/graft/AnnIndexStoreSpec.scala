@@ -298,4 +298,74 @@ class AnnIndexStoreSpec extends AnyFunSuite with SparkSpec {
       rep4.failures.exists(_.contains("subspace_coverage")),
       s"uneven code counts must fail the publish audit: ${rep4.failures}")
   }
+
+  test("c90 filtered serving: the attribute rides the code table, the " +
+    "predicate parquet-pushes, and filter-then-rank equals brute force " +
+    "over the qualifying subset") {
+    val root = Files.createTempDirectory("graft_c90").toString
+    val corp = corpus.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val (cells, pq) = Similarity.buildIvfpqIndex(
+      corp, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 8)
+    AnnIndexStore.appendCodesEpoch(
+      Similarity.encodeCodes(corp, "vec_id", "embedding", cells, pq,
+        attrCols = Seq("label")), root, 1, 0L)
+    val codes = AnnIndexStore.readCodesWith(s, root, 1, Seq("label"))
+      .where(col("label").isin(0, 2))
+    // the metadata predicate reaches the parquet scan of the code table
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("In(label"),
+      plan.take(800))
+    val queries = corp.where(col("vec_id") < 3)
+    val served = Similarity.ivfpqTopKFromCodes(
+      codes.select("neighbor_id", "cell", "codes"), queries,
+      "vec_id", "embedding", cells, pq, k = 5, nProbe = 4)
+    // every neighbor qualifies, and every query still gets its full k
+    // (filter-then-rank, never an under-filled post-filter)
+    val lbl = corp.select(col("vec_id").as("neighbor_id"), col("label"))
+    assert(served.join(lbl, "neighbor_id")
+      .where(!col("label").isin(0, 2)).count() === 0L)
+    assert(served.groupBy("query_id").count()
+      .where(col("count") =!= 5).count() === 0L)
+    // exhaustive probes: identical to serving the pre-filtered corpus
+    val direct = Similarity.ivfpqTopKWith(
+      corp.where(col("label").isin(0, 2)), queries,
+      "vec_id", "embedding", cells, pq, k = 5, nProbe = 4)
+    assert(served.orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq ===
+      direct.orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq)
+  }
+
+  test("c91 tombstone serving: marked keys vanish from every top-k " +
+    "without re-encode, ranks refill from survivors, and re-marking " +
+    "the same batch is idempotent") {
+    import graft.sources.DeletionVectors
+    val root = Files.createTempDirectory("graft_c91").toString
+    val (cells, pq) = Similarity.buildIvfpqIndex(
+      corpus, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 8)
+    AnnIndexStore.appendCodesEpoch(
+      Similarity.encodeCodes(corpus, "vec_id", "embedding", cells, pq),
+      root, 1, 0L)
+    val queries = corpus.where(col("vec_id") < 3)
+    def serve(codes: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfpqTopKFromCodes(codes, queries, "vec_id", "embedding",
+        cells, pq, k = 5, nProbe = 4)
+    val before = serve(AnnIndexStore.readCodes(s, root, 1))
+      .orderBy("query_id", "rnk").collect()
+    // tombstone two ids that ARE currently served as neighbors
+    val victims = before.map(_.getLong(1)).distinct.take(2).toSeq
+    val dir = s"$root/${AnnIndexStore.CodesTable}/iv1"
+    val rep = DeletionVectors.markDeleted(s, dir, "neighbor_id", victims,
+      "gdpr_b1")
+    assert(rep.rowsMarked === victims.length.toLong)
+    val after = serve(AnnIndexStore.readCodesWithDeletes(s, root, 1))
+      .orderBy("query_id", "rnk").collect()
+    assert(!after.map(_.getLong(1)).toSet.exists(victims.toSet),
+      s"tombstoned ids still served: ${victims.mkString(",")}")
+    assert(after.groupBy(_.getLong(0)).forall(_._2.length == 5),
+      "ranks must refill to k from surviving neighbors")
+    // same-batch re-mark (at-least-once delivery) changes nothing
+    DeletionVectors.markDeleted(s, dir, "neighbor_id", victims, "gdpr_b1")
+    val again = serve(AnnIndexStore.readCodesWithDeletes(s, root, 1))
+      .orderBy("query_id", "rnk").collect()
+    assert(again.map(_.toSeq).toSeq === after.map(_.toSeq).toSeq)
+  }
 }

@@ -472,4 +472,50 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         s"vec $id: own cell $cell must be in its probe set")
     }
   }
+
+  test("c89 hyperplane calibration: endpoints exact, per-plane agreement " +
+    "tracks Goemans-Williamson 1 - theta/pi, candidacy tracks the " +
+    "OR-amplified table curve") {
+    val emb = Tables(spark, sfDir(), "embeddings")
+    val rep = Similarity.hyperplaneCalibrationReport(emb, "vec_id",
+        "embedding").orderBy("bucket").collect()
+    assert(rep.nonEmpty)
+    // f = 1 endpoint (single-point grid, so the bucket is PURE): the
+    // variant IS the vector — every plane agrees, every table collides
+    val hi = Similarity.hyperplaneCalibrationReport(emb, "vec_id",
+      "embedding", overlapGridPpm = Seq(1000000L)).collect()
+    assert(hi.length === 1 && hi.head.getLong(0) === 19L)
+    assert(hi.head.getLong(3) === 1000000L,
+      s"agree at cos=1: ${hi.head.getLong(3)}")
+    assert(hi.head.getLong(4) === 1000000L,
+      s"cand at cos=1: ${hi.head.getLong(4)}")
+    // f = 0 endpoint: the variant is the NEGATED vector — every plane
+    // with a nonzero projection flips, no 8-bit table can collide
+    val lo = Similarity.hyperplaneCalibrationReport(emb, "vec_id",
+      "embedding", overlapGridPpm = Seq(0L)).collect()
+    assert(lo.length === 1 && lo.head.getLong(0) === 0L)
+    assert(lo.head.getLong(3) <= 50000L,
+      s"agree at cos=-1: ${lo.head.getLong(3)}")
+    assert(lo.head.getLong(4) === 0L,
+      s"cand at cos=-1: ${lo.head.getLong(4)}")
+    // per-bucket: measured sign agreement vs 1 - arccos(2*rho - 1)/pi at
+    // the bucket's mean planted cosine, and any-table candidacy vs the
+    // OR-amplification 1 - (1 - p^8)^16 of that agreement
+    for (r <- rep) {
+      val rho = r.getLong(2) / 1e6
+      val theta = math.acos(math.min(1.0, math.max(-1.0, 2 * rho - 1)))
+      val pTheory = 1.0 - theta / math.Pi
+      val pMeas = r.getLong(3) / 1e6
+      assert(math.abs(pMeas - pTheory) <= 0.08,
+        s"bucket ${r.getLong(0)}: plane agreement $pMeas vs GW $pTheory")
+      val candTheory = 1.0 - math.pow(1.0 - math.pow(pTheory, 8), 16)
+      val candMeas = r.getLong(4) / 1e6
+      assert(math.abs(candMeas - candTheory) <= 0.25,
+        s"bucket ${r.getLong(0)}: candidacy $candMeas vs $candTheory")
+    }
+    // agreement is monotone in the planted cosine
+    val ag = rep.map(_.getLong(3))
+    assert(ag.zip(ag.tail).forall { case (a, b) => a <= b },
+      s"non-monotone agreement: ${ag.mkString(",")}")
+  }
 }
