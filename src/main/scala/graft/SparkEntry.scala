@@ -4575,6 +4575,35 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // C92 budget-targeted threshold selection: the trained c79b langid
+    // margins swept into the FineWeb-Edu decision — which score
+    // threshold keeps a target token budget of the best material. The
+    // margin domain collapses to a histogram BEFORE any window (the
+    // c68 rule), binning floor-divides negative margins exactly, and
+    // the selected bin is the highest whose top-down cumulative token
+    // mass reaches the budget (lowest bin when the corpus can't fill
+    // it). Oracle = the c79b training replay + the same sweep in SQL.
+    "c92_budget_threshold" -> ((s, dir) => {
+      import graft.operators.{ClassifierTrain, Sampling}
+      val docs = t(s, dir, "documents")
+      val classes = Seq("de", "en", "es", "fr", "zh")
+      val feats = ClassifierTrain.featurizeMulti(
+        docs, "text", "doc_id", "lang", 128, 2).persist()
+      val model = try {
+        ClassifierTrain.trainMulticlass(feats, classes, 128, 1, 2, 64L)
+          .map { case (c, res) => (c, res.weights) }
+      } finally { feats.unpersist() }
+      val scored = ClassifierTrain.scoreMulticlass(
+        docs, "text", "doc_id", model, 128)
+      val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(trim(lower(col("text"))), "\\s+"))
+            .cast("long")).as("tokens"))
+      Sampling.budgetThresholdSweep(scored.join(toks, "doc_id"),
+          "margin", "tokens", budgetTokens = 8000L, binWidth = 50000L)
+        .orderBy(desc("bin"))
+    }),
+
     // C27: duplicated-span scan (exact substring dedup at 16-word
     // granularity, stride 1). Every 10th document gets a planted
     // id-shifted copy, so dup spans exist deterministically; natural
@@ -4803,7 +4832,13 @@ object SparkEntry {
       // may still ASK (query 3) but must never be RETURNED
       "c91_tombstone_ann_serve" ->
         adcCandFilterSql(kCodes = 16,
-          candWhere = "NOT (c.vec_id % 7 = 3 AND c.vec_id <= 346)"))
+          candWhere = "NOT (c.vec_id % 7 = 3 AND c.vec_id <= 346)"),
+      // c92: the c79b scored relation (same training depth) swept into
+      // the budget-threshold decision table
+      "c92_budget_threshold" ->
+        c92OracleSql(Seq("de", "en", "es", "fr", "zh"), nBuckets = 128,
+          epochs = 1, nBatches = 2, lrDiv = 64L, budgetTokens = 8000L,
+          binWidth = 50000L))
   }
 
   /** c75's oracle is GENERATED from the same hyperparameters the engine
@@ -4991,9 +5026,13 @@ object SparkEntry {
     * margins against every class's FINAL weights, prediction = highest
     * margin with ties to the first class in training order.
     */
-  private def c79OracleSql(classes: Seq[String], nBuckets: Int,
-                           epochs: Int, nBatches: Int, lrDiv: Long,
-                           score: Boolean): String = {
+  /** The c79 per-class trajectory CTE chain (feats + every class's
+    * unrolled descent) and the final iteration index — shared by the
+    * c79/c79b/d36 oracles and c92's sweep.
+    */
+  private def c79TrajPrefix(classes: Seq[String], nBuckets: Int,
+                            epochs: Int, nBatches: Int,
+                            lrDiv: Long): (String, Int) = {
     val feats =
       s"""WITH tk AS (
          |  SELECT doc_id, lang, doc_id % $nBatches AS batch,
@@ -5051,44 +5090,109 @@ object SparkEntry {
       }.mkString
       zero + steps
     }.mkString
-    val last = iters.last._1
-    if (!score) {
-      val rows = classes.zipWithIndex.map { case (cls, ci) =>
-        val trace = iters.map { case (i, _) =>
-          s"""|UNION ALL SELECT '$cls' AS cls, 'loss' AS kind, CAST($i AS BIGINT) AS k, loss AS v FROM c${ci}s$i
-              |UNION ALL SELECT '$cls' AS cls, 'n' AS kind, CAST($i AS BIGINT) AS k, CAST(n AS BIGINT) AS v FROM c${ci}s$i""".stripMargin
-        }.mkString("\n")
-        s"""|  SELECT '$cls' AS cls, 'w' AS kind, b AS k, w AS v FROM c${ci}w$last
-            |$trace""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""$feats$perClass
-         |SELECT cls, kind, k, v FROM (
-         |$rows
-         |) ORDER BY cls, kind, k""".stripMargin
-    } else {
-      // scoring tail: (doc_id, b) is unique in fb (lang and batch are
-      // functions of doc_id), so fb joins each class's final weights
-      // directly; argmax = best margin, ties to FIRST training class
-      val marginCtes = classes.indices.map { ci =>
-        s""",
-           |mm$ci AS MATERIALIZED (SELECT fb.doc_id,
-           |        CAST(sum(fb.x * c${ci}w$last.w) AS BIGINT) AS m
-           |        FROM fb JOIN c${ci}w$last ON fb.b = c${ci}w$last.b
-           |        GROUP BY 1)""".stripMargin
-      }.mkString
-      val unions = classes.zipWithIndex.map { case (cls, ci) =>
-        s"  SELECT doc_id, '$cls' AS pred, m, $ci AS ci FROM mm$ci"
-      }.mkString("\nUNION ALL\n")
-      s"""$feats$perClass$marginCtes
-         |SELECT doc_id, pred, m AS margin FROM (
-         |  SELECT doc_id, pred, m,
-         |         row_number() OVER (PARTITION BY doc_id
-         |                            ORDER BY m DESC, ci ASC) AS rk
-         |  FROM (
-         |$unions
-         |  ) u) v
-         |WHERE rk = 1 ORDER BY doc_id""".stripMargin
-    }
+    (feats + perClass, iters.last._1)
+  }
+
+  /** The c79 scored-path CTE chain: [[c79TrajPrefix]] + per-class final
+    * margins + the argmax row — everything up to a
+    * `scored(doc_id, pred, margin)` relation. c79b appends an ORDER BY
+    * tail; c92 appends the threshold-sweep tail.
+    */
+  private def c79ScoredSql(classes: Seq[String], nBuckets: Int,
+                           epochs: Int, nBatches: Int,
+                           lrDiv: Long): String = {
+    val (prefix, last) = c79TrajPrefix(classes, nBuckets, epochs,
+      nBatches, lrDiv)
+    // (doc_id, b) is unique in fb (lang and batch are functions of
+    // doc_id), so fb joins each class's final weights directly; argmax
+    // = best margin, ties to FIRST training class
+    val marginCtes = classes.indices.map { ci =>
+      s""",
+         |mm$ci AS MATERIALIZED (SELECT fb.doc_id,
+         |        CAST(sum(fb.x * c${ci}w$last.w) AS BIGINT) AS m
+         |        FROM fb JOIN c${ci}w$last ON fb.b = c${ci}w$last.b
+         |        GROUP BY 1)""".stripMargin
+    }.mkString
+    val unions = classes.zipWithIndex.map { case (cls, ci) =>
+      s"  SELECT doc_id, '$cls' AS pred, m, $ci AS ci FROM mm$ci"
+    }.mkString("\nUNION ALL\n")
+    s"""$prefix$marginCtes,
+       |scored AS (
+       |SELECT doc_id, pred, m AS margin FROM (
+       |  SELECT doc_id, pred, m,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY m DESC, ci ASC) AS rk
+       |  FROM (
+       |$unions
+       |  ) u) v
+       |WHERE rk = 1)""".stripMargin
+  }
+
+  private def c79OracleSql(classes: Seq[String], nBuckets: Int,
+                           epochs: Int, nBatches: Int, lrDiv: Long,
+                           score: Boolean): String = {
+    if (score)
+      return c79ScoredSql(classes, nBuckets, epochs, nBatches, lrDiv) +
+        "\nSELECT doc_id, pred, margin FROM scored ORDER BY doc_id"
+    val (prefix, last) = c79TrajPrefix(classes, nBuckets, epochs,
+      nBatches, lrDiv)
+    val iters = (for (e <- 0 until epochs; t <- 0 until nBatches)
+      yield t).zipWithIndex.map { case (t, i0) => (i0 + 1, t) }
+    val rows = classes.zipWithIndex.map { case (cls, ci) =>
+      val trace = iters.map { case (i, _) =>
+        s"""|UNION ALL SELECT '$cls' AS cls, 'loss' AS kind, CAST($i AS BIGINT) AS k, loss AS v FROM c${ci}s$i
+            |UNION ALL SELECT '$cls' AS cls, 'n' AS kind, CAST($i AS BIGINT) AS k, CAST(n AS BIGINT) AS v FROM c${ci}s$i""".stripMargin
+      }.mkString("\n")
+      s"""|  SELECT '$cls' AS cls, 'w' AS kind, b AS k, w AS v FROM c${ci}w$last
+          |$trace""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$prefix
+       |SELECT cls, kind, k, v FROM (
+       |$rows
+       |) ORDER BY cls, kind, k""".stripMargin
+  }
+
+  /** c92's oracle: the c79b scored relation (same training depth) joined
+    * with the token counts, swept into the budget-threshold decision
+    * table — histogram bins (integer `//` truncates toward zero on
+    * negatives, exactly Spark's `div` — measured), top-down cumulative
+    * totals, and the selected-bin rule (highest bin reaching the budget,
+    * lowest bin as the under-filled fallback).
+    */
+  private def c92OracleSql(classes: Seq[String], nBuckets: Int,
+                           epochs: Int, nBatches: Int, lrDiv: Long,
+                           budgetTokens: Long, binWidth: Long): String = {
+    val scored = c79ScoredSql(classes, nBuckets, epochs, nBatches, lrDiv)
+    val tail =
+      s""",
+         |tok AS (
+         |  SELECT doc_id,
+         |         CASE WHEN trim(text) = '' THEN 0
+         |              ELSE len(regexp_split_to_array(trim(lower(text)),
+         |                                             '\\s+'))
+         |         END AS tokens
+         |  FROM documents),
+         |sw AS (
+         |  SELECT margin // $binWidth AS bin,
+         |         count(*) AS n_docs,
+         |         CAST(sum(t.tokens) AS BIGINT) AS bin_tokens
+         |  FROM scored s JOIN tok t USING (doc_id)
+         |  GROUP BY 1),
+         |cum AS (
+         |  SELECT bin, n_docs, bin_tokens,
+         |         CAST(sum(n_docs) OVER (ORDER BY bin DESC) AS BIGINT)
+         |           AS cum_docs,
+         |         CAST(sum(bin_tokens) OVER (ORDER BY bin DESC) AS BIGINT)
+         |           AS cum_tokens
+         |  FROM sw),
+         |sel AS (
+         |  SELECT coalesce(max(bin) FILTER (WHERE cum_tokens >= $budgetTokens),
+         |                  min(bin)) AS tbin FROM cum)
+         |SELECT cum.bin, cum.n_docs, cum.bin_tokens, cum.cum_docs,
+         |       cum.cum_tokens, (cum.bin = sel.tbin) AS selected
+         |FROM cum, sel
+         |ORDER BY bin DESC""".stripMargin
+    scored + tail
   }
 
   /** c77's oracle: the BPE merge trajectory unrolled — per round a

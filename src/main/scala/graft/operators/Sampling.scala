@@ -210,4 +210,55 @@ object Sampling {
           trainPct, valPct))
       .drop("cluster_id")
   }
+
+  /** Budget-targeted quality-threshold selection (C92) — the FineWeb-Edu
+    * decision made measurable: a trained quality classifier (C75/C79)
+    * scores every document, and the pipeline must pick the score
+    * threshold that keeps a TARGET TOKEN BUDGET of the best material.
+    * This emits the decision table: margins bucketed into `binWidth`
+    * bins, per bin the doc count and token mass, the top-down cumulative
+    * totals, and `selected` marking the chosen threshold bin — the
+    * HIGHEST bin whose top-down cumulative token mass reaches
+    * `budgetTokens` (keep every doc with bin ≥ selected), falling back
+    * to the lowest bin when even the full corpus cannot fill the budget
+    * (keep everything — the caller sees cum_tokens < budget and knows).
+    *
+    * Scale shape: one corpus-wide map + one histogram aggregate — the
+    * margin domain collapses to ≲ thousands of bins BEFORE any window,
+    * so the cumulative sweep runs over a driver-small frame (the c68
+    * rule: never a window over an unbounded domain). Binning is exact
+    * TRUNCATING integer division — the semantics Spark's `div` and
+    * DuckDB's integer `//` share on negatives (both round toward zero;
+    * measured, not assumed), so the engines agree bin-for-bin. The one
+    * consequence: bin 0 straddles zero when margins are mixed-sign —
+    * a granularity nuance of the decision table, not a correctness one
+    * (selection operates on bin boundaries either way).
+    *
+    * Returns (bin, n_docs, bin_tokens, cum_docs, cum_tokens, selected),
+    * one row per occupied bin.
+    */
+  def budgetThresholdSweep(scored: DataFrame, marginCol: String,
+                           tokensCol: String, budgetTokens: Long,
+                           binWidth: Long = 50000L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens $budgetTokens <= 0")
+    require(binWidth > 0, s"binWidth $binWidth <= 0")
+    val G = graft.functions.GraftExpressions
+    val bin = G.longDiv(col(marginCol).cast("long"), lit(binWidth))
+      .as("bin")
+    val binned = scored.select(bin, col(tokensCol).cast("long").as("tk"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tk").as("bin_tokens"))
+    import org.apache.spark.sql.expressions.Window
+    val topDown = Window.orderBy(col("bin").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .withColumn("cum_docs", sum("n_docs").over(topDown))
+      .withColumn("cum_tokens", sum("bin_tokens").over(topDown))
+      .withColumn("selected",
+        col("bin") === coalesce(
+          max(when(col("cum_tokens") >= budgetTokens, col("bin"))).over(all),
+          min(col("bin")).over(all)))
+  }
 }

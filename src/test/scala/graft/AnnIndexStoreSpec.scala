@@ -246,6 +246,62 @@ class AnnIndexStoreSpec extends AnyFunSuite with SparkSpec {
     assert(got === batch, "streamed code table diverged from batch encode")
   }
 
+  test("d37: streaming tombstone ingest through the real sink ≡ batch " +
+    "marks, serving honors deletes, replay with a fresh checkpoint " +
+    "converges to the same state") {
+    import graft.sources.DeletionVectors
+    val root = Files.createTempDirectory("graft_d37").toString
+    val (cells, pq) = Similarity.buildIvfpqIndex(
+      corpus, "vec_id", "embedding", nLists = 4, m = 8, kCodes = 8)
+    AnnIndexStore.appendCodesEpoch(
+      Similarity.encodeCodes(corpus, "vec_id", "embedding", cells, pq),
+      root, 1, 0L)
+    val dir = s"$root/${AnnIndexStore.CodesTable}/iv1"
+    // stage two delete batches as single-file parquet arrivals (the
+    // d35 pattern)
+    val staged = Files.createTempDirectory("graft_d37_src")
+    val batches = Seq(Seq(5L, 11L), Seq(17L, 23L, 29L))
+    batches.zipWithIndex.foreach { case (ks, e) =>
+      val tmp = Files.createTempDirectory(s"graft_d37_ep$e")
+      ks.toDF("key").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, staged.resolve(f"ep$e%02d.parquet"))
+    }
+    def run(): Unit = {
+      val src = s.readStream.schema("key LONG")
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val q = graft.streaming.TombstoneStream.markSink(src, "key", dir,
+        "neighbor_id", Files.createTempDirectory("graft_d37_ck").toString)
+      q.awaitTermination(120000)
+    }
+    run()
+    val deleted = batches.flatten.toSet
+    // marks landed exactly; the code table itself is untouched (MoR)
+    assert(DeletionVectors.deletes(s, dir).select("key").collect()
+      .map(_.getLong(0)).toSet === deleted)
+    assert(AnnIndexStore.readCodes(s, root, 1).count() === corpus.count())
+    // serving honors the streamed tombstones
+    val served = Similarity.ivfpqTopKFromCodes(
+      AnnIndexStore.readCodesWithDeletes(s, root, 1),
+      corpus.where(col("vec_id") < 3), "vec_id", "embedding",
+      cells, pq, k = 5, nProbe = 4).orderBy("query_id", "rnk").collect()
+    assert(!served.map(_.getLong(1)).exists(deleted),
+      "tombstoned ids must never be served")
+    assert(served.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // at-least-once replay: a FRESH checkpoint re-delivers every batch;
+    // per-epoch sidecar overwrite converges to the identical state
+    run()
+    assert(DeletionVectors.deletes(s, dir).select("key").collect()
+      .map(_.getLong(0)).toSet === deleted)
+    val again = Similarity.ivfpqTopKFromCodes(
+      AnnIndexStore.readCodesWithDeletes(s, root, 1),
+      corpus.where(col("vec_id") < 3), "vec_id", "embedding",
+      cells, pq, k = 5, nProbe = 4).orderBy("query_id", "rnk").collect()
+    assert(again.map(_.toSeq).toSeq === served.map(_.toSeq).toSeq)
+  }
+
   test("structural corruption is loud: a codebook hole fails load") {
     val root = Files.createTempDirectory("graft_c81bad").toString
     val (cells, pq) = Similarity.buildIvfpqIndex(

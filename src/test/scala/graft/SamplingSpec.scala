@@ -348,4 +348,41 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     // all three splits actually occur (the gate isn't vacuous)
     assert(split.values.toSet === Set("train", "val", "test"))
   }
+
+  test("c92 budget threshold sweep: hand-checkable bins, cumulative " +
+    "totals, the highest-bin-reaching-budget rule, and the " +
+    "under-filled fallback") {
+    // margins chosen so bins are obvious at width 10: bin 2 (25, 20),
+    // bin 1 (15), bin 0 (5), bin -1 (-5: truncating div -> 0... no,
+    // -5 div 10 = 0 — mixed-sign margins share bin 0 by the documented
+    // truncation rule), bin -2 (-15 div 10 = -1)
+    val scored = Seq(
+      (1L, 25L, 100L), (2L, 20L, 50L), (3L, 15L, 200L),
+      (4L, 5L, 40L), (5L, -5L, 60L), (6L, -15L, 30L))
+      .toDF("doc_id", "margin", "tokens")
+    val sweep = Sampling.budgetThresholdSweep(scored, "margin", "tokens",
+        budgetTokens = 300L, binWidth = 10L)
+      .orderBy(col("bin").desc).collect()
+    // bins: 2 -> docs {1,2} tokens 150; 1 -> {3} 200; 0 -> {4,5} 100
+    // (truncation: both 5 and -5 land in bin 0); -1 -> {6} 30
+    assert(sweep.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L, -1L))
+    assert(sweep.map(_.getLong(2)).toSeq === Seq(150L, 200L, 100L, 30L))
+    assert(sweep.map(_.getLong(4)).toSeq === Seq(150L, 350L, 450L, 480L))
+    // budget 300: bin 2 cum 150 < 300, bin 1 cum 350 >= 300 -> the
+    // HIGHEST bin reaching the budget is 1 (keep margin >= 10)
+    assert(sweep.map(r => r.getLong(0) -> r.getBoolean(5)).toMap ===
+      Map(2L -> false, 1L -> true, 0L -> false, -1L -> false))
+    // under-filled: a budget beyond the corpus selects the LOWEST bin
+    // (keep everything), and cum_tokens < budget tells the caller
+    val under = Sampling.budgetThresholdSweep(scored, "margin", "tokens",
+        budgetTokens = 10000L, binWidth = 10L)
+      .where(col("selected")).collect()
+    assert(under.length === 1 && under.head.getLong(0) === -1L)
+    assert(under.head.getLong(4) === 480L)
+    // tiny budget: the TOP bin alone satisfies it
+    val tiny = Sampling.budgetThresholdSweep(scored, "margin", "tokens",
+        budgetTokens = 1L, binWidth = 10L)
+      .where(col("selected")).collect()
+    assert(tiny.length === 1 && tiny.head.getLong(0) === 2L)
+  }
 }
