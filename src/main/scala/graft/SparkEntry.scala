@@ -2171,6 +2171,42 @@ object SparkEntry {
     // v2. The oracle pins the final committed contents + the contract
     // booleans; a non-atomic implementation (ord at v2, cust at v1
     // after the failed attempt) breaks failed_blocked.
+    // A39 snapshot expiration: three published versions of an orders
+    // rollup (quarter, half, full corpus), then expireVersions
+    // retires everything below the keepVersions window — the engine
+    // requires the accounting (removed [1,2], kept [3]), the retired
+    // dirs physically gone, the committed dir intact — and emits the
+    // committed read, which the expire must not have touched. Oracle =
+    // the full-corpus rollup recomputed from the base table: if the
+    // expire removed reachable bytes the read breaks or mismatches.
+    "a39_snapshot_expire" -> ((s, dir) => {
+      import graft.sources.{MultiPublish, Wap}
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("a39_exp_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val orders = t(s, dir, "orders")
+      def snap(mod: Int) = orders.where(col("o_orderkey") % mod === 0)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val audits = Seq(Wap.minRows(1))
+      for (mod <- Seq(4, 2, 1))
+        require(MultiPublish.publishAll(s,
+          Map("ordsum" -> ((snap(mod), audits))), root).committed,
+          s"publish mod=$mod failed")
+      val dropped = MultiPublish.expireVersions(s, root, keepLast = 1)
+      require(dropped == Map("ordsum" -> Seq(1, 2)),
+        s"expire accounting off: $dropped")
+      require(!fs.exists(new Path(s"$root/ordsum/v1")) &&
+        !fs.exists(new Path(s"$root/ordsum/v2")) &&
+        fs.exists(new Path(s"$root/ordsum/v3")),
+        "expired dirs must be gone, the committed dir intact")
+      MultiPublish.readCommitted(s, root, "ordsum")
+        .orderBy("o_orderstatus")
+    }),
+
     "a37_multi_publish" -> ((s, dir) => {
       import graft.sources.{MultiPublish, Wap}
       import org.apache.hadoop.fs.Path
@@ -7946,6 +7982,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'ord', 2, (SELECT count(*) FROM orders), true, true, true
         |ORDER BY tbl""".stripMargin,
+
+    // a39: the committed (full-corpus) rollup recomputed from the base
+    // table — the expire may only remove UNREACHABLE bytes, so the
+    // post-expire committed read must still match this exactly
+    "a39_snapshot_expire" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a29_wap" ->
       """SELECT o_orderstatus, count(*) AS cnt,

@@ -698,6 +698,9 @@ object Similarity {
     val G = GraftExpressions
     val planes = hyperplanes(tables * bitsPerTable, dim, seed)
     val nBits = (tables * bitsPerTable).toLong
+    def sigs(c: org.apache.spark.sql.Column) =
+      G.planeSignBuckets(transform(c, _.cast("float")), planes, tables,
+        bitsPerTable)
     val base = emb
       .where(col(idCol) % sampleMod === 0)
       .select(col(idCol).as("id"),
@@ -705,7 +708,10 @@ object Similarity {
           x => floor(x.cast("double") * 1024 + lit(0.5)).cast("long"))
           .as("q"))
       .select(col("id"), col("q"),
-        aggregate(col("q"), lit(0L), (a, e) => a + e * e).as("s"))
+        aggregate(col("q"), lit(0L), (a, e) => a + e * e).as("s"),
+        // the original-side signature is GRID-INVARIANT: compute it
+        // once per vector, before the 9-way grid explode
+        sigs(col("q")).as("sq"))
       .where(col("s") > 0)
     val paired = base
       .withColumn("f_ppm", explode(array(overlapGridPpm.map(lit): _*)))
@@ -716,12 +722,9 @@ object Similarity {
           lit(0L), (a, e) => a + e * e), lit(0L)))
       .withColumn("v",
         transform(col("q"), (x, i) => when(i < col("m"), x).otherwise(-x)))
-    def sigs(c: org.apache.spark.sql.Column) =
-      G.planeSignBuckets(transform(c, _.cast("float")), planes, tables,
-        bitsPerTable)
     val pairs = paired.select(
         G.longDiv(col("sm") * lit(1000000L), col("s")).as("cosp_ppm"),
-        zip_with(sigs(col("q")), sigs(col("v")), (a, b) =>
+        zip_with(col("sq"), sigs(col("v")), (a, b) =>
           struct((lit(bitsPerTable) -
             bit_count(a.bitwiseXOR(b))).cast("long").as("agree"),
             (a === b).cast("long").as("coll"))).as("tb"))
