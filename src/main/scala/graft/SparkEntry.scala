@@ -4632,9 +4632,8 @@ object SparkEntry {
       val scored = ClassifierTrain.scoreMulticlass(
         docs, "text", "doc_id", model, 128)
       val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
-        when(length(trim(col("text"))) === 0, lit(0L))
-          .otherwise(size(split(trim(lower(col("text"))), "\\s+"))
-            .cast("long")).as("tokens"))
+        graft.functions.HashedClassifier.tokenCount(col("text"))
+          .as("tokens"))
       Sampling.budgetThresholdSweep(scored.join(toks, "doc_id"),
           "margin", "tokens", budgetTokens = 8000L, binWidth = 50000L)
         .orderBy(desc("bin"))

@@ -51,6 +51,15 @@ object HashedClassifier {
       .otherwise(concat(t, bigrams))
   }
 
+  /** Token mass under [[features]]' own tokenizer (whitespace words,
+    * blank docs count 0) — the denominator a token-budget decision
+    * (C92/D38) weighs documents by. Kept HERE so budget math and
+    * feature math can never disagree about what a token is.
+    */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(toks(text)).cast("long"))
+
   /** Feature → bucket in [0, nBuckets): first 32 md5 bits mod nBuckets.
     * 8 hex chars < 2^32 always fit a long, so no sign handling needed.
     */

@@ -248,6 +248,16 @@ object Sampling {
     val binned = scored.select(bin, col(tokensCol).cast("long").as("tk"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("tk").as("bin_tokens"))
+    sweepHistogram(binned, budgetTokens)
+  }
+
+  /** The sweep half of [[budgetThresholdSweep]], entered at the
+    * HISTOGRAM: `binned` is (bin, n_docs, bin_tokens), one row per bin —
+    * the shape per-epoch streaming partials roll up to (D38), since
+    * histograms merge by plain addition. Emits the same decision table.
+    */
+  def sweepHistogram(binned: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens $budgetTokens <= 0")
     import org.apache.spark.sql.expressions.Window
     val topDown = Window.orderBy(col("bin").desc)
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
