@@ -113,7 +113,7 @@ object Bench {
     // the embedding generator), filtered + tombstone-aware ANN serving
     "c89_hyperplane_calibration", "c90_filtered_ann_serve",
     "c91_tombstone_ann_serve", "c92_budget_threshold",
-    "a39_snapshot_expire",
+    "a39_snapshot_expire", "c93_drop_ledger",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -273,8 +273,9 @@ object Bench {
       // c92 is the c79b training loop + one histogram agg over the
       // replica-scaled documents (the sweep window sees only bins);
       // a39 publishes three rollups of the replica-scaled orders then
-      // expires (the expiry itself is FS-metadata work)
-      "c92_budget_threshold", "a39_snapshot_expire")
+      // expires (the expiry itself is FS-metadata work); c93 is the
+      // c39 chain plus two dim-sized id join-backs
+      "c92_budget_threshold", "a39_snapshot_expire", "c93_drop_ledger")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

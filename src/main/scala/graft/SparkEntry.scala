@@ -2707,6 +2707,18 @@ object SparkEntry {
       CurationPipeline.report(CurationPipeline.curate(docs, evalSet))
     }),
 
+    // C93 drop-reason ledger: every input document attributed to the
+    // FIRST c39 stage that drops it (quality -> duplicate ->
+    // contaminated) or its kept split — the lineage table a 100 TB
+    // curation run ships next to the corpus. Oracle = the c39 replica
+    // chain restructured into CASE attribution; the per-disposition
+    // id digests make one misattributed doc flip a hash.
+    "c93_drop_ledger" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      val docs = t(s, dir, "documents")
+      CurationPipeline.ledger(docs, docs.where(col("doc_id") % 97 === 0))
+    }),
+
     // C38 DSIR importance weights: target = the English subcorpus, raw =
     // everything; both models are D-bucket count vectors distilled to one
     // log-ratio array literal, scoring is a joinless map-only pass. logw
@@ -8586,6 +8598,91 @@ object SparkEntry {
         |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
         |           ORDER BY doc_id)) AS id_digest
         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // c93: the c39 replica chain restructured into first-failing-stage
+    // attribution — the gate predicate becomes a COLUMN, dedup losers
+    // and contamination hits become left joins, the CASE order is the
+    // pipeline order
+    "c93_drop_ledger" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, text, n_chars, length(trim(text)) AS lt,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |m2 AS (
+        |  SELECT doc_id, lang, text, n_chars, lt, t,
+        |         CASE WHEN lt = 0 OR len(t) < 2 THEN NULL
+        |              ELSE list_transform(range(1, len(t)),
+        |                                  i -> t[i] || ' ' || t[i+1])
+        |         END AS bg
+        |  FROM m),
+        |gq AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |         ((CASE WHEN lt = 0 THEN 0 ELSE len(t) END) >= 5
+        |    AND (CASE WHEN lt = 0 THEN 0.0
+        |              ELSE CAST(list_sum(list_transform(t, x -> length(x)))
+        |                     AS DOUBLE) / len(t) END) BETWEEN 3.0 AND 12.0
+        |    AND (CASE WHEN lt = 0 THEN 0.0
+        |              ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+        |                         / len(t) END) <= 0.6
+        |    AND (CASE WHEN bg IS NULL THEN 0.0
+        |              ELSE CAST(list_max(list_transform(list_distinct(bg),
+        |                     x -> len(list_filter(bg, y -> y = x))))
+        |                     AS DOUBLE) / (len(t) - 1) END) <= 0.18) AS gok
+        |  FROM m2),
+        |gated AS (SELECT doc_id, lang, text, n_chars FROM gq WHERE gok),
+        |ded AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT doc_id,
+        |          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |        FROM gated)
+        |  GROUP BY fp),
+        |surv AS (SELECT g.* FROM gated g JOIN ded USING (doc_id)),
+        |w AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+        |           AS words
+        |  FROM surv),
+        |we AS (
+        |  SELECT regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+        |           AS words
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |g AS (
+        |  SELECT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        |  FROM w, unnest(generate_series(1, len(words) - 7)) t(i)
+        |  WHERE len(words) >= 8
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(words, ' ') AS gram
+        |  FROM w WHERE len(words) < 8),
+        |eg AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT array_to_string(words[i:i+7], ' ') AS gram
+        |    FROM we, unnest(generate_series(1, len(words) - 7)) t(i)
+        |    WHERE len(words) >= 8
+        |    UNION ALL
+        |    SELECT array_to_string(words, ' ') AS gram
+        |    FROM we WHERE len(words) < 8)),
+        |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram)),
+        |disp AS (
+        |  SELECT q.doc_id, q.n_chars,
+        |         CASE WHEN NOT q.gok THEN 'quality'
+        |              WHEN d.doc_id IS NULL THEN 'duplicate'
+        |              WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+        |              ELSE 'kept_' ||
+        |                CASE WHEN b IS NULL THEN 'train'
+        |                     WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |                     ELSE 'test' END
+        |         END AS disposition
+        |  FROM (SELECT *, CAST(concat('0x', substr(md5(text), 1, 4)) AS INT)
+        |                  % 100 AS b
+        |        FROM gq) q
+        |  LEFT JOIN ded d USING (doc_id)
+        |  LEFT JOIN contam c USING (doc_id))
+        |SELECT disposition, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |           ORDER BY doc_id)) AS id_digest
+        |FROM disp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // full independent DSIR replica: same feature/bucket contract as c37,
     // target/raw counts rebuilt relationally, add-0.5 smoothing over 4096

@@ -42,6 +42,49 @@ object CurationPipeline {
     clean.withColumn("split", Sampling.splitCol(col("text")))
   }
 
+  /** Drop-reason ledger (C93) — the lineage answer to "why did my
+    * document disappear": every input document attributed to the FIRST
+    * stage of [[curate]]'s order that drops it — `quality` (failed the
+    * C17 gate), `duplicate` (gated but lost the C1 canonical election),
+    * `contaminated` (canonical but C24-flagged) — or `kept_<split>`.
+    * The attribution order IS the pipeline order, so the kept_*
+    * dispositions partition exactly as [[curate]]'s output does
+    * (spec-locked reconciliation), and the rollup digests make one
+    * misattributed document anywhere flip a hash.
+    *
+    * At 100 TB this is what a curation run ships NEXT TO the corpus:
+    * per-disposition mass is the budget report, and the same plan with
+    * the rollup removed is the per-doc lineage table a debugging session
+    * filters. Cost over C39: the same three bounded shuffles, plus two
+    * dim-sized id sets (canonicals, contaminated) joined back id-keyed —
+    * no new corpus-sized shuffle, text still never shuffles.
+    */
+  def ledger(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val gated = docs.where(QualityFilters.keep(col("text")))
+    val canon = Dedup.exactDedup(gated, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"), lit(true).as("__canon"))
+    val surv = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    val contam = Decontaminate
+      .flagContaminated(surv, evalDocs, "text", "doc_id")
+      .where(col("contaminated"))
+      .select(col("doc_id"), lit(true).as("__cont"))
+    docs
+      .withColumn("__q", QualityFilters.keep(col("text")))
+      .join(canon, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("disposition",
+        when(!col("__q"), lit("quality"))
+          .when(col("__canon").isNull, lit("duplicate"))
+          .when(col("__cont").isNotNull, lit("contaminated"))
+          .otherwise(concat(lit("kept_"), Sampling.splitCol(col("text")))))
+      .groupBy("disposition")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("id_digest"))
+      .orderBy("disposition")
+  }
+
   /** Compact per-(split, lang) report over the curated corpus; id_digest
     * is md5 over the kept ids in ascending order, so ONE wrongly kept or
     * dropped document anywhere flips a digest.

@@ -63,6 +63,33 @@ class CurationPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(a !== b, "doc 5's membership must be visible in the digests")
   }
 
+  test("c93 ledger: every doc gets its first-failing stage, totals " +
+    "reconcile with the corpus, kept mass reconciles with curate") {
+    val led = CurationPipeline.ledger(docs, evalDocs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the planted corpus: 4 fails quality, 2 loses the canonical
+    // election, 5 is contaminated, 1 and 3 are kept
+    assert(led("quality") === 1L)
+    assert(led("duplicate") === 1L)
+    assert(led("contaminated") === 1L)
+    assert(led.filter(_._1.startsWith("kept_")).values.sum === 2L)
+    // attribution is a PARTITION of the input: totals reconcile
+    assert(led.values.sum === docs.count())
+    // kept dispositions agree with curate's split column doc-for-doc
+    val curSplits = CurationPipeline.curate(docs, evalDocs)
+      .groupBy("split").count().collect()
+      .map(r => s"kept_${r.getString(0)}" -> r.getLong(1)).toMap
+    assert(led.filter(_._1.startsWith("kept_")) === curSplits)
+    // first-failing wins: a doc that is BOTH spam and duplicated
+    // attributes to quality, not duplicate
+    val led2 = CurationPipeline.ledger(
+      docs.union(Seq((6L, spam, "en", spam.length.toLong))
+        .toDF("doc_id", "text", "lang", "n_chars")), evalDocs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(led2("quality") === 2L && led2("duplicate") === 1L,
+      "both spam copies fail at the gate; neither reaches dedup")
+  }
+
   test("the composed plan never shuffles text for dedup (ids only)") {
     val p = CurationPipeline.curate(docs, evalDocs)
       .queryExecution.executedPlan.toString
