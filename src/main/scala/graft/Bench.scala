@@ -113,7 +113,7 @@ object Bench {
     // the embedding generator), filtered + tombstone-aware ANN serving
     "c89_hyperplane_calibration", "c90_filtered_ann_serve",
     "c91_tombstone_ann_serve", "c92_budget_threshold",
-    "a39_snapshot_expire", "c93_drop_ledger",
+    "a39_snapshot_expire", "c93_drop_ledger", "b63_theta_overlap",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -274,8 +274,11 @@ object Bench {
       // replica-scaled documents (the sweep window sees only bins);
       // a39 publishes three rollups of the replica-scaled orders then
       // expires (the expiry itself is FS-metadata work); c93 is the
-      // c39 chain plus two dim-sized id join-backs
-      "c92_budget_threshold", "a39_snapshot_expire", "c93_drop_ledger")
+      // c39 chain plus two dim-sized id join-backs; b63 sketches the
+      // replica-scaled orders' status segments (k-long state) next to
+      // the exact-overlap calibration join
+      "c92_budget_threshold", "a39_snapshot_expire", "c93_drop_ledger",
+      "b63_theta_overlap")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
@@ -521,7 +524,12 @@ object Bench {
     // in the same round): multiclass training, frozen-vocab encode,
     // and the extent-canonical strip on the span machinery
     "c79_multiclass_train", "c80_frozen_encode_fertility",
-    "c84_canonical_extent_strip")
+    "c84_canonical_extent_strip",
+    // r11 late wave: the calibration scan, the DV-filtered serve, the
+    // training+sweep, and the full curation-ledger chain at the
+    // second decade
+    "c89_hyperplane_calibration", "c91_tombstone_ann_serve",
+    "c92_budget_threshold", "c93_drop_ledger")
 
   def main(args: Array[String]): Unit = args.toList match {
     case "--phase" :: phase :: out :: Nil =>

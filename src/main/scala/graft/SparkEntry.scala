@@ -4623,6 +4623,50 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // B63 theta-sketch set operations: the audience-overlap question
+    // HLL can't answer — per order-status customer segment, a KMV
+    // sketch (k smallest distinct xxhash64 values, 4 KB state, exact
+    // merge by construction); per status pair the sketch intersection
+    // and union estimates are checked against the EXACT overlaps
+    // computed next to them (the c63 calibration pattern), and the
+    // booleans ride the b22 style: deterministic at fixed hash + data.
+    "b63_theta_overlap" -> ((s, dir) => {
+      import graft.operators.{KmvSketch, ThetaSketch}
+      val k = 512
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderstatus").as("st"), col("o_custkey").as("ck"))
+      val sk = ord.groupBy("st")
+        .agg(ThetaSketch.kmvSketch(xxhash64(col("ck")), k).as("sk"))
+        .collect().map(r => r.getString(0) ->
+          KmvSketch.deserialize(r.getAs[Array[Byte]](1))).toMap // 3 segs
+      val d = ord.distinct()
+      val n = d.groupBy("st").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val inter = d.as("l").join(d.as("r"),
+          col("l.ck") === col("r.ck") && col("l.st") < col("r.st"))
+        .groupBy(col("l.st").as("a"), col("r.st").as("b"))
+        .agg(count(lit(1)).as("i"))
+        .collect() // <= segs^2 rows
+      import s.implicits._
+      val rse = 1.0 / math.sqrt(k.toDouble)
+      inter.toSeq.map { r =>
+        val (a, b, ei) = (r.getString(0), r.getString(1), r.getLong(2))
+        val eu = n(a) + n(b) - ei
+        val estI = KmvSketch.intersectEstimate(sk(a), sk(b))
+        val estU = KmvSketch.unionEstimate(sk(a), sk(b))
+        // union: the (k-1)/theta estimator at ~5 sigma; intersection:
+        // the rate-th sample sees inter*th hits — bound by 5 sigma of
+        // that binomial plus a 2-hit floor for tiny overlaps
+        val unionOk = math.abs(estU - eu) <= 5.0 * rse * eu
+        val interOk = math.abs(estI - ei) <=
+          5.0 * math.sqrt(math.max(estI, 1.0) / KmvSketch.thetaMin(
+            sk(a), sk(b))) + 2.0 / KmvSketch.thetaMin(sk(a), sk(b))
+        (a, b, ei, eu, interOk, unionOk)
+      }.sortBy(t => (t._1, t._2))
+        .toDF("seg_a", "seg_b", "exact_inter", "exact_union",
+          "inter_ok", "union_ok")
+    }),
+
     // C92 budget-targeted threshold selection: the trained c79b langid
     // margins swept into the FineWeb-Edu decision — which score
     // threshold keeps a target token budget of the best material. The
@@ -6334,6 +6378,22 @@ object SparkEntry {
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
         |CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) t(qi)
         |ORDER BY l_returnflag, qi""".stripMargin,
+
+    // b63: exact pairwise overlap replica; the sketch booleans are
+    // expected TRUE (fixed hash + fixed data — the b22 discipline)
+    "b63_theta_overlap" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_orderstatus AS st, o_custkey AS ck FROM orders),
+        |n AS (SELECT st, count(*) AS n FROM d GROUP BY 1),
+        |p AS (
+        |  SELECT l.st AS seg_a, r.st AS seg_b, count(*) AS exact_inter
+        |  FROM d l JOIN d r ON l.ck = r.ck AND l.st < r.st
+        |  GROUP BY 1, 2)
+        |SELECT p.seg_a, p.seg_b, p.exact_inter,
+        |       na.n + nb.n - p.exact_inter AS exact_union,
+        |       true AS inter_ok, true AS union_ok
+        |FROM p JOIN n na ON na.st = p.seg_a JOIN n nb ON nb.st = p.seg_b
+        |ORDER BY seg_a, seg_b""".stripMargin,
 
     // exact heavy-hitter replica; the CMS booleans are expected TRUE (the
     // sketch's deterministic never-undercount property and the eps·N

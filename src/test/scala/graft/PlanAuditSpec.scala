@@ -582,4 +582,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(scans == 1,
       s"expected one embeddings scan, saw $scans:\n${p.take(800)}")
   }
+
+  test("c89: the calibration is ONE map-only embeddings scan — no join, " +
+       "no corpus-sized shuffle, only the 20-bucket aggregate exchanges") {
+    val p = plan("c89_hyperplane_calibration")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"calibration must not join:\n${p.take(600)}")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one embeddings scan, saw $scans")
+    assert(p.contains("partial_count"),
+      "the bucket aggregate must combine map-side")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the 20-bucket aggregate may exchange:\n${p.take(600)}")
+  }
+
+  test("c92 sweep: margins collapse to the bin histogram BEFORE any " +
+       "window — no corpus-keyed exchange reaches the cumulative sweep") {
+    import spark.implicits._
+    val scored = (1L to 200L).map(i => (i, i * 7 % 1000 - 500, i % 40 + 1))
+      .toDF("doc_id", "margin", "tokens")
+    val p = graft.operators.Sampling.budgetThresholdSweep(
+        scored, "margin", "tokens", budgetTokens = 100L, binWidth = 50L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate(keys=[bin"),
+      s"binning must aggregate before the window:\n${p.take(600)}")
+    assert(!p.contains("hashpartitioning(margin") &&
+      !p.contains("hashpartitioning(doc_id"),
+      s"no corpus-keyed exchange may feed the sweep:\n${p.take(600)}")
+  }
 }

@@ -159,4 +159,59 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
       .agg(approx_count_distinct("l_partkey").as("d")).head.getLong(0)
     assert(direct === viaGroups)
   }
+
+  test("b63 KMV theta: planted-overlap estimates within bounds; merge of " +
+    "sketches EQUALS the sketch of the union bit-for-bit; order and " +
+    "multiplicity invariant; exact below k") {
+    import graft.operators.{KmvSketch, ThetaSketch}
+    val s2 = spark
+    import s2.implicits._
+    val k = 512
+    // planted universes: A = 1..10000, B = 5001..15000 — overlap 5000
+    val a = (1L to 10000L).toDF("key")
+      .agg(ThetaSketch.kmvSketch(xxhash64(col("key")), k))
+      .head.getAs[Array[Byte]](0)
+    val b = (5001L to 15000L).toDF("key")
+      .agg(ThetaSketch.kmvSketch(xxhash64(col("key")), k))
+      .head.getAs[Array[Byte]](0)
+    val (sa, sb) = (KmvSketch.deserialize(a), KmvSketch.deserialize(b))
+    val rse = 1.0 / math.sqrt(k.toDouble)
+    assert(math.abs(sa.estimate - 10000) <= 4 * rse * 10000,
+      s"A estimate ${sa.estimate}")
+    assert(math.abs(KmvSketch.unionEstimate(sa, sb) - 15000) <=
+      4 * rse * 15000, s"union ${KmvSketch.unionEstimate(sa, sb)}")
+    val estI = KmvSketch.intersectEstimate(sa, sb)
+    val th = KmvSketch.thetaMin(sa, sb)
+    assert(math.abs(estI - 5000) <= 5 * math.sqrt(5000 / th),
+      s"intersection $estI at theta $th")
+    // merge(sketch(A), sketch(B)) == sketch(A ∪ B), BYTE-for-byte: the
+    // k smallest of a set do not depend on how the set was assembled
+    val direct = (1L to 15000L).toDF("key")
+      .agg(ThetaSketch.kmvSketch(xxhash64(col("key")), k))
+      .head.getAs[Array[Byte]](0)
+    val merged = KmvSketch.deserialize(a).merge(sb).serialize()
+    assert(java.util.Arrays.equals(merged, direct),
+      "sketch merge must equal the union's sketch exactly")
+    // order + multiplicity invariance: shuffled triplicated input,
+    // different partitioning — identical bytes
+    val noisy = (1L to 10000L).flatMap(x => Seq(x, x, x))
+    val shuffled = new scala.util.Random(7).shuffle(noisy)
+      .toDF("key").repartition(13)
+      .agg(ThetaSketch.kmvSketch(xxhash64(col("key")), k))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(shuffled, a),
+      "the sketch must be a pure function of the input SET")
+    // below k the sketch IS the set: exact count, theta 1
+    val tiny = (1L to 100L).toDF("key")
+      .agg(ThetaSketch.kmvSketch(xxhash64(col("key")), k))
+      .head.getAs[Array[Byte]](0)
+    val st = KmvSketch.deserialize(tiny)
+    assert(st.estimate === 100.0 && st.theta === 1.0)
+    // kmvMerge re-aggregates STORED sketches (the per-shard rollup)
+    val parts = Seq(a, b).toDF("sk")
+      .agg(ThetaSketch.kmvMerge(col("sk"), k))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(parts, direct),
+      "stored-sketch rollup must equal the union's sketch")
+  }
 }
