@@ -114,6 +114,7 @@ object Bench {
     "c89_hyperplane_calibration", "c90_filtered_ann_serve",
     "c91_tombstone_ann_serve", "c92_budget_threshold",
     "a39_snapshot_expire", "c93_drop_ledger", "b63_theta_overlap",
+    "b64_theta_anotb", "c94_l_diversity",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -278,7 +279,10 @@ object Bench {
       // replica-scaled orders' status segments (k-long state) next to
       // the exact-overlap calibration join
       "c92_budget_threshold", "a39_snapshot_expire", "c93_drop_ledger",
-      "b63_theta_overlap")
+      "b63_theta_overlap",
+      // b64 rides b63's sketch aggregate + calibration join; c94 is
+      // one exact aggregate over the replica-scaled customers
+      "b64_theta_anotb", "c94_l_diversity")
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

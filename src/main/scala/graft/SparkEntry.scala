@@ -3638,6 +3638,26 @@ object SparkEntry {
         .withColumn("k_ok", col("n") >= 5)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // C94 l-diversity audit: C71's k-anonymity says each
+    // quasi-identifier group is big enough to hide in — l-diversity
+    // says the group's SENSITIVE attribute (account-balance band,
+    // positive-shifted integer cents // 2000 dollars) actually varies:
+    // a group of 50 people who all share one balance band is k-safe
+    // and still leaks. Distinct-l (the base variant; entropy-l and
+    // recursive-(c,l) are refinements) over the same QI columns.
+    "c94_l_diversity" -> ((s, dir) => {
+      val G = graft.functions.GraftExpressions
+      val band = G.longDiv(
+        round(col("c_acctbal") * 100).cast("long") + lit(100000000L),
+        lit(200000L))
+      t(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(band).as("l_distinct"))
+        .withColumn("l_ok", col("l_distinct") >= 3)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // C72 incremental corpus-datasheet maintenance: C48's per-source
     // doc/token/char counters advanced from the ingest CHANGE FEED
     // alone (B26's signed arithmetic on the curation surface) — the
@@ -4665,6 +4685,54 @@ object SparkEntry {
       }.sortBy(t => (t._1, t._2))
         .toDF("seg_a", "seg_b", "exact_inter", "exact_union",
           "inter_ok", "union_ok")
+    }),
+
+    // B64 theta a-not-b + Jaccard: the remaining set-operation
+    // surfaces on the b63 machinery — per ORDERED status pair, the
+    // set-difference estimate (DataSketches' a-not-b cut rule) and the
+    // Jaccard similarity, checked against exact replicas; jacc_ppm is
+    // integer-exact (inter*1e6 // union, non-negative truncation).
+    "b64_theta_anotb" -> ((s, dir) => {
+      import graft.operators.{KmvSketch, ThetaSketch}
+      val k = 512
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderstatus").as("st"), col("o_custkey").as("ck"))
+      val sk = ord.groupBy("st")
+        .agg(ThetaSketch.kmvSketch(xxhash64(col("ck")), k).as("sk"))
+        .collect().map(r => r.getString(0) ->
+          KmvSketch.deserialize(r.getAs[Array[Byte]](1))).toMap
+      val d = ord.distinct()
+      val n = d.groupBy("st").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val inter = d.as("l").join(d.as("r"),
+          col("l.ck") === col("r.ck") && col("l.st") < col("r.st"))
+        .groupBy(col("l.st").as("a"), col("r.st").as("b"))
+        .agg(count(lit(1)).as("i"))
+        .collect()
+      import s.implicits._
+      val rse = 1.0 / math.sqrt(k.toDouble)
+      inter.toSeq.flatMap { r =>
+        val (x, y, ei) = (r.getString(0), r.getString(1), r.getLong(2))
+        Seq((x, y), (y, x)).map { case (a, b) =>
+          val eu = n(a) + n(b) - ei
+          val exDiff = n(a) - ei
+          val th = KmvSketch.thetaMin(sk(a), sk(b))
+          val estD = KmvSketch.aNotBEstimate(sk(a), sk(b))
+          val estJ = KmvSketch.intersectEstimate(sk(a), sk(b)) /
+            KmvSketch.unionEstimate(sk(a), sk(b))
+          val jacc = ei.toDouble / eu
+          val diffOk = math.abs(estD - exDiff) <=
+            5.0 * math.sqrt(math.max(estD, 1.0) / th) + 2.0 / th
+          // a ratio of two correlated estimates: the intersection
+          // sigma scaled by the union, plus the union's own RSE, at 5x
+          val jaccOk = math.abs(estJ - jacc) <=
+            5.0 * (math.sqrt(math.max(ei.toDouble, 1.0) / th) / eu +
+              rse * math.max(jacc, rse))
+          (a, b, exDiff, ei * 1000000L / eu, diffOk, jaccOk)
+        }
+      }.sortBy(t => (t._1, t._2))
+        .toDF("seg_a", "seg_b", "exact_anotb", "jacc_ppm",
+          "diff_ok", "jacc_ok")
     }),
 
     // C92 budget-targeted threshold selection: the trained c79b langid
@@ -6394,6 +6462,35 @@ object SparkEntry {
         |       true AS inter_ok, true AS union_ok
         |FROM p JOIN n na ON na.st = p.seg_a JOIN n nb ON nb.st = p.seg_b
         |ORDER BY seg_a, seg_b""".stripMargin,
+
+    // b64: exact ordered-pair difference/jaccard replica; jacc_ppm is
+    // integer-exact (non-negative truncating division), booleans TRUE
+    "b64_theta_anotb" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_orderstatus AS st, o_custkey AS ck FROM orders),
+        |n AS (SELECT st, count(*) AS n FROM d GROUP BY 1),
+        |p0 AS (
+        |  SELECT l.st AS a, r.st AS b, count(*) AS i
+        |  FROM d l JOIN d r ON l.ck = r.ck AND l.st < r.st
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a, b, i FROM p0 UNION ALL SELECT b, a, i FROM p0)
+        |SELECT p.a AS seg_a, p.b AS seg_b,
+        |       na.n - p.i AS exact_anotb,
+        |       (p.i * 1000000) // (na.n + nb.n - p.i) AS jacc_ppm,
+        |       true AS diff_ok, true AS jacc_ok
+        |FROM p JOIN n na ON na.st = p.a JOIN n nb ON nb.st = p.b
+        |ORDER BY seg_a, seg_b""".stripMargin,
+
+    // c94: exact distinct-l replica over the same QI columns as c71;
+    // the balance band is positive-shifted integer cents // 200000
+    "c94_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |       count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT)
+        |                       + 100000000) // 200000) AS l_distinct,
+        |       count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT)
+        |                       + 100000000) // 200000) >= 3 AS l_ok
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     // exact heavy-hitter replica; the CMS booleans are expected TRUE (the
     // sketch's deterministic never-undercount property and the eps·N

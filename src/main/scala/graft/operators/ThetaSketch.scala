@@ -144,6 +144,22 @@ object KmvSketch {
     */
   def thetaMin(a: KmvSketch, b: KmvSketch): Double =
     math.min(a.theta, b.theta)
+
+  /** Set-difference estimate |A \ B| (B64): cut both at th = min(theta);
+    * A's survivors below th that are NOT retained by B are a rate-th
+    * sample of A \ B — DataSketches' a-not-b, same cut rule as the
+    * intersection.
+    */
+  def aNotBEstimate(a: KmvSketch, b: KmvSketch): Double = {
+    val th = thetaMin(a, b)
+    val bSet = new java.util.HashSet[java.lang.Long]()
+    b.values.foreach(h => bSet.add(h))
+    var hits = 0
+    a.values.foreach { h =>
+      if ((th == 1.0 || frac(h) < th) && !bSet.contains(h)) hits += 1
+    }
+    hits / th
+  }
 }
 
 class KmvBuildAgg(k: Int) extends Aggregator[Long, KmvSketch, Array[Byte]] {

@@ -184,6 +184,12 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     val th = KmvSketch.thetaMin(sa, sb)
     assert(math.abs(estI - 5000) <= 5 * math.sqrt(5000 / th),
       s"intersection $estI at theta $th")
+    // a-not-b (b64): |A \ B| = 5000 planted, same cut rule
+    val estD = KmvSketch.aNotBEstimate(sa, sb)
+    assert(math.abs(estD - 5000) <= 5 * math.sqrt(5000 / th),
+      s"a-not-b $estD at theta $th")
+    assert(math.abs(KmvSketch.aNotBEstimate(sb, sa) - 5000) <=
+      5 * math.sqrt(5000 / th), "b-not-a")
     // merge(sketch(A), sketch(B)) == sketch(A ∪ B), BYTE-for-byte: the
     // k smallest of a set do not depend on how the set was assembled
     val direct = (1L to 15000L).toDF("key")
