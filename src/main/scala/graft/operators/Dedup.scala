@@ -558,13 +558,16 @@ object Dedup {
       .select(col("id"),
         posexplode(graft.functions.GraftExpressions.spanMd5s(col("toks"), w))
           .as(Seq("pos", "h")))
-    val enc = col("id") * lit(2147483648L) + col("pos")
+    // canonical election by STRUCT ordering (least (id, pos) lexicographic)
+    // — overflow-safe at any id range; the packed id*2^31+pos BIGINT form
+    // lives only in the oracle, where ids are known-small (r11 advice).
+    val pair = struct(col("id"), col("pos"))
     val byHash = Window.partitionBy("h")
     val marked = spans
-      .withColumn("__enc", enc)
+      .withColumn("__pair", pair)
       .withColumn("__n", count(lit(1)).over(byHash))
-      .withColumn("__canon", min(col("__enc")).over(byHash))
-      .where(col("__n") > 1 && col("__enc") =!= col("__canon"))
+      .withColumn("__canon", min(pair).over(byHash))
+      .where(col("__n") > 1 && col("__pair") =!= col("__canon"))
     val removedPos = marked
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("tp"))
@@ -719,23 +722,31 @@ object Dedup {
           (col("start_tok") + 1).cast("int"),
           (col("end_tok") - col("start_tok") + 1).cast("int")), " "))
           .as("ehash"))
-    // one canonical per identical-content cluster: least (doc, start)
-    // via the same single-BIGINT encoding C29 uses (cross-engine safe);
-    // under the C87 quality rule the max (host quality, −enc) struct
-    // wins — best host first, the same (doc, start) order as tiebreak
-    val enc = col("id") * lit(2147483648L) + col("start_tok")
+    // one canonical per identical-content cluster: least (doc, start),
+    // elected by STRUCT ordering — lexicographic min of (id, start_tok)
+    // — so the election is overflow-safe at ANY id/offset range (the
+    // r11 advice: the old id*2^31+start packed BIGINT silently elected
+    // the wrong canonical past id 2^32; the packed form survives only
+    // in oracles, where ids are known-small). Under the C87 quality
+    // rule the best HOST document wins first: max quality over the
+    // cluster, then least (doc, start) among the max-quality members —
+    // two window aggs over the SAME partition spec, one shuffle.
+    val pair = struct(col("id"), col("start_tok"))
     val byContent = Window.partitionBy("ehash")
     val stripped =
       if (quality.isEmpty)
         hashed
-          .withColumn("__enc", enc)
-          .withColumn("__canon", min(enc).over(byContent))
-          .where(col("__enc") =!= col("__canon"))
+          .withColumn("__pair", pair)
+          .withColumn("__canon", min(pair).over(byContent))
+          .where(col("__pair") =!= col("__canon"))
       else
         hashed
-          .withColumn("__key", struct(col("__q"), (-enc).as("__ne")))
-          .withColumn("__best", max(col("__key")).over(byContent))
-          .where(col("__key") =!= col("__best"))
+          .withColumn("__pair", pair)
+          .withColumn("__maxq", max(col("__q")).over(byContent))
+          .withColumn("__best",
+            min(when(col("__q") === col("__maxq"), pair))
+              .over(byContent))
+          .where(col("__pair") =!= col("__best"))
     val covered = stripped
       .select(col("id"),
         explode(sequence(col("start_tok"), col("end_tok"))).as("tp"))

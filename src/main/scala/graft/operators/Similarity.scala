@@ -666,8 +666,11 @@ object Similarity {
     * cos(q, v) = (2·Sm − S)/S with S = Σq², Sm the kept-prefix mass —
     * the exact cosine needs ONE integer division and sweeps −1 → 1 as
     * f sweeps the grid. Reported positive-shifted as
-    * cosp_ppm = ⌊Sm·1e6/S⌋ = (cos+1)/2 in ppm, so Spark's truncating
-    * and DuckDB's flooring division agree (negative-dividend rule).
+    * cosp_ppm = ⌊Sm·1e6/S⌋ = (cos+1)/2 in ppm. (Note: DuckDB's INTEGER
+    * `//` truncates toward zero exactly like Spark's `div` — the
+    * measured c92 rule; the flooring behavior applies to DOUBLE `//`
+    * only. The positive shift here is belt-and-braces, not required
+    * for sign agreement.)
     *
     * Both pair sides live in ONE ROW: exact cosine, the production
     * signatures (the SAME [[GraftExpressions.planeSignBuckets]]

@@ -68,6 +68,14 @@ final class KmvSketch(val k: Int) extends Serializable {
   }
 
   def merge(o: KmvSketch): KmvSketch = {
+    // The exact-merge contract (kmin(A∪B) == merge of partials) only
+    // holds at EQUAL k: folding a smaller-k sketch under a larger-k
+    // aggregator would leave the result under-filled with theta=1.0 and
+    // estimate() silently returning the truncated retained-set size.
+    // Fail loudly instead (r11 advice) — mixed-k stores are a config bug.
+    require(
+      o.k == k,
+      s"KMV merge requires equal k: this sketch k=$k, other k=${o.k}")
     val it = o.flipped.iterator()
     while (it.hasNext) add(it.next() ^ Long.MinValue)
     this

@@ -71,17 +71,26 @@ object AnnIndexStore {
       if (bad > 0) Some(s"$bad centroids not $want-dimensional") else None
     })
     // Subspace coverage: every sub 0..m-1 present, all with the SAME
-    // code count — a torn or partial codebook table must fail the
-    // publish audit, not surface as a mis-decode at query time.
+    // code count, AND each sub's code ids form the dense range
+    // 0..k-1 (min==0, max==countDistinct-1) — so an INTRA-subspace hole
+    // (codes 0,1,3 in one sub vs 0,1,2 in another: equal counts) fails
+    // at publish, not at loadAt's per-book holes check (r11 advice).
     val subAudit: Wap.Audit = (s"subspace_coverage($m)", df => {
       val rows = df.groupBy(col("sub"))
-        .agg(countDistinct(col("code")).as("k")).collect()
+        .agg(countDistinct(col("code")).as("k"),
+          min(col("code")).as("lo"), max(col("code")).as("hi")).collect()
       val subs = rows.map(_.getInt(0)).sorted.toSeq
       val ks = rows.map(_.getLong(1)).distinct.toSeq
+      val holed = rows.filter(r =>
+        r.getInt(2) != 0 || r.getInt(3).toLong != r.getLong(1) - 1)
       if (subs != (0 until m))
         Some(s"subspaces present=${subs.mkString(",")}, want 0..${m - 1}")
       else if (ks.length != 1)
         Some(s"non-uniform code counts across subspaces: ${ks.mkString(",")}")
+      else if (holed.nonEmpty)
+        Some(holed.map(r => s"sub ${r.getInt(0)} codes not dense 0..k-1: " +
+          s"min=${r.getInt(2)}, max=${r.getInt(3)}, k=${r.getLong(1)}")
+          .mkString("; "))
       else None
     })
     MultiPublish.publishAll(spark, Map(
