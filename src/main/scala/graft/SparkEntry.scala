@@ -64,6 +64,47 @@ object SparkEntry {
     Seq("join", "sort", "merge"),
     Seq("spark", "batch", "window"))
 
+  /** The committed langid MODEL ARTIFACT, trained-and-published at most
+    * ONCE per corpus dir per JVM (the r11 ask: c79b/c92 serving paths
+    * must LOAD the deployed model, not retrain inline — a quality
+    * filter that must be retrained to be consulted isn't deployed).
+    * Training depth is EXACTLY what the c79b/c92 oracles replay
+    * (5 classes, nBuckets=128, epochs=1, nBatches=2, lrDiv=64); the
+    * integer-grid weights round-trip parquet bit-exactly, so
+    * score-from-load ≡ score-from-train and the oracles gate the loaded
+    * path unchanged. Bench pre-warms this via [[prewarmLangidModel]] so
+    * probe rows time serving, not the one-time publish.
+    */
+  private val clfModelRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def langidModelRoot(s: SparkSession, dir: String): String =
+    clfModelRoots.computeIfAbsent(dir, _ => {
+      import graft.operators.ClassifierTrain
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("clf_langid_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val classes = Seq("de", "en", "es", "fr", "zh")
+      val feats = ClassifierTrain.featurizeMulti(
+        t(s, dir, "documents"), "text", "doc_id", "lang", 128, 2).persist()
+      try {
+        val model = ClassifierTrain
+          .trainMulticlass(feats, classes, 128, 1, 2, 64L)
+          .map { case (c, res) => (c, res.weights) }
+        val rep = graft.sources.ModelStore.publishModel(
+          s, root, model, trainedAtEpoch = 1L)
+        require(rep.committed, s"langid model publish failed: ${rep.failures}")
+      } finally { feats.unpersist(); () }
+      root
+    })
+
+  /** Bench hook: pay the one-time train+publish OUTSIDE a timed probe. */
+  def prewarmLangidModel(s: SparkSession, dir: String): Unit = {
+    langidModelRoot(s, dir); ()
+  }
+
   // --------------------------------------------------------------- map
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1785,25 +1826,22 @@ object SparkEntry {
         epochs = 2, nBatches = 2, lrDiv = 64L)),
 
     // C79b trained language ID — the scored path that replaces C8's
-    // stopword heuristic once a labeled slice exists: train the C79
-    // one-vs-rest model in-query, then ONE projection + ONE doc-keyed
+    // stopword heuristic once a labeled slice exists: LOAD the
+    // committed model artifact (the C95 store — r11's top ask: serving
+    // must not retrain inline; training happens once in the
+    // langidModelRoot publish), then ONE projection + ONE doc-keyed
     // agg computes all five margins and the deterministic argmax
     // (ties → first class in training order). The oracle replays all
-    // five trajectories AND the argmax — prediction-for-prediction.
+    // five training trajectories AND the argmax — so oracle-green IS
+    // the proof that score-from-LOADED-model ≡ score-from-trained
+    // (integer weights round-trip parquet bit-exactly).
     "c79b_trained_langid" -> ((s, dir) => {
       import graft.operators.ClassifierTrain
-      val docs = t(s, dir, "documents")
-      val classes = Seq("de", "en", "es", "fr", "zh")
-      // one epoch: the scored path is what this key gates — training
-      // depth is c79's subject (2 epochs there); the oracle replays
-      // whatever depth the query trains at
-      val feats = ClassifierTrain.featurizeMulti(
-        docs, "text", "doc_id", "lang", 128, 2).persist()
-      val model = try {
-        ClassifierTrain.trainMulticlass(feats, classes, 128, 1, 2, 64L)
-          .map { case (c, res) => (c, res.weights) }
-      } finally { feats.unpersist() }
-      ClassifierTrain.scoreMulticlass(docs, "text", "doc_id", model, 128)
+      val lm = graft.sources.ModelStore.loadModel(s, langidModelRoot(s, dir))
+      require(lm.nBuckets == 128 && lm.trainedAtEpoch == 1L,
+        s"unexpected model meta: $lm")
+      ClassifierTrain.scoreMulticlass(t(s, dir, "documents"),
+          "text", "doc_id", lm.model, lm.nBuckets)
         .orderBy("doc_id")
     }),
 
@@ -4735,32 +4773,93 @@ object SparkEntry {
           "diff_ok", "jacc_ok")
     }),
 
-    // C92 budget-targeted threshold selection: the trained c79b langid
+    // C92 budget-targeted threshold selection: the DEPLOYED langid
     // margins swept into the FineWeb-Edu decision — which score
     // threshold keeps a target token budget of the best material. The
+    // model is LOADED from the committed C95 artifact (r11's top ask —
+    // before the store existed this query retrained inline, ~90% of
+    // its headline), so the timed path is score + sweep only. The
     // margin domain collapses to a histogram BEFORE any window (the
     // c68 rule), binning floor-divides negative margins exactly, and
     // the selected bin is the highest whose top-down cumulative token
     // mass reaches the budget (lowest bin when the corpus can't fill
-    // it). Oracle = the c79b training replay + the same sweep in SQL.
+    // it). Oracle = the c79b training replay + the same sweep in SQL —
+    // unchanged, because score-from-load ≡ score-from-train.
     "c92_budget_threshold" -> ((s, dir) => {
       import graft.operators.{ClassifierTrain, Sampling}
       val docs = t(s, dir, "documents")
-      val classes = Seq("de", "en", "es", "fr", "zh")
-      val feats = ClassifierTrain.featurizeMulti(
-        docs, "text", "doc_id", "lang", 128, 2).persist()
-      val model = try {
-        ClassifierTrain.trainMulticlass(feats, classes, 128, 1, 2, 64L)
-          .map { case (c, res) => (c, res.weights) }
-      } finally { feats.unpersist() }
+      val lm = graft.sources.ModelStore.loadModel(s, langidModelRoot(s, dir))
       val scored = ClassifierTrain.scoreMulticlass(
-        docs, "text", "doc_id", model, 128)
+        docs, "text", "doc_id", lm.model, lm.nBuckets)
       val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
         graft.functions.HashedClassifier.tokenCount(col("text"))
           .as("tokens"))
       Sampling.budgetThresholdSweep(scored.join(toks, "doc_id"),
           "margin", "tokens", budgetTokens = 8000L, binWidth = 50000L)
         .orderBy(desc("bin"))
+    }),
+
+    // C95 versioned classifier-model artifact — the C81 publish/load
+    // discipline applied to C79's weights (r11's top ask): a model
+    // that keeps learning publishes SNAPSHOTS through the A37 atomic
+    // two-table commit (weights + class-order meta advance together or
+    // not at all), a torn write is REFUSED at publish, and serving
+    // PINS a version (blue/green for models — the C85 shape). The
+    // query runs the lifecycle end to end: fold batch 0 (one D36
+    // online step per class) → publish v1 → attempt a bucket-holed
+    // weights write (must refuse, pointer unmoved) → fold batch 1 →
+    // publish v2 → load BOTH pins back. Output = the LOADED weights
+    // tagged by version; oracle = ONE unrolled trajectory prefix read
+    // at iteration 1 (v1) and iteration 2 (v2) — load-at-version must
+    // return exactly the trajectory's state at that version, which a
+    // version mix-up or a lossy round-trip cannot fake.
+    "c95_versioned_model" -> ((s, dir) => {
+      import graft.operators.ClassifierTrain
+      import graft.sources.ModelStore
+      import org.apache.hadoop.fs.Path
+      val docs = t(s, dir, "documents")
+      val classes = Seq("de", "en", "es")
+      val root = Tables.scratch("c95_model_" + new java.io.File(dir).getName)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val feats = ClassifierTrain.featurizeMulti(
+        docs, "text", "doc_id", "lang", 128, 2).persist()
+      try {
+        val st = new ClassifierTrain.OnlineMulticlassState(classes, 128, 64L)
+        st.foldEpoch(0L, feats.where(col("batch") === 0))
+        val mv1 = classes.map(c => c -> st.weights(c).clone)
+        val rep1 = ModelStore.publishModel(s, root, mv1, trainedAtEpoch = 0L)
+        require(rep1.committed, s"v1 publish failed: ${rep1.failures}")
+        require(ModelStore.committedModelVersion(s, root) == 1,
+          "expected committed v1")
+        // a torn writer (bucket hole in one class) must be refused and
+        // must not move the pointer — the AnnIndexStore dense rule
+        val holed = ModelStore.weightsFrame(s, mv1)
+          .where(!(col("cls") === classes.head && col("b") === 7))
+        val torn = ModelStore.publishFrames(s, root, holed,
+          ModelStore.metaFrame(s, classes, 128, 0L), classes, 128)
+        require(!torn.committed && torn.failures.nonEmpty,
+          s"torn publish must be refused: $torn")
+        require(ModelStore.committedModelVersion(s, root) == 1,
+          "refused publish must not move the pointer")
+        st.foldEpoch(1L, feats.where(col("batch") === 1))
+        val mv2 = classes.map(c => c -> st.weights(c).clone)
+        val rep2 = ModelStore.publishModel(s, root, mv2, trainedAtEpoch = 1L)
+        require(rep2.committed, s"v2 publish failed: ${rep2.failures}")
+        require(ModelStore.committedModelVersion(s, root) == 2,
+          "expected rollover to v2")
+        val l1 = ModelStore.loadModelAt(s, root, 1)
+        val l2 = ModelStore.loadModel(s, root)
+        require(l1.trainedAtEpoch == 0L && l2.trainedAtEpoch == 1L &&
+          l1.nBuckets == 128 && l2.nBuckets == 128,
+          s"loaded meta off: $l1 / $l2")
+        import s.implicits._
+        Seq(1 -> l1, 2 -> l2).flatMap { case (v, lm) =>
+          lm.model.flatMap { case (c, w) =>
+            w.zipWithIndex.map { case (wv, b) => (v, c, b.toLong, wv) } }
+        }.toDF("version", "cls", "b", "w").orderBy("version", "cls", "b")
+      } finally { feats.unpersist(); () }
     }),
 
     // C27: duplicated-span scan (exact substring dedup at 16-word
@@ -4997,7 +5096,13 @@ object SparkEntry {
       "c92_budget_threshold" ->
         c92OracleSql(Seq("de", "en", "es", "fr", "zh"), nBuckets = 128,
           epochs = 1, nBatches = 2, lrDiv = 64L, budgetTokens = 8000L,
-          binWidth = 50000L))
+          binWidth = 50000L),
+      // c95: the versioned model artifact must hand back EXACTLY the
+      // trajectory's state at each published version — one unrolled
+      // prefix read at iteration 1 (v1) and 2 (v2)
+      "c95_versioned_model" ->
+        c95OracleSql(Seq("de", "en", "es"), nBuckets = 128,
+          nBatches = 2, lrDiv = 64L))
   }
 
   /** c75's oracle is GENERATED from the same hyperparameters the engine
@@ -5352,6 +5457,27 @@ object SparkEntry {
          |FROM cum, sel
          |ORDER BY bin DESC""".stripMargin
     scored + tail
+  }
+
+  /** c95's oracle: ONE unrolled per-class trajectory prefix (epochs=1
+    * over nBatches mini-batches — the same generator as c79/c79b/c92),
+    * read at iteration 1 (the v1 snapshot: one fold) and iteration
+    * nBatches (v2: all folds) — the versioned artifact must hand back
+    * exactly the trajectory's state at each published version.
+    */
+  private def c95OracleSql(classes: Seq[String], nBuckets: Int,
+                           nBatches: Int, lrDiv: Long): String = {
+    val (prefix, last) = c79TrajPrefix(classes, nBuckets, epochs = 1,
+      nBatches = nBatches, lrDiv = lrDiv)
+    val rows = (for {
+      (v, it) <- Seq((1, 1), (2, last))
+      (cls, ci) <- classes.zipWithIndex
+    } yield s"  SELECT $v AS version, '$cls' AS cls, b, w FROM c${ci}w$it")
+      .mkString("\nUNION ALL\n")
+    s"""$prefix
+       |SELECT version, cls, b, w FROM (
+       |$rows
+       |) ORDER BY version, cls, b""".stripMargin
   }
 
   /** c77's oracle: the BPE merge trajectory unrolled — per round a
