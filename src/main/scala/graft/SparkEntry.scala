@@ -72,8 +72,9 @@ object SparkEntry {
     * (5 classes, nBuckets=128, epochs=1, nBatches=2, lrDiv=64); the
     * integer-grid weights round-trip parquet bit-exactly, so
     * score-from-load ≡ score-from-train and the oracles gate the loaded
-    * path unchanged. Bench pre-warms this via [[prewarmLangidModel]] so
-    * probe rows time serving, not the one-time publish.
+    * path unchanged. Bench.maybePrewarm calls [[prewarmLangidModel]]
+    * before any phase that times c79b/c92, so probe rows time serving,
+    * not the one-time publish.
     */
   private val clfModelRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -82,7 +83,14 @@ object SparkEntry {
     clfModelRoots.computeIfAbsent(dir, _ => {
       import graft.operators.ClassifierTrain
       import org.apache.hadoop.fs.Path
-      val root = Tables.scratch("clf_langid_" + new java.io.File(dir).getName)
+      // the scratch name carries a hash of the FULL corpus path, not just
+      // its basename: two dirs sharing a basename in one JVM would
+      // otherwise train into the same root — the second publish would
+      // overwrite the first's store while the first's cached root kept
+      // serving it (cache key and storage location must not diverge)
+      val root = Tables.scratch("clf_langid_" +
+        new java.io.File(dir).getName + "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
       val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
         s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(root), true)
@@ -4780,7 +4788,9 @@ object SparkEntry {
     // before the store existed this query retrained inline, ~90% of
     // its headline), so the timed path is score + sweep only. The
     // margin domain collapses to a histogram BEFORE any window (the
-    // c68 rule), binning floor-divides negative margins exactly, and
+    // c68 rule); the binning TRUNCATES toward zero on both engines
+    // (Spark `div` = IntegralDivide; DuckDB INTEGER `//` also truncates
+    // — the measured rule recorded at Similarity's division note), and
     // the selected bin is the highest whose top-down cumulative token
     // mass reaches the budget (lowest bin when the corpus can't fill
     // it). Oracle = the c79b training replay + the same sweep in SQL —
@@ -4860,6 +4870,274 @@ object SparkEntry {
             w.zipWithIndex.map { case (wv, b) => (v, c, b.toLong, wv) } }
         }.toDF("version", "cls", "b", "w").orderBy("version", "cls", "b")
       } finally { feats.unpersist(); () }
+    }),
+
+    // C96 versioned TOKENIZER artifact — the C95 store discipline
+    // applied to the other in-session training artifact (the r11 ask
+    // BpeTrain.scala names): C77's merge list published through the
+    // A37 atomic two-table commit, encode sessions LOAD a pinned
+    // version. Lifecycle end to end: train the 24-merge trajectory
+    // once (BPE merges are PREFIX-STABLE — rounds 1..12 don't depend
+    // on the total depth, so the depth-12 prefix IS the 12-merge
+    // tokenizer) → publish v1 = depth 12 → attempt a rank-holed merges
+    // write (must refuse, pointer unmoved) → publish v2 = depth 24 →
+    // load BOTH pins back and ENCODE the training corpus under each.
+    // Output = per-version per-source fertility from the LOADED merge
+    // lists; oracle = the c77 trajectory chain read at w12 (v1) and
+    // w24 (v2) — encode-from-load must reproduce the trajectory's own
+    // segmentation state at that depth, which a version mix-up, a rank
+    // swap, or a lossy round-trip cannot fake (the c80
+    // encode ≡ training-semantics proof, now keyed by artifact
+    // version).
+    "c96_versioned_tokenizer" -> ((s, dir) => {
+      import graft.operators.BpeTrain
+      import graft.sources.TokenizerStore
+      import org.apache.hadoop.fs.Path
+      val docs = t(s, dir, "documents")
+      val root = Tables.scratch("c96_tok_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val merges = BpeTrain.train(docs, "text", numMerges = 24)
+      val rep1 = TokenizerStore.publishTokenizer(s, root, merges.take(12),
+        trainedAtEpoch = 12L)
+      require(rep1.committed, s"v1 publish failed: ${rep1.failures}")
+      require(TokenizerStore.committedTokenizerVersion(s, root) == 1,
+        "expected committed v1")
+      // a torn writer (rank hole) must be refused and must not move the
+      // pointer — the ModelStore/AnnIndexStore dense rule
+      val holed = TokenizerStore.mergesFrame(s, merges.take(12))
+        .where(col("rank") =!= 5)
+      val torn = TokenizerStore.publishFrames(s, root, holed,
+        TokenizerStore.metaFrame(s, 12, 12L), 12)
+      require(!torn.committed && torn.failures.nonEmpty,
+        s"torn publish must be refused: $torn")
+      require(TokenizerStore.committedTokenizerVersion(s, root) == 1,
+        "refused publish must not move the pointer")
+      val rep2 = TokenizerStore.publishTokenizer(s, root, merges,
+        trainedAtEpoch = 24L)
+      require(rep2.committed, s"v2 publish failed: ${rep2.failures}")
+      require(TokenizerStore.committedTokenizerVersion(s, root) == 2,
+        "expected rollover to v2")
+      val tok1 = TokenizerStore.loadTokenizerAt(s, root, 1)
+      val tok2 = TokenizerStore.loadTokenizer(s, root)
+      require(tok1.merges.size == 12 && tok1.trainedAtEpoch == 12L &&
+        tok2.merges.size == 24 && tok2.trainedAtEpoch == 24L,
+        s"loaded meta off: ${tok1.merges.size}@${tok1.trainedAtEpoch} / " +
+          s"${tok2.merges.size}@${tok2.trainedAtEpoch}")
+      val f1 = BpeTrain
+        .fertilityUnderMerges(docs, "text", "source", tok1.merges)
+        .withColumn("version", lit(1))
+      val f2 = BpeTrain
+        .fertilityUnderMerges(docs, "text", "source", tok2.merges)
+        .withColumn("version", lit(2))
+      f1.unionByName(f2)
+        .select("version", "source", "n_words", "n_tokens", "n_chars",
+          "fertility_ppm", "chars_per_token_ppm")
+        .orderBy("version", "source")
+    }),
+
+    // D39 streaming MODEL ROLLOVER (batch-identical gate): the promise
+    // at ModelStore's scaladoc — continued training publishes its
+    // snapshots as ordinary new versions — exercised through the
+    // fold-then-publish unit the real sink runs per micro-batch
+    // (ModelRolloverStreamSpec locks stream ≡ fold through the actual
+    // writeStream sink, blue-pin serving through the flip included).
+    // Epoch e delivers pmod(doc_id, 2) = e docs — exactly the rows the
+    // c95 trajectory folds at iteration e+1, and featurization is
+    // batch-count-independent, so the published v1/v2 ARE the c95
+    // trajectory states and the same generated oracle gates them. A
+    // redelivered epoch must be a structural no-op (the MultiPublish
+    // batch watermark + the state's replayed-latest-epoch rule), NOT
+    // an overwrite — a publish is a pointer flip, so replay safety is
+    // version-identity, the D22 contract at the model level.
+    "d39_model_rollover" -> ((s, dir) => {
+      import graft.operators.ClassifierTrain
+      import graft.sources.ModelStore
+      import graft.streaming.ModelRolloverStream
+      import org.apache.hadoop.fs.Path
+      val docs = t(s, dir, "documents")
+      val classes = Seq("de", "en", "es")
+      val root = Tables.scratch("d39_roll_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val st = new ClassifierTrain.OnlineMulticlassState(classes, 128, 64L)
+      (0 to 1).foreach { e =>
+        val rep = ModelRolloverStream.foldAndPublish(st, classes,
+          docs.where(pmod(col("doc_id"), lit(2)) === e), e.toLong,
+          "text", "doc_id", "lang", 128, root)
+        require(rep.committed, s"epoch $e publish failed: ${rep.failures}")
+      }
+      require(ModelStore.committedModelVersion(s, root) == 2,
+        "expected v2 after two epochs")
+      // redelivered latest epoch: versions, weights, pointer untouched
+      val replay = ModelRolloverStream.foldAndPublish(st, classes,
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), 1L,
+        "text", "doc_id", "lang", 128, root)
+      require(replay.replaySkipped && !replay.committed,
+        s"replayed epoch must be watermark-skipped: $replay")
+      require(ModelStore.committedModelVersion(s, root) == 2,
+        "replay must not move the pointer")
+      // blue pin through the rollover + the flipped committed view
+      val l1 = ModelStore.loadModelAt(s, root, 1)
+      val l2 = ModelStore.loadModel(s, root)
+      require(l1.trainedAtEpoch == 0L && l2.trainedAtEpoch == 1L,
+        s"loaded meta off: $l1 / $l2")
+      import s.implicits._
+      Seq(1 -> l1, 2 -> l2).flatMap { case (v, lm) =>
+        lm.model.flatMap { case (c, w) =>
+          w.zipWithIndex.map { case (wv, b) => (v, c, b.toLong, wv) } }
+      }.toDF("version", "cls", "b", "w").orderBy("version", "cls", "b")
+    }),
+
+    // C97 image PERCEPTUAL near-dup — the audio landmark family's
+    // missing image twin: REAL PNGs from the c12 pixel formula, with a
+    // BMP re-encode (same pixels, different bytes) and a
+    // brightness-shifted copy (+8 per channel, saturating) planted for
+    // every 10th id — neither is visible to byte-level dedup. The
+    // 64-bit blockhash over EQUAL-SIZED 8x8 grid blocks is
+    // algebraically invariant to the uniform shift (clamping at 255 is
+    // the only bit-flip source), so the planted pairs surface through
+    // the c3 banded join + hamming<=3 verify; `same_pixels` splits the
+    // re-encode family (checksum-equal) from the perceptual matches.
+    // Oracle = full replay: formula pixels, saturated shift, crop,
+    // block sums, bits, bands, hot rule, bit_count(xor) — exact
+    // integers end to end.
+    "c97_image_perceptual_dedup" -> ((s, dir) => {
+      import graft.operators.ImageDedup
+      val docs = t(s, dir, "documents")
+      val packed = ImageDedup.packImageVariants(s, docs, "doc_id")
+      val codes = ImageDedup.blockhashCodes(s, packed)
+      ImageDedup.perceptualPairs(codes, maxHamming = 3, hotBucketCap = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // C98 ANN tuning curve — the c63 recall harness SWEPT over nProbe:
+    // one row per probe setting with its measured recall (vs the same
+    // exhaustive truth), cells touched, and codes scanned — the
+    // recall-vs-cost table an operator consults to pick a serving
+    // config instead of guessing (c63 is this table's nProbe=2 point;
+    // the spec pins that identity and recall's monotonicity). All
+    // integer arithmetic on the c53 codes, so every cell of the curve
+    // is hash-exact, including the cost columns.
+    "c98_ann_tuning_curve" -> ((s, dir) => {
+      import graft.functions.GraftExpressions._
+      val settings = Seq(1, 2, 4, 8, 16)
+      val signs = jlSigns(16, 64)
+      val coded = t(s, dir, "embeddings")
+        .select(col("vec_id"), jlProject(col("embedding"), signs).as("code"))
+      val cents: Array[Array[Long]] = coded.where(col("vec_id") < 16)
+        .orderBy("vec_id").collect().map(_.getSeq[Long](1).toArray)
+      val assigned = coded
+        .withColumn("cell", intCellAssign(col("code"), cents))
+      val qRows = assigned.where(col("vec_id") < 8)
+        .select("vec_id", "code").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      def d2(a: Array[Long], b: Array[Long]): Long = {
+        var acc = 0L; var i = 0
+        while (i < math.min(a.length, b.length)) {
+          val d = a(i) - b(i); acc += d * d; i += 1
+        }
+        acc
+      }
+      import s.implicits._
+      val distOf = aggregate(
+        zip_with(col("code"), col("qcode"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, e) => acc + e)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+      val qdfFull = qRows.map { case (q, qc) => (q, qc.toSeq) }.toSeq
+        .toDF("query_id", "qcode")
+      val exact = coded.join(broadcast(qdfFull),
+          col("vec_id") =!= col("query_id"))
+        .withColumn("dist", distOf)
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+        .select(col("query_id"), col("vec_id"))
+      settings.map { np =>
+        val probeRows = qRows.flatMap { case (q, qc) =>
+          cents.zipWithIndex.map { case (ct, ci) => (d2(qc, ct), ci) }
+            .sortBy(identity).take(np)
+            .map { case (_, ci) => (q, ci, qc.toSeq) }
+        }.toSeq
+        val qdfProbe = probeRows.toDF("query_id", "cell", "qcode")
+        val cand = assigned.join(broadcast(qdfProbe), Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+        val scanned = cand.groupBy()
+          .agg(count(lit(1)).as("codes_scanned"))
+        val approx = cand.withColumn("dist", distOf)
+          .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+          .select(col("query_id"), col("vec_id"))
+        val hits = exact
+          .join(approx.withColumn("hit", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+          .groupBy()
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        hits.crossJoin(scanned).select(
+          lit(np).as("n_probe"),
+          lit(probeRows.size.toLong).as("cells_touched"),
+          col("codes_scanned"), col("n_exact"), col("n_hit"),
+          longDiv(col("n_hit") * lit(1000000L), col("n_exact"))
+            .as("recall_ppm"))
+      }.reduce(_ unionByName _).orderBy("n_probe")
+    }),
+
+    // C99 t-closeness audit — the distribution property c71/c94 can't
+    // see: a QI group can be k-big (c71) and l-diverse (c94) while its
+    // sensitive-value DISTRIBUTION is wildly skewed vs the corpus
+    // (Li, Li & Venkatasubramanian 2007). For ORDERED banded values
+    // (the c94 balance bands) the right distance is the 1-D earth
+    // mover's: EMD = mean |cumulative difference| across bands,
+    // computed here as exact integers — |cum_g·N − cum·N_g| summed,
+    // then one truncating ppm division by N_g·N·(B−1). A planted QI
+    // cell (every 11th customer re-published under nation 77 /
+    // 'PLANTED' with its balance forced to the top band) passes
+    // l-diversity-style size checks but must be flagged here. One agg
+    // per grain + a bands-domain cross join (groups × B rows — tiny);
+    // at 100 TB the only corpus-scale pass is the first binning agg.
+    "c99_t_closeness" -> ((s, dir) => {
+      val G = graft.functions.GraftExpressions
+      val cust = t(s, dir, "customer")
+      val planted = cust.where(col("c_custkey") % 11 === 0)
+        .withColumn("c_nationkey",
+          lit(77).cast(cust.schema("c_nationkey").dataType))
+        .withColumn("c_mktsegment", lit("PLANTED"))
+        .withColumn("c_acctbal",
+          lit(9999.0).cast(cust.schema("c_acctbal").dataType))
+      val band = G.longDiv(
+        round(col("c_acctbal") * 100).cast("long") + lit(100000000L),
+        lit(200000L))
+      val binned = cust.unionByName(planted)
+        .select(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+      val corpusBands = binned.groupBy("band").agg(count(lit(1)).as("cb"))
+      val totals = corpusBands
+        .agg(sum("cb").as("n_total"), count(lit(1)).as("n_bands"))
+      val groups = binned.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      val gb = binned.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("gbn"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey", "c_mktsegment").orderBy("band")
+      groups.crossJoin(broadcast(corpusBands))
+        .join(gb, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .na.fill(0L, Seq("gbn"))
+        .crossJoin(broadcast(totals))
+        .withColumn("cum_g", sum("gbn").over(wOrd))
+        .withColumn("cum_c", sum("cb").over(wOrd))
+        .withColumn("term",
+          abs(col("cum_g") * col("n_total") - col("cum_c") * col("n")))
+        .groupBy("c_nationkey", "c_mktsegment", "n", "n_total", "n_bands")
+        .agg(sum("term").as("sumterm"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          G.longDiv(col("sumterm") * lit(1000000L),
+            col("n") * col("n_total") * (col("n_bands") - lit(1L)))
+            .as("emd_ppm"))
+        .withColumn("t_ok", col("emd_ppm") <= 300000L)
+        .orderBy("c_nationkey", "c_mktsegment")
     }),
 
     // C27: duplicated-span scan (exact substring dedup at 16-word
@@ -5102,7 +5380,23 @@ object SparkEntry {
       // prefix read at iteration 1 (v1) and 2 (v2)
       "c95_versioned_model" ->
         c95OracleSql(Seq("de", "en", "es"), nBuckets = 128,
-          nBatches = 2, lrDiv = 64L))
+          nBatches = 2, lrDiv = 64L),
+      // d39: the rollover stream's published v1/v2 ARE the c95
+      // trajectory states (epoch e delivers pmod(doc_id,2)=e docs —
+      // the rows iteration e+1 folds; featurization is
+      // batch-count-independent), so the same generated oracle gates
+      // the streamed snapshots
+      "d39_model_rollover" ->
+        c95OracleSql(Seq("de", "en", "es"), nBuckets = 128,
+          nBatches = 2, lrDiv = 64L),
+      // c96: the versioned tokenizer must hand back EXACTLY the c77
+      // trajectory's segmentation state at each published depth —
+      // the fertility tail read at w12 (v1) and w24 (v2)
+      "c96_versioned_tokenizer" ->
+        c96OracleSql(v1Depth = 12, v2Depth = 24),
+      // c98: the c63 replica swept over nProbe — one per-setting block
+      // per probe count, all sharing the code/cell/exact CTEs
+      "c98_ann_tuning_curve" -> c98OracleSql(Seq(1, 2, 4, 8, 16)))
   }
 
   /** c75's oracle is GENERATED from the same hyperparameters the engine
@@ -5642,6 +5936,139 @@ object SparkEntry {
        |         // CAST(sum(n_tokens) AS BIGINT) AS chars_per_token_ppm
        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     body + e0 + evalChain + tail
+  }
+
+  /** c96's oracle: the c77 trajectory chain read at TWO depths — the
+    * fertility tail aggregated from w(v1Depth) tagged version 1 and
+    * from w(v2Depth) tagged version 2. The engine re-applies the
+    * LOADED merge lists (encode-from-load); the oracle aggregates the
+    * trajectory's own states — agreement proves load ≡ training state
+    * at each published version (the c80 proof, keyed by artifact
+    * version; BPE merges are prefix-stable, so the depth-12 prefix of
+    * the 24-round trajectory IS the 12-merge tokenizer). Tails built
+    * stripMargin'd on their own and concatenated (the c78 rule).
+    */
+  private def c96OracleSql(v1Depth: Int, v2Depth: Int): String = {
+    val chain = c77OracleSql(v2Depth)
+    val body = chain.substring(0, chain.indexOf("\nSELECT rank"))
+    body + ",\n" + s"""seg1 AS (
+       |  SELECT replace(s, chr(1), '') AS word,
+       |         CAST(length(s) - length(replace(s, chr(1), '')) - 1
+       |              AS BIGINT) AS n_tokens
+       |  FROM w$v1Depth),
+       |seg2 AS (
+       |  SELECT replace(s, chr(1), '') AS word,
+       |         CAST(length(s) - length(replace(s, chr(1), '')) - 1
+       |              AS BIGINT) AS n_tokens
+       |  FROM w$v2Depth),
+       |occ AS (
+       |  SELECT source, w AS word FROM (
+       |    SELECT source,
+       |           unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents WHERE length(trim(text)) > 0) z
+       |  WHERE length(w) > 0 AND w NOT LIKE '%' || chr(1) || '%'
+       |        AND w NOT LIKE '%' || chr(2) || '%'),
+       |u AS (
+       |  SELECT CAST(1 AS INT) AS version, o.source, s.n_tokens,
+       |         length(o.word) AS wl
+       |  FROM occ o JOIN seg1 s USING (word)
+       |  UNION ALL
+       |  SELECT CAST(2 AS INT) AS version, o.source, s.n_tokens,
+       |         length(o.word) AS wl
+       |  FROM occ o JOIN seg2 s USING (word))
+       |SELECT version, source, count(*) AS n_words,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(wl) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_tokens) AS BIGINT) * 1000000 // count(*)
+       |         AS fertility_ppm,
+       |       CAST(sum(wl) AS BIGINT) * 1000000
+       |         // CAST(sum(n_tokens) AS BIGINT) AS chars_per_token_ppm
+       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** c98's oracle: the c63 replica (codes → centroids → cells → exact
+    * truth) with one PER-SETTING block per probe count — each block
+    * re-derives the probed cells at its own rn cutoff, counts the
+    * scanned candidates, ranks top-5, and aggregates one curve row;
+    * the final UNION stacks the settings. All exact integers, so the
+    * whole curve is hash-checked, cost columns included.
+    */
+  private def c98OracleSql(settings: Seq[Int]): String = {
+    val prefix =
+      """WITH idx AS (SELECT unnest(range(0, 64)) AS i),
+        |jj AS (SELECT unnest(range(0, 16)) AS j),
+        |codes AS (
+        |  SELECT vec_id, CAST(j.j AS INT) AS j,
+        |         CAST(sum((CASE WHEN ((j.j * 64 + i.i) * 2654435761)
+        |                             % 4294967296 < 2147483648
+        |                        THEN 1 ELSE -1 END)
+        |              * CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1]
+        |                     AS DOUBLE) * 1024 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS y
+        |  FROM embeddings CROSS JOIN idx i CROSS JOIN jj j
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT vec_id AS c, j, y FROM codes WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT v.vec_id, c.c, sum((v.y - c.y) * (v.y - c.y)) AS d
+        |  FROM codes v JOIN cent c ON v.j = c.j
+        |  GROUP BY 1, 2),
+        |cell AS (
+        |  SELECT vec_id, CAST(c AS INT) AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d, c) AS rn FROM asg) t
+        |  WHERE rn = 1),
+        |edist AS (
+        |  SELECT q.query_id, b.vec_id,
+        |         sum((a.y - b.y) * (a.y - b.y)) AS dist
+        |  FROM (SELECT vec_id AS query_id FROM embeddings
+        |        WHERE vec_id < 8) q
+        |  JOIN codes a ON a.vec_id = q.query_id
+        |  JOIN codes b ON b.j = a.j
+        |  WHERE b.vec_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY dist, vec_id) AS rnk FROM edist) t
+        |  WHERE rnk <= 5)""".stripMargin
+    val per = settings.map { np =>
+      s""",
+         |qp$np AS (
+         |  SELECT vec_id AS query_id, CAST(c AS INT) AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d, c) AS rn
+         |    FROM asg WHERE vec_id < 8) t
+         |  WHERE rn <= $np),
+         |cd$np AS (
+         |  SELECT q.query_id, v.vec_id
+         |  FROM cell v JOIN qp$np q ON v.cell = q.cell
+         |  WHERE v.vec_id <> q.query_id),
+         |ad$np AS (
+         |  SELECT ca.query_id, ca.vec_id,
+         |         sum((a.y - b.y) * (a.y - b.y)) AS dist
+         |  FROM cd$np ca
+         |  JOIN codes a ON a.vec_id = ca.query_id
+         |  JOIN codes b ON b.vec_id = ca.vec_id AND b.j = a.j
+         |  GROUP BY 1, 2),
+         |ap$np AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dist, vec_id) AS rnk FROM ad$np) t
+         |  WHERE rnk <= 5),
+         |r$np AS (
+         |  SELECT CAST($np AS INT) AS n_probe,
+         |         (SELECT count(*) FROM qp$np) AS cells_touched,
+         |         (SELECT count(*) FROM cd$np) AS codes_scanned,
+         |         count(*) AS n_exact, count(a.vec_id) AS n_hit,
+         |         CAST(count(a.vec_id) AS BIGINT) * 1000000 // count(*)
+         |           AS recall_ppm
+         |  FROM exact e LEFT JOIN ap$np a
+         |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id)"""
+        .stripMargin
+    }.mkString
+    val out = settings.map(np => s"SELECT * FROM r$np")
+      .mkString("\nUNION ALL\n")
+    prefix + per + "\n" + out + "\nORDER BY n_probe"
   }
 
   /** c80b's oracle: the c77 chain's final segmentation LEFT-joined by
@@ -6617,6 +7044,143 @@ object SparkEntry {
         |                       + 100000000) // 200000) >= 3 AS l_ok
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // c99: the banded-EMD replay — same banding as c94, same planted
+    // skewed cell as the engine, cumulative differences as exact
+    // integers, one truncating ppm division at the end
+    "c99_t_closeness" ->
+      """WITH aug AS (
+        |  SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT 77, 'PLANTED', 9999.0 FROM customer
+        |  WHERE c_custkey % 11 = 0),
+        |b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         (CAST(round(c_acctbal * 100) AS BIGINT)
+        |          + 100000000) // 200000 AS band
+        |  FROM aug),
+        |cb AS (SELECT band, count(*) AS cb FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS n_total,
+        |               count(*) AS n_bands FROM cb),
+        |g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |      FROM b GROUP BY 1, 2),
+        |gb AS (SELECT c_nationkey, c_mktsegment, band, count(*) AS gbn
+        |       FROM b GROUP BY 1, 2, 3),
+        |dom AS (SELECT g.c_nationkey, g.c_mktsegment, g.n, c.band, c.cb
+        |        FROM g CROSS JOIN cb c),
+        |fl AS (
+        |  SELECT d.c_nationkey, d.c_mktsegment, d.n, d.band, d.cb,
+        |         coalesce(gb.gbn, 0) AS gbn
+        |  FROM dom d LEFT JOIN gb
+        |    ON gb.c_nationkey = d.c_nationkey
+        |   AND gb.c_mktsegment = d.c_mktsegment AND gb.band = d.band),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, n,
+        |         sum(gbn) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |                        ORDER BY band) AS cum_g,
+        |         sum(cb) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |                       ORDER BY band) AS cum_c
+        |  FROM fl),
+        |emd AS (
+        |  SELECT c_nationkey, c_mktsegment, n,
+        |         CAST(sum(abs(cum_g * t.n_total - cum_c * n))
+        |              AS BIGINT) AS sumterm,
+        |         max(t.n_total) AS n_total, max(t.n_bands) AS n_bands
+        |  FROM cum CROSS JOIN tot t GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |       sumterm * 1000000 // (n * n_total * (n_bands - 1))
+        |         AS emd_ppm,
+        |       sumterm * 1000000 // (n * n_total * (n_bands - 1))
+        |         <= 300000 AS t_ok
+        |FROM emd ORDER BY 1, 2""".stripMargin,
+
+    // c97: full perceptual-pipeline replay from the synthesis formula —
+    // saturated brightness shift, 8-aligned crop, equal-block sums,
+    // strict-majority bits, 16-bit bands, hot-bucket escalation (full
+    // code as a band-string key), bit_count(xor) hamming, and the
+    // position-weighted pixel checksum behind same_pixels
+    "c97_image_perceptual_dedup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id, doc_id AS src, 0 AS delta
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id, 0 FROM documents
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, doc_id, 8 FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |dims AS (
+        |  SELECT media_id, src, delta,
+        |         src % 64 + 16 AS w, src % 48 + 16 AS h
+        |  FROM imgs),
+        |px AS (
+        |  SELECT media_id, src, delta, w, h,
+        |         w - w % 8 AS w8, h - h % 8 AS h8,
+        |         unnest(range(0, w)) AS x
+        |  FROM dims),
+        |pxy AS (SELECT *, unnest(range(0, h)) AS y FROM px),
+        |vv AS (
+        |  SELECT media_id, w8, h8, x, y, delta,
+        |         ((src * 1103515245 + x * 31 + y * 131) & 16777215) AS v
+        |  FROM pxy),
+        |g AS (
+        |  SELECT media_id, w8, h8, x, y,
+        |         least(((v >> 16) & 255) + delta, 255)
+        |         + least(((v >> 8) & 255) + delta, 255)
+        |         + least((v & 255) + delta, 255) AS gv
+        |  FROM vv),
+        |ps AS (
+        |  SELECT media_id,
+        |         CAST(sum(gv * (x + 1) * (y + 3)) AS BIGINT) AS pixsum
+        |  FROM g GROUP BY 1),
+        |cells AS (
+        |  SELECT media_id,
+        |         (y // (h8 // 8)) * 8 + (x // (w8 // 8)) AS cell,
+        |         CAST(sum(gv) AS BIGINT) AS s
+        |  FROM g WHERE x < w8 AND y < h8 GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(s) AS total FROM cells GROUP BY 1),
+        |bits AS (
+        |  SELECT c.media_id, c.cell,
+        |         CASE WHEN 64 * c.s > t.total THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (media_id)),
+        |bands AS (
+        |  SELECT media_id, CAST(cell // 16 AS INT) AS band,
+        |         CAST(sum(bit * (CAST(1 AS BIGINT)
+        |              << CAST(cell % 16 AS INT))) AS BIGINT) AS bucket
+        |  FROM bits GROUP BY 1, 2),
+        |census AS (SELECT band, bucket, count(*) AS bsz
+        |           FROM bands GROUP BY 1, 2),
+        |fullk AS (
+        |  SELECT media_id,
+        |         string_agg(CAST(bucket AS VARCHAR), '_' ORDER BY band)
+        |           AS fk
+        |  FROM bands GROUP BY 1),
+        |ref AS (
+        |  SELECT b.media_id, b.band, b.bucket,
+        |         CASE WHEN c.bsz > 64 THEN f.fk ELSE '' END AS refine
+        |  FROM bands b JOIN census c USING (band, bucket)
+        |  JOIN fullk f USING (media_id)),
+        |cand AS (
+        |  SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b
+        |  FROM ref l JOIN ref r
+        |    ON l.band = r.band AND l.bucket = r.bucket
+        |   AND l.refine = r.refine
+        |  WHERE l.media_id < r.media_id),
+        |hm AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(sum(bit_count(xor(ba.bucket, bb.bucket))) AS INT)
+        |           AS hamming
+        |  FROM cand c
+        |  JOIN bands ba ON ba.media_id = c.id_a
+        |  JOIN bands bb ON bb.media_id = c.id_b AND bb.band = ba.band
+        |  GROUP BY 1, 2)
+        |SELECT h.id_a, h.id_b, h.hamming,
+        |       pa.pixsum = pb.pixsum AS same_pixels
+        |FROM hm h
+        |JOIN ps pa ON pa.media_id = h.id_a
+        |JOIN ps pb ON pb.media_id = h.id_b
+        |WHERE h.hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // exact heavy-hitter replica; the CMS booleans are expected TRUE (the
     // sketch's deterministic never-undercount property and the eps·N

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Image PERCEPTUAL near-duplicate detection (C97) — the dedup family
+  * member the image surface was missing: the audio stack finds
+  * gain-shifted/dithered audio copies (c12k/m/n landmark codes), but a
+  * re-encoded or brightness-shifted image duplicate was invisible to
+  * every existing matcher (exact dedup sees different BYTES; the c12
+  * mean-RGB features shift with brightness).
+  *
+  * The perceptual code is a 64-bit BLOCKHASH (the aHash/Blockhash
+  * family — Yang, Weng & Lei 2009's block-mean hash): decode with the
+  * REAL codec (`javax.imageio`, the c12 path), grayscale each pixel as
+  * the exact integer r+g+b, crop to the largest 8-aligned region (so
+  * all 64 blocks hold EXACTLY the same pixel count), and set bit c iff
+  * 64·blockSum(c) > totalSum. Equal-sized blocks make the code
+  * ALGEBRAICALLY invariant to a uniform brightness shift — adding δ to
+  * every channel adds 3δ·A/64 to each block and 3δ·A to the total, and
+  * the strict inequality is preserved exactly — so a brightness-shifted
+  * copy only flips bits where channel CLAMPING at 255 bends the shift,
+  * which is the hamming tolerance's job. A re-encode (PNG → BMP — both
+  * lossless) preserves pixels, hence the code, exactly.
+  *
+  * Candidate generation is the c3 SimHash discipline, not all-pairs:
+  * split the code into 4 × 16-bit bands — any pair within hamming ≤ 3
+  * shares at least one exact band (pigeonhole) — bucket-join on
+  * (band, value), verify with bit_count(xor) ≤ maxHamming. A band
+  * value held by more than `hotBucketCap` images (real crawls are full
+  * of flat-color thumbnails whose codes collapse to a few values)
+  * escalates to the FULL code as the join key, so a popular band never
+  * goes quadratic — the same contract, and the same loss bound, as
+  * [[Dedup.simhashDedupPairs]].
+  *
+  * Output pairs also carry `same_pixels` — whether the two images'
+  * position-weighted pixel checksums agree — so a consumer can split
+  * EXACT-pixel duplicates (the re-encode family: same image, different
+  * container) from genuinely perceptual matches.
+  *
+  * At 100 TB: code extraction is one decode pass (mapPartitions-batched,
+  * the c12 codec shape — pixels never leave the executor; 8 longs out
+  * per image); the join is banded with long keys and hot-bucket
+  * escalation; pair volume tracks true near-duplicate volume. Integer
+  * arithmetic end to end, so the DuckDB oracle replays pixels (from the
+  * synthesis formula), crop, block sums, bits, bands, hot rule, and
+  * hamming bit-for-bit.
+  */
+object ImageDedup {
+
+  /** Deterministic channel value replayed by the oracle (the c12 pixel
+    * formula), brightness-shifted by `delta` with saturation at 255.
+    */
+  @inline private def shiftClamp(ch: Int, delta: Int): Int =
+    math.min(ch + delta, 255)
+
+  /** Build the c97 probe corpus: one REAL PNG per id from the c12 pixel
+    * formula, plus — for ids divisible by 10 — two planted variants of
+    * the SAME pixels: a BMP re-encode (media_id + 2e6; different bytes,
+    * identical pixels) and a brightness-shifted PNG (media_id + 3e6;
+    * every channel +`brightDelta`, saturating — different pixels
+    * everywhere, same perceptual content). Exact byte-level dedup finds
+    * neither; this operator must find both.
+    */
+  def packImageVariants(spark: SparkSession, df: DataFrame, idCol: String,
+                        brightDelta: Int = 8,
+                        batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType),
+      StructField("format", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val id = r.getLong(0)
+          val w = (id % 64 + 16).toInt
+          val h = (id % 48 + 16).toInt
+          def render(delta: Int): java.awt.image.BufferedImage = {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (id * 1103515245L + x * 31L + y * 131L) & 0xFFFFFF
+                val rr = shiftClamp(((v >> 16) & 255).toInt, delta)
+                val gg = shiftClamp(((v >> 8) & 255).toInt, delta)
+                val bb = shiftClamp((v & 255).toInt, delta)
+                img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          def encodeAs(img: java.awt.image.BufferedImage,
+                       fmt: String): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, fmt, bos)
+            bos.toByteArray
+          }
+          val base = render(0)
+          val out = Seq.newBuilder[Row]
+          out += Row(id, encodeAs(base, "png"), "image/png")
+          if (id % 10 == 0) {
+            out += Row(id + 2000000L, encodeAs(base, "bmp"), "image/bmp")
+            out += Row(id + 3000000L,
+              encodeAs(render(brightDelta), "png"), "image/png")
+          }
+          out.result()
+        }
+      }
+    }(enc)
+  }
+
+  /** Decode each payload with the real codec and emit its 64-bit
+    * blockhash + the position-weighted pixel checksum (the exact-pixel
+    * identity the `same_pixels` flag compares). Images smaller than
+    * 8×8 after cropping, or undecodable payloads, are dropped (a
+    * perceptual code over fewer pixels than bits is noise — the A13
+    * quarantine posture applied to feature extraction).
+    */
+  def blockhashCodes(spark: SparkSession, packed: DataFrame,
+                     batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("code", LongType),
+      StructField("pixsum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = packed.select(col("media_id").cast("long"), col("media"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+          if (img == null) Iterator.empty
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val w8 = w - w % 8
+            val h8 = h - h % 8
+            if (w8 < 8 || h8 < 8) Iterator.empty
+            else {
+              val bw = w8 / 8
+              val bh = h8 / 8
+              val sums = new Array[Long](64)
+              var total = 0L
+              var pixsum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = img.getRGB(x, y)
+                  val g = ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)
+                  pixsum += g.toLong * (x + 1) * (y + 3)
+                  if (x < w8 && y < h8) {
+                    val cell = (y / bh) * 8 + (x / bw)
+                    sums(cell) += g
+                    total += g
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              var code = 0L
+              var c = 0
+              while (c < 64) {
+                if (64L * sums(c) > total) code |= (1L << c)
+                c += 1
+              }
+              Iterator.single(Row(id, w, h, code, pixsum))
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-dup pairs over [[blockhashCodes]] output: the c3
+    * banded join (4 × 16-bit bands, hot-bucket escalation to the full
+    * code) verified with bit_count(xor) ≤ maxHamming. Returns
+    * (id_a, id_b, hamming, same_pixels), id_a < id_b.
+    */
+  def perceptualPairs(codes: DataFrame, maxHamming: Int = 3,
+                      hotBucketCap: Int = 64): DataFrame = {
+    val banded = codes.select(col("media_id").as("id"), col("code"),
+        col("pixsum"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("code"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bucket")))
+    val hot = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > hotBucketCap)
+      .select(col("band"), col("bucket"), lit(true).as("__hot"))
+    val refined = banded.join(broadcast(hot), Seq("band", "bucket"), "left")
+      .select(col("id"), col("code"), col("pixsum"), col("band"),
+        col("bucket"),
+        when(col("__hot"), col("code")).otherwise(lit(0L)).as("refine"))
+    val left = refined.select(col("band"), col("bucket"), col("refine"),
+      col("id").as("id_a"), col("code").as("code_a"),
+      col("pixsum").as("ps_a"))
+    val right = refined.select(col("band"), col("bucket"), col("refine"),
+      col("id").as("id_b"), col("code").as("code_b"),
+      col("pixsum").as("ps_b"))
+    left.join(right, Seq("band", "bucket", "refine"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("code_a").bitwiseXOR(col("code_b"))).as("hamming"),
+        (col("ps_a") === col("ps_b")).as("same_pixels"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(min("hamming").as("hamming"),
+        first("same_pixels").as("same_pixels"))
+  }
+}
