@@ -131,8 +131,13 @@ object Bench {
     "a39_snapshot_expire", "c93_drop_ledger", "b63_theta_overlap",
     "b64_theta_anotb", "c94_l_diversity",
     // r12/r13: the versioned model-artifact lifecycle (publish + torn
-    // refusal + blue/green load-back)
-    "c95_versioned_model",
+    // refusal + blue/green load-back), its tokenizer twin, the
+    // streamed rollover gate, and the r13 additions: image perceptual
+    // dedup, the ANN tuning curve, t-closeness
+    "c95_versioned_model", "c96_versioned_tokenizer",
+    "d39_model_rollover", "c97_image_perceptual_dedup",
+    "c98_ann_tuning_curve", "c99_t_closeness",
+    "c100_whole_doc_packing", "c101_banding_curve",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -304,8 +309,22 @@ object Bench {
       // r13: c95's lifecycle scales with documents (two featurize-fold
       // passes); the publishes/loads themselves are KB-sized at any
       // corpus scale, so the expected shape is the c14c fixed-cost
-      // floor plus the docs-scaled fold work
-      "c95_versioned_model"))
+      // floor plus the docs-scaled fold work. Same shape for d39 (the
+      // rollover gate: two folds + three KB publishes) and c96 (the
+      // c77 train loop + two vocabulary-sized encodes + occurrence
+      // joins). c97's decode pass and banded join scale with documents
+      // (per-copy pixel formulas keep cross-copy codes unpaired — the
+      // c2 replica contract); c98 scans the replica-scaled embeddings
+      // once per curve setting plus the exhaustive truth side; c99 is
+      // one binning agg over replica-scaled customers (the domain
+      // cross-join stays groups x bands at any scale)
+      "c95_versioned_model", "c96_versioned_tokenizer",
+      "d39_model_rollover", "c97_image_perceptual_dedup",
+      "c98_ann_tuning_curve", "c99_t_closeness",
+      // c100's sort + O(1) fold scales with documents (bins never
+      // straddle shards); c101's signature pass scales with the
+      // sampled documents slice, configs re-slice the same arrays
+      "c100_whole_doc_packing", "c101_banding_curve"))
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

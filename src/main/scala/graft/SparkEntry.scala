@@ -4426,6 +4426,23 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // C101 LSH banding tuning curve — the c98 recall-vs-cost question
+    // asked of the dedup candidate generator: the c83 planted grid
+    // swept over bandings of the SAME k=64 signature (4x16, 8x8,
+    // 16x4, 32x2) — which banding catches which true-overlap levels,
+    // and at what noise cost, BEFORE a 100 TB dedup run commits to
+    // one. Signatures are computed once; each config re-slices the
+    // same arrays. Driver gate = the oracle-reproducible columns
+    // (bucket stats + the per-config S-curve theory, the c83 column
+    // split); measured candidacy is spec-locked (monotone in bands at
+    // every bucket, endpoint contracts).
+    "c101_banding_curve" -> ((s, dir) => {
+      Dedup.minhashBandingCurve(t(s, dir, "documents"), "text", "doc_id")
+        .select("bands", "bucket", "n_pairs", "mean_exact_ppm",
+          "theory_cand")
+        .orderBy("bands", "bucket")
+    }),
+
     // C88 SimHash estimator calibration: the c83 harness pointed at
     // the other candidate generator — per exact-Jaccard bucket, the
     // mean 64-bit hamming distance and the C3 candidacy rate over the
@@ -5086,6 +5103,44 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("n_probe")
     }),
 
+    // C100 WHOLE-document bin packing — the variant C22 deliberately
+    // is not: c22 cuts documents at the budget boundary (right for
+    // causal-LM pretraining), this keeps every document INTACT in
+    // exactly one bin (contrastive pairs, instruction tuning, eval
+    // shards). Next-fit decreasing per (source × id-band) shard: a
+    // strict sequential recurrence (each verdict depends on the
+    // running fill — no window form exists), so the engine runs it as
+    // an O(1)-state sorted-partition fold and the oracle replays it
+    // as a rank-synchronous recursive CTE (the d32 discipline).
+    // Planted oversized docs (every 97th id, +300 tokens > budget)
+    // exercise the own-bin overflow path — visible, not dropped.
+    // Output: per-bin rollup with an order-insensitive doc-id digest,
+    // so one misplaced document anywhere breaks the hash.
+    "c100_whole_doc_packing" -> ((s, dir) => {
+      import graft.operators.Chunking
+      val G = graft.functions.GraftExpressions
+      val base = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("tk"))
+      val corpus = base.unionByName(base.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          (col("tk") + 300L).as("tk")))
+      Chunking.packWholeDocs(corpus, "doc_id", "tk", "source",
+          nBands = 4, budget = 256L)
+        .groupBy("source", "band", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("fill_tokens"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("docs_fp"))
+        .select(col("source"), col("band"), col("bin"), col("n_docs"),
+          col("fill_tokens"),
+          G.longDiv(col("fill_tokens") * lit(1000000L), lit(256L))
+            .as("util_ppm"),
+          (col("fill_tokens") > 256L).as("overflow"), col("docs_fp"))
+        .orderBy("source", "band", "bin")
+    }),
+
     // C99 t-closeness audit — the distribution property c71/c94 can't
     // see: a QI group can be k-big (c71) and l-diverse (c94) while its
     // sensitive-value DISTRIBUTION is wildly skewed vs the corpus
@@ -5396,7 +5451,12 @@ object SparkEntry {
         c96OracleSql(v1Depth = 12, v2Depth = 24),
       // c98: the c63 replica swept over nProbe — one per-setting block
       // per probe count, all sharing the code/cell/exact CTEs
-      "c98_ann_tuning_curve" -> c98OracleSql(Seq(1, 2, 4, 8, 16)))
+      "c98_ann_tuning_curve" -> c98OracleSql(Seq(1, 2, 4, 8, 16)),
+      // c101: the c83 string-shingle grid rebuild shared by all
+      // bandings, one S-curve tail per config (left-associated IEEE
+      // chains, no pow — the c83 exactness rule)
+      "c101_banding_curve" -> c101OracleSql(k = 64,
+        bandsGrid = Seq(4, 8, 16, 32)))
   }
 
   /** c75's oracle is GENERATED from the same hyperparameters the engine
@@ -6069,6 +6129,72 @@ object SparkEntry {
     val out = settings.map(np => s"SELECT * FROM r$np")
       .mkString("\nUNION ALL\n")
     prefix + per + "\n" + out + "\nORDER BY n_probe"
+  }
+
+  /** c101's oracle: the c83 string-shingle planted-grid rebuild (one
+    * shared bucket table) with ONE S-curve tail per banding config —
+    * per config b×r the theory is built from one correctly-rounded
+    * division then left-associated IEEE multiplication chains (j
+    * multiplied r times, q multiplied b times — no pow), bit-identical
+    * cross-engine, the c83 exactness rule swept over configs.
+    */
+  private def c101OracleSql(k: Int, bandsGrid: Seq[Int]): String = {
+    val prefix =
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |           ' ') AS w
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), elig AS (
+        |  SELECT id, w, len(w) AS n FROM base WHERE len(w) >= 5
+        |), grid AS (
+        |  SELECT unnest([0, 125000, 250000, 375000, 500000, 625000,
+        |                 750000, 875000, 1000000]) AS f_ppm
+        |), paired AS (
+        |  SELECT id, w, n, f_ppm, (n * f_ppm) // 1000000 AS m
+        |  FROM elig, grid
+        |), varw AS (
+        |  SELECT id, f_ppm, w,
+        |         list_concat(w[1:m],
+        |           list_transform(range(m + 1, n + 1),
+        |             i -> 'x' || id || 'q' || i)) AS v
+        |  FROM paired
+        |), sh AS (
+        |  SELECT id, f_ppm,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sa,
+        |         list_distinct(list_transform(range(1, len(v) - 1),
+        |           i -> v[i] || ' ' || v[i+1] || ' ' || v[i+2])) AS sb
+        |  FROM varw
+        |), px AS (
+        |  SELECT id, f_ppm,
+        |         (len(list_intersect(sa, sb)) * 1000000) //
+        |           (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+        |           AS exact_ppm
+        |  FROM sh
+        |), bk AS (
+        |  SELECT least(19, exact_ppm // 50000) AS bucket,
+        |         count(*) AS n_pairs,
+        |         CAST(sum(exact_ppm) AS BIGINT) // count(*)
+        |           AS mean_exact_ppm
+        |  FROM px GROUP BY 1
+        |)""".stripMargin
+    val tails = bandsGrid.map { b =>
+      val r = k / b
+      val jChain = Seq.fill(r)("j").mkString("*")
+      val qChain = Seq.fill(b)("q").mkString("*")
+      s"""|SELECT CAST($b AS INT) AS bands, bucket, n_pairs,
+          |       mean_exact_ppm,
+          |       round(1.0 - $qChain, 6) AS theory_cand
+          |FROM (SELECT bucket, n_pairs, mean_exact_ppm,
+          |             1.0 - $jChain AS q
+          |      FROM (SELECT bucket, n_pairs, mean_exact_ppm,
+          |                   CAST(mean_exact_ppm AS DOUBLE) / 1000000.0
+          |                     AS j
+          |            FROM bk))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    prefix + "\n" + tails + "\nORDER BY bands, bucket"
   }
 
   /** c80b's oracle: the c77 chain's final segmentation LEFT-joined by
@@ -7044,6 +7170,50 @@ object SparkEntry {
         |                       + 100000000) // 200000) >= 3 AS l_ok
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // c100: the next-fit-decreasing fold replayed as a
+    // rank-synchronous recursive CTE per shard (the d32 discipline) —
+    // one diverged bin decision anywhere shifts every later bin id
+    // and breaks that shard's digests
+    "c100_whole_doc_packing" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS tk
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, source, CAST(tk AS BIGINT) AS tk,
+        |         doc_id % 4 AS band
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, CAST(tk + 300 AS BIGINT),
+        |         (doc_id + 1000000) % 4
+        |  FROM toks WHERE doc_id % 97 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source, band
+        |             ORDER BY tk DESC, doc_id) AS rn
+        |  FROM corpus),
+        |rec AS (
+        |  SELECT source, band, rn, doc_id, tk,
+        |         CAST(0 AS BIGINT) AS bin, tk AS fill
+        |  FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT a.source, a.band, a.rn, a.doc_id, a.tk,
+        |         CASE WHEN d.fill + a.tk > 256 THEN d.bin + 1
+        |              ELSE d.bin END,
+        |         CASE WHEN d.fill + a.tk > 256 THEN a.tk
+        |              ELSE d.fill + a.tk END
+        |  FROM ranked a JOIN rec d
+        |    ON a.source = d.source AND a.band = d.band
+        |   AND a.rn = d.rn + 1)
+        |SELECT source, band, bin, count(*) AS n_docs,
+        |       CAST(sum(tk) AS BIGINT) AS fill_tokens,
+        |       CAST(sum(tk) AS BIGINT) * 1000000 // 256 AS util_ppm,
+        |       CAST(sum(tk) AS BIGINT) > 256 AS overflow,
+        |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |                      ORDER BY doc_id)) AS docs_fp
+        |FROM rec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // c99: the banded-EMD replay — same banding as c94, same planted
     // skewed cell as the engine, cumulative differences as exact

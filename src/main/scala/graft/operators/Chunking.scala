@@ -159,4 +159,79 @@ object Chunking {
         floor((col("__cum") - col(tokensCol)) / lit(budget.toDouble)).cast("long"))
       .drop("__cum")
   }
+
+  /** C100: WHOLE-document bin packing — the variant [[packSequences]]
+    * (C22) deliberately is not: C22 cuts at the budget boundary (a
+    * document may straddle two training sequences), which is the right
+    * call for causal-LM pretraining but wrong wherever a document must
+    * stay intact (contrastive pairs, instruction tuning, eval sets,
+    * retrieval shards). Here each document lands WHOLE in exactly one
+    * bin: within a shard, documents are taken in (tokens DESC, id)
+    * order — next-fit decreasing — and a document that no longer fits
+    * CLOSES the open bin and starts the next; a document alone larger
+    * than the budget gets its own bin, flagged by the caller via
+    * fill > budget rather than dropped (the A13 posture: overweight is
+    * visible, not silent).
+    *
+    * Next-fit (one open bin, O(1) fold state) rather than best-fit
+    * (open-bin MULTISET state) is the deliberate trade: the fold is a
+    * strict sequential recurrence either way — no window form exists,
+    * because each verdict depends on the running fill — and next-fit's
+    * scalar state is what lets (a) the executor side run as one
+    * sorted-partition streaming pass with nothing materialized, and
+    * (b) the whole fold replay in a rank-synchronous recursive-CTE
+    * oracle (the d32 discipline). Decreasing order recovers most of
+    * best-fit's utilization on heavy-tailed document lengths.
+    *
+    * Parallelism is the C22 shard contract: packing is sequential PER
+    * SHARD (source × an id band), shards pack independently — one
+    * repartition + in-partition sort, state resets at each shard
+    * boundary. At 100 TB: shuffle is one exchange of (id, tokens)
+    * pairs, the fold is O(1) memory per task, and bins never straddle
+    * shards, so output order is reproducible run to run.
+    *
+    * Returns one row per document: (shard cols…, doc id, tokens, bin,
+    * fill_after) with bin numbering local to the shard.
+    */
+  def packWholeDocs(df: DataFrame, idCol: String, tokensCol: String,
+                    sourceCol: String, nBands: Int,
+                    budget: Long): DataFrame = {
+    require(budget > 0 && nBands > 0, "need budget > 0 and nBands > 0")
+    import org.apache.spark.sql.types._
+    val in = df.select(col(sourceCol).cast("string").as("source"),
+      pmod(col(idCol).cast("long"), lit(nBands.toLong)).as("band"),
+      col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).cast("long").as("tk"))
+    val sorted = in.repartition(col("source"), col("band"))
+      .sortWithinPartitions(col("source"), col("band"),
+        col("tk").desc, col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("band", LongType),
+      StructField("doc_id", LongType),
+      StructField("tk", LongType),
+      StructField("bin", LongType),
+      StructField("fill_after", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    sorted.mapPartitions { rows =>
+      var curSource: String = null
+      var curBand = Long.MinValue
+      var bin = 0L
+      var fill = 0L
+      rows.map { r =>
+        val src = r.getString(0)
+        val band = r.getLong(1)
+        val id = r.getLong(2)
+        val tk = r.getLong(3)
+        if (src != curSource || band != curBand) {
+          curSource = src; curBand = band
+          bin = 0L; fill = tk
+        } else if (fill + tk > budget) {
+          bin += 1L; fill = tk
+        } else fill += tk
+        org.apache.spark.sql.Row(src, band, id, tk, bin, fill)
+      }
+    }(enc)
+  }
 }

@@ -988,6 +988,85 @@ object Dedup {
       .orderBy("bucket")
   }
 
+  /** C101: LSH BANDING tuning curve — the c98 recall-vs-cost question
+    * asked of the dedup candidate generator: for each banding of the
+    * SAME k=64 signature (bands b × rows r = k/b), what fraction of
+    * pairs at each true-overlap level would become candidates? More
+    * bands (smaller r) catches lower overlaps AND floods more noise —
+    * the S-curve 1 − (1 − j^r)^b moves left as b grows; this table is
+    * how an operator picks C2's banding against a corpus instead of
+    * guessing. Signatures are computed ONCE over the c83 planted
+    * grid; each config's candidacy is re-derived from the same arrays
+    * (banding is a slicing decision, not a hashing one), so the sweep
+    * costs one map-only pass + one agg regardless of config count.
+    *
+    * Column split (the c83 contract): bucket/n_pairs/mean_exact_ppm/
+    * theory_cand replay exactly in the DuckDB oracle (integer
+    * arithmetic + the one-division IEEE multiplication chain);
+    * MEASURED cand_ppm rides the XXH64 signature chain (engine-native,
+    * no cross-engine twin) and is SPEC-locked: monotone in b at every
+    * bucket, endpoint contracts, and agreement with theory.
+    */
+  def minhashBandingCurve(df: DataFrame, textCol: String, idCol: String,
+                          k: Int = 64, bandsGrid: Seq[Int] = Seq(4, 8, 16, 32),
+                          sampleMod: Int = 3): DataFrame = {
+    require(bandsGrid.nonEmpty && bandsGrid.forall(b => b > 0 && k % b == 0),
+      s"every bands value must divide k=$k: $bandsGrid")
+    val G = graft.functions.GraftExpressions
+    // one signature pass (the expensive projection), shared by configs
+    val paired = calibrationVariants(df, textCol, idCol, sampleMod,
+      CalibrationGridPpm)
+    val sets = paired.select(
+      col("id"),
+      G.shingleHashes(col("w"), 3).as("sh_a"),
+      G.shingleHashes(col("v"), 3).as("sh_b"),
+      G.minhashSignature(col("w"), 3, k).as("sig_a"),
+      G.minhashSignature(col("v"), 3, k).as("sig_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val union = size(col("sh_a")).cast("long") +
+      size(col("sh_b")).cast("long") - inter
+    val perConfig = bandsGrid.map { b =>
+      val r = k / b
+      val candidate = (0 until b)
+        .map(j => slice(col("sig_a"), j * r + 1, r) ===
+          slice(col("sig_b"), j * r + 1, r))
+        .reduce(_ || _)
+      struct(lit(b).as("bands"), candidate.cast("long").as("cand"))
+    }
+    val long = sets.select(
+        G.longDiv(inter * lit(1000000L), union).as("exact_ppm"),
+        explode(array(perConfig: _*)).as("cfg"))
+      .select(col("exact_ppm"), col("cfg.bands").as("bands"),
+        col("cfg.cand").as("cand"))
+    val agg0 = long
+      .groupBy(col("bands"),
+        least(lit(19L), G.longDiv(col("exact_ppm"), lit(50000L)))
+          .as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("exact_ppm")).as("__se"),
+        sum(col("cand")).as("__sc"))
+    val meanExact = G.longDiv(col("__se"), col("n_pairs"))
+    val j = meanExact.cast("double") / lit(1000000.0)
+    // per-config theory at the bucket's mean exact Jaccard: ONE
+    // correctly-rounded division then left-associated IEEE
+    // multiplications (the c83 exactness rule — no pow)
+    val theoryByBands = bandsGrid.map { b =>
+      val r = k / b
+      val jr = Seq.fill(r)(j).reduce(_ * _)
+      val q = lit(1.0) - jr
+      (b, lit(1.0) - Seq.fill(b)(q).reduce(_ * _))
+    }
+    val theory = theoryByBands.foldRight(lit(Double.NaN): Column) {
+      case ((b, t), acc) => when(col("bands") === b, t).otherwise(acc)
+    }
+    agg0.select(col("bands"), col("bucket"), col("n_pairs"),
+        meanExact.as("mean_exact_ppm"),
+        round(theory, 6).as("theory_cand"),
+        G.longDiv(col("__sc") * lit(1000000L), col("n_pairs"))
+          .as("cand_ppm"))
+      .orderBy("bands", "bucket")
+  }
+
   /** SimHash estimator calibration (C88) — [[minhashCalibrationReport]]'s
     * harness pointed at the OTHER candidate generator: over the same
     * planted-variant grid, measure per exact-Jaccard bucket the mean
