@@ -138,6 +138,7 @@ object Bench {
     "d39_model_rollover", "c97_image_perceptual_dedup",
     "c98_ann_tuning_curve", "c99_t_closeness",
     "c100_whole_doc_packing", "c101_banding_curve",
+    "c97b_image_dup_clusters",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -324,7 +325,11 @@ object Bench {
       // c100's sort + O(1) fold scales with documents (bins never
       // straddle shards); c101's signature pass scales with the
       // sampled documents slice, configs re-slice the same arrays
-      "c100_whole_doc_packing", "c101_banding_curve"))
+      "c100_whole_doc_packing", "c101_banding_curve",
+      // c97b rides c97's decode+banded-join (documents-scaled) plus
+      // CC rounds bounded by the pair graph's diameter, which the
+      // per-copy replica keeps scale-free
+      "c97b_image_dup_clusters"))
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

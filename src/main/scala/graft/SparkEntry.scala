@@ -5034,6 +5034,37 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // C97b image duplicate-CLUSTER resolution — the c13 step on the
+    // image surface: c97's perceptual pairs resolved to connected
+    // components (min-label propagation, bounded rounds), so a corpus
+    // keeps ONE canonical image per perceptual family (the base id —
+    // smallest member — survives; its BMP re-encode and brightness
+    // twin collapse into its cluster). Oracle = the c97 pair replay +
+    // a transitive-closure recursive CTE — a DIFFERENT algorithm from
+    // the engine's propagation loop, same fixpoint (the strongest-
+    // oracle rule). Per-cluster rollup with a sorted member digest:
+    // one mis-clustered image anywhere breaks the hash.
+    "c97b_image_dup_clusters" -> ((s, dir) => {
+      import graft.operators.ImageDedup
+      val docs = t(s, dir, "documents")
+      val packed = ImageDedup.packImageVariants(s, docs, "doc_id")
+      val codes = ImageDedup.blockhashCodes(s, packed)
+      // localCheckpoint BEFORE the propagation loop: each CC round
+      // re-nests its input plan, and the pair plan here is deep
+      // (decode mapPartitions + band explode + self-join) — without
+      // lineage truncation the per-round analyzer plan grows
+      // multiplicatively and OOMs the driver (the c77/c13 lesson)
+      val pairs = ImageDedup.perceptualPairs(codes, maxHamming = 3,
+        hotBucketCap = 64).localCheckpoint(true)
+      Dedup.dupClusters(pairs)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(col("id"))),
+            x => x.cast("string")))).as("members_fp"))
+        .orderBy("cluster_id")
+    }),
+
     // C98 ANN tuning curve — the c63 recall harness SWEPT over nProbe:
     // one row per probe setting with its measured recall (vs the same
     // exhaustive truth), cells touched, and codes scanned — the
@@ -6233,6 +6264,91 @@ object SparkEntry {
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The c97 perceptual PAIR chain (imgs -> dims -> pixels -> gray ->
+    * checksums -> cells -> bits -> bands -> census -> hot refine ->
+    * candidates -> hamming), WITHOUT the leading WITH: shared by the
+    * c97 pair oracle ("WITH " + chain + pair select) and the c97b
+    * cluster oracle ("WITH RECURSIVE " + chain + transitive-closure
+    * tail). Built as one stripMargin block, concatenated by callers
+    * (the c78 rule: never re-interpolate a stripMargin'd string into
+    * another stripMargin block).
+    */
+  private def c97ChainSql: String =
+    """imgs AS (
+        |  SELECT doc_id AS media_id, doc_id AS src, 0 AS delta
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id, 0 FROM documents
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, doc_id, 8 FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |dims AS (
+        |  SELECT media_id, src, delta,
+        |         src % 64 + 16 AS w, src % 48 + 16 AS h
+        |  FROM imgs),
+        |px AS (
+        |  SELECT media_id, src, delta, w, h,
+        |         w - w % 8 AS w8, h - h % 8 AS h8,
+        |         unnest(range(0, w)) AS x
+        |  FROM dims),
+        |pxy AS (SELECT *, unnest(range(0, h)) AS y FROM px),
+        |vv AS (
+        |  SELECT media_id, w8, h8, x, y, delta,
+        |         ((src * 1103515245 + x * 31 + y * 131) & 16777215) AS v
+        |  FROM pxy),
+        |g AS (
+        |  SELECT media_id, w8, h8, x, y,
+        |         least(((v >> 16) & 255) + delta, 255)
+        |         + least(((v >> 8) & 255) + delta, 255)
+        |         + least((v & 255) + delta, 255) AS gv
+        |  FROM vv),
+        |ps AS (
+        |  SELECT media_id,
+        |         CAST(sum(gv * (x + 1) * (y + 3)) AS BIGINT) AS pixsum
+        |  FROM g GROUP BY 1),
+        |cells AS (
+        |  SELECT media_id,
+        |         (y // (h8 // 8)) * 8 + (x // (w8 // 8)) AS cell,
+        |         CAST(sum(gv) AS BIGINT) AS s
+        |  FROM g WHERE x < w8 AND y < h8 GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(s) AS total FROM cells GROUP BY 1),
+        |bits AS (
+        |  SELECT c.media_id, c.cell,
+        |         CASE WHEN 64 * c.s > t.total THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (media_id)),
+        |bands AS (
+        |  SELECT media_id, CAST(cell // 16 AS INT) AS band,
+        |         CAST(sum(bit * (CAST(1 AS BIGINT)
+        |              << CAST(cell % 16 AS INT))) AS BIGINT) AS bucket
+        |  FROM bits GROUP BY 1, 2),
+        |census AS (SELECT band, bucket, count(*) AS bsz
+        |           FROM bands GROUP BY 1, 2),
+        |fullk AS (
+        |  SELECT media_id,
+        |         string_agg(CAST(bucket AS VARCHAR), '_' ORDER BY band)
+        |           AS fk
+        |  FROM bands GROUP BY 1),
+        |ref AS (
+        |  SELECT b.media_id, b.band, b.bucket,
+        |         CASE WHEN c.bsz > 64 THEN f.fk ELSE '' END AS refine
+        |  FROM bands b JOIN census c USING (band, bucket)
+        |  JOIN fullk f USING (media_id)),
+        |cand AS (
+        |  SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b
+        |  FROM ref l JOIN ref r
+        |    ON l.band = r.band AND l.bucket = r.bucket
+        |   AND l.refine = r.refine
+        |  WHERE l.media_id < r.media_id),
+        |hm AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(sum(bit_count(xor(ba.bucket, bb.bucket))) AS INT)
+        |           AS hamming
+        |  FROM cand c
+        |  JOIN bands ba ON ba.media_id = c.id_a
+        |  JOIN bands bb ON bb.media_id = c.id_b AND bb.band = ba.band
+        |  GROUP BY 1, 2)""".stripMargin
+
   private def oracleSqlBase: Map[String, String] = Map(
 
     "c77_bpe_train" -> c77OracleSql(numMerges = 24),
@@ -7270,87 +7386,36 @@ object SparkEntry {
     // code as a band-string key), bit_count(xor) hamming, and the
     // position-weighted pixel checksum behind same_pixels
     "c97_image_perceptual_dedup" ->
-      """WITH imgs AS (
-        |  SELECT doc_id AS media_id, doc_id AS src, 0 AS delta
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, doc_id, 0 FROM documents
-        |  WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 3000000, doc_id, 8 FROM documents
-        |  WHERE doc_id % 10 = 0),
-        |dims AS (
-        |  SELECT media_id, src, delta,
-        |         src % 64 + 16 AS w, src % 48 + 16 AS h
-        |  FROM imgs),
-        |px AS (
-        |  SELECT media_id, src, delta, w, h,
-        |         w - w % 8 AS w8, h - h % 8 AS h8,
-        |         unnest(range(0, w)) AS x
-        |  FROM dims),
-        |pxy AS (SELECT *, unnest(range(0, h)) AS y FROM px),
-        |vv AS (
-        |  SELECT media_id, w8, h8, x, y, delta,
-        |         ((src * 1103515245 + x * 31 + y * 131) & 16777215) AS v
-        |  FROM pxy),
-        |g AS (
-        |  SELECT media_id, w8, h8, x, y,
-        |         least(((v >> 16) & 255) + delta, 255)
-        |         + least(((v >> 8) & 255) + delta, 255)
-        |         + least((v & 255) + delta, 255) AS gv
-        |  FROM vv),
-        |ps AS (
-        |  SELECT media_id,
-        |         CAST(sum(gv * (x + 1) * (y + 3)) AS BIGINT) AS pixsum
-        |  FROM g GROUP BY 1),
-        |cells AS (
-        |  SELECT media_id,
-        |         (y // (h8 // 8)) * 8 + (x // (w8 // 8)) AS cell,
-        |         CAST(sum(gv) AS BIGINT) AS s
-        |  FROM g WHERE x < w8 AND y < h8 GROUP BY 1, 2),
-        |tot AS (SELECT media_id, sum(s) AS total FROM cells GROUP BY 1),
-        |bits AS (
-        |  SELECT c.media_id, c.cell,
-        |         CASE WHEN 64 * c.s > t.total THEN 1 ELSE 0 END AS bit
-        |  FROM cells c JOIN tot t USING (media_id)),
-        |bands AS (
-        |  SELECT media_id, CAST(cell // 16 AS INT) AS band,
-        |         CAST(sum(bit * (CAST(1 AS BIGINT)
-        |              << CAST(cell % 16 AS INT))) AS BIGINT) AS bucket
-        |  FROM bits GROUP BY 1, 2),
-        |census AS (SELECT band, bucket, count(*) AS bsz
-        |           FROM bands GROUP BY 1, 2),
-        |fullk AS (
-        |  SELECT media_id,
-        |         string_agg(CAST(bucket AS VARCHAR), '_' ORDER BY band)
-        |           AS fk
-        |  FROM bands GROUP BY 1),
-        |ref AS (
-        |  SELECT b.media_id, b.band, b.bucket,
-        |         CASE WHEN c.bsz > 64 THEN f.fk ELSE '' END AS refine
-        |  FROM bands b JOIN census c USING (band, bucket)
-        |  JOIN fullk f USING (media_id)),
-        |cand AS (
-        |  SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b
-        |  FROM ref l JOIN ref r
-        |    ON l.band = r.band AND l.bucket = r.bucket
-        |   AND l.refine = r.refine
-        |  WHERE l.media_id < r.media_id),
-        |hm AS (
-        |  SELECT c.id_a, c.id_b,
-        |         CAST(sum(bit_count(xor(ba.bucket, bb.bucket))) AS INT)
-        |           AS hamming
-        |  FROM cand c
-        |  JOIN bands ba ON ba.media_id = c.id_a
-        |  JOIN bands bb ON bb.media_id = c.id_b AND bb.band = ba.band
-        |  GROUP BY 1, 2)
-        |SELECT h.id_a, h.id_b, h.hamming,
-        |       pa.pixsum = pb.pixsum AS same_pixels
-        |FROM hm h
-        |JOIN ps pa ON pa.media_id = h.id_a
-        |JOIN ps pb ON pb.media_id = h.id_b
-        |WHERE h.hamming <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      ("WITH " + c97ChainSql + "\n" +
+        """SELECT h.id_a, h.id_b, h.hamming,
+          |       pa.pixsum = pb.pixsum AS same_pixels
+          |FROM hm h
+          |JOIN ps pa ON pa.media_id = h.id_a
+          |JOIN ps pb ON pb.media_id = h.id_b
+          |WHERE h.hamming <= 3
+          |ORDER BY id_a, id_b""".stripMargin),
+
+    // c97b: the c97 pair chain + a transitive-closure recursive CTE —
+    // a DIFFERENT algorithm from the engine's min-label propagation
+    // (the strongest-oracle rule), same fixpoint
+    "c97b_image_dup_clusters" ->
+      ("WITH RECURSIVE " + c97ChainSql + ",\n" +
+        """edges AS (
+          |  SELECT id_a AS a, id_b AS b FROM hm WHERE hamming <= 3
+          |  UNION
+          |  SELECT id_b, id_a FROM hm WHERE hamming <= 3),
+          |reach AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |lbl AS (
+          |  SELECT a AS id, least(a, min(b)) AS cluster_id
+          |  FROM reach GROUP BY a)
+          |SELECT cluster_id, count(*) AS cluster_size,
+          |       md5(string_agg(CAST(id AS VARCHAR), ','
+          |                      ORDER BY id)) AS members_fp
+          |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin),
+
 
     // exact heavy-hitter replica; the CMS booleans are expected TRUE (the
     // sketch's deterministic never-undercount property and the eps·N

@@ -315,8 +315,10 @@ object Dedup {
     * Throws IllegalStateException if maxIter rounds don't converge — a
     * silently split cluster (multiple "canonical" survivors of one true
     * duplicate group) is worse than a loud failure. The returned frame
-    * stays persisted (its lineage spans every round); callers running in
-    * a long-lived session should `unpersist()` it when done.
+    * rides the loop's final localCheckpoint (plain `unpersist()` is a
+    * no-op on it); long-lived sessions reclaim it via the
+    * LogicalRDD-leaf rule (BpeTrain.freeState) or a session
+    * clearCache-and-GC.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -333,11 +335,27 @@ object Dedup {
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // track the persisted handle explicitly: unpersist() on a projection
-    // of a cached frame does not release the underlying cache entry
+    // localCheckpoint per round, NOT persist: the round's frame
+    // references the previous round's labels TWICE (once through
+    // nbrMin, once as the join's left side), so under persist — which
+    // caches DATA but keeps the LOGICAL plan nested (the c77 lesson) —
+    // the plan tree DOUBLES every round. On low-diameter graphs (2-4
+    // rounds) that stays invisible; a diameter-15 chain OOMs the
+    // driver merely RENDERING the plan string for AQE's UI update
+    // (measured: c97's image-pair graph, 218 edges, 8 GiB heap gone in
+    // explainString). Eager checkpointing flattens each round to a
+    // LogicalRDD leaf; superseded rounds are freed through the RDD
+    // handle because Dataset.unpersist() is a no-op on a
+    // localCheckpoint'd frame (the BpeTrain.freeState rule).
+    def freeState(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      }
     var persisted = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = persisted
     var changed = 1L
     var iter = 0
@@ -345,14 +363,14 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nbr")), "dst")
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
-      // carry prev alongside so the convergence count reuses this cached
-      // frame instead of a second join against the old labels
+      // carry prev alongside so the convergence count reuses this
+      // checkpointed frame instead of a second join against old labels
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.where(col("label") =!= col("prev")).count()
-      persisted.unpersist()
+      freeState(persisted)
       persisted = next
       labels = next.select("id", "label")
       iter += 1

@@ -89,6 +89,32 @@ class ImageDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("c97b: each planted family resolves to ONE cluster labeled by " +
+    "its base id (base + BMP re-encode + brightness twin together)") {
+    val packed = ImageDedup.packImageVariants(s, docs, "doc_id")
+    val codes = ImageDedup.blockhashCodes(s, packed)
+    val pairFrame = ImageDedup.perceptualPairs(codes, maxHamming = 3,
+      hotBucketCap = 64).localCheckpoint(true)
+    val clusters = graft.operators.Dedup.dupClusters(pairFrame)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val baseIds = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+    baseIds.foreach { id =>
+      val bmp = clusters.get(id + 2000000L)
+      assert(bmp.isDefined, s"BMP twin of $id missing from clusters")
+      assert(clusters(id) === clusters(id + 2000000L),
+        s"base $id and its re-encode landed in different clusters")
+      assert(clusters(clusters(id)) === clusters(id),
+        "cluster labels must be fixpoints")
+      // the brightness twin joins the family whenever its direct pair
+      // survived the tolerance (≥90% do — see the pair test); a twin
+      // reachable only through chance chains is not asserted on
+      if (pairs.contains((id, id + 3000000L)))
+        assert(clusters(id + 3000000L) === clusters(id),
+          s"brightness twin of $id split from its family")
+    }
+  }
+
   test("c97: identical codes stay findable when every band is hot " +
     "(full-code escalation), at linear candidate volume") {
     import s.implicits._
