@@ -138,7 +138,7 @@ object Bench {
     "d39_model_rollover", "c97_image_perceptual_dedup",
     "c98_ann_tuning_curve", "c99_t_closeness",
     "c100_whole_doc_packing", "c101_banding_curve",
-    "c97b_image_dup_clusters",
+    "c97b_image_dup_clusters", "c102_reindex_gate",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -328,8 +328,9 @@ object Bench {
       "c100_whole_doc_packing", "c101_banding_curve",
       // c97b rides c97's decode+banded-join (documents-scaled) plus
       // CC rounds bounded by the pair graph's diameter, which the
-      // per-copy replica keeps scale-free
-      "c97b_image_dup_clusters"))
+      // per-copy replica keeps scale-free; c102 is three map-only code
+      // scans over the replica-scaled embeddings + 16-row histograms
+      "c97b_image_dup_clusters", "c102_reindex_gate"))
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
@@ -606,7 +607,13 @@ object Bench {
     // training+sweep, and the full curation-ledger chain at the
     // second decade
     "c89_hyperplane_calibration", "c91_tombstone_ann_serve",
-    "c92_budget_threshold", "c93_drop_ledger"))
+    "c92_budget_threshold", "c93_drop_ledger",
+    // r13 (the r10 rule: new heavy ops ship second-decade rows): the
+    // tokenizer-artifact lifecycle (train + two pinned encodes), the
+    // image perceptual pair scan (decode + banded join), and the
+    // whole-document packing fold
+    "c96_versioned_tokenizer", "c97_image_perceptual_dedup",
+    "c100_whole_doc_packing"))
 
   def main(args: Array[String]): Unit = args.toList match {
     case "--phase" :: phase :: out :: Nil =>

@@ -5172,6 +5172,74 @@ object SparkEntry {
         .orderBy("source", "band", "bin")
     }),
 
+    // C102 embedding-drift REINDEX gate — the operational question the
+    // C85 blue/green machinery can't answer by itself: the IVF index
+    // was trained on yesterday's corpus; has today's arrival
+    // distribution moved enough that the frozen cells are imbalanced
+    // and a rebuild is due? Measure: the REFERENCE slice (even ids —
+    // the index's training corpus) and the ARRIVING slice (odd ids)
+    // are both assigned to the FROZEN cells (centroids from the
+    // reference side only); the gate compares cell-occupancy
+    // histograms by integer-exact total-variation distance (ppm) plus
+    // each side's max cell share. Two scenarios in one output: the
+    // stable control (arrivals drawn from the same distribution —
+    // only sampling-noise TV, no rebuild) and a planted drift
+    // (arrivals collapsed into one orthant via element-wise |x| — the
+    // one-topic-crawl shape: occupancy concentrates, rebuild fires;
+    // an isometric scramble like reversal would NOT move occupancy,
+    // which is exactly why the gate measures the histogram).
+    // All integers: |cntA·NB − cntB·NA| summed over the dense cell
+    // domain // (2·NA·NB). At 100 TB: two code scans + a 16-row
+    // histogram — the decision table costs two passes, never a
+    // rebuild-to-find-out.
+    "c102_reindex_gate" -> ((s, dir) => {
+      import graft.functions.GraftExpressions._
+      val G = graft.functions.GraftExpressions
+      val signs = jlSigns(16, 64)
+      val emb = t(s, dir, "embeddings")
+      val ref = emb.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), jlProject(col("embedding"), signs).as("code"))
+      val cents: Array[Array[Long]] = ref.where(col("vec_id") < 32)
+        .orderBy("vec_id").collect().map(_.getSeq[Long](1).toArray)
+      val arrivals = emb.where(col("vec_id") % 2 === 1)
+      def hist(coded: org.apache.spark.sql.DataFrame) = {
+        import s.implicits._
+        val counts = coded
+          .withColumn("cell", intCellAssign(col("code"), cents))
+          .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        // dense 16-cell domain: an empty cell still contributes to TV
+        (0 until 16).toDF("cell").join(counts, Seq("cell"), "left")
+          .na.fill(0L, Seq("cnt"))
+      }
+      val refHist = hist(ref)
+      val scenarios = Seq(
+        "drifted" -> arrivals.select(col("vec_id"),
+          jlProject(transform(col("embedding"), x => abs(x)), signs)
+            .as("code")),
+        "stable" -> arrivals.select(col("vec_id"),
+          jlProject(col("embedding"), signs).as("code")))
+      scenarios.map { case (name, newCoded) =>
+        val joined = refHist.select(col("cell"), col("cnt").as("ca"))
+          .join(hist(newCoded).select(col("cell"), col("cnt").as("cb")),
+            "cell")
+        val totals = joined.groupBy()
+          .agg(sum("ca").as("n_ref"), sum("cb").as("n_new"),
+            max(col("ca")).as("__ma"), max(col("cb")).as("__mb"))
+        joined.crossJoin(totals)
+          .groupBy("n_ref", "n_new", "__ma", "__mb")
+          .agg(sum(abs(col("ca") * col("n_new") -
+            col("cb") * col("n_ref"))).as("__num"))
+          .select(lit(name).as("scenario"), col("n_ref"), col("n_new"),
+            G.longDiv(col("__num") * lit(1000000L),
+              col("n_ref") * col("n_new") * lit(2L)).as("tv_ppm"),
+            G.longDiv(col("__ma") * lit(1000000L), col("n_ref"))
+              .as("max_share_ref_ppm"),
+            G.longDiv(col("__mb") * lit(1000000L), col("n_new"))
+              .as("max_share_new_ppm"))
+          .withColumn("rebuild", col("tv_ppm") > 200000L)
+      }.reduce(_ unionByName _).orderBy("scenario")
+    }),
+
     // C99 t-closeness audit — the distribution property c71/c94 can't
     // see: a QI group can be k-big (c71) and l-diverse (c94) while its
     // sensitive-value DISTRIBUTION is wildly skewed vs the corpus
@@ -5487,7 +5555,10 @@ object SparkEntry {
       // bandings, one S-curve tail per config (left-associated IEEE
       // chains, no pow — the c83 exactness rule)
       "c101_banding_curve" -> c101OracleSql(k = 64,
-        bandsGrid = Seq(4, 8, 16, 32)))
+        bandsGrid = Seq(4, 8, 16, 32)),
+      // c102: three code replicas (reference / stable / reversed
+      // drift), frozen reference cells, dense histograms, integer TV
+      "c102_reindex_gate" -> c102OracleSql)
   }
 
   /** c75's oracle is GENERATED from the same hyperparameters the engine
@@ -6226,6 +6297,78 @@ object SparkEntry {
           |            FROM bk))""".stripMargin
     }.mkString("\nUNION ALL\n")
     prefix + "\n" + tails + "\nORDER BY bands, bucket"
+  }
+
+  /** c102's oracle: the c63 jlProject code replica computed for three
+    * slices (reference = even ids; stable arrivals = odd ids; drifted
+    * arrivals = odd ids collapsed into one orthant — `abs(embedding[i])`
+    * replays Spark's element-wise abs under the same sign/grid chain),
+    * frozen cells from the reference slice's first 16 even ids, dense
+    * per-cell histograms (empty cells coalesce to 0 — they still
+    * contribute to TV), then the integer-exact total-variation and
+    * max-share arithmetic per scenario.
+    */
+  private def c102OracleSql: String = {
+    def codesCte(name: String, whereMod: Int, drifted: Boolean): String = {
+      val elem =
+        if (drifted) "abs(embedding[CAST(i.i AS INT) + 1])"
+        else "embedding[CAST(i.i AS INT) + 1]"
+      s"""|$name AS (
+          |  SELECT vec_id, CAST(j.j AS INT) AS j,
+          |         CAST(sum((CASE WHEN ((j.j * 64 + i.i) * 2654435761)
+          |                             % 4294967296 < 2147483648
+          |                        THEN 1 ELSE -1 END)
+          |              * CAST(floor(CAST($elem
+          |                     AS DOUBLE) * 1024 + 0.5) AS BIGINT))
+          |              AS BIGINT) AS y
+          |  FROM embeddings CROSS JOIN idx i CROSS JOIN jj j
+          |  WHERE vec_id % 2 = $whereMod
+          |  GROUP BY 1, 2)""".stripMargin
+    }
+    def cellCte(src: String): String =
+      s"""|asg_$src AS (
+          |  SELECT v.vec_id, c.cw, sum((v.y - c.y) * (v.y - c.y)) AS d
+          |  FROM $src v JOIN cent c ON v.j = c.j
+          |  GROUP BY 1, 2),
+          |cell_$src AS (
+          |  SELECT vec_id, cw AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |        ORDER BY d, cw) AS rn FROM asg_$src) t
+          |  WHERE rn = 1),
+          |hist_$src AS (
+          |  SELECT d.cell, count(cl.vec_id) AS cnt
+          |  FROM dom d LEFT JOIN cell_$src cl ON cl.cell = d.cell
+          |  GROUP BY 1)""".stripMargin
+    def scenarioSelect(tag: String, src: String): String =
+      s"""|SELECT '$tag' AS scenario, t.n_ref, t.n_new,
+          |       n.num * 1000000 // (t.n_ref * t.n_new * 2) AS tv_ppm,
+          |       t.ma * 1000000 // t.n_ref AS max_share_ref_ppm,
+          |       t.mb * 1000000 // t.n_new AS max_share_new_ppm,
+          |       n.num * 1000000 // (t.n_ref * t.n_new * 2) > 200000
+          |         AS rebuild
+          |FROM (SELECT CAST(sum(a.cnt) AS BIGINT) AS n_ref,
+          |             CAST(sum(b.cnt) AS BIGINT) AS n_new,
+          |             CAST(max(a.cnt) AS BIGINT) AS ma,
+          |             CAST(max(b.cnt) AS BIGINT) AS mb
+          |      FROM hist_refc a JOIN hist_$src b USING (cell)) t,
+          |     (SELECT CAST(sum(abs(a.cnt * tb.n - b.cnt * ta.n))
+          |                  AS BIGINT) AS num
+          |      FROM hist_refc a JOIN hist_$src b USING (cell),
+          |           (SELECT CAST(sum(cnt) AS BIGINT) AS n
+          |            FROM hist_refc) ta,
+          |           (SELECT CAST(sum(cnt) AS BIGINT) AS n
+          |            FROM hist_$src) tb) n""".stripMargin
+    "WITH idx AS (SELECT unnest(range(0, 64)) AS i),\n" +
+      "jj AS (SELECT unnest(range(0, 16)) AS j),\n" +
+      codesCte("refc", 0, drifted = false) + ",\n" +
+      codesCte("newstable", 1, drifted = false) + ",\n" +
+      codesCte("newdrift", 1, drifted = true) + ",\n" +
+      """|cent AS (SELECT vec_id AS cw, j, y FROM refc WHERE vec_id < 32),
+         |dom AS (SELECT DISTINCT cw AS cell FROM cent)""".stripMargin +
+      ",\n" + cellCte("refc") + ",\n" + cellCte("newstable") + ",\n" +
+      cellCte("newdrift") + "\n" +
+      scenarioSelect("drifted", "newdrift") + "\nUNION ALL\n" +
+      scenarioSelect("stable", "newstable") + "\nORDER BY scenario"
   }
 
   /** c80b's oracle: the c77 chain's final segmentation LEFT-joined by

@@ -53,9 +53,13 @@ object ModelRolloverStream {
                      batch: DataFrame, epochId: Long, textCol: String,
                      idCol: String, classCol: String, nBuckets: Int,
                      root: String): graft.sources.MultiPublish.MultiReport = {
+    // persist: the multi-class fold runs one margin agg PER CLASS over
+    // this frame — without the cache each class re-pays the featurize
+    // scan (k x the epoch's corpus cost for no reason)
     val feats = ClassifierTrain.featurizeMulti(batch, textCol, idCol,
-      classCol, nBuckets, nBatches = 1)
-    state.foldEpoch(epochId, feats)
+      classCol, nBuckets, nBatches = 1).persist()
+    try state.foldEpoch(epochId, feats)
+    finally { feats.unpersist(); () }
     val snapshot = classes.map(c => c -> state.weights(c).clone)
     val rep = ModelStore.publishModel(batch.sparkSession, root, snapshot,
       trainedAtEpoch = epochId, batchId = Some(epochId))
