@@ -609,11 +609,17 @@ object Bench {
     "c89_hyperplane_calibration", "c91_tombstone_ann_serve",
     "c92_budget_threshold", "c93_drop_ledger",
     // r13 (the r10 rule: new heavy ops ship second-decade rows): the
-    // tokenizer-artifact lifecycle (train + two pinned encodes), the
-    // image perceptual pair scan (decode + banded join), and the
-    // whole-document packing fold
-    "c96_versioned_tokenizer", "c97_image_perceptual_dedup",
-    "c100_whole_doc_packing"))
+    // tokenizer-artifact lifecycle (train + two pinned encodes) and
+    // the whole-document packing fold. c97 was MEASURED at the second
+    // decade once (BENCH_local_r13_sf1.json: 20.38x) and then
+    // excluded by the b32 result-volume rule: the one-formula
+    // synthetic pixels give every replica copy the same gradient
+    // structure, so identical-blockhash families grow linearly with
+    // copies and the TRUE pair set quadratically (measured 1.99M ->
+    // 201M identical-code pairs, BENCH_local_r13_c97_families.json) —
+    // the probe times result volume, not the operator; real corpora
+    // have bounded perceptual-family sizes (the c12k/c12m precedent)
+    "c96_versioned_tokenizer", "c100_whole_doc_packing"))
 
   def main(args: Array[String]): Unit = args.toList match {
     case "--phase" :: phase :: out :: Nil =>

@@ -5053,10 +5053,18 @@ object SparkEntry {
       // re-nests its input plan, and the pair plan here is deep
       // (decode mapPartitions + band explode + self-join) — without
       // lineage truncation the per-round analyzer plan grows
-      // multiplicatively and OOMs the driver (the c77/c13 lesson)
+      // multiplicatively and OOMs the driver (the c77/c13 lesson).
+      // maxIter 96: the synthetic gradient images chain into
+      // components whose diameter grows with corpus density (measured
+      // >20 at the 10x replica — 48 labels still moving at round 20);
+      // min-label propagation is O(diameter) rounds by construction,
+      // and each round here is seconds over the checkpointed KB pair
+      // set. Real perceptual families are clique-shaped (diameter
+      // 2-3); a crawl where near-dup CHAINS span 96 hops is a corpus
+      // problem the loud non-convergence failure should surface.
       val pairs = ImageDedup.perceptualPairs(codes, maxHamming = 3,
         hotBucketCap = 64).localCheckpoint(true)
-      Dedup.dupClusters(pairs)
+      Dedup.dupClusters(pairs, maxIter = 96)
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"),
           md5(concat_ws(",", transform(
