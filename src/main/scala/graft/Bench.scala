@@ -694,7 +694,11 @@ object Bench {
         "\"%s\":{\"base\":%.3f,\"%s\":%.3f,\"ratio\":%.2f%s}"
           .formatLocal(Locale.ROOT, name, t1, key, tN, ratio, varStr)
       }
-      s""","$blockName":""" +
+      // an empty probe list (a SPARK_GRAFT_BENCH_ONLY subset with no
+      // member in this block) must not emit a trailing comma — the
+      // r13c restricted artifact shipped invalid JSON that way
+      if (entries.isEmpty) s""","$blockName":{"copies":$copies}"""
+      else s""","$blockName":""" +
         entries.mkString(s"""{"copies":$copies,""", ",", "}")
     }
 

@@ -288,7 +288,12 @@ object Dedup {
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val right = refined.select(col("band"), col("bucket"), col("refine"),
       col("id").as("id_b"), col("simhash").as("sh_b"))
-    left.join(right, Seq("band", "bucket", "refine"))
+    // shuffle_hash, NOT auto-broadcast (the b25/c27 rule, applied here
+    // in r13 after the same audit caught c97): the build side is the
+    // CORPUS-sized banded frame — 4 rows per document — which Catalyst
+    // happily broadcasts at toy scale and would die on at 100 TB; the
+    // identical sides share one hinted exchange.
+    left.join(right.hint("shuffle_hash"), Seq("band", "bucket", "refine"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))

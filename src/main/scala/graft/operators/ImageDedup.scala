@@ -213,7 +213,13 @@ object ImageDedup {
     val right = refined.select(col("band"), col("bucket"), col("refine"),
       col("id").as("id_b"), col("code").as("code_b"),
       col("pixsum").as("ps_b"))
-    left.join(right, Seq("band", "bucket", "refine"))
+    // shuffle_hash, NOT auto-broadcast (the b25/c27 rule): the build
+    // side here is the full banded frame — 4 rows per image, CORPUS
+    // sized — and Catalyst's size estimate flows through a posexplode,
+    // exactly the misestimate class that built a multi-GiB
+    // HashedRelation at scale. A banded self-join's sides are
+    // identical, so the hinted exchange is computed once and reused.
+    left.join(right.hint("shuffle_hash"), Seq("band", "bucket", "refine"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("code_a").bitwiseXOR(col("code_b"))).as("hamming"),

@@ -178,6 +178,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p76.contains("BroadcastHashJoin"))
   }
 
+  test("c3/c97: the banded near-dup self-joins are SHUFFLED hash — the " +
+    "build side is the CORPUS-sized banded frame (4 rows per doc/image " +
+    "behind a posexplode, the b25 misestimate class), which Catalyst " +
+    "happily broadcast at toy scale and would die on at 100 TB (the " +
+    "r13 audit that caught c97 also caught the long-settled c3)") {
+    val p3 = plan("c3_simhash")
+    assert(p3.contains("ShuffledHashJoin"),
+      "the simhash banded self-join must be shuffled")
+    val p97 = plan("c97_image_perceptual_dedup")
+    assert(p97.contains("ShuffledHashJoin"),
+      "the blockhash banded self-join must be shuffled")
+    // the hot-bucket lookup stays a broadcast (KB-sized by the cap);
+    // what must never broadcast is a side carrying the corpus-scale id
+    // columns of the pair join
+    assert(!"BroadcastHashJoin.*id_b".r.findFirstIn(p97).isDefined &&
+      !"BroadcastHashJoin.*id_b".r.findFirstIn(p3).isDefined,
+      "no corpus-sized pair-join side may broadcast")
+  }
+
   test("b25: the variant blocking self-join is SHUFFLED hash with the " +
     "exploded side never broadcast, and no join-backs remain (the r10 " +
     "constant fix: Catalyst's optimistic Generate estimate built the " +
