@@ -139,6 +139,7 @@ object Bench {
     "c98_ann_tuning_curve", "c99_t_closeness",
     "c100_whole_doc_packing", "c101_banding_curve",
     "c97b_image_dup_clusters", "c102_reindex_gate",
+    "c103_evenness_audit",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -330,7 +331,9 @@ object Bench {
       // CC rounds bounded by the pair graph's diameter, which the
       // per-copy replica keeps scale-free; c102 is three map-only code
       // scans over the replica-scaled embeddings + 16-row histograms
-      "c97b_image_dup_clusters", "c102_reindex_gate"))
+      // c103 is one map-combined agg over replica-scaled customers
+      "c97b_image_dup_clusters", "c102_reindex_gate",
+      "c103_evenness_audit"))
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

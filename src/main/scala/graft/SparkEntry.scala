@@ -5142,6 +5142,53 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("n_probe")
     }),
 
+    // C103 sensitive-value EVENNESS audit — the within-group property
+    // distinct-l (c94) can't express: a group of 50 with 49 members
+    // in one balance band and 1 in another is "2-diverse" by count
+    // yet an attacker's guess is right 96% of the time. The inverse
+    // Simpson index (Hill number of order 2 — the effective number of
+    // EQUALLY-LIKELY sensitive values: n²/Σcnt²) measures the guess
+    // odds directly and is integer-exact: simpson_ppm = Σcnt²·1e6//n²
+    // (the attacker's match probability), eff_classes_ppm =
+    // n²·1e6//Σcnt², flag = at least 3.0 effective classes — the
+    // evenness-aware analog of c94's distinct-l ≥ 3. Planted
+    // near-degenerate cell (every 13th customer re-published under
+    // nation 88 with 12-of-13 balances forced into one band) passes
+    // distinct-l (three bands present at sf>=0.01: two rare, one
+    // dominant) and must fail here. One map-combined agg over the
+    // same QI grain as c71/c94/c99.
+    "c103_evenness_audit" -> ((s, dir) => {
+      val G = graft.functions.GraftExpressions
+      val cust = t(s, dir, "customer")
+      val planted = cust.where(col("c_custkey") % 13 === 0)
+        .withColumn("c_nationkey",
+          lit(88).cast(cust.schema("c_nationkey").dataType))
+        .withColumn("c_mktsegment", lit("PLANTED2"))
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 169 === 0, lit(-500.0))
+            .when(col("c_custkey") % 169 === 13, lit(3000.0))
+            .otherwise(lit(9000.0))
+            .cast(cust.schema("c_acctbal").dataType))
+      val band = G.longDiv(
+        round(col("c_acctbal") * 100).cast("long") + lit(100000000L),
+        lit(200000L))
+      cust.unionByName(planted)
+        .select(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum("cnt").as("n"), countDistinct(col("band")).as("l_distinct"),
+          sum(col("cnt") * col("cnt")).as("__s2"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("l_distinct"),
+          G.longDiv(col("__s2") * lit(1000000L), col("n") * col("n"))
+            .as("simpson_ppm"),
+          G.longDiv(col("n") * col("n") * lit(1000000L), col("__s2"))
+            .as("eff_classes_ppm"))
+        .withColumn("evenness_ok", col("eff_classes_ppm") >= 3000000L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // C100 WHOLE-document bin packing — the variant C22 deliberately
     // is not: c22 cuts documents at the budget boundary (right for
     // causal-LM pretraining), this keeps every document INTACT in
@@ -7481,6 +7528,38 @@ object SparkEntry {
         |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
         |                      ORDER BY doc_id)) AS docs_fp
         |FROM rec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // c103: same banding, same planted near-degenerate cell, exact
+    // integer Simpson arithmetic (Σcnt², n², two truncating ppm
+    // divisions)
+    "c103_evenness_audit" ->
+      """WITH aug AS (
+        |  SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT 88, 'PLANTED2',
+        |         CASE WHEN c_custkey % 169 = 0 THEN -500.0
+        |              WHEN c_custkey % 169 = 13 THEN 3000.0
+        |              ELSE 9000.0 END
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         (CAST(round(c_acctbal * 100) AS BIGINT)
+        |          + 100000000) // 200000 AS band
+        |  FROM aug),
+        |g AS (
+        |  SELECT c_nationkey, c_mktsegment, band, count(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(sum(cnt) AS BIGINT) AS n,
+        |         count(*) AS l_distinct,
+        |         CAST(sum(cnt * cnt) AS BIGINT) AS s2
+        |  FROM g GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, n, l_distinct,
+        |       s2 * 1000000 // (n * n) AS simpson_ppm,
+        |       n * n * 1000000 // s2 AS eff_classes_ppm,
+        |       n * n * 1000000 // s2 >= 3000000 AS evenness_ok
+        |FROM agg ORDER BY 1, 2""".stripMargin,
 
     // c99: the banded-EMD replay — same banding as c94, same planted
     // skewed cell as the engine, cumulative differences as exact
