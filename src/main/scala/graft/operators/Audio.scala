@@ -538,7 +538,10 @@ object Audio {
       col("line"), col("power"))
     val r = codes.select(col("media_id").as("id_b"), col("frame_idx"),
       col("line"), col("power"))
-    l.join(r, Seq("frame_idx", "line", "power"))
+    // shuffle_hash, NOT auto-broadcast (the b25/c27 rule, applied in
+    // the r13 banded-join audit): the build side is the CORPUS-scaled
+    // codes frame (one landmark per frame per clip)
+    l.join(r.hint("shuffle_hash"), Seq("frame_idx", "line", "power"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
@@ -710,7 +713,9 @@ object Audio {
       col("line_a"), col("line_t"))
     val r = codes.select(col("media_id").as("id_b"), col("anchor"),
       col("line_a"), col("line_t"))
-    l.join(r, Seq("anchor", "line_a", "line_t"))
+    // shuffle_hash — the r13 banded-join audit rule (corpus-scaled
+    // build side)
+    l.join(r.hint("shuffle_hash"), Seq("anchor", "line_a", "line_t"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
@@ -781,7 +786,9 @@ object Audio {
       .withColumn("qmag", col("qmag") + col("delta")).drop("delta")
     val r = codes.select(col("media_id").as("id_b"), col("frame_idx"),
       col("line"), col("qmag"))
-    l.join(r, Seq("frame_idx", "line", "qmag"))
+    // shuffle_hash — the r13 banded-join audit rule (corpus-scaled
+    // build side; the delta-expanded left is 2*tol+1 x bigger still)
+    l.join(r.hint("shuffle_hash"), Seq("frame_idx", "line", "qmag"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))

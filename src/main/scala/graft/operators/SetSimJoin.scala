@@ -45,7 +45,9 @@ object SetSimJoin {
       explode(col("prefix")).as("tok"))
     val pb = base.select(col("id").as("id_b"), col("sz").as("sz_b"),
       explode(col("prefix")).as("tok"))
-    val cand = pa.join(pb, Seq("tok"))
+    // shuffle_hash — the r13 banded-join audit rule: both prefix-token
+    // sides are corpus-scaled exploded frames
+    val cand = pa.join(pb.hint("shuffle_hash"), Seq("tok"))
       .where(col("id_a") < col("id_b") &&
         col("sz_b") >= ceil(col("sz_a") * lit(theta)) &&
         col("sz_a") >= ceil(col("sz_b") * lit(theta)))

@@ -769,7 +769,11 @@ object Similarity {
       posexplode(GraftExpressions.planeSignBuckets(col("v"), planes,
         tables, bitsPerTable)).as(Seq("tbl", "bucket")))
 
-    val candidates = banded.as("l").join(banded.as("r"), Seq("tbl", "bucket"))
+    // shuffle_hash — the r13 banded-join audit rule: the banded frame
+    // is corpus-scaled (tables x rows behind a posexplode, the b25
+    // misestimate class); the identical sides share one exchange
+    val candidates = banded.as("l")
+      .join(banded.as("r").hint("shuffle_hash"), Seq("tbl", "bucket"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct()

@@ -197,6 +197,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "no corpus-sized pair-join side may broadcast")
   }
 
+  test("c12k/c12m/c12n/b32/c5: every banded CANDIDATE-GENERATION " +
+    "self-join is SHUFFLED hash (the r13 audit swept all of them: the " +
+    "build side is always a corpus-scaled frame behind an explode, " +
+    "the b25 misestimate class; result-sized join-backs may still " +
+    "broadcast — AQE sizes those accurately post-shuffle)") {
+    Seq("c12k_audio_neardup", "c12m_audio_robust_match",
+      "c12n_audio_chained_match", "b32_jaccard_join",
+      "c5_embed_neardup").foreach { q =>
+      assert(plan(q).contains("ShuffledHashJoin"),
+        s"$q: the candidate-generation join must be shuffled")
+    }
+  }
+
   test("b25: the variant blocking self-join is SHUFFLED hash with the " +
     "exploded side never broadcast, and no join-backs remain (the r10 " +
     "constant fix: Catalyst's optimistic Generate estimate built the " +
