@@ -113,6 +113,60 @@ object SparkEntry {
     langidModelRoot(s, dir); ()
   }
 
+  private val imgCodeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The C104 stored-code root for `dir`: decode + publish ONCE per
+    * (JVM, corpus) — the spec version, then the blockhash codes in two
+    * ingest epochs (even / odd media ids) with epoch 1 REPLAYED
+    * (at-least-once delivery; the D8 partition rule makes it
+    * exactly-once). Every serving query reads the stored table; the
+    * decode pass is paid here, per NEW image — never per query.
+    */
+  private def imageCodesRoot(s: SparkSession, dir: String): String =
+    imgCodeRoots.computeIfAbsent(dir, _ => {
+      import graft.operators.ImageDedup
+      import graft.sources.ImageCodeStore
+      import org.apache.hadoop.fs.Path
+      // full-path hash in the scratch name (the langidModelRoot rule):
+      // two dirs sharing a basename must not share a store
+      val root = Tables.scratch("img_codes_" +
+        new java.io.File(dir).getName + "_" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val rep = ImageCodeStore.publishSpec(s, root, "blockhash",
+        grid = 8, bands = 4)
+      require(rep.committed, s"img code spec publish failed: ${rep.failures}")
+      val v = ImageCodeStore.committedSpecVersion(s, root)
+      val packed = ImageDedup.packImageVariants(s,
+        t(s, dir, "documents"), "doc_id")
+      // persist: the two epoch filters below would otherwise decode the
+      // corpus twice — the decode is exactly the cost this store exists
+      // to pay once
+      val codes = ImageDedup.blockhashCodes(s, packed).persist()
+      try {
+        ImageCodeStore.appendCodesEpoch(
+          codes.where(pmod(col("media_id"), lit(2)) === 0), root, v, 0L)
+        ImageCodeStore.appendCodesEpoch(
+          codes.where(pmod(col("media_id"), lit(2)) === 1), root, v, 1L)
+        // at-least-once delivery: epoch 1 redelivered — the D8 rule
+        // overwrites its own partition with bit-identical rows
+        ImageCodeStore.appendCodesEpoch(
+          codes.where(pmod(col("media_id"), lit(2)) === 1), root, v, 1L)
+      } finally { codes.unpersist(); () }
+      root
+    })
+
+  /** Bench hook: pay the one-time decode+publish OUTSIDE a timed probe
+    * (the c95 prewarm discipline on the image-code store).
+    */
+  def prewarmImageCodes(s: SparkSession, dir: String): Unit = {
+    imageCodesRoot(s, dir); ()
+  }
+
   // --------------------------------------------------------------- map
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5529,6 +5583,404 @@ object SparkEntry {
           round(col("ppl"), 3).as("ppl"),
           (col("ppl") <= 30.5).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // C104 image-code STORE serving — the r13 verdict's top ask: c97
+    // re-decoded the whole image corpus inside every query; here the
+    // blockhash codes are published ONCE per corpus through the
+    // versioned ImageCodeStore (spec v1, two ingest epochs by media-id
+    // parity, epoch 1 REPLAYED — the C82 incremental discipline on the
+    // image surface) and the dedup query reads the ~36-byte/image code
+    // table: no decode anywhere in the timed plan. Oracle = the c97
+    // pair replay UNCHANGED — pairs-from-stored-codes must hash-equal
+    // pairs-from-decode, which a lossy round trip, a version mix-up,
+    // or a non-idempotent replay cannot fake (the replay gate below
+    // makes duplication loud BEFORE the pair rollup would collapse it).
+    "c104_image_code_serve" -> ((s, dir) => {
+      import graft.sources.ImageCodeStore
+      val root = imageCodesRoot(s, dir)
+      val v = ImageCodeStore.committedSpecVersion(s, root)
+      val stored = ImageCodeStore.readCodes(s, root, v)
+      // replay visibility: perceptualPairs' groupBy(id_a,id_b) would
+      // collapse duplicated code rows, so exactly-once is gated here —
+      // one stored row per media id, loudly
+      val dup = stored.groupBy("media_id").agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1).count()
+      require(dup == 0,
+        s"$dup media ids stored more than once — epoch replay broke " +
+          "the D8 partition rule")
+      graft.operators.ImageDedup.perceptualPairs(stored,
+          maxHamming = 3, hotBucketCap = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // C105 audio duplicate-CLUSTER resolution + canonical selection —
+    // the r13 verdict's ask #2: c12k/m/n stopped at candidate PAIRS,
+    // so a crawl could SEE its gain-shifted audio duplicates but not
+    // DROP them. The c12n amplitude-invariant chained-landmark pairs
+    // (the matcher that survives re-mastered volume) are resolved to
+    // connected components (dupClusters — checkpointed pair set, the
+    // c97b rule) and each cluster elects a canonical clip: longest
+    // REAL-DECODED duration, ties to the smallest id (so the planted
+    // half-gain copy at +3e6 always collapses into its base). Oracle =
+    // the c12n landmark replay + a transitive-closure recursive CTE +
+    // the same election — a DIFFERENT algorithm from the engine's
+    // min-label propagation, same fixpoint (the strongest-oracle
+    // rule); the sorted member digest makes one mis-clustered clip
+    // anywhere break the hash.
+    "c105_audio_dup_clusters" -> ((s, dir) => {
+      import graft.operators.{Audio, Dedup}
+      val docs = t(s, dir, "documents").select("doc_id")
+        .where(col("doc_id") % 4 === 0)
+      val wavs = Audio.packWav(s, docs, "doc_id")
+      val halved = Audio.gainWav(s,
+        wavs.where(pmod(col("media_id"), lit(7)) === 0)
+          .withColumn("media_id", col("media_id") + lit(3000000L)))
+      val corpus = wavs.unionByName(halved)
+      // REAL decoded clip lengths — used twice: the duration-blocking
+      // filter below and the canonical election
+      val lens = Audio.decodeWav(s, corpus)
+        .select(col("media_id").as("id"),
+          col("n_samples").cast("long").as("n_samples"))
+        .localCheckpoint(true)
+      // duration blocking: a gain-shifted COPY preserves its sample
+      // count exactly, while the synthetic LCG corpus's cross-length
+      // phase coincidences do not — merging clips of different
+      // durations into one "duplicate" family is a false positive a
+      // production dedup must not make (and without the block, the
+      // whole phase-coincident corpus chains into ONE cluster — the
+      // b32-class corpus artifact, here cut at the operator's own
+      // contract instead of excluded). The length frame is KB-sized —
+      // AQE broadcasts the join-backs.
+      val rawPairs = Audio.chainedFingerprintPairs(s, corpus, minShared = 4)
+      // localCheckpoint BEFORE the propagation loop (the c97b lesson):
+      // the pair plan is deep (WAV decode mapPartitions + WHT + chain
+      // join) and each CC round re-nests its input plan
+      val pairs = rawPairs
+        .join(lens.select(col("id").as("id_a"),
+          col("n_samples").as("__na")), "id_a")
+        .join(lens.select(col("id").as("id_b"),
+          col("n_samples").as("__nb")), "id_b")
+        .where(col("__na") === col("__nb"))
+        .select("id_a", "id_b").localCheckpoint(true)
+      // maxIter 96: phase-coincident LCG families can CHAIN (the c97b
+      // diameter lesson on the audio surface); propagation is
+      // O(diameter) rounds over the checkpointed KB pair set
+      val labels = Dedup.dupClusters(pairs, maxIter = 96)
+      val out = labels.join(lens, "id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("n_samples"), (-col("id")).as("__nid")))
+            .as("__m"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(col("id"))),
+            x => x.cast("string")))).as("members_fp"))
+        .select(col("cluster_id"), col("cluster_size"),
+          (-col("__m.__nid")).as("canonical_id"),
+          col("__m.n_samples").as("canonical_len"), col("members_fp"))
+        .orderBy("cluster_id")
+      out
+    }),
+
+    // D40 streaming TOKENIZER ROLLOVER (batch-identical gate) — the
+    // c96 twin of d39, the r13 verdict's ask #3: each arriving
+    // training-schedule epoch EXTENDS the BPE trajectory by 12 merges
+    // (BpeTrain.continueMerges — literally the one-shot trainer's loop
+    // body resumed, so depth-12-then-12-more ≡ one-shot depth-24 BY
+    // CONSTRUCTION) and publishes the deepened vocabulary through
+    // TokenizerStore. A redelivered epoch is a structural no-op twice
+    // over (state contiguity no-op + the MultiPublish batch
+    // watermark); a pinned encode session is byte-stable through the
+    // flip (TokenizerRolloverStreamSpec drives the real writeStream
+    // sink). The published v1/v2 ARE the c77 trajectory states at
+    // depths 12/24, so the c96 oracle gates the streamed snapshots
+    // unchanged — the d39/c95 batch-twin discipline on the tokenizer.
+    "d40_tokenizer_rollover" -> ((s, dir) => {
+      import graft.operators.BpeTrain
+      import graft.sources.TokenizerStore
+      import graft.streaming.TokenizerRolloverStream
+      import org.apache.hadoop.fs.Path
+      val docs = t(s, dir, "documents")
+      val root = Tables.scratch("d40_tok_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val st = new TokenizerRolloverStream.TokenizerTrainState(
+        docs, "text", depthPerEpoch = 12)
+      (0 to 1).foreach { e =>
+        val rep = TokenizerRolloverStream.foldAndPublish(s, st, e.toLong,
+          root)
+        require(rep.committed, s"epoch $e publish failed: ${rep.failures}")
+      }
+      require(TokenizerStore.committedTokenizerVersion(s, root) == 2,
+        "expected v2 after two epochs")
+      // redelivered latest epoch: fold no-op + watermark-skipped publish
+      val replay = TokenizerRolloverStream.foldAndPublish(s, st, 1L, root)
+      require(replay.replaySkipped && !replay.committed,
+        s"replayed epoch must be watermark-skipped: $replay")
+      require(TokenizerStore.committedTokenizerVersion(s, root) == 2,
+        "replay must not move the pointer")
+      // blue pin through the rollover + the flipped committed view
+      val tok1 = TokenizerStore.loadTokenizerAt(s, root, 1)
+      val tok2 = TokenizerStore.loadTokenizer(s, root)
+      require(tok1.merges.size == 12 && tok1.trainedAtEpoch == 12L &&
+        tok2.merges.size == 24 && tok2.trainedAtEpoch == 24L,
+        s"loaded meta off: ${tok1.merges.size}@${tok1.trainedAtEpoch} / " +
+          s"${tok2.merges.size}@${tok2.trainedAtEpoch}")
+      st.close()
+      val f1 = BpeTrain
+        .fertilityUnderMerges(docs, "text", "source", tok1.merges)
+        .withColumn("version", lit(1))
+      val f2 = BpeTrain
+        .fertilityUnderMerges(docs, "text", "source", tok2.merges)
+        .withColumn("version", lit(2))
+      f1.unionByName(f2)
+        .select("version", "source", "n_words", "n_tokens", "n_chars",
+          "fertility_ppm", "chars_per_token_ppm")
+        .orderBy("version", "source")
+    }),
+
+    // C106 bounded-open-bin BEST-FIT-DECREASING packing — the fill-rate
+    // upgrade c100's §7 note promised: NFD closes a bin the moment one
+    // doc misses; BFD with a k=3 open-bin set keeps the 60%-full bin
+    // alive until a small doc tops it off. Same corpus, same planted
+    // oversized docs (own immediately-closed bin, never an open slot),
+    // same per-bin rollup as c100 — so the two keys' util_ppm columns
+    // are directly comparable fill-rate evidence. The oracle replays
+    // the whole slot machine (eligibility, fullest-fits election,
+    // first-empty placement, fullest-evicted closure) as a k-column
+    // rank-synchronous recursive CTE — the d32/c100 discipline with
+    // STATE WIDTH k.
+    "c106_bounded_bin_packing" -> ((s, dir) => {
+      import graft.operators.Chunking
+      val G = graft.functions.GraftExpressions
+      val base = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("tk"))
+      val corpus = base.unionByName(base.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          (col("tk") + 300L).as("tk")))
+      Chunking.packWholeDocsBounded(corpus, "doc_id", "tk", "source",
+          nBands = 4, budget = 256L, openBins = 3)
+        .groupBy("source", "band", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("fill_tokens"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("docs_fp"))
+        .select(col("source"), col("band"), col("bin"), col("n_docs"),
+          col("fill_tokens"),
+          G.longDiv(col("fill_tokens") * lit(1000000L), lit(256L))
+            .as("util_ppm"),
+          (col("fill_tokens") > 256L).as("overflow"), col("docs_fp"))
+        .orderBy("source", "band", "bin")
+    }),
+
+    // C107 CROSS-VERSION reindex gate — c102's integer-TV harness
+    // pointed at STORED code generations (the r13 verdict's ask #5):
+    // c102 re-assigns raw vectors on demand; here the decision reads
+    // ONLY the version-keyed code tables the C85 machinery already
+    // maintains. iv1 holds epoch 0 (the corpus the v1 index was built
+    // from) and epoch 1 (arrivals appended under v1's FROZEN cells —
+    // the C82 step blue serving performs anyway, epoch 1 replayed once
+    // to exercise the D8 rule), so "did the corpus move between the v1
+    // build and the v2 build?" is a TV between two epoch slices of one
+    // stored table — zero re-encode, zero float reads, the common
+    // frozen frame that makes the comparison meaningful. The v2
+    // rebuild (centroid rule re-applied at T2) is also stored, and its
+    // occupancy max-share shows the rebuilt index restoring balance in
+    // the drifted scenario. Integer arithmetic end to end (the c102
+    // contract); the oracle replays codes, both centroid sets,
+    // assignments, histograms, and the TV from raw embeddings.
+    "c107_cross_version_gate" -> ((s, dir) => {
+      import graft.functions.GraftExpressions._
+      import graft.sources.AnnIndexStore
+      import org.apache.hadoop.fs.Path
+      val G = graft.functions.GraftExpressions
+      val signs = jlSigns(16, 64)
+      val emb = t(s, dir, "embeddings")
+      val refCoded = emb.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), jlProject(col("embedding"), signs).as("code"))
+      val cents1: Array[Array[Long]] = refCoded.where(col("vec_id") < 32)
+        .orderBy("vec_id").collect().map(_.getSeq[Long](1).toArray)
+      def codesOf(coded: org.apache.spark.sql.DataFrame,
+                  cents: Array[Array[Long]]) =
+        coded.select(col("vec_id").as("neighbor_id"),
+          intCellAssign(col("code"), cents).as("cell"),
+          col("code").as("codes"))
+      val scenarios = Seq(
+        "drifted" -> emb.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id"),
+            jlProject(transform(col("embedding"), x => abs(x)), signs)
+              .as("code")),
+        "stable" -> emb.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id"),
+            jlProject(col("embedding"), signs).as("code")))
+      scenarios.map { case (name, arrCoded) =>
+        val root = Tables.scratch(s"c107_${name}_" +
+          new java.io.File(dir).getName + "_" +
+          java.lang.Integer.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(dir)))
+        val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        AnnIndexStore.appendCodesEpoch(codesOf(refCoded, cents1), root, 1, 0L)
+        AnnIndexStore.appendCodesEpoch(codesOf(arrCoded, cents1), root, 1, 1L)
+        // at-least-once delivery: epoch 1 redelivered (the D8 rule —
+        // a duplicated arrival would double the epoch-1 histogram and
+        // break the oracle, so replay safety is oracle-gated here)
+        AnnIndexStore.appendCodesEpoch(codesOf(arrCoded, cents1), root, 1, 1L)
+        // the v2 rebuild: the SAME centroid rule re-applied to the T2
+        // corpus, stored under its own version key (the C85 contract)
+        val t2 = refCoded.unionByName(arrCoded)
+        val cents2: Array[Array[Long]] = t2.where(col("vec_id") < 32)
+          .orderBy("vec_id").collect().map(_.getSeq[Long](1).toArray)
+        AnnIndexStore.appendCodesEpoch(codesOf(t2, cents2), root, 2, 0L)
+        // ---- the gate: stored codes only, no floats, no re-encode ----
+        import s.implicits._
+        val iv1 = s.read
+          .parquet(s"$root/${AnnIndexStore.CodesTable}/iv1")
+          .select(col("cell"), col("__epoch").cast("long").as("ep"))
+        def hist(df: org.apache.spark.sql.DataFrame) =
+          (0 until 16).toDF("cell")
+            .join(df.groupBy("cell").agg(count(lit(1)).as("cnt")),
+              Seq("cell"), "left")
+            .na.fill(0L, Seq("cnt"))
+        val joined = hist(iv1.where(col("ep") === 0))
+          .select(col("cell"), col("cnt").as("ca"))
+          .join(hist(iv1.where(col("ep") === 1))
+            .select(col("cell"), col("cnt").as("cb")), "cell")
+        val totals = joined.groupBy()
+          .agg(sum("ca").as("n_ref"), sum("cb").as("n_new"),
+            max(col("ca")).as("__ma"), max(col("cb")).as("__mb"))
+        val v2agg = s.read
+          .parquet(s"$root/${AnnIndexStore.CodesTable}/iv2")
+          .groupBy("cell").agg(count(lit(1)).as("__c2"))
+          .groupBy().agg(sum("__c2").as("n_v2"), max("__c2").as("__mv2"))
+        joined.crossJoin(totals)
+          .groupBy("n_ref", "n_new", "__ma", "__mb")
+          .agg(sum(abs(col("ca") * col("n_new") -
+            col("cb") * col("n_ref"))).as("__num"))
+          .crossJoin(v2agg)
+          .select(lit(name).as("scenario"), col("n_ref"), col("n_new"),
+            G.longDiv(col("__num") * lit(1000000L),
+              col("n_ref") * col("n_new") * lit(2L)).as("tv_ppm"),
+            G.longDiv(col("__ma") * lit(1000000L), col("n_ref"))
+              .as("max_share_ref_ppm"),
+            G.longDiv(col("__mb") * lit(1000000L), col("n_new"))
+              .as("max_share_new_ppm"),
+            col("n_v2"),
+            G.longDiv(col("__mv2") * lit(1000000L), col("n_v2"))
+              .as("max_share_v2_ppm"))
+          .withColumn("rebuild", col("tv_ppm") > 200000L)
+      }.reduce(_ unionByName _).orderBy("scenario")
+    }),
+
+    // C108 entropy-l diversity audit — the third of the four standard
+    // diversity definitions beside c94 (distinct-l) / c103 (evenness)
+    // / c99 (t-closeness): a QI group is entropy-l-diverse iff the
+    // Shannon entropy of its sensitive distribution is ≥ ln(l)
+    // (Machanavajjhala et al. 2007). Adjudication is INTEGER-EXACT
+    // wherever the Hill-number sandwich decides it — N0 (distinct) ≥
+    // exp(H) = N1 ≥ N2 (inverse Simpson, c103's eff_classes) — so
+    // `eff_classes ≥ l` PROVES pass and `distinct < l` PROVES fail
+    // with no transcendental anywhere; only the indeterminate band in
+    // between falls back to the 4-decimal-rounded ln terms (the c30
+    // transcendental contract), with the threshold 10987 (the smallest
+    // integer strictly above ln(3)·10⁴). c103's planted skewed cell
+    // (3 distinct bands, one dominant) passes distinct-l at l=3 and
+    // must FAIL here — through the fallback path, since its bounds
+    // straddle l.
+    "c108_entropy_l_audit" -> ((s, dir) => {
+      val G = graft.functions.GraftExpressions
+      val cust = t(s, dir, "customer")
+      val planted = cust.where(col("c_custkey") % 13 === 0)
+        .withColumn("c_nationkey",
+          lit(88).cast(cust.schema("c_nationkey").dataType))
+        .withColumn("c_mktsegment", lit("PLANTED2"))
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 169 === 0, lit(-500.0))
+            .when(col("c_custkey") % 169 === 13, lit(3000.0))
+            .otherwise(lit(9000.0))
+            .cast(cust.schema("c_acctbal").dataType))
+      val band = G.longDiv(
+        round(col("c_acctbal") * 100).cast("long") + lit(100000000L),
+        lit(200000L))
+      val counts = cust.unionByName(planted)
+        .select(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey", "c_mktsegment")
+      counts
+        .withColumn("n", sum("cnt").over(w))
+        .withColumn("hterm", col("cnt") *
+          round(log(col("n") / col("cnt")) * 10000).cast("long"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(max("n").as("n"), count(lit(1)).as("l_distinct"),
+          sum(col("cnt") * col("cnt")).as("__s2"),
+          sum("hterm").as("__hu"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("l_distinct"),
+          G.longDiv(col("n") * col("n") * lit(1000000L), col("__s2"))
+            .as("hill2_lb_ppm"),
+          (col("l_distinct") * lit(1000000L)).as("hill0_ub_ppm"),
+          G.longDiv(col("__hu"), col("n")).as("entropy_e4"))
+        .withColumn("bound_decided",
+          col("hill2_lb_ppm") >= 3000000L || col("l_distinct") < 3)
+        .withColumn("entropy_l_ok",
+          when(col("hill2_lb_ppm") >= 3000000L, lit(true))
+            .when(col("l_distinct") < 3, lit(false))
+            .otherwise(col("entropy_e4") >= 10987L))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // C109 recursive-(c,l) diversity audit — the fourth definition,
+    // and the only one that is integer-exact on EVERY group with no
+    // fallback band: a group is recursive-(c,l)-diverse iff its most
+    // common sensitive value is not a c-multiple of the tail beyond
+    // the l-th (r₁ < c·(r_l + … + r_m) on the descending counts —
+    // Machanavajjhala et al. 2007, §4). c=2, l=3 here. Pure sorted
+    // integer counts; the tail SUM is invariant to tie order among
+    // equal counts, so the window tie-break is cosmetic. The c103
+    // plant (one dominant band, two rare) fails loudly; `distinct_ok`
+    // rides along so the plant's distinct-l pass and recursive-(c,l)
+    // fail sit in one row — the four-definition consistency the r13
+    // verdict asked to see.
+    "c109_recursive_cl_audit" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val G = graft.functions.GraftExpressions
+      val planted = cust.where(col("c_custkey") % 13 === 0)
+        .withColumn("c_nationkey",
+          lit(88).cast(cust.schema("c_nationkey").dataType))
+        .withColumn("c_mktsegment", lit("PLANTED2"))
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 169 === 0, lit(-500.0))
+            .when(col("c_custkey") % 169 === 13, lit(3000.0))
+            .otherwise(lit(9000.0))
+            .cast(cust.schema("c_acctbal").dataType))
+      val band = G.longDiv(
+        round(col("c_acctbal") * 100).cast("long") + lit(100000000L),
+        lit(200000L))
+      val counts = cust.unionByName(planted)
+        .select(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy(col("cnt").desc, col("band"))
+      counts
+        .withColumn("rn", row_number().over(w))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum("cnt").as("n"), count(lit(1)).as("m"),
+          max("cnt").as("r1_cnt"),
+          sum(when(col("rn") >= 3, col("cnt")).otherwise(0L))
+            .as("tail_sum"))
+        .withColumn("rcl_ok", col("r1_cnt") < lit(2L) * col("tail_sum"))
+        .withColumn("distinct_ok", col("m") >= 3)
+        .orderBy("c_nationkey", "c_mktsegment")
     })
   )
 
@@ -5613,7 +6065,20 @@ object SparkEntry {
         bandsGrid = Seq(4, 8, 16, 32)),
       // c102: three code replicas (reference / stable / reversed
       // drift), frozen reference cells, dense histograms, integer TV
-      "c102_reindex_gate" -> c102OracleSql)
+      "c102_reindex_gate" -> c102OracleSql,
+      // c104 serves c97's exact question from the stored code table —
+      // integer codes round-trip parquet bit-exactly, so the same full
+      // perceptual replay is the oracle; a lossy round trip, a spec
+      // version mix-up, or a duplicated replay epoch breaks the hash
+      "c104_image_code_serve" -> base("c97_image_perceptual_dedup"),
+      // d40: the rollover stream's published v1/v2 ARE the c77
+      // trajectory's depth-12/depth-24 states (continueMerges is the
+      // one-shot trainer's own loop body resumed — prefix stability by
+      // construction), so the c96 oracle gates the streamed snapshots
+      "d40_tokenizer_rollover" -> c96OracleSql(v1Depth = 12, v2Depth = 24),
+      // c107: stored-code generations replayed from raw embeddings —
+      // both centroid sets, both assignments, epoch histograms, TV
+      "c107_cross_version_gate" -> c107OracleSql)
   }
 
   /** c75's oracle is GENERATED from the same hyperparameters the engine
@@ -6422,6 +6887,104 @@ object SparkEntry {
          |dom AS (SELECT DISTINCT cw AS cell FROM cent)""".stripMargin +
       ",\n" + cellCte("refc") + ",\n" + cellCte("newstable") + ",\n" +
       cellCte("newdrift") + "\n" +
+      scenarioSelect("drifted", "newdrift") + "\nUNION ALL\n" +
+      scenarioSelect("stable", "newstable") + "\nORDER BY scenario"
+  }
+
+  /** c107's oracle: the c102 replay machinery pointed at TWO centroid
+    * generations — jl codes for the reference slice and both arrival
+    * scenarios, v1 cells (reference vec_id < 32), per-epoch dense
+    * histograms + integer TV under v1's frozen frame, and the v2
+    * rebuild (the same `vec_id < 32` rule over the T2 corpus) with its
+    * occupancy max-share. All integers; the engine must reproduce
+    * every cell from its STORED tables.
+    */
+  private def c107OracleSql: String = {
+    def codesCte(name: String, whereMod: Int, drifted: Boolean): String = {
+      val elem =
+        if (drifted) "abs(embedding[CAST(i.i AS INT) + 1])"
+        else "embedding[CAST(i.i AS INT) + 1]"
+      s"""|$name AS (
+          |  SELECT vec_id, CAST(j.j AS INT) AS j,
+          |         CAST(sum((CASE WHEN ((j.j * 64 + i.i) * 2654435761)
+          |                             % 4294967296 < 2147483648
+          |                        THEN 1 ELSE -1 END)
+          |              * CAST(floor(CAST($elem
+          |                     AS DOUBLE) * 1024 + 0.5) AS BIGINT))
+          |              AS BIGINT) AS y
+          |  FROM embeddings CROSS JOIN idx i CROSS JOIN jj j
+          |  WHERE vec_id % 2 = $whereMod
+          |  GROUP BY 1, 2)""".stripMargin
+    }
+    // assignment of `src` codes under centroid set `cent` (+ suffix for
+    // unique CTE names); hist joins against that centroid set's domain
+    def cellCte(src: String, cent: String, dom: String,
+                withHist: Boolean): String = {
+      val assign =
+        s"""|asg_${src}_$cent AS (
+            |  SELECT v.vec_id, c.cw, sum((v.y - c.y) * (v.y - c.y)) AS d
+            |  FROM $src v JOIN $cent c ON v.j = c.j
+            |  GROUP BY 1, 2),
+            |cell_${src}_$cent AS (
+            |  SELECT vec_id, cw AS cell FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY d, cw) AS rn FROM asg_${src}_$cent) t
+            |  WHERE rn = 1)""".stripMargin
+      if (!withHist) assign
+      else assign + s""",
+hist_${src}_$cent AS (
+  SELECT d.cell, count(cl.vec_id) AS cnt
+  FROM $dom d LEFT JOIN cell_${src}_$cent cl ON cl.cell = d.cell
+  GROUP BY 1)"""
+    }
+    def scenarioSelect(tag: String, arr: String): String =
+      s"""|SELECT '$tag' AS scenario, t.n_ref, t.n_new,
+          |       n.num * 1000000 // (t.n_ref * t.n_new * 2) AS tv_ppm,
+          |       t.ma * 1000000 // t.n_ref AS max_share_ref_ppm,
+          |       t.mb * 1000000 // t.n_new AS max_share_new_ppm,
+          |       v.n_v2, v.mv2 * 1000000 // v.n_v2 AS max_share_v2_ppm,
+          |       n.num * 1000000 // (t.n_ref * t.n_new * 2) > 200000
+          |         AS rebuild
+          |FROM (SELECT CAST(sum(a.cnt) AS BIGINT) AS n_ref,
+          |             CAST(sum(b.cnt) AS BIGINT) AS n_new,
+          |             CAST(max(a.cnt) AS BIGINT) AS ma,
+          |             CAST(max(b.cnt) AS BIGINT) AS mb
+          |      FROM hist_refc_cent1 a JOIN hist_${arr}_cent1 b
+          |        USING (cell)) t,
+          |     (SELECT CAST(sum(abs(a.cnt * tb.n - b.cnt * ta.n))
+          |                  AS BIGINT) AS num
+          |      FROM hist_refc_cent1 a JOIN hist_${arr}_cent1 b
+          |        USING (cell),
+          |           (SELECT CAST(sum(cnt) AS BIGINT) AS n
+          |            FROM hist_refc_cent1) ta,
+          |           (SELECT CAST(sum(cnt) AS BIGINT) AS n
+          |            FROM hist_${arr}_cent1) tb) n,
+          |     (SELECT CAST(sum(c) AS BIGINT) AS n_v2,
+          |             CAST(max(c) AS BIGINT) AS mv2
+          |      FROM (SELECT cell, count(*) AS c
+          |            FROM cell_t2${arr}_cent2$arr
+          |            GROUP BY 1) z) v""".stripMargin
+    "WITH idx AS (SELECT unnest(range(0, 64)) AS i),\n" +
+      "jj AS (SELECT unnest(range(0, 16)) AS j),\n" +
+      codesCte("refc", 0, drifted = false) + ",\n" +
+      codesCte("newstable", 1, drifted = false) + ",\n" +
+      codesCte("newdrift", 1, drifted = true) + ",\n" +
+      """|cent1 AS (SELECT vec_id AS cw, j, y FROM refc WHERE vec_id < 32),
+         |dom1 AS (SELECT DISTINCT cw AS cell FROM cent1),
+         |t2newstable AS (SELECT * FROM refc UNION ALL
+         |                SELECT * FROM newstable),
+         |t2newdrift AS (SELECT * FROM refc UNION ALL
+         |               SELECT * FROM newdrift),
+         |cent2newstable AS (SELECT vec_id AS cw, j, y FROM t2newstable
+         |                   WHERE vec_id < 32),
+         |cent2newdrift AS (SELECT vec_id AS cw, j, y FROM t2newdrift
+         |                  WHERE vec_id < 32)""".stripMargin + ",\n" +
+      cellCte("refc", "cent1", "dom1", withHist = true) + ",\n" +
+      cellCte("newstable", "cent1", "dom1", withHist = true) + ",\n" +
+      cellCte("newdrift", "cent1", "dom1", withHist = true) + ",\n" +
+      cellCte("t2newstable", "cent2newstable", "", withHist = false) +
+      ",\n" +
+      cellCte("t2newdrift", "cent2newdrift", "", withHist = false) + "\n" +
       scenarioSelect("drifted", "newdrift") + "\nUNION ALL\n" +
       scenarioSelect("stable", "newstable") + "\nORDER BY scenario"
   }
@@ -7560,6 +8123,268 @@ object SparkEntry {
         |       n * n * 1000000 // s2 AS eff_classes_ppm,
         |       n * n * 1000000 // s2 >= 3000000 AS evenness_ok
         |FROM agg ORDER BY 1, 2""".stripMargin,
+
+    // c108: same banding/plant as c103; Hill-sandwich bounds as exact
+    // integers (N2 = n²/Σcnt² ppm, N0 = distinct), ln terms rounded at
+    // 4 decimals only inside the indeterminate band (the c30 contract)
+    "c108_entropy_l_audit" ->
+      """WITH aug AS (
+        |  SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT 88, 'PLANTED2',
+        |         CASE WHEN c_custkey % 169 = 0 THEN -500.0
+        |              WHEN c_custkey % 169 = 13 THEN 3000.0
+        |              ELSE 9000.0 END
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         (CAST(round(c_acctbal * 100) AS BIGINT)
+        |          + 100000000) // 200000 AS band
+        |  FROM aug),
+        |g AS (
+        |  SELECT c_nationkey, c_mktsegment, band, count(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3),
+        |wn AS (
+        |  SELECT c_nationkey, c_mktsegment, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY c_nationkey,
+        |                             c_mktsegment) AS BIGINT) AS n
+        |  FROM g),
+        |h AS (
+        |  SELECT c_nationkey, c_mktsegment, n, cnt,
+        |         cnt * CAST(round(ln(CAST(n AS DOUBLE) / cnt) * 10000)
+        |                    AS BIGINT) AS hterm
+        |  FROM wn),
+        |agg AS (
+        |  SELECT c_nationkey, c_mktsegment, max(n) AS n,
+        |         count(*) AS l_distinct,
+        |         CAST(sum(cnt * cnt) AS BIGINT) AS s2,
+        |         CAST(sum(hterm) AS BIGINT) AS hu
+        |  FROM h GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, n, l_distinct,
+        |       n * n * 1000000 // s2 AS hill2_lb_ppm,
+        |       l_distinct * 1000000 AS hill0_ub_ppm,
+        |       hu // n AS entropy_e4,
+        |       (n * n * 1000000 // s2 >= 3000000) OR (l_distinct < 3)
+        |         AS bound_decided,
+        |       CASE WHEN n * n * 1000000 // s2 >= 3000000 THEN TRUE
+        |            WHEN l_distinct < 3 THEN FALSE
+        |            ELSE hu // n >= 10987 END AS entropy_l_ok
+        |FROM agg ORDER BY 1, 2""".stripMargin,
+
+    // c109: pure integer recursive-(2,3) adjudication on the sorted
+    // sensitive-value counts — the tail sum is tie-order invariant
+    "c109_recursive_cl_audit" ->
+      """WITH aug AS (
+        |  SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT 88, 'PLANTED2',
+        |         CASE WHEN c_custkey % 169 = 0 THEN -500.0
+        |              WHEN c_custkey % 169 = 13 THEN 3000.0
+        |              ELSE 9000.0 END
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         (CAST(round(c_acctbal * 100) AS BIGINT)
+        |          + 100000000) // 200000 AS band
+        |  FROM aug),
+        |g AS (
+        |  SELECT c_nationkey, c_mktsegment, band, count(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3),
+        |rk AS (
+        |  SELECT c_nationkey, c_mktsegment, cnt,
+        |         row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+        |             ORDER BY cnt DESC, band) AS rn
+        |  FROM g)
+        |SELECT c_nationkey, c_mktsegment,
+        |       CAST(sum(cnt) AS BIGINT) AS n, count(*) AS m,
+        |       CAST(max(cnt) AS BIGINT) AS r1_cnt,
+        |       CAST(sum(CASE WHEN rn >= 3 THEN cnt ELSE 0 END)
+        |            AS BIGINT) AS tail_sum,
+        |       CAST(max(cnt) AS BIGINT) <
+        |         2 * CAST(sum(CASE WHEN rn >= 3 THEN cnt ELSE 0 END)
+        |                  AS BIGINT) AS rcl_ok,
+        |       count(*) >= 3 AS distinct_ok
+        |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // c105: the c12n chained-landmark replay + transitive-closure
+    // recursive CTE + the longest-clip election (clip length replayed
+    // from the synthesis formula; the engine measures it by REAL
+    // decode — agreement is the decode correctness c12d already locks)
+    "c105_audio_dup_clusters" ->
+      """WITH RECURSIVE ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS src, 0 AS halved
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, doc_id, 1 FROM documents
+        |  WHERE doc_id % 4 = 0 AND doc_id % 7 = 0),
+        |p AS (SELECT media_id, src, halved,
+        |             CAST(800 + (src % 5) * 160 AS INT) AS n FROM ids),
+        |s AS (SELECT media_id, src, halved, n,
+        |             unnest(range(0, n)) AS i FROM p),
+        |samp AS (
+        |  SELECT media_id, CAST(i // 128 AS INT) AS frame_idx,
+        |         CAST(i % 128 AS BIGINT) AS ii,
+        |         CAST(CASE WHEN halved = 1
+        |              THEN (((src * 7349 + i * 12345 + 6789) % 65536)
+        |                    - 32768) // 2
+        |              ELSE ((src * 7349 + i * 12345 + 6789) % 65536)
+        |                   - 32768 END AS BIGINT) AS v
+        |  FROM s WHERE i < (n // 128) * 128),
+        |wht AS (
+        |  SELECT f.media_id, f.frame_idx, j.j AS j,
+        |         sum(CASE WHEN bit_count(CAST(j.j AS BIGINT) & f.ii) % 2 = 0
+        |                  THEN f.v ELSE -f.v END) AS x
+        |  FROM samp f CROSS JOIN (SELECT unnest(range(0, 128)) AS j) j
+        |  GROUP BY 1, 2, 3),
+        |ln AS (
+        |  SELECT media_id, frame_idx, CAST(j AS INT) AS line FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY media_id, frame_idx
+        |        ORDER BY x * x DESC, j) AS rn FROM wht) t
+        |  WHERE rn = 1),
+        |cc AS (
+        |  SELECT a.media_id, a.frame_idx AS anchor, a.line AS line_a,
+        |         b.line AS line_t
+        |  FROM ln a JOIN ln b ON a.media_id = b.media_id
+        |   AND b.frame_idx = a.frame_idx + 1),
+        |pr AS (
+        |  SELECT x.media_id AS id_a, y.media_id AS id_b
+        |  FROM cc x JOIN cc y
+        |    ON x.anchor = y.anchor AND x.line_a = y.line_a
+        |   AND x.line_t = y.line_t AND x.media_id < y.media_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 4),
+        |prf AS (
+        |  SELECT pr.id_a, pr.id_b FROM pr
+        |  JOIN p pa ON pa.media_id = pr.id_a
+        |  JOIN p pb ON pb.media_id = pr.id_b
+        |  WHERE pa.n = pb.n),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM prf
+        |  UNION
+        |  SELECT id_b, id_a FROM prf),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lbl AS (
+        |  SELECT a AS id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |mem AS (
+        |  SELECT l.id, l.cluster_id, CAST(p.n AS BIGINT) AS n
+        |  FROM lbl l JOIN p ON p.media_id = l.id),
+        |rk AS (
+        |  SELECT cluster_id, id, n,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |             ORDER BY n DESC, id) AS rn
+        |  FROM mem)
+        |SELECT cluster_id, count(*) AS cluster_size,
+        |       min(CASE WHEN rn = 1 THEN id END) AS canonical_id,
+        |       min(CASE WHEN rn = 1 THEN n END) AS canonical_len,
+        |       md5(string_agg(CAST(id AS VARCHAR), ','
+        |                      ORDER BY id)) AS members_fp
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // c106: the bounded-open-bin slot machine replayed rank-
+    // synchronously — eligibility, fullest-fits election, first-empty
+    // placement, fullest-evicted closure — with the k=3 slot state as
+    // recursion columns (the d32/c100 discipline at state width k)
+    "c106_bounded_bin_packing" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS tk
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, source, CAST(tk AS BIGINT) AS tk,
+        |         doc_id % 4 AS band
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, CAST(tk + 300 AS BIGINT),
+        |         (doc_id + 1000000) % 4
+        |  FROM toks WHERE doc_id % 97 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source, band
+        |             ORDER BY tk DESC, doc_id) AS rn
+        |  FROM corpus),
+        |rec AS (
+        |  SELECT source, band, rn, doc_id, tk,
+        |         CAST(0 AS BIGINT) AS bin,
+        |         CASE WHEN tk > 256 THEN CAST(-1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS b1,
+        |         CASE WHEN tk > 256 THEN CAST(0 AS BIGINT)
+        |              ELSE tk END AS f1,
+        |         CAST(-1 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS f2,
+        |         CAST(-1 AS BIGINT) AS b3, CAST(0 AS BIGINT) AS f3,
+        |         CAST(1 AS BIGINT) AS nb
+        |  FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT source, band, rn, doc_id, tk,
+        |         CASE WHEN tgt = 1 THEN b1 WHEN tgt = 2 THEN b2
+        |              WHEN tgt = 3 THEN b3 ELSE nb END,
+        |         CASE WHEN tgt = 1 THEN b1
+        |              WHEN tgt = 0 AND NOT ovs
+        |                   AND (emp = 1 OR (emp = 0 AND ev = 1)) THEN nb
+        |              ELSE b1 END,
+        |         CASE WHEN tgt = 1 THEN f1 + tk
+        |              WHEN tgt = 0 AND NOT ovs
+        |                   AND (emp = 1 OR (emp = 0 AND ev = 1)) THEN tk
+        |              ELSE f1 END,
+        |         CASE WHEN tgt = 2 THEN b2
+        |              WHEN tgt = 0 AND NOT ovs
+        |                   AND (emp = 2 OR (emp = 0 AND ev = 2)) THEN nb
+        |              ELSE b2 END,
+        |         CASE WHEN tgt = 2 THEN f2 + tk
+        |              WHEN tgt = 0 AND NOT ovs
+        |                   AND (emp = 2 OR (emp = 0 AND ev = 2)) THEN tk
+        |              ELSE f2 END,
+        |         CASE WHEN tgt = 3 THEN b3
+        |              WHEN tgt = 0 AND NOT ovs
+        |                   AND (emp = 3 OR (emp = 0 AND ev = 3)) THEN nb
+        |              ELSE b3 END,
+        |         CASE WHEN tgt = 3 THEN f3 + tk
+        |              WHEN tgt = 0 AND NOT ovs
+        |                   AND (emp = 3 OR (emp = 0 AND ev = 3)) THEN tk
+        |              ELSE f3 END,
+        |         CASE WHEN tgt = 0 THEN nb + 1 ELSE nb END
+        |  FROM (
+        |    SELECT a.source, a.band, a.rn, a.doc_id, a.tk,
+        |           d.b1, d.f1, d.b2, d.f2, d.b3, d.f3, d.nb,
+        |           a.tk > 256 AS ovs,
+        |           CASE WHEN (d.b1 >= 0 AND d.f1 + a.tk <= 256)
+        |                     AND (NOT (d.b2 >= 0 AND d.f2 + a.tk <= 256)
+        |                          OR d.f1 > d.f2
+        |                          OR (d.f1 = d.f2 AND d.b1 < d.b2))
+        |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= 256)
+        |                          OR d.f1 > d.f3
+        |                          OR (d.f1 = d.f3 AND d.b1 < d.b3))
+        |                  THEN 1
+        |                WHEN (d.b2 >= 0 AND d.f2 + a.tk <= 256)
+        |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= 256)
+        |                          OR d.f2 > d.f3
+        |                          OR (d.f2 = d.f3 AND d.b2 < d.b3))
+        |                  THEN 2
+        |                WHEN d.b3 >= 0 AND d.f3 + a.tk <= 256 THEN 3
+        |                ELSE 0 END AS tgt,
+        |           CASE WHEN d.b1 < 0 THEN 1 WHEN d.b2 < 0 THEN 2
+        |                WHEN d.b3 < 0 THEN 3 ELSE 0 END AS emp,
+        |           CASE WHEN (d.f1 > d.f2
+        |                      OR (d.f1 = d.f2 AND d.b1 < d.b2))
+        |                     AND (d.f1 > d.f3
+        |                          OR (d.f1 = d.f3 AND d.b1 < d.b3))
+        |                  THEN 1
+        |                WHEN d.f2 > d.f3
+        |                     OR (d.f2 = d.f3 AND d.b2 < d.b3) THEN 2
+        |                ELSE 3 END AS ev
+        |    FROM ranked a JOIN rec d
+        |      ON a.source = d.source AND a.band = d.band
+        |     AND a.rn = d.rn + 1) q)
+        |SELECT source, band, bin, count(*) AS n_docs,
+        |       CAST(sum(tk) AS BIGINT) AS fill_tokens,
+        |       CAST(sum(tk) AS BIGINT) * 1000000 // 256 AS util_ppm,
+        |       CAST(sum(tk) AS BIGINT) > 256 AS overflow,
+        |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |                      ORDER BY doc_id)) AS docs_fp
+        |FROM rec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // c99: the banded-EMD replay — same banding as c94, same planted
     // skewed cell as the engine, cumulative differences as exact

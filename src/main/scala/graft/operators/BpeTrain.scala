@@ -38,8 +38,12 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
-  private val D = "\u0001" // symbol delimiter: never appears in corpus text
-  private val P = "\u0002" // pair-string separator for ranking/tie-break
+  // symbol delimiter / pair separator: never appear in corpus text.
+  // private[graft] (not private) so TokenizerStore's sides_wellformed
+  // audit checks THE trainer's control characters, not its own copies
+  // that could silently drift (r13 advice).
+  private[graft] val D = "\u0001" // symbol delimiter
+  private[graft] val P = "\u0002" // pair-string separator
 
   /** Passes per merge round — fixed and engine-shared (see scaladoc). */
   val MergePasses = 3
@@ -64,7 +68,7 @@ object BpeTrain {
     * ContextCleaner find them — a real leak over a 24-round loop. Free
     * the underlying RDD directly via the frame's LogicalRDD leaf.
     */
-  private def freeState(df: DataFrame): Unit = {
+  private[graft] def freeState(df: DataFrame): Unit = {
     df.unpersist()
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
@@ -74,10 +78,17 @@ object BpeTrain {
   }
 
   private def trainKeepingWords(docs: DataFrame, textCol: String,
-                                numMerges: Int): (Seq[Merge], DataFrame) = {
-    require(numMerges >= 1, "numMerges must be >= 1")
+                                numMerges: Int): (Seq[Merge], DataFrame) =
+    continueMerges(initialWords(docs, textCol), fromRank = 1, numMerges)
+
+  /** The trainer's round-0 state: the delimited word table. Persisted —
+    * the first [[continueMerges]] round frees it (its checkpoint
+    * supersedes it), exactly as the monolithic loop always did.
+    */
+  private[graft] def initialWords(docs: DataFrame,
+                                  textCol: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    var words = docs
+    docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .where(length(col("w")) > 0 &&
         !col("w").contains(D) && !col("w").contains(P))
@@ -85,8 +96,29 @@ object BpeTrain {
       .select(concat(lit(D), regexp_replace(col("w"), "(.)", "$1" + D))
         .as("s"), col("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** CONTINUE training from an existing segmentation state: run
+    * `numMerges` more rounds starting at rank `fromRank` over `words0`
+    * (which this call consumes — it is freed once the first round's
+    * checkpoint supersedes it). This is [[train]]'s own loop body —
+    * [[trainKeepingWords]] is literally `continueMerges(initialWords,
+    * 1, n)` — so a depth-extended trajectory (12 merges, then 12 more:
+    * the D40 rollover stream's fold) equals the one-shot 24-merge run
+    * BY CONSTRUCTION, not by a separate proof: BPE merge selection at
+    * rank r depends only on the post-(r−1) segmentation state, never
+    * on the total requested depth (the prefix-stability c96 locks).
+    * Returns the new merges (ranks fromRank..fromRank+numMerges−1) and
+    * the post-merge word state (caller owns it — [[freeState]] when
+    * done or pass it back in).
+    */
+  private[graft] def continueMerges(words0: DataFrame, fromRank: Int,
+                                    numMerges: Int): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(fromRank >= 1, s"fromRank $fromRank < 1")
+    var words = words0
     val merges = Seq.newBuilder[Merge]
-    for (r <- 1 to numMerges) {
+    for (r <- fromRank to fromRank + numMerges - 1) {
       val t = filter(split(col("s"), D), x => length(x) > 0)
       val top = words
         .where(size(t) >= 2)

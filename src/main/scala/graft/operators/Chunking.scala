@@ -234,4 +234,112 @@ object Chunking {
       }
     }(enc)
   }
+
+  /** C106: whole-document BEST-FIT-DECREASING packing with a BOUNDED
+    * open-bin set — the fill-rate upgrade over [[packWholeDocs]]'s
+    * next-fit: NFD closes a bin the moment ONE document misses, so a
+    * bin left at 60% never gets the small document that would have
+    * topped it off. Classical bounded-space best-fit keeps up to
+    * `openBins` bins open per shard; each document (descending token
+    * order, the BFD rule) goes to the FULLEST open bin it still fits
+    * (ties → lowest bin id). When nothing fits: a new bin opens, and if
+    * the open set is full the FULLEST open bin is closed first (it is
+    * the least likely to ever accept another doc). An oversized
+    * document (> budget) gets its own immediately-closed bin — visible
+    * as an overflow row, never dropped, and never wasting an open slot
+    * (the c100 posture).
+    *
+    * The state is O(openBins) per shard — a strict sequential
+    * recurrence like NFD's, so the engine shape is identical:
+    * repartition by (source, band), sortWithinPartitions, one
+    * mapPartitions fold. No window-over-everything, no driver state;
+    * the oracle replays the slot machine as a k-column rank-synchronous
+    * recursive CTE (the d32/c100 discipline). Same output contract as
+    * [[packWholeDocs]] minus `fill_after` (a doc's bin can keep filling
+    * after its row is emitted, so "fill so far" is not well-defined
+    * per row under best-fit).
+    *
+    * At 100 TB: identical scale story to c100 — the sort is per-shard
+    * within partitions, the fold is O(1) memory in corpus size, bins
+    * never cross shards, and shard count (sources × bands) sets the
+    * parallelism.
+    */
+  def packWholeDocsBounded(df: DataFrame, idCol: String, tokensCol: String,
+                           sourceCol: String, nBands: Int, budget: Long,
+                           openBins: Int): DataFrame = {
+    require(budget > 0 && nBands > 0, "need budget > 0 and nBands > 0")
+    require(openBins >= 1, s"openBins $openBins < 1")
+    import org.apache.spark.sql.types._
+    val in = df.select(col(sourceCol).cast("string").as("source"),
+      pmod(col(idCol).cast("long"), lit(nBands.toLong)).as("band"),
+      col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).cast("long").as("tk"))
+    val sorted = in.repartition(col("source"), col("band"))
+      .sortWithinPartitions(col("source"), col("band"),
+        col("tk").desc, col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("band", LongType),
+      StructField("doc_id", LongType),
+      StructField("tk", LongType),
+      StructField("bin", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val k = openBins
+    val B = budget
+    sorted.mapPartitions { rows =>
+      var curSource: String = null
+      var curBand = Long.MinValue
+      // open slots: parallel arrays, slot i open iff binIds(i) >= 0
+      val binIds = new Array[Long](k)
+      val fills = new Array[Long](k)
+      var nextBin = 0L
+      rows.map { r =>
+        val src = r.getString(0)
+        val band = r.getLong(1)
+        val id = r.getLong(2)
+        val tk = r.getLong(3)
+        if (src != curSource || band != curBand) {
+          curSource = src; curBand = band
+          java.util.Arrays.fill(binIds, -1L)
+          nextBin = 0L
+        }
+        // best fit: fullest open bin that still fits; tie → lowest id
+        var tgt = -1
+        var i = 0
+        while (i < k) {
+          if (binIds(i) >= 0 && fills(i) + tk <= B &&
+              (tgt < 0 || fills(i) > fills(tgt) ||
+                (fills(i) == fills(tgt) && binIds(i) < binIds(tgt))))
+            tgt = i
+          i += 1
+        }
+        val bin =
+          if (tgt >= 0) { fills(tgt) += tk; binIds(tgt) }
+          else if (tk > B) { nextBin += 1L; nextBin - 1L } // own bin, closed
+          else {
+            // place the new bin: an empty slot if any, else evict the
+            // FULLEST open bin (tie → lowest id)
+            var slot = -1
+            var j = 0
+            while (j < k && slot < 0) { if (binIds(j) < 0) slot = j; j += 1 }
+            if (slot < 0) {
+              slot = 0
+              var m = 1
+              while (m < k) {
+                if (fills(m) > fills(slot) ||
+                    (fills(m) == fills(slot) && binIds(m) < binIds(slot)))
+                  slot = m
+                m += 1
+              }
+            }
+            binIds(slot) = nextBin
+            fills(slot) = tk
+            nextBin += 1L
+            binIds(slot)
+          }
+        org.apache.spark.sql.Row(src, band, id, tk, bin)
+      }
+    }(enc)
+  }
 }

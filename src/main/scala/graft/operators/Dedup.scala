@@ -303,6 +303,24 @@ object Dedup {
 
   // ------------------------------------------------ duplicate clustering
 
+  /** Release a frame produced by an iterative checkpoint loop
+    * ([[dupClusters]]' returned labels, superseded rounds): plain
+    * `Dataset.unpersist()` is a NO-OP on a checkpointed frame (the
+    * checkpoint RDD lives outside the cache manager), so the blocks
+    * must be freed through the frame's LogicalRDD leaf — the
+    * BpeTrain.freeState rule, exposed here so CALLERS of dupClusters
+    * can actually honor the "release when done" contract (r13 advice).
+    * Safe on any frame: non-LogicalRDD leaves are left untouched.
+    */
+  def freeState(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   /** Connected components over a near-duplicate pair list → duplicate
     * clusters, so a pipeline can keep ONE canonical document per cluster
     * (`cluster_id` = smallest member id = the survivor).
@@ -319,11 +337,20 @@ object Dedup {
     * Returns (cluster_id, id) — one row per member, cluster_id ≤ id.
     * Throws IllegalStateException if maxIter rounds don't converge — a
     * silently split cluster (multiple "canonical" survivors of one true
-    * duplicate group) is worse than a loud failure. The returned frame
-    * rides the loop's final localCheckpoint (plain `unpersist()` is a
-    * no-op on it); long-lived sessions reclaim it via the
-    * LogicalRDD-leaf rule (BpeTrain.freeState) or a session
-    * clearCache-and-GC.
+    * duplicate group) is worse than a loud failure.
+    *
+    * Loop-state durability (the r13-advice note): when the session has a
+    * RELIABLE checkpoint directory configured
+    * (`sparkContext.setCheckpointDir`), each round checkpoints THERE —
+    * replicated-storage lineage truncation, so an executor loss
+    * mid-loop recomputes from the checkpoint files instead of failing
+    * the whole O(diameter) query. Locally (no checkpoint dir) it falls
+    * back to `localCheckpoint(true)`, whose unreplicated blocks are the
+    * right trade at local[32] — same plan-growth fix either way (the
+    * c77/c13 lesson: persist caches data but the logical plan still
+    * doubles per round). The returned frame rides the loop's final
+    * checkpoint (plain `unpersist()` is a no-op on it) — release it
+    * with [[freeState]] once every derived result is materialized.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -340,7 +367,7 @@ object Dedup {
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint per round, NOT persist: the round's frame
+    // checkpoint per round, NOT persist: the round's frame
     // references the previous round's labels TWICE (once through
     // nbrMin, once as the join's left side), so under persist — which
     // caches DATA but keeps the LOGICAL plan nested (the c77 lesson) —
@@ -351,16 +378,16 @@ object Dedup {
     // explainString). Eager checkpointing flattens each round to a
     // LogicalRDD leaf; superseded rounds are freed through the RDD
     // handle because Dataset.unpersist() is a no-op on a
-    // localCheckpoint'd frame (the BpeTrain.freeState rule).
-    def freeState(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(false)
-        case _ => ()
-      }
-    var persisted = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // checkpointed frame (the BpeTrain.freeState rule). RELIABLE
+    // checkpoint when a dir is configured (executor-loss-safe at
+    // cluster scale), local otherwise (r13 advice).
+    val reliable =
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def checkpointRound(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    var persisted = checkpointRound(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var labels = persisted
     var changed = 1L
     var iter = 0
@@ -370,10 +397,9 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
       // carry prev alongside so the convergence count reuses this
       // checkpointed frame instead of a second join against old labels
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = checkpointRound(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
       changed = next.where(col("label") =!= col("prev")).count()
       freeState(persisted)
       persisted = next

@@ -77,6 +77,12 @@ object ImageDedup {
       rows.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
           val id = r.getLong(0)
+          // variant ids live at base + 2e6 / base + 3e6: a base id at or
+          // above 2e6 would silently COLLIDE a planted variant with a
+          // real media id (r13 advice) — refuse loudly instead
+          require(id >= 0 && id < 2000000L,
+            s"packImageVariants: base id $id outside [0, 2e6) — variant " +
+              "ids (+2e6/+3e6) would collide with the corpus id domain")
           val w = (id % 64 + 16).toInt
           val h = (id % 48 + 16).toInt
           def render(delta: Int): java.awt.image.BufferedImage = {
@@ -140,10 +146,12 @@ object ImageDedup {
         batch.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
+          // NonFatal only (r13 advice): an OOM or interrupt must fail
+          // the task, not silently drop the image as "undecodable"
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Throwable => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Iterator.empty
           else {
             val w = img.getWidth

@@ -60,8 +60,11 @@ object TokenizerStore {
     */
   final case class LoadedTokenizer(merges: Seq[Merge], trainedAtEpoch: Long)
 
-  private val D = "\u0001" // the trainer's symbol delimiter
-  private val P = "\u0002" // the trainer's pair separator
+  // the trainer's OWN control characters (not re-declared copies — the
+  // audit must keep tracking the trainer if its delimiters ever
+  // change; r13 advice)
+  private val D = graft.operators.BpeTrain.D
+  private val P = graft.operators.BpeTrain.P
 
   /** The merges table: (rank, lhs, rhs), rank 1-based in training order. */
   def mergesFrame(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
