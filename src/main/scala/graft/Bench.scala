@@ -140,6 +140,13 @@ object Bench {
     "c100_whole_doc_packing", "c101_banding_curve",
     "c97b_image_dup_clusters", "c102_reindex_gate",
     "c103_evenness_audit",
+    // r14: stored-code image serving (decode prepaid via prewarm),
+    // audio dup clusters, the streamed tokenizer rollover, BFD
+    // packing, the cross-version gate, and the two diversity audits
+    "c104_image_code_serve", "c105_audio_dup_clusters",
+    "d40_tokenizer_rollover", "c106_bounded_bin_packing",
+    "c107_cross_version_gate", "c108_entropy_l_audit",
+    "c109_recursive_cl_audit",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -333,7 +340,22 @@ object Bench {
       // scans over the replica-scaled embeddings + 16-row histograms
       // c103 is one map-combined agg over replica-scaled customers
       "c97b_image_dup_clusters", "c102_reindex_gate",
-      "c103_evenness_audit"))
+      "c103_evenness_audit",
+      // r14: c104 reads the stored code table (the decode+publish is
+      // prepaid by maybePrewarm — the row times SERVING, which scales
+      // with the documents-scaled code table, never with decode);
+      // d40's two depth folds ride the c77 loop shape (corpus pass +
+      // vocabulary-sized rounds; publishes are KBs at any scale);
+      // c106 is c100's sort + O(1) fold with k-slot state; c107 is
+      // stored-code scans + 16-row histograms (the c102 shape);
+      // c108/c109 are one map-combined agg over replica-scaled
+      // customers each. c105 is deliberately NOT probed (the b32
+      // exclusion, the c12k/m/n precedent): its pair graph rides the
+      // one-LCG-waveform phase families, so closure volume under
+      // replication measures the corpus artifact, not the operator.
+      "c104_image_code_serve", "d40_tokenizer_rollover",
+      "c106_bounded_bin_packing", "c107_cross_version_gate",
+      "c108_entropy_l_audit", "c109_recursive_cl_audit"))
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
@@ -442,12 +464,18 @@ object Bench {
     */
   private val modelServingQueries =
     Set("c79b_trained_langid", "c92_budget_threshold")
+  private val imageServingQueries = Set("c104_image_code_serve")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],
-                           dir: String): Unit =
+                           dir: String): Unit = {
     if (names.exists(modelServingQueries)) {
       System.err.println(s"[bench] prewarming langid model for $dir")
       SparkEntry.prewarmLangidModel(spark, dir)
     }
+    if (names.exists(imageServingQueries)) {
+      System.err.println(s"[bench] prewarming image-code store for $dir")
+      SparkEntry.prewarmImageCodes(spark, dir)
+    }
+  }
 
   private def bestOf(n: Int)(run: => Double): Double = {
     val runs = Iterator.continually(run).take(n).takeWhile(_ >= 0).toSeq

@@ -130,4 +130,69 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
     val mean = chunks.agg(avg("n_tokens")).head.getDouble(0)
     assert(mean > 16 && mean < 256, s"mean tuned chunk length: $mean")
   }
+
+  test("c106 BFD hand example: fullest-fits election packs 6 docs into " +
+       "3 full-ish bins where NFD needs 4") {
+    val s2 = spark
+    import s2.implicits._
+    // one (source, band) shard: ids = 0 mod 4, budget 100
+    val docs = Seq((4L, 60L), (8L, 55L), (12L, 50L), (16L, 45L),
+      (20L, 40L), (24L, 35L)).toDF("doc_id", "tk")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    val bfd = graft.operators.Chunking.packWholeDocsBounded(
+      docs, "doc_id", "tk", "source", nBands = 4, budget = 100L,
+      openBins = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin"))
+      .toMap
+    // trace: 60->b0; 55->b1; 50->b2; 45 fits b1(100)/b2(95), fullest=b1;
+    // 40 fits b0(100)/b2(90), fullest=b0; 35 fits b2 only -> b2(85)
+    assert(bfd === Map(4L -> 0L, 8L -> 1L, 12L -> 2L, 16L -> 1L,
+      20L -> 0L, 24L -> 2L))
+    val nfdBins = graft.operators.Chunking.packWholeDocs(
+      docs, "doc_id", "tk", "source", nBands = 4, budget = 100L)
+      .select("bin").distinct().count()
+    assert(nfdBins === 4L, s"NFD should need 4 bins here, got $nfdBins")
+  }
+
+  test("c106 k=1 degenerates to NFD exactly (a single open slot evicts " +
+       "on every miss — next-fit by construction)") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Tables(s2, sfDir(), "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        graft.functions.TextFunctions.tokenCount(
+          org.apache.spark.sql.functions.col("text"))
+          .cast("long").as("tk"))
+      .limit(300)
+    val bfd1 = graft.operators.Chunking.packWholeDocsBounded(
+      docs, "doc_id", "tk", "source", nBands = 4, budget = 256L,
+      openBins = 1)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("band"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("bin")).toMap
+    val nfd = graft.operators.Chunking.packWholeDocs(
+      docs, "doc_id", "tk", "source", nBands = 4, budget = 256L)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("band"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("bin")).toMap
+    assert(bfd1 === nfd)
+  }
+
+  test("c106 oversized docs take their own immediately-closed bin and " +
+       "never waste an open slot") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq((4L, 150L), (8L, 90L), (12L, 80L), (16L, 10L))
+      .toDF("doc_id", "tk")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    val out = graft.operators.Chunking.packWholeDocsBounded(
+      docs, "doc_id", "tk", "source", nBands = 4, budget = 100L,
+      openBins = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin"))
+      .toMap
+    // 150 oversized -> own bin 0 (closed, no slot); 90 -> bin 1;
+    // 80 -> bin 2; 10 best-fits the fuller open bin (90) -> bin 1
+    assert(out === Map(4L -> 0L, 8L -> 1L, 12L -> 2L, 16L -> 1L))
+  }
 }

@@ -197,6 +197,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "no corpus-sized pair-join side may broadcast")
   }
 
+  test("c104: stored-code serving has NO decode stage anywhere in the " +
+    "plan (the store's whole point — the mapPartitions codec pass must " +
+    "not leak back in) and the banded self-join stays shuffled") {
+    val p = plan("c104_image_code_serve")
+    assert(!p.contains("MapPartitions"),
+      "a decode (mapPartitions) stage leaked into the serving plan")
+    assert(p.contains("ShuffledHashJoin"),
+      "the blockhash banded self-join must be shuffled")
+    assert(!"BroadcastHashJoin.*id_b".r.findFirstIn(p).isDefined,
+      "no corpus-sized pair-join side may broadcast")
+  }
+
   test("c12k/c12m/c12n/b32/c5: every banded CANDIDATE-GENERATION " +
     "self-join is SHUFFLED hash (the r13 audit swept all of them: the " +
     "build side is always a corpus-scaled frame behind an explode, " +

@@ -31,4 +31,31 @@ class ReindexGateSpec extends AnyFunSuite with SparkSpec {
       assert(shareN >= 62500L && shareN <= 1000000L)
     }
   }
+
+  private lazy val c107 = SparkEntry
+    .queries("c107_cross_version_gate")(s, sfDir())
+    .collect().map(r => r.getAs[String]("scenario") -> r).toMap
+
+  test("c107: the STORED-code gate fires on drifted arrivals and not " +
+    "on stable ones, and the v2 rebuild rebalances what the frozen v1 " +
+    "cells saw as concentration") {
+    val d = c107("drifted")
+    val st = c107("stable")
+    assert(d.getAs[Boolean]("rebuild") && d.getAs[Long]("tv_ppm") > 200000L,
+      s"drift must fire the gate: $d")
+    assert(!st.getAs[Boolean]("rebuild"),
+      s"stable arrivals must not fire the gate: $st")
+    assert(d.getAs[Long]("tv_ppm") > st.getAs[Long]("tv_ppm"))
+    // the rebuilt (v2) index adapts its cells to the T2 corpus: its
+    // worst cell share must sit BELOW the drifted arrivals' share
+    // under the frozen v1 frame
+    assert(d.getAs[Long]("max_share_v2_ppm") <
+      d.getAs[Long]("max_share_new_ppm"),
+      s"v2 rebuild failed to rebalance: $d")
+    // iv2 holds the FULL T2 corpus in both scenarios
+    Seq(d, st).foreach { r =>
+      assert(r.getAs[Long]("n_v2") ===
+        r.getAs[Long]("n_ref") + r.getAs[Long]("n_new"), r.toString)
+    }
+  }
 }
