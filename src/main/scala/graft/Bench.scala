@@ -146,7 +146,8 @@ object Bench {
     "c104_image_code_serve", "c105_audio_dup_clusters",
     "d40_tokenizer_rollover", "c106_bounded_bin_packing",
     "c107_cross_version_gate", "c108_entropy_l_audit",
-    "c109_recursive_cl_audit",
+    "c109_recursive_cl_audit", "c110_image_codes_vacuum",
+    "c111_ffd_packing",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -355,7 +356,12 @@ object Bench {
       // replication measures the corpus artifact, not the operator.
       "c104_image_code_serve", "d40_tokenizer_rollover",
       "c106_bounded_bin_packing", "c107_cross_version_gate",
-      "c108_entropy_l_audit", "c109_recursive_cl_audit"))
+      "c108_entropy_l_audit", "c109_recursive_cl_audit",
+      // c110's lifecycle decodes + double-publishes + vacuums (the
+      // vacuum itself is a directory delete — the docs-scaled decode
+      // dominates, the c86 shape); c111 is c106's fold with the other
+      // election — identical scale story
+      "c110_image_codes_vacuum", "c111_ffd_packing"))
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

@@ -5981,6 +5981,86 @@ object SparkEntry {
         .withColumn("rcl_ok", col("r1_cnt") < lit(2L) * col("tail_sum"))
         .withColumn("distinct_ok", col("m") >= 3)
         .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // C110 retired image-code vacuum — the C86 lifecycle rule on the
+    // C104 key space: after a spec rollover (v2 published, iv2
+    // backfilled) the old version's codes are corpus-sized dead
+    // weight; the vacuum removes iv trees at or below
+    // committed − keepVersions, refuses the committed version and
+    // in-flight newer keys, and serving from the surviving key space
+    // still answers c97's question exactly (the c97 oracle verbatim —
+    // a vacuum that touched live codes could not hash-match).
+    "c110_image_codes_vacuum" -> ((s, dir) => {
+      import graft.operators.ImageDedup
+      import graft.sources.ImageCodeStore
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("c110_vac_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val packed = ImageDedup.packImageVariants(s,
+        t(s, dir, "documents"), "doc_id")
+      val codes = ImageDedup.blockhashCodes(s, packed).persist()
+      try {
+        require(ImageCodeStore.publishSpec(s, root, "blockhash", 8, 4)
+          .committed)
+        ImageCodeStore.appendCodesEpoch(codes, root, 1, 0L)
+        // the rollover: v2 re-published (same parameters — the version
+        // is the key, not the content), iv2 backfilled
+        require(ImageCodeStore.publishSpec(s, root, "blockhash", 8, 4)
+          .committed)
+        ImageCodeStore.appendCodesEpoch(codes, root, 2, 0L)
+        val rep = ImageCodeStore.vacuumRetiredCodes(s, root,
+          keepVersions = 1)
+        require(rep.committed == 2 && rep.removed == Seq(1) &&
+          rep.kept == Seq(2), s"vacuum accounting off: $rep")
+        require(!fs.exists(new Path(
+          s"$root/${ImageCodeStore.CodesTable}/iv1")),
+          "retired key space must be gone")
+        // idempotent: a rerun finds nothing to remove
+        val again = ImageCodeStore.vacuumRetiredCodes(s, root, 1)
+        require(again.removed.isEmpty && again.kept == Seq(2),
+          s"vacuum rerun must be a no-op: $again")
+        ImageDedup.perceptualPairs(ImageCodeStore.readCodes(s, root, 2),
+            maxHamming = 3, hotBucketCap = 64)
+          .orderBy("id_a", "id_b")
+      } finally { codes.unpersist(); () }
+    }),
+
+    // C111 bounded FIRST-fit-decreasing packing — the BFD-vs-FFD A/B
+    // on the c106 harness: identical slot machine, identical corpus
+    // and rollup, only the election differs (oldest open bin that
+    // fits vs fullest). FFD preserves open headroom longer; BFD tops
+    // bins off sooner — which wins is corpus-shape-dependent, which
+    // is exactly why the A/B exists as two keys with one shared
+    // oracle generator (FILLRATE_local_r14.json carries the measured
+    // comparison).
+    "c111_ffd_packing" -> ((s, dir) => {
+      import graft.operators.Chunking
+      val G = graft.functions.GraftExpressions
+      val base = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("tk"))
+      val corpus = base.unionByName(base.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          (col("tk") + 300L).as("tk")))
+      Chunking.packWholeDocsBounded(corpus, "doc_id", "tk", "source",
+          nBands = 4, budget = 256L, openBins = 3, firstFit = true)
+        .groupBy("source", "band", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("fill_tokens"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("docs_fp"))
+        .select(col("source"), col("band"), col("bin"), col("n_docs"),
+          col("fill_tokens"),
+          G.longDiv(col("fill_tokens") * lit(1000000L), lit(256L))
+            .as("util_ppm"),
+          (col("fill_tokens") > 256L).as("overflow"), col("docs_fp"))
+        .orderBy("source", "band", "bin")
     })
   )
 
@@ -6071,6 +6151,10 @@ object SparkEntry {
       // perceptual replay is the oracle; a lossy round trip, a spec
       // version mix-up, or a duplicated replay epoch breaks the hash
       "c104_image_code_serve" -> base("c97_image_perceptual_dedup"),
+      // c110 serves the same question from the SURVIVING key space
+      // after the vacuum — a vacuum that touched live codes (or left
+      // the old key serving) could not hash-match the perceptual replay
+      "c110_image_codes_vacuum" -> base("c97_image_perceptual_dedup"),
       // d40: the rollover stream's published v1/v2 ARE the c77
       // trajectory's depth-12/depth-24 states (continueMerges is the
       // one-shot trainer's own loop body resumed — prefix stability by
@@ -6889,6 +6973,133 @@ object SparkEntry {
       cellCte("newdrift") + "\n" +
       scenarioSelect("drifted", "newdrift") + "\nUNION ALL\n" +
       scenarioSelect("stable", "newstable") + "\nORDER BY scenario"
+  }
+
+  /** The c106/c111 oracle: the bounded-open-bin slot machine replayed
+    * rank-synchronously as a k=3-column recursive CTE (the d32/c100
+    * discipline at state width k). The two keys differ ONLY in the
+    * election CASE: best-fit (fullest eligible, tie lowest id) vs
+    * first-fit (lowest-id eligible); eviction on a miss is the fullest
+    * slot under both. Head and tail are shared stripMargin blocks
+    * concatenated around the election (the c78 rule: never
+    * re-interpolate a stripMargin'd string into another block).
+    */
+  private def boundedPackOracleSql(firstFit: Boolean): String = {
+    val tgtCase =
+      if (firstFit)
+        """|           CASE WHEN (d.b1 >= 0 AND d.f1 + a.tk <= 256)
+           |                     AND (NOT (d.b2 >= 0 AND d.f2 + a.tk <= 256)
+           |                          OR d.b1 < d.b2)
+           |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= 256)
+           |                          OR d.b1 < d.b3)
+           |                  THEN 1
+           |                WHEN (d.b2 >= 0 AND d.f2 + a.tk <= 256)
+           |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= 256)
+           |                          OR d.b2 < d.b3)
+           |                  THEN 2
+           |                WHEN d.b3 >= 0 AND d.f3 + a.tk <= 256 THEN 3
+           |                ELSE 0 END AS tgt,""".stripMargin
+      else
+        """|           CASE WHEN (d.b1 >= 0 AND d.f1 + a.tk <= 256)
+           |                     AND (NOT (d.b2 >= 0 AND d.f2 + a.tk <= 256)
+           |                          OR d.f1 > d.f2
+           |                          OR (d.f1 = d.f2 AND d.b1 < d.b2))
+           |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= 256)
+           |                          OR d.f1 > d.f3
+           |                          OR (d.f1 = d.f3 AND d.b1 < d.b3))
+           |                  THEN 1
+           |                WHEN (d.b2 >= 0 AND d.f2 + a.tk <= 256)
+           |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= 256)
+           |                          OR d.f2 > d.f3
+           |                          OR (d.f2 = d.f3 AND d.b2 < d.b3))
+           |                  THEN 2
+           |                WHEN d.b3 >= 0 AND d.f3 + a.tk <= 256 THEN 3
+           |                ELSE 0 END AS tgt,""".stripMargin
+    val head =
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS tk
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, source, CAST(tk AS BIGINT) AS tk,
+        |         doc_id % 4 AS band
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, CAST(tk + 300 AS BIGINT),
+        |         (doc_id + 1000000) % 4
+        |  FROM toks WHERE doc_id % 97 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source, band
+        |             ORDER BY tk DESC, doc_id) AS rn
+        |  FROM corpus),
+        |rec AS (
+        |  SELECT source, band, rn, doc_id, tk,
+        |         CAST(0 AS BIGINT) AS bin,
+        |         CASE WHEN tk > 256 THEN CAST(-1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS b1,
+        |         CASE WHEN tk > 256 THEN CAST(0 AS BIGINT)
+        |              ELSE tk END AS f1,
+        |         CAST(-1 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS f2,
+        |         CAST(-1 AS BIGINT) AS b3, CAST(0 AS BIGINT) AS f3,
+        |         CAST(1 AS BIGINT) AS nb
+        |  FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT source, band, rn, doc_id, tk,
+        |         CASE WHEN tgt = 1 THEN b1 WHEN tgt = 2 THEN b2
+        |              WHEN tgt = 3 THEN b3 ELSE nb END,
+        |         CASE WHEN tgt = 1 THEN b1
+        |              WHEN tgt = 0 AND NOT ovs
+        |                   AND (emp = 1 OR (emp = 0 AND ev = 1)) THEN nb
+        |              ELSE b1 END,
+        |         CASE WHEN tgt = 1 THEN f1 + tk
+        |              WHEN tgt = 0 AND NOT ovs
+        |                   AND (emp = 1 OR (emp = 0 AND ev = 1)) THEN tk
+        |              ELSE f1 END,
+        |         CASE WHEN tgt = 2 THEN b2
+        |              WHEN tgt = 0 AND NOT ovs
+        |                   AND (emp = 2 OR (emp = 0 AND ev = 2)) THEN nb
+        |              ELSE b2 END,
+        |         CASE WHEN tgt = 2 THEN f2 + tk
+        |              WHEN tgt = 0 AND NOT ovs
+        |                   AND (emp = 2 OR (emp = 0 AND ev = 2)) THEN tk
+        |              ELSE f2 END,
+        |         CASE WHEN tgt = 3 THEN b3
+        |              WHEN tgt = 0 AND NOT ovs
+        |                   AND (emp = 3 OR (emp = 0 AND ev = 3)) THEN nb
+        |              ELSE b3 END,
+        |         CASE WHEN tgt = 3 THEN f3 + tk
+        |              WHEN tgt = 0 AND NOT ovs
+        |                   AND (emp = 3 OR (emp = 0 AND ev = 3)) THEN tk
+        |              ELSE f3 END,
+        |         CASE WHEN tgt = 0 THEN nb + 1 ELSE nb END
+        |  FROM (
+        |    SELECT a.source, a.band, a.rn, a.doc_id, a.tk,
+        |           d.b1, d.f1, d.b2, d.f2, d.b3, d.f3, d.nb,
+        |           a.tk > 256 AS ovs,""".stripMargin
+    val tail =
+      """|           CASE WHEN d.b1 < 0 THEN 1 WHEN d.b2 < 0 THEN 2
+         |                WHEN d.b3 < 0 THEN 3 ELSE 0 END AS emp,
+         |           CASE WHEN (d.f1 > d.f2
+         |                      OR (d.f1 = d.f2 AND d.b1 < d.b2))
+         |                     AND (d.f1 > d.f3
+         |                          OR (d.f1 = d.f3 AND d.b1 < d.b3))
+         |                  THEN 1
+         |                WHEN d.f2 > d.f3
+         |                     OR (d.f2 = d.f3 AND d.b2 < d.b3) THEN 2
+         |                ELSE 3 END AS ev
+         |    FROM ranked a JOIN rec d
+         |      ON a.source = d.source AND a.band = d.band
+         |     AND a.rn = d.rn + 1) q)
+         |SELECT source, band, bin, count(*) AS n_docs,
+         |       CAST(sum(tk) AS BIGINT) AS fill_tokens,
+         |       CAST(sum(tk) AS BIGINT) * 1000000 // 256 AS util_ppm,
+         |       CAST(sum(tk) AS BIGINT) > 256 AS overflow,
+         |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+         |                      ORDER BY doc_id)) AS docs_fp
+         |FROM rec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    head + "\n" + tgtCase + "\n" + tail
   }
 
   /** c107's oracle: the c102 replay machinery pointed at TWO centroid
@@ -8287,104 +8498,12 @@ hist_${src}_$cent AS (
     // synchronously — eligibility, fullest-fits election, first-empty
     // placement, fullest-evicted closure — with the k=3 slot state as
     // recursion columns (the d32/c100 discipline at state width k)
-    "c106_bounded_bin_packing" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, source,
-        |         CASE WHEN length(trim(text)) = 0 THEN 0
-        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
-        |         END AS tk
-        |  FROM documents),
-        |corpus AS (
-        |  SELECT doc_id, source, CAST(tk AS BIGINT) AS tk,
-        |         doc_id % 4 AS band
-        |  FROM toks
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, source, CAST(tk + 300 AS BIGINT),
-        |         (doc_id + 1000000) % 4
-        |  FROM toks WHERE doc_id % 97 = 0),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY source, band
-        |             ORDER BY tk DESC, doc_id) AS rn
-        |  FROM corpus),
-        |rec AS (
-        |  SELECT source, band, rn, doc_id, tk,
-        |         CAST(0 AS BIGINT) AS bin,
-        |         CASE WHEN tk > 256 THEN CAST(-1 AS BIGINT)
-        |              ELSE CAST(0 AS BIGINT) END AS b1,
-        |         CASE WHEN tk > 256 THEN CAST(0 AS BIGINT)
-        |              ELSE tk END AS f1,
-        |         CAST(-1 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS f2,
-        |         CAST(-1 AS BIGINT) AS b3, CAST(0 AS BIGINT) AS f3,
-        |         CAST(1 AS BIGINT) AS nb
-        |  FROM ranked WHERE rn = 1
-        |  UNION ALL
-        |  SELECT source, band, rn, doc_id, tk,
-        |         CASE WHEN tgt = 1 THEN b1 WHEN tgt = 2 THEN b2
-        |              WHEN tgt = 3 THEN b3 ELSE nb END,
-        |         CASE WHEN tgt = 1 THEN b1
-        |              WHEN tgt = 0 AND NOT ovs
-        |                   AND (emp = 1 OR (emp = 0 AND ev = 1)) THEN nb
-        |              ELSE b1 END,
-        |         CASE WHEN tgt = 1 THEN f1 + tk
-        |              WHEN tgt = 0 AND NOT ovs
-        |                   AND (emp = 1 OR (emp = 0 AND ev = 1)) THEN tk
-        |              ELSE f1 END,
-        |         CASE WHEN tgt = 2 THEN b2
-        |              WHEN tgt = 0 AND NOT ovs
-        |                   AND (emp = 2 OR (emp = 0 AND ev = 2)) THEN nb
-        |              ELSE b2 END,
-        |         CASE WHEN tgt = 2 THEN f2 + tk
-        |              WHEN tgt = 0 AND NOT ovs
-        |                   AND (emp = 2 OR (emp = 0 AND ev = 2)) THEN tk
-        |              ELSE f2 END,
-        |         CASE WHEN tgt = 3 THEN b3
-        |              WHEN tgt = 0 AND NOT ovs
-        |                   AND (emp = 3 OR (emp = 0 AND ev = 3)) THEN nb
-        |              ELSE b3 END,
-        |         CASE WHEN tgt = 3 THEN f3 + tk
-        |              WHEN tgt = 0 AND NOT ovs
-        |                   AND (emp = 3 OR (emp = 0 AND ev = 3)) THEN tk
-        |              ELSE f3 END,
-        |         CASE WHEN tgt = 0 THEN nb + 1 ELSE nb END
-        |  FROM (
-        |    SELECT a.source, a.band, a.rn, a.doc_id, a.tk,
-        |           d.b1, d.f1, d.b2, d.f2, d.b3, d.f3, d.nb,
-        |           a.tk > 256 AS ovs,
-        |           CASE WHEN (d.b1 >= 0 AND d.f1 + a.tk <= 256)
-        |                     AND (NOT (d.b2 >= 0 AND d.f2 + a.tk <= 256)
-        |                          OR d.f1 > d.f2
-        |                          OR (d.f1 = d.f2 AND d.b1 < d.b2))
-        |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= 256)
-        |                          OR d.f1 > d.f3
-        |                          OR (d.f1 = d.f3 AND d.b1 < d.b3))
-        |                  THEN 1
-        |                WHEN (d.b2 >= 0 AND d.f2 + a.tk <= 256)
-        |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= 256)
-        |                          OR d.f2 > d.f3
-        |                          OR (d.f2 = d.f3 AND d.b2 < d.b3))
-        |                  THEN 2
-        |                WHEN d.b3 >= 0 AND d.f3 + a.tk <= 256 THEN 3
-        |                ELSE 0 END AS tgt,
-        |           CASE WHEN d.b1 < 0 THEN 1 WHEN d.b2 < 0 THEN 2
-        |                WHEN d.b3 < 0 THEN 3 ELSE 0 END AS emp,
-        |           CASE WHEN (d.f1 > d.f2
-        |                      OR (d.f1 = d.f2 AND d.b1 < d.b2))
-        |                     AND (d.f1 > d.f3
-        |                          OR (d.f1 = d.f3 AND d.b1 < d.b3))
-        |                  THEN 1
-        |                WHEN d.f2 > d.f3
-        |                     OR (d.f2 = d.f3 AND d.b2 < d.b3) THEN 2
-        |                ELSE 3 END AS ev
-        |    FROM ranked a JOIN rec d
-        |      ON a.source = d.source AND a.band = d.band
-        |     AND a.rn = d.rn + 1) q)
-        |SELECT source, band, bin, count(*) AS n_docs,
-        |       CAST(sum(tk) AS BIGINT) AS fill_tokens,
-        |       CAST(sum(tk) AS BIGINT) * 1000000 // 256 AS util_ppm,
-        |       CAST(sum(tk) AS BIGINT) > 256 AS overflow,
-        |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
-        |                      ORDER BY doc_id)) AS docs_fp
-        |FROM rec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "c106_bounded_bin_packing" -> boundedPackOracleSql(firstFit = false),
+
+    // c111: the same slot machine with the FIRST-FIT election (oldest
+    // open bin that fits) — one CASE block differs, everything shared
+    "c111_ffd_packing" -> boundedPackOracleSql(firstFit = true),
+
 
     // c99: the banded-EMD replay — same banding as c94, same planted
     // skewed cell as the engine, cumulative differences as exact

@@ -264,9 +264,16 @@ object Chunking {
     * never cross shards, and shard count (sources × bands) sets the
     * parallelism.
     */
+  /** @param firstFit C111's election instead of C106's: the OLDEST
+    *        (lowest-id) open bin that fits, rather than the fullest —
+    *        classical bounded first-fit-decreasing. Eviction on a miss
+    *        is the fullest bin under both policies (it is the least
+    *        likely to accept anything again).
+    */
   def packWholeDocsBounded(df: DataFrame, idCol: String, tokensCol: String,
                            sourceCol: String, nBands: Int, budget: Long,
-                           openBins: Int): DataFrame = {
+                           openBins: Int,
+                           firstFit: Boolean = false): DataFrame = {
     require(budget > 0 && nBands > 0, "need budget > 0 and nBands > 0")
     require(openBins >= 1, s"openBins $openBins < 1")
     import org.apache.spark.sql.types._
@@ -304,13 +311,16 @@ object Chunking {
           java.util.Arrays.fill(binIds, -1L)
           nextBin = 0L
         }
-        // best fit: fullest open bin that still fits; tie → lowest id
+        // election: best fit = fullest open bin that still fits (tie →
+        // lowest id); first fit = oldest (lowest-id) open bin that fits
         var tgt = -1
         var i = 0
         while (i < k) {
           if (binIds(i) >= 0 && fills(i) + tk <= B &&
-              (tgt < 0 || fills(i) > fills(tgt) ||
-                (fills(i) == fills(tgt) && binIds(i) < binIds(tgt))))
+              (tgt < 0 ||
+                (if (firstFit) binIds(i) < binIds(tgt)
+                 else fills(i) > fills(tgt) ||
+                   (fills(i) == fills(tgt) && binIds(i) < binIds(tgt)))))
             tgt = i
           i += 1
         }

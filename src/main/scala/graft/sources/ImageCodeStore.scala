@@ -128,4 +128,43 @@ object ImageCodeStore {
                 specVersion: Int): DataFrame =
     spark.read.parquet(s"$root/$CodesTable/iv$specVersion")
       .select("media_id", "width", "height", "code", "pixsum")
+
+  /** [[vacuumRetiredCodes]] accounting — the pointer the decision was
+    * made against, the version keys removed, and the ones kept.
+    */
+  case class CodesVacuumReport(committed: Int, removed: Seq[Int],
+                               kept: Seq[Int])
+
+  /** Retire dead code key spaces after a completed spec rollover
+    * (C110 — the AnnIndexStore C86 rule on the image surface): once
+    * serving has flipped to the committed spec version, older
+    * versions' codes are corpus-sized dead weight. Removes every
+    * `iv<N>` tree with N ≤ committed − keepVersions; REFUSES to touch
+    * the committed version, anything newer (an in-flight backfill for
+    * the NEXT rollover), or anything inside the keepVersions window.
+    * The spec table itself stays readable for time travel — it is one
+    * row; the codes are the ~36·n bytes that matter. Idempotent.
+    */
+  def vacuumRetiredCodes(spark: SparkSession, root: String,
+                         keepVersions: Int = 1): CodesVacuumReport = {
+    require(keepVersions >= 1, s"keepVersions $keepVersions < 1")
+    val committed = committedSpecVersion(spark, root)
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$root/$CodesTable")
+    val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ivs =
+      if (!fs.exists(codesRoot)) Seq.empty[Int]
+      else fs.listStatus(codesRoot).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("iv") &&
+          n.drop(2).forall(_.isDigit) => n.drop(2).toInt }
+        .sorted
+    val cutoff = committed - keepVersions
+    val (dead, live) = ivs.partition(_ <= cutoff)
+    dead.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$CodesTable/iv$v"),
+        true)
+    }
+    CodesVacuumReport(committed, dead, live)
+  }
 }

@@ -195,4 +195,45 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
     // 80 -> bin 2; 10 best-fits the fuller open bin (90) -> bin 1
     assert(out === Map(4L -> 0L, 8L -> 1L, 12L -> 2L, 16L -> 1L))
   }
+
+  test("c111 FFD election: oldest-fits vs c106's fullest-fits diverge " +
+       "exactly where headroom matters, and k=1 FFD also equals NFD") {
+    val s2 = spark
+    import s2.implicits._
+    // under a DECREASING sort the two elections coincide until bins
+    // refill out of age order, so a hand example is fragile — assert
+    // the measured divergence on the real corpus instead: same doc
+    // set, at least one assignment differs
+    val docs = Tables(s2, sfDir(), "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        graft.functions.TextFunctions.tokenCount(
+          org.apache.spark.sql.functions.col("text"))
+          .cast("long").as("tk"))
+      .limit(300)
+    def bins(firstFit: Boolean) = graft.operators.Chunking
+      .packWholeDocsBounded(docs, "doc_id", "tk", "source", 4, 256L, 3,
+        firstFit)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("band"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("bin")).toMap
+    val bfd = bins(firstFit = false)
+    val ffd = bins(firstFit = true)
+    assert(bfd.keySet === ffd.keySet)
+    assert(bfd !== ffd,
+      "BFD and FFD agreed on every assignment — the A/B is vacuous here")
+    // k=1: with a single slot both elections are the same bin -> NFD
+    val ffd1 = graft.operators.Chunking
+      .packWholeDocsBounded(docs, "doc_id", "tk", "source", 4, 256L, 1,
+        firstFit = true)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("band"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("bin")).toMap
+    val nfd = graft.operators.Chunking
+      .packWholeDocs(docs, "doc_id", "tk", "source", 4, 256L)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("band"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("bin")).toMap
+    assert(ffd1 === nfd)
+  }
 }

@@ -84,4 +84,26 @@ class ImageCodeStoreSpec extends AnyFunSuite with SparkSpec {
       "v2 codes leaked into the v1 key space")
     assert(ImageCodeStore.readCodes(s, root, 2).count() === 5L)
   }
+
+  test("c110: the vacuum refuses the committed version and in-flight " +
+    "newer keys, removes only retired ones, and is idempotent") {
+    val root = freshRoot("vac")
+    assert(ImageCodeStore.publishSpec(s, root, "blockhash", 8, 4).committed)
+    ImageCodeStore.appendCodesEpoch(codes, root, 1, 0L)
+    // nothing retired yet: committed=1, keep 1 → cutoff 0 → no-op
+    val r0 = ImageCodeStore.vacuumRetiredCodes(s, root, 1)
+    assert(r0.removed.isEmpty && r0.kept === Seq(1), r0.toString)
+    // rollover + an IN-FLIGHT backfill above the pointer (iv3)
+    assert(ImageCodeStore.publishSpec(s, root, "blockhash", 8, 4).committed)
+    ImageCodeStore.appendCodesEpoch(codes, root, 2, 0L)
+    ImageCodeStore.appendCodesEpoch(codes.limit(3), root, 3, 0L)
+    val r1 = ImageCodeStore.vacuumRetiredCodes(s, root, 1)
+    assert(r1.committed === 2 && r1.removed === Seq(1) &&
+      r1.kept === Seq(2, 3), r1.toString)
+    assert(ImageCodeStore.readCodes(s, root, 2).count() === codes.count())
+    assert(ImageCodeStore.readCodes(s, root, 3).count() === 3L,
+      "the in-flight newer key space must survive the vacuum")
+    val r2 = ImageCodeStore.vacuumRetiredCodes(s, root, 1)
+    assert(r2.removed.isEmpty && r2.kept === Seq(2, 3), r2.toString)
+  }
 }
