@@ -78,14 +78,15 @@ object ImageDedup {
         batch.flatMap { r =>
           val id = r.getLong(0)
           // variant ids live at base + 2e6 / base + 3e6: a base id at or
-          // above 2e6 WITHIN ITS 1e9 BAND would silently COLLIDE a
+          // above 2e6 WITHIN ITS 1e7 BAND would silently COLLIDE a
           // planted variant with a real media id (r13 advice) — refuse
-          // loudly instead. Bands of 1e9 are the replica convention
-          // (ScaleReplica copies sit at i·1e9 + base), which this guard
-          // turns from convention into a checked invariant.
-          require(id >= 0 && id % 1000000000L < 2000000L,
+          // loudly instead. Bands of 1e7 are the documents replica
+          // convention (ScaleReplica's docShift: copy i sits at
+          // i·1e7 + base), which this guard turns from convention into
+          // a checked invariant.
+          require(id >= 0 && id % 10000000L < 2000000L,
             s"packImageVariants: base id $id at or above 2e6 within its " +
-              "1e9 band — variant ids (+2e6/+3e6) would collide with the " +
+              "1e7 band — variant ids (+2e6/+3e6) would collide with the " +
               "corpus id domain")
           val w = (id % 64 + 16).toInt
           val h = (id % 48 + 16).toInt
