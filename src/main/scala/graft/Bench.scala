@@ -656,7 +656,18 @@ object Bench {
     // 201M identical-code pairs, BENCH_local_r13_c97_families.json) —
     // the probe times result volume, not the operator; real corpora
     // have bounded perceptual-family sizes (the c12k/c12m precedent)
-    "c96_versioned_tokenizer", "c100_whole_doc_packing"))
+    "c96_versioned_tokenizer", "c100_whole_doc_packing",
+    // r14 (the r10 rule): the streamed tokenizer rollover (two depth
+    // folds — the c96 shape under arrival), both bounded-bin packing
+    // elections (the c100 fold at state width k), the stored-code
+    // cross-version gate, and the two diversity audits. c104/c110 are
+    // NOT sf1-probed: they serve c97's pair set, so c97's b32
+    // result-volume exclusion (identical-code families quadratic under
+    // the one-formula replica) applies to them verbatim — their
+    // serving-scaling evidence is the 10x rows.
+    "d40_tokenizer_rollover", "c106_bounded_bin_packing",
+    "c111_ffd_packing", "c107_cross_version_gate",
+    "c108_entropy_l_audit", "c109_recursive_cl_audit"))
 
   def main(args: Array[String]): Unit = args.toList match {
     case "--phase" :: phase :: out :: Nil =>
