@@ -148,6 +148,9 @@ object Bench {
     "c107_cross_version_gate", "c108_entropy_l_audit",
     "c109_recursive_cl_audit", "c110_image_codes_vacuum",
     "c111_ffd_packing",
+    // c112 rides c105's pair graph — headline only, not probed (the
+    // same b32 phase-family rationale as c105)
+    "c112_audio_canonical_keep",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't

@@ -5983,6 +5983,53 @@ object SparkEntry {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    // C112 audio CANONICAL-aware corpus strip — the step a crawl
+    // actually takes with c105's clusters (the c84/c87 "strip" family
+    // member on the audio surface): every clip that lost its
+    // cluster's election is DROPPED; the kept corpus is each
+    // cluster's canonical plus every unclustered singleton, tagged by
+    // WHY it survived. One mis-kept gain copy or one over-dropped
+    // singleton anywhere breaks the hash. Oracle = the c105 chain +
+    // the same election + an anti-join replay of the keep rule.
+    "c112_audio_canonical_keep" -> ((s, dir) => {
+      import graft.operators.{Audio, Dedup}
+      val docs = t(s, dir, "documents").select("doc_id")
+        .where(col("doc_id") % 4 === 0)
+      val wavs = Audio.packWav(s, docs, "doc_id")
+      val halved = Audio.gainWav(s,
+        wavs.where(pmod(col("media_id"), lit(7)) === 0)
+          .withColumn("media_id", col("media_id") + lit(3000000L)))
+      val corpus = wavs.unionByName(halved)
+      val lens = Audio.decodeWav(s, corpus)
+        .select(col("media_id").as("id"),
+          col("n_samples").cast("long").as("n_samples"))
+        .localCheckpoint(true)
+      val pairs = Audio.chainedFingerprintPairs(s, corpus, minShared = 4)
+        .join(lens.select(col("id").as("id_a"),
+          col("n_samples").as("__na")), "id_a")
+        .join(lens.select(col("id").as("id_b"),
+          col("n_samples").as("__nb")), "id_b")
+        .where(col("__na") === col("__nb"))
+        .select("id_a", "id_b").localCheckpoint(true)
+      val labels = Dedup.dupClusters(pairs, maxIter = 96)
+      val canon = labels.join(lens, "id")
+        .groupBy("cluster_id")
+        .agg(max(struct(col("n_samples"), (-col("id")).as("__nid")))
+          .as("__m"))
+        .select((-col("__m.__nid")).as("id"))
+        .withColumn("__canon", lit(true))
+      // drops = cluster members that lost their election; kept = the
+      // corpus minus the drops, tagged by why each clip survived
+      val drops = labels.select("id")
+        .join(canon.select("id"), Seq("id"), "left_anti")
+      lens.join(drops, Seq("id"), "left_anti")
+        .join(canon, Seq("id"), "left")
+        .select(col("id").as("media_id"), col("n_samples"),
+          when(col("__canon").isNotNull, lit("canonical"))
+            .otherwise(lit("singleton")).as("kept_as"))
+        .orderBy("media_id")
+    }),
+
     // C110 retired image-code vacuum — the C86 lifecycle rule on the
     // C104 key space: after a spec rollover (v2 published, iv2
     // backfilled) the old version's codes are corpus-sized dead
@@ -7101,6 +7148,79 @@ object SparkEntry {
          |FROM rec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     head + "\n" + tgtCase + "\n" + tail
   }
+
+  /** The c105 audio-cluster chain (synthesis -> WHT lines -> chained
+    * codes -> pairs -> duration filter -> transitive closure -> member
+    * lengths -> per-cluster election ranks), WITHOUT the leading WITH
+    * RECURSIVE: shared by the c105 cluster-rollup oracle and the c112
+    * canonical-keep oracle (built by concatenation, the c78 rule).
+    */
+  private def c105ChainSql: String =
+    """ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS src, 0 AS halved
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, doc_id, 1 FROM documents
+        |  WHERE doc_id % 4 = 0 AND doc_id % 7 = 0),
+        |p AS (SELECT media_id, src, halved,
+        |             CAST(800 + (src % 5) * 160 AS INT) AS n FROM ids),
+        |s AS (SELECT media_id, src, halved, n,
+        |             unnest(range(0, n)) AS i FROM p),
+        |samp AS (
+        |  SELECT media_id, CAST(i // 128 AS INT) AS frame_idx,
+        |         CAST(i % 128 AS BIGINT) AS ii,
+        |         CAST(CASE WHEN halved = 1
+        |              THEN (((src * 7349 + i * 12345 + 6789) % 65536)
+        |                    - 32768) // 2
+        |              ELSE ((src * 7349 + i * 12345 + 6789) % 65536)
+        |                   - 32768 END AS BIGINT) AS v
+        |  FROM s WHERE i < (n // 128) * 128),
+        |wht AS (
+        |  SELECT f.media_id, f.frame_idx, j.j AS j,
+        |         sum(CASE WHEN bit_count(CAST(j.j AS BIGINT) & f.ii) % 2 = 0
+        |                  THEN f.v ELSE -f.v END) AS x
+        |  FROM samp f CROSS JOIN (SELECT unnest(range(0, 128)) AS j) j
+        |  GROUP BY 1, 2, 3),
+        |ln AS (
+        |  SELECT media_id, frame_idx, CAST(j AS INT) AS line FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY media_id, frame_idx
+        |        ORDER BY x * x DESC, j) AS rn FROM wht) t
+        |  WHERE rn = 1),
+        |cc AS (
+        |  SELECT a.media_id, a.frame_idx AS anchor, a.line AS line_a,
+        |         b.line AS line_t
+        |  FROM ln a JOIN ln b ON a.media_id = b.media_id
+        |   AND b.frame_idx = a.frame_idx + 1),
+        |pr AS (
+        |  SELECT x.media_id AS id_a, y.media_id AS id_b
+        |  FROM cc x JOIN cc y
+        |    ON x.anchor = y.anchor AND x.line_a = y.line_a
+        |   AND x.line_t = y.line_t AND x.media_id < y.media_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 4),
+        |prf AS (
+        |  SELECT pr.id_a, pr.id_b FROM pr
+        |  JOIN p pa ON pa.media_id = pr.id_a
+        |  JOIN p pb ON pb.media_id = pr.id_b
+        |  WHERE pa.n = pb.n),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM prf
+        |  UNION
+        |  SELECT id_b, id_a FROM prf),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lbl AS (
+        |  SELECT a AS id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |mem AS (
+        |  SELECT l.id, l.cluster_id, CAST(p.n AS BIGINT) AS n
+        |  FROM lbl l JOIN p ON p.media_id = l.id),
+        |rk AS (
+        |  SELECT cluster_id, id, n,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |             ORDER BY n DESC, id) AS rn
+        |  FROM mem)""".stripMargin
 
   /** c107's oracle: the c102 replay machinery pointed at TWO centroid
     * generations — jl codes for the reference slice and both arrival
@@ -8422,77 +8542,26 @@ hist_${src}_$cent AS (
     // from the synthesis formula; the engine measures it by REAL
     // decode — agreement is the decode correctness c12d already locks)
     "c105_audio_dup_clusters" ->
-      """WITH RECURSIVE ids AS (
-        |  SELECT doc_id AS media_id, doc_id AS src, 0 AS halved
-        |  FROM documents WHERE doc_id % 4 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 3000000, doc_id, 1 FROM documents
-        |  WHERE doc_id % 4 = 0 AND doc_id % 7 = 0),
-        |p AS (SELECT media_id, src, halved,
-        |             CAST(800 + (src % 5) * 160 AS INT) AS n FROM ids),
-        |s AS (SELECT media_id, src, halved, n,
-        |             unnest(range(0, n)) AS i FROM p),
-        |samp AS (
-        |  SELECT media_id, CAST(i // 128 AS INT) AS frame_idx,
-        |         CAST(i % 128 AS BIGINT) AS ii,
-        |         CAST(CASE WHEN halved = 1
-        |              THEN (((src * 7349 + i * 12345 + 6789) % 65536)
-        |                    - 32768) // 2
-        |              ELSE ((src * 7349 + i * 12345 + 6789) % 65536)
-        |                   - 32768 END AS BIGINT) AS v
-        |  FROM s WHERE i < (n // 128) * 128),
-        |wht AS (
-        |  SELECT f.media_id, f.frame_idx, j.j AS j,
-        |         sum(CASE WHEN bit_count(CAST(j.j AS BIGINT) & f.ii) % 2 = 0
-        |                  THEN f.v ELSE -f.v END) AS x
-        |  FROM samp f CROSS JOIN (SELECT unnest(range(0, 128)) AS j) j
-        |  GROUP BY 1, 2, 3),
-        |ln AS (
-        |  SELECT media_id, frame_idx, CAST(j AS INT) AS line FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY media_id, frame_idx
-        |        ORDER BY x * x DESC, j) AS rn FROM wht) t
-        |  WHERE rn = 1),
-        |cc AS (
-        |  SELECT a.media_id, a.frame_idx AS anchor, a.line AS line_a,
-        |         b.line AS line_t
-        |  FROM ln a JOIN ln b ON a.media_id = b.media_id
-        |   AND b.frame_idx = a.frame_idx + 1),
-        |pr AS (
-        |  SELECT x.media_id AS id_a, y.media_id AS id_b
-        |  FROM cc x JOIN cc y
-        |    ON x.anchor = y.anchor AND x.line_a = y.line_a
-        |   AND x.line_t = y.line_t AND x.media_id < y.media_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 4),
-        |prf AS (
-        |  SELECT pr.id_a, pr.id_b FROM pr
-        |  JOIN p pa ON pa.media_id = pr.id_a
-        |  JOIN p pb ON pb.media_id = pr.id_b
-        |  WHERE pa.n = pb.n),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM prf
-        |  UNION
-        |  SELECT id_b, id_a FROM prf),
-        |reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |lbl AS (
-        |  SELECT a AS id, least(a, min(b)) AS cluster_id
-        |  FROM reach GROUP BY a),
-        |mem AS (
-        |  SELECT l.id, l.cluster_id, CAST(p.n AS BIGINT) AS n
-        |  FROM lbl l JOIN p ON p.media_id = l.id),
-        |rk AS (
-        |  SELECT cluster_id, id, n,
-        |         row_number() OVER (PARTITION BY cluster_id
-        |             ORDER BY n DESC, id) AS rn
-        |  FROM mem)
-        |SELECT cluster_id, count(*) AS cluster_size,
-        |       min(CASE WHEN rn = 1 THEN id END) AS canonical_id,
-        |       min(CASE WHEN rn = 1 THEN n END) AS canonical_len,
-        |       md5(string_agg(CAST(id AS VARCHAR), ','
-        |                      ORDER BY id)) AS members_fp
-        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+      ("WITH RECURSIVE " + c105ChainSql + "\n" +
+        """SELECT cluster_id, count(*) AS cluster_size,
+          |       min(CASE WHEN rn = 1 THEN id END) AS canonical_id,
+          |       min(CASE WHEN rn = 1 THEN n END) AS canonical_len,
+          |       md5(string_agg(CAST(id AS VARCHAR), ','
+          |                      ORDER BY id)) AS members_fp
+          |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // c112: the c105 chain + the keep rule replayed — drops are the
+    // election losers; kept = the corpus minus the drops, tagged
+    "c112_audio_canonical_keep" ->
+      ("WITH RECURSIVE " + c105ChainSql + ",\n" +
+        """canon AS (SELECT id FROM rk WHERE rn = 1),
+          |drops AS (SELECT id FROM rk WHERE rn > 1)
+          |SELECT p.media_id, CAST(p.n AS BIGINT) AS n_samples,
+          |       CASE WHEN c.id IS NOT NULL THEN 'canonical'
+          |            ELSE 'singleton' END AS kept_as
+          |FROM p LEFT JOIN canon c ON c.id = p.media_id
+          |WHERE p.media_id NOT IN (SELECT id FROM drops)
+          |ORDER BY media_id""".stripMargin),
 
     // c106: the bounded-open-bin slot machine replayed rank-
     // synchronously — eligibility, fullest-fits election, first-empty

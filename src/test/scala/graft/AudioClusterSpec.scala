@@ -90,4 +90,27 @@ class AudioClusterSpec extends AnyFunSuite with SparkSpec {
         r.getAs[Long]("canonical_len"))
     }
   }
+
+  test("c112: the kept corpus is every election winner plus every " +
+    "unclustered singleton — never a planted copy as canonical, never " +
+    "an election loser kept") {
+    val kept = SparkEntry.queries("c112_audio_canonical_keep")(s, sfDir())
+      .collect()
+    val clusterRows = result.collect()
+    val memberIds = members.collect().map(_.getAs[Long]("id")).toSet
+    val canonicals = clusterRows.map(_.getAs[Long]("canonical_id")).toSet
+    val keptCanon = kept.filter(_.getAs[String]("kept_as") == "canonical")
+      .map(_.getAs[Long]("media_id")).toSet
+    val keptSingle = kept.filter(_.getAs[String]("kept_as") == "singleton")
+      .map(_.getAs[Long]("media_id")).toSet
+    assert(keptCanon === canonicals,
+      "kept canonicals must be exactly the election winners")
+    // duration blocking means every cluster is length-pure, so a
+    // planted copy (same length as its family, largest id) can never
+    // win an election
+    assert(keptCanon.forall(_ < 3000000L), "a planted copy was kept")
+    assert(keptSingle.intersect(memberIds).isEmpty,
+      "a cluster member leaked through as a singleton")
+    assert(keptSingle.nonEmpty, "no singleton survived — vacuous corpus")
+  }
 }
