@@ -150,7 +150,7 @@ object Bench {
     "c111_ffd_packing",
     // c112 rides c105's pair graph — headline only, not probed (the
     // same b32 phase-family rationale as c105)
-    "c112_audio_canonical_keep",
+    "c112_audio_canonical_keep", "c113_budgeted_packing",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -364,7 +364,9 @@ object Bench {
       // vacuum itself is a directory delete — the docs-scaled decode
       // dominates, the c86 shape); c111 is c106's fold with the other
       // election — identical scale story
-      "c110_image_codes_vacuum", "c111_ffd_packing"))
+      "c110_image_codes_vacuum", "c111_ffd_packing",
+      // c113 is the same fold with a per-shard budget register
+      "c113_budgeted_packing"))
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more

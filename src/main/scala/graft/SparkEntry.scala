@@ -6030,6 +6030,43 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // C113 heterogeneous-budget packing — per-SOURCE budgets in one
+    // job (a code source packed at its long sequence length beside a
+    // chat source at its short one): the c106 slot machine with the
+    // budget as a COLUMN, constant per source by contract (the fold
+    // refuses a source carrying two budgets). Budget rule here:
+    // 128 + 64·(source suffix % 4) — four budget classes over the
+    // twenty sources, all SQL-replayable; the planted oversized docs
+    // overflow only where their +300 tokens exceed the LOCAL budget.
+    "c113_budgeted_packing" -> ((s, dir) => {
+      import graft.operators.Chunking
+      val G = graft.functions.GraftExpressions
+      val base = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("tk"))
+      val corpus = base.unionByName(base.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          (col("tk") + 300L).as("tk")))
+        .withColumn("bg", lit(128L) + lit(64L) *
+          (substring(col("source"), 4, 10).cast("long") % 4L))
+      Chunking.packWholeDocsBudgeted(corpus, "doc_id", "tk", "source",
+          "bg", nBands = 4, openBins = 3)
+        .groupBy("source", "band", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("fill_tokens"),
+          min("budget").as("budget"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("docs_fp"))
+        .select(col("source"), col("band"), col("bin"), col("n_docs"),
+          col("fill_tokens"), col("budget"),
+          G.longDiv(col("fill_tokens") * lit(1000000L), col("budget"))
+            .as("util_ppm"),
+          (col("fill_tokens") > col("budget")).as("overflow"),
+          col("docs_fp"))
+        .orderBy("source", "band", "bin")
+    }),
+
     // C110 retired image-code vacuum — the C86 lifecycle rule on the
     // C104 key space: after a spec rollover (v2 published, iv2
     // backfilled) the old version's codes are corpus-sized dead
@@ -7031,39 +7068,50 @@ object SparkEntry {
     * concatenated around the election (the c78 rule: never
     * re-interpolate a stripMargin'd string into another block).
     */
-  private def boundedPackOracleSql(firstFit: Boolean): String = {
+  private def boundedPackOracleSql(firstFit: Boolean,
+                                    perSourceBudget: Boolean = false)
+      : String = {
+    // budget expression per context: the recursive arm reads the
+    // current row's budget (a.bg), the base case the ranked row's (bg);
+    // fixed-budget keys keep the literal
+    val bA = if (perSourceBudget) "a.bg" else "256"
+    val bR = if (perSourceBudget) "bg" else "256"
     val tgtCase =
       if (firstFit)
-        """|           CASE WHEN (d.b1 >= 0 AND d.f1 + a.tk <= 256)
-           |                     AND (NOT (d.b2 >= 0 AND d.f2 + a.tk <= 256)
+        s"""|           CASE WHEN (d.b1 >= 0 AND d.f1 + a.tk <= $bA)
+           |                     AND (NOT (d.b2 >= 0 AND d.f2 + a.tk <= $bA)
            |                          OR d.b1 < d.b2)
-           |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= 256)
+           |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= $bA)
            |                          OR d.b1 < d.b3)
            |                  THEN 1
-           |                WHEN (d.b2 >= 0 AND d.f2 + a.tk <= 256)
-           |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= 256)
+           |                WHEN (d.b2 >= 0 AND d.f2 + a.tk <= $bA)
+           |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= $bA)
            |                          OR d.b2 < d.b3)
            |                  THEN 2
-           |                WHEN d.b3 >= 0 AND d.f3 + a.tk <= 256 THEN 3
+           |                WHEN d.b3 >= 0 AND d.f3 + a.tk <= $bA THEN 3
            |                ELSE 0 END AS tgt,""".stripMargin
       else
-        """|           CASE WHEN (d.b1 >= 0 AND d.f1 + a.tk <= 256)
-           |                     AND (NOT (d.b2 >= 0 AND d.f2 + a.tk <= 256)
+        s"""|           CASE WHEN (d.b1 >= 0 AND d.f1 + a.tk <= $bA)
+           |                     AND (NOT (d.b2 >= 0 AND d.f2 + a.tk <= $bA)
            |                          OR d.f1 > d.f2
            |                          OR (d.f1 = d.f2 AND d.b1 < d.b2))
-           |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= 256)
+           |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= $bA)
            |                          OR d.f1 > d.f3
            |                          OR (d.f1 = d.f3 AND d.b1 < d.b3))
            |                  THEN 1
-           |                WHEN (d.b2 >= 0 AND d.f2 + a.tk <= 256)
-           |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= 256)
+           |                WHEN (d.b2 >= 0 AND d.f2 + a.tk <= $bA)
+           |                     AND (NOT (d.b3 >= 0 AND d.f3 + a.tk <= $bA)
            |                          OR d.f2 > d.f3
            |                          OR (d.f2 = d.f3 AND d.b2 < d.b3))
            |                  THEN 2
-           |                WHEN d.b3 >= 0 AND d.f3 + a.tk <= 256 THEN 3
+           |                WHEN d.b3 >= 0 AND d.f3 + a.tk <= $bA THEN 3
            |                ELSE 0 END AS tgt,""".stripMargin
+    val bgSel =
+      if (perSourceBudget)
+        ",\n         128 + 64 * (CAST(substr(source, 4) AS INT) % 4) AS bg"
+      else ""
     val head =
-      """WITH RECURSIVE toks AS (
+      raw"""WITH RECURSIVE toks AS (
         |  SELECT doc_id, source,
         |         CASE WHEN length(trim(text)) = 0 THEN 0
         |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
@@ -7071,11 +7119,11 @@ object SparkEntry {
         |  FROM documents),
         |corpus AS (
         |  SELECT doc_id, source, CAST(tk AS BIGINT) AS tk,
-        |         doc_id % 4 AS band
+        |         doc_id % 4 AS band$bgSel
         |  FROM toks
         |  UNION ALL
         |  SELECT doc_id + 1000000, source, CAST(tk + 300 AS BIGINT),
-        |         (doc_id + 1000000) % 4
+        |         (doc_id + 1000000) % 4$bgSel
         |  FROM toks WHERE doc_id % 97 = 0),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY source, band
@@ -7084,9 +7132,9 @@ object SparkEntry {
         |rec AS (
         |  SELECT source, band, rn, doc_id, tk,
         |         CAST(0 AS BIGINT) AS bin,
-        |         CASE WHEN tk > 256 THEN CAST(-1 AS BIGINT)
+        |         CASE WHEN tk > $bR THEN CAST(-1 AS BIGINT)
         |              ELSE CAST(0 AS BIGINT) END AS b1,
-        |         CASE WHEN tk > 256 THEN CAST(0 AS BIGINT)
+        |         CASE WHEN tk > $bR THEN CAST(0 AS BIGINT)
         |              ELSE tk END AS f1,
         |         CAST(-1 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS f2,
         |         CAST(-1 AS BIGINT) AS b3, CAST(0 AS BIGINT) AS f3,
@@ -7124,7 +7172,29 @@ object SparkEntry {
         |  FROM (
         |    SELECT a.source, a.band, a.rn, a.doc_id, a.tk,
         |           d.b1, d.f1, d.b2, d.f2, d.b3, d.f3, d.nb,
-        |           a.tk > 256 AS ovs,""".stripMargin
+        |           a.tk > $bA AS ovs,""".stripMargin
+    val rollup =
+      if (perSourceBudget)
+        """|SELECT source, band, bin, count(*) AS n_docs,
+           |       CAST(sum(tk) AS BIGINT) AS fill_tokens,
+           |       CAST(min(bg) AS BIGINT) AS budget,
+           |       CAST(sum(tk) AS BIGINT) * 1000000
+           |         // CAST(min(bg) AS BIGINT) AS util_ppm,
+           |       CAST(sum(tk) AS BIGINT) > CAST(min(bg) AS BIGINT)
+           |         AS overflow,
+           |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+           |                      ORDER BY doc_id)) AS docs_fp
+           |FROM rec JOIN (SELECT DISTINCT source, bg FROM ranked) sb
+           |  USING (source)
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+      else
+        """|SELECT source, band, bin, count(*) AS n_docs,
+           |       CAST(sum(tk) AS BIGINT) AS fill_tokens,
+           |       CAST(sum(tk) AS BIGINT) * 1000000 // 256 AS util_ppm,
+           |       CAST(sum(tk) AS BIGINT) > 256 AS overflow,
+           |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+           |                      ORDER BY doc_id)) AS docs_fp
+           |FROM rec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     val tail =
       """|           CASE WHEN d.b1 < 0 THEN 1 WHEN d.b2 < 0 THEN 2
          |                WHEN d.b3 < 0 THEN 3 ELSE 0 END AS emp,
@@ -7138,15 +7208,8 @@ object SparkEntry {
          |                ELSE 3 END AS ev
          |    FROM ranked a JOIN rec d
          |      ON a.source = d.source AND a.band = d.band
-         |     AND a.rn = d.rn + 1) q)
-         |SELECT source, band, bin, count(*) AS n_docs,
-         |       CAST(sum(tk) AS BIGINT) AS fill_tokens,
-         |       CAST(sum(tk) AS BIGINT) * 1000000 // 256 AS util_ppm,
-         |       CAST(sum(tk) AS BIGINT) > 256 AS overflow,
-         |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
-         |                      ORDER BY doc_id)) AS docs_fp
-         |FROM rec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
-    head + "\n" + tgtCase + "\n" + tail
+         |     AND a.rn = d.rn + 1) q)""".stripMargin
+    head + "\n" + tgtCase + "\n" + tail + "\n" + rollup
   }
 
   /** The c105 audio-cluster chain (synthesis -> WHT lines -> chained
@@ -8572,6 +8635,11 @@ hist_${src}_$cent AS (
     // c111: the same slot machine with the FIRST-FIT election (oldest
     // open bin that fits) — one CASE block differs, everything shared
     "c111_ffd_packing" -> boundedPackOracleSql(firstFit = true),
+
+    // c113: the same machine with the budget read per ranked row and
+    // the rollup keyed to each shard's own budget
+    "c113_budgeted_packing" ->
+      boundedPackOracleSql(firstFit = false, perSourceBudget = true),
 
 
     // c99: the banded-EMD replay — same banding as c94, same planted

@@ -264,6 +264,99 @@ object Chunking {
     * never cross shards, and shard count (sources × bands) sets the
     * parallelism.
     */
+  /** C113: [[packWholeDocsBounded]] with a PER-SOURCE budget column —
+    * heterogeneous downstream sequence lengths (a code source packed
+    * at 8k beside a chat source at 2k) without splitting the job per
+    * source. The budget is a COLUMN, constant per source by contract;
+    * the fold enforces the contract loudly (a source with two budgets
+    * is a config bug that would silently mis-pack, not a data shape).
+    * Same slot machine, same rollup — `budget` rides the output so
+    * util_ppm stays meaningful per shard.
+    */
+  def packWholeDocsBudgeted(df: DataFrame, idCol: String,
+                            tokensCol: String, sourceCol: String,
+                            budgetCol: String, nBands: Int, openBins: Int,
+                            firstFit: Boolean = false): DataFrame = {
+    require(nBands > 0, "need nBands > 0")
+    require(openBins >= 1, s"openBins $openBins < 1")
+    import org.apache.spark.sql.types._
+    val in = df.select(col(sourceCol).cast("string").as("source"),
+      pmod(col(idCol).cast("long"), lit(nBands.toLong)).as("band"),
+      col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).cast("long").as("tk"),
+      col(budgetCol).cast("long").as("bg"))
+    val sorted = in.repartition(col("source"), col("band"))
+      .sortWithinPartitions(col("source"), col("band"),
+        col("tk").desc, col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("band", LongType),
+      StructField("doc_id", LongType),
+      StructField("tk", LongType),
+      StructField("budget", LongType),
+      StructField("bin", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val k = openBins
+    sorted.mapPartitions { rows =>
+      var curSource: String = null
+      var curBand = Long.MinValue
+      var curBg = Long.MinValue
+      val binIds = new Array[Long](k)
+      val fills = new Array[Long](k)
+      var nextBin = 0L
+      rows.map { r =>
+        val src = r.getString(0)
+        val band = r.getLong(1)
+        val id = r.getLong(2)
+        val tk = r.getLong(3)
+        val bg = r.getLong(4)
+        if (src != curSource || band != curBand) {
+          curSource = src; curBand = band; curBg = bg
+          require(bg > 0, s"source $src: budget $bg must be positive")
+          java.util.Arrays.fill(binIds, -1L)
+          nextBin = 0L
+        } else require(bg == curBg,
+          s"source $src carries two budgets ($curBg and $bg) — the " +
+            "per-source-constant contract is broken")
+        var tgt = -1
+        var i = 0
+        while (i < k) {
+          if (binIds(i) >= 0 && fills(i) + tk <= curBg &&
+              (tgt < 0 ||
+                (if (firstFit) binIds(i) < binIds(tgt)
+                 else fills(i) > fills(tgt) ||
+                   (fills(i) == fills(tgt) && binIds(i) < binIds(tgt)))))
+            tgt = i
+          i += 1
+        }
+        val bin =
+          if (tgt >= 0) { fills(tgt) += tk; binIds(tgt) }
+          else if (tk > curBg) { nextBin += 1L; nextBin - 1L }
+          else {
+            var slot = -1
+            var j = 0
+            while (j < k && slot < 0) { if (binIds(j) < 0) slot = j; j += 1 }
+            if (slot < 0) {
+              slot = 0
+              var m = 1
+              while (m < k) {
+                if (fills(m) > fills(slot) ||
+                    (fills(m) == fills(slot) && binIds(m) < binIds(slot)))
+                  slot = m
+                m += 1
+              }
+            }
+            binIds(slot) = nextBin
+            fills(slot) = tk
+            nextBin += 1L
+            binIds(slot)
+          }
+        org.apache.spark.sql.Row(src, band, id, tk, bg, bin)
+      }
+    }(enc)
+  }
+
   /** @param firstFit C111's election instead of C106's: the OLDEST
     *        (lowest-id) open bin that fits, rather than the fullest —
     *        classical bounded first-fit-decreasing. Eviction on a miss

@@ -236,4 +236,36 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
         r.getAs[Long]("bin")).toMap
     assert(ffd1 === nfd)
   }
+
+  test("c113 per-source budgets: each shard packs against its OWN " +
+       "budget in one job, and a source carrying two budgets is " +
+       "refused loudly") {
+    val s2 = spark
+    import s2.implicits._
+    // source a: budget 50; source b: budget 100 — same doc sizes
+    val docs = Seq(
+      ("a", 4L, 40L, 50L), ("a", 8L, 30L, 50L), ("a", 12L, 20L, 50L),
+      ("b", 16L, 40L, 100L), ("b", 20L, 30L, 100L), ("b", 24L, 20L, 100L))
+      .toDF("source", "doc_id", "tk", "bg")
+    val out = graft.operators.Chunking.packWholeDocsBudgeted(
+      docs, "doc_id", "tk", "source", "bg", nBands = 4, openBins = 3)
+      .collect()
+    val byShard = out.groupBy(r => r.getAs[String]("source"))
+    // a@50: 40 | 30+20 -> 2 bins; b@100: 40+30+20 -> 1 bin
+    assert(byShard("a").map(_.getAs[Long]("bin")).distinct.length === 2)
+    assert(byShard("b").map(_.getAs[Long]("bin")).distinct.length === 1)
+    out.foreach { r =>
+      assert(r.getAs[Long]("budget") ===
+        (if (r.getAs[String]("source") == "a") 50L else 100L))
+    }
+    // contract violation: one source, two budgets
+    val torn = Seq(("a", 4L, 40L, 50L), ("a", 8L, 30L, 60L))
+      .toDF("source", "doc_id", "tk", "bg")
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.operators.Chunking.packWholeDocsBudgeted(
+        torn, "doc_id", "tk", "source", "bg", 4, 3).collect()
+    }
+    assert(ex.getMessage.contains("two budgets") ||
+      String.valueOf(ex.getCause).contains("two budgets"))
+  }
 }
