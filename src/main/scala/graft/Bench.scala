@@ -151,6 +151,7 @@ object Bench {
     // c112 rides c105's pair graph — headline only, not probed (the
     // same b32 phase-family rationale as c105)
     "c112_audio_canonical_keep", "c113_budgeted_packing",
+    "c114_image_banding_curve",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -366,7 +367,11 @@ object Bench {
       // election — identical scale story
       "c110_image_codes_vacuum", "c111_ffd_packing",
       // c113 is the same fold with a per-shard budget register
-      "c113_budgeted_packing"))
+      "c113_budgeted_packing",
+      // c114 sweeps three banded joins over the STORED codes (decode
+      // prepaid by the c104 prewarm) — candidate volume is banding-
+      // bounded by the hot-bucket cap, the c3/c97 contract per point
+      "c114_image_banding_curve"))
 
   /** The decade past the 10x probe: a 100-copy replica re-times a
     * scan-agg + a candidate generator, showing the ratios hold one more
@@ -475,7 +480,8 @@ object Bench {
     */
   private val modelServingQueries =
     Set("c79b_trained_langid", "c92_budget_threshold")
-  private val imageServingQueries = Set("c104_image_code_serve")
+  private val imageServingQueries =
+    Set("c104_image_code_serve", "c114_image_banding_curve")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],
                            dir: String): Unit = {
     if (names.exists(modelServingQueries)) {

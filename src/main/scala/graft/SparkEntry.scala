@@ -6067,6 +6067,26 @@ object SparkEntry {
         .orderBy("source", "band", "bin")
     }),
 
+    // C114 image BANDING tuning curve — the c98/c101 "pick a config
+    // from a table" question on the image banded join: per band
+    // count, the candidate volume the banding generates (cost: every
+    // candidate pays a verify) and the verified hamming≤3 pairs it
+    // finds, as recall ppm of the guaranteed-exact b=8 truth. b=2
+    // guarantees only hamming ≤ 1 (cheap, lossy); b=4 is exactly
+    // c97's production join (guaranteed for the verify threshold);
+    // b=8 pays more candidates for hamming-7 headroom. Reads the C104
+    // STORED codes — a tuning sweep is precisely the query you never
+    // want paying the decode.
+    "c114_image_banding_curve" -> ((s, dir) => {
+      import graft.operators.ImageDedup
+      import graft.sources.ImageCodeStore
+      val root = imageCodesRoot(s, dir)
+      val stored = ImageCodeStore.readCodes(s, root,
+        ImageCodeStore.committedSpecVersion(s, root))
+      ImageDedup.bandingCurve(stored, Seq(2, 4, 8), maxHamming = 3,
+        hotBucketCap = 64)
+    }),
+
     // C110 retired image-code vacuum — the C86 lifecycle rule on the
     // C104 key space: after a spec rollover (v2 published, iv2
     // backfilled) the old version's codes are corpus-sized dead
@@ -6239,6 +6259,9 @@ object SparkEntry {
       // after the vacuum — a vacuum that touched live codes (or left
       // the old key serving) could not hash-match the perceptual replay
       "c110_image_codes_vacuum" -> base("c97_image_perceptual_dedup"),
+      // c114: the pixel chain + one banded block per band count
+      "c114_image_banding_curve" ->
+        c114OracleSql(Seq(2, 4, 8), maxHamming = 3),
       // d40: the rollover stream's published v1/v2 ARE the c77
       // trajectory's depth-12/depth-24 states (continueMerges is the
       // one-shot trainer's own loop body resumed — prefix stability by
@@ -7285,6 +7308,76 @@ object SparkEntry {
         |             ORDER BY n DESC, id) AS rn
         |  FROM mem)""".stripMargin
 
+  /** c114's oracle: the c97 pixel chain + one banded-join block per
+    * band count (bands/census/hot-refine/candidates/hamming at band
+    * width 64/b — buckets partition the code, so per-band xor
+    * popcounts SUM to the full hamming), aggregated to the per-b
+    * (cost, recall) row against the b=8 truth. The hot-refine key is
+    * the band-string full-code fk (the c97 oracle convention — it
+    * only needs to equal-compare consistently within the engine).
+    */
+  private def c114OracleSql(bandsGrid: Seq[Int], maxHamming: Int): String = {
+    require(bandsGrid == bandsGrid.sorted && bandsGrid.nonEmpty)
+    val truthB = bandsGrid.max
+    def block(b: Int): String = {
+      val w = 64 / b
+      s"""|bands_$b AS (
+          |  SELECT media_id, CAST(cell // $w AS INT) AS band,
+          |         CAST(sum(bit * (CAST(1 AS BIGINT)
+          |              << CAST(cell % $w AS INT))) AS BIGINT) AS bucket
+          |  FROM bits GROUP BY 1, 2),
+          |census_$b AS (SELECT band, bucket, count(*) AS bsz
+          |              FROM bands_$b GROUP BY 1, 2),
+          |ref_$b AS (
+          |  SELECT x.media_id, x.band, x.bucket,
+          |         CASE WHEN c.bsz > 64 THEN f.fk ELSE '' END AS refine
+          |  FROM bands_$b x JOIN census_$b c USING (band, bucket)
+          |  JOIN fullk f USING (media_id)),
+          |cand_$b AS (
+          |  SELECT l.media_id AS id_a, r.media_id AS id_b
+          |  FROM ref_$b l JOIN ref_$b r
+          |    ON l.band = r.band AND l.bucket = r.bucket
+          |   AND l.refine = r.refine
+          |  WHERE l.media_id < r.media_id
+          |  GROUP BY 1, 2),
+          |hm_$b AS (
+          |  SELECT c.id_a, c.id_b,
+          |         CAST(sum(bit_count(xor(ba.bucket, bb.bucket))) AS INT)
+          |           AS hamming
+          |  FROM cand_$b c
+          |  JOIN bands_$b ba ON ba.media_id = c.id_a
+          |  JOIN bands_$b bb ON bb.media_id = c.id_b
+          |    AND bb.band = ba.band
+          |  GROUP BY 1, 2),
+          |agg_$b AS (
+          |  SELECT count(*) AS n_cand,
+          |         CAST(sum(CASE WHEN hamming <= $maxHamming THEN 1
+          |                       ELSE 0 END) AS BIGINT) AS n_pairs
+          |  FROM hm_$b)""".stripMargin
+    }
+    val fullkCte =
+      """|bands16k AS (
+         |  SELECT media_id, CAST(cell // 16 AS INT) AS band,
+         |         CAST(sum(bit * (CAST(1 AS BIGINT)
+         |              << CAST(cell % 16 AS INT))) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY 1, 2),
+         |fullk AS (
+         |  SELECT media_id,
+         |         string_agg(CAST(bucket AS VARCHAR), '_' ORDER BY band)
+         |           AS fk
+         |  FROM bands16k GROUP BY 1)""".stripMargin
+    val union = bandsGrid.map(b =>
+      s"  SELECT $b AS bands, ${64 / b} AS band_bits, " +
+        s"${b - 1} AS guaranteed_hamming, n_cand, n_pairs FROM agg_$b")
+      .mkString("\n  UNION ALL\n")
+    "WITH " + c97PixelsSql + ",\n" + fullkCte + ",\n" +
+      bandsGrid.map(block).mkString(",\n") + ",\n" +
+      s"tr AS (SELECT n_pairs AS t FROM agg_$truthB)\n" +
+      "SELECT g.bands, g.band_bits, g.guaranteed_hamming, g.n_cand,\n" +
+      "       g.n_pairs, g.n_pairs * 1000000 // t.t AS recall_ppm\n" +
+      "FROM (\n" + union + ") g, tr t\nORDER BY bands"
+  }
+
   /** c107's oracle: the c102 replay machinery pointed at TWO centroid
     * generations — jl codes for the reference slice and both arrival
     * scenarios, v1 cells (reference vec_id < 32), per-epoch dense
@@ -7428,7 +7521,7 @@ hist_${src}_$cent AS (
     * (the c78 rule: never re-interpolate a stripMargin'd string into
     * another stripMargin block).
     */
-  private def c97ChainSql: String =
+  private def c97PixelsSql: String =
     """imgs AS (
         |  SELECT doc_id AS media_id, doc_id AS src, 0 AS delta
         |  FROM documents
@@ -7471,8 +7564,18 @@ hist_${src}_$cent AS (
         |bits AS (
         |  SELECT c.media_id, c.cell,
         |         CASE WHEN 64 * c.s > t.total THEN 1 ELSE 0 END AS bit
-        |  FROM cells c JOIN tot t USING (media_id)),
-        |bands AS (
+        |  FROM cells c JOIN tot t USING (media_id))""".stripMargin
+
+  private def c97ChainSql: String =
+    c97PixelsSql + ",\n" + c97BandTailSql
+
+  /** The b=4 production banding tail (bands/census/fullk/hot-refine/
+    * candidates/hamming) — split from the pixel prefix so c114's
+    * banding-curve oracle can reuse the pixels with its own per-band
+    * blocks.
+    */
+  private def c97BandTailSql: String =
+    """bands AS (
         |  SELECT media_id, CAST(cell // 16 AS INT) AS band,
         |         CAST(sum(bit * (CAST(1 AS BIGINT)
         |              << CAST(cell % 16 AS INT))) AS BIGINT) AS bucket

@@ -200,6 +200,87 @@ object ImageDedup {
     }(enc)
   }
 
+  /** The banded candidate join at an EXPLICIT band count (C114's
+    * sweep primitive; [[perceptualPairs]] is the bands=4 production
+    * point): split the 64-bit code into `bands` equal bands, bucket-
+    * join with hot-bucket escalation to the full code, and return ONE
+    * row per candidate pair with its exact hamming — NOT filtered by
+    * any threshold (the curve needs the candidates a banding
+    * surfaces, then counts how many survive the verify cut).
+    * Pigeonhole: a banding at b bands GUARANTEES every pair with
+    * hamming ≤ b−1; beyond that it is best-effort recall.
+    */
+  private[graft] def bandedCandidatePairs(codes: DataFrame, bands: Int,
+                                          hotBucketCap: Int): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands $bands must divide the 64-bit code evenly")
+    val w = 64 / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    val banded = codes.select(col("media_id").as("id"), col("code"),
+      posexplode(array((0 until bands).map(j =>
+        shiftright(col("code"), j * w).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
+    val hot = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > hotBucketCap)
+      .select(col("band"), col("bucket"), lit(true).as("__hot"))
+    val refined = banded.join(broadcast(hot), Seq("band", "bucket"), "left")
+      .select(col("id"), col("code"), col("band"), col("bucket"),
+        when(col("__hot"), col("code")).otherwise(lit(0L)).as("refine"))
+    val left = refined.select(col("band"), col("bucket"), col("refine"),
+      col("id").as("id_a"), col("code").as("code_a"))
+    val right = refined.select(col("band"), col("bucket"), col("refine"),
+      col("id").as("id_b"), col("code").as("code_b"))
+    // shuffle_hash, NOT auto-broadcast — the same b25/c27 rationale as
+    // perceptualPairs: the build side is the corpus-sized banded frame
+    // behind a posexplode
+    left.join(right.hint("shuffle_hash"), Seq("band", "bucket", "refine"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(min(bit_count(col("code_a").bitwiseXOR(col("code_b"))))
+        .as("hamming"))
+  }
+
+  /** C114: the banding TUNING CURVE for the image banded join — the
+    * c98/c101 "pick a config from a table, not a guess" question on
+    * the image surface: per band count, the candidate-pair volume the
+    * banding generates (the COST — every candidate pays a verify) and
+    * the verified pairs it finds at `maxHamming` (the RECALL), as ppm
+    * of the guaranteed-exact largest banding. Few bands = cheap and
+    * lossy past hamming b−1 (b=2 guarantees only hamming ≤ 1); the
+    * production b=4 point is exactly c97's join, guaranteed for
+    * hamming ≤ 3; b=8 is guaranteed to hamming 7 and pays more
+    * candidates for the headroom. All integers, so every cell of the
+    * curve is hash-exact.
+    */
+  def bandingCurve(codes: DataFrame, bandsGrid: Seq[Int],
+                   maxHamming: Int = 3,
+                   hotBucketCap: Int = 64): DataFrame = {
+    require(bandsGrid.nonEmpty && bandsGrid == bandsGrid.sorted &&
+      bandsGrid.distinct == bandsGrid, "bandsGrid must be sorted distinct")
+    val truthB = bandsGrid.max
+    require(truthB - 1 >= maxHamming,
+      s"the largest banding ($truthB) must guarantee hamming $maxHamming")
+    val perB = bandsGrid.map { b =>
+      bandedCandidatePairs(codes, b, hotBucketCap)
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("hamming") <= maxHamming, 1L).otherwise(0L))
+            .as("n_pairs"))
+        .select(lit(b).as("bands"), lit(64 / b).as("band_bits"),
+          lit(b - 1).as("guaranteed_hamming"),
+          col("n_cand"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+    }.reduce(_ unionByName _)
+    val truth = perB.where(col("bands") === truthB)
+      .select(col("n_pairs").as("__t"))
+    perB.crossJoin(truth)
+      .select(col("bands"), col("band_bits"), col("guaranteed_hamming"),
+        col("n_cand"), col("n_pairs"),
+        graft.functions.GraftExpressions
+          .longDiv(col("n_pairs") * lit(1000000L), col("__t"))
+          .as("recall_ppm"))
+      .orderBy("bands")
+  }
+
   /** Perceptual near-dup pairs over [[blockhashCodes]] output: the c3
     * banded join (4 × 16-bit bands, hot-bucket escalation to the full
     * code) verified with bit_count(xor) ≤ maxHamming. Returns

@@ -135,4 +135,36 @@ class ImageDedupSpec extends AnyFunSuite with SparkSpec {
     assert(found === 80L * 79 / 2,
       s"hot-band identical family: expected all pairs, got $found")
   }
+
+  test("c114 banding curve: the b=4 point IS the production join, " +
+       "recall is non-decreasing in band count, cost grows with it, " +
+       "and every banding finds all pairs within its guarantee") {
+    val docs = Tables(spark, sfDir(), "documents").select("doc_id")
+      .limit(80)
+    val codes = graft.operators.ImageDedup.blockhashCodes(spark,
+      graft.operators.ImageDedup.packImageVariants(spark, docs, "doc_id"))
+      .cache()
+    val curve = graft.operators.ImageDedup
+      .bandingCurve(codes, Seq(2, 4, 8), maxHamming = 3,
+        hotBucketCap = 64)
+      .collect().sortBy(_.getAs[Int]("bands"))
+    assert(curve.map(_.getAs[Int]("bands")).toSeq === Seq(2, 4, 8))
+    // the b=4 row is exactly perceptualPairs' pair count
+    val prod = graft.operators.ImageDedup
+      .perceptualPairs(codes, 3, 64).count()
+    assert(curve(1).getAs[Long]("n_pairs") === prod,
+      "the bands=4 curve point must equal the production join")
+    // recall non-decreasing, cost non-decreasing, truth row at 1e6
+    assert(curve.map(_.getAs[Long]("n_pairs")).toSeq ===
+      curve.map(_.getAs[Long]("n_pairs")).toSeq.sorted)
+    assert(curve.map(_.getAs[Long]("n_cand")).toSeq ===
+      curve.map(_.getAs[Long]("n_cand")).toSeq.sorted)
+    assert(curve.last.getAs[Long]("recall_ppm") === 1000000L)
+    // pigeonhole guarantee: b=4 and b=8 both guarantee hamming<=3, so
+    // their verified pair counts must agree exactly
+    assert(curve(1).getAs[Long]("n_pairs") ===
+      curve(2).getAs[Long]("n_pairs"),
+      "two bandings above the guarantee disagreed on the pair set")
+    codes.unpersist()
+  }
 }
