@@ -152,6 +152,12 @@ object Bench {
     // same b32 phase-family rationale as c105)
     "c112_audio_canonical_keep", "c113_budgeted_packing",
     "c114_image_banding_curve",
+    // r15: stored-landmark serving (decode prepaid via prewarm — the
+    // row times the c105 question SERVED from the audio-code store;
+    // its headline delta vs c105 IS the serving win) and the audio
+    // vacuum lifecycle. Both ride c105's pair graph — headline only,
+    // not probed (the same b32 phase-family rationale as c105/c112)
+    "c115_audio_code_serve", "c116_audio_codes_vacuum",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -482,6 +488,8 @@ object Bench {
     Set("c79b_trained_langid", "c92_budget_threshold")
   private val imageServingQueries =
     Set("c104_image_code_serve", "c114_image_banding_curve")
+  private val audioServingQueries =
+    Set("c115_audio_code_serve")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],
                            dir: String): Unit = {
     if (names.exists(modelServingQueries)) {
@@ -491,6 +499,10 @@ object Bench {
     if (names.exists(imageServingQueries)) {
       System.err.println(s"[bench] prewarming image-code store for $dir")
       SparkEntry.prewarmImageCodes(spark, dir)
+    }
+    if (names.exists(audioServingQueries)) {
+      System.err.println(s"[bench] prewarming audio-code store for $dir")
+      SparkEntry.prewarmAudioCodes(spark, dir)
     }
   }
 

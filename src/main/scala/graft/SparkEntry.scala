@@ -167,6 +167,120 @@ object SparkEntry {
     imageCodesRoot(s, dir); ()
   }
 
+  /** The c105/c112/c115 audio-dedup corpus: every doc_id % 4 == 0 doc
+    * as a REAL WAV clip, plus a half-gain re-master of every
+    * media_id % 7 == 0 clip at +3e6 — the amplitude-shifted duplicates
+    * the chained-landmark matcher exists to find.
+    */
+  private def audioDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Audio
+    val docs = t(s, dir, "documents").select("doc_id")
+      .where(col("doc_id") % 4 === 0)
+    val wavs = Audio.packWav(s, docs, "doc_id")
+    val halved = Audio.gainWav(s,
+      wavs.where(pmod(col("media_id"), lit(7)) === 0)
+        .withColumn("media_id", col("media_id") + lit(3000000L)))
+    wavs.unionByName(halved)
+  }
+
+  private val audioCodeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The C115 stored-code root for `dir`: decode + publish ONCE per
+    * (JVM, corpus) — the spec version, then the chained-landmark rows
+    * in two ingest epochs (even / odd media ids) with epoch 1 REPLAYED
+    * (at-least-once delivery; the D8 partition rule makes it
+    * exactly-once). Every serving query reads the stored table; the
+    * WAV-decode + WHT chain is paid here, per NEW clip — never per
+    * query (the imageCodesRoot discipline on the audio surface).
+    */
+  private def audioCodesRoot(s: SparkSession, dir: String): String =
+    audioCodeRoots.computeIfAbsent(dir, _ => {
+      import graft.operators.Audio
+      import graft.sources.AudioCodeStore
+      import org.apache.hadoop.fs.Path
+      // full-path hash in the scratch name (the langidModelRoot rule):
+      // two dirs sharing a basename must not share a store
+      val root = Tables.scratch("audio_codes_" +
+        new java.io.File(dir).getName + "_" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val rep = AudioCodeStore.publishSpec(s, root, "chained_landmark",
+        frame = 128)
+      require(rep.committed, s"audio code spec publish failed: ${rep.failures}")
+      val v = AudioCodeStore.committedSpecVersion(s, root)
+      // persist: the two epoch filters below would otherwise decode the
+      // corpus twice — the decode+WHT chain is exactly the cost this
+      // store exists to pay once
+      val rows = Audio.chainedLandmarkRows(s, audioDupCorpus(s, dir))
+        .persist()
+      try {
+        AudioCodeStore.appendCodesEpoch(
+          rows.where(pmod(col("media_id"), lit(2)) === 0), root, v, 0L)
+        AudioCodeStore.appendCodesEpoch(
+          rows.where(pmod(col("media_id"), lit(2)) === 1), root, v, 1L)
+        // at-least-once delivery: epoch 1 redelivered — the D8 rule
+        // overwrites its own partition with bit-identical rows
+        AudioCodeStore.appendCodesEpoch(
+          rows.where(pmod(col("media_id"), lit(2)) === 1), root, v, 1L)
+      } finally { rows.unpersist(); () }
+      root
+    })
+
+  /** Bench hook: pay the one-time decode+publish OUTSIDE a timed probe
+    * (the c104 prewarm discipline on the audio-code store).
+    */
+  def prewarmAudioCodes(s: SparkSession, dir: String): Unit = {
+    audioCodesRoot(s, dir); ()
+  }
+
+  /** The c105 question answered from a STORED landmark table: the
+    * replay-visibility gate (exactly one meta row per clip — epoch
+    * duplication would be invisible to the pair groupBy), the
+    * duration-blocked pair set (stored n_samples, no decode), the CC
+    * resolution, and the longest-clip election — shared by c115
+    * (serve) and c116 (post-vacuum serve), both gated by the c105
+    * oracle verbatim.
+    */
+  private def audioClustersFromStored(s: SparkSession,
+                                      stored: DataFrame): DataFrame = {
+    import graft.operators.{Audio, Dedup}
+    val meta = stored.where(col("anchor") === -1)
+    val dup = meta.groupBy("media_id").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).count()
+    require(dup == 0,
+      s"$dup media ids stored more than once — epoch replay broke " +
+        "the D8 partition rule")
+    val lens = meta.select(col("media_id").as("id"),
+        col("n_samples").cast("long").as("n_samples"))
+      .localCheckpoint(true)
+    // duration blocking + checkpoint before the propagation loop —
+    // the exact c105 shape, minus the decode the store prepaid
+    val pairs = Audio.chainedPairsFromCodes(stored, minShared = 4)
+      .join(lens.select(col("id").as("id_a"),
+        col("n_samples").as("__na")), "id_a")
+      .join(lens.select(col("id").as("id_b"),
+        col("n_samples").as("__nb")), "id_b")
+      .where(col("__na") === col("__nb"))
+      .select("id_a", "id_b").localCheckpoint(true)
+    val labels = Dedup.dupClusters(pairs, maxIter = 96)
+    labels.join(lens, "id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("n_samples"), (-col("id")).as("__nid")))
+          .as("__m"),
+        md5(concat_ws(",", transform(
+          sort_array(collect_list(col("id"))),
+          x => x.cast("string")))).as("members_fp"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("__m.__nid")).as("canonical_id"),
+        col("__m.n_samples").as("canonical_len"), col("members_fp"))
+      .orderBy("cluster_id")
+  }
+
   // --------------------------------------------------------------- map
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5630,13 +5744,7 @@ object SparkEntry {
     // anywhere break the hash.
     "c105_audio_dup_clusters" -> ((s, dir) => {
       import graft.operators.{Audio, Dedup}
-      val docs = t(s, dir, "documents").select("doc_id")
-        .where(col("doc_id") % 4 === 0)
-      val wavs = Audio.packWav(s, docs, "doc_id")
-      val halved = Audio.gainWav(s,
-        wavs.where(pmod(col("media_id"), lit(7)) === 0)
-          .withColumn("media_id", col("media_id") + lit(3000000L)))
-      val corpus = wavs.unionByName(halved)
+      val corpus = audioDupCorpus(s, dir)
       // REAL decoded clip lengths — used twice: the duration-blocking
       // filter below and the canonical election
       val lens = Audio.decodeWav(s, corpus)
@@ -5993,13 +6101,7 @@ object SparkEntry {
     // the same election + an anti-join replay of the keep rule.
     "c112_audio_canonical_keep" -> ((s, dir) => {
       import graft.operators.{Audio, Dedup}
-      val docs = t(s, dir, "documents").select("doc_id")
-        .where(col("doc_id") % 4 === 0)
-      val wavs = Audio.packWav(s, docs, "doc_id")
-      val halved = Audio.gainWav(s,
-        wavs.where(pmod(col("media_id"), lit(7)) === 0)
-          .withColumn("media_id", col("media_id") + lit(3000000L)))
-      val corpus = wavs.unionByName(halved)
+      val corpus = audioDupCorpus(s, dir)
       val lens = Audio.decodeWav(s, corpus)
         .select(col("media_id").as("id"),
           col("n_samples").cast("long").as("n_samples"))
@@ -6134,6 +6236,71 @@ object SparkEntry {
       } finally { codes.unpersist(); () }
     }),
 
+    // C115 audio fingerprint-code STORE serving — the r14 verdict's
+    // top ask: c105/c112 re-decoded the WAV corpus and re-derived the
+    // chained-landmark codes inside every query, on the modality where
+    // decode is MOST expensive per byte. Here the landmark rows (plus
+    // the per-clip decoded duration — the blocking/election input) are
+    // published ONCE per corpus through the versioned AudioCodeStore
+    // (spec v1, two ingest epochs by media-id parity, epoch 1
+    // REPLAYED — the C82/C104 incremental discipline) and the cluster
+    // query reads the stored table: no decode, no WHT anywhere in the
+    // timed plan. Oracle = the c105 cluster replay UNCHANGED —
+    // clusters-from-stored must hash-equal clusters-from-decode, which
+    // a lossy round trip, a frame-grid mix-up, or a non-idempotent
+    // replay cannot fake (the meta-row gate makes duplication loud
+    // BEFORE the pair rollup would collapse it).
+    "c115_audio_code_serve" -> ((s, dir) => {
+      import graft.sources.AudioCodeStore
+      val root = audioCodesRoot(s, dir)
+      val v = AudioCodeStore.committedSpecVersion(s, root)
+      audioClustersFromStored(s, AudioCodeStore.readCodes(s, root, v))
+    }),
+
+    // C116 retired audio-code vacuum — the C110 lifecycle rule on the
+    // C115 key space: after a spec rollover (v2 published, av2
+    // backfilled) the old version's landmarks are corpus-sized dead
+    // weight; the vacuum removes av trees at or below
+    // committed − keepVersions, refuses the committed version and
+    // in-flight newer keys, and serving from the surviving key space
+    // still answers c105's question exactly (the c105 oracle verbatim
+    // — a vacuum that touched live landmarks could not hash-match).
+    "c116_audio_codes_vacuum" -> ((s, dir) => {
+      import graft.operators.Audio
+      import graft.sources.AudioCodeStore
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("c116_vac_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val rows = Audio.chainedLandmarkRows(s, audioDupCorpus(s, dir))
+        .persist()
+      try {
+        require(AudioCodeStore.publishSpec(s, root, "chained_landmark",
+          128).committed)
+        AudioCodeStore.appendCodesEpoch(rows, root, 1, 0L)
+        // the rollover: v2 re-published (same parameters — the version
+        // is the key, not the content), av2 backfilled
+        require(AudioCodeStore.publishSpec(s, root, "chained_landmark",
+          128).committed)
+        AudioCodeStore.appendCodesEpoch(rows, root, 2, 0L)
+        val rep = AudioCodeStore.vacuumRetiredCodes(s, root,
+          keepVersions = 1)
+        require(rep.committed == 2 && rep.removed == Seq(1) &&
+          rep.kept == Seq(2), s"vacuum accounting off: $rep")
+        require(!fs.exists(new Path(
+          s"$root/${AudioCodeStore.CodesTable}/av1")),
+          "retired key space must be gone")
+        // idempotent: a rerun finds nothing to remove
+        val again = AudioCodeStore.vacuumRetiredCodes(s, root, 1)
+        require(again.removed.isEmpty && again.kept == Seq(2),
+          s"vacuum rerun must be a no-op: $again")
+        audioClustersFromStored(s, AudioCodeStore.readCodes(s, root, 2))
+      } finally { rows.unpersist(); () }
+    }),
+
     // C111 bounded FIRST-fit-decreasing packing — the BFD-vs-FFD A/B
     // on the c106 harness: identical slot machine, identical corpus
     // and rollup, only the election differs (oldest open bin that
@@ -6259,6 +6426,16 @@ object SparkEntry {
       // after the vacuum — a vacuum that touched live codes (or left
       // the old key serving) could not hash-match the perceptual replay
       "c110_image_codes_vacuum" -> base("c97_image_perceptual_dedup"),
+      // c115 serves c105's exact question from the stored landmark
+      // table — every stored column is a small integer, so the table
+      // round-trips parquet bit-exactly and the same cluster replay is
+      // the oracle; a lossy round trip, a frame-grid mix-up, or a
+      // duplicated replay epoch breaks the hash
+      "c115_audio_code_serve" -> base("c105_audio_dup_clusters"),
+      // c116 serves the same question from the SURVIVING key space
+      // after the vacuum — a vacuum that touched live landmarks (or
+      // left the old key serving) could not hash-match the replay
+      "c116_audio_codes_vacuum" -> base("c105_audio_dup_clusters"),
       // c114: the pixel chain + one banded block per band count
       "c114_image_banding_curve" ->
         c114OracleSql(Seq(2, 4, 8), maxHamming = 3),
@@ -7374,7 +7551,8 @@ object SparkEntry {
       bandsGrid.map(block).mkString(",\n") + ",\n" +
       s"tr AS (SELECT n_pairs AS t FROM agg_$truthB)\n" +
       "SELECT g.bands, g.band_bits, g.guaranteed_hamming, g.n_cand,\n" +
-      "       g.n_pairs, g.n_pairs * 1000000 // t.t AS recall_ppm\n" +
+      "       g.n_pairs, g.n_pairs * 1000000 // greatest(t.t, 1) " +
+      "AS recall_ppm\n" +
       "FROM (\n" + union + ") g, tr t\nORDER BY bands"
   }
 

@@ -672,46 +672,91 @@ object Audio {
     */
   def chainedFingerprintPairs(spark: SparkSession, packed: DataFrame,
                               frame: Int = 128,
-                              minShared: Int = 4): DataFrame = {
+                              minShared: Int = 4): DataFrame =
+    chainedPairsFromCodes(chainedLandmarkRows(spark, packed, frame),
+      minShared)
+
+  /** The chained-landmark CODE TABLE — the decode half of
+    * [[chainedFingerprintPairs]], split out so a versioned store
+    * ([[graft.sources.AudioCodeStore]], C115) can pay the WAV decode +
+    * WHT chain ONCE per ingest epoch instead of once per query (the
+    * c104 discipline on the audio surface, the modality where decode
+    * is most expensive per byte).
+    *
+    * Output: one META row per DECODABLE clip — (media_id, n_samples,
+    * anchor = −1, line_a = −1, line_t = −1), carrying the real decoded
+    * duration the c105 blocking/election consume — plus one CODE row
+    * per chained landmark (anchor ≥ 0, the Wang-2003 (a, line_a,
+    * line_{a+1}) construction). Codes are small integers, so they
+    * round-trip parquet bit-exactly and pairs-from-stored ≡
+    * pairs-from-decode BY CONSTRUCTION (the two paths share
+    * [[chainedPairsFromCodes]] verbatim). Undecodable or empty
+    * payloads emit nothing — a clip that cannot be decoded cannot be
+    * fingerprinted (the store's contract; quarantine reporting is
+    * [[decodeWav]]'s job).
+    */
+  def chainedLandmarkRows(spark: SparkSession, packed: DataFrame,
+                          frame: Int = 128): DataFrame = {
     val codeSchema = StructType(Seq(
       StructField("media_id", LongType),
+      StructField("n_samples", LongType),
       StructField("anchor", IntegerType),
       StructField("line_a", IntegerType),
       StructField("line_t", IntegerType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(codeSchema)
     val in = packed.select(col("media_id").cast("long"), col("media"))
-    val codes = in.mapPartitions { rows =>
+    in.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
         val pcm = pcmOf(r.getAs[Array[Byte]](1))
         val n = if (pcm == null) 0 else pcm.length / 2
-        val frames = n / frame
-        if (pcm == null || frames < 2) Iterator.empty
+        if (pcm == null || n == 0) Iterator.empty
         else {
-          val lines = new Array[Int](frames)
-          var f = 0
-          while (f < frames) {
-            val p = whtPowers(pcm, frame, f * frame)
-            var best = 0
-            var bestP = -1L
-            var j = 0
-            while (j < frame) {
-              if (p(j) > bestP) { bestP = p(j); best = j }
-              j += 1
+          val meta = Iterator.single(Row(id, n.toLong, -1, -1, -1))
+          val frames = n / frame
+          if (frames < 2) meta
+          else {
+            val lines = new Array[Int](frames)
+            var f = 0
+            while (f < frames) {
+              val p = whtPowers(pcm, frame, f * frame)
+              var best = 0
+              var bestP = -1L
+              var j = 0
+              while (j < frame) {
+                if (p(j) > bestP) { bestP = p(j); best = j }
+                j += 1
+              }
+              lines(f) = best
+              f += 1
             }
-            lines(f) = best
-            f += 1
-          }
-          (0 until frames - 1).iterator.map { a =>
-            Row(id, a, lines(a), lines(a + 1))
+            meta ++ (0 until frames - 1).iterator.map { a =>
+              Row(id, n.toLong, a, lines(a), lines(a + 1))
+            }
           }
         }
       }
     }(enc)
-    val l = codes.select(col("media_id").as("id_a"), col("anchor"),
+  }
+
+  /** The serving half of [[chainedFingerprintPairs]]: the hash
+    * equi-join + shared-count rollup over a chained-landmark code
+    * table ([[chainedLandmarkRows]] output or the stored table that
+    * persists it — META rows filter out on anchor ≥ 0). Shared
+    * VERBATIM by the decode path and the stored-code path, so the
+    * store's serving gate (pairs-from-stored hash-equals
+    * pairs-from-decode) holds by construction. No decode anywhere in
+    * this plan — the property PlanAuditSpec locks for C115.
+    */
+  def chainedPairsFromCodes(codes: DataFrame,
+                            minShared: Int = 4): DataFrame = {
+    val base = codes.where(col("anchor") >= 0)
+      .select(col("media_id"), col("anchor"), col("line_a"),
+        col("line_t"))
+    val l = base.select(col("media_id").as("id_a"), col("anchor"),
       col("line_a"), col("line_t"))
-    val r = codes.select(col("media_id").as("id_b"), col("anchor"),
+    val r = base.select(col("media_id").as("id_b"), col("anchor"),
       col("line_a"), col("line_t"))
     // shuffle_hash — the r13 banded-join audit rule (corpus-scaled
     // build side)

@@ -285,6 +285,21 @@ object Chunking {
       col(idCol).cast("long").as("doc_id"),
       col(tokensCol).cast("long").as("tk"),
       col(budgetCol).cast("long").as("bg"))
+    // validate the per-source-constant contract GLOBALLY up front (r14
+    // advice): the in-fold require below sees only one (source, band)
+    // shard, so a source carrying different budgets in different BANDS
+    // would pass the engine while the oracle's DISTINCT(source, budget)
+    // join fans out — a silent divergence where the contract promises a
+    // loud failure. One small agg (map-side combined, one row per
+    // source) buys the loud check; at 100 TB it is dwarfed by the
+    // repartition that follows.
+    val badSources = in.groupBy("source")
+      .agg(countDistinct(col("bg")).as("__nbg"))
+      .where(col("__nbg") > 1)
+      .select("source").limit(5).collect().map(_.getString(0))
+    require(badSources.isEmpty,
+      s"sources ${badSources.mkString(", ")} carry more than one " +
+        "budget — the per-source-constant contract is broken")
     val sorted = in.repartition(col("source"), col("band"))
       .sortWithinPartitions(col("source"), col("band"),
         col("tk").desc, col("doc_id"))

@@ -317,6 +317,19 @@ object Dedup {
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)
+        // RELIABLE checkpoints are files, not blocks: Spark deletes
+        // them only under cleaner.referenceTracking.cleanCheckpoints
+        // plus a driver GC, so a maxIter-96 dupClusters run would
+        // otherwise strand up to ~96 corpus-scale checkpoint trees on
+        // cluster storage per query (r14 advice). getCheckpointFile is
+        // Some only for reliable checkpoints (local checkpoints are
+        // block-backed and already released above).
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val fs = p.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(p, true); ()
+        }
       case _ => ()
     }
   }

@@ -275,8 +275,13 @@ object ImageDedup {
     perB.crossJoin(truth)
       .select(col("bands"), col("band_bits"), col("guaranteed_hamming"),
         col("n_cand"), col("n_pairs"),
+        // greatest(__t, 1): on a corpus with ZERO verified pairs at the
+        // truth banding, IntegralDivide yields NULL while DuckDB's //
+        // raises division-by-zero — guard so both engines agree on the
+        // degenerate case (0 recall of an empty truth set; r14 advice)
         graft.functions.GraftExpressions
-          .longDiv(col("n_pairs") * lit(1000000L), col("__t"))
+          .longDiv(col("n_pairs") * lit(1000000L),
+            greatest(col("__t"), lit(1L)))
           .as("recall_ppm"))
       .orderBy("bands")
   }

@@ -108,6 +108,19 @@ object TokenizerRolloverStream {
     * arriving micro-batch of the training-schedule stream (its rows
     * are the schedule ticks; the batch ID is the epoch) deepens the
     * vocabulary and publishes the snapshot.
+    *
+    * Restart recovery (r14 advice): the trainer state is driver
+    * memory, so a restart that resumes the streaming checkpoint at
+    * batch N > 0 arrives at a FRESH state (watermark −1). The BPE
+    * trajectory is a deterministic function of (docs, depthPerEpoch)
+    * alone — merge r depends only on the post-(r−1) segmentation, the
+    * prefix stability c96 locks — so the sink REFOLDS epochs
+    * 0..N−1 (no publishes: those versions are already committed, and
+    * the store's batch watermark would skip them anyway) before
+    * folding N. The fold-level contiguity require still guards direct
+    * API misuse; the catch-up loop only ever fires across a restart
+    * gap, where the streaming checkpoint guarantees batch ids resume
+    * exactly where they stopped.
     */
   def snapshotSink(schedule: DataFrame, state: TokenizerTrainState,
                    root: String, checkpoint: String): StreamingQuery =
@@ -115,6 +128,8 @@ object TokenizerRolloverStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
+        while (state.lastFoldedEpoch + 1 < id)
+          state.fold(state.lastFoldedEpoch + 1)
         foldAndPublish(b.sparkSession, state, id, root)
         ()
       }

@@ -258,14 +258,26 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("budget") ===
         (if (r.getAs[String]("source") == "a") 50L else 100L))
     }
-    // contract violation: one source, two budgets
+    // contract violation: one source, two budgets — refused UP FRONT
+    // (the r14-advice global check: driver-side, before any fold runs)
     val torn = Seq(("a", 4L, 40L, 50L), ("a", 8L, 30L, 60L))
       .toDF("source", "doc_id", "tk", "bg")
-    val ex = intercept[org.apache.spark.SparkException] {
+    val ex = intercept[IllegalArgumentException] {
       graft.operators.Chunking.packWholeDocsBudgeted(
         torn, "doc_id", "tk", "source", "bg", 4, 3).collect()
     }
-    assert(ex.getMessage.contains("two budgets") ||
-      String.valueOf(ex.getCause).contains("two budgets"))
+    assert(ex.getMessage.contains("more than one budget"))
+    // the case the in-fold require could NOT see (r14 advice): the two
+    // budgets land in DIFFERENT bands of the same source (ids 4 and 5
+    // at nBands = 4), so no single shard ever observes both — the
+    // global check must still refuse loudly instead of silently
+    // diverging from the oracle's DISTINCT(source, budget) join
+    val cross = Seq(("a", 4L, 40L, 50L), ("a", 5L, 30L, 60L))
+      .toDF("source", "doc_id", "tk", "bg")
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.operators.Chunking.packWholeDocsBudgeted(
+        cross, "doc_id", "tk", "source", "bg", 4, 3).collect()
+    }
+    assert(ex2.getMessage.contains("more than one budget"))
   }
 }

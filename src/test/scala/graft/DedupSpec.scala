@@ -201,6 +201,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(clusters.size === 10)
   }
 
+  test("dupClusters under a RELIABLE checkpoint dir leaves no checkpoint " +
+    "files behind once freeState releases the result (r14 advice: Spark " +
+    "only deletes ReliableCheckpointRDD trees under " +
+    "cleanCheckpoints+GC — a 96-round loop would strand ~96 corpus-" +
+    "scale trees per query)") {
+    val sc = s.sparkContext
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_ck")
+    sc.setCheckpointDir(ckDir.toString)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val labels = Dedup.dupClusters(pairs)
+      assert(labels.count() === 5)
+      Dedup.freeState(labels)
+      // the loop frees each superseded round; freeState(labels) released
+      // the final one — no checkpoint FILES may remain anywhere under
+      // the dir (empty per-app UUID dirs are fine)
+      val left = java.nio.file.Files.walk(ckDir)
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .count()
+      assert(left === 0L,
+        s"$left reliable-checkpoint files stranded under $ckDir")
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("duplicatedSpans flags shared windows, skips short docs, counts repeats") {
     // a/b share the SAME 20-token prefix → windows 0..4 of each (w=16)
     // are corpus-duplicated; their tails differ. c is unrelated; d is

@@ -166,5 +166,21 @@ class ImageDedupSpec extends AnyFunSuite with SparkSpec {
       curve(2).getAs[Long]("n_pairs"),
       "two bandings above the guarantee disagreed on the pair set")
     codes.unpersist()
+    // degenerate denominator (r14 advice): a corpus with ZERO verified
+    // pairs at the truth banding must yield recall_ppm 0 on every row —
+    // not NULL (Spark IntegralDivide on 0) and not an error (DuckDB's
+    // // on 0): the greatest(truth, 1) guard keeps both engines agreed.
+    // Two codes differing in every band → zero candidates anywhere.
+    import s.implicits._
+    val far = Seq((1L, 0L), (2L, -1L)).toDF("media_id", "code")
+    val deg = graft.operators.ImageDedup
+      .bandingCurve(far, Seq(2, 4, 8), maxHamming = 3, hotBucketCap = 64)
+      .collect()
+    assert(deg.length === 3)
+    deg.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("recall_ppm")) &&
+        r.getAs[Long]("recall_ppm") === 0L,
+        s"degenerate truth must read 0 ppm, got $r")
+    }
   }
 }

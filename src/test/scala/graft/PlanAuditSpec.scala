@@ -209,6 +209,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "no corpus-sized pair-join side may broadcast")
   }
 
+  test("c115: stored-landmark serving (the pre-checkpoint pairs plan " +
+    "audioClustersFromStored feeds dupClusters — the part a decode " +
+    "could leak back into; the query's own final plan only shows the " +
+    "post-checkpoint rollup) has NO decode stage and the landmark " +
+    "self-join stays shuffled") {
+    import graft.operators.Audio
+    import graft.sources.AudioCodeStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_c115_audit").toString
+    assert(AudioCodeStore.publishSpec(spark, root, "chained_landmark", 128)
+      .committed)
+    val docs = Tables(spark, sfDir(), "documents").select("doc_id").limit(40)
+    AudioCodeStore.appendCodesEpoch(
+      Audio.chainedLandmarkRows(spark,
+        Audio.packWav(spark, docs, "doc_id")), root, 1, 0L)
+    val stored = AudioCodeStore.readCodes(spark, root, 1)
+    val meta = stored.where(col("anchor") === -1)
+      .select(col("media_id").as("id"), col("n_samples"))
+    val pairs = Audio.chainedPairsFromCodes(stored, 4)
+      .join(meta.select(col("id").as("id_a"),
+        col("n_samples").as("__na")), "id_a")
+      .join(meta.select(col("id").as("id_b"),
+        col("n_samples").as("__nb")), "id_b")
+      .where(col("__na") === col("__nb")).select("id_a", "id_b")
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("MapPartitions"),
+      "a decode (mapPartitions) stage leaked into the serving plan")
+    assert(p.contains("ShuffledHashJoin"),
+      "the chained-landmark self-join must be shuffled")
+    // (the KB-sized meta join-backs MAY broadcast — that is AQE's call
+    // on accurate post-shuffle sizes; only the landmark self-join above
+    // is locked)
+  }
+
   test("c12k/c12m/c12n/b32/c5: every banded CANDIDATE-GENERATION " +
     "self-join is SHUFFLED hash (the r13 audit swept all of them: the " +
     "build side is always a corpus-scaled frame behind an explode, " +

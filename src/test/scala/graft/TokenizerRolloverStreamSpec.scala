@@ -77,4 +77,51 @@ class TokenizerRolloverStreamSpec extends AnyFunSuite with SparkSpec {
     }
     st.close()
   }
+
+  test("d40 restart: a FRESH driver state resuming the streaming " +
+    "checkpoint refolds the deterministic trajectory before the new " +
+    "epoch (r14 advice: the advertised checkpointLocation is actually " +
+    "recoverable — no publishes for the catch-up epochs, the new " +
+    "version is the one-shot state at its depth)") {
+    val docs = Tables(s, sfDir(), "documents").limit(120).cache()
+    val staged = Files.createTempDirectory("graft_d40r_src")
+    val one = s.range(1).toDF("tick")
+    def addTick(e: Int): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_d40r_ep$e")
+      one.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, staged.resolve(f"tick$e%02d.parquet"))
+      ()
+    }
+    (0 until 2).foreach(addTick)
+    val root = Files.createTempDirectory("graft_d40r_store").toString
+    val ck = Files.createTempDirectory("graft_d40r_ck").toString
+    def run(st: TokenizerTrainState): Unit = {
+      val src = s.readStream.schema(one.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val q = TokenizerRolloverStream.snapshotSink(src, st, root, ck)
+      q.awaitTermination(120000)
+      ()
+    }
+    val st1 = new TokenizerTrainState(docs, "text", depthPerEpoch = 6)
+    run(st1)
+    st1.close()
+    assert(TokenizerStore.committedTokenizerVersion(s, root) === 2)
+    // RESTART: the driver died (state gone), a new schedule tick lands,
+    // and the SAME checkpoint resumes at batch 2 against a fresh state
+    addTick(2)
+    val st2 = new TokenizerTrainState(docs, "text", depthPerEpoch = 6)
+    run(st2)
+    assert(st2.lastFoldedEpoch === 2L,
+      "the resumed sink must refold 0..1 then fold 2")
+    assert(TokenizerStore.committedTokenizerVersion(s, root) === 3,
+      "exactly one NEW version — catch-up refolds must not republish")
+    val v3 = TokenizerStore.loadTokenizerAt(s, root, 3)
+    assert(v3.merges === BpeTrain.train(docs, "text", numMerges = 18),
+      "post-restart vocabulary diverged from the one-shot trajectory")
+    assert(TokenizerStore.loadTokenizerAt(s, root, 2).merges ===
+      v3.merges.take(12), "pre-restart versions must be untouched")
+    st2.close()
+  }
 }
