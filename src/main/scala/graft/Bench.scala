@@ -404,7 +404,7 @@ object Bench {
       // headline and had no 100x evidence of bounded iterations
       "c84_canonical_extent_strip", "c13_dup_clusters"))
 
-  private val scale100Tables = Seq("lineitem", "orders", "customer",
+  private[graft] val scale100Tables = Seq("lineitem", "orders", "customer",
     "region", "nation", "documents", "embeddings")
 
   /** The probes whose r8 driver-run ratios contradicted the builder's
