@@ -158,6 +158,9 @@ object Bench {
     // vacuum lifecycle. Both ride c105's pair graph — headline only,
     // not probed (the same b32 phase-family rationale as c105/c112)
     "c115_audio_code_serve", "c116_audio_codes_vacuum",
+    // r15: the blue/green grid rollover lifecycle (two encodes, a
+    // streamed-shape backfill, flip, vacuum, serve)
+    "c117_image_spec_rollover",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -372,6 +375,10 @@ object Bench {
       // dominates, the c86 shape); c111 is c106's fold with the other
       // election — identical scale story
       "c110_image_codes_vacuum", "c111_ffd_packing",
+      // r15: c117's rollover is two docs-scaled encode passes (grid 4
+      // + grid 8) + KB publishes + a directory-delete vacuum + the c97
+      // banded serve — the c110 scale story with a second encode
+      "c117_image_spec_rollover",
       // c113 is the same fold with a per-shard budget register
       "c113_budgeted_packing",
       // c114 sweeps three banded joins over the STORED codes (decode

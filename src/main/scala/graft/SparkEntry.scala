@@ -6301,6 +6301,83 @@ object SparkEntry {
       } finally { rows.unpersist(); () }
     }),
 
+    // C117 image-code SPEC ROLLOVER across a REAL grid change — the
+    // C85 blue/green story completed on the image store (the r14
+    // verdict's ask #3): iv1 serves a grid-4 (16-bit) code table while
+    // the quality upgrade's grid-8 codes BACKFILL their own iv2 key
+    // space (epoch-partitioned, one epoch REPLAYED both before and
+    // after the flip — both no-ops); the FLIP is the spec-v2 publish (a
+    // pointer commit, never an overwrite), a session pinned at v1 is
+    // byte-stable through it, and c110's vacuum then retires the loser.
+    // Serving from the committed pin answers c97's question exactly
+    // (the c97 oracle verbatim — grid-4 codes leaking into the serving
+    // plan, a half-complete backfill, or a replay duplication could
+    // not hash-match). D43 is the streaming delivery of the backfill
+    // (the real writeStream sink, ImageCodesStreamSpec).
+    "c117_image_spec_rollover" -> ((s, dir) => {
+      import graft.operators.ImageDedup
+      import graft.sources.ImageCodeStore
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("c117_roll_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val packed = ImageDedup.packImageVariants(s,
+        t(s, dir, "documents"), "doc_id")
+      // blue: spec v1 = grid 4 — the ENCODE is driven by the loaded
+      // spec, not a constant, so the rollover is a real re-encode
+      require(ImageCodeStore.publishSpec(s, root, "blockhash", grid = 4,
+        bands = 4).committed)
+      val (_, g1, _) = ImageCodeStore.loadSpecAt(s, root, 1)
+      ImageCodeStore.appendCodesEpoch(
+        ImageDedup.blockhashCodes(s, packed, grid = g1), root, 1, 0L)
+      def digest(v: Int): (Long, Long) = {
+        val r = ImageCodeStore.readCodes(s, root, v)
+          .agg(count(lit(1)).as("n"), bit_xor(xxhash64(col("media_id"),
+            col("width"), col("height"), col("code"), col("pixsum")))
+            .as("x")).collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      val pin1 = digest(1)
+      // green backfill: grid-8 codes land in iv2 WHILE v1 serves (two
+      // epochs by parity; epoch 1 replayed pre-flip)
+      val codes8 = ImageDedup.blockhashCodes(s, packed, grid = 8).persist()
+      try {
+        ImageCodeStore.appendCodesEpoch(
+          codes8.where(pmod(col("media_id"), lit(2)) === 0), root, 2, 0L)
+        ImageCodeStore.appendCodesEpoch(
+          codes8.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
+        ImageCodeStore.appendCodesEpoch(
+          codes8.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
+        require(ImageCodeStore.committedSpecVersion(s, root) == 1,
+          "a backfill must not move the committed pointer")
+        val pre = digest(2)
+        // the FLIP: publish spec v2 (grid 8) — a pointer commit
+        require(ImageCodeStore.publishSpec(s, root, "blockhash", grid = 8,
+          bands = 4).committed)
+        require(ImageCodeStore.committedSpecVersion(s, root) == 2,
+          "the flip must land the committed pointer on v2")
+        // a session pinned at v1 is byte-stable through the flip
+        require(digest(1) == pin1,
+          "the pinned v1 key space moved across the flip")
+        // a replayed backfill epoch POST-flip is still a no-op
+        ImageCodeStore.appendCodesEpoch(
+          codes8.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
+        require(digest(2) == pre,
+          "post-flip epoch replay duplicated stored codes")
+        // retire the loser; the committed key space survives
+        val rep = ImageCodeStore.vacuumRetiredCodes(s, root,
+          keepVersions = 1)
+        require(rep.committed == 2 && rep.removed == Seq(1) &&
+          rep.kept == Seq(2), s"vacuum accounting off: $rep")
+        ImageDedup.perceptualPairs(ImageCodeStore.readCodes(s, root, 2),
+            maxHamming = 3, hotBucketCap = 64)
+          .orderBy("id_a", "id_b")
+      } finally { codes8.unpersist(); () }
+    }),
+
     // C111 bounded FIRST-fit-decreasing packing — the BFD-vs-FFD A/B
     // on the c106 harness: identical slot machine, identical corpus
     // and rollup, only the election differs (oldest open bin that
@@ -6436,6 +6513,11 @@ object SparkEntry {
       // after the vacuum — a vacuum that touched live landmarks (or
       // left the old key serving) could not hash-match the replay
       "c116_audio_codes_vacuum" -> base("c105_audio_dup_clusters"),
+      // c117 serves c97's question from the committed pin AFTER a full
+      // blue/green grid rollover — grid-4 codes leaking into the
+      // serving plan, a half-complete iv2 backfill, or a replay
+      // duplication could not hash-match the grid-8 perceptual replay
+      "c117_image_spec_rollover" -> base("c97_image_perceptual_dedup"),
       // c114: the pixel chain + one banded block per band count
       "c114_image_banding_curve" ->
         c114OracleSql(Seq(2, 4, 8), maxHamming = 3),

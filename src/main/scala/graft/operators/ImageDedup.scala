@@ -128,15 +128,23 @@ object ImageDedup {
     }(enc)
   }
 
-  /** Decode each payload with the real codec and emit its 64-bit
+  /** Decode each payload with the real codec and emit its grid²-bit
     * blockhash + the position-weighted pixel checksum (the exact-pixel
     * identity the `same_pixels` flag compares). Images smaller than
-    * 8×8 after cropping, or undecodable payloads, are dropped (a
+    * grid×grid after cropping, or undecodable payloads, are dropped (a
     * perceptual code over fewer pixels than bits is noise — the A13
     * quarantine posture applied to feature extraction).
+    *
+    * @param grid block-grid side (the C117 spec-rollover axis: a grid
+    *        change re-encodes the corpus under a NEW spec version —
+    *        codes from different grids are never comparable). Default
+    *        8 = the production 64-bit code; grid² must fit the stored
+    *        long.
     */
   def blockhashCodes(spark: SparkSession, packed: DataFrame,
-                     batchSize: Int = 64): DataFrame = {
+                     batchSize: Int = 64, grid: Int = 8): DataFrame = {
+    require(grid >= 2 && grid * grid <= 64,
+      s"grid $grid: code width ${grid * grid} outside (4, 64]")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("width", IntegerType),
@@ -161,13 +169,14 @@ object ImageDedup {
           else {
             val w = img.getWidth
             val h = img.getHeight
-            val w8 = w - w % 8
-            val h8 = h - h % 8
-            if (w8 < 8 || h8 < 8) Iterator.empty
+            val w8 = w - w % grid
+            val h8 = h - h % grid
+            if (w8 < grid || h8 < grid) Iterator.empty
             else {
-              val bw = w8 / 8
-              val bh = h8 / 8
-              val sums = new Array[Long](64)
+              val bw = w8 / grid
+              val bh = h8 / grid
+              val nCells = grid * grid
+              val sums = new Array[Long](nCells)
               var total = 0L
               var pixsum = 0L
               var y = 0
@@ -178,7 +187,7 @@ object ImageDedup {
                   val g = ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)
                   pixsum += g.toLong * (x + 1) * (y + 3)
                   if (x < w8 && y < h8) {
-                    val cell = (y / bh) * 8 + (x / bw)
+                    val cell = (y / bh) * grid + (x / bw)
                     sums(cell) += g
                     total += g
                   }
@@ -188,8 +197,8 @@ object ImageDedup {
               }
               var code = 0L
               var c = 0
-              while (c < 64) {
-                if (64L * sums(c) > total) code |= (1L << c)
+              while (c < nCells) {
+                if (nCells.toLong * sums(c) > total) code |= (1L << c)
                 c += 1
               }
               Iterator.single(Row(id, w, h, code, pixsum))

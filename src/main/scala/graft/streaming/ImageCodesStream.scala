@@ -33,18 +33,24 @@ import graft.sources.ImageCodeStore
   */
 object ImageCodesStream {
 
-  /** @param specVersion the committed code-spec version the codes are
-    *        produced under — keys the stored-code table (a spec change
-    *        is a new version with its own key space, the C85 rule)
+  /** @param specVersion the code-spec version the codes are produced
+    *        under — keys the stored-code table (a spec change is a new
+    *        version with its own key space, the C85 rule). May sit
+    *        ABOVE the committed pointer: a C117 rollover backfills the
+    *        NEXT version's key space through this sink while the old
+    *        one keeps serving.
+    * @param grid the block-grid side the target spec version declares
+    *        — the caller reads it from [[ImageCodeStore.loadSpecAt]];
+    *        codes under a different grid would silently never pair
     */
   def ingestSink(stream: DataFrame, root: String, checkpoint: String,
-                 specVersion: Int = 1): StreamingQuery =
+                 specVersion: Int = 1, grid: Int = 8): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         ImageCodeStore.appendCodesEpoch(
-          ImageDedup.blockhashCodes(b.sparkSession, b), root,
+          ImageDedup.blockhashCodes(b.sparkSession, b, grid = grid), root,
           specVersion, id)
       }
       .trigger(Trigger.AvailableNow())
