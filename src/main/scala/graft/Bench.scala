@@ -159,8 +159,10 @@ object Bench {
     // not probed (the same b32 phase-family rationale as c105/c112)
     "c115_audio_code_serve", "c116_audio_codes_vacuum",
     // r15: the blue/green grid rollover lifecycle (two encodes, a
-    // streamed-shape backfill, flip, vacuum, serve)
-    "c117_image_spec_rollover",
+    // streamed-shape backfill, flip, vacuum, serve) and the
+    // cross-modal per-doc verdict (text MinHash side + stored-code
+    // image side over the link table; image decode prepaid via prewarm)
+    "c117_image_spec_rollover", "c118_crossmodal_dup",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -377,8 +379,11 @@ object Bench {
       "c110_image_codes_vacuum", "c111_ffd_packing",
       // r15: c117's rollover is two docs-scaled encode passes (grid 4
       // + grid 8) + KB publishes + a directory-delete vacuum + the c97
-      // banded serve — the c110 scale story with a second encode
-      "c117_image_spec_rollover",
+      // banded serve — the c110 scale story with a second encode.
+      // c118 is the c2 MinHash side (banded, documents-scaled) + the
+      // c104 stored-code serve (decode prepaid) + result-sized
+      // link/verdict joins — both halves individually 10x-proven
+      "c117_image_spec_rollover", "c118_crossmodal_dup",
       // c113 is the same fold with a per-shard budget register
       "c113_budgeted_packing",
       // c114 sweeps three banded joins over the STORED codes (decode
@@ -494,7 +499,8 @@ object Bench {
   private val modelServingQueries =
     Set("c79b_trained_langid", "c92_budget_threshold")
   private val imageServingQueries =
-    Set("c104_image_code_serve", "c114_image_banding_curve")
+    Set("c104_image_code_serve", "c114_image_banding_curve",
+      "c118_crossmodal_dup")
   private val audioServingQueries =
     Set("c115_audio_code_serve")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],

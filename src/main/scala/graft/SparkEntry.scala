@@ -6301,6 +6301,79 @@ object SparkEntry {
       } finally { rows.unpersist(); () }
     }),
 
+    // C118 CROSS-MODAL document-level dup verdict — the decision a
+    // multimodal crawl actually ships (the r14 verdict's ask #4): the
+    // TEXT dup family (c2's MinHash-LSH pairs over planted re-crawl
+    // copies, docs ≡ 1 mod 3) and the IMAGE dup family (c104's
+    // STORED-code perceptual pairs — no decode in this plan) meet over
+    // an explicit doc↔media LINK table: every doc owns its hero image;
+    // docs ≡ 5 mod 10 additionally embed the RE-ENCODE of doc (d−5)'s
+    // image and docs ≡ 7 mod 10 the BRIGHTNESS-SHIFTED variant of doc
+    // (d−7)'s — so two docs with different text share perceptual
+    // content (image-dup, not text-dup) while re-crawled copies are
+    // text-dup with unrelated images. A doc is image-dup iff one of
+    // its media perceptually pairs with ANOTHER doc's media (a doc
+    // pairing with itself through its own two media is not a dup).
+    // Output is result-sized: only flagged docs, with the per-modality
+    // booleans and the composite verdict. Oracle = both sides' replays
+    // composed (the c97 pixel chain + the c2 planted relation) + the
+    // same link/verdict joins.
+    "c118_crossmodal_dup" -> ((s, dir) => {
+      import graft.operators.{Dedup, ImageDedup}
+      import graft.sources.ImageCodeStore
+      val docs = t(s, dir, "documents")
+      // text side: the c2 construction on the ≡1 mod 3 slice — the
+      // re-crawled copies a text dedup must find (jaccard 1.0; the
+      // planted-relation filter is the c2 oracle convention)
+      val withCopies = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(3)) === 1)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val textDup = Dedup.minhashDedupPairs(withCopies, "text", "doc_id")
+        .where(col("id_b") - col("id_a") === 1000000L)
+        .select(col("id_a").as("doc_id")).distinct()
+      // image side: perceptual pairs SERVED from the stored code table
+      val root = imageCodesRoot(s, dir)
+      val ip = ImageDedup.perceptualPairs(
+          ImageCodeStore.readCodes(s, root,
+            ImageCodeStore.committedSpecVersion(s, root)),
+          maxHamming = 3, hotBucketCap = 64)
+        .select("id_a", "id_b")
+      // the doc↔media link table (every arm guarded by base existence)
+      val ids = docs.select(col("doc_id"))
+      val own = ids.select(col("doc_id"), col("doc_id").as("media_id"))
+        .unionByName(ids.where(pmod(col("doc_id"), lit(10)) === 5)
+          .join(ids.select(col("doc_id").as("__b")),
+            col("doc_id") - 5 === col("__b"), "left_semi")
+          .select(col("doc_id"),
+            (col("doc_id") - 5 + 2000000L).as("media_id")))
+        .unionByName(ids.where(pmod(col("doc_id"), lit(10)) === 7)
+          .join(ids.select(col("doc_id").as("__b")),
+            col("doc_id") - 7 === col("__b"), "left_semi")
+          .select(col("doc_id"),
+            (col("doc_id") - 7 + 3000000L).as("media_id")))
+      // owners of both pair endpoints; cross-doc pairs only. The pair
+      // set is result-sized — AQE picks the join-back strategy.
+      val xdoc = ip
+        .join(own.select(col("doc_id").as("__da"),
+          col("media_id").as("id_a")), "id_a")
+        .join(own.select(col("doc_id").as("__db"),
+          col("media_id").as("id_b")), "id_b")
+        .where(col("__da") =!= col("__db"))
+      val imgDup = xdoc.select(col("__da").as("doc_id"))
+        .unionByName(xdoc.select(col("__db").as("doc_id"))).distinct()
+      textDup.withColumn("__t", lit(true))
+        .join(imgDup.withColumn("__i", lit(true)), Seq("doc_id"),
+          "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("__t"), lit(false)).as("text_dup"),
+          coalesce(col("__i"), lit(false)).as("image_dup"))
+        .withColumn("verdict",
+          when(col("text_dup") && col("image_dup"), lit("both"))
+            .when(col("text_dup"), lit("text"))
+            .otherwise(lit("image")))
+        .orderBy("doc_id")
+    }),
+
     // C117 image-code SPEC ROLLOVER across a REAL grid change — the
     // C85 blue/green story completed on the image store (the r14
     // verdict's ask #3): iv1 serves a grid-4 (16-bit) code table while
@@ -9090,6 +9163,40 @@ hist_${src}_$cent AS (
           |                      ORDER BY id)) AS members_fp
           |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // c118: both modality replays composed — the c97 pixel→pair chain
+    // for the image side, the c2 planted relation (≡1 mod 3 re-crawl
+    // copies, guaranteed found at jaccard 1.0) for the text side —
+    // joined over the same link-table rule and the same cross-doc
+    // verdict the engine runs
+    "c118_crossmodal_dup" ->
+      ("WITH " + c97ChainSql + ",\n" +
+        """td AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+          |own AS (
+          |  SELECT doc_id, doc_id AS media_id FROM documents
+          |  UNION ALL
+          |  SELECT a.doc_id, a.doc_id - 5 + 2000000 FROM documents a
+          |  JOIN documents b ON b.doc_id = a.doc_id - 5
+          |  WHERE a.doc_id % 10 = 5
+          |  UNION ALL
+          |  SELECT a.doc_id, a.doc_id - 7 + 3000000 FROM documents a
+          |  JOIN documents b ON b.doc_id = a.doc_id - 7
+          |  WHERE a.doc_id % 10 = 7),
+          |ip AS (SELECT id_a, id_b FROM hm WHERE hamming <= 3),
+          |xd AS (
+          |  SELECT oa.doc_id AS da, ob.doc_id AS db
+          |  FROM ip p JOIN own oa ON oa.media_id = p.id_a
+          |            JOIN own ob ON ob.media_id = p.id_b
+          |  WHERE oa.doc_id <> ob.doc_id),
+          |imgd AS (SELECT da AS doc_id FROM xd UNION SELECT db FROM xd),
+          |v AS (
+          |  SELECT coalesce(t.doc_id, i.doc_id) AS doc_id,
+          |         t.doc_id IS NOT NULL AS text_dup,
+          |         i.doc_id IS NOT NULL AS image_dup
+          |  FROM td t FULL OUTER JOIN imgd i ON t.doc_id = i.doc_id)
+          |SELECT doc_id, text_dup, image_dup,
+          |       CASE WHEN text_dup AND image_dup THEN 'both'
+          |            WHEN text_dup THEN 'text' ELSE 'image' END AS verdict
+          |FROM v ORDER BY doc_id""".stripMargin),
 
     // exact heavy-hitter replica; the CMS booleans are expected TRUE (the
     // sketch's deterministic never-undercount property and the eps·N
