@@ -163,6 +163,13 @@ object Bench {
     // cross-modal per-doc verdict (text MinHash side + stored-code
     // image side over the link table; image decode prepaid via prewarm)
     "c117_image_spec_rollover", "c118_crossmodal_dup",
+    // r15: stored-SIGNATURE text serving (tokenize prepaid via
+    // prewarm — the row times the c2 question BANDED from the stored
+    // table; its headline delta vs c2 IS the serving win on the
+    // biggest modality), the incremental cross serve (reference side
+    // stored, increment computed), and the signature vacuum lifecycle
+    "c119_text_sig_serve", "c120_text_sigs_vacuum",
+    "c121_text_sig_incremental",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -386,6 +393,16 @@ object Bench {
       "c117_image_spec_rollover", "c118_crossmodal_dup",
       // c113 is the same fold with a per-shard budget register
       "c113_budgeted_packing",
+      // r15: c119 reads the stored signature table (the tokenize+
+      // publish is prepaid by maybePrewarm — the row times SERVING:
+      // the banded join scales with the docs-scaled sig table, the
+      // verify with the planted-pair set); c121 is the same banding
+      // with a computed increment side (increment-scaled tokenize +
+      // the cross candidate join); c120's lifecycle tokenizes +
+      // double-publishes + vacuums (the docs-scaled signature pass
+      // dominates, the c110 shape)
+      "c119_text_sig_serve", "c120_text_sigs_vacuum",
+      "c121_text_sig_incremental",
       // c114 sweeps three banded joins over the STORED codes (decode
       // prepaid by the c104 prewarm) — candidate volume is banding-
       // bounded by the hot-bucket cap, the c3/c97 contract per point
@@ -503,6 +520,8 @@ object Bench {
       "c118_crossmodal_dup")
   private val audioServingQueries =
     Set("c115_audio_code_serve")
+  private val textSigServingQueries =
+    Set("c119_text_sig_serve", "c121_text_sig_incremental")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],
                            dir: String): Unit = {
     if (names.exists(modelServingQueries)) {
@@ -516,6 +535,10 @@ object Bench {
     if (names.exists(audioServingQueries)) {
       System.err.println(s"[bench] prewarming audio-code store for $dir")
       SparkEntry.prewarmAudioCodes(spark, dir)
+    }
+    if (names.exists(textSigServingQueries)) {
+      System.err.println(s"[bench] prewarming text-signature store for $dir")
+      SparkEntry.prewarmTextSigs(spark, dir)
     }
   }
 

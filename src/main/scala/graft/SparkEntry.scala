@@ -237,6 +237,85 @@ object SparkEntry {
     audioCodesRoot(s, dir); ()
   }
 
+  /** The c119/c121 text-dedup corpus: every document plus one exact
+    * re-crawl copy at +1e6 — the c2 construction verbatim, so the c2
+    * planted oracle gates the stored-signature serving paths unchanged.
+    */
+  private def textSigCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  private val textSigRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The C119 stored-signature root for `dir`: tokenize + minhash +
+    * publish ONCE per (JVM, corpus) — the spec version, then the
+    * MinHash signature rows in two ingest epochs (even / odd doc ids)
+    * with epoch 1 REPLAYED (at-least-once delivery; the D8 partition
+    * rule makes it exactly-once). Every serving query reads the stored
+    * table; the full-corpus MinHashSigExpr pass is paid here, per NEW
+    * document — never per query (the imageCodesRoot discipline on the
+    * text surface, where at 100 TB the tokenize pass IS the query
+    * cost).
+    */
+  private def textSigsRoot(s: SparkSession, dir: String): String =
+    textSigRoots.computeIfAbsent(dir, _ => {
+      import graft.operators.Dedup
+      import graft.sources.TextSigStore
+      import org.apache.hadoop.fs.Path
+      // full-path hash in the scratch name (the langidModelRoot rule):
+      // two dirs sharing a basename must not share a store
+      val root = Tables.scratch("text_sigs_" +
+        new java.io.File(dir).getName + "_" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val rep = TextSigStore.publishSpec(s, root, "minhash",
+        k = 64, bands = 16, shingleW = 3)
+      require(rep.committed, s"text sig spec publish failed: ${rep.failures}")
+      val v = TextSigStore.committedSpecVersion(s, root)
+      // persist: the two epoch filters below would otherwise tokenize
+      // the corpus twice — the signature pass is exactly the cost this
+      // store exists to pay once
+      val sigs = Dedup.minhashSigRows(textSigCorpus(s, dir), "text",
+        "doc_id").persist()
+      try {
+        TextSigStore.appendSigsEpoch(
+          sigs.where(pmod(col("doc_id"), lit(2)) === 0), root, v, 0L)
+        TextSigStore.appendSigsEpoch(
+          sigs.where(pmod(col("doc_id"), lit(2)) === 1), root, v, 1L)
+        // at-least-once delivery: epoch 1 redelivered — the D8 rule
+        // overwrites its own partition with bit-identical rows
+        TextSigStore.appendSigsEpoch(
+          sigs.where(pmod(col("doc_id"), lit(2)) === 1), root, v, 1L)
+      } finally { sigs.unpersist(); () }
+      root
+    })
+
+  /** Bench hook: pay the one-time tokenize+publish OUTSIDE a timed
+    * probe (the c104 prewarm discipline on the text-signature store).
+    */
+  def prewarmTextSigs(s: SparkSession, dir: String): Unit = {
+    textSigsRoot(s, dir); ()
+  }
+
+  /** Loud replay-visibility gate shared by the stored-signature serving
+    * paths: exactly one signature row per doc — epoch duplication would
+    * be invisible to the pair DISTINCT downstream, so it must fail HERE.
+    */
+  private def requireOneSigPerDoc(sigs: DataFrame): DataFrame = {
+    val dup = sigs.groupBy("doc_id").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).count()
+    require(dup == 0,
+      s"$dup doc ids stored more than once — epoch replay broke the " +
+        "D8 partition rule")
+    sigs
+  }
+
   /** The c105 question answered from a STORED landmark table: the
     * replay-visibility gate (exactly one meta row per clip — epoch
     * duplication would be invisible to the pair groupBy), the
@@ -6451,6 +6530,113 @@ object SparkEntry {
       } finally { codes8.unpersist(); () }
     }),
 
+    // C119 text MinHash-SIGNATURE store serving — the c104/c115
+    // stored-code discipline on the LARGEST modality: every text dedup
+    // query was re-running the full-corpus MinHashSigExpr pass
+    // (normalize + tokenize + shingle + k minima over every byte of
+    // text) inside every run; at 100 TB that pass IS the query cost.
+    // Here the signature rows are published ONCE per corpus through
+    // the versioned TextSigStore (spec v1, two ingest epochs by doc-id
+    // parity, epoch 1 REPLAYED — the C82/C104 incremental discipline)
+    // and the pair query BANDS from the stored table: no tokenizer on
+    // the corpus side of the plan; only semi-join-pruned candidates
+    // pay a text read at verify. Oracle = the c2 planted replay
+    // UNCHANGED — pairs-from-stored must hash-equal pairs-from-compute,
+    // which a lossy round trip, a k/band mix-up, or a non-idempotent
+    // replay cannot fake (the one-sig-per-doc gate makes duplication
+    // loud BEFORE the candidate DISTINCT would collapse it).
+    "c119_text_sig_serve" -> ((s, dir) => {
+      import graft.operators.Dedup
+      import graft.sources.TextSigStore
+      val root = textSigsRoot(s, dir)
+      val v = TextSigStore.committedSpecVersion(s, root)
+      val sigs = requireOneSigPerDoc(TextSigStore.readSigs(s, root, v))
+      Dedup.minhashPairsFromSigs(sigs, textSigCorpus(s, dir), "text",
+          "doc_id")
+        .where(col("id_b") - col("id_a") === 1000000L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // C120 retired text-signature vacuum — the C110/C116 lifecycle
+    // rule on the C119 key space: after a spec rollover (v2 published,
+    // sv2 backfilled) the old version's signatures are corpus-sized
+    // dead weight; the vacuum removes sv trees at or below
+    // committed − keepVersions, refuses the committed version and
+    // in-flight newer keys, and serving from the surviving key space
+    // still answers c2's question exactly (the c2 oracle verbatim — a
+    // vacuum that touched live signatures could not hash-match).
+    "c120_text_sigs_vacuum" -> ((s, dir) => {
+      import graft.operators.Dedup
+      import graft.sources.TextSigStore
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("c120_vac_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val corpus = textSigCorpus(s, dir)
+      val sigs = Dedup.minhashSigRows(corpus, "text", "doc_id").persist()
+      try {
+        require(TextSigStore.publishSpec(s, root, "minhash", 64, 16, 3)
+          .committed)
+        TextSigStore.appendSigsEpoch(sigs, root, 1, 0L)
+        // the rollover: v2 re-published (same parameters — the version
+        // is the key, not the content), sv2 backfilled
+        require(TextSigStore.publishSpec(s, root, "minhash", 64, 16, 3)
+          .committed)
+        TextSigStore.appendSigsEpoch(sigs, root, 2, 0L)
+        val rep = TextSigStore.vacuumRetiredSigs(s, root,
+          keepVersions = 1)
+        require(rep.committed == 2 && rep.removed == Seq(1) &&
+          rep.kept == Seq(2), s"vacuum accounting off: $rep")
+        require(!fs.exists(new Path(
+          s"$root/${TextSigStore.SigsTable}/sv1")),
+          "retired key space must be gone")
+        // idempotent: a rerun finds nothing to remove
+        val again = TextSigStore.vacuumRetiredSigs(s, root, 1)
+        require(again.removed.isEmpty && again.kept == Seq(2),
+          s"vacuum rerun must be a no-op: $again")
+        Dedup.minhashPairsFromSigs(
+            requireOneSigPerDoc(TextSigStore.readSigs(s, root, 2)),
+            corpus, "text", "doc_id")
+          .where(col("id_b") - col("id_a") === 1000000L)
+          .orderBy("id_a", "id_b")
+      } finally { sigs.unpersist(); () }
+    }),
+
+    // C121 INCREMENTAL cross-corpus dedup from stored signatures — the
+    // real shape of a daily crawl at 100 TB: yesterday's corpus (the
+    // reference) has its signatures SITTING in the store; only today's
+    // increment pays a MinHashSigExpr pass. The c2b question (which
+    // increment docs are re-crawls of a reference original?) is served
+    // with the reference side read from sv1 — the history corpus is
+    // never re-tokenized, which is the difference between an
+    // increment-sized job and a corpus-sized one. Oracle = the c2b
+    // planted replay UNCHANGED.
+    "c121_text_sig_incremental" -> ((s, dir) => {
+      import graft.operators.Dedup
+      import graft.sources.TextSigStore
+      val docs = t(s, dir, "documents")
+      val inc = docs.where(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .unionByName(docs.where(col("doc_id") % 3 =!= 0)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L))
+          .withColumn("text", reverse(col("text"))))
+      val root = textSigsRoot(s, dir)
+      val v = TextSigStore.committedSpecVersion(s, root)
+      // the store holds the full c119 corpus (originals + planted
+      // copies); the reference slice is the originals — a stored-key
+      // filter, not a re-tokenize
+      val refSigs = requireOneSigPerDoc(
+        TextSigStore.readSigs(s, root, v))
+        .where(col("doc_id") < 1000000L)
+      Dedup.minhashCrossPairsFromSigs(refSigs, docs, inc, "text",
+          "doc_id")
+        .where(col("inc_id") - col("ref_id") === 1000000L)
+        .orderBy("ref_id", "inc_id")
+    }),
+
     // C111 bounded FIRST-fit-decreasing packing — the BFD-vs-FFD A/B
     // on the c106 harness: identical slot machine, identical corpus
     // and rollup, only the election differs (oldest open bin that
@@ -6591,6 +6777,21 @@ object SparkEntry {
       // serving plan, a half-complete iv2 backfill, or a replay
       // duplication could not hash-match the grid-8 perceptual replay
       "c117_image_spec_rollover" -> base("c97_image_perceptual_dedup"),
+      // c119 serves c2's exact question with the banding fed from the
+      // stored signature table — k exact longs round-trip parquet
+      // bit-exactly, so the same planted replay is the oracle; a lossy
+      // round trip, a k/band mix-up, or a duplicated replay epoch
+      // breaks the hash
+      "c119_text_sig_serve" -> base("c2_minhash_lsh"),
+      // c120 serves the same question from the SURVIVING key space
+      // after the vacuum — a vacuum that touched live signatures (or
+      // left the old key serving) could not hash-match the replay
+      "c120_text_sigs_vacuum" -> base("c2_minhash_lsh"),
+      // c121 serves c2b's exact cross-corpus question with the
+      // REFERENCE side banded from stored signatures — only the
+      // increment is tokenized, and the planted re-crawl replay gates
+      // that the stored side pairs identically to the computed one
+      "c121_text_sig_incremental" -> base("c2b_minhash_cross"),
       // c114: the pixel chain + one banded block per band count
       "c114_image_banding_curve" ->
         c114OracleSql(Seq(2, 4, 8), maxHamming = 3),

@@ -96,19 +96,48 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, bands: Int = 16,
                         threshold: Double = 0.7,
-                        hotBucketCap: Int = 64): DataFrame = {
+                        hotBucketCap: Int = 64): DataFrame =
+    minhashPairsFromSigs(minhashSigRows(df, textCol, idCol, k), df,
+      textCol, idCol, k, bands, threshold, hotBucketCap)
+
+  /** The per-document MinHash signature rows (doc_id, sig) — the
+    * compute-heavy half of [[minhashDedupPairs]] carved out (C119): one
+    * codegen'd MinHashSigExpr pass (tokens → shingle chain-hash → k
+    * running minima) over the full text. This is the pass a STORED
+    * signature table ([[graft.sources.TextSigStore]]) prepays per NEW
+    * document so that no dedup query ever re-tokenizes the corpus; the
+    * signature is k exact longs, so it round-trips parquet bit-exactly
+    * and pairs-from-stored ≡ pairs-from-compute by construction (both
+    * feed [[minhashPairsFromSigs]] verbatim).
+    */
+  def minhashSigRows(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 64): DataFrame = {
+    val tokens = TextFunctions.wsTokens(TextFunctions.normalize(col(textCol)))
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.GraftExpressions
+        .minhashSignature(tokens, 3, k).as("sig"))
+  }
+
+  /** [[minhashDedupPairs]]'s join half, fed by precomputed signature rows
+    * ((doc_id, sig) — [[minhashSigRows]] live, or
+    * [[graft.sources.TextSigStore.readSigs]] stored): banding, hot-bucket
+    * census/escalation, candidate DISTINCT and exact-Jaccard verify are
+    * IDENTICAL to the one-shot path — the only difference is where `sig`
+    * comes from. The verify side still reads `docs` text, but only for
+    * the semi-join-pruned candidate ids (result-sized, never the corpus
+    * scan the stored path exists to kill).
+    */
+  def minhashPairsFromSigs(sigs: DataFrame, docs: DataFrame,
+                           textCol: String, idCol: String,
+                           k: Int = 64, bands: Int = 16,
+                           threshold: Double = 0.7,
+                           hotBucketCap: Int = 64): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val shingled = df.select(
+    val shingled = docs.select(
       col(idCol).as("id"), shingleHashes(col(textCol)).as("shingles"))
-    // signature via the one-pass codegen'd MinHashSigExpr (tokens → shingle
-    // chain-hash → k running minima); the string-shingle arrays above are
-    // only ever joined to the DISTINCT'd candidate pairs for verification
-    val tokens = TextFunctions.wsTokens(TextFunctions.normalize(col(textCol)))
-    val banded = df
-      .select(col(idCol).as("id"),
-        graft.functions.GraftExpressions
-          .minhashSignature(tokens, 3, k).as("sig"))
+    val banded = sigs
+      .select(col("doc_id").as("id"), col("sig"))
       .select(col("id"), xxhash64(col("sig")).as("sigh"),
         posexplode(array((0 until bands).map(j =>
           xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*))
@@ -188,24 +217,36 @@ object Dedup {
   def minhashCrossPairs(ref: DataFrame, inc: DataFrame, textCol: String,
                         idCol: String, k: Int = 64, bands: Int = 16,
                         threshold: Double = 0.7,
-                        hotBucketCap: Int = 64): DataFrame = {
+                        hotBucketCap: Int = 64): DataFrame =
+    minhashCrossPairsFromSigs(minhashSigRows(ref, textCol, idCol, k), ref,
+      inc, textCol, idCol, k, bands, threshold, hotBucketCap)
+
+  /** [[minhashCrossPairs]] with the REFERENCE side's signatures
+    * precomputed (C121 — the real incremental-crawl serving shape:
+    * history's signatures sit in [[graft.sources.TextSigStore]], only
+    * today's increment pays its own MinHashSigExpr pass). Banding,
+    * union census, hot-bucket escalation and the cross candidate join
+    * are [[minhashCrossPairs]] verbatim; the reference text is read
+    * only for semi-join-pruned candidate ids at verify time.
+    */
+  def minhashCrossPairsFromSigs(refSigs: DataFrame, ref: DataFrame,
+                                inc: DataFrame, textCol: String,
+                                idCol: String, k: Int = 64,
+                                bands: Int = 16, threshold: Double = 0.7,
+                                hotBucketCap: Int = 64): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     def shingled(df: DataFrame): DataFrame = df.select(
       col(idCol).as("id"), shingleHashes(col(textCol)).as("shingles"))
-    def banded(df: DataFrame, side: String): DataFrame = {
-      val tokens =
-        TextFunctions.wsTokens(TextFunctions.normalize(col(textCol)))
-      df.select(col(idCol).as("id"),
-          graft.functions.GraftExpressions
-            .minhashSignature(tokens, 3, k).as("sig"))
+    def banded(sigs: DataFrame, side: String): DataFrame =
+      sigs.select(col("doc_id").as("id"), col("sig"))
         .select(lit(side).as("side"), col("id"),
           xxhash64(col("sig")).as("sigh"),
           posexplode(array((0 until bands).map(j =>
             xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*))
             .as(Seq("band", "bucket")))
-    }
-    val both = banded(ref, "ref").unionByName(banded(inc, "inc"))
+    val both = banded(refSigs, "ref")
+      .unionByName(banded(minhashSigRows(inc, textCol, idCol, k), "inc"))
     val census = both.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__bsz"))
     val cap =

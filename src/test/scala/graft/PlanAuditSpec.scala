@@ -197,6 +197,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "no corpus-sized pair-join side may broadcast")
   }
 
+  test("c119/c121: stored-signature serving has NO minhash-signature " +
+    "compute anywhere in the plan (the store's whole point — the " +
+    "full-corpus tokenize pass must not leak back in); the one-shot c2 " +
+    "path keeps it (positive control)") {
+    val p119 = plan("c119_text_sig_serve").toLowerCase
+    assert(!p119.contains("minhashsig"),
+      "a MinHashSigExpr pass leaked into the stored-signature serving plan")
+    val p121 = plan("c121_text_sig_incremental").toLowerCase
+    // the increment side COMPUTES its sigs (that is the contract);
+    // the reference side must read the store — exactly one compute
+    // subtree, not two
+    assert(p121.contains("minhashsig"),
+      "the increment side must compute its own signatures")
+    val p2 = plan("c2_minhash_lsh").toLowerCase
+    assert(p2.contains("minhashsig"),
+      "positive control: the one-shot path computes signatures in-plan")
+  }
+
   test("c104: stored-code serving has NO decode stage anywhere in the " +
     "plan (the store's whole point — the mapPartitions codec pass must " +
     "not leak back in) and the banded self-join stays shuffled") {
