@@ -170,6 +170,9 @@ object Bench {
     // stored, increment computed), and the signature vacuum lifecycle
     "c119_text_sig_serve", "c120_text_sigs_vacuum",
     "c121_text_sig_incremental",
+    // r15: the streaming-packing batch twin (c106's fold in arrival-
+    // epoch order — same sort + O(1) slot state, one extra rank column)
+    "d44_stream_packing",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -403,6 +406,9 @@ object Bench {
       // dominates, the c110 shape)
       "c119_text_sig_serve", "c120_text_sigs_vacuum",
       "c121_text_sig_incremental",
+      // d44 is c106's sort + fold with an epoch rank column — the
+      // identical scale story
+      "d44_stream_packing",
       // c114 sweeps three banded joins over the STORED codes (decode
       // prepaid by the c104 prewarm) — candidate volume is banding-
       // bounded by the hot-bucket cap, the c3/c97 contract per point

@@ -5965,6 +5965,45 @@ object SparkEntry {
         .orderBy("source", "band", "bin")
     }),
 
+    // D44 streaming whole-doc packing — c106's slot machine folded
+    // ACROSS arrival epochs (the r14 verdict's ask #5): under
+    // continuous arrival the open bins must survive the trigger (a bin
+    // left 60% full by epoch 0 takes the small doc arriving in epoch
+    // 2), so the O(k) slot state lives in a keyed GroupState per
+    // (source, band) shard. This key runs the BATCH TWIN
+    // (packWholeDocsBoundedEpochs — the same BinSlots.place the stream
+    // drives, epoch-major order, BFD within an epoch) over the c106
+    // corpus with arrival epoch = doc_id % 3; PackingStreamSpec locks
+    // stream ≡ twin through real triggers, cross-batch bin reuse
+    // included. Oracle = the c106 recursive slot-machine CTE re-ranked
+    // by arrival epoch — a fold that dropped state at an epoch
+    // boundary (or leaked it across shards) could not hash-match.
+    "d44_stream_packing" -> ((s, dir) => {
+      import graft.operators.Chunking
+      val G = graft.functions.GraftExpressions
+      val base = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("tk"))
+      val corpus = base.unionByName(base.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          (col("tk") + 300L).as("tk")))
+        .withColumn("ep", pmod(col("doc_id"), lit(3)))
+      Chunking.packWholeDocsBoundedEpochs(corpus, "doc_id", "tk",
+          "source", "ep", nBands = 4, budget = 256L, openBins = 3)
+        .groupBy("source", "band", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("fill_tokens"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("docs_fp"))
+        .select(col("source"), col("band"), col("bin"), col("n_docs"),
+          col("fill_tokens"),
+          G.longDiv(col("fill_tokens") * lit(1000000L), lit(256L))
+            .as("util_ppm"),
+          (col("fill_tokens") > 256L).as("overflow"), col("docs_fp"))
+        .orderBy("source", "band", "bin")
+    }),
+
     // C107 CROSS-VERSION reindex gate — c102's integer-TV harness
     // pointed at STORED code generations (the r13 verdict's ask #5):
     // c102 re-assigns raw vectors on demand; here the decision reads
@@ -7625,8 +7664,16 @@ object SparkEntry {
     * re-interpolate a stripMargin'd string into another block).
     */
   private def boundedPackOracleSql(firstFit: Boolean,
-                                    perSourceBudget: Boolean = false)
+                                    perSourceBudget: Boolean = false,
+                                    epochArrival: Boolean = false)
       : String = {
+    // d44: the same slot machine replayed in ARRIVAL order — the rank
+    // that drives the recursion sorts by epoch first, BFD within
+    val epSel1 =
+      if (epochArrival) ",\n         doc_id % 3 AS ep" else ""
+    val epSel2 =
+      if (epochArrival) ",\n         (doc_id + 1000000) % 3 AS ep" else ""
+    val ord = if (epochArrival) "ep, " else ""
     // budget expression per context: the recursive arm reads the
     // current row's budget (a.bg), the base case the ranked row's (bg);
     // fixed-budget keys keep the literal
@@ -7675,15 +7722,15 @@ object SparkEntry {
         |  FROM documents),
         |corpus AS (
         |  SELECT doc_id, source, CAST(tk AS BIGINT) AS tk,
-        |         doc_id % 4 AS band$bgSel
+        |         doc_id % 4 AS band$epSel1$bgSel
         |  FROM toks
         |  UNION ALL
         |  SELECT doc_id + 1000000, source, CAST(tk + 300 AS BIGINT),
-        |         (doc_id + 1000000) % 4$bgSel
+        |         (doc_id + 1000000) % 4$epSel2$bgSel
         |  FROM toks WHERE doc_id % 97 = 0),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY source, band
-        |             ORDER BY tk DESC, doc_id) AS rn
+        |             ORDER BY ${ord}tk DESC, doc_id) AS rn
         |  FROM corpus),
         |rec AS (
         |  SELECT source, band, rn, doc_id, tk,
@@ -9268,6 +9315,12 @@ hist_${src}_$cent AS (
     // placement, fullest-evicted closure — with the k=3 slot state as
     // recursion columns (the d32/c100 discipline at state width k)
     "c106_bounded_bin_packing" -> boundedPackOracleSql(firstFit = false),
+
+    // d44: the identical slot machine replayed in ARRIVAL order (epoch
+    // major, BFD within) — state carried across epoch boundaries is
+    // exactly what distinguishes this rank from c106's
+    "d44_stream_packing" ->
+      boundedPackOracleSql(firstFit = false, epochArrival = true),
 
     // c111: the same slot machine with the FIRST-FIT election (oldest
     // open bin that fits) — one CASE block differs, everything shared

@@ -317,9 +317,7 @@ object Chunking {
       var curSource: String = null
       var curBand = Long.MinValue
       var curBg = Long.MinValue
-      val binIds = new Array[Long](k)
-      val fills = new Array[Long](k)
-      var nextBin = 0L
+      val slots = new BinSlots(k)
       rows.map { r =>
         val src = r.getString(0)
         val band = r.getLong(1)
@@ -329,47 +327,92 @@ object Chunking {
         if (src != curSource || band != curBand) {
           curSource = src; curBand = band; curBg = bg
           require(bg > 0, s"source $src: budget $bg must be positive")
-          java.util.Arrays.fill(binIds, -1L)
-          nextBin = 0L
+          slots.reset()
         } else require(bg == curBg,
           s"source $src carries two budgets ($curBg and $bg) — the " +
             "per-source-constant contract is broken")
-        var tgt = -1
-        var i = 0
-        while (i < k) {
-          if (binIds(i) >= 0 && fills(i) + tk <= curBg &&
-              (tgt < 0 ||
-                (if (firstFit) binIds(i) < binIds(tgt)
-                 else fills(i) > fills(tgt) ||
-                   (fills(i) == fills(tgt) && binIds(i) < binIds(tgt)))))
-            tgt = i
-          i += 1
-        }
-        val bin =
-          if (tgt >= 0) { fills(tgt) += tk; binIds(tgt) }
-          else if (tk > curBg) { nextBin += 1L; nextBin - 1L }
-          else {
-            var slot = -1
-            var j = 0
-            while (j < k && slot < 0) { if (binIds(j) < 0) slot = j; j += 1 }
-            if (slot < 0) {
-              slot = 0
-              var m = 1
-              while (m < k) {
-                if (fills(m) > fills(slot) ||
-                    (fills(m) == fills(slot) && binIds(m) < binIds(slot)))
-                  slot = m
-                m += 1
-              }
-            }
-            binIds(slot) = nextBin
-            fills(slot) = tk
-            nextBin += 1L
-            binIds(slot)
-          }
-        org.apache.spark.sql.Row(src, band, id, tk, bg, bin)
+        org.apache.spark.sql.Row(src, band, id, tk, bg,
+          slots.place(tk, curBg, firstFit))
       }
     }(enc)
+  }
+
+  /** The k-slot open-bin state machine shared by EVERY bounded-space
+    * packing fold (C106/C111/C113 batch, D44 streaming): parallel
+    * arrays of open bin ids and fills (slot i open iff binIds(i) ≥ 0),
+    * plus the next bin id. [[place]] is the whole election: best-fit
+    * (fullest eligible, tie lowest id) or first-fit (lowest-id
+    * eligible); an oversized doc gets its own immediately-closed bin;
+    * on a miss with a full slot set the FULLEST open bin is evicted.
+    * O(k) state — exactly what a streaming GroupState must carry per
+    * (source, band) shard for the fold to survive micro-batch
+    * boundaries.
+    */
+  final class BinSlots(val k: Int) extends Serializable {
+    val binIds = new Array[Long](k)
+    val fills = new Array[Long](k)
+    var nextBin = 0L
+    reset()
+
+    def reset(): Unit = {
+      java.util.Arrays.fill(binIds, -1L)
+      java.util.Arrays.fill(fills, 0L)
+      nextBin = 0L
+    }
+
+    /** Place one document of `tk` tokens under `budget`; returns the
+      * bin id it lands in (mutating the open-slot state).
+      */
+    def place(tk: Long, budget: Long, firstFit: Boolean): Long = {
+      // election: best fit = fullest open bin that still fits (tie →
+      // lowest id); first fit = oldest (lowest-id) open bin that fits
+      var tgt = -1
+      var i = 0
+      while (i < k) {
+        if (binIds(i) >= 0 && fills(i) + tk <= budget &&
+            (tgt < 0 ||
+              (if (firstFit) binIds(i) < binIds(tgt)
+               else fills(i) > fills(tgt) ||
+                 (fills(i) == fills(tgt) && binIds(i) < binIds(tgt)))))
+          tgt = i
+        i += 1
+      }
+      if (tgt >= 0) { fills(tgt) += tk; binIds(tgt) }
+      else if (tk > budget) { nextBin += 1L; nextBin - 1L } // own bin, closed
+      else {
+        // place the new bin: an empty slot if any, else evict the
+        // FULLEST open bin (tie → lowest id)
+        var slot = -1
+        var j = 0
+        while (j < k && slot < 0) { if (binIds(j) < 0) slot = j; j += 1 }
+        if (slot < 0) {
+          slot = 0
+          var m = 1
+          while (m < k) {
+            if (fills(m) > fills(slot) ||
+                (fills(m) == fills(slot) && binIds(m) < binIds(slot)))
+              slot = m
+            m += 1
+          }
+        }
+        binIds(slot) = nextBin
+        fills(slot) = tk
+        nextBin += 1L
+        binIds(slot)
+      }
+    }
+  }
+
+  object BinSlots {
+    /** Rehydrate from a streaming GroupState snapshot. */
+    def restore(binIds: Array[Long], fills: Array[Long],
+                nextBin: Long): BinSlots = {
+      val s = new BinSlots(binIds.length)
+      Array.copy(binIds, 0, s.binIds, 0, binIds.length)
+      Array.copy(fills, 0, s.fills, 0, fills.length)
+      s.nextBin = nextBin
+      s
+    }
   }
 
   /** @param firstFit C111's election instead of C106's: the OLDEST
@@ -405,10 +448,7 @@ object Chunking {
     sorted.mapPartitions { rows =>
       var curSource: String = null
       var curBand = Long.MinValue
-      // open slots: parallel arrays, slot i open iff binIds(i) >= 0
-      val binIds = new Array[Long](k)
-      val fills = new Array[Long](k)
-      var nextBin = 0L
+      val slots = new BinSlots(k)
       rows.map { r =>
         val src = r.getString(0)
         val band = r.getLong(1)
@@ -416,47 +456,73 @@ object Chunking {
         val tk = r.getLong(3)
         if (src != curSource || band != curBand) {
           curSource = src; curBand = band
-          java.util.Arrays.fill(binIds, -1L)
-          nextBin = 0L
+          slots.reset()
         }
-        // election: best fit = fullest open bin that still fits (tie →
-        // lowest id); first fit = oldest (lowest-id) open bin that fits
-        var tgt = -1
-        var i = 0
-        while (i < k) {
-          if (binIds(i) >= 0 && fills(i) + tk <= B &&
-              (tgt < 0 ||
-                (if (firstFit) binIds(i) < binIds(tgt)
-                 else fills(i) > fills(tgt) ||
-                   (fills(i) == fills(tgt) && binIds(i) < binIds(tgt)))))
-            tgt = i
-          i += 1
+        org.apache.spark.sql.Row(src, band, id, tk,
+          slots.place(tk, B, firstFit))
+      }
+    }(enc)
+  }
+
+  /** D44's batch twin: [[packWholeDocsBounded]] with an explicit
+    * ARRIVAL-EPOCH column — the fold a continuously-arriving corpus
+    * actually runs. The slot state resets on a (source, band) shard
+    * change ONLY, never on an epoch boundary: a bin opened by epoch 0
+    * stays open for a small doc arriving in epoch 2 — exactly the
+    * cross-micro-batch state [[graft.streaming.PackingStream]] carries
+    * in its GroupState, so streamed assignments ≡ this fold on the
+    * same arrival order BY CONSTRUCTION (both drive
+    * [[BinSlots.place]]). Within an epoch the descending-token BFD
+    * rule still applies (a trigger's arrivals are packed
+    * best-fit-decreasing); ACROSS epochs order is arrival, which is
+    * the whole point — global BFD needs the future.
+    *
+    * Output carries `epoch` so a twin comparison can key on it; the
+    * rollup contract is otherwise [[packWholeDocsBounded]]'s.
+    */
+  def packWholeDocsBoundedEpochs(df: DataFrame, idCol: String,
+                                 tokensCol: String, sourceCol: String,
+                                 epochCol: String, nBands: Int,
+                                 budget: Long, openBins: Int,
+                                 firstFit: Boolean = false): DataFrame = {
+    require(budget > 0 && nBands > 0, "need budget > 0 and nBands > 0")
+    require(openBins >= 1, s"openBins $openBins < 1")
+    import org.apache.spark.sql.types._
+    val in = df.select(col(sourceCol).cast("string").as("source"),
+      pmod(col(idCol).cast("long"), lit(nBands.toLong)).as("band"),
+      col(epochCol).cast("long").as("epoch"),
+      col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).cast("long").as("tk"))
+    val sorted = in.repartition(col("source"), col("band"))
+      .sortWithinPartitions(col("source"), col("band"), col("epoch"),
+        col("tk").desc, col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("band", LongType),
+      StructField("epoch", LongType),
+      StructField("doc_id", LongType),
+      StructField("tk", LongType),
+      StructField("bin", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val k = openBins
+    val B = budget
+    sorted.mapPartitions { rows =>
+      var curSource: String = null
+      var curBand = Long.MinValue
+      val slots = new BinSlots(k)
+      rows.map { r =>
+        val src = r.getString(0)
+        val band = r.getLong(1)
+        val ep = r.getLong(2)
+        val id = r.getLong(3)
+        val tk = r.getLong(4)
+        if (src != curSource || band != curBand) {
+          curSource = src; curBand = band
+          slots.reset()
         }
-        val bin =
-          if (tgt >= 0) { fills(tgt) += tk; binIds(tgt) }
-          else if (tk > B) { nextBin += 1L; nextBin - 1L } // own bin, closed
-          else {
-            // place the new bin: an empty slot if any, else evict the
-            // FULLEST open bin (tie → lowest id)
-            var slot = -1
-            var j = 0
-            while (j < k && slot < 0) { if (binIds(j) < 0) slot = j; j += 1 }
-            if (slot < 0) {
-              slot = 0
-              var m = 1
-              while (m < k) {
-                if (fills(m) > fills(slot) ||
-                    (fills(m) == fills(slot) && binIds(m) < binIds(slot)))
-                  slot = m
-                m += 1
-              }
-            }
-            binIds(slot) = nextBin
-            fills(slot) = tk
-            nextBin += 1L
-            binIds(slot)
-          }
-        org.apache.spark.sql.Row(src, band, id, tk, bin)
+        org.apache.spark.sql.Row(src, band, ep, id, tk,
+          slots.place(tk, B, firstFit))
       }
     }(enc)
   }

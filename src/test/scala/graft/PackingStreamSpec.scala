@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Chunking
+import graft.streaming.PackingStream
+
+/** D44 contracts: the open-bin slot state SURVIVES micro-batch
+  * boundaries (a bin opened in trigger 0 takes a small doc arriving in
+  * trigger 2); streamed assignments ≡ the epoch batch twin on the same
+  * arrival order; the epoch twin itself differs from the global-BFD
+  * batch fold exactly when arrival order forces it to (the operator is
+  * not vacuously the batch one); and the stateful operator is really
+  * in the streaming plan.
+  */
+class PackingStreamSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val s = spark
+
+  test("d44: cross-trigger bin reuse — streamed assignments ≡ the epoch " +
+    "batch twin, and a bin opened in trigger 0 is topped off by " +
+    "trigger 2") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = s
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    // one shard (nBands=1, one source). budget 100, k=2 open bins.
+    // epoch 0: 60 + 80 → two open bins (80-full, 60-full)
+    // epoch 1: 90 → fits nothing; k full → evict the FULLEST (90... no:
+    //          90 opens a new bin, evicting the 80-full one)
+    // epoch 2: 30 → best-fit: the 60-full bin (60+30=90 ≤ 100) — a bin
+    //          OPENED TWO TRIGGERS AGO takes it (the whole point)
+    val epochs = Seq(
+      Seq((1L, 60L), (2L, 80L)),
+      Seq((3L, 90L)),
+      Seq((4L, 30L)))
+    val input = MemoryStream[(Long, Long)]
+    val assigned = PackingStream.packStream(
+      input.toDF().toDF("doc_id", "tk").withColumn("source", lit("web")),
+      "doc_id", "tk", "source", nBands = 1, budget = 100L, openBins = 2)
+    val q = assigned.toDF().writeStream.format("memory")
+      .queryName("d44_mem").outputMode("append").start()
+    try {
+      epochs.foreach { ep => input.addData(ep: _*); q.processAllAvailable() }
+      assert(Option(q.lastProgress).exists(_.stateOperators.nonEmpty),
+        "the keyed slot state must be a real stateful operator")
+      val streamed = sp.table("d44_mem")
+        .select("doc_id", "bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // doc 4 (30 tk, epoch 2) lands in doc 1's bin (60-full, opened
+      // in epoch 0) — state crossed two trigger boundaries
+      assert(streamed(4L) === streamed(1L),
+        s"cross-trigger top-off failed: $streamed")
+      assert(streamed(2L) !== streamed(1L))
+      assert(streamed(3L) !== streamed(1L))
+      assert(streamed(3L) !== streamed(2L))
+      // the epoch batch twin on the same arrival order is IDENTICAL
+      val twinIn = epochs.zipWithIndex.flatMap { case (ep, i) =>
+        ep.map { case (id, tk) => (id, tk, i.toLong, "web") }
+      }.toDF("doc_id", "tk", "ep", "source")
+      val twin = Chunking.packWholeDocsBoundedEpochs(twinIn, "doc_id",
+          "tk", "source", "ep", nBands = 1, budget = 100L, openBins = 2)
+        .select("doc_id", "bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(twin === streamed,
+        s"stream diverged from the epoch batch twin: $twin vs $streamed")
+    } finally { q.stop() }
+  }
+
+  test("d44: arrival order is the operator — the epoch twin diverges " +
+    "from global BFD exactly where packing the future would be needed") {
+    val sp = s
+    import sp.implicits._
+    // arrival: the big doc comes LAST. Global BFD (sorts 90 first)
+    // packs (90) (60+30); arrival order packs (60+30) then (90) too —
+    // pick sizes where they differ: budget 100, k=1.
+    // arrival epochs: [40], [70], [50]
+    //   e0: 40 → bin 0 (fill 40)
+    //   e1: 70 → misses (110 > 100), k=1 → evict, bin 1 (fill 70)
+    //   e2: 50 → misses (120), bin 2
+    //   → three bins: {40} {70} {50}
+    // global BFD (70, 50, 40): 70 → bin 0; 50 → miss → bin 1; 40 →
+    //   misses 70's... wait k=1: bin 1 holds 50, 50+40=90 ≤ 100 → joins
+    //   → two bins: {70} {50,40} — DIFFERENT bin count
+    val arrive = Seq((1L, 40L, 0L), (2L, 70L, 1L), (3L, 50L, 2L))
+      .toDF("doc_id", "tk", "ep").withColumn("source", lit("web"))
+    val twin = Chunking.packWholeDocsBoundedEpochs(arrive, "doc_id",
+        "tk", "source", "ep", nBands = 1, budget = 100L, openBins = 1)
+      .select("bin").distinct().count()
+    val bfd = Chunking.packWholeDocsBounded(
+        arrive.select("doc_id", "tk", "source"), "doc_id", "tk",
+        "source", nBands = 1, budget = 100L, openBins = 1)
+      .select("bin").distinct().count()
+    assert(twin === 3L, s"arrival-order fold must open 3 bins, got $twin")
+    assert(bfd === 2L, s"global BFD must pack 2 bins, got $bfd")
+  }
+
+  test("d44: the shared slot machine is bit-stable across the refactor — " +
+    "packWholeDocsBounded still matches a hand-folded BinSlots replay") {
+    val sp = s
+    import sp.implicits._
+    val docs = (1L to 40L).map(i => (i, (i * 37L) % 90L + 10L, "web"))
+      .toDF("doc_id", "tk", "source")
+    val engine = Chunking.packWholeDocsBounded(docs, "doc_id", "tk",
+        "source", nBands = 1, budget = 100L, openBins = 3)
+      .select("doc_id", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val slots = new Chunking.BinSlots(3)
+    val manual = docs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, tk) => (-tk, id) }
+      .map { case (id, tk) => id -> slots.place(tk, 100L, firstFit = false) }
+      .toMap
+    assert(engine === manual)
+  }
+}
