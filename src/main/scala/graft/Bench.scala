@@ -158,6 +158,10 @@ object Bench {
     // vacuum lifecycle. Both ride c105's pair graph — headline only,
     // not probed (the same b32 phase-family rationale as c105/c112)
     "c115_audio_code_serve", "c116_audio_codes_vacuum",
+    // r15: the blue/green frame rollover on the audio store (two
+    // encodes, a backfill, flip, vacuum, serve) — rides c105's pair
+    // graph like c115/c116, so headline only, not probed (b32)
+    "c122_audio_spec_rollover",
     // r15: the blue/green grid rollover lifecycle (two encodes, a
     // streamed-shape backfill, flip, vacuum, serve) and the
     // cross-modal per-doc verdict (text MinHash side + stored-code

@@ -6419,6 +6419,83 @@ object SparkEntry {
       } finally { rows.unpersist(); () }
     }),
 
+    // C122 audio-code SPEC ROLLOVER across a REAL frame change — the
+    // c117 blue/green story completed on the audio store, finishing
+    // the rollover discipline on all three media stores (ANN C85,
+    // image C117, audio here): av1 serves frame-64 landmark codes
+    // while the quality upgrade's frame-128 codes BACKFILL their own
+    // av2 key space (epoch-partitioned, one epoch REPLAYED both before
+    // and after the flip — both no-ops); the FLIP is the spec-v2
+    // publish (a pointer commit, never an overwrite), a session pinned
+    // at v1 is byte-stable through it, and c116's vacuum then retires
+    // the loser. Serving from the committed pin answers c105's cluster
+    // question exactly (the c105 oracle verbatim — frame-64 codes
+    // leaking into the serving plan, a half-complete backfill, or a
+    // replay duplication could not hash-match). The streamed delivery
+    // of the backfill is locked in AudioCodesStreamSpec (D46 — the
+    // d43 shape on the audio sink).
+    "c122_audio_spec_rollover" -> ((s, dir) => {
+      import graft.operators.Audio
+      import graft.sources.AudioCodeStore
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("c122_roll_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val packed = audioDupCorpus(s, dir)
+      // blue: spec v1 = frame 64 — the ENCODE is driven by the loaded
+      // spec, not a constant, so the rollover is a real re-encode
+      require(AudioCodeStore.publishSpec(s, root, "chained_landmark",
+        frame = 64).committed)
+      val (_, f1) = AudioCodeStore.loadSpecAt(s, root, 1)
+      AudioCodeStore.appendCodesEpoch(
+        Audio.chainedLandmarkRows(s, packed, frame = f1), root, 1, 0L)
+      def digest(v: Int): (Long, Long) = {
+        val r = AudioCodeStore.readCodes(s, root, v)
+          .agg(count(lit(1)).as("n"), bit_xor(xxhash64(col("media_id"),
+            col("n_samples"), col("anchor"), col("line_a"),
+            col("line_t"))).as("x")).collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      val pin1 = digest(1)
+      // green backfill: frame-128 landmarks land in av2 WHILE v1
+      // serves (two epochs by parity; epoch 1 replayed pre-flip)
+      val rows128 = Audio.chainedLandmarkRows(s, packed, frame = 128)
+        .persist()
+      try {
+        AudioCodeStore.appendCodesEpoch(
+          rows128.where(pmod(col("media_id"), lit(2)) === 0), root, 2, 0L)
+        AudioCodeStore.appendCodesEpoch(
+          rows128.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
+        AudioCodeStore.appendCodesEpoch(
+          rows128.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
+        require(AudioCodeStore.committedSpecVersion(s, root) == 1,
+          "a backfill must not move the committed pointer")
+        val pre = digest(2)
+        // the FLIP: publish spec v2 (frame 128) — a pointer commit
+        require(AudioCodeStore.publishSpec(s, root, "chained_landmark",
+          frame = 128).committed)
+        require(AudioCodeStore.committedSpecVersion(s, root) == 2,
+          "the flip must land the committed pointer on v2")
+        // a session pinned at v1 is byte-stable through the flip
+        require(digest(1) == pin1,
+          "the pinned v1 key space moved across the flip")
+        // a replayed backfill epoch POST-flip is still a no-op
+        AudioCodeStore.appendCodesEpoch(
+          rows128.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
+        require(digest(2) == pre,
+          "post-flip epoch replay duplicated stored landmarks")
+        // retire the loser; the committed key space survives
+        val rep = AudioCodeStore.vacuumRetiredCodes(s, root,
+          keepVersions = 1)
+        require(rep.committed == 2 && rep.removed == Seq(1) &&
+          rep.kept == Seq(2), s"vacuum accounting off: $rep")
+        audioClustersFromStored(s, AudioCodeStore.readCodes(s, root, 2))
+      } finally { rows128.unpersist(); () }
+    }),
+
     // C118 CROSS-MODAL document-level dup verdict — the decision a
     // multimodal crawl actually ships (the r14 verdict's ask #4): the
     // TEXT dup family (c2's MinHash-LSH pairs over planted re-crawl
@@ -6811,6 +6888,11 @@ object SparkEntry {
       // after the vacuum — a vacuum that touched live landmarks (or
       // left the old key serving) could not hash-match the replay
       "c116_audio_codes_vacuum" -> base("c105_audio_dup_clusters"),
+      // c122 serves c105's question from the committed pin AFTER a
+      // full blue/green frame rollover — frame-64 codes leaking into
+      // the serving plan, a half-complete av2 backfill, or a replay
+      // duplication could not hash-match the frame-128 cluster replay
+      "c122_audio_spec_rollover" -> base("c105_audio_dup_clusters"),
       // c117 serves c97's question from the committed pin AFTER a full
       // blue/green grid rollover — grid-4 codes leaking into the
       // serving plan, a half-complete iv2 backfill, or a replay
