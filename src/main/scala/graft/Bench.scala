@@ -177,6 +177,11 @@ object Bench {
     // r15: the streaming-packing batch twin (c106's fold in arrival-
     // epoch order — same sort + O(1) slot state, one extra rank column)
     "d44_stream_packing",
+    // r15: the tri-modal verdict (c118 + the stored-landmark audio
+    // side over its narration link; both media stores prepaid via
+    // prewarm). Rides c105's pair graph on the audio side — headline
+    // only, not probed (the b32 phase-family rationale)
+    "c123_trimodal_dup",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -527,9 +532,9 @@ object Bench {
     Set("c79b_trained_langid", "c92_budget_threshold")
   private val imageServingQueries =
     Set("c104_image_code_serve", "c114_image_banding_curve",
-      "c118_crossmodal_dup")
+      "c118_crossmodal_dup", "c123_trimodal_dup")
   private val audioServingQueries =
-    Set("c115_audio_code_serve")
+    Set("c115_audio_code_serve", "c123_trimodal_dup")
   private val textSigServingQueries =
     Set("c119_text_sig_serve", "c121_text_sig_incremental")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],

@@ -6496,6 +6496,108 @@ object SparkEntry {
       } finally { rows128.unpersist(); () }
     }),
 
+    // C123 TRI-MODAL document-level dup verdict — c118 completed with
+    // the third modality: text MinHash families, STORED-code image
+    // pairs, and STORED-landmark audio pairs meet over per-modality
+    // doc↔media link tables into one result-sized per-doc verdict. The
+    // audio link: every ≡0 mod 4 doc narrates its own clip; a ≡1 mod 4
+    // doc whose predecessor is ≡0 mod 28 embeds that predecessor's
+    // RE-MASTERED (gain-shifted) clip — so two docs with different
+    // text and different images share perceptual audio (audio-dup
+    // only), the planted direction no two-modality verdict can
+    // express. All three pair sets are served from their stores /
+    // banded joins; the verdict joins are result-sized (AQE
+    // strategy). Oracle = all three replays composed (the c97 pixel
+    // chain, the c2 planted relation, the c105 synthesis→WHT→landmark
+    // pair chain) over the same links and the same concat verdict.
+    "c123_trimodal_dup" -> ((s, dir) => {
+      import graft.operators.{Audio, Dedup, ImageDedup}
+      import graft.sources.{AudioCodeStore, ImageCodeStore}
+      val docs = t(s, dir, "documents")
+      // text side: the c2 construction on the ≡1 mod 3 slice
+      val withCopies = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(3)) === 1)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val textDup = Dedup.minhashDedupPairs(withCopies, "text", "doc_id")
+        .where(col("id_b") - col("id_a") === 1000000L)
+        .select(col("id_a").as("doc_id")).distinct()
+      // image side: c118's stored-code pairs + link, verbatim
+      val iroot = imageCodesRoot(s, dir)
+      val ip = ImageDedup.perceptualPairs(
+          ImageCodeStore.readCodes(s, iroot,
+            ImageCodeStore.committedSpecVersion(s, iroot)),
+          maxHamming = 3, hotBucketCap = 64)
+        .select("id_a", "id_b")
+      val ids = docs.select(col("doc_id"))
+      val iown = ids.select(col("doc_id"), col("doc_id").as("media_id"))
+        .unionByName(ids.where(pmod(col("doc_id"), lit(10)) === 5)
+          .join(ids.select(col("doc_id").as("__b")),
+            col("doc_id") - 5 === col("__b"), "left_semi")
+          .select(col("doc_id"),
+            (col("doc_id") - 5 + 2000000L).as("media_id")))
+        .unionByName(ids.where(pmod(col("doc_id"), lit(10)) === 7)
+          .join(ids.select(col("doc_id").as("__b")),
+            col("doc_id") - 7 === col("__b"), "left_semi")
+          .select(col("doc_id"),
+            (col("doc_id") - 7 + 3000000L).as("media_id")))
+      val ixd = ip
+        .join(iown.select(col("doc_id").as("__da"),
+          col("media_id").as("id_a")), "id_a")
+        .join(iown.select(col("doc_id").as("__db"),
+          col("media_id").as("id_b")), "id_b")
+        .where(col("__da") =!= col("__db"))
+      val imgDup = ixd.select(col("__da").as("doc_id"))
+        .unionByName(ixd.select(col("__db").as("doc_id"))).distinct()
+      // audio side: stored landmarks, duration-blocked pairs (the c105
+      // contract), cross-doc via the narration link
+      val aroot = audioCodesRoot(s, dir)
+      val stored = AudioCodeStore.readCodes(s, aroot,
+        AudioCodeStore.committedSpecVersion(s, aroot))
+      val meta = stored.where(col("anchor") === -1)
+        .select("media_id", "n_samples")
+      val ap = Audio.chainedPairsFromCodes(stored, minShared = 4)
+        .join(meta.select(col("media_id").as("id_a"),
+          col("n_samples").as("__na")), "id_a")
+        .join(meta.select(col("media_id").as("id_b"),
+          col("n_samples").as("__nb")), "id_b")
+        .where(col("__na") === col("__nb"))
+        .select("id_a", "id_b")
+      val ids4 = ids.where(pmod(col("doc_id"), lit(4)) === 0)
+      val aown = ids4.select(col("doc_id"), col("doc_id").as("media_id"))
+        .unionByName(ids.where(pmod(col("doc_id"), lit(4)) === 1)
+          .where(pmod(col("doc_id") - 1, lit(28)) === 0)
+          .join(ids.select(col("doc_id").as("__b")),
+            col("doc_id") - 1 === col("__b"), "left_semi")
+          .select(col("doc_id"),
+            (col("doc_id") - 1 + 3000000L).as("media_id")))
+      val axd = ap
+        .join(aown.select(col("doc_id").as("__da"),
+          col("media_id").as("id_a")), "id_a")
+        .join(aown.select(col("doc_id").as("__db"),
+          col("media_id").as("id_b")), "id_b")
+        .where(col("__da") =!= col("__db"))
+      val audDup = axd.select(col("__da").as("doc_id"))
+        .unionByName(axd.select(col("__db").as("doc_id"))).distinct()
+      // the three-way verdict: one row per flagged doc, modality
+      // booleans + a composed verdict string (concat_ws skips the
+      // null arms identically in Spark and DuckDB)
+      val alld = textDup.unionByName(imgDup).unionByName(audDup)
+        .distinct()
+      alld
+        .join(textDup.withColumn("__t", lit(true)), Seq("doc_id"), "left")
+        .join(imgDup.withColumn("__i", lit(true)), Seq("doc_id"), "left")
+        .join(audDup.withColumn("__a", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__t"), lit(false)).as("text_dup"),
+          coalesce(col("__i"), lit(false)).as("image_dup"),
+          coalesce(col("__a"), lit(false)).as("audio_dup"))
+        .withColumn("verdict", concat_ws("+",
+          when(col("text_dup"), lit("text")),
+          when(col("image_dup"), lit("image")),
+          when(col("audio_dup"), lit("audio"))))
+        .orderBy("doc_id")
+    }),
+
     // C118 CROSS-MODAL document-level dup verdict — the decision a
     // multimodal crawl actually ships (the r14 verdict's ask #4): the
     // TEXT dup family (c2's MinHash-LSH pairs over planted re-crawl
@@ -7904,6 +8006,14 @@ object SparkEntry {
     * canonical-keep oracle (built by concatenation, the c78 rule).
     */
   private def c105ChainSql: String =
+    c105PairSql + ",\n" + c105ClusterTailSql
+
+  /** The audio synthesis → WHT → chained-landmark → duration-blocked
+    * PAIR replay (ids..prf) — split from the cluster tail so c123's
+    * tri-modal oracle can compose the pair set without the recursive
+    * closure.
+    */
+  private def c105PairSql: String =
     """ids AS (
         |  SELECT doc_id AS media_id, doc_id AS src, 0 AS halved
         |  FROM documents WHERE doc_id % 4 = 0
@@ -7949,8 +8059,10 @@ object SparkEntry {
         |  SELECT pr.id_a, pr.id_b FROM pr
         |  JOIN p pa ON pa.media_id = pr.id_a
         |  JOIN p pb ON pb.media_id = pr.id_b
-        |  WHERE pa.n = pb.n),
-        |edges AS (
+        |  WHERE pa.n = pb.n)""".stripMargin
+
+  private def c105ClusterTailSql: String =
+    """edges AS (
         |  SELECT id_a AS a, id_b AS b FROM prf
         |  UNION
         |  SELECT id_b, id_a FROM prf),
@@ -9533,6 +9645,62 @@ hist_${src}_$cent AS (
           |       CASE WHEN text_dup AND image_dup THEN 'both'
           |            WHEN text_dup THEN 'text' ELSE 'image' END AS verdict
           |FROM v ORDER BY doc_id""".stripMargin),
+
+    // c123: ALL THREE modality replays composed — the c97 pixel→pair
+    // chain, the c2 planted relation, and the c105 synthesis→WHT→
+    // landmark pair chain (duration block included) — over the same
+    // per-modality links and the same concat verdict the engine runs
+    "c123_trimodal_dup" ->
+      ("WITH " + c97ChainSql + ",\n" + c105PairSql + ",\n" +
+        """td AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+          |iown AS (
+          |  SELECT doc_id, doc_id AS media_id FROM documents
+          |  UNION ALL
+          |  SELECT a.doc_id, a.doc_id - 5 + 2000000 FROM documents a
+          |  JOIN documents b ON b.doc_id = a.doc_id - 5
+          |  WHERE a.doc_id % 10 = 5
+          |  UNION ALL
+          |  SELECT a.doc_id, a.doc_id - 7 + 3000000 FROM documents a
+          |  JOIN documents b ON b.doc_id = a.doc_id - 7
+          |  WHERE a.doc_id % 10 = 7),
+          |ip AS (SELECT id_a, id_b FROM hm WHERE hamming <= 3),
+          |ixd AS (
+          |  SELECT oa.doc_id AS da, ob.doc_id AS db
+          |  FROM ip pp JOIN iown oa ON oa.media_id = pp.id_a
+          |             JOIN iown ob ON ob.media_id = pp.id_b
+          |  WHERE oa.doc_id <> ob.doc_id),
+          |imgd AS (SELECT da AS doc_id FROM ixd
+          |         UNION SELECT db FROM ixd),
+          |aown AS (
+          |  SELECT doc_id, doc_id AS media_id FROM documents
+          |  WHERE doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT a.doc_id, a.doc_id - 1 + 3000000 FROM documents a
+          |  JOIN documents b ON b.doc_id = a.doc_id - 1
+          |  WHERE a.doc_id % 4 = 1 AND (a.doc_id - 1) % 28 = 0),
+          |axd AS (
+          |  SELECT oa.doc_id AS da, ob.doc_id AS db
+          |  FROM prf pp JOIN aown oa ON oa.media_id = pp.id_a
+          |              JOIN aown ob ON ob.media_id = pp.id_b
+          |  WHERE oa.doc_id <> ob.doc_id),
+          |audd AS (SELECT da AS doc_id FROM axd
+          |         UNION SELECT db FROM axd),
+          |alld AS (SELECT doc_id FROM td UNION SELECT doc_id FROM imgd
+          |         UNION SELECT doc_id FROM audd)
+          |SELECT al.doc_id,
+          |       t.doc_id IS NOT NULL AS text_dup,
+          |       i.doc_id IS NOT NULL AS image_dup,
+          |       u.doc_id IS NOT NULL AS audio_dup,
+          |       concat_ws('+',
+          |         CASE WHEN t.doc_id IS NOT NULL THEN 'text' END,
+          |         CASE WHEN i.doc_id IS NOT NULL THEN 'image' END,
+          |         CASE WHEN u.doc_id IS NOT NULL THEN 'audio' END)
+          |         AS verdict
+          |FROM alld al
+          |LEFT JOIN td t ON t.doc_id = al.doc_id
+          |LEFT JOIN imgd i ON i.doc_id = al.doc_id
+          |LEFT JOIN audd u ON u.doc_id = al.doc_id
+          |ORDER BY al.doc_id""".stripMargin),
 
     // exact heavy-hitter replica; the CMS booleans are expected TRUE (the
     // sketch's deterministic never-undercount property and the eps·N
