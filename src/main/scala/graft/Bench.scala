@@ -182,6 +182,9 @@ object Bench {
     // prewarm). Rides c105's pair graph on the audio side — headline
     // only, not probed (the b32 phase-family rationale)
     "c123_trimodal_dup",
+    // r15: the LPT shard balancer (the c106 fold with a least-loaded
+    // election, all slots pre-opened)
+    "c124_lpt_shards",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -416,8 +419,9 @@ object Bench {
       "c119_text_sig_serve", "c120_text_sigs_vacuum",
       "c121_text_sig_incremental",
       // d44 is c106's sort + fold with an epoch rank column — the
-      // identical scale story
-      "d44_stream_packing",
+      // identical scale story; c124 is the same fold with a k-register
+      // min election
+      "d44_stream_packing", "c124_lpt_shards",
       // c114 sweeps three banded joins over the STORED codes (decode
       // prepaid by the c104 prewarm) — candidate volume is banding-
       // bounded by the hot-bucket cap, the c3/c97 contract per point
@@ -741,7 +745,22 @@ object Bench {
     // serving-scaling evidence is the 10x rows.
     "d40_tokenizer_rollover", "c106_bounded_bin_packing",
     "c111_ffd_packing", "c107_cross_version_gate",
-    "c108_entropy_l_audit", "c109_recursive_cl_audit"))
+    "c108_entropy_l_audit", "c109_recursive_cl_audit",
+    // r15 (the r10 rule): the stored-signature text serve and the
+    // incremental cross serve (both banded joins over docs-scaled
+    // tables; the tokenize prewarm stays outside the timed window),
+    // the signature-store lifecycle, and the arrival-order packing
+    // twin (the c106 fold with an epoch rank column). The c2-family
+    // planted-copy pair set is replica-LINEAR (copies shift ids, so
+    // each copy pairs only with its own plant) — no b32 exclusion
+    // applies. c115/c116/c122/c123 are NOT sf1-probed: they ride
+    // c105's pair graph, whose one-LCG-waveform phase families under
+    // replication measure the corpus artifact (the c105/c112 b32
+    // precedent); c117/c118 keep their 10x rows only (the c97-family
+    // exclusion verbatim).
+    "c119_text_sig_serve", "c120_text_sigs_vacuum",
+    "c121_text_sig_incremental", "d44_stream_packing",
+    "c124_lpt_shards"))
 
   def main(args: Array[String]): Unit = args.toList match {
     case "--phase" :: phase :: out :: Nil =>

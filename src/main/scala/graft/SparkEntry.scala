@@ -6004,6 +6004,41 @@ object SparkEntry {
         .orderBy("source", "band", "bin")
     }),
 
+    // C124 LPT shard BALANCING — the dual of c106: not "fewest bins
+    // under a budget" but "k FIXED output shards, heaviest as light as
+    // possible" (the balanced-export question a training run asks so
+    // that equal-work loaders finish together). Classical longest-
+    // processing-time: documents descending by tokens, each to the
+    // currently lightest shard — mechanically the c106 slot fold with
+    // all k bins pre-opened, no budget, and a least-loaded election,
+    // so the oracle is the same rank-synchronous recursive CTE with
+    // the election CASE flipped to min-fill. share_ppm makes the
+    // balance a checked number, not a claim.
+    "c124_lpt_shards" -> ((s, dir) => {
+      import graft.operators.Chunking
+      import org.apache.spark.sql.expressions.Window
+      val G = graft.functions.GraftExpressions
+      val base = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("tk"))
+      val corpus = base.unionByName(base.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          (col("tk") + 300L).as("tk")))
+      Chunking.lptShards(corpus, "doc_id", "tk", "source",
+          nBands = 4, shards = 3)
+        .groupBy("source", "band", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("tokens"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("docs_fp"))
+        .withColumn("share_ppm", G.longDiv(col("tokens") * lit(1000000L),
+          sum("tokens").over(Window.partitionBy("source", "band"))))
+        .select("source", "band", "shard", "n_docs", "tokens",
+          "share_ppm", "docs_fp")
+        .orderBy("source", "band", "shard")
+    }),
+
     // C107 CROSS-VERSION reindex gate — c102's integer-TV harness
     // pointed at STORED code generations (the r13 verdict's ask #5):
     // c102 re-assigns raw vectors on demand; here the decision reads
@@ -9519,6 +9554,64 @@ hist_${src}_$cent AS (
     // c111: the same slot machine with the FIRST-FIT election (oldest
     // open bin that fits) — one CASE block differs, everything shared
     "c111_ffd_packing" -> boundedPackOracleSql(firstFit = true),
+
+    // c124: the LPT dual — all k=3 shards pre-opened, no budget, the
+    // election flipped to MIN-fill (tie lowest shard id); the same
+    // rank-synchronous recursion over the same corpus
+    "c124_lpt_shards" ->
+      raw"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS tk
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, source, CAST(tk AS BIGINT) AS tk,
+        |         doc_id % 4 AS band
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, CAST(tk + 300 AS BIGINT),
+        |         (doc_id + 1000000) % 4
+        |  FROM toks WHERE doc_id % 97 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source, band
+        |             ORDER BY tk DESC, doc_id) AS rn
+        |  FROM corpus),
+        |rec AS (
+        |  SELECT source, band, rn, doc_id, tk,
+        |         CAST(0 AS BIGINT) AS shard,
+        |         tk AS f1, CAST(0 AS BIGINT) AS f2,
+        |         CAST(0 AS BIGINT) AS f3
+        |  FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT a.source, a.band, a.rn, a.doc_id, a.tk,
+        |         CASE WHEN d.f1 <= d.f2 AND d.f1 <= d.f3
+        |                THEN CAST(0 AS BIGINT)
+        |              WHEN d.f2 <= d.f3 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(2 AS BIGINT) END,
+        |         CASE WHEN d.f1 <= d.f2 AND d.f1 <= d.f3
+        |                THEN d.f1 + a.tk ELSE d.f1 END,
+        |         CASE WHEN NOT (d.f1 <= d.f2 AND d.f1 <= d.f3)
+        |                   AND d.f2 <= d.f3
+        |                THEN d.f2 + a.tk ELSE d.f2 END,
+        |         CASE WHEN NOT (d.f1 <= d.f2 AND d.f1 <= d.f3)
+        |                   AND NOT (d.f2 <= d.f3)
+        |                THEN d.f3 + a.tk ELSE d.f3 END
+        |  FROM ranked a JOIN rec d
+        |    ON a.source = d.source AND a.band = d.band
+        |   AND a.rn = d.rn + 1),
+        |g AS (
+        |  SELECT source, band, shard, count(*) AS n_docs,
+        |         CAST(sum(tk) AS BIGINT) AS tokens,
+        |         md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |                        ORDER BY doc_id)) AS docs_fp
+        |  FROM rec GROUP BY 1, 2, 3)
+        |SELECT source, band, shard, n_docs, tokens,
+        |       CAST(tokens * 1000000
+        |         // CAST(sum(tokens) OVER (PARTITION BY source, band)
+        |                 AS BIGINT) AS BIGINT) AS share_ppm,
+        |       docs_fp
+        |FROM g ORDER BY 1, 2, 3""".stripMargin,
 
     // c113: the same machine with the budget read per ranked row and
     // the rollup keyed to each shard's own budget

@@ -415,6 +415,70 @@ object Chunking {
     }
   }
 
+  /** C124: LPT shard BALANCING — the other packing question: C106
+    * minimizes bins under a budget; a training-data export needs the
+    * dual — spread a shard's documents over a FIXED set of k output
+    * shards so the heaviest shard is as light as possible (equal-work
+    * workers downstream: tokenizer passes, epoch shuffles, loader
+    * threads). Classical longest-processing-time: documents descending
+    * by tokens, each to the currently LIGHTEST shard (tie → lowest
+    * shard id) — the 4/3-approximation whose pre-sort the packers
+    * already pay. Mechanically it is [[packWholeDocsBounded]] with all
+    * k bins PRE-OPENED, no budget, and a least-loaded election — the
+    * same O(k) slot fold, so the engine shape is identical
+    * (repartition by (source, band), sortWithinPartitions, one
+    * mapPartitions fold) and the oracle is the same rank-synchronous
+    * recursive CTE with the election CASE flipped to min-fill.
+    *
+    * Returns (source, band, doc_id, tk, shard) — shard ∈ [0, k).
+    * At 100 TB: the c100/c106 scale story verbatim (per-shard
+    * in-partition sort, O(k) fold state, shard sets never cross
+    * (source, band) boundaries, parallelism = sources × bands).
+    */
+  def lptShards(df: DataFrame, idCol: String, tokensCol: String,
+                sourceCol: String, nBands: Int, shards: Int): DataFrame = {
+    require(nBands > 0, "need nBands > 0")
+    require(shards >= 1, s"shards $shards < 1")
+    import org.apache.spark.sql.types._
+    val in = df.select(col(sourceCol).cast("string").as("source"),
+      pmod(col(idCol).cast("long"), lit(nBands.toLong)).as("band"),
+      col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).cast("long").as("tk"))
+    val sorted = in.repartition(col("source"), col("band"))
+      .sortWithinPartitions(col("source"), col("band"),
+        col("tk").desc, col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("band", LongType),
+      StructField("doc_id", LongType),
+      StructField("tk", LongType),
+      StructField("shard", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val k = shards
+    sorted.mapPartitions { rows =>
+      var curSource: String = null
+      var curBand = Long.MinValue
+      val fills = new Array[Long](k)
+      rows.map { r =>
+        val src = r.getString(0)
+        val band = r.getLong(1)
+        val id = r.getLong(2)
+        val tk = r.getLong(3)
+        if (src != curSource || band != curBand) {
+          curSource = src; curBand = band
+          java.util.Arrays.fill(fills, 0L)
+        }
+        // least-loaded election, tie → lowest shard id
+        var tgt = 0
+        var i = 1
+        while (i < k) { if (fills(i) < fills(tgt)) tgt = i; i += 1 }
+        fills(tgt) += tk
+        org.apache.spark.sql.Row(src, band, id, tk, tgt.toLong)
+      }
+    }(enc)
+  }
+
   /** @param firstFit C111's election instead of C106's: the OLDEST
     *        (lowest-id) open bin that fits, rather than the fullest —
     *        classical bounded first-fit-decreasing. Eviction on a miss

@@ -96,6 +96,44 @@ class PackingStreamSpec extends AnyFunSuite with SparkSpec {
     assert(bfd === 2L, s"global BFD must pack 2 bins, got $bfd")
   }
 
+  test("c124: LPT balancing matches the hand-folded greedy (descending " +
+    "docs to the lightest shard, ties to the lowest id), every doc " +
+    "lands in exactly one shard, and the heaviest-shard bound beats " +
+    "round-robin on a skewed corpus") {
+    val sp = s
+    import sp.implicits._
+    // hand example: tokens 9,7,6,5,4 onto 3 shards
+    //   9→s0; 7→s1; 6→s2; 5→s2(=6? no: fills 9,7,6 → lightest s2=6 →
+    //   s2=11); 4→s1 (fills 9,7,11 → lightest s1) → fills 9,11,11
+    val docs = Seq((1L, 9L), (2L, 7L), (3L, 6L), (4L, 5L), (5L, 4L))
+      .toDF("doc_id", "tk").withColumn("source", lit("web"))
+    val out = graft.operators.Chunking.lptShards(docs, "doc_id", "tk",
+        "source", nBands = 1, shards = 3)
+      .collect().map(r => r.getLong(2) -> r.getLong(4)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L),
+      s"got $out")
+    // skewed corpus: LPT's heaviest shard beats round-robin-by-rank
+    val skew = (1L to 30L).map(i => (i, if (i <= 3) 100L else 5L))
+      .toDF("doc_id", "tk").withColumn("source", lit("web"))
+    val lpt = graft.operators.Chunking.lptShards(skew, "doc_id", "tk",
+        "source", nBands = 1, shards = 3)
+      .groupBy("shard").agg(org.apache.spark.sql.functions.sum("tk")
+        .as("t")).collect().map(_.getLong(1))
+    assert(lpt.length === 3 && lpt.sum === 435L)
+    // round-robin by descending rank puts all three 100s on distinct
+    // shards too, but then deals 5s uniformly — LPT instead loads the
+    // light shards first; the heaviest LPT shard must be ≤ 150 (the
+    // perfect split is 145)
+    assert(lpt.max <= 150L, s"LPT heaviest shard too heavy: ${lpt.toSeq}")
+    // ties deterministic: equal docs land lowest-shard-first
+    val ties = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("doc_id", "tk")
+      .withColumn("source", lit("web"))
+    val t = graft.operators.Chunking.lptShards(ties, "doc_id", "tk",
+        "source", nBands = 1, shards = 3)
+      .collect().map(r => r.getLong(2) -> r.getLong(4)).toMap
+    assert(t === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("d44: the shared slot machine is bit-stable across the refactor — " +
     "packWholeDocsBounded still matches a hand-folded BinSlots replay") {
     val sp = s
