@@ -185,6 +185,12 @@ object Bench {
     // r15: the LPT shard balancer (the c106 fold with a least-loaded
     // election, all slots pre-opened)
     "c124_lpt_shards",
+    // r15: stored-digest span serving (digest passes prepaid via
+    // prewarm — the row times the c76 question with ONLY the count
+    // aggregates + hinted shuffle joins left in the plan; its headline
+    // delta vs c76 IS the serving win on the stage-probe-measured
+    // majority of that cost)
+    "c125_span_store_serve",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -422,6 +428,11 @@ object Bench {
       // identical scale story; c124 is the same fold with a k-register
       // min election
       "d44_stream_packing", "c124_lpt_shards",
+      // c125 reads the stored digest tables (digesting prepaid by
+      // maybePrewarm — the row times SERVING: the count agg + hinted
+      // shuffle join per level, docs-scaled, the exact c27/c76 join
+      // shape minus the digest map stages)
+      "c125_span_store_serve",
       // c114 sweeps three banded joins over the STORED codes (decode
       // prepaid by the c104 prewarm) — candidate volume is banding-
       // bounded by the hot-bucket cap, the c3/c97 contract per point
@@ -541,6 +552,8 @@ object Bench {
     Set("c115_audio_code_serve", "c123_trimodal_dup")
   private val textSigServingQueries =
     Set("c119_text_sig_serve", "c121_text_sig_incremental")
+  private val spanServingQueries =
+    Set("c125_span_store_serve")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],
                            dir: String): Unit = {
     if (names.exists(modelServingQueries)) {
@@ -558,6 +571,10 @@ object Bench {
     if (names.exists(textSigServingQueries)) {
       System.err.println(s"[bench] prewarming text-signature store for $dir")
       SparkEntry.prewarmTextSigs(spark, dir)
+    }
+    if (names.exists(spanServingQueries)) {
+      System.err.println(s"[bench] prewarming span-digest store for $dir")
+      SparkEntry.prewarmSpanDigests(spark, dir)
     }
   }
 
@@ -760,7 +777,7 @@ object Bench {
     // exclusion verbatim).
     "c119_text_sig_serve", "c120_text_sigs_vacuum",
     "c121_text_sig_incremental", "d44_stream_packing",
-    "c124_lpt_shards"))
+    "c124_lpt_shards", "c125_span_store_serve"))
 
   def main(args: Array[String]): Unit = args.toList match {
     case "--phase" :: phase :: out :: Nil =>

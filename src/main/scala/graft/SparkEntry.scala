@@ -303,6 +303,70 @@ object SparkEntry {
     textSigsRoot(s, dir); ()
   }
 
+  /** The c27/c76/c125 span-dedup corpus: every document plus a re-crawl
+    * copy of the ≡0 mod 10 slice at +1e6 — the planted whole-document
+    * duplication the span ladder must flag at every level.
+    */
+  private def spanDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.unionByName(
+      docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  private val spanDigestRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The C125 stored-digest root for `dir`: tokenize + digest + publish
+    * ONCE per (JVM, corpus) — the spec (the c76 width ladder 8/16/32),
+    * then per level the span-digest rows in two ingest epochs (even /
+    * odd doc ids) with epoch 1 REPLAYED (at-least-once delivery; the
+    * D8 partition rule makes it exactly-once). Every serving query
+    * reads the stored tables; the tokenize+digest map passes — the
+    * measured majority of the c76 quiet 100x profile — are paid here,
+    * per NEW document, never per query.
+    */
+  private def spanDigestsRoot(s: SparkSession, dir: String): String =
+    spanDigestRoots.computeIfAbsent(dir, _ => {
+      import graft.operators.Dedup
+      import graft.sources.SpanStore
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("span_digests_" +
+        new java.io.File(dir).getName + "_" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val widths = Seq(8, 16, 32)
+      val rep = SpanStore.publishSpec(s, root, "span_md5", widths)
+      require(rep.committed, s"span spec publish failed: ${rep.failures}")
+      val v = SpanStore.committedSpecVersion(s, root)
+      val corpus = spanDupCorpus(s, dir)
+      widths.foreach { w =>
+        // per level: one digest pass, split into two epochs by parity
+        // with epoch 1 redelivered (the D8 rule converges it)
+        val rows = Dedup.spanDigestRows(corpus, "text", "doc_id", w)
+          .persist()
+        try {
+          SpanStore.appendDigestsEpoch(
+            rows.where(pmod(col("id"), lit(2)) === 0), root, v, w, 0L)
+          SpanStore.appendDigestsEpoch(
+            rows.where(pmod(col("id"), lit(2)) === 1), root, v, w, 1L)
+          SpanStore.appendDigestsEpoch(
+            rows.where(pmod(col("id"), lit(2)) === 1), root, v, w, 1L)
+        } finally { rows.unpersist(); () }
+      }
+      root
+    })
+
+  /** Bench hook: pay the one-time digest+publish OUTSIDE a timed probe
+    * (the c104 prewarm discipline on the span-digest store).
+    */
+  def prewarmSpanDigests(s: SparkSession, dir: String): Unit = {
+    spanDigestsRoot(s, dir); ()
+  }
+
   /** Loud replay-visibility gate shared by the stored-signature serving
     * paths: exactly one signature row per doc — epoch duplication would
     * be invisible to the pair DISTINCT downstream, so it must fail HERE.
@@ -6004,6 +6068,34 @@ object SparkEntry {
         .orderBy("source", "band", "bin")
     }),
 
+    // C125 span-digest STORE serving — the stored-code discipline on
+    // the sub-document family, aimed squarely at the measured cost:
+    // the r15 stage probe showed c76's quiet 100x profile is DOMINATED
+    // by the map-side tokenize+digest passes (27.7 of 41.7 summed
+    // stage-wall seconds; no reduce hotspot). Those passes leave the
+    // per-query plan entirely: the digest ladder is published ONCE per
+    // corpus through the versioned SpanStore (spec = the 8/16/32
+    // width ladder; per-level digest tables in two ingest epochs by
+    // doc-id parity, epoch 1 REPLAYED — the D8 rule), and the serving
+    // query runs ONLY the count aggregate + the hinted shuffle join
+    // per level. Oracle = the c76 multi-scale replay UNCHANGED —
+    // counts-from-stored must hash-equal counts-from-compute, and a
+    // duplicated replay epoch would flip every window to duplicated
+    // (loudly wrong, not silently absorbed).
+    "c125_span_store_serve" -> ((s, dir) => {
+      import graft.operators.Dedup
+      import graft.sources.SpanStore
+      val root = spanDigestsRoot(s, dir)
+      val v = SpanStore.committedSpecVersion(s, root)
+      val (_, widths) = SpanStore.loadSpecAt(s, root, v)
+      widths.map { w =>
+        Dedup.duplicatedSpansFromDigests(
+            SpanStore.readDigests(s, root, v, w))
+          .select(col("id"), lit(w).as("w"),
+            col("n_spans"), col("n_dup_spans"))
+      }.reduce(_ unionByName _).orderBy("id", "w")
+    }),
+
     // C124 LPT shard BALANCING — the dual of c106: not "fewest bins
     // under a budget" but "k FIXED output shards, heaviest as light as
     // possible" (the balanced-export question a training run asks so
@@ -7050,6 +7142,11 @@ object SparkEntry {
       // increment is tokenized, and the planted re-crawl replay gates
       // that the stored side pairs identically to the computed one
       "c121_text_sig_incremental" -> base("c2b_minhash_cross"),
+      // c125 serves c76's exact multi-scale question with every
+      // level's counts fed from the stored digest tables — md5 strings
+      // round-trip parquet bit-exactly, and a duplicated replay epoch
+      // would flip every window to duplicated (hash-loud)
+      "c125_span_store_serve" -> base("c76_multiscale_spans"),
       // c114: the pixel chain + one banded block per band count
       "c114_image_banding_curve" ->
         c114OracleSql(Seq(2, 4, 8), maxHamming = 3),

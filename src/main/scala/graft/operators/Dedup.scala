@@ -492,18 +492,39 @@ object Dedup {
     * whole-doc dedup for shorts is [[exactDedup]]'s job).
     */
   def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
-                      w: Int = 16): DataFrame = {
+                      w: Int = 16): DataFrame =
+    duplicatedSpansFromDigests(spanDigestRows(df, textCol, idCol, w))
+
+  /** The per-window span-digest rows (id, pos, h) at width `w` — the
+    * compute-heavy half of [[duplicatedSpans]] carved out (C125): one
+    * codegen'd SpanMd5sExpr pass (tokenize → stride-1 window digests;
+    * bit-identical to transform(sequence(0, n−w), i -> md5(concat_ws(" ",
+    * slice(toks, i+1, w)))) without the per-window allocations) over the
+    * full text, map-only posexplode. The r15 stage probe showed these
+    * digest passes ARE the c27/c76 100x cost (map-write-dominated, no
+    * reduce hotspot) — exactly the pass a stored digest table
+    * ([[graft.sources.SpanStore]]) prepays per NEW document. Digests are
+    * exact md5 strings, so they round-trip parquet bit-exactly and
+    * counts-from-stored ≡ counts-from-compute by construction (both feed
+    * [[duplicatedSpansFromDigests]] verbatim). Docs shorter than w
+    * tokens contribute no spans (the standard contract).
+    */
+  def spanDigestRows(df: DataFrame, textCol: String, idCol: String,
+                     w: Int): DataFrame = {
     val toks = TextFunctions.wsTokens(col(textCol))
-    val spans = df
-      .where(length(trim(col(textCol))) > 0 && size(toks) >= w)
+    df.where(length(trim(col(textCol))) > 0 && size(toks) >= w)
       .select(col(idCol).as("id"),
-        // codegen'd one-pass window digest — bit-identical to
-        // transform(sequence(0, n-w), i -> md5(concat_ws(" ", slice(toks,
-        // i+1, w)))) but without the per-window slice/concat/sequence
-        // allocations (the declarative form was the most expensive bench
-        // entry at 5.1 s; see SpanMd5sExpr)
         posexplode(graft.functions.GraftExpressions.spanMd5s(toks, w))
           .as(Seq("pos", "h")))
+  }
+
+  /** [[duplicatedSpans]]'s join half, fed by precomputed digest rows
+    * ((id, pos, h) — [[spanDigestRows]] live, or
+    * [[graft.sources.SpanStore.readDigests]] stored): the count
+    * aggregate, the hinted shuffle join, and the per-doc rollup are
+    * IDENTICAL to the one-shot path.
+    */
+  def duplicatedSpansFromDigests(spans: DataFrame): DataFrame = {
     val counts = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
     // shuffle_hash, NOT auto-broadcast (r9 sf1 finding): Catalyst's
     // size estimate for an aggregate output is optimistic enough that

@@ -215,6 +215,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "positive control: the one-shot path computes signatures in-plan")
   }
 
+  test("c125: stored-digest span serving has NO digest compute anywhere " +
+    "in the plan (the stage-probe-measured majority of the c76 cost — " +
+    "it must not leak back in) and every level's count join stays " +
+    "SHUFFLED hash; the one-shot c76 path keeps the compute (positive " +
+    "control)") {
+    val p125 = plan("c125_span_store_serve")
+    assert(!p125.toLowerCase.contains("spanmd5"),
+      "a SpanMd5s digest pass leaked into the stored-digest serving plan")
+    assert("ShuffledHashJoin".r.findAllIn(p125).size >= 3,
+      "every level's count join must be shuffled")
+    assert(!p125.contains("BroadcastHashJoin"),
+      "no broadcast anywhere in the span-count path")
+    val p76 = plan("c76_multiscale_spans")
+    assert(p76.toLowerCase.contains("spanmd5"),
+      "positive control: the one-shot path digests in-plan")
+  }
+
   test("c104: stored-code serving has NO decode stage anywhere in the " +
     "plan (the store's whole point — the mapPartitions codec pass must " +
     "not leak back in) and the banded self-join stays shuffled") {
