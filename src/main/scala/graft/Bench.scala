@@ -191,6 +191,10 @@ object Bench {
     // delta vs c76 IS the serving win on the stage-probe-measured
     // majority of that cost)
     "c125_span_store_serve",
+    // r15: the two remaining spec-rollover lifecycles (text k/band
+    // change, span ladder change) — docs-scaled sign/digest passes +
+    // KB publishes + directory-delete vacuums (the c110 shape)
+    "c126_text_sig_rollover", "c127_span_spec_rollover",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -433,6 +437,9 @@ object Bench {
       // shuffle join per level, docs-scaled, the exact c27/c76 join
       // shape minus the digest map stages)
       "c125_span_store_serve",
+      // the rollover lifecycles are docs-scaled sign/digest passes
+      // plus KB publishes — the c110/c120 scale story
+      "c126_text_sig_rollover", "c127_span_spec_rollover",
       // c114 sweeps three banded joins over the STORED codes (decode
       // prepaid by the c104 prewarm) — candidate volume is banding-
       // bounded by the hot-bucket cap, the c3/c97 contract per point

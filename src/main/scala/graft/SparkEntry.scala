@@ -6068,6 +6068,152 @@ object SparkEntry {
         .orderBy("source", "band", "bin")
     }),
 
+    // C126 text-signature SPEC ROLLOVER across a REAL k/band change —
+    // the C117/C122 blue/green story on the text store, completing the
+    // rollover discipline on ALL FIVE versioned stores (ANN, image,
+    // audio, text sigs, span digests): sv1 serves k=32/bands=8
+    // signatures while the production k=64/bands=16 re-sign BACKFILLS
+    // its own sv2 key space (epoch-partitioned, one epoch REPLAYED
+    // both before and after the flip); the FLIP is the spec-v2 publish
+    // (pointer commit — a session pinned at v1 is byte-stable through
+    // it), and c120's vacuum retires the loser. The SIGNING is driven
+    // by the loaded spec, so the rollover is a real re-sign. Serving
+    // from the committed pin answers c2's question exactly.
+    "c126_text_sig_rollover" -> ((s, dir) => {
+      import graft.operators.Dedup
+      import graft.sources.TextSigStore
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("c126_roll_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val corpus = textSigCorpus(s, dir)
+      // blue: spec v1 = k 32, bands 8 — signed under the LOADED spec
+      require(TextSigStore.publishSpec(s, root, "minhash", k = 32,
+        bands = 8, shingleW = 3).committed)
+      val (_, k1, _, _) = TextSigStore.loadSpecAt(s, root, 1)
+      TextSigStore.appendSigsEpoch(
+        Dedup.minhashSigRows(corpus, "text", "doc_id", k = k1),
+        root, 1, 0L)
+      def digest(v: Int): (Long, Long) = {
+        val r = TextSigStore.readSigs(s, root, v)
+          .agg(count(lit(1)).as("n"),
+            bit_xor(xxhash64(col("doc_id"), col("sig"))).as("x"))
+          .collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      val pin1 = digest(1)
+      // green backfill: k=64 signatures land in sv2 WHILE v1 serves
+      val sigs64 = Dedup.minhashSigRows(corpus, "text", "doc_id", k = 64)
+        .persist()
+      try {
+        TextSigStore.appendSigsEpoch(
+          sigs64.where(pmod(col("doc_id"), lit(2)) === 0), root, 2, 0L)
+        TextSigStore.appendSigsEpoch(
+          sigs64.where(pmod(col("doc_id"), lit(2)) === 1), root, 2, 1L)
+        TextSigStore.appendSigsEpoch(
+          sigs64.where(pmod(col("doc_id"), lit(2)) === 1), root, 2, 1L)
+        require(TextSigStore.committedSpecVersion(s, root) == 1,
+          "a backfill must not move the committed pointer")
+        val pre = digest(2)
+        // the FLIP: publish spec v2 (k 64, bands 16) — a pointer commit
+        require(TextSigStore.publishSpec(s, root, "minhash", 64, 16, 3)
+          .committed)
+        require(TextSigStore.committedSpecVersion(s, root) == 2,
+          "the flip must land the committed pointer on v2")
+        require(digest(1) == pin1,
+          "the pinned v1 key space moved across the flip")
+        TextSigStore.appendSigsEpoch(
+          sigs64.where(pmod(col("doc_id"), lit(2)) === 1), root, 2, 1L)
+        require(digest(2) == pre,
+          "post-flip epoch replay duplicated stored signatures")
+        val rep = TextSigStore.vacuumRetiredSigs(s, root, keepVersions = 1)
+        require(rep.committed == 2 && rep.removed == Seq(1) &&
+          rep.kept == Seq(2), s"vacuum accounting off: $rep")
+        Dedup.minhashPairsFromSigs(
+            requireOneSigPerDoc(TextSigStore.readSigs(s, root, 2)),
+            corpus, "text", "doc_id", k = 64, bands = 16)
+          .where(col("id_b") - col("id_a") === 1000000L)
+          .orderBy("id_a", "id_b")
+      } finally { sigs64.unpersist(); () }
+    }),
+
+    // C127 span-digest SPEC ROLLOVER across a REAL ladder change —
+    // the same blue/green contract on the span store: pv1 serves the
+    // single-level {16} ladder while the full 8/16/32 ladder BACKFILLS
+    // pv2 (per level, epoch-partitioned, one epoch replayed pre- and
+    // post-flip), the flip is the spec-v2 publish with the v1 pin
+    // byte-stable, and the vacuum retires pv1 whole (all width
+    // subtrees). Serving from the committed pin answers c76's
+    // multi-scale question exactly.
+    "c127_span_spec_rollover" -> ((s, dir) => {
+      import graft.operators.Dedup
+      import graft.sources.SpanStore
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("c127_roll_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val corpus = spanDupCorpus(s, dir)
+      require(SpanStore.publishSpec(s, root, "span_md5", Seq(16))
+        .committed)
+      SpanStore.appendDigestsEpoch(
+        Dedup.spanDigestRows(corpus, "text", "doc_id", 16), root, 1, 16, 0L)
+      def digest(v: Int, w: Int): (Long, Long) = {
+        val r = SpanStore.readDigests(s, root, v, w)
+          .agg(count(lit(1)).as("n"),
+            bit_xor(xxhash64(col("id"), col("pos"), col("h"))).as("x"))
+          .collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      val pin1 = digest(1, 16)
+      val widths2 = Seq(8, 16, 32)
+      widths2.foreach { w =>
+        val rows = Dedup.spanDigestRows(corpus, "text", "doc_id", w)
+          .persist()
+        try {
+          SpanStore.appendDigestsEpoch(
+            rows.where(pmod(col("id"), lit(2)) === 0), root, 2, w, 0L)
+          SpanStore.appendDigestsEpoch(
+            rows.where(pmod(col("id"), lit(2)) === 1), root, 2, w, 1L)
+          SpanStore.appendDigestsEpoch(
+            rows.where(pmod(col("id"), lit(2)) === 1), root, 2, w, 1L)
+        } finally { rows.unpersist(); () }
+      }
+      require(SpanStore.committedSpecVersion(s, root) == 1,
+        "a backfill must not move the committed pointer")
+      val pre = digest(2, 8)
+      // the FLIP: publish spec v2 (the full ladder) — a pointer commit
+      require(SpanStore.publishSpec(s, root, "span_md5", widths2)
+        .committed)
+      require(SpanStore.committedSpecVersion(s, root) == 2,
+        "the flip must land the committed pointer on v2")
+      require(digest(1, 16) == pin1,
+        "the pinned v1 key space moved across the flip")
+      SpanStore.appendDigestsEpoch(
+        Dedup.spanDigestRows(corpus, "text", "doc_id", 8)
+          .where(pmod(col("id"), lit(2)) === 1), root, 2, 8, 1L)
+      require(digest(2, 8) == pre,
+        "post-flip epoch replay duplicated stored digests")
+      val rep = SpanStore.vacuumRetiredDigests(s, root, keepVersions = 1)
+      require(rep.committed == 2 && rep.removed == Seq(1) &&
+        rep.kept == Seq(2), s"vacuum accounting off: $rep")
+      require(!fs.exists(new Path(
+        s"$root/${SpanStore.DigestsTable}/pv1")),
+        "retired key space must be gone whole (all width subtrees)")
+      val (_, widths) = SpanStore.loadSpecAt(s, root, 2)
+      widths.map { w =>
+        Dedup.duplicatedSpansFromDigests(
+            SpanStore.readDigests(s, root, 2, w))
+          .select(col("id"), lit(w).as("w"),
+            col("n_spans"), col("n_dup_spans"))
+      }.reduce(_ unionByName _).orderBy("id", "w")
+    }),
+
     // C125 span-digest STORE serving — the stored-code discipline on
     // the sub-document family, aimed squarely at the measured cost:
     // the r15 stage probe showed c76's quiet 100x profile is DOMINATED
@@ -7147,6 +7293,16 @@ object SparkEntry {
       // round-trip parquet bit-exactly, and a duplicated replay epoch
       // would flip every window to duplicated (hash-loud)
       "c125_span_store_serve" -> base("c76_multiscale_spans"),
+      // c126 serves c2's question from the committed pin AFTER a full
+      // blue/green k/band rollover — k-32 signatures leaking into the
+      // serving band join, a half-complete sv2 backfill, or a replay
+      // duplication could not hash-match the k-64 planted replay
+      "c126_text_sig_rollover" -> base("c2_minhash_lsh"),
+      // c127 serves c76's question from the committed pin AFTER a full
+      // blue/green ladder rollover — the single-level pv1 leaking in,
+      // a half-complete pv2 backfill, or a replay duplication could
+      // not hash-match the three-level replay
+      "c127_span_spec_rollover" -> base("c76_multiscale_spans"),
       // c114: the pixel chain + one banded block per band count
       "c114_image_banding_curve" ->
         c114OracleSql(Seq(2, 4, 8), maxHamming = 3),
