@@ -195,6 +195,10 @@ object Bench {
     // change, span ladder change) — docs-scaled sign/digest passes +
     // KB publishes + directory-delete vacuums (the c110 shape)
     "c126_text_sig_rollover", "c127_span_spec_rollover",
+    // r15: incremental media pairs (ref side stored, increment
+    // decoded fresh — the c121 shape on images and audio). c129 rides
+    // c105's pair graph — headline only, not probed (b32)
+    "c128_image_incremental_pairs", "c129_audio_incremental_pairs",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -440,6 +444,9 @@ object Bench {
       // the rollover lifecycles are docs-scaled sign/digest passes
       // plus KB publishes — the c110/c120 scale story
       "c126_text_sig_rollover", "c127_span_spec_rollover",
+      // c128's cross join scales with the union's banded frame (the
+      // c97 10x shape); the increment decode is increment-sized
+      "c128_image_incremental_pairs",
       // c114 sweeps three banded joins over the STORED codes (decode
       // prepaid by the c104 prewarm) — candidate volume is banding-
       // bounded by the hot-bucket cap, the c3/c97 contract per point
@@ -554,9 +561,11 @@ object Bench {
     Set("c79b_trained_langid", "c92_budget_threshold")
   private val imageServingQueries =
     Set("c104_image_code_serve", "c114_image_banding_curve",
-      "c118_crossmodal_dup", "c123_trimodal_dup")
+      "c118_crossmodal_dup", "c123_trimodal_dup",
+      "c128_image_incremental_pairs")
   private val audioServingQueries =
-    Set("c115_audio_code_serve", "c123_trimodal_dup")
+    Set("c115_audio_code_serve", "c123_trimodal_dup",
+      "c129_audio_incremental_pairs")
   private val textSigServingQueries =
     Set("c119_text_sig_serve", "c121_text_sig_incremental")
   private val spanServingQueries =

@@ -6068,6 +6068,65 @@ object SparkEntry {
         .orderBy("source", "band", "bin")
     }),
 
+    // C128 INCREMENTAL image pairs from stored codes — c121's
+    // incremental-crawl shape on the image surface: yesterday's media
+    // (the hero images) have their codes SITTING in the C104 store —
+    // a stored-key filter, never a re-decode; only today's increment
+    // (the re-encoded + brightness-shifted arrivals) pays a decode.
+    // The hot-bucket census runs over the UNION (identical codes
+    // always still meet — the c2b rule) and only REF × INC pairs are
+    // emitted. Oracle = the c97 chain restricted to the cross slice —
+    // the same candidates, the same escalation, the same hamming.
+    "c128_image_incremental_pairs" -> ((s, dir) => {
+      import graft.operators.ImageDedup
+      import graft.sources.ImageCodeStore
+      val root = imageCodesRoot(s, dir)
+      val v = ImageCodeStore.committedSpecVersion(s, root)
+      val refCodes = ImageCodeStore.readCodes(s, root, v)
+        .where(col("media_id") < 2000000L)
+      val packed = ImageDedup.packImageVariants(s,
+          t(s, dir, "documents"), "doc_id")
+        .where(col("media_id") >= 2000000L)
+      val incCodes = ImageDedup.blockhashCodes(s, packed)
+      ImageDedup.perceptualCrossPairs(refCodes, incCodes,
+          maxHamming = 3, hotBucketCap = 64)
+        .orderBy("ref_id", "inc_id")
+    }),
+
+    // C129 INCREMENTAL audio pairs from stored landmarks — the same
+    // shape on the audio surface: the reference corpus's landmarks sit
+    // in the C115 store; only the re-mastered arrivals pay a decode +
+    // WHT chain. Duration-blocked (the c105 contract) with the ref
+    // durations read from the stored META rows. Oracle = the c105
+    // synthesis→landmark chain restricted to the cross slice with the
+    // shared-count threshold replayed.
+    "c129_audio_incremental_pairs" -> ((s, dir) => {
+      import graft.operators.Audio
+      import graft.sources.AudioCodeStore
+      val root = audioCodesRoot(s, dir)
+      val v = AudioCodeStore.committedSpecVersion(s, root)
+      val stored = AudioCodeStore.readCodes(s, root, v)
+      val refCodes = stored.where(col("media_id") < 3000000L)
+      val docs = t(s, dir, "documents").select("doc_id")
+        .where(col("doc_id") % 4 === 0)
+      val wavs = Audio.packWav(s, docs, "doc_id")
+      val inc = Audio.gainWav(s,
+        wavs.where(pmod(col("media_id"), lit(7)) === 0)
+          .withColumn("media_id", col("media_id") + lit(3000000L)))
+      val incCodes = Audio.chainedLandmarkRows(s, inc)
+      val refMeta = refCodes.where(col("anchor") === -1)
+        .select(col("media_id").as("ref_id"),
+          col("n_samples").as("__nr"))
+      val incMeta = incCodes.where(col("anchor") === -1)
+        .select(col("media_id").as("inc_id"),
+          col("n_samples").as("__ni"))
+      Audio.chainedCrossPairsFromCodes(refCodes, incCodes, minShared = 4)
+        .join(refMeta, "ref_id").join(incMeta, "inc_id")
+        .where(col("__nr") === col("__ni"))
+        .select("ref_id", "inc_id", "n_shared")
+        .orderBy("ref_id", "inc_id")
+    }),
+
     // C126 text-signature SPEC ROLLOVER across a REAL k/band change —
     // the C117/C122 blue/green story on the text store, completing the
     // rollover discipline on ALL FIVE versioned stores (ANN, image,
@@ -7303,6 +7362,33 @@ object SparkEntry {
       // a half-complete pv2 backfill, or a replay duplication could
       // not hash-match the three-level replay
       "c127_span_spec_rollover" -> base("c76_multiscale_spans"),
+      // c128: the c97 pixel→band→hamming chain restricted to the
+      // REF × INC slice — same census over the union, same escalation
+      "c128_image_incremental_pairs" ->
+        ("WITH " + c97ChainSql + "\n" +
+          """SELECT h.id_a AS ref_id, h.id_b AS inc_id, h.hamming,
+            |       pa.pixsum = pb.pixsum AS same_pixels
+            |FROM hm h
+            |JOIN ps pa ON pa.media_id = h.id_a
+            |JOIN ps pb ON pb.media_id = h.id_b
+            |WHERE h.hamming <= 3 AND h.id_a < 2000000
+            |  AND h.id_b >= 2000000
+            |ORDER BY ref_id, inc_id""".stripMargin),
+      // c129: the c105 synthesis→WHT→landmark chain restricted to the
+      // REF × INC slice, shared-count threshold and duration block
+      // replayed
+      "c129_audio_incremental_pairs" ->
+        ("WITH " + c105PairSql + "\n" +
+          """SELECT x.media_id AS ref_id, y.media_id AS inc_id,
+            |       count(*) AS n_shared
+            |FROM cc x JOIN cc y
+            |  ON x.anchor = y.anchor AND x.line_a = y.line_a
+            | AND x.line_t = y.line_t
+            | AND x.media_id < 3000000 AND y.media_id >= 3000000
+            |JOIN p pa ON pa.media_id = x.media_id
+            |JOIN p pb ON pb.media_id = y.media_id AND pa.n = pb.n
+            |GROUP BY 1, 2 HAVING count(*) >= 4
+            |ORDER BY 1, 2""".stripMargin),
       // c114: the pixel chain + one banded block per band count
       "c114_image_banding_curve" ->
         c114OracleSql(Seq(2, 4, 8), maxHamming = 3),

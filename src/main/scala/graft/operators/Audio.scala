@@ -767,6 +767,30 @@ object Audio {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Cross-corpus chained-landmark pairs (C129) — the c2b
+    * incremental-crawl shape on the audio surface: the reference
+    * corpus's landmarks sit in [[graft.sources.AudioCodeStore]]; only
+    * the increment pays a decode + WHT chain. The equi-join and the
+    * shared-count threshold are [[chainedPairsFromCodes]] verbatim,
+    * restricted to REF × INC pairs (the increment's internal dups are
+    * the self-join's job). Returns (ref_id, inc_id, n_shared).
+    */
+  def chainedCrossPairsFromCodes(refCodes: DataFrame, incCodes: DataFrame,
+                                 minShared: Int = 4): DataFrame = {
+    def sideOf(codes: DataFrame, idAs: String): DataFrame =
+      codes.where(col("anchor") >= 0)
+        .select(col("media_id").as(idAs), col("anchor"), col("line_a"),
+          col("line_t"))
+    val l = sideOf(refCodes, "ref_id")
+    val r = sideOf(incCodes, "inc_id")
+    // shuffle_hash — the r13 banded-join audit rule (corpus-scaled
+    // build side)
+    l.join(r.hint("shuffle_hash"), Seq("anchor", "line_a", "line_t"))
+      .groupBy("ref_id", "inc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Robust audio near-dup pairs — [[fingerprintPairs]]'s exact-power
     * landmark hardened against small lossy perturbations (the Shazam-
     * style construction the exact code is the deterministic core of).

@@ -337,4 +337,54 @@ object ImageDedup {
       .agg(min("hamming").as("hamming"),
         first("same_pixels").as("same_pixels"))
   }
+
+  /** Cross-corpus perceptual pairs (C128) — the c2b incremental-crawl
+    * shape on the image surface: yesterday's media have their codes
+    * SITTING in [[graft.sources.ImageCodeStore]]; only today's
+    * increment pays a decode. Banding, hot-bucket census and the
+    * hamming verify are [[perceptualPairs]] verbatim, with the census
+    * taken over the UNION of both sides (a bucket hot on the union
+    * escalates both sides to full-code keys, so identical codes always
+    * still meet — the minhashCrossPairs rule) and only REF × INC
+    * candidate pairs emitted: the increment's internal dups are the
+    * self-join's job, the reference's were handled when it was the
+    * increment. Returns (ref_id, inc_id, hamming, same_pixels).
+    */
+  def perceptualCrossPairs(ref: DataFrame, inc: DataFrame,
+                           maxHamming: Int = 3,
+                           hotBucketCap: Int = 64): DataFrame = {
+    def banded(codes: DataFrame, side: String): DataFrame =
+      codes.select(lit(side).as("side"), col("media_id").as("id"),
+        col("code"), col("pixsum"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("code"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bucket")))
+    val both = banded(ref, "ref").unionByName(banded(inc, "inc"))
+    val hot = both.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > hotBucketCap)
+      .select(col("band"), col("bucket"), lit(true).as("__hot"))
+    val refined = both.join(broadcast(hot), Seq("band", "bucket"), "left")
+      .select(col("side"), col("id"), col("code"), col("pixsum"),
+        col("band"), col("bucket"),
+        when(col("__hot"), col("code")).otherwise(lit(0L)).as("refine"))
+    val left = refined.where(col("side") === "ref")
+      .select(col("band"), col("bucket"), col("refine"),
+        col("id").as("ref_id"), col("code").as("code_a"),
+        col("pixsum").as("ps_a"))
+    val right = refined.where(col("side") === "inc")
+      .select(col("band"), col("bucket"), col("refine"),
+        col("id").as("inc_id"), col("code").as("code_b"),
+        col("pixsum").as("ps_b"))
+    // shuffle_hash — the perceptualPairs rule: the banded frames are
+    // corpus-sized behind a posexplode (the b25 misestimate class)
+    left.join(right.hint("shuffle_hash"), Seq("band", "bucket", "refine"))
+      .select(col("ref_id"), col("inc_id"),
+        bit_count(col("code_a").bitwiseXOR(col("code_b"))).as("hamming"),
+        (col("ps_a") === col("ps_b")).as("same_pixels"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("ref_id", "inc_id")
+      .agg(min("hamming").as("hamming"),
+        first("same_pixels").as("same_pixels"))
+  }
 }
