@@ -199,6 +199,10 @@ object Bench {
     // decoded fresh — the c121 shape on images and audio). c129 rides
     // c105's pair graph — headline only, not probed (b32)
     "c128_image_incremental_pairs", "c129_audio_incremental_pairs",
+    // r15: the shipped verdict table (c123's compute + the audited
+    // versioned publish + time-travel reads) — rides c105's pair
+    // graph on the audio side, headline only (b32)
+    "c130_verdict_store_serve",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -562,10 +566,10 @@ object Bench {
   private val imageServingQueries =
     Set("c104_image_code_serve", "c114_image_banding_curve",
       "c118_crossmodal_dup", "c123_trimodal_dup",
-      "c128_image_incremental_pairs")
+      "c128_image_incremental_pairs", "c130_verdict_store_serve")
   private val audioServingQueries =
     Set("c115_audio_code_serve", "c123_trimodal_dup",
-      "c129_audio_incremental_pairs")
+      "c129_audio_incremental_pairs", "c130_verdict_store_serve")
   private val textSigServingQueries =
     Set("c119_text_sig_serve", "c121_text_sig_incremental")
   private val spanServingQueries =

@@ -426,6 +426,50 @@ object SparkEntry {
 
   // --------------------------------------------------------------- map
 
+  /** The c123/c130 verdict frame: all three modality pair sets
+    * (text MinHash, stored-code image, stored-landmark audio) joined
+    * over per-modality doc↔media links into one result-sized
+    * per-doc verdict — shared by the c123 query and the c130
+    * versioned publish.
+    */
+  private def trimodalVerdicts(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Audio, CrossModal, Dedup, ImageDedup}
+    import graft.sources.{AudioCodeStore, ImageCodeStore}
+    val docs = t(s, dir, "documents")
+    // text side: the c2 construction on the ≡1 mod 3 slice
+    val withCopies = docs.unionByName(
+      docs.where(pmod(col("doc_id"), lit(3)) === 1)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val textDup = Dedup.minhashDedupPairs(withCopies, "text", "doc_id")
+      .where(col("id_b") - col("id_a") === 1000000L)
+      .select(col("id_a").as("doc_id")).distinct()
+    // image side: stored-code pairs over the shared link table
+    val iroot = imageCodesRoot(s, dir)
+    val ip = ImageDedup.perceptualPairs(
+        ImageCodeStore.readCodes(s, iroot,
+          ImageCodeStore.committedSpecVersion(s, iroot)),
+        maxHamming = 3, hotBucketCap = 64)
+      .select("id_a", "id_b")
+    val ids = docs.select(col("doc_id"))
+    val imgDup = CrossModal.crossDocDups(ip, CrossModal.imageLinks(ids))
+    // audio side: stored landmarks, duration-blocked pairs (the c105
+    // contract), cross-doc via the narration link
+    val aroot = audioCodesRoot(s, dir)
+    val stored = AudioCodeStore.readCodes(s, aroot,
+      AudioCodeStore.committedSpecVersion(s, aroot))
+    val meta = stored.where(col("anchor") === -1)
+      .select("media_id", "n_samples")
+    val ap = Audio.chainedPairsFromCodes(stored, minShared = 4)
+      .join(meta.select(col("media_id").as("id_a"),
+        col("n_samples").as("__na")), "id_a")
+      .join(meta.select(col("media_id").as("id_b"),
+        col("n_samples").as("__nb")), "id_b")
+      .where(col("__na") === col("__nb"))
+      .select("id_a", "id_b")
+    val audDup = CrossModal.crossDocDups(ap, CrossModal.audioLinks(ids))
+    CrossModal.verdictTable(textDup, imgDup, audDup).orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ===== A: reference ETL surface =====
@@ -6842,92 +6886,57 @@ object SparkEntry {
     // strategy). Oracle = all three replays composed (the c97 pixel
     // chain, the c2 planted relation, the c105 synthesis→WHT→landmark
     // pair chain) over the same links and the same concat verdict.
-    "c123_trimodal_dup" -> ((s, dir) => {
-      import graft.operators.{Audio, Dedup, ImageDedup}
-      import graft.sources.{AudioCodeStore, ImageCodeStore}
-      val docs = t(s, dir, "documents")
-      // text side: the c2 construction on the ≡1 mod 3 slice
-      val withCopies = docs.unionByName(
-        docs.where(pmod(col("doc_id"), lit(3)) === 1)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      val textDup = Dedup.minhashDedupPairs(withCopies, "text", "doc_id")
-        .where(col("id_b") - col("id_a") === 1000000L)
-        .select(col("id_a").as("doc_id")).distinct()
-      // image side: c118's stored-code pairs + link, verbatim
-      val iroot = imageCodesRoot(s, dir)
-      val ip = ImageDedup.perceptualPairs(
-          ImageCodeStore.readCodes(s, iroot,
-            ImageCodeStore.committedSpecVersion(s, iroot)),
-          maxHamming = 3, hotBucketCap = 64)
-        .select("id_a", "id_b")
-      val ids = docs.select(col("doc_id"))
-      val iown = ids.select(col("doc_id"), col("doc_id").as("media_id"))
-        .unionByName(ids.where(pmod(col("doc_id"), lit(10)) === 5)
-          .join(ids.select(col("doc_id").as("__b")),
-            col("doc_id") - 5 === col("__b"), "left_semi")
-          .select(col("doc_id"),
-            (col("doc_id") - 5 + 2000000L).as("media_id")))
-        .unionByName(ids.where(pmod(col("doc_id"), lit(10)) === 7)
-          .join(ids.select(col("doc_id").as("__b")),
-            col("doc_id") - 7 === col("__b"), "left_semi")
-          .select(col("doc_id"),
-            (col("doc_id") - 7 + 3000000L).as("media_id")))
-      val ixd = ip
-        .join(iown.select(col("doc_id").as("__da"),
-          col("media_id").as("id_a")), "id_a")
-        .join(iown.select(col("doc_id").as("__db"),
-          col("media_id").as("id_b")), "id_b")
-        .where(col("__da") =!= col("__db"))
-      val imgDup = ixd.select(col("__da").as("doc_id"))
-        .unionByName(ixd.select(col("__db").as("doc_id"))).distinct()
-      // audio side: stored landmarks, duration-blocked pairs (the c105
-      // contract), cross-doc via the narration link
-      val aroot = audioCodesRoot(s, dir)
-      val stored = AudioCodeStore.readCodes(s, aroot,
-        AudioCodeStore.committedSpecVersion(s, aroot))
-      val meta = stored.where(col("anchor") === -1)
-        .select("media_id", "n_samples")
-      val ap = Audio.chainedPairsFromCodes(stored, minShared = 4)
-        .join(meta.select(col("media_id").as("id_a"),
-          col("n_samples").as("__na")), "id_a")
-        .join(meta.select(col("media_id").as("id_b"),
-          col("n_samples").as("__nb")), "id_b")
-        .where(col("__na") === col("__nb"))
-        .select("id_a", "id_b")
-      val ids4 = ids.where(pmod(col("doc_id"), lit(4)) === 0)
-      val aown = ids4.select(col("doc_id"), col("doc_id").as("media_id"))
-        .unionByName(ids.where(pmod(col("doc_id"), lit(4)) === 1)
-          .where(pmod(col("doc_id") - 1, lit(28)) === 0)
-          .join(ids.select(col("doc_id").as("__b")),
-            col("doc_id") - 1 === col("__b"), "left_semi")
-          .select(col("doc_id"),
-            (col("doc_id") - 1 + 3000000L).as("media_id")))
-      val axd = ap
-        .join(aown.select(col("doc_id").as("__da"),
-          col("media_id").as("id_a")), "id_a")
-        .join(aown.select(col("doc_id").as("__db"),
-          col("media_id").as("id_b")), "id_b")
-        .where(col("__da") =!= col("__db"))
-      val audDup = axd.select(col("__da").as("doc_id"))
-        .unionByName(axd.select(col("__db").as("doc_id"))).distinct()
-      // the three-way verdict: one row per flagged doc, modality
-      // booleans + a composed verdict string (concat_ws skips the
-      // null arms identically in Spark and DuckDB)
-      val alld = textDup.unionByName(imgDup).unionByName(audDup)
-        .distinct()
-      alld
-        .join(textDup.withColumn("__t", lit(true)), Seq("doc_id"), "left")
-        .join(imgDup.withColumn("__i", lit(true)), Seq("doc_id"), "left")
-        .join(audDup.withColumn("__a", lit(true)), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("__t"), lit(false)).as("text_dup"),
-          coalesce(col("__i"), lit(false)).as("image_dup"),
-          coalesce(col("__a"), lit(false)).as("audio_dup"))
-        .withColumn("verdict", concat_ws("+",
-          when(col("text_dup"), lit("text")),
-          when(col("image_dup"), lit("image")),
-          when(col("audio_dup"), lit("audio"))))
-        .orderBy("doc_id")
+    "c123_trimodal_dup" -> ((s, dir) => trimodalVerdicts(s, dir)),
+
+    // C130 verdict STORE — the c123 table SHIPPED: a multimodal crawl
+    // does not re-run the verdict join per consumer, it publishes the
+    // per-doc dup table as a versioned artifact (the ModelStore
+    // discipline on the verdict surface): audits refuse a torn table
+    // (duplicate doc ids, a verdict string inconsistent with its
+    // booleans) BEFORE the pointer moves; a replayed publish is
+    // watermark-skipped; a re-publish is a new version with the old
+    // one pinned readable (time travel); serving reads the committed
+    // pointer — result-sized, never a pair join. Oracle = the c123
+    // replay verbatim (a store that mangled one row could not
+    // hash-match).
+    "c130_verdict_store_serve" -> ((s, dir) => {
+      import graft.sources.VerdictStore
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("c130_verd_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val v = trimodalVerdicts(s, dir).persist()
+      try {
+        // a torn table is REFUSED with the pointer unmoved: a verdict
+        // string inconsistent with its booleans cannot publish
+        val torn = v.withColumn("verdict",
+          when(col("doc_id") === v.agg(min("doc_id")).head.getLong(0),
+            lit("mangled")).otherwise(col("verdict")))
+        val bad = VerdictStore.publishVerdicts(s, root, torn)
+        require(!bad.committed && bad.failures.nonEmpty,
+          s"torn verdict table must refuse: $bad")
+        val r1 = VerdictStore.publishVerdicts(s, root, v,
+          batchId = Some(0L))
+        require(r1.committed, s"verdict publish failed: ${r1.failures}")
+        // redelivered epoch: watermark-skipped, pointer unmoved
+        val rep = VerdictStore.publishVerdicts(s, root, v,
+          batchId = Some(0L))
+        require(rep.replaySkipped && !rep.committed,
+          s"replayed publish must be watermark-skipped: $rep")
+        require(VerdictStore.committedVersion(s, root) == 1,
+          "replay must not move the pointer")
+        // a deeper crawl re-publishes: new version, old one pinned
+        require(VerdictStore.publishVerdicts(s, root, v,
+          batchId = Some(1L)).committed)
+        require(VerdictStore.committedVersion(s, root) == 2,
+          "re-publish must land v2")
+        require(VerdictStore.loadVerdictsAt(s, root, 1).count() ==
+          v.count(), "the pinned v1 table must stay readable")
+        VerdictStore.loadCommitted(s, root).orderBy("doc_id")
+      } finally { v.unpersist(); () }
     }),
 
     // C118 CROSS-MODAL document-level dup verdict — the decision a
@@ -7374,6 +7383,10 @@ object SparkEntry {
             |WHERE h.hamming <= 3 AND h.id_a < 2000000
             |  AND h.id_b >= 2000000
             |ORDER BY ref_id, inc_id""".stripMargin),
+      // c130 serves c123's exact table from the committed version of
+      // the verdict store — a publish that mangled, dropped, or
+      // duplicated one row could not hash-match the composed replay
+      "c130_verdict_store_serve" -> base("c123_trimodal_dup"),
       // c129: the c105 synthesis→WHT→landmark chain restricted to the
       // REF × INC slice, shared-count threshold and duration block
       // replayed

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned DUP-VERDICT persistence (C130) — the decision table a
+  * multimodal crawl actually SHIPS: consumers (filter jobs, export
+  * writers, audit dashboards) read "is doc X a dup, and by which
+  * modality" thousands of times; re-running the three-modality pair
+  * joins per consumer would re-pay the banded joins per question. The
+  * verdict table is result-sized (only flagged docs), so it publishes
+  * like a model artifact ([[ModelStore]]'s discipline): the A37 atomic
+  * commit, a batch watermark for replay-skip, version-keyed time
+  * travel, and AUDITS that refuse a torn table before the pointer
+  * moves — a verdict row whose string disagrees with its booleans, or
+  * a doc appearing twice, is a producer bug that must never become the
+  * committed view.
+  *
+  * At 100 TB: the publish is result-sized staging + one rename;
+  * serving is a read of the committed version — the pair joins run
+  * once per CRAWL EPOCH (or incrementally, C121/C128/C129), never per
+  * consumer.
+  */
+object VerdictStore {
+
+  val Table = "dup_verdicts"
+
+  /** The torn-table audits: one row per doc, and the composed verdict
+    * string must equal what the three booleans say (concat_ws over the
+    * null-armed whens — the exact engine construction).
+    */
+  private def audits: Seq[Wap.Audit] = Seq(
+    ("one_row_per_doc", df => {
+      val d = df.groupBy("doc_id").agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1).count()
+      if (d > 0) Some(s"$d doc ids appear more than once") else None
+    }),
+    ("verdict_consistent", df => {
+      val bad = df.where(col("verdict") =!= concat_ws("+",
+          when(col("text_dup"), lit("text")),
+          when(col("image_dup"), lit("image")),
+          when(col("audio_dup"), lit("audio"))))
+        .count()
+      if (bad > 0) Some(s"$bad rows with verdict ≠ booleans") else None
+    }),
+    ("flagged_only", df => {
+      val n = df.where(!col("text_dup") && !col("image_dup") &&
+        !col("audio_dup")).count()
+      if (n > 0) Some(s"$n unflagged rows in a flagged-only table")
+      else None
+    }))
+
+  /** Publish one verdict table as a new committed version under
+    * `root`; `batchId` makes a redelivered epoch a watermark-skipped
+    * no-op (the D39 rule).
+    */
+  def publishVerdicts(spark: SparkSession, root: String,
+                      verdicts: DataFrame,
+                      batchId: Option[Long] = None)
+      : MultiPublish.MultiReport = {
+    val cols = verdicts.select("doc_id", "text_dup", "image_dup",
+      "audio_dup", "verdict")
+    MultiPublish.publishAll(spark, Map(Table -> ((cols, audits))),
+      root, batchId)
+  }
+
+  /** The COMMITTED verdict version — what a consumer reads. */
+  def committedVersion(spark: SparkSession, root: String): Int =
+    MultiPublish.commitVersions(spark, root).getOrElse(Table,
+      throw new IllegalStateException(s"no committed $Table under $root"))
+
+  /** Time travel: one explicit version's table. */
+  def loadVerdictsAt(spark: SparkSession, root: String,
+                     version: Int): DataFrame =
+    MultiPublish.readVersion(spark, root, Table, version)
+      .select("doc_id", "text_dup", "image_dup", "audio_dup", "verdict")
+
+  /** The committed view. */
+  def loadCommitted(spark: SparkSession, root: String): DataFrame =
+    loadVerdictsAt(spark, root, committedVersion(spark, root))
+}

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.operators.{Audio, CrossModal, Dedup, ImageDedup}
+import graft.sources.{AudioCodeStore, ImageCodeStore, TextSigStore, VerdictStore}
+
+/** D48: streaming VERDICT maintenance — the C130 table kept current
+  * under arrival: each micro-batch of crawled documents (1) lands its
+  * artifacts into the three media stores (signatures, image codes,
+  * audio landmarks — delta-sized tokenize/decode work, the D41/D42/D45
+  * ingests composed) plus a D8-partitioned docs ledger, then (2)
+  * recomputes the per-doc verdict table from the STORES so far (no
+  * decode or tokenize anywhere in the verdict plan — banded joins over
+  * stored codes, result-sized link/verdict joins) and (3) publishes it
+  * through [[VerdictStore]] as a new version (batch id = the epoch, so
+  * a redelivered epoch is watermark-skipped after its D8 re-lands
+  * converge). A consumer session pinned at version v keeps reading a
+  * consistent table while the crawl advances it — the C85 blue/green
+  * contract on the decision table itself.
+  *
+  * Stream ≡ batch by construction: the verdict fold drives the SAME
+  * [[CrossModal]] link/flag/verdict helpers and the same stored-code
+  * pair joins as the batch c123/c130 path, and the stores converge to
+  * the one-shot ingest's content under the D8 rule — the spec locks
+  * final-version ≡ one-shot on the same corpus, with the text pairs
+  * arriving a whole epoch after the media.
+  *
+  * At 100 TB: per-epoch ingest is delta-sized; the verdict recompute
+  * is the stored-code banded joins over corpus-so-far (the c104/c115/
+  * c119 serving costs — no media byte is ever re-read) plus
+  * result-sized verdict joins and a KB-to-result-sized publish. The
+  * incremental-pair refinement (fold C121/C128/C129 deltas into a pair
+  * ledger instead of re-running the banded joins) is the documented
+  * next step; the publish/replay contract would not change.
+  */
+object VerdictStream {
+
+  /** The store roots one verdict pipeline maintains. */
+  case class Roots(sigs: String, images: String, audio: String,
+                   verdicts: String, docsSeen: String)
+
+  /** Publish the three specs a fresh pipeline needs (version 1 each). */
+  def initStores(s: SparkSession, r: Roots): Unit = {
+    require(TextSigStore.publishSpec(s, r.sigs, "minhash", 64, 16, 3)
+      .committed, "sig spec publish failed")
+    require(ImageCodeStore.publishSpec(s, r.images, "blockhash", 8, 4)
+      .committed, "image spec publish failed")
+    require(AudioCodeStore.publishSpec(s, r.audio, "chained_landmark",
+      128).committed, "audio spec publish failed")
+  }
+
+  /** One epoch's ingest-then-fold-then-publish — the unit the sink and
+    * the spec's one-shot twin share. `batch` carries the arriving doc
+    * rows (originals AND any re-crawled copies); media are derived for
+    * the batch's ORIGINAL docs by the fixture packers (a real pipeline
+    * would read them off the crawl record).
+    */
+  def foldAndPublish(s: SparkSession, batch: DataFrame, epochId: Long,
+                     r: Roots): graft.sources.MultiPublish.MultiReport = {
+    // 1. land the doc slice (D8 — a replayed epoch overwrites itself)
+    EventStreams.epochIdempotentSink(
+      batch.select("doc_id", "text"), epochId, r.docsSeen)
+    // 2. delta-sized artifact ingest into the three stores
+    TextSigStore.appendSigsEpoch(
+      Dedup.minhashSigRows(batch, "text", "doc_id"), r.sigs, 1, epochId)
+    val originals = batch.where(col("doc_id") < 1000000L)
+      .select("doc_id")
+    ImageCodeStore.appendCodesEpoch(
+      ImageDedup.blockhashCodes(s,
+        ImageDedup.packImageVariants(s, originals, "doc_id")),
+      r.images, 1, epochId)
+    val wavs = Audio.packWav(s,
+      originals.where(pmod(col("doc_id"), lit(4)) === 0), "doc_id")
+    val clips = wavs.unionByName(Audio.gainWav(s,
+      wavs.where(pmod(col("media_id"), lit(7)) === 0)
+        .withColumn("media_id", col("media_id") + lit(3000000L))))
+    AudioCodeStore.appendCodesEpoch(
+      Audio.chainedLandmarkRows(s, clips), r.audio, 1, epochId)
+    // 3. verdicts from the stores so far; 4. versioned publish
+    //    (replay-skipped by the batch watermark)
+    val rep = VerdictStore.publishVerdicts(s, r.verdicts,
+      verdictsFromStores(s, r), batchId = Some(epochId))
+    require(rep.committed || rep.replaySkipped,
+      s"epoch $epochId verdict publish failed: ${rep.failures}")
+    rep
+  }
+
+  /** The verdict table computed ENTIRELY from stored artifacts — the
+    * same [[CrossModal]] tail as the batch path; the only text read is
+    * the candidate-pruned verify join against the docs ledger.
+    */
+  def verdictsFromStores(s: SparkSession, r: Roots): DataFrame = {
+    val docsSeen = s.read.parquet(r.docsSeen)
+    val textDup = Dedup.minhashPairsFromSigs(
+        TextSigStore.readSigs(s, r.sigs, 1), docsSeen, "text", "doc_id")
+      .where(col("id_b") - col("id_a") === 1000000L)
+      .select(col("id_a").as("doc_id")).distinct()
+    val ip = ImageDedup.perceptualPairs(
+        ImageCodeStore.readCodes(s, r.images, 1),
+        maxHamming = 3, hotBucketCap = 64)
+      .select("id_a", "id_b")
+    val ids = docsSeen.where(col("doc_id") < 1000000L)
+      .select(col("doc_id"))
+    val imgDup = CrossModal.crossDocDups(ip, CrossModal.imageLinks(ids))
+    val stored = AudioCodeStore.readCodes(s, r.audio, 1)
+    val meta = stored.where(col("anchor") === -1)
+      .select("media_id", "n_samples")
+    val ap = Audio.chainedPairsFromCodes(stored, minShared = 4)
+      .join(meta.select(col("media_id").as("id_a"),
+        col("n_samples").as("__na")), "id_a")
+      .join(meta.select(col("media_id").as("id_b"),
+        col("n_samples").as("__nb")), "id_b")
+      .where(col("__na") === col("__nb"))
+      .select("id_a", "id_b")
+    val audDup = CrossModal.crossDocDups(ap, CrossModal.audioLinks(ids))
+    CrossModal.verdictTable(textDup, imgDup, audDup)
+  }
+
+  /** Wire the unit under a streaming query. */
+  def maintenanceSink(stream: DataFrame, r: Roots,
+                      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        foldAndPublish(b.sparkSession, b, id, r)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

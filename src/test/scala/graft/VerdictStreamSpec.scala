@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VerdictStore
+import graft.streaming.VerdictStream
+
+/** D48 contracts through the REAL sink: each arriving doc epoch lands
+  * its artifacts into the three media stores and publishes a new
+  * verdict version; the MID-crawl version already carries the media
+  * verdicts while the text pairs (whose copies arrive a whole epoch
+  * later) appear only in the final version — cross-epoch pair
+  * formation through the stores; the final version equals the one-shot
+  * fold on the same corpus; a consumer pinned at v1 is byte-stable
+  * through the advance; and a fresh-checkpoint redelivery converges
+  * (stores via D8, publishes via the batch watermark).
+  */
+class VerdictStreamSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val s = spark
+
+  private def freshRoots(tag: String): VerdictStream.Roots = {
+    def d(n: String) =
+      Files.createTempDirectory(s"graft_d48_${tag}_$n").toString
+    VerdictStream.Roots(d("sigs"), d("img"), d("aud"), d("verd"),
+      d("docs") + "/seen")
+  }
+
+  test("d48: verdicts advance version-by-version under arrival; text " +
+    "dups form across epochs through the stores; final ≡ one-shot; " +
+    "pinned v1 stable; fresh-checkpoint redelivery converges") {
+    val docs = Tables(s, sfDir(), "documents").select("doc_id", "text")
+      .limit(60).cache()
+    // epoch 0: the originals (all media). epoch 1: the re-crawled
+    // copies of the ≡1 mod 3 slice — every text pair CROSSES epochs
+    val copies = docs.where(pmod(col("doc_id"), lit(3)) === 1)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val staged = Files.createTempDirectory("graft_d48_src")
+    Seq(docs, copies).zipWithIndex.foreach { case (ep, i) =>
+      val tmp = Files.createTempDirectory(s"graft_d48_ep$i")
+      ep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, staged.resolve(f"ep$i%02d.parquet"))
+    }
+    val r = freshRoots("main")
+    VerdictStream.initStores(s, r)
+    def runSink(): Unit = {
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val q = VerdictStream.maintenanceSink(src, r,
+        Files.createTempDirectory("graft_d48_ck").toString)
+      q.awaitTermination(180000)
+      ()
+    }
+    runSink()
+    assert(VerdictStore.committedVersion(s, r.verdicts) === 2,
+      "two epochs must land two verdict versions")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(2),
+          x.getBoolean(3), x.getString(4))).toSeq
+    val v1 = rows(VerdictStore.loadVerdictsAt(s, r.verdicts, 1))
+    val v2 = rows(VerdictStore.loadVerdictsAt(s, r.verdicts, 2))
+    // mid-crawl: media dups already flagged, no text pair CAN exist
+    // yet (the copies have not arrived)
+    assert(v1.nonEmpty && v1.forall(!_._2),
+      "no text_dup may exist before the copies arrive")
+    assert(v1.exists(_._3) && v1.exists(_._4),
+      "media dups must already be flagged mid-crawl")
+    // final: the cross-epoch text pairs landed
+    assert(v2.exists(_._2), "text dups must appear once copies arrive")
+    // final ≡ one-shot: everything ingested as a single epoch into
+    // fresh stores, the same fold
+    val one = freshRoots("oneshot")
+    VerdictStream.initStores(s, one)
+    VerdictStream.foldAndPublish(s, docs.unionByName(copies), 0L, one)
+    assert(v2 === rows(VerdictStore.loadCommitted(s, one.verdicts)),
+      "streamed final verdicts diverged from the one-shot fold")
+    // fresh-checkpoint redelivery: stores converge (D8), publishes are
+    // watermark-skipped, the committed view is unchanged
+    runSink()
+    assert(VerdictStore.committedVersion(s, r.verdicts) === 2,
+      "redelivery must not mint new versions")
+    assert(rows(VerdictStore.loadCommitted(s, r.verdicts)) === v2,
+      "redelivery must not change the committed verdicts")
+    assert(rows(VerdictStore.loadVerdictsAt(s, r.verdicts, 1)) === v1,
+      "the pinned v1 table must be byte-stable through everything")
+  }
+}
