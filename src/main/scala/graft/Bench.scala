@@ -203,6 +203,12 @@ object Bench {
     // versioned publish + time-travel reads) — rides c105's pair
     // graph on the audio side, headline only (b32)
     "c130_verdict_store_serve",
+    // r15: the balanced shard export (c124's fold + a partitioned
+    // JSONL write + the read-back rollup)
+    "c131_shard_export",
+    // r15: extents served from the digest store (the c125 argument on
+    // the WHERE question — zero digest compute in the plan)
+    "c132_extents_from_store",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -451,6 +457,10 @@ object Bench {
       // c128's cross join scales with the union's banded frame (the
       // c97 10x shape); the increment decode is increment-sized
       "c128_image_incremental_pairs",
+      // c131 is c124's fold + a docs-scaled partitioned write + the
+      // read-back scan; c132 is c125's stored-table scan + the
+      // duplicated-volume-bounded island sweep
+      "c131_shard_export", "c132_extents_from_store",
       // c114 sweeps three banded joins over the STORED codes (decode
       // prepaid by the c104 prewarm) — candidate volume is banding-
       // bounded by the hot-bucket cap, the c3/c97 contract per point
@@ -573,7 +583,7 @@ object Bench {
   private val textSigServingQueries =
     Set("c119_text_sig_serve", "c121_text_sig_incremental")
   private val spanServingQueries =
-    Set("c125_span_store_serve")
+    Set("c125_span_store_serve", "c132_extents_from_store")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],
                            dir: String): Unit = {
     if (names.exists(modelServingQueries)) {

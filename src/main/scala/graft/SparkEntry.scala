@@ -6380,6 +6380,75 @@ object SparkEntry {
         .orderBy("source", "band", "shard")
     }),
 
+    // C132 span EXTENTS from the store — the C125 serving argument
+    // carried to the WHERE question: c76b re-digested the corpus to
+    // locate the duplicated stretches; here the per-level digest
+    // tables feed the duplicated-vocabulary filter, the hinted flag
+    // join, and the per-document island sweep directly — the digest
+    // map stages (the stage-probe-measured majority of the family's
+    // cost) leave this plan too. Oracle = the c76b extent replay
+    // UNCHANGED.
+    "c132_extents_from_store" -> ((s, dir) => {
+      import graft.operators.Dedup
+      import graft.sources.SpanStore
+      val root = spanDigestsRoot(s, dir)
+      val v = SpanStore.committedSpecVersion(s, root)
+      val (_, widths) = SpanStore.loadSpecAt(s, root, v)
+      widths.map { w =>
+        Dedup.spanExtentsFromDigests(
+          SpanStore.readDigests(s, root, v, w), w)
+      }.reduce(_ unionByName _).orderBy("id", "w", "start_tok")
+    }),
+
+    // C131 balanced SHARD EXPORT — c124's LPT assignment made an
+    // artifact: the training-data interchange write (A19's JSONL
+    // surface) with one directory per (source, band, shard), so
+    // equal-work loaders map 1:1 onto files. The checked frame is the
+    // c124 rollup computed FROM THE READ-BACK rows — the oracle gates
+    // the exported bytes through the JSON round trip, not the
+    // in-memory assignment (a writer that dropped, duplicated, or
+    // mis-partitioned one row could not hash-match). Longs round-trip
+    // JSON exactly; partition columns come back from the directory
+    // names and are re-cast explicitly.
+    "c131_shard_export" -> ((s, dir) => {
+      import graft.operators.Chunking
+      import org.apache.spark.sql.expressions.Window
+      val G = graft.functions.GraftExpressions
+      val base = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("tk"))
+      val corpus = base.unionByName(base.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          (col("tk") + 300L).as("tk")))
+      val assigned = Chunking.lptShards(corpus, "doc_id", "tk", "source",
+        nBands = 4, shards = 3)
+      val path = Tables.scratch("c131_exp_" + new java.io.File(dir).getName)
+      // co-locate each shard before the write: one task owns one
+      // (source, band, shard) → one JSONL file per shard directory
+      assigned.repartition(col("source"), col("band"), col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("source", "band", "shard").json(path)
+      val back = s.read.json(path)
+        .select(col("source").cast("string").as("source"),
+          col("band").cast("long").as("band"),
+          col("shard").cast("long").as("shard"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("tk").cast("long").as("tk"))
+      require(back.count() == assigned.count(),
+        "the export dropped or duplicated rows")
+      back.groupBy("source", "band", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("tokens"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("docs_fp"))
+        .withColumn("share_ppm", G.longDiv(col("tokens") * lit(1000000L),
+          sum("tokens").over(Window.partitionBy("source", "band"))))
+        .select("source", "band", "shard", "n_docs", "tokens",
+          "share_ppm", "docs_fp")
+        .orderBy("source", "band", "shard")
+    }),
+
     // C107 CROSS-VERSION reindex gate — c102's integer-TV harness
     // pointed at STORED code generations (the r13 verdict's ask #5):
     // c102 re-assigns raw vectors on demand; here the decision reads
@@ -7387,6 +7456,13 @@ object SparkEntry {
       // the verdict store — a publish that mangled, dropped, or
       // duplicated one row could not hash-match the composed replay
       "c130_verdict_store_serve" -> base("c123_trimodal_dup"),
+      // c131 serves c124's exact rollup from the READ-BACK of the
+      // exported shard files — the JSON round trip plus the partition
+      // directory names must reproduce every assignment bit-exactly
+      "c131_shard_export" -> base("c124_lpt_shards"),
+      // c132 serves c76b's exact extents with every level fed from the
+      // stored digest tables — the same merge, zero digest compute
+      "c132_extents_from_store" -> base("c76b_span_extents"),
       // c129: the c105 synthesis→WHT→landmark chain restricted to the
       // REF × INC slice, shared-count threshold and duration block
       // replayed

@@ -609,43 +609,48 @@ object Dedup {
       s"widths must be >= 2, got $widths")
     require(widths == widths.sorted && widths.distinct == widths,
       s"widths must be strictly increasing, got $widths")
-    import org.apache.spark.sql.expressions.Window
     widths.map { w =>
-      val toks = TextFunctions.wsTokens(col(textCol))
-      val spans = df
-        .where(length(trim(col(textCol))) > 0 && size(toks) >= w)
-        .select(col(idCol).as("id"),
-          posexplode(graft.functions.GraftExpressions.spanMd5s(toks, w))
-            .as(Seq("pos", "h")))
-      // only the DUPLICATED vocabulary rides the join build side —
-      // filtered before the join, and still shuffle_hash (the c27 sf1
-      // rule: a pathological template corpus makes even this table
-      // corpus-sized; never trust the optimizer's broadcast estimate
-      // for an aggregate output)
-      val dupHashes = spans.groupBy("h")
-        .agg(count(lit(1)).as("n_occ"))
-        .where(col("n_occ") > 1)
-        .select("h")
-      val fired = spans.join(dupHashes.hint("shuffle_hash"), "h")
-        .select(col("id"), col("pos").cast("long").as("pos"),
-          (col("pos") + lit(w - 1)).cast("long").as("end"))
-      val byDoc = Window.partitionBy("id").orderBy("pos")
-      val prevMax = max(col("end"))
-        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-      val islands = fired
-        // a window starting within (or directly after) the covered run
-        // extends it; a gap of ≥ 1 uncovered token starts a new extent
-        .withColumn("new_ext",
-          when(col("pos") > coalesce(prevMax, lit(Long.MinValue)) + 1, 1L)
-            .otherwise(0L))
-        .withColumn("ext", sum(col("new_ext"))
-          .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      islands.groupBy(col("id"), col("ext"))
-        .agg(min("pos").as("start_tok"), max("end").as("end_tok"))
-        .select(col("id"), lit(w).as("w"), col("start_tok"),
-          col("end_tok"),
-          (col("end_tok") - col("start_tok") + 1).as("ext_len"))
+      spanExtentsFromDigests(spanDigestRows(df, textCol, idCol, w), w)
     }.reduce(_ unionByName _)
+  }
+
+  /** [[spanExtents]]'s merge half at ONE width, fed by precomputed
+    * digest rows ((id, pos, h) — [[spanDigestRows]] live, or
+    * [[graft.sources.SpanStore.readDigests]] stored, C132): the
+    * duplicated-vocabulary filter, the hinted flag join, and the
+    * per-document gaps-and-islands sweep are IDENTICAL to the one-shot
+    * path.
+    */
+  def spanExtentsFromDigests(spans: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // only the DUPLICATED vocabulary rides the join build side —
+    // filtered before the join, and still shuffle_hash (the c27 sf1
+    // rule: a pathological template corpus makes even this table
+    // corpus-sized; never trust the optimizer's broadcast estimate
+    // for an aggregate output)
+    val dupHashes = spans.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") > 1)
+      .select("h")
+    val fired = spans.join(dupHashes.hint("shuffle_hash"), "h")
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        (col("pos") + lit(w - 1)).cast("long").as("end"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevMax = max(col("end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = fired
+      // a window starting within (or directly after) the covered run
+      // extends it; a gap of ≥ 1 uncovered token starts a new extent
+      .withColumn("new_ext",
+        when(col("pos") > coalesce(prevMax, lit(Long.MinValue)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("ext", sum(col("new_ext"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("id"), col("ext"))
+      .agg(min("pos").as("start_tok"), max("end").as("end_tok"))
+      .select(col("id"), lit(w).as("w"), col("start_tok"),
+        col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("ext_len"))
   }
 
   /** Duplicated-span REMOVAL — the rewrite pass completing

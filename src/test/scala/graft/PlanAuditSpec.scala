@@ -230,6 +230,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p76 = plan("c76_multiscale_spans")
     assert(p76.toLowerCase.contains("spanmd5"),
       "positive control: the one-shot path digests in-plan")
+    // the WHERE question too: extents from the store are digest-free
+    val p132 = plan("c132_extents_from_store")
+    assert(!p132.toLowerCase.contains("spanmd5"),
+      "a digest pass leaked into the stored-extent serving plan")
+    assert("ShuffledHashJoin".r.findAllIn(p132).size >= 3,
+      "every level's flag join must be shuffled")
   }
 
   test("c104: stored-code serving has NO decode stage anywhere in the " +
