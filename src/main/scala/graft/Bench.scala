@@ -42,6 +42,47 @@ object Bench {
   private def restrict(names: Seq[String]): Seq[String] =
     onlySet.fold(names)(s => names.filter(s.contains))
 
+  // ---- r16 bench armor (the r15 verdict's asks #1/#2) ------------------
+  //
+  // r15's driver run died at rc=124 with parsed:null — an entire round of
+  // perf work with zero independent evidence. Three structural fixes:
+  //   - SPARK_GRAFT_BENCH_BUDGET=<seconds>: phases run in priority order
+  //     (headline → scale10 → scale100) against a wall-clock deadline;
+  //     a phase that doesn't fit is SKIPPED (recorded in the artifact),
+  //     never half-run unparsed.
+  //   - incremental everything: phase children append one `name<TAB>sec`
+  //     row per query as it completes (a killed child loses only the
+  //     in-flight row, not the phase), and the parent re-emits the full
+  //     artifact + compact stdout line after EVERY phase — whatever
+  //     instant an outer timeout fires, the last stdout line is a valid
+  //     parsed summary of everything measured so far.
+  //   - failed/missing rows retry ONCE in a fresh JVM (the c111
+  //     null-session class was a loaded long-lived phase JVM, clean on a
+  //     fresh one); retried rows are flagged in the artifact.
+
+  private val benchStart = System.nanoTime()
+  private def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+  private val budgetSec: Option[Double] =
+    sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).filter(_ > 0)
+  private def remainingSec: Option[Double] = budgetSec.map(_ - elapsedSec)
+
+  private val retriedRows = scala.collection.mutable.LinkedHashSet[String]()
+  private val skippedPhases = scala.collection.mutable.LinkedHashSet[String]()
+  private val truncatedPhases = scala.collection.mutable.LinkedHashSet[String]()
+
+  /** The headline block split into short-lived forked JVMs (the r15
+    * c111/residue fix: a 230-key best-of-3 block in ONE JVM accumulates
+    * execution-memory debris for ~5 minutes; four ~60-key chunks bound
+    * any JVM's lifetime and localize a crash to a quarter of the phase).
+    */
+  private val headlineChunkCount = 4
+  private[graft] def headlineChunk(i: Int): Seq[String] = {
+    val per = math.max(1,
+      (headline.size + headlineChunkCount - 1) / headlineChunkCount)
+    headline.grouped(per).toSeq.lift(i).getOrElse(Seq.empty)
+  }
+
   /** Headline set: one per operator family, heaviest variants. */
   val headline: Seq[String] = restrict(Seq(
     "q1_agg", "q3_join_topk", "q5_star_join", "b4_window_rank",
@@ -584,8 +625,27 @@ object Bench {
     Set("c119_text_sig_serve", "c121_text_sig_incremental")
   private val spanServingQueries =
     Set("c125_span_store_serve", "c132_extents_from_store")
+
+  /** The five store-lifecycle keys that time SERVE-ONLY under the bench
+    * (the r15 verdict's ask #1a): one untimed invocation here runs the
+    * full backfill+flip+vacuum lifecycle (SparkEntry memoizes it per
+    * (JVM, corpus) when the serve-only flag is set), so every timed
+    * sample measures serving the committed store. Verify never sets the
+    * flag — the lifecycle correctness gate is untouched.
+    */
+  private val rolloverLifecycleQueries =
+    Set("c117_image_spec_rollover", "c122_audio_spec_rollover",
+      "c126_text_sig_rollover", "c127_span_spec_rollover",
+      "c130_verdict_store_serve")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],
                            dir: String): Unit = {
+    names.filter(rolloverLifecycleQueries).foreach { n =>
+      System.err.println(s"[bench] prewarming $n lifecycle for $dir " +
+        "(serve-only timing)")
+      try SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prewarm $n failed: ${e.getMessage}") }
+    }
     if (names.exists(modelServingQueries)) {
       System.err.println(s"[bench] prewarming langid model for $dir")
       SparkEntry.prewarmLangidModel(spark, dir)
@@ -625,20 +685,33 @@ object Bench {
     if (runs.size == n) (runs.min, runs.max) else (-1.0, -1.0)
   }
 
-  // ---- phase protocol: child JVMs write `name<TAB>seconds` lines -------
+  // ---- phase protocol: child JVMs APPEND `name<TAB>seconds` lines ------
+  // (one row per query, flushed as it completes — a killed/crashed child
+  // loses only the in-flight row, and the parent can retry exactly the
+  // missing remainder in a fresh JVM)
 
-  private def writeTimes(out: String, times: Seq[(String, Double)]): Unit = {
+  private def appendTime(out: String, name: String, v: Double): Unit = {
     val p = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, times.map { case (k, v) =>
-      "%s\t%.3f".formatLocal(Locale.ROOT, k, v) }.mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(p,
+      "%s\t%.3f\n".formatLocal(Locale.ROOT, name, v),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
 
-  private def readTimes(path: String): Seq[(String, Double)] =
-    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+  /** Tolerant read: a missing file is an empty phase (budget-skipped or
+    * crashed pre-first-row), a torn final line is dropped — partial
+    * evidence is evidence (the whole point of incremental rows).
+    */
+  private def readTimes(path: String): Seq[(String, Double)] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else java.nio.file.Files.readAllLines(p)
       .toArray(Array.empty[String]).toSeq
-      .filter(_.nonEmpty).map { l =>
-        val Array(k, v) = l.split('\t'); k -> v.toDouble }
+      .filter(_.nonEmpty).flatMap { l =>
+        scala.util.Try {
+          val Array(k, v) = l.split('\t'); k -> v.toDouble }.toOption }
+  }
 
   /** One measurement block, in whatever JVM we're called in. The headline
     * block is best-of-3 (r3: best-of-2 still shipped a 2.7x-too-slow
@@ -646,54 +719,65 @@ object Bench {
     * Scale blocks are best-of-2 on EVERY entry — the r6 verdict's fix for
     * the single-run heavy probes that shipped contaminated ratios.
     */
-  def runPhase(phase: String, out: String): Unit = {
+  private val HeadlineChunkRe = "headline(\\d+)".r
+
+  def runPhase(phase: String, out: String,
+               only: Option[Set[String]] = None): Unit = {
     val spark = makeSession(phase)
-    val times = phase match {
+    def sel(names: Seq[String]): Seq[String] = {
+      val picked = only.fold(names)(o => names.filter(o.contains))
+      picked.filter(SparkEntry.queries.contains)
+    }
+    // one measurement list: warmup + prewarm on exactly the selected
+    // names, then one appended row per query as its best-of-n lands
+    def runList(names0: Seq[String], dir: String, samples: String => Int,
+                gcFirst: Boolean, withWorst: Boolean = false): Unit = {
+      val names = sel(names0)
+      warmup(spark, names)
+      maybePrewarm(spark, names, dir)
+      names.foreach { n =>
+        if (withWorst) {
+          val (best, worst) = bestWorstOf(samples(n))(
+            timed(spark, n, dir, gcFirst))
+          appendTime(out, n, best)
+          appendTime(out, s"$n!worst", worst)
+        } else appendTime(out, n,
+          bestOf(samples(n))(timed(spark, n, dir, gcFirst)))
+      }
+    }
+    phase match {
       case "headline" =>
-        warmup(spark, headline)
-        maybePrewarm(spark, headline, sfDir)
-        headline.filter(SparkEntry.queries.contains).map { n =>
-          n -> bestOf(3)(timed(spark, n, sfDir)) }
+        runList(headline, sfDir, _ => 3, gcFirst = false)
+      case HeadlineChunkRe(i) =>
+        runList(headlineChunk(i.toInt), sfDir, _ => 3, gcFirst = false)
       case "scale10" =>
         val dir = ScaleReplica.ensure(spark, sfDir, copies = 10)
         ScaleReplica.drainBuildState(spark)
-        warmup(spark, scalingProbe)
-        maybePrewarm(spark, scalingProbe, dir)
         // image-codec probes get n=3 (the r8 driver/builder contradiction
         // rows — the most allocation-heavy probes are the most exposed to
         // residual-state variance, so they earn the extra sample)
-        scalingProbe.map(n => n -> bestOf(if (noisyProbes(n)) 3 else 2)(
-          timed(spark, n, dir, gcFirst = true)))
+        runList(scalingProbe, dir, n => if (noisyProbes(n)) 3 else 2,
+          gcFirst = true)
       case "scale100" =>
         val dir = ScaleReplica.ensure(spark, sfDir, copies = 100,
           tables = scale100Tables)
         ScaleReplica.drainBuildState(spark)
-        warmup(spark, scaling100Probe)
-        maybePrewarm(spark, scaling100Probe, dir)
         // every 100x probe: n=3 (r8 ask), and BOTH best and worst land
         // in the phase file (`name!worst` rows) so the artifact carries
         // the per-row variance bound the r10 verdict demanded
-        scaling100Probe.flatMap { n =>
-          val (best, worst) = bestWorstOf(3)(
-            timed(spark, n, dir, gcFirst = true))
-          Seq(n -> best, s"$n!worst" -> worst)
-        }
+        runList(scaling100Probe, dir, _ => 3, gcFirst = true,
+          withWorst = true)
       case "sf1base" =>
         val dir = ScaleReplica.ensure(spark, sfDir, copies = 10)
         ScaleReplica.drainBuildState(spark)
-        warmup(spark, sf1Probe)
-        maybePrewarm(spark, sf1Probe, dir)
-        sf1Probe.map(n => n -> bestOf(2)(timed(spark, n, dir, gcFirst = true)))
+        runList(sf1Probe, dir, _ => 2, gcFirst = true)
       case "sf1x10" =>
         val dir = ScaleReplica.ensure(spark, sfDir, copies = 100,
           tables = scale100Tables)
         ScaleReplica.drainBuildState(spark)
-        warmup(spark, sf1Probe)
-        maybePrewarm(spark, sf1Probe, dir)
-        sf1Probe.map(n => n -> bestOf(2)(timed(spark, n, dir, gcFirst = true)))
+        runList(sf1Probe, dir, _ => 2, gcFirst = true)
       case other => sys.error(s"unknown bench phase '$other'")
     }
-    writeTimes(out, times)
     spark.stop()
   }
 
@@ -704,7 +788,9 @@ object Bench {
     * the summary JSON); stderr is inherited so progress is visible.
     * Returns true on a zero exit with the output file present.
     */
-  private def forkPhase(phase: String, out: String): Boolean = {
+  private def forkPhase(phase: String, out: String,
+                        only: Option[Seq[String]],
+                        limitSec: Long): Boolean = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
@@ -712,33 +798,83 @@ object Bench {
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"),
-        "graft.Bench", "--phase", phase, out)
-    val log = new java.io.File(s"target/bench_$phase.log")
+        "graft.Bench", "--phase", phase, out) ++
+      only.fold(Seq.empty[String])(o => Seq("--only", o.mkString(",")))
+    val log = new java.io.File(
+      s"target/bench_$phase${if (only.isDefined) "_retry" else ""}.log")
     log.getParentFile.mkdirs()
-    System.err.println(s"[bench] forking fresh JVM for phase '$phase'")
+    System.err.println(s"[bench] forking fresh JVM for phase '$phase'" +
+      only.fold("")(o => s" (retry of ${o.size} rows)") +
+      s", limit ${limitSec}s")
     val pb = new ProcessBuilder(cmd: _*)
       .redirectOutput(ProcessBuilder.Redirect.to(log))
       .redirectError(ProcessBuilder.Redirect.INHERIT)
+    // serve-only lifecycle timing for the rollover keys (ask #1a) — the
+    // child's maybePrewarm invocation runs the lifecycle, timed samples
+    // serve the committed store
+    pb.environment().put("SPARK_GRAFT_SERVE_ONLY", "1")
     val proc = pb.start()
-    // the sf1 blocks time ~20 probes on 10x/100x data in one child —
-    // wider window than the driver-run phases
-    val limitMin = if (phase.startsWith("sf1")) 90L else 45L
-    val done = proc.waitFor(limitMin, java.util.concurrent.TimeUnit.MINUTES)
+    val done = proc.waitFor(limitSec, java.util.concurrent.TimeUnit.SECONDS)
     if (!done) { proc.destroyForcibly(); proc.waitFor() }
     val ok = done && proc.exitValue == 0 && new java.io.File(out).exists()
     if (!ok) System.err.println(
-      s"[bench] phase '$phase' fork failed (done=$done) — " +
-        "falling back to in-process (fresh session, shared JVM)")
+      s"[bench] phase '$phase' fork incomplete (done=$done, " +
+        s"rows_so_far=${readTimes(out).size})")
     ok
   }
 
-  /** Run a phase in a fresh JVM; if forking fails (classpath oddities
-    * under an unknown launcher), fall back to in-process with a fresh
-    * SparkSession — weaker isolation but never no data.
+  private def defaultLimitSec(phase: String): Long = phase match {
+    case p if p.startsWith("sf1") => 90L * 60
+    case "scale10" | "scale100"  => 45L * 60
+    case _                       => 20L * 60 // one headline chunk
+  }
+
+  /** Run a phase armored (the r15 verdict's asks #1b/#1c/#2): fork with
+    * a budget-clamped window; if the fork dies with ZERO rows, fall back
+    * in-process (classpath oddities under an unknown launcher); then
+    * retry failed/missing rows ONCE in one fresh JVM (the c111
+    * null-session class is environmental — clean on a fresh JVM) and
+    * flag them. Partial output is merged, never discarded.
     */
-  private def phaseTimes(phase: String, out: String): Map[String, Double] = {
-    if (!forkPhase(phase, out)) runPhase(phase, out)
-    readTimes(out).toMap
+  private def runPhaseArmored(phase: String, out: String,
+                              expected: Seq[String]): Map[String, Double] = {
+    if (expected.isEmpty) return Map.empty
+    if (remainingSec.exists(_ < 90)) {
+      System.err.println(s"[bench] budget exhausted " +
+        s"(${remainingSec.get.toInt}s left) — skipping phase '$phase'")
+      skippedPhases += phase
+      return Map.empty
+    }
+    val limit = remainingSec.fold(defaultLimitSec(phase))(r =>
+      math.min(defaultLimitSec(phase), math.max(90L, r.toLong)))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(out))
+    val ok = forkPhase(phase, out, None, limit)
+    if (!ok && readTimes(out).isEmpty && remainingSec.forall(_ > 90))
+      scala.util.Try(runPhase(phase, out))
+    var t = readTimes(out).toMap
+    val bad = expected.filterNot(n => t.get(n).exists(_ >= 0))
+    if (bad.nonEmpty) {
+      if (remainingSec.forall(_ > 90)) {
+        System.err.println(s"[bench] phase '$phase': retrying " +
+          s"${bad.size} failed/missing rows in a fresh JVM: " +
+          bad.mkString(", "))
+        val rout = out + ".retry"
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(rout))
+        val rlimit = remainingSec.fold(limit)(r =>
+          math.min(limit, math.max(90L, r.toLong)))
+        forkPhase(phase, rout, Some(bad), rlimit)
+        val rt = readTimes(rout).toMap
+        val recovered = bad.filter(n => rt.get(n).exists(_ >= 0))
+        retriedRows ++= recovered.map(n => s"$phase:$n")
+        // retried rows (and their !worst companions) override the
+        // failed/missing originals; still-failed retries stay visible
+        t = t ++ rt.filter { case (k, _) =>
+          val base = k.stripSuffix("!worst")
+          bad.contains(base) }
+      }
+    }
+    if (expected.exists(n => !t.contains(n))) truncatedPhases += phase
+    t
   }
 
   /** The sf1 probe set (r8 ask #10): the bench base bumped one decade —
@@ -809,14 +945,24 @@ object Bench {
     "c121_text_sig_incremental", "d44_stream_packing",
     "c124_lpt_shards", "c125_span_store_serve"))
 
-  def main(args: Array[String]): Unit = args.toList match {
-    case "--phase" :: phase :: out :: Nil =>
-      runPhase(phase, out)
-      // non-daemon Spark threads can outlive stop(); exit explicitly so
-      // the parent's waitFor returns
-      sys.exit(0)
-    case "--sf1" :: Nil => sf1Orchestrate()
-    case _ => orchestrate()
+  def main(args: Array[String]): Unit = {
+    // serve-only lifecycle timing everywhere under the bench (forked
+    // children get it via env; this covers the in-process fallback path)
+    sys.props("graft.bench.serveOnly") = "1"
+    args.toList match {
+      case "--phase" :: phase :: out :: rest =>
+        val only = rest match {
+          case "--only" :: csv :: Nil =>
+            Some(csv.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+          case _ => None
+        }
+        runPhase(phase, out, only)
+        // non-daemon Spark threads can outlive stop(); exit explicitly so
+        // the parent's waitFor returns
+        sys.exit(0)
+      case "--sf1" :: Nil => sf1Orchestrate()
+      case _ => orchestrate()
+    }
   }
 
   /** One-decade-up bench: times [[sf1Probe]] on the 10-copy replica
@@ -829,8 +975,10 @@ object Bench {
     ScaleReplica.ensure(spark, sfDir, copies = 10)
     ScaleReplica.ensure(spark, sfDir, copies = 100, tables = scale100Tables)
     spark.stop()
-    val base = phaseTimes("sf1base", "target/bench_sf1base.tsv")
-    val t10 = phaseTimes("sf1x10", "target/bench_sf1x10.tsv")
+    val base = runPhaseArmored("sf1base", "target/bench_sf1base.tsv",
+      sf1Probe)
+    val t10 = runPhaseArmored("sf1x10", "target/bench_sf1x10.tsv",
+      sf1Probe)
     val entries = sf1Probe.map { name =>
       val t1 = base.getOrElse(name, -1.0)
       val tN = t10.getOrElse(name, -1.0)
@@ -857,7 +1005,55 @@ object Bench {
       spark.stop()
     }
 
-    val base = phaseTimes("headline", "target/bench_headline.tsv")
+    // Headline in short-lived chunk JVMs (ask #2: the 230-key best-of-3
+    // block accumulated enough execution-memory residue in one JVM to
+    // kill c111 in the driver's loaded run). The artifact + stdout line
+    // re-emit after EVERY chunk and phase (ask #1c): whatever instant an
+    // outer timeout fires, the last stdout line parses.
+    var base = Map.empty[String, Double]
+    (0 until headlineChunkCount).foreach { i =>
+      val names = headlineChunk(i)
+      base = base ++ runPhaseArmored(s"headline$i",
+        s"target/bench_headline_$i.tsv", names)
+      emit(base, Map.empty, Map.empty)
+    }
+
+    if (probesOn) {
+      // no silent caps: name the headline queries WITHOUT a scaling
+      // number (events-table queries — the replica scales the TPC-H +
+      // documents + embeddings tables — and the cheap long tail)
+      val notProbed = headline.filterNot(scalingProbe.contains)
+      System.err.println(
+        s"[bench] scaling probe covers ${scalingProbe.size} of " +
+          s"${headline.size} headline queries; not probed: " +
+          notProbed.mkString(", "))
+      val t10 = runPhaseArmored("scale10", "target/bench_scale10.tsv",
+        scalingProbe)
+      emit(base, t10, Map.empty)
+      val t100 = runPhaseArmored("scale100", "target/bench_scale100.tsv",
+        scaling100Probe)
+      emit(base, t10, t100)
+    }
+  }
+
+  /** Write the full artifact (target/bench.json) and print the compact
+    * summary as the LAST stdout line — called after every chunk/phase so
+    * the newest stdout line always reflects everything measured so far.
+    *
+    * Compact-line history: five rounds of driver `parsed:null` converged
+    * on the real constraint — the driver keeps a 2000-CHARACTER stdout
+    * tail, and sbt appends its own "[success] Total time…" line
+    * (~80 chars) AFTER ours, so the summary must fit in ~1900 chars or
+    * the tail starts mid-JSON (exactly r8's failure: the 81-entry ratios
+    * map alone was ~2.4 KB). The line carries summary STATISTICS, not
+    * the full map: probe counts, min/median/max of the 10x ratios, the
+    * WORST 12 probes by ratio (the adversarial rows a grader needs), the
+    * full 100x block with per-row variance bounds, and the armor flags
+    * (retried rows, budget-skipped/truncated phases). Complete artifact:
+    * target/bench.json.
+    */
+  private def emit(base: Map[String, Double], t10: Map[String, Double],
+                   t100: Map[String, Double]): Unit = {
     // keep headline order for the artifact
     val results = headline.filter(base.contains).map(n => n -> base(n))
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -890,45 +1086,34 @@ object Bench {
         entries.mkString(s"""{"copies":$copies,""", ",", "}")
     }
 
-    val (scaleJson, scale100Json) =
-      if (!probesOn) ("", "")
-      else {
-        // no silent caps: name the headline queries WITHOUT a scaling
-        // number (events-table queries — the replica scales the TPC-H +
-        // documents + embeddings tables — and the cheap long tail)
-        val notProbed = headline.filterNot(scalingProbe.contains)
-        System.err.println(
-          s"[bench] scaling probe covers ${scalingProbe.size} of " +
-            s"${headline.size} headline queries; not probed: " +
-            notProbed.mkString(", "))
-        val t10 = phaseTimes("scale10", "target/bench_scale10.tsv")
-        val t100 = phaseTimes("scale100", "target/bench_scale100.tsv")
-        (scaleBlock("scaling", scalingProbe, t10, "x10", 10),
-         scaleBlock("scaling100", scaling100Probe, t100, "x100", 100,
-           withVar = true))
-      }
+    def jlist(xs: Iterable[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val armorParts = Seq(
+      if (retriedRows.nonEmpty) Some(s""""retried":${jlist(retriedRows)}""")
+      else None,
+      if (skippedPhases.nonEmpty)
+        Some(s""""phases_skipped":${jlist(skippedPhases)}""") else None,
+      if (truncatedPhases.nonEmpty)
+        Some(s""""phases_truncated":${jlist(truncatedPhases)}""") else None,
+      budgetSec.map(b => s""""budget_sec":${b.toLong}""")).flatten
+    val armorJson =
+      if (armorParts.isEmpty) ""
+      else s""","armor":{${armorParts.mkString(",")}}"""
+
+    val scaleJson =
+      if (t10.isEmpty) "" else scaleBlock("scaling", scalingProbe, t10,
+        "x10", 10)
+    val scale100Json =
+      if (t100.isEmpty) "" else scaleBlock("scaling100", scaling100Probe,
+        t100, "x100", 100, withVar = true)
 
     // Full artifact (everything) → target/bench.json.
     val full =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson$scale100Json}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson$scale100Json$armorJson}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, full + "\n")
 
-    // Compact summary as the LAST stdout line. Five rounds of driver
-    // `parsed:null` converged on the real constraint: the driver keeps a
-    // 2000-CHARACTER stdout tail, and sbt appends its own "[success]
-    // Total time…" line (~80 chars) AFTER ours — so the summary must fit
-    // in ~1900 chars or the tail starts mid-JSON (exactly r8's failure:
-    // the 81-entry ratios map alone was ~2.4 KB). So the line carries
-    // summary STATISTICS, not the full map: probe counts, the
-    // min/median/max of the 10x ratios, the WORST 12 probes by ratio
-    // (the adversarial rows a grader needs), the full 100x block, and
-    // its per-row variance bounds (currently 7 entries each, ~25 bytes
-    // per entry — base fields ~300 B + worst-12 ~300 B + ratios100
-    // ~180 B + var100 ~180 B lands near 1000 B, and the 12/6/0
-    // worst-list ladder below degrades toward the 1500-byte cap if the
-    // blocks ever grow). Complete artifact: target/bench.json.
     def ratios(probe: Seq[String], t: Map[String, Double]): Seq[(String, Double)] =
       probe.flatMap { name =>
         val tN = t.getOrElse(name, -1.0)
@@ -938,29 +1123,31 @@ object Bench {
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) =>
         "\"%s\":%.2f".formatLocal(Locale.ROOT, k, v) }.mkString("{", ",", "}")
-    val (r10, r100, v100) =
-      if (!probesOn) (Seq.empty[(String, Double)], Seq.empty[(String, Double)],
-        Seq.empty[(String, Double)])
-      else {
-        val t100 = readTimes("target/bench_scale100.tsv").toMap
-        (ratios(scalingProbe, readTimes("target/bench_scale10.tsv").toMap),
-         ratios(scaling100Probe, t100),
-         // per-row spread bound (worst/best of 3) for the 100x rows
-         scaling100Probe.flatMap { n =>
-           val b = t100.getOrElse(n, -1.0)
-           val w = t100.getOrElse(s"$n!worst", -1.0)
-           if (b > 0 && w > 0) Some(n -> w / b) else None
-         })
-      }
+    val r10 = ratios(scalingProbe, t10)
+    val r100 = ratios(scaling100Probe, t100)
+    // per-row spread bound (worst/best of 3) for the 100x rows
+    val v100 = scaling100Probe.flatMap { n =>
+      val b = t100.getOrElse(n, -1.0)
+      val w = t100.getOrElse(s"$n!worst", -1.0)
+      if (b > 0 && w > 0) Some(n -> w / b) else None
+    }
     val sorted10 = r10.map(_._2).sorted
     def pct(s: Seq[Double], q: Double): Double =
       if (s.isEmpty) -1.0 else s(((s.size - 1) * q).round.toInt)
     val summary10 =
       """{"min":%.2f,"p50":%.2f,"max":%.2f}""".formatLocal(Locale.ROOT,
         pct(sorted10, 0.0), pct(sorted10, 0.5), pct(sorted10, 1.0))
+    val armorCompact = (
+      (if (retriedRows.isEmpty) Seq.empty[String]
+       else Seq(s""""n_retried":${retriedRows.size}""")) ++
+      (if (skippedPhases.isEmpty) Seq.empty[String]
+       else Seq(s""""skipped":${jlist(skippedPhases)}""")) ++
+      (if (truncatedPhases.isEmpty) Seq.empty[String]
+       else Seq(s""""truncated":${jlist(truncatedPhases)}""")))
+      .map("," + _).mkString
     def compactLine(worstK: Int): String = {
       val worst = jmap(r10.sortBy(-_._2).take(worstK))
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_probes10":${r10.size},"n_sublinear10":${r10.count(_._2 < 10.0)},"r10":$summary10,"worst10":$worst,"ratios100":${jmap(r100)},"var100":${jmap(v100)},"queries_full":"target/bench.json"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_probes10":${r10.size},"n_sublinear10":${r10.count(_._2 < 10.0)},"r10":$summary10,"worst10":$worst,"ratios100":${jmap(r100)},"var100":${jmap(v100)}$armorCompact,"queries_full":"target/bench.json"}"""
     }
     // 1500-char hard cap (driver tail 2000 minus sbt's trailer, with
     // margin); degrade by shrinking the worst-list, never by growing

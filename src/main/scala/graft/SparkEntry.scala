@@ -367,6 +367,29 @@ object SparkEntry {
     spanDigestsRoot(s, dir); ()
   }
 
+  /** Bench-only serve-phase gate (the r15 verdict's ask #1a): the five
+    * spec-rollover / store-lifecycle keys (c117/c122/c126/c127/c130)
+    * spend ~35 s per bench run re-running their backfill+flip+vacuum
+    * lifecycles inside every timed sample, yet the thing a bench row
+    * should measure is SERVING — lifecycle correctness is already
+    * oracle-gated by Verify (which never sets this flag, so the full
+    * delete + backfill + flip + asserted vacuum runs cold there every
+    * time). When graft.Bench sets `graft.bench.serveOnly` (in-process)
+    * or SPARK_GRAFT_SERVE_ONLY=1 (forked phase JVMs), the lifecycle
+    * body runs ONCE per (JVM, corpus) — the maybePrewarm invocation —
+    * and every subsequent timed sample in that JVM skips straight to
+    * the serve expression against the already-committed store. In-JVM
+    * memoization (the imageCodesRoot discipline) means no on-disk
+    * marker can ever go stale across code changes or rounds.
+    */
+  private def serveOnlyBench: Boolean =
+    sys.props.get("graft.bench.serveOnly").contains("1") ||
+      sys.env.get("SPARK_GRAFT_SERVE_ONLY").contains("1")
+  private val lifecyclesDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def lifecycleOncePerBenchJvm(key: String)(body: => Unit): Unit =
+    if (serveOnlyBench) { if (lifecyclesDone.add(key)) body } else body
+
   /** Loud replay-visibility gate shared by the stored-signature serving
     * paths: exactly one signature row per doc — epoch duplication would
     * be invisible to the pair DISTINCT downstream, so it must fail HERE.
@@ -6189,58 +6212,60 @@ object SparkEntry {
       val root = Tables.scratch("c126_roll_" + new java.io.File(dir).getName +
         "_" + java.lang.Integer.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(dir)))
-      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(root), true)
       val corpus = textSigCorpus(s, dir)
-      // blue: spec v1 = k 32, bands 8 — signed under the LOADED spec
-      require(TextSigStore.publishSpec(s, root, "minhash", k = 32,
-        bands = 8, shingleW = 3).committed)
-      val (_, k1, _, _) = TextSigStore.loadSpecAt(s, root, 1)
-      TextSigStore.appendSigsEpoch(
-        Dedup.minhashSigRows(corpus, "text", "doc_id", k = k1),
-        root, 1, 0L)
-      def digest(v: Int): (Long, Long) = {
-        val r = TextSigStore.readSigs(s, root, v)
-          .agg(count(lit(1)).as("n"),
-            bit_xor(xxhash64(col("doc_id"), col("sig"))).as("x"))
-          .collect().head
-        (r.getLong(0), r.getLong(1))
+      lifecycleOncePerBenchJvm(s"c126:$dir") {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        // blue: spec v1 = k 32, bands 8 — signed under the LOADED spec
+        require(TextSigStore.publishSpec(s, root, "minhash", k = 32,
+          bands = 8, shingleW = 3).committed)
+        val (_, k1, _, _) = TextSigStore.loadSpecAt(s, root, 1)
+        TextSigStore.appendSigsEpoch(
+          Dedup.minhashSigRows(corpus, "text", "doc_id", k = k1),
+          root, 1, 0L)
+        def digest(v: Int): (Long, Long) = {
+          val r = TextSigStore.readSigs(s, root, v)
+            .agg(count(lit(1)).as("n"),
+              bit_xor(xxhash64(col("doc_id"), col("sig"))).as("x"))
+            .collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+        val pin1 = digest(1)
+        // green backfill: k=64 signatures land in sv2 WHILE v1 serves
+        val sigs64 = Dedup.minhashSigRows(corpus, "text", "doc_id", k = 64)
+          .persist()
+        try {
+          TextSigStore.appendSigsEpoch(
+            sigs64.where(pmod(col("doc_id"), lit(2)) === 0), root, 2, 0L)
+          TextSigStore.appendSigsEpoch(
+            sigs64.where(pmod(col("doc_id"), lit(2)) === 1), root, 2, 1L)
+          TextSigStore.appendSigsEpoch(
+            sigs64.where(pmod(col("doc_id"), lit(2)) === 1), root, 2, 1L)
+          require(TextSigStore.committedSpecVersion(s, root) == 1,
+            "a backfill must not move the committed pointer")
+          val pre = digest(2)
+          // the FLIP: publish spec v2 (k 64, bands 16) — a pointer commit
+          require(TextSigStore.publishSpec(s, root, "minhash", 64, 16, 3)
+            .committed)
+          require(TextSigStore.committedSpecVersion(s, root) == 2,
+            "the flip must land the committed pointer on v2")
+          require(digest(1) == pin1,
+            "the pinned v1 key space moved across the flip")
+          TextSigStore.appendSigsEpoch(
+            sigs64.where(pmod(col("doc_id"), lit(2)) === 1), root, 2, 1L)
+          require(digest(2) == pre,
+            "post-flip epoch replay duplicated stored signatures")
+          val rep = TextSigStore.vacuumRetiredSigs(s, root, keepVersions = 1)
+          require(rep.committed == 2 && rep.removed == Seq(1) &&
+            rep.kept == Seq(2), s"vacuum accounting off: $rep")
+        } finally { sigs64.unpersist(); () }
       }
-      val pin1 = digest(1)
-      // green backfill: k=64 signatures land in sv2 WHILE v1 serves
-      val sigs64 = Dedup.minhashSigRows(corpus, "text", "doc_id", k = 64)
-        .persist()
-      try {
-        TextSigStore.appendSigsEpoch(
-          sigs64.where(pmod(col("doc_id"), lit(2)) === 0), root, 2, 0L)
-        TextSigStore.appendSigsEpoch(
-          sigs64.where(pmod(col("doc_id"), lit(2)) === 1), root, 2, 1L)
-        TextSigStore.appendSigsEpoch(
-          sigs64.where(pmod(col("doc_id"), lit(2)) === 1), root, 2, 1L)
-        require(TextSigStore.committedSpecVersion(s, root) == 1,
-          "a backfill must not move the committed pointer")
-        val pre = digest(2)
-        // the FLIP: publish spec v2 (k 64, bands 16) — a pointer commit
-        require(TextSigStore.publishSpec(s, root, "minhash", 64, 16, 3)
-          .committed)
-        require(TextSigStore.committedSpecVersion(s, root) == 2,
-          "the flip must land the committed pointer on v2")
-        require(digest(1) == pin1,
-          "the pinned v1 key space moved across the flip")
-        TextSigStore.appendSigsEpoch(
-          sigs64.where(pmod(col("doc_id"), lit(2)) === 1), root, 2, 1L)
-        require(digest(2) == pre,
-          "post-flip epoch replay duplicated stored signatures")
-        val rep = TextSigStore.vacuumRetiredSigs(s, root, keepVersions = 1)
-        require(rep.committed == 2 && rep.removed == Seq(1) &&
-          rep.kept == Seq(2), s"vacuum accounting off: $rep")
-        Dedup.minhashPairsFromSigs(
-            requireOneSigPerDoc(TextSigStore.readSigs(s, root, 2)),
-            corpus, "text", "doc_id", k = 64, bands = 16)
-          .where(col("id_b") - col("id_a") === 1000000L)
-          .orderBy("id_a", "id_b")
-      } finally { sigs64.unpersist(); () }
+      Dedup.minhashPairsFromSigs(
+          requireOneSigPerDoc(TextSigStore.readSigs(s, root, 2)),
+          corpus, "text", "doc_id", k = 64, bands = 16)
+        .where(col("id_b") - col("id_a") === 1000000L)
+        .orderBy("id_a", "id_b")
     }),
 
     // C127 span-digest SPEC ROLLOVER across a REAL ladder change —
@@ -6258,56 +6283,58 @@ object SparkEntry {
       val root = Tables.scratch("c127_roll_" + new java.io.File(dir).getName +
         "_" + java.lang.Integer.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(dir)))
-      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(root), true)
-      val corpus = spanDupCorpus(s, dir)
-      require(SpanStore.publishSpec(s, root, "span_md5", Seq(16))
-        .committed)
-      SpanStore.appendDigestsEpoch(
-        Dedup.spanDigestRows(corpus, "text", "doc_id", 16), root, 1, 16, 0L)
-      def digest(v: Int, w: Int): (Long, Long) = {
-        val r = SpanStore.readDigests(s, root, v, w)
-          .agg(count(lit(1)).as("n"),
-            bit_xor(xxhash64(col("id"), col("pos"), col("h"))).as("x"))
-          .collect().head
-        (r.getLong(0), r.getLong(1))
+      lifecycleOncePerBenchJvm(s"c127:$dir") {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val corpus = spanDupCorpus(s, dir)
+        require(SpanStore.publishSpec(s, root, "span_md5", Seq(16))
+          .committed)
+        SpanStore.appendDigestsEpoch(
+          Dedup.spanDigestRows(corpus, "text", "doc_id", 16), root, 1, 16, 0L)
+        def digest(v: Int, w: Int): (Long, Long) = {
+          val r = SpanStore.readDigests(s, root, v, w)
+            .agg(count(lit(1)).as("n"),
+              bit_xor(xxhash64(col("id"), col("pos"), col("h"))).as("x"))
+            .collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+        val pin1 = digest(1, 16)
+        val widths2 = Seq(8, 16, 32)
+        widths2.foreach { w =>
+          val rows = Dedup.spanDigestRows(corpus, "text", "doc_id", w)
+            .persist()
+          try {
+            SpanStore.appendDigestsEpoch(
+              rows.where(pmod(col("id"), lit(2)) === 0), root, 2, w, 0L)
+            SpanStore.appendDigestsEpoch(
+              rows.where(pmod(col("id"), lit(2)) === 1), root, 2, w, 1L)
+            SpanStore.appendDigestsEpoch(
+              rows.where(pmod(col("id"), lit(2)) === 1), root, 2, w, 1L)
+          } finally { rows.unpersist(); () }
+        }
+        require(SpanStore.committedSpecVersion(s, root) == 1,
+          "a backfill must not move the committed pointer")
+        val pre = digest(2, 8)
+        // the FLIP: publish spec v2 (the full ladder) — a pointer commit
+        require(SpanStore.publishSpec(s, root, "span_md5", widths2)
+          .committed)
+        require(SpanStore.committedSpecVersion(s, root) == 2,
+          "the flip must land the committed pointer on v2")
+        require(digest(1, 16) == pin1,
+          "the pinned v1 key space moved across the flip")
+        SpanStore.appendDigestsEpoch(
+          Dedup.spanDigestRows(corpus, "text", "doc_id", 8)
+            .where(pmod(col("id"), lit(2)) === 1), root, 2, 8, 1L)
+        require(digest(2, 8) == pre,
+          "post-flip epoch replay duplicated stored digests")
+        val rep = SpanStore.vacuumRetiredDigests(s, root, keepVersions = 1)
+        require(rep.committed == 2 && rep.removed == Seq(1) &&
+          rep.kept == Seq(2), s"vacuum accounting off: $rep")
+        require(!fs.exists(new Path(
+          s"$root/${SpanStore.DigestsTable}/pv1")),
+          "retired key space must be gone whole (all width subtrees)")
       }
-      val pin1 = digest(1, 16)
-      val widths2 = Seq(8, 16, 32)
-      widths2.foreach { w =>
-        val rows = Dedup.spanDigestRows(corpus, "text", "doc_id", w)
-          .persist()
-        try {
-          SpanStore.appendDigestsEpoch(
-            rows.where(pmod(col("id"), lit(2)) === 0), root, 2, w, 0L)
-          SpanStore.appendDigestsEpoch(
-            rows.where(pmod(col("id"), lit(2)) === 1), root, 2, w, 1L)
-          SpanStore.appendDigestsEpoch(
-            rows.where(pmod(col("id"), lit(2)) === 1), root, 2, w, 1L)
-        } finally { rows.unpersist(); () }
-      }
-      require(SpanStore.committedSpecVersion(s, root) == 1,
-        "a backfill must not move the committed pointer")
-      val pre = digest(2, 8)
-      // the FLIP: publish spec v2 (the full ladder) — a pointer commit
-      require(SpanStore.publishSpec(s, root, "span_md5", widths2)
-        .committed)
-      require(SpanStore.committedSpecVersion(s, root) == 2,
-        "the flip must land the committed pointer on v2")
-      require(digest(1, 16) == pin1,
-        "the pinned v1 key space moved across the flip")
-      SpanStore.appendDigestsEpoch(
-        Dedup.spanDigestRows(corpus, "text", "doc_id", 8)
-          .where(pmod(col("id"), lit(2)) === 1), root, 2, 8, 1L)
-      require(digest(2, 8) == pre,
-        "post-flip epoch replay duplicated stored digests")
-      val rep = SpanStore.vacuumRetiredDigests(s, root, keepVersions = 1)
-      require(rep.committed == 2 && rep.removed == Seq(1) &&
-        rep.kept == Seq(2), s"vacuum accounting off: $rep")
-      require(!fs.exists(new Path(
-        s"$root/${SpanStore.DigestsTable}/pv1")),
-        "retired key space must be gone whole (all width subtrees)")
       val (_, widths) = SpanStore.loadSpecAt(s, root, 2)
       widths.map { w =>
         Dedup.duplicatedSpansFromDigests(
@@ -6423,7 +6450,11 @@ object SparkEntry {
           (col("tk") + 300L).as("tk")))
       val assigned = Chunking.lptShards(corpus, "doc_id", "tk", "source",
         nBands = 4, shards = 3)
-      val path = Tables.scratch("c131_exp_" + new java.io.File(dir).getName)
+      // full-path hash in the scratch name (the langidModelRoot rule):
+      // two dirs sharing a basename must not share an export directory
+      val path = Tables.scratch("c131_exp_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
       // co-locate each shard before the write: one task owns one
       // (source, band, shard) → one JSONL file per shard directory
       assigned.repartition(col("source"), col("band"), col("shard"))
@@ -6886,59 +6917,61 @@ object SparkEntry {
       val root = Tables.scratch("c122_roll_" + new java.io.File(dir).getName +
         "_" + java.lang.Integer.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(dir)))
-      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(root), true)
-      val packed = audioDupCorpus(s, dir)
-      // blue: spec v1 = frame 64 — the ENCODE is driven by the loaded
-      // spec, not a constant, so the rollover is a real re-encode
-      require(AudioCodeStore.publishSpec(s, root, "chained_landmark",
-        frame = 64).committed)
-      val (_, f1) = AudioCodeStore.loadSpecAt(s, root, 1)
-      AudioCodeStore.appendCodesEpoch(
-        Audio.chainedLandmarkRows(s, packed, frame = f1), root, 1, 0L)
-      def digest(v: Int): (Long, Long) = {
-        val r = AudioCodeStore.readCodes(s, root, v)
-          .agg(count(lit(1)).as("n"), bit_xor(xxhash64(col("media_id"),
-            col("n_samples"), col("anchor"), col("line_a"),
-            col("line_t"))).as("x")).collect().head
-        (r.getLong(0), r.getLong(1))
-      }
-      val pin1 = digest(1)
-      // green backfill: frame-128 landmarks land in av2 WHILE v1
-      // serves (two epochs by parity; epoch 1 replayed pre-flip)
-      val rows128 = Audio.chainedLandmarkRows(s, packed, frame = 128)
-        .persist()
-      try {
-        AudioCodeStore.appendCodesEpoch(
-          rows128.where(pmod(col("media_id"), lit(2)) === 0), root, 2, 0L)
-        AudioCodeStore.appendCodesEpoch(
-          rows128.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
-        AudioCodeStore.appendCodesEpoch(
-          rows128.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
-        require(AudioCodeStore.committedSpecVersion(s, root) == 1,
-          "a backfill must not move the committed pointer")
-        val pre = digest(2)
-        // the FLIP: publish spec v2 (frame 128) — a pointer commit
+      lifecycleOncePerBenchJvm(s"c122:$dir") {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val packed = audioDupCorpus(s, dir)
+        // blue: spec v1 = frame 64 — the ENCODE is driven by the loaded
+        // spec, not a constant, so the rollover is a real re-encode
         require(AudioCodeStore.publishSpec(s, root, "chained_landmark",
-          frame = 128).committed)
-        require(AudioCodeStore.committedSpecVersion(s, root) == 2,
-          "the flip must land the committed pointer on v2")
-        // a session pinned at v1 is byte-stable through the flip
-        require(digest(1) == pin1,
-          "the pinned v1 key space moved across the flip")
-        // a replayed backfill epoch POST-flip is still a no-op
+          frame = 64).committed)
+        val (_, f1) = AudioCodeStore.loadSpecAt(s, root, 1)
         AudioCodeStore.appendCodesEpoch(
-          rows128.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
-        require(digest(2) == pre,
-          "post-flip epoch replay duplicated stored landmarks")
-        // retire the loser; the committed key space survives
-        val rep = AudioCodeStore.vacuumRetiredCodes(s, root,
-          keepVersions = 1)
-        require(rep.committed == 2 && rep.removed == Seq(1) &&
-          rep.kept == Seq(2), s"vacuum accounting off: $rep")
-        audioClustersFromStored(s, AudioCodeStore.readCodes(s, root, 2))
-      } finally { rows128.unpersist(); () }
+          Audio.chainedLandmarkRows(s, packed, frame = f1), root, 1, 0L)
+        def digest(v: Int): (Long, Long) = {
+          val r = AudioCodeStore.readCodes(s, root, v)
+            .agg(count(lit(1)).as("n"), bit_xor(xxhash64(col("media_id"),
+              col("n_samples"), col("anchor"), col("line_a"),
+              col("line_t"))).as("x")).collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+        val pin1 = digest(1)
+        // green backfill: frame-128 landmarks land in av2 WHILE v1
+        // serves (two epochs by parity; epoch 1 replayed pre-flip)
+        val rows128 = Audio.chainedLandmarkRows(s, packed, frame = 128)
+          .persist()
+        try {
+          AudioCodeStore.appendCodesEpoch(
+            rows128.where(pmod(col("media_id"), lit(2)) === 0), root, 2, 0L)
+          AudioCodeStore.appendCodesEpoch(
+            rows128.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
+          AudioCodeStore.appendCodesEpoch(
+            rows128.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
+          require(AudioCodeStore.committedSpecVersion(s, root) == 1,
+            "a backfill must not move the committed pointer")
+          val pre = digest(2)
+          // the FLIP: publish spec v2 (frame 128) — a pointer commit
+          require(AudioCodeStore.publishSpec(s, root, "chained_landmark",
+            frame = 128).committed)
+          require(AudioCodeStore.committedSpecVersion(s, root) == 2,
+            "the flip must land the committed pointer on v2")
+          // a session pinned at v1 is byte-stable through the flip
+          require(digest(1) == pin1,
+            "the pinned v1 key space moved across the flip")
+          // a replayed backfill epoch POST-flip is still a no-op
+          AudioCodeStore.appendCodesEpoch(
+            rows128.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
+          require(digest(2) == pre,
+            "post-flip epoch replay duplicated stored landmarks")
+          // retire the loser; the committed key space survives
+          val rep = AudioCodeStore.vacuumRetiredCodes(s, root,
+            keepVersions = 1)
+          require(rep.committed == 2 && rep.removed == Seq(1) &&
+            rep.kept == Seq(2), s"vacuum accounting off: $rep")
+        } finally { rows128.unpersist(); () }
+      }
+      audioClustersFromStored(s, AudioCodeStore.readCodes(s, root, 2))
     }),
 
     // C123 TRI-MODAL document-level dup verdict — c118 completed with
@@ -6974,38 +7007,40 @@ object SparkEntry {
       val root = Tables.scratch("c130_verd_" + new java.io.File(dir).getName +
         "_" + java.lang.Integer.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(dir)))
-      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(root), true)
-      val v = trimodalVerdicts(s, dir).persist()
-      try {
-        // a torn table is REFUSED with the pointer unmoved: a verdict
-        // string inconsistent with its booleans cannot publish
-        val torn = v.withColumn("verdict",
-          when(col("doc_id") === v.agg(min("doc_id")).head.getLong(0),
-            lit("mangled")).otherwise(col("verdict")))
-        val bad = VerdictStore.publishVerdicts(s, root, torn)
-        require(!bad.committed && bad.failures.nonEmpty,
-          s"torn verdict table must refuse: $bad")
-        val r1 = VerdictStore.publishVerdicts(s, root, v,
-          batchId = Some(0L))
-        require(r1.committed, s"verdict publish failed: ${r1.failures}")
-        // redelivered epoch: watermark-skipped, pointer unmoved
-        val rep = VerdictStore.publishVerdicts(s, root, v,
-          batchId = Some(0L))
-        require(rep.replaySkipped && !rep.committed,
-          s"replayed publish must be watermark-skipped: $rep")
-        require(VerdictStore.committedVersion(s, root) == 1,
-          "replay must not move the pointer")
-        // a deeper crawl re-publishes: new version, old one pinned
-        require(VerdictStore.publishVerdicts(s, root, v,
-          batchId = Some(1L)).committed)
-        require(VerdictStore.committedVersion(s, root) == 2,
-          "re-publish must land v2")
-        require(VerdictStore.loadVerdictsAt(s, root, 1).count() ==
-          v.count(), "the pinned v1 table must stay readable")
-        VerdictStore.loadCommitted(s, root).orderBy("doc_id")
-      } finally { v.unpersist(); () }
+      lifecycleOncePerBenchJvm(s"c130:$dir") {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val v = trimodalVerdicts(s, dir).persist()
+        try {
+          // a torn table is REFUSED with the pointer unmoved: a verdict
+          // string inconsistent with its booleans cannot publish
+          val torn = v.withColumn("verdict",
+            when(col("doc_id") === v.agg(min("doc_id")).head.getLong(0),
+              lit("mangled")).otherwise(col("verdict")))
+          val bad = VerdictStore.publishVerdicts(s, root, torn)
+          require(!bad.committed && bad.failures.nonEmpty,
+            s"torn verdict table must refuse: $bad")
+          val r1 = VerdictStore.publishVerdicts(s, root, v,
+            batchId = Some(0L))
+          require(r1.committed, s"verdict publish failed: ${r1.failures}")
+          // redelivered epoch: watermark-skipped, pointer unmoved
+          val rep = VerdictStore.publishVerdicts(s, root, v,
+            batchId = Some(0L))
+          require(rep.replaySkipped && !rep.committed,
+            s"replayed publish must be watermark-skipped: $rep")
+          require(VerdictStore.committedVersion(s, root) == 1,
+            "replay must not move the pointer")
+          // a deeper crawl re-publishes: new version, old one pinned
+          require(VerdictStore.publishVerdicts(s, root, v,
+            batchId = Some(1L)).committed)
+          require(VerdictStore.committedVersion(s, root) == 2,
+            "re-publish must land v2")
+          require(VerdictStore.loadVerdictsAt(s, root, 1).count() ==
+            v.count(), "the pinned v1 table must stay readable")
+        } finally { v.unpersist(); () }
+      }
+      VerdictStore.loadCommitted(s, root).orderBy("doc_id")
     }),
 
     // C118 CROSS-MODAL document-level dup verdict — the decision a
@@ -7101,61 +7136,63 @@ object SparkEntry {
       val root = Tables.scratch("c117_roll_" + new java.io.File(dir).getName +
         "_" + java.lang.Integer.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(dir)))
-      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(root), true)
-      val packed = ImageDedup.packImageVariants(s,
-        t(s, dir, "documents"), "doc_id")
-      // blue: spec v1 = grid 4 — the ENCODE is driven by the loaded
-      // spec, not a constant, so the rollover is a real re-encode
-      require(ImageCodeStore.publishSpec(s, root, "blockhash", grid = 4,
-        bands = 4).committed)
-      val (_, g1, _) = ImageCodeStore.loadSpecAt(s, root, 1)
-      ImageCodeStore.appendCodesEpoch(
-        ImageDedup.blockhashCodes(s, packed, grid = g1), root, 1, 0L)
-      def digest(v: Int): (Long, Long) = {
-        val r = ImageCodeStore.readCodes(s, root, v)
-          .agg(count(lit(1)).as("n"), bit_xor(xxhash64(col("media_id"),
-            col("width"), col("height"), col("code"), col("pixsum")))
-            .as("x")).collect().head
-        (r.getLong(0), r.getLong(1))
-      }
-      val pin1 = digest(1)
-      // green backfill: grid-8 codes land in iv2 WHILE v1 serves (two
-      // epochs by parity; epoch 1 replayed pre-flip)
-      val codes8 = ImageDedup.blockhashCodes(s, packed, grid = 8).persist()
-      try {
-        ImageCodeStore.appendCodesEpoch(
-          codes8.where(pmod(col("media_id"), lit(2)) === 0), root, 2, 0L)
-        ImageCodeStore.appendCodesEpoch(
-          codes8.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
-        ImageCodeStore.appendCodesEpoch(
-          codes8.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
-        require(ImageCodeStore.committedSpecVersion(s, root) == 1,
-          "a backfill must not move the committed pointer")
-        val pre = digest(2)
-        // the FLIP: publish spec v2 (grid 8) — a pointer commit
-        require(ImageCodeStore.publishSpec(s, root, "blockhash", grid = 8,
+      lifecycleOncePerBenchJvm(s"c117:$dir") {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val packed = ImageDedup.packImageVariants(s,
+          t(s, dir, "documents"), "doc_id")
+        // blue: spec v1 = grid 4 — the ENCODE is driven by the loaded
+        // spec, not a constant, so the rollover is a real re-encode
+        require(ImageCodeStore.publishSpec(s, root, "blockhash", grid = 4,
           bands = 4).committed)
-        require(ImageCodeStore.committedSpecVersion(s, root) == 2,
-          "the flip must land the committed pointer on v2")
-        // a session pinned at v1 is byte-stable through the flip
-        require(digest(1) == pin1,
-          "the pinned v1 key space moved across the flip")
-        // a replayed backfill epoch POST-flip is still a no-op
+        val (_, g1, _) = ImageCodeStore.loadSpecAt(s, root, 1)
         ImageCodeStore.appendCodesEpoch(
-          codes8.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
-        require(digest(2) == pre,
-          "post-flip epoch replay duplicated stored codes")
-        // retire the loser; the committed key space survives
-        val rep = ImageCodeStore.vacuumRetiredCodes(s, root,
-          keepVersions = 1)
-        require(rep.committed == 2 && rep.removed == Seq(1) &&
-          rep.kept == Seq(2), s"vacuum accounting off: $rep")
-        ImageDedup.perceptualPairs(ImageCodeStore.readCodes(s, root, 2),
-            maxHamming = 3, hotBucketCap = 64)
-          .orderBy("id_a", "id_b")
-      } finally { codes8.unpersist(); () }
+          ImageDedup.blockhashCodes(s, packed, grid = g1), root, 1, 0L)
+        def digest(v: Int): (Long, Long) = {
+          val r = ImageCodeStore.readCodes(s, root, v)
+            .agg(count(lit(1)).as("n"), bit_xor(xxhash64(col("media_id"),
+              col("width"), col("height"), col("code"), col("pixsum")))
+              .as("x")).collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+        val pin1 = digest(1)
+        // green backfill: grid-8 codes land in iv2 WHILE v1 serves (two
+        // epochs by parity; epoch 1 replayed pre-flip)
+        val codes8 = ImageDedup.blockhashCodes(s, packed, grid = 8).persist()
+        try {
+          ImageCodeStore.appendCodesEpoch(
+            codes8.where(pmod(col("media_id"), lit(2)) === 0), root, 2, 0L)
+          ImageCodeStore.appendCodesEpoch(
+            codes8.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
+          ImageCodeStore.appendCodesEpoch(
+            codes8.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
+          require(ImageCodeStore.committedSpecVersion(s, root) == 1,
+            "a backfill must not move the committed pointer")
+          val pre = digest(2)
+          // the FLIP: publish spec v2 (grid 8) — a pointer commit
+          require(ImageCodeStore.publishSpec(s, root, "blockhash", grid = 8,
+            bands = 4).committed)
+          require(ImageCodeStore.committedSpecVersion(s, root) == 2,
+            "the flip must land the committed pointer on v2")
+          // a session pinned at v1 is byte-stable through the flip
+          require(digest(1) == pin1,
+            "the pinned v1 key space moved across the flip")
+          // a replayed backfill epoch POST-flip is still a no-op
+          ImageCodeStore.appendCodesEpoch(
+            codes8.where(pmod(col("media_id"), lit(2)) === 1), root, 2, 1L)
+          require(digest(2) == pre,
+            "post-flip epoch replay duplicated stored codes")
+          // retire the loser; the committed key space survives
+          val rep = ImageCodeStore.vacuumRetiredCodes(s, root,
+            keepVersions = 1)
+          require(rep.committed == 2 && rep.removed == Seq(1) &&
+            rep.kept == Seq(2), s"vacuum accounting off: $rep")
+        } finally { codes8.unpersist(); () }
+      }
+      ImageDedup.perceptualPairs(ImageCodeStore.readCodes(s, root, 2),
+          maxHamming = 3, hotBucketCap = 64)
+        .orderBy("id_a", "id_b")
     }),
 
     // C119 text MinHash-SIGNATURE store serving — the c104/c115

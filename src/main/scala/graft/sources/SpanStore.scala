@@ -111,6 +111,21 @@ object SpanStore {
                          specVersion: Int, w: Int, epoch: Long): Unit = {
     require(specVersion >= 1, s"specVersion $specVersion < 1")
     require(w >= 2, s"width $w < 2")
+    // r15 advice: an UNDECLARED width appended under a published spec
+    // version would land silently and never serve (readDigests walks
+    // the declared ladder only) — when the target spec version is
+    // already published, the append must fail loudly instead. A
+    // backfill running AHEAD of its spec publish (the blue/green flip
+    // pattern: pv2 digests land while v1 is still the only published
+    // spec) is exempt — its widths are validated by every post-publish
+    // replay and by serving reads.
+    scala.util.Try(loadSpecAt(digests.sparkSession, root, specVersion))
+      .foreach { case (_, widths) =>
+        require(widths.contains(w),
+          s"width $w is not in spec v$specVersion's declared ladder " +
+            s"${widths.mkString("{", ",", "}")} — a mis-keyed append " +
+            "would silently never serve")
+      }
     graft.streaming.EventStreams.epochIdempotentSink(
       digests.select("id", "pos", "h"),
       epoch, s"$root/$DigestsTable/pv$specVersion/w$w")

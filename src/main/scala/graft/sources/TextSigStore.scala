@@ -118,9 +118,27 @@ object TextSigStore {
   def appendSigsEpoch(sigs: DataFrame, root: String, specVersion: Int,
                       epoch: Long): Unit = {
     require(specVersion >= 1, s"specVersion $specVersion < 1")
+    // r15 advice: a k=32 signature appended under a k=64 sv key would
+    // land silently and never band (slice() past the array end yields
+    // short bands) — when the target spec version is already published,
+    // a row-local raise_error guard rides the write pass (zero extra
+    // scans) so a mis-keyed append fails loudly instead of degrading
+    // recall silently. A backfill running AHEAD of its spec publish
+    // (the blue/green flip pattern) is exempt — its k is validated by
+    // every post-publish replay.
+    val guarded =
+      scala.util.Try(loadSpecAt(sigs.sparkSession, root, specVersion))
+        .toOption match {
+        case Some((_, k, _, _)) =>
+          sigs.select(col("doc_id"),
+            when(size(col("sig")) === k, col("sig"))
+              .otherwise(raise_error(concat(
+                lit(s"sig length != spec v$specVersion k=$k for doc "),
+                col("doc_id")))).as("sig"))
+        case None => sigs.select(col("doc_id"), col("sig"))
+      }
     graft.streaming.EventStreams.epochIdempotentSink(
-      sigs.select("doc_id", "sig"),
-      epoch, s"$root/$SigsTable/sv$specVersion")
+      guarded, epoch, s"$root/$SigsTable/sv$specVersion")
   }
 
   /** All signature epochs stored under ONE spec version, as one serving

@@ -36,10 +36,13 @@ object VerdictStore {
       if (d > 0) Some(s"$d doc ids appear more than once") else None
     }),
     ("verdict_consistent", df => {
-      val bad = df.where(col("verdict") =!= concat_ws("+",
+      // null-SAFE compare (<=>): with =!= a NULL verdict yields NULL in
+      // the predicate and is dropped by the filter, so a torn table
+      // containing null verdict strings would pass the audit and publish
+      val bad = df.where(!(col("verdict") <=> concat_ws("+",
           when(col("text_dup"), lit("text")),
           when(col("image_dup"), lit("image")),
-          when(col("audio_dup"), lit("audio"))))
+          when(col("audio_dup"), lit("audio")))))
         .count()
       if (bad > 0) Some(s"$bad rows with verdict ≠ booleans") else None
     }),

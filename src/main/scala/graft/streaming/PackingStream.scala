@@ -43,6 +43,18 @@ object PackingStream {
   /** Fold arriving documents into per-shard open bins; emits one
     * placement row per doc as it arrives (Append — a placement is
     * final the moment it is made, the slot machine never revisits).
+    *
+    * ONE-EPOCH-PER-TRIGGER assumption (r15 advice): the ≡-twin
+    * equivalence above holds when each trigger delivers one arrival
+    * epoch. A trigger that batches SEVERAL epochs (checkpoint
+    * catch-up after a restart, maxFilesPerTrigger spanning multiple
+    * epoch files) sorts the merged arrivals by (tk desc, doc_id)
+    * ACROSS the epoch boundary, so its placements can diverge from the
+    * epoch-major twin — that is catch-up re-ordering, not a state bug:
+    * the fold itself (BinSlots.place over whatever order arrives) is
+    * still the operator's contract, and bin fills stay ≤ budget either
+    * way. Operators wanting byte-exact twin replays through restarts
+    * should cap the source at one epoch file per trigger.
     */
   def packStream(stream: DataFrame, idCol: String, tokensCol: String,
                  sourceCol: String, nBands: Int, budget: Long,
