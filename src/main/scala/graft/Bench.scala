@@ -247,6 +247,12 @@ object Bench {
     // r15: the balanced shard export (c124's fold + a partitioned
     // JSONL write + the read-back rollup)
     "c131_shard_export",
+    // r16: the verdict table built through the D49 incremental pair
+    // ledger (three arrival epochs, delta pairs only) — rides c105's
+    // pair graph on the audio side, headline only, not probed (b32);
+    // the lifecycle is prepaid (serve-only timing), the row times
+    // serving the committed verdict version
+    "c133_verdict_ledger_serve",
     // r15: extents served from the digest store (the c125 argument on
     // the WHERE question — zero digest compute in the plan)
     "c132_extents_from_store",
@@ -636,7 +642,7 @@ object Bench {
   private val rolloverLifecycleQueries =
     Set("c117_image_spec_rollover", "c122_audio_spec_rollover",
       "c126_text_sig_rollover", "c127_span_spec_rollover",
-      "c130_verdict_store_serve")
+      "c130_verdict_store_serve", "c133_verdict_ledger_serve")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],
                            dir: String): Unit = {
     names.filter(rolloverLifecycleQueries).foreach { n =>

@@ -7043,6 +7043,62 @@ object SparkEntry {
       VerdictStore.loadCommitted(s, root).orderBy("doc_id")
     }),
 
+    // C133 verdicts via the INCREMENTAL PAIR LEDGER (D49) — the D48
+    // maintenance loop re-ran the corpus×corpus banded joins on every
+    // crawl epoch; here each epoch appends only its DELTA pairs (the
+    // c121/c128/c129 cross shapes against everything stored so far,
+    // plus within-delta pairs) to an epoch-partitioned ledger per
+    // modality, and the verdict table is rebuilt from the LEDGER UNION
+    // — no banding, census, or signature/code scan in the verdict
+    // plan. The c123 corpus arrives in three epochs (doc_id mod 3; the
+    // +1e6 re-crawl copies land in a DIFFERENT epoch than their
+    // originals, so every planted text pair crosses epochs through the
+    // ledger), the last epoch is REDELIVERED (D8 ledger partitions
+    // overwrite themselves bit-identically; the publish is
+    // watermark-skipped — the ledger-replay no-op case), and serving
+    // reads the committed verdict version. Oracle = the c123 replay
+    // verbatim — a pair lost at an epoch boundary, a duplicated replay
+    // append, or a mis-normalized cross pair could not hash-match.
+    "c133_verdict_ledger_serve" -> ((s, dir) => {
+      import graft.streaming.VerdictStream
+      import graft.sources.VerdictStore
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("c133_ledg_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      lifecycleOncePerBenchJvm(s"c133:$dir") {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val r = VerdictStream.Roots(s"$root/sigs", s"$root/img",
+          s"$root/aud", s"$root/verd", s"$root/docs_seen")
+        VerdictStream.initStores(s, r)
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val withCopies = docs.unionByName(
+          docs.where(pmod(col("doc_id"), lit(3)) === 1)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        (0 until 3).foreach { e =>
+          val rep = VerdictStream.foldAndPublishLedger(s,
+            withCopies.where(pmod(col("doc_id"), lit(3)) === e),
+            e.toLong, r, s"$root/pairs")
+          require(rep.committed,
+            s"ledger epoch $e publish failed: ${rep.failures}")
+        }
+        // ledger-replay no-op: the last epoch redelivered — delta
+        // pairs recompute identically (the ref sides exclude the
+        // delta's own keys), the D8 partitions overwrite themselves,
+        // and the publish is watermark-skipped with the pointer unmoved
+        val rep = VerdictStream.foldAndPublishLedger(s,
+          withCopies.where(pmod(col("doc_id"), lit(3)) === 2), 2L, r,
+          s"$root/pairs")
+        require(rep.replaySkipped && !rep.committed,
+          s"redelivered ledger epoch must be watermark-skipped: $rep")
+        require(VerdictStore.committedVersion(s, s"$root/verd") == 3,
+          "three epochs must land exactly three verdict versions")
+      }
+      VerdictStore.loadCommitted(s, s"$root/verd").orderBy("doc_id")
+    }),
+
     // C118 CROSS-MODAL document-level dup verdict — the decision a
     // multimodal crawl actually ships (the r14 verdict's ask #4): the
     // TEXT dup family (c2's MinHash-LSH pairs over planted re-crawl
@@ -7493,6 +7549,11 @@ object SparkEntry {
       // the verdict store — a publish that mangled, dropped, or
       // duplicated one row could not hash-match the composed replay
       "c130_verdict_store_serve" -> base("c123_trimodal_dup"),
+      // c133 serves c123's exact table built through the D49 pair
+      // ledger across three arrival epochs — a pair lost at an epoch
+      // boundary, a duplicated replay append, or a mis-normalized
+      // cross pair could not hash-match the composed replay
+      "c133_verdict_ledger_serve" -> base("c123_trimodal_dup"),
       // c131 serves c124's exact rollup from the READ-BACK of the
       // exported shard files — the JSON round trip plus the partition
       // directory names must reproduce every assignment bit-exactly

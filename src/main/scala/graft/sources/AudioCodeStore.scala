@@ -129,6 +129,17 @@ object AudioCodeStore {
     spark.read.parquet(s"$root/$CodesTable/av$specVersion")
       .select("media_id", "n_samples", "anchor", "line_a", "line_t")
 
+  /** The landmark rows of epochs STRICTLY BEFORE `epochExclusive` —
+    * the D49 pair ledger's replay-stable reference side (partition
+    * pruning on the D8 epoch key; a redelivered epoch sees the same
+    * reference set as its first delivery).
+    */
+  def readCodesBefore(spark: SparkSession, root: String, specVersion: Int,
+                      epochExclusive: Long): DataFrame =
+    spark.read.parquet(s"$root/$CodesTable/av$specVersion")
+      .where(col("__epoch") < epochExclusive)
+      .select("media_id", "n_samples", "anchor", "line_a", "line_t")
+
   /** The per-clip duration table carved from [[readCodes]]: one row
     * per decodable clip, (media_id, n_samples) — what the c105
     * duration blocking and the canonical election consume, without a

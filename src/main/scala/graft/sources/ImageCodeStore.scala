@@ -129,6 +129,17 @@ object ImageCodeStore {
     spark.read.parquet(s"$root/$CodesTable/iv$specVersion")
       .select("media_id", "width", "height", "code", "pixsum")
 
+  /** The code rows of epochs STRICTLY BEFORE `epochExclusive` — the
+    * D49 pair ledger's replay-stable reference side (partition pruning
+    * on the D8 epoch key; a redelivered epoch sees the same reference
+    * set as its first delivery).
+    */
+  def readCodesBefore(spark: SparkSession, root: String, specVersion: Int,
+                      epochExclusive: Long): DataFrame =
+    spark.read.parquet(s"$root/$CodesTable/iv$specVersion")
+      .where(col("__epoch") < epochExclusive)
+      .select("media_id", "width", "height", "code", "pixsum")
+
   /** [[vacuumRetiredCodes]] accounting — the pointer the decision was
     * made against, the version keys removed, and the ones kept.
     */

@@ -150,6 +150,18 @@ object TextSigStore {
     spark.read.parquet(s"$root/$SigsTable/sv$specVersion")
       .select("doc_id", "sig")
 
+  /** The signature rows of epochs STRICTLY BEFORE `epochExclusive` —
+    * the D49 pair ledger's replay-stable reference side ("the corpus
+    * as it stood when this epoch arrived"): partition pruning on the
+    * D8 epoch key, so a redelivered epoch sees the same reference set
+    * it saw on first delivery even though later epochs have landed.
+    */
+  def readSigsBefore(spark: SparkSession, root: String, specVersion: Int,
+                     epochExclusive: Long): DataFrame =
+    spark.read.parquet(s"$root/$SigsTable/sv$specVersion")
+      .where(col("__epoch") < epochExclusive)
+      .select("doc_id", "sig")
+
   /** [[vacuumRetiredSigs]] accounting — the pointer the decision was
     * made against, the version keys removed, and the ones kept.
     */

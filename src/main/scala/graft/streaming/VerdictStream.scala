@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 import graft.operators.{Audio, CrossModal, Dedup, ImageDedup}
-import graft.sources.{AudioCodeStore, ImageCodeStore, TextSigStore, VerdictStore}
+import graft.sources.{AudioCodeStore, ImageCodeStore, PairLedger,
+  TextSigStore, VerdictStore}
 
 /** D48: streaming VERDICT maintenance — the C130 table kept current
   * under arrival: each micro-batch of crawled documents (1) lands its
@@ -127,6 +128,153 @@ object VerdictStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         foldAndPublish(b.sparkSession, b, id, r)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  // ----------------------------------------------------- D49: pair ledger
+
+  /** The D49 epoch unit — [[foldAndPublish]] with the verdict recompute
+    * replaced by the incremental PAIR LEDGER (the r15 verdict's ask #3):
+    * the epoch's DELTA pairs — cross pairs against everything stored so
+    * far (the C121/C128/C129 incremental shapes) plus within-delta
+    * pairs — land in [[PairLedger]] under the D8 rule, and the verdict
+    * table is rebuilt from the LEDGER UNION: no banded join, census, or
+    * signature/code scan anywhere in the verdict plan. The banded work
+    * per epoch is delta×corpus instead of the corpus×corpus recompute
+    * [[foldAndPublish]] pays.
+    *
+    * Replay-stable by construction: every ref side is bounded to epochs
+    * STRICTLY BEFORE this one (partition pruning on the D8 epoch key),
+    * so a redelivered epoch — even after LATER epochs have landed in
+    * the stores — sees exactly the reference set of its first delivery,
+    * recomputes the same delta pairs, and overwrites its own ledger
+    * partition bit-identically; the verdict publish is then
+    * watermark-skipped.
+    *
+    * Census note: each epoch's hot-bucket census runs over
+    * corpus-so-far ∪ delta (monotone with the crawl), so a pair is
+    * decided with the census AT ITS ARRIVAL — the incremental-crawl
+    * contract (a shipped pair is never retracted when a bucket later
+    * heats). Identical-key pairs (the planted families every fixture
+    * oracle checks) are escalation-invariant, so ledger ≡ recompute on
+    * them at any census; the spec locks full-table equality on the
+    * fixture corpus.
+    */
+  def foldAndPublishLedger(s: SparkSession, batch: DataFrame,
+                           epochId: Long, r: Roots, pairsRoot: String)
+      : graft.sources.MultiPublish.MultiReport = {
+    // 1. land the doc slice (D8)
+    EventStreams.epochIdempotentSink(
+      batch.select("doc_id", "text"), epochId, r.docsSeen)
+    // 2. delta artifacts, persisted: each feeds BOTH its store append
+    //    and the delta pair joins below — decode/tokenize once per epoch
+    val sigs = Dedup.minhashSigRows(batch, "text", "doc_id").persist()
+    val originals = batch.where(col("doc_id") < 1000000L)
+      .select("doc_id")
+    val imgCodes = ImageDedup.blockhashCodes(s,
+      ImageDedup.packImageVariants(s, originals, "doc_id")).persist()
+    val wavs = Audio.packWav(s,
+      originals.where(pmod(col("doc_id"), lit(4)) === 0), "doc_id")
+    val clips = wavs.unionByName(Audio.gainWav(s,
+      wavs.where(pmod(col("media_id"), lit(7)) === 0)
+        .withColumn("media_id", col("media_id") + lit(3000000L))))
+    val audCodes = Audio.chainedLandmarkRows(s, clips).persist()
+    try {
+      TextSigStore.appendSigsEpoch(sigs, r.sigs, 1, epochId)
+      ImageCodeStore.appendCodesEpoch(imgCodes, r.images, 1, epochId)
+      AudioCodeStore.appendCodesEpoch(audCodes, r.audio, 1, epochId)
+      // 3. delta pairs per modality → ledger (D8). Every ref side is
+      //    bounded to epochs STRICTLY BEFORE this one (partition
+      //    pruning on the D8 key): "the corpus as it stood when this
+      //    epoch arrived" — which is also what makes a redelivery
+      //    recompute the identical delta (later epochs that landed in
+      //    the meantime are invisible to the replayed ref side).
+      val refSigs = TextSigStore.readSigsBefore(s, r.sigs, 1, epochId)
+      val refDocs = s.read.parquet(r.docsSeen)
+        .where(col("__epoch") < epochId).select("doc_id", "text")
+      val textCross = Dedup.minhashCrossPairsFromSigs(
+          refSigs, refDocs, batch, "text", "doc_id")
+        .select(col("ref_id").as("id_a"), col("inc_id").as("id_b"))
+      val textWithin = Dedup.minhashPairsFromSigs(
+          sigs, batch, "text", "doc_id")
+        .select("id_a", "id_b")
+      PairLedger.appendPairsEpoch(textCross.unionByName(textWithin),
+        pairsRoot, "text", epochId)
+      val refImg = ImageCodeStore.readCodesBefore(s, r.images, 1, epochId)
+      val imgCross = ImageDedup.perceptualCrossPairs(refImg, imgCodes,
+          maxHamming = 3, hotBucketCap = 64)
+        .select(col("ref_id").as("id_a"), col("inc_id").as("id_b"))
+      val imgWithin = ImageDedup.perceptualPairs(imgCodes,
+          maxHamming = 3, hotBucketCap = 64)
+        .select("id_a", "id_b")
+      PairLedger.appendPairsEpoch(imgCross.unionByName(imgWithin),
+        pairsRoot, "image", epochId)
+      // audio: duration-blocked (the c105 contract) on BOTH arms
+      val refAud = AudioCodeStore.readCodesBefore(s, r.audio, 1, epochId)
+      def metaOf(codes: DataFrame) = codes.where(col("anchor") === -1)
+        .select("media_id", "n_samples")
+      val refMeta = metaOf(refAud)
+      val incMeta = metaOf(audCodes)
+      val audCross = Audio.chainedCrossPairsFromCodes(refAud, audCodes,
+          minShared = 4)
+        .join(refMeta.select(col("media_id").as("ref_id"),
+          col("n_samples").as("__na")), "ref_id")
+        .join(incMeta.select(col("media_id").as("inc_id"),
+          col("n_samples").as("__nb")), "inc_id")
+        .where(col("__na") === col("__nb"))
+        .select(col("ref_id").as("id_a"), col("inc_id").as("id_b"))
+      val audWithin = Audio.chainedPairsFromCodes(audCodes, minShared = 4)
+        .join(incMeta.select(col("media_id").as("id_a"),
+          col("n_samples").as("__na")), "id_a")
+        .join(incMeta.select(col("media_id").as("id_b"),
+          col("n_samples").as("__nb")), "id_b")
+        .where(col("__na") === col("__nb"))
+        .select("id_a", "id_b")
+      PairLedger.appendPairsEpoch(audCross.unionByName(audWithin),
+        pairsRoot, "audio", epochId)
+    } finally {
+      sigs.unpersist(); imgCodes.unpersist(); audCodes.unpersist(); ()
+    }
+    // 4. verdicts from the LEDGER; versioned publish (replay-skipped)
+    val rep = VerdictStore.publishVerdicts(s, r.verdicts,
+      verdictsFromLedger(s, r, pairsRoot), batchId = Some(epochId))
+    require(rep.committed || rep.replaySkipped,
+      s"epoch $epochId ledger verdict publish failed: ${rep.failures}")
+    rep
+  }
+
+  /** The verdict table computed ENTIRELY from the pair ledger — the
+    * same [[CrossModal]] tail as [[verdictsFromStores]], fed by stored
+    * pair rows instead of banded joins. Result-sized end to end.
+    */
+  def verdictsFromLedger(s: SparkSession, r: Roots,
+                         pairsRoot: String): DataFrame = {
+    val docsSeen = s.read.parquet(r.docsSeen)
+    val textDup = PairLedger.readPairs(s, pairsRoot, "text")
+      .where(col("id_b") - col("id_a") === 1000000L)
+      .select(col("id_a").as("doc_id")).distinct()
+    val ids = docsSeen.where(col("doc_id") < 1000000L)
+      .select(col("doc_id"))
+    val imgDup = CrossModal.crossDocDups(
+      PairLedger.readPairs(s, pairsRoot, "image"),
+      CrossModal.imageLinks(ids))
+    val audDup = CrossModal.crossDocDups(
+      PairLedger.readPairs(s, pairsRoot, "audio"),
+      CrossModal.audioLinks(ids))
+    CrossModal.verdictTable(textDup, imgDup, audDup)
+  }
+
+  /** Wire the ledger unit under a streaming query. */
+  def ledgerMaintenanceSink(stream: DataFrame, r: Roots,
+                            pairsRoot: String,
+                            checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        foldAndPublishLedger(b.sparkSession, b, id, r, pairsRoot)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -90,4 +90,81 @@ class VerdictStreamSpec extends AnyFunSuite with SparkSpec {
     assert(rows(VerdictStore.loadVerdictsAt(s, r.verdicts, 1)) === v1,
       "the pinned v1 table must be byte-stable through everything")
   }
+
+  test("d49: ledger maintenance through the real sink ≡ the recompute " +
+    "fold; per-epoch ledger appends are delta-sized; fresh-checkpoint " +
+    "redelivery is a ledger no-op") {
+    import graft.sources.PairLedger
+    val docs = Tables(s, sfDir(), "documents").select("doc_id", "text")
+      .limit(60).cache()
+    val copies = docs.where(pmod(col("doc_id"), lit(3)) === 1)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val staged = Files.createTempDirectory("graft_d49_src")
+    Seq(docs, copies).zipWithIndex.foreach { case (ep, i) =>
+      val tmp = Files.createTempDirectory(s"graft_d49_ep$i")
+      ep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, staged.resolve(f"ep$i%02d.parquet"))
+    }
+    val r = freshRoots("ledger")
+    val pairsRoot =
+      Files.createTempDirectory("graft_d49_pairs").toString + "/ledger"
+    VerdictStream.initStores(s, r)
+    def runSink(): Unit = {
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val q = VerdictStream.ledgerMaintenanceSink(src, r, pairsRoot,
+        Files.createTempDirectory("graft_d49_ck").toString)
+      q.awaitTermination(180000)
+      ()
+    }
+    runSink()
+    assert(VerdictStore.committedVersion(s, r.verdicts) === 2,
+      "two epochs must land two verdict versions")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(2),
+          x.getBoolean(3), x.getString(4))).toSeq
+    val v2 = rows(VerdictStore.loadCommitted(s, r.verdicts))
+    // ledger final ≡ the NON-ledger recompute fold on the same corpus:
+    // the two maintenance strategies must ship the same table
+    val one = freshRoots("ledgeroneshot")
+    VerdictStream.initStores(s, one)
+    VerdictStream.foldAndPublish(s, docs.unionByName(copies), 0L, one)
+    assert(v2 === rows(VerdictStore.loadCommitted(s, one.verdicts)),
+      "ledger-built verdicts diverged from the recompute fold")
+    // mid-crawl: no text pair can exist before the copies arrive
+    assert(rows(VerdictStore.loadVerdictsAt(s, r.verdicts, 1))
+      .forall(!_._2), "no text_dup may exist before the copies arrive")
+    // delta-sized appends: every epoch-1 text-ledger pair touches an
+    // epoch-1 arrival (the +1e6 copies) — an epoch that re-appended
+    // history would put copy-free pairs in its own partition
+    def pairRows(m: String) = s.read.parquet(s"$pairsRoot/$m")
+      .select(col("id_a"), col("id_b"), col("__epoch").cast("long"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val textPairs = pairRows("text")
+    assert(textPairs.exists(_._3 == 1L), "epoch 1 must append text pairs")
+    assert(textPairs.filter(_._3 == 1L).forall(_._2 >= 1000000L),
+      "an epoch's ledger partition may hold only pairs touching its " +
+        "own arrivals (delta-sized, never history replay)")
+    // normalized, duplicate-free across epochs
+    assert(textPairs.forall(p => p._1 < p._2),
+      "ledger pairs must land normalized id_a < id_b")
+    PairLedger.Modalities.foreach { m =>
+      val ps = pairRows(m).toSeq
+      assert(ps.groupBy(p => (p._1, p._2)).forall(_._2.size == 1),
+        s"a $m pair must appear in exactly one ledger epoch")
+    }
+    // fresh-checkpoint redelivery: ledger partitions overwrite
+    // themselves bit-identically, publishes are watermark-skipped
+    runSink()
+    assert(VerdictStore.committedVersion(s, r.verdicts) === 2,
+      "redelivery must not mint new versions")
+    assert(pairRows("text") === textPairs,
+      "redelivery must not change the ledger content")
+    assert(rows(VerdictStore.loadCommitted(s, r.verdicts)) === v2,
+      "redelivery must not change the committed verdicts")
+  }
 }
