@@ -630,7 +630,12 @@ object Bench {
   private val textSigServingQueries =
     Set("c119_text_sig_serve", "c121_text_sig_incremental")
   private val spanServingQueries =
-    Set("c125_span_store_serve", "c132_extents_from_store")
+    Set("c125_span_store_serve", "c132_extents_from_store",
+      // r16 (the r15 verdict's ask #4): the strip family serves its
+      // digests from the C125 store — the digest pass is prepaid here
+      "c76c_extent_strip", "c84_canonical_extent_strip")
+  private val spanQualityServingQueries =
+    Set("c87_quality_extent_strip")
 
   /** The five store-lifecycle keys that time SERVE-ONLY under the bench
     * (the r15 verdict's ask #1a): one untimed invocation here runs the
@@ -671,6 +676,11 @@ object Bench {
     if (names.exists(spanServingQueries)) {
       System.err.println(s"[bench] prewarming span-digest store for $dir")
       SparkEntry.prewarmSpanDigests(spark, dir)
+    }
+    if (names.exists(spanQualityServingQueries)) {
+      System.err.println(
+        s"[bench] prewarming quality span-digest store for $dir")
+      SparkEntry.prewarmSpanQualityDigests(spark, dir)
     }
   }
 

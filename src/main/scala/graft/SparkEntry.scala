@@ -367,6 +367,64 @@ object SparkEntry {
     spanDigestsRoot(s, dir); ()
   }
 
+  /** The c87 corpus: every ≡0 mod 10 original DEGRADED with a junk
+    * tail while its +1e6 re-crawl copy stays clean — the planted
+    * direction that makes quality decisive in the canonical election.
+    */
+  private def spanQualityCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"), lit(" 00 11 22 !!! ???")))
+          .otherwise(col("text")))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  private val spanQualityDigestRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The C87 stored-digest root: the [[spanDigestsRoot]] discipline on
+    * the QUALITY corpus (a corpus variant is its own store — the
+    * degraded tails change every window digest of the degraded docs).
+    * Single-level spec ({16} — the strip family's width), two ingest
+    * epochs by parity with epoch 1 replayed (the D8 rule).
+    */
+  private def spanQualityDigestsRoot(s: SparkSession, dir: String): String =
+    spanQualityDigestRoots.computeIfAbsent(dir, _ => {
+      import graft.operators.Dedup
+      import graft.sources.SpanStore
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("span_qdigests_" +
+        new java.io.File(dir).getName + "_" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val rep = SpanStore.publishSpec(s, root, "span_md5", Seq(16))
+      require(rep.committed,
+        s"quality span spec publish failed: ${rep.failures}")
+      val v = SpanStore.committedSpecVersion(s, root)
+      val rows = Dedup.spanDigestRows(spanQualityCorpus(s, dir), "text",
+        "doc_id", 16).persist()
+      try {
+        SpanStore.appendDigestsEpoch(
+          rows.where(pmod(col("id"), lit(2)) === 0), root, v, 16, 0L)
+        SpanStore.appendDigestsEpoch(
+          rows.where(pmod(col("id"), lit(2)) === 1), root, v, 16, 1L)
+        SpanStore.appendDigestsEpoch(
+          rows.where(pmod(col("id"), lit(2)) === 1), root, v, 16, 1L)
+      } finally { rows.unpersist(); () }
+      root
+    })
+
+  /** Bench hook for the c87 serving path. */
+  def prewarmSpanQualityDigests(s: SparkSession, dir: String): Unit = {
+    spanQualityDigestsRoot(s, dir); ()
+  }
+
   /** Bench-only serve-phase gate (the r15 verdict's ask #1a): the five
     * spec-rollover / store-lifecycle keys (c117/c122/c126/c127/c130)
     * spend ~35 s per bench run re-running their backfill+flip+vacuum
@@ -5779,14 +5837,18 @@ object SparkEntry {
     // decision: where c29 keeps one canonical occurrence per duplicated
     // window (dedup), this removes EVERY occurrence (boilerplate strip)
     // and rebuilds the survivors; same output shape as c29 so the two
-    // rewrites compare directly. Oracle = the c29 replica without the
-    // canonical exemption.
+    // rewrites compare directly. SERVED from the C125 digest store (the
+    // r15 verdict's ask #4): the tokenize+digest pass — the
+    // stage-probe-measured majority of the span-family cost — leaves
+    // the plan; the rebuild's own token read stays (a rewrite
+    // inherently writes surviving tokens). Oracle = the c29 replica
+    // without the canonical exemption, UNCHANGED.
     "c76c_extent_strip" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val corpus = docs.unionByName(
-        docs.where(pmod(col("doc_id"), lit(10)) === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      Dedup.stripDuplicatedExtents(corpus, "text", "doc_id", w = 16)
+      import graft.sources.SpanStore
+      val root = spanDigestsRoot(s, dir)
+      val v = SpanStore.committedSpecVersion(s, root)
+      Dedup.stripDuplicatedExtentsFromDigests(spanDupCorpus(s, dir),
+          "text", "doc_id", SpanStore.readDigests(s, root, v, 16), w = 16)
         .where(col("n_tokens") + col("kept_tokens") >= 0)
         .orderBy("id")
     }),
@@ -5798,12 +5860,14 @@ object SparkEntry {
     // member survives intact, every other member strips whole. Oracle =
     // the c76c replica plus the exemption (token-coverage islands →
     // extents → content-md5 clusters → min-enc canonical).
+    // SERVED from the C125 digest store (the r15 verdict's ask #4) —
+    // the digest map pass leaves the plan; oracle UNCHANGED.
     "c84_canonical_extent_strip" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val corpus = docs.unionByName(
-        docs.where(pmod(col("doc_id"), lit(10)) === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      Dedup.canonicalStripExtents(corpus, "text", "doc_id", w = 16)
+      import graft.sources.SpanStore
+      val root = spanDigestsRoot(s, dir)
+      val v = SpanStore.committedSpecVersion(s, root)
+      Dedup.canonicalStripExtentsFromDigests(spanDupCorpus(s, dir),
+          "text", "doc_id", SpanStore.readDigests(s, root, v, 16), w = 16)
         .where(col("n_tokens") + col("kept_tokens") >= 0)
         .orderBy("id")
     }),
@@ -5815,16 +5879,15 @@ object SparkEntry {
     // 10th original is degraded with a junk tail while its +1e6 copy
     // stays clean — min-enc (c84) would keep the degraded original;
     // the quality rule must keep the clean higher-id copy.
+    // SERVED from its OWN digest store (a corpus variant is its own
+    // store — the degraded tails change the degraded docs' digests);
+    // oracle UNCHANGED.
     "c87_quality_extent_strip" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val corpus = docs
-        .withColumn("text",
-          when(pmod(col("doc_id"), lit(10)) === 0,
-            concat(col("text"), lit(" 00 11 22 !!! ???")))
-            .otherwise(col("text")))
-        .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      Dedup.canonicalStripExtents(corpus, "text", "doc_id", w = 16,
+      import graft.sources.SpanStore
+      val root = spanQualityDigestsRoot(s, dir)
+      val v = SpanStore.committedSpecVersion(s, root)
+      Dedup.canonicalStripExtentsFromDigests(spanQualityCorpus(s, dir),
+          "text", "doc_id", SpanStore.readDigests(s, root, v, 16), w = 16,
           quality = Some(TextFunctions.qualityScore(col("text"))))
         .where(col("n_tokens") + col("kept_tokens") >= 0)
         .orderBy("id")

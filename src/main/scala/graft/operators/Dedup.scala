@@ -736,14 +736,29 @@ object Dedup {
     * id-keyed anti-join + agg over each document's own tokens.
     */
   def stripDuplicatedExtents(df: DataFrame, textCol: String,
-                             idCol: String, w: Int = 16): DataFrame = {
+                             idCol: String, w: Int = 16): DataFrame =
+    stripDuplicatedExtentsFromDigests(df, textCol, idCol,
+      spanDigestRows(df, textCol, idCol, w), w)
+
+  /** [[stripDuplicatedExtents]] fed by precomputed digest rows
+    * ((id, pos, h) — [[spanDigestRows]] live, or
+    * [[graft.sources.SpanStore.readDigests]] stored — the r15 verdict's
+    * ask #4: the strip family re-ran the tokenize+digest map passes,
+    * the stage-probe-measured majority of the span-family cost, inside
+    * every run). The duplicated-vocabulary filter, flag join, position
+    * explode, and rebuild are IDENTICAL to the one-shot path; the doc
+    * tokens are still read once for the anti-join rebuild (the rewrite
+    * inherently writes surviving tokens), but NO window digest is
+    * computed anywhere in this plan.
+    */
+  def stripDuplicatedExtentsFromDigests(df: DataFrame, textCol: String,
+                                        idCol: String, digests: DataFrame,
+                                        w: Int = 16): DataFrame = {
     val toks = TextFunctions.wsTokens(col(textCol))
     val base = df.where(length(trim(col(textCol))) > 0)
       .select(col(idCol).cast("long").as("id"), toks.as("toks"))
-    val spans = base.where(size(col("toks")) >= w)
-      .select(col("id"),
-        posexplode(graft.functions.GraftExpressions.spanMd5s(col("toks"), w))
-          .as(Seq("pos", "h")))
+    val spans = digests.select(col("id").cast("long").as("id"),
+      col("pos"), col("h"))
     val dupHashes = spans.groupBy("h")
       .agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") > 1)
@@ -814,16 +829,29 @@ object Dedup {
     */
   def canonicalStripExtents(df: DataFrame, textCol: String,
                             idCol: String, w: Int = 16,
-                            quality: Option[Column] = None): DataFrame = {
+                            quality: Option[Column] = None): DataFrame =
+    canonicalStripExtentsFromDigests(df, textCol, idCol,
+      spanDigestRows(df, textCol, idCol, w), w, quality)
+
+  /** [[canonicalStripExtents]] fed by precomputed digest rows (the
+    * [[stripDuplicatedExtentsFromDigests]] seam — C84/C87 served from
+    * [[graft.sources.SpanStore]]): extent sweep, content-hash
+    * clustering, canonical election, and rebuild are IDENTICAL to the
+    * one-shot path; the doc tokens are read once for the content hash
+    * and the rebuild, but NO window digest is computed in this plan.
+    */
+  def canonicalStripExtentsFromDigests(df: DataFrame, textCol: String,
+                                       idCol: String, digests: DataFrame,
+                                       w: Int = 16,
+                                       quality: Option[Column] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextFunctions.wsTokens(col(textCol))
     val base = df.where(length(trim(col(textCol))) > 0)
       .select(col(idCol).cast("long").as("id"), toks.as("toks"),
         quality.getOrElse(lit(0.0)).as("__q"))
-    val spans = base.where(size(col("toks")) >= w)
-      .select(col("id"),
-        posexplode(graft.functions.GraftExpressions.spanMd5s(col("toks"), w))
-          .as(Seq("pos", "h")))
+    val spans = digests.select(col("id").cast("long").as("id"),
+      col("pos"), col("h"))
     val dupHashes = spans.groupBy("h")
       .agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") > 1)

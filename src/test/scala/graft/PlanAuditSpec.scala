@@ -238,6 +238,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "every level's flag join must be shuffled")
   }
 
+  test("c76c/c84/c87: the strip family serves its digests from the " +
+    "span store — NO digest compute anywhere in the rewrite plans (the " +
+    "rebuild's own token read stays; the digest pass must not leak " +
+    "back in), and the flag join stays shuffled") {
+    Seq("c76c_extent_strip", "c84_canonical_extent_strip",
+      "c87_quality_extent_strip").foreach { n =>
+      val p = plan(n)
+      assert(!p.toLowerCase.contains("spanmd5"),
+        s"a SpanMd5s digest pass leaked into $n's serving plan")
+      assert(p.contains("ShuffledHashJoin"),
+        s"$n's duplicated-vocabulary flag join must be shuffled")
+    }
+  }
+
   test("c104: stored-code serving has NO decode stage anywhere in the " +
     "plan (the store's whole point — the mapPartitions codec pass must " +
     "not leak back in) and the banded self-join stays shuffled") {
