@@ -253,6 +253,9 @@ object Bench {
     // the lifecycle is prepaid (serve-only timing), the row times
     // serving the committed verdict version
     "c133_verdict_ledger_serve",
+    // r16: the packed-bin export (c106's fold + a partitioned JSONL
+    // write + the read-back rollup — the c131 shape at bin granularity)
+    "c134_packed_export",
     // r15: extents served from the digest store (the c125 argument on
     // the WHERE question — zero digest compute in the plan)
     "c132_extents_from_store",
@@ -506,8 +509,10 @@ object Bench {
       "c128_image_incremental_pairs",
       // c131 is c124's fold + a docs-scaled partitioned write + the
       // read-back scan; c132 is c125's stored-table scan + the
-      // duplicated-volume-bounded island sweep
+      // duplicated-volume-bounded island sweep; c134 is c106's fold +
+      // the same docs-scaled write/read-back shape as c131
       "c131_shard_export", "c132_extents_from_store",
+      "c134_packed_export",
       // c114 sweeps three banded joins over the STORED codes (decode
       // prepaid by the c104 prewarm) — candidate volume is banding-
       // bounded by the hot-bucket cap, the c3/c97 contract per point

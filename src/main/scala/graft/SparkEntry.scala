@@ -6543,6 +6543,60 @@ object SparkEntry {
         .orderBy("source", "band", "shard")
     }),
 
+    // C134 PACKING-AWARE shard export (the r15 verdict's ask #6) —
+    // c106's bounded-BFD bin assignment made a training-data artifact:
+    // the A19 JSONL surface with one directory per (source, band,
+    // bin), so a loader maps bins 1:1 onto files and every file is a
+    // budget-bounded batch (the c131 discipline on the PACKED
+    // granularity — c131 balances SHARDS, this ships BINS). The
+    // checked frame is the c106 per-bin rollup computed FROM THE
+    // READ-BACK rows — the oracle gates the exported bytes through the
+    // JSON round trip (a writer that dropped, duplicated, or
+    // mis-binned one row could not hash-match the slot-machine
+    // replay). Longs round-trip JSON exactly; partition columns come
+    // back from the directory names and are re-cast explicitly.
+    "c134_packed_export" -> ((s, dir) => {
+      import graft.operators.Chunking
+      val G = graft.functions.GraftExpressions
+      val base = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("tk"))
+      val corpus = base.unionByName(base.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          (col("tk") + 300L).as("tk")))
+      val assigned = Chunking.packWholeDocsBounded(corpus, "doc_id",
+        "tk", "source", nBands = 4, budget = 256L, openBins = 3)
+      // full-path hash in the scratch name (the langidModelRoot rule)
+      val path = Tables.scratch("c134_exp_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      // co-locate each bin before the write: one task owns one
+      // (source, band, bin) → one JSONL file per bin directory
+      assigned.repartition(col("source"), col("band"), col("bin"))
+        .write.mode("overwrite")
+        .partitionBy("source", "band", "bin").json(path)
+      val back = s.read.json(path)
+        .select(col("source").cast("string").as("source"),
+          col("band").cast("long").as("band"),
+          col("bin").cast("long").as("bin"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("tk").cast("long").as("tk"))
+      require(back.count() == assigned.count(),
+        "the export dropped or duplicated rows")
+      back.groupBy("source", "band", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("fill_tokens"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("docs_fp"))
+        .select(col("source"), col("band"), col("bin"), col("n_docs"),
+          col("fill_tokens"),
+          G.longDiv(col("fill_tokens") * lit(1000000L), lit(256L))
+            .as("util_ppm"),
+          (col("fill_tokens") > 256L).as("overflow"), col("docs_fp"))
+        .orderBy("source", "band", "bin")
+    }),
+
     // C107 CROSS-VERSION reindex gate — c102's integer-TV harness
     // pointed at STORED code generations (the r13 verdict's ask #5):
     // c102 re-assigns raw vectors on demand; here the decision reads
@@ -7621,6 +7675,10 @@ object SparkEntry {
       // exported shard files — the JSON round trip plus the partition
       // directory names must reproduce every assignment bit-exactly
       "c131_shard_export" -> base("c124_lpt_shards"),
+      // c134 serves c106's exact per-bin rollup from the READ-BACK of
+      // the exported bin files — a writer that dropped, duplicated, or
+      // mis-binned one row could not hash-match the slot-machine replay
+      "c134_packed_export" -> base("c106_bounded_bin_packing"),
       // c132 serves c76b's exact extents with every level fed from the
       // stored digest tables — the same merge, zero digest compute
       "c132_extents_from_store" -> base("c76b_span_extents"),
