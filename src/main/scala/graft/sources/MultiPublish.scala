@@ -80,6 +80,17 @@ object MultiPublish {
                   version: Int): DataFrame =
     spark.read.parquet(s"$root/$table/v$version")
 
+  /** Does `table` have a version-`version` tree on disk? A QUIET probe
+    * (one FS metadata call) for callers validating against a spec that
+    * may legitimately not be published yet — the blue/green backfill
+    * appends AHEAD of its spec's flip, and an exception-driven check
+    * would log a spurious FileNotFoundException stack per append.
+    */
+  def versionExists(spark: SparkSession, root: String, table: String,
+                    version: Int): Boolean =
+    fsOf(spark, root).exists(
+      new org.apache.hadoop.fs.Path(s"$root/$table/v$version"))
+
   /** Stage + audit + atomically commit every (table → frame, audits)
     * together. Either every table advances one version or none does.
     */

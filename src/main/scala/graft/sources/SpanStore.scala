@@ -119,13 +119,14 @@ object SpanStore {
     // pattern: pv2 digests land while v1 is still the only published
     // spec) is exempt — its widths are validated by every post-publish
     // replay and by serving reads.
-    scala.util.Try(loadSpecAt(digests.sparkSession, root, specVersion))
-      .foreach { case (_, widths) =>
-        require(widths.contains(w),
-          s"width $w is not in spec v$specVersion's declared ladder " +
-            s"${widths.mkString("{", ",", "}")} — a mis-keyed append " +
-            "would silently never serve")
-      }
+    if (MultiPublish.versionExists(digests.sparkSession, root, SpecTable,
+        specVersion)) {
+      val (_, widths) = loadSpecAt(digests.sparkSession, root, specVersion)
+      require(widths.contains(w),
+        s"width $w is not in spec v$specVersion's declared ladder " +
+          s"${widths.mkString("{", ",", "}")} — a mis-keyed append " +
+          "would silently never serve")
+    }
     graft.streaming.EventStreams.epochIdempotentSink(
       digests.select("id", "pos", "h"),
       epoch, s"$root/$DigestsTable/pv$specVersion/w$w")

@@ -127,8 +127,10 @@ object TextSigStore {
     // (the blue/green flip pattern) is exempt — its k is validated by
     // every post-publish replay.
     val guarded =
-      scala.util.Try(loadSpecAt(sigs.sparkSession, root, specVersion))
-        .toOption match {
+      (if (MultiPublish.versionExists(sigs.sparkSession, root, SpecTable,
+          specVersion))
+        Some(loadSpecAt(sigs.sparkSession, root, specVersion))
+      else None) match {
         case Some((_, k, _, _)) =>
           sigs.select(col("doc_id"),
             when(size(col("sig")) === k, col("sig"))
