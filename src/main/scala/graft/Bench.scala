@@ -256,6 +256,9 @@ object Bench {
     // r16: the packed-bin export (c106's fold + a partitioned JSONL
     // write + the read-back rollup — the c131 shape at bin granularity)
     "c134_packed_export",
+    // r16: the compacted-ledger serve (lifecycle prepaid — serve-only
+    // timing; rides c105's pair graph on the audio side, not probed)
+    "c135_ledger_compaction",
     // r15: extents served from the digest store (the c125 argument on
     // the WHERE question — zero digest compute in the plan)
     "c132_extents_from_store",
@@ -652,7 +655,8 @@ object Bench {
   private val rolloverLifecycleQueries =
     Set("c117_image_spec_rollover", "c122_audio_spec_rollover",
       "c126_text_sig_rollover", "c127_span_spec_rollover",
-      "c130_verdict_store_serve", "c133_verdict_ledger_serve")
+      "c130_verdict_store_serve", "c133_verdict_ledger_serve",
+      "c135_ledger_compaction")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],
                            dir: String): Unit = {
     names.filter(rolloverLifecycleQueries).foreach { n =>

@@ -7216,6 +7216,72 @@ object SparkEntry {
       VerdictStore.loadCommitted(s, s"$root/verd").orderBy("doc_id")
     }),
 
+    // C135 pair-ledger COMPACTION — the A18 small-file discipline on
+    // the D49 ledger: a long crawl accrues one partition per epoch per
+    // modality (each result-sized or empty; at 10k epochs the ledger
+    // read pays 10k directory listings for KBs of pairs). The fold
+    // merges every partition ≤ the watermark into one, write-temp-
+    // then-swap (a crash before the swap leaves the live tree
+    // untouched), refusing the in-flight tail. The proof obligation is
+    // the serving one: the c133 lifecycle runs, ALL THREE modality
+    // ledgers compact to a single partition each, one folded epoch is
+    // REPLAYED post-compaction (the straggler partition re-lands; the
+    // doc-distinct verdict absorbs it — replay converges, never
+    // corrupts), and the committed verdict REBUILDS from the compacted
+    // ledger. Oracle = the c123 replay verbatim — a fold that dropped,
+    // duplicated, or cross-wired one pair could not hash-match.
+    "c135_ledger_compaction" -> ((s, dir) => {
+      import graft.streaming.VerdictStream
+      import graft.sources.{PairLedger, VerdictStore}
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("c135_comp_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      lifecycleOncePerBenchJvm(s"c135:$dir") {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val r = VerdictStream.Roots(s"$root/sigs", s"$root/img",
+          s"$root/aud", s"$root/verd", s"$root/docs_seen")
+        VerdictStream.initStores(s, r)
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val withCopies = docs.unionByName(
+          docs.where(pmod(col("doc_id"), lit(3)) === 1)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        def slice(e: Int) =
+          withCopies.where(pmod(col("doc_id"), lit(3)) === e)
+        (0 until 3).foreach { e =>
+          require(VerdictStream.foldAndPublishLedger(s, slice(e),
+            e.toLong, r, s"$root/pairs").committed, s"epoch $e failed")
+        }
+        def nParts(m: String): Int = {
+          val p = new Path(s"$root/pairs/$m")
+          if (!fs.exists(p)) 0
+          else fs.listStatus(p).count(st =>
+            st.isDirectory && st.getPath.getName.startsWith("__epoch="))
+        }
+        PairLedger.Modalities.foreach { m =>
+          require(nParts(m) >= 2, s"$m must hold multiple epoch " +
+            "partitions before compaction exercises anything")
+          val rep = PairLedger.compactEpochs(s, s"$root/pairs", m, 2L)
+          require(rep.into == 2L && nParts(m) == 1,
+            s"$m must compact to ONE partition, got ${nParts(m)}: $rep")
+        }
+        // straggler replay AFTER compaction: epoch 1's ledger
+        // partitions re-land beside the merged ones; the publish is
+        // watermark-skipped and the verdict must absorb the duplicates
+        require(VerdictStream.foldAndPublishLedger(s, slice(1), 1L, r,
+          s"$root/pairs").replaySkipped,
+          "replayed epoch must be watermark-skipped")
+        // the rebuild FROM the compacted (+straggler) ledger must
+        // still be the exact table — published as one more version
+        require(VerdictStore.publishVerdicts(s, s"$root/verd",
+          VerdictStream.verdictsFromLedger(s, r, s"$root/pairs"),
+          batchId = Some(3L)).committed, "post-compaction publish failed")
+      }
+      VerdictStore.loadCommitted(s, s"$root/verd").orderBy("doc_id")
+    }),
+
     // C118 CROSS-MODAL document-level dup verdict — the decision a
     // multimodal crawl actually ships (the r14 verdict's ask #4): the
     // TEXT dup family (c2's MinHash-LSH pairs over planted re-crawl
@@ -7671,6 +7737,11 @@ object SparkEntry {
       // boundary, a duplicated replay append, or a mis-normalized
       // cross pair could not hash-match the composed replay
       "c133_verdict_ledger_serve" -> base("c123_trimodal_dup"),
+      // c135 serves the same table from the COMPACTED ledger (with a
+      // straggler replay landed post-compaction) — a fold that
+      // dropped, duplicated, or cross-wired one pair could not
+      // hash-match
+      "c135_ledger_compaction" -> base("c123_trimodal_dup"),
       // c131 serves c124's exact rollup from the READ-BACK of the
       // exported shard files — the JSON round trip plus the partition
       // directory names must reproduce every assignment bit-exactly

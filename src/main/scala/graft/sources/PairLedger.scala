@@ -63,4 +63,59 @@ object PairLedger {
         spark.read.parquet(s"$root/$modality").select("id_a", "id_b"))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema))
+
+  /** Compaction accounting: the epochs folded away and the partition
+    * they were folded into.
+    */
+  case class CompactReport(modality: String, folded: Seq[Long],
+                           into: Long)
+
+  /** Fold every epoch partition ≤ `upTo` into ONE partition at
+    * `__epoch=upTo` (C135 — the A18 small-file discipline on the
+    * ledger: a long crawl accrues one partition per epoch, each
+    * result-sized or empty; at 10k epochs the ledger read pays 10k
+    * directory listings for KBs of pairs). The fold is
+    * WRITE-TEMP-THEN-SWAP: the merged partition lands beside the live
+    * tree, then the folded partitions are dropped and the merged one
+    * renamed in — a crash before the swap leaves the live tree
+    * untouched. Epochs > `upTo` are never read or touched (the
+    * in-flight tail keeps arriving under D8).
+    *
+    * A post-compaction REPLAY of a folded epoch re-lands its own
+    * partition beside the merged one; every ledger consumer is
+    * doc/pair-distinct downstream, so verdicts are UNCHANGED, and the
+    * next compaction folds the straggler away again — replay
+    * converges, it never corrupts.
+    */
+  def compactEpochs(spark: SparkSession, root: String, modality: String,
+                    upTo: Long): CompactReport = {
+    require(Modalities.contains(modality),
+      s"unknown modality '$modality'")
+    import org.apache.hadoop.fs.Path
+    val dir = s"$root/$modality"
+    val fs = org.apache.hadoop.fs.FileSystem.get(new Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir)))
+      return CompactReport(modality, Seq.empty, upTo)
+    val eligible = fs.listStatus(new Path(dir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("__epoch="))
+      .map(n => n.stripPrefix("__epoch=").toLong)
+      .filter(_ <= upTo)
+      .sorted
+    if (eligible.size <= 1)
+      return CompactReport(modality, Seq.empty, upTo)
+    val merged = spark.read.parquet(
+        eligible.map(e => s"$dir/__epoch=$e"): _*)
+      .select("id_a", "id_b")
+      .coalesce(1)
+    val tmp = s"$dir/__compact_tmp"
+    fs.delete(new Path(tmp), true)
+    merged.write.mode("overwrite").parquet(tmp)
+    eligible.foreach(e => fs.delete(new Path(s"$dir/__epoch=$e"), true))
+    require(fs.rename(new Path(tmp), new Path(s"$dir/__epoch=$upTo")),
+      s"compaction swap failed for $dir/__epoch=$upTo")
+    CompactReport(modality, eligible.filter(_ != upTo), upTo)
+  }
 }

@@ -167,4 +167,38 @@ class VerdictStreamSpec extends AnyFunSuite with SparkSpec {
     assert(rows(VerdictStore.loadCommitted(s, r.verdicts)) === v2,
       "redelivery must not change the committed verdicts")
   }
+
+  test("c135: ledger compaction folds epochs ≤ watermark into one " +
+    "partition, preserves the pair multiset, leaves the in-flight " +
+    "tail untouched, and no-ops on ≤1 partitions / a missing modality") {
+    import graft.sources.PairLedger
+    val root = Files.createTempDirectory("graft_c135").toString + "/ledger"
+    def pairsOf(xs: (Long, Long)*) = {
+      import s.implicits._
+      xs.toSeq.toDF("id_a", "id_b")
+    }
+    PairLedger.appendPairsEpoch(pairsOf((1L, 2L)), root, "text", 0L)
+    PairLedger.appendPairsEpoch(pairsOf((3L, 4L), (5L, 6L)), root,
+      "text", 1L)
+    PairLedger.appendPairsEpoch(pairsOf((7L, 8L)), root, "text", 2L)
+    PairLedger.appendPairsEpoch(pairsOf((9L, 10L)), root, "text", 3L)
+    def all = PairLedger.readPairs(s, root, "text").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    def parts = new java.io.File(root + "/text").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__epoch="))
+      .map(_.getName).sorted.toSeq
+    val before = all
+    assert(parts.size === 4)
+    val rep = PairLedger.compactEpochs(s, root, "text", 2L)
+    assert(rep.into === 2L && rep.folded === Seq(0L, 1L),
+      s"fold accounting off: $rep")
+    assert(parts === Seq("__epoch=2", "__epoch=3"),
+      "epochs ≤ 2 fold into one partition; the in-flight tail survives")
+    assert(all === before, "compaction must preserve the pair multiset")
+    // idempotent: one eligible partition left at the watermark → no-op
+    assert(PairLedger.compactEpochs(s, root, "text", 2L).folded.isEmpty)
+    assert(all === before && parts.size === 2)
+    // a modality nothing has written yet is a quiet no-op
+    assert(PairLedger.compactEpochs(s, root, "image", 5L).folded.isEmpty)
+  }
 }
