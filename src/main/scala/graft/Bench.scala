@@ -968,7 +968,12 @@ object Bench {
     // exclusion verbatim).
     "c119_text_sig_serve", "c120_text_sigs_vacuum",
     "c121_text_sig_incremental", "d44_stream_packing",
-    "c124_lpt_shards", "c125_span_store_serve"))
+    "c124_lpt_shards", "c125_span_store_serve",
+    // r16 (the r10 rule): the packed-bin export — the c106 fold + a
+    // docs-scaled partitioned JSONL write + the read-back scan at the
+    // second decade. c133/c135 are NOT sf1-probed: they ride c105's
+    // pair graph on the audio side (the c123/c130 b32 precedent).
+    "c134_packed_export"))
 
   def main(args: Array[String]): Unit = {
     // serve-only lifecycle timing everywhere under the bench (forked

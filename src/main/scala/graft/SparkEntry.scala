@@ -6545,11 +6545,15 @@ object SparkEntry {
 
     // C134 PACKING-AWARE shard export (the r15 verdict's ask #6) —
     // c106's bounded-BFD bin assignment made a training-data artifact:
-    // the A19 JSONL surface with one directory per (source, band,
-    // bin), so a loader maps bins 1:1 onto files and every file is a
-    // budget-bounded batch (the c131 discipline on the PACKED
-    // granularity — c131 balances SHARDS, this ships BINS). The
-    // checked frame is the c106 per-bin rollup computed FROM THE
+    // the A19 JSONL surface with one directory per (source, band) and
+    // the BIN as a SORTED row column inside each file — bins are the
+    // ~budget-token BATCH unit, so bins-as-directories would mint one
+    // tiny file per 256 tokens (measured: 21.9 s vs 2.4 s for the
+    // shard-granularity c131 at sf0.1 — the A18 small-file pathology
+    // at write time, catastrophic at 100 TB). Files stay shard-sized;
+    // sortWithinPartitions(bin, doc_id) keeps each bin CONTIGUOUS in
+    // its file, so a loader streams batch-by-batch without a shuffle.
+    // The checked frame is the c106 per-bin rollup computed FROM THE
     // READ-BACK rows — the oracle gates the exported bytes through the
     // JSON round trip (a writer that dropped, duplicated, or
     // mis-binned one row could not hash-match the slot-machine
@@ -6571,11 +6575,12 @@ object SparkEntry {
       val path = Tables.scratch("c134_exp_" + new java.io.File(dir).getName +
         "_" + java.lang.Integer.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(dir)))
-      // co-locate each bin before the write: one task owns one
-      // (source, band, bin) → one JSONL file per bin directory
-      assigned.repartition(col("source"), col("band"), col("bin"))
+      // co-locate each (source, band) before the write — one task owns
+      // one directory, bins contiguous within the file
+      assigned.repartition(col("source"), col("band"))
+        .sortWithinPartitions(col("bin"), col("doc_id"))
         .write.mode("overwrite")
-        .partitionBy("source", "band", "bin").json(path)
+        .partitionBy("source", "band").json(path)
       val back = s.read.json(path)
         .select(col("source").cast("string").as("source"),
           col("band").cast("long").as("band"),
