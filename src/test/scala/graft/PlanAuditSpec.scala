@@ -238,6 +238,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "every level's flag join must be shuffled")
   }
 
+  test("c133/c135: the ledger-built verdict SERVE is a result-sized " +
+    "committed-version read — no banding, census, signature, digest, " +
+    "or decode compute anywhere in the serving plan") {
+    Seq("c133_verdict_ledger_serve", "c135_ledger_compaction").foreach {
+      n =>
+        val p = plan(n)
+        val lower = p.toLowerCase
+        assert(!lower.contains("minhashsig"),
+          s"a signature pass leaked into $n's serving plan")
+        assert(!lower.contains("spanmd5"),
+          s"a digest pass leaked into $n's serving plan")
+        assert(!p.contains("MapPartitions"),
+          s"a codec/decode stage leaked into $n's serving plan")
+        assert(!p.contains("HashJoin") && !p.contains("SortMergeJoin"),
+          s"$n's serve must read the committed table, never re-join")
+    }
+  }
+
   test("c76c/c84/c87: the strip family serves its digests from the " +
     "span store — NO digest compute anywhere in the rewrite plans (the " +
     "rebuild's own token read stays; the digest pass must not leak " +
