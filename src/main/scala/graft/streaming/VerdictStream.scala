@@ -266,15 +266,32 @@ object VerdictStream {
     CrossModal.verdictTable(textDup, imgDup, audDup)
   }
 
-  /** Wire the ledger unit under a streaming query. */
+  /** Wire the ledger unit under a streaming query.
+    *
+    * @param compactEvery when > 0, every `compactEvery`-th epoch also
+    *        runs [[PairLedger.compactEpochs]] per modality with the
+    *        watermark at the PREVIOUS epoch (the in-flight epoch is
+    *        never touched) — the C135 small-file fold kept current by
+    *        the maintenance loop itself, so a long crawl's ledger
+    *        holds O(1) partitions instead of one per epoch. A
+    *        fresh-checkpoint redelivery re-lands a folded epoch as a
+    *        straggler partition; the doc-distinct verdict consumers
+    *        absorb it and the next fold retires it (the C135 replay
+    *        contract).
+    */
   def ledgerMaintenanceSink(stream: DataFrame, r: Roots,
                             pairsRoot: String,
-                            checkpoint: String): StreamingQuery =
+                            checkpoint: String,
+                            compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         foldAndPublishLedger(b.sparkSession, b, id, r, pairsRoot)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          PairLedger.Modalities.foreach(m =>
+            PairLedger.compactEpochs(b.sparkSession, pairsRoot, m,
+              id - 1))
         ()
       }
       .trigger(Trigger.AvailableNow())

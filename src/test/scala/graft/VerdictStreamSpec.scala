@@ -168,6 +168,65 @@ class VerdictStreamSpec extends AnyFunSuite with SparkSpec {
       "redelivery must not change the committed verdicts")
   }
 
+  test("d49b: streamed compaction (compactEvery) keeps the ledger at " +
+    "O(1) partitions under arrival without changing the verdicts; a " +
+    "fresh-checkpoint redelivery still converges") {
+    import graft.sources.PairLedger
+    val docs = Tables(s, sfDir(), "documents").select("doc_id", "text")
+      .limit(60).cache()
+    val copies = docs.where(pmod(col("doc_id"), lit(3)) === 1)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val staged = Files.createTempDirectory("graft_d49b_src")
+    Seq(docs, copies).zipWithIndex.foreach { case (ep, i) =>
+      val tmp = Files.createTempDirectory(s"graft_d49b_ep$i")
+      ep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, staged.resolve(f"ep$i%02d.parquet"))
+    }
+    val r = freshRoots("ledgercomp")
+    val pairsRoot =
+      Files.createTempDirectory("graft_d49b_pairs").toString + "/ledger"
+    VerdictStream.initStores(s, r)
+    def runSink(): Unit = {
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val q = VerdictStream.ledgerMaintenanceSink(src, r, pairsRoot,
+        Files.createTempDirectory("graft_d49b_ck").toString,
+        compactEvery = 1)
+      q.awaitTermination(180000)
+      ()
+    }
+    runSink()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(2),
+          x.getBoolean(3), x.getString(4))).toSeq
+    val v = rows(VerdictStore.loadCommitted(s, r.verdicts))
+    // ≡ the recompute fold on the same corpus
+    val one = freshRoots("ledgercomponeshot")
+    VerdictStream.initStores(s, one)
+    VerdictStream.foldAndPublish(s, docs.unionByName(copies), 0L, one)
+    assert(v === rows(VerdictStore.loadCommitted(s, one.verdicts)),
+      "compacted-ledger verdicts diverged from the recompute fold")
+    def nParts(m: String): Int = {
+      val d = new java.io.File(s"$pairsRoot/$m")
+      if (!d.exists()) 0
+      else d.listFiles().count(f =>
+        f.isDirectory && f.getName.startsWith("__epoch="))
+    }
+    // epoch 1's fold retired epoch 0's partition; at most the merged
+    // partition + the in-flight epoch remain
+    PairLedger.Modalities.foreach { m =>
+      assert(nParts(m) <= 2,
+        s"$m ledger must stay at O(1) partitions, got ${nParts(m)}")
+    }
+    // fresh-checkpoint redelivery: stragglers re-land and are absorbed
+    runSink()
+    assert(rows(VerdictStore.loadCommitted(s, r.verdicts)) === v,
+      "redelivery must not change the committed verdicts")
+  }
+
   test("c135: ledger compaction folds epochs ≤ watermark into one " +
     "partition, preserves the pair multiset, leaves the in-flight " +
     "tail untouched, and no-ops on ≤1 partitions / a missing modality") {
