@@ -446,7 +446,14 @@ object SparkEntry {
   private val lifecyclesDone =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def lifecycleOncePerBenchJvm(key: String)(body: => Unit): Unit =
-    if (serveOnlyBench) { if (lifecyclesDone.add(key)) body } else body
+    if (serveOnlyBench) {
+      // un-memoize on failure: a lifecycle that died partway (it starts
+      // by deleting its store root) must RETRY on the next invocation,
+      // not silently serve a half-built store for the rest of the JVM
+      if (lifecyclesDone.add(key))
+        try body
+        catch { case e: Throwable => lifecyclesDone.remove(key); throw e }
+    } else body
 
   /** Loud replay-visibility gate shared by the stored-signature serving
     * paths: exactly one signature row per doc — epoch duplication would
@@ -7225,9 +7232,11 @@ object SparkEntry {
     // the D49 ledger: a long crawl accrues one partition per epoch per
     // modality (each result-sized or empty; at 10k epochs the ledger
     // read pays 10k directory listings for KBs of pairs). The fold
-    // merges every partition ≤ the watermark into one, write-temp-
-    // then-swap (a crash before the swap leaves the live tree
-    // untouched), refusing the in-flight tail. The proof obligation is
+    // merges every partition ≤ the watermark into one RESERVED
+    // (negative) partition, renamed into the live tree BEFORE the
+    // folded partitions are deleted (a crash leaves duplicates —
+    // absorbed by the doc-distinct consumers — never a loss), and
+    // refuses the in-flight tail. The proof obligation is
     // the serving one: the c133 lifecycle runs, ALL THREE modality
     // ledgers compact to a single partition each, one folded epoch is
     // REPLAYED post-compaction (the straggler partition re-lands; the
@@ -7269,8 +7278,10 @@ object SparkEntry {
           require(nParts(m) >= 2, s"$m must hold multiple epoch " +
             "partitions before compaction exercises anything")
           val rep = PairLedger.compactEpochs(s, s"$root/pairs", m, 2L)
-          require(rep.into == 2L && nParts(m) == 1,
-            s"$m must compact to ONE partition, got ${nParts(m)}: $rep")
+          require(rep.into < 0L && rep.folded == Seq(0L, 1L, 2L) &&
+            nParts(m) == 1,
+            s"$m must fold all three epochs into ONE reserved " +
+              s"partition, got ${nParts(m)}: $rep")
         }
         // straggler replay AFTER compaction: epoch 1's ledger
         // partitions re-land beside the merged ones; the publish is

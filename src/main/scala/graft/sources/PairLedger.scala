@@ -39,12 +39,18 @@ object PairLedger {
     StructField("id_a", LongType), StructField("id_b", LongType)))
 
   /** Append one epoch's delta pairs for one modality (D8: a replayed
-    * epoch overwrites its own partition).
+    * epoch overwrites its own partition). Deliverable epochs are
+    * non-negative BY CONTRACT — the negative range is reserved for
+    * [[compactEpochs]]' merged partitions, which is what makes a
+    * post-compaction redelivery unable to overwrite folded history
+    * (the r16 advice's collision finding).
     */
   def appendPairsEpoch(pairs: DataFrame, root: String, modality: String,
                        epoch: Long): Unit = {
     require(Modalities.contains(modality),
       s"unknown modality '$modality' (expected ${Modalities.mkString("/")})")
+    require(epoch >= 0,
+      s"epoch $epoch: negative epochs are reserved for compaction folds")
     graft.streaming.EventStreams.epochIdempotentSink(
       pairs.select(
         least(col("id_a"), col("id_b")).cast("long").as("id_a"),
@@ -53,42 +59,98 @@ object PairLedger {
   }
 
   /** All ledger epochs for one modality as one undirected pair frame.
-    * A modality no epoch has written yet (or whose epochs were all
-    * empty) reads as the typed empty relation — an empty crawl has no
-    * dup pairs, not a missing table.
+    * A missing tree, or a tree whose epochs hold no data files yet
+    * (every written epoch was empty), reads as the typed empty
+    * relation — an empty crawl has no dup pairs, not a missing table.
+    * Any OTHER read failure (corrupt footer, permissions, schema
+    * drift) PROPAGATES: the r16 advice's finding was that a blanket
+    * Try(...).getOrElse(empty) made a broken ledger indistinguishable
+    * from an empty crawl and silently shipped all-false verdicts.
     */
   def readPairs(spark: SparkSession, root: String,
-                modality: String): DataFrame =
-    scala.util.Try(
-        spark.read.parquet(s"$root/$modality").select("id_a", "id_b"))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema))
+                modality: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$root/$modality")
+    val fs = org.apache.hadoop.fs.FileSystem.get(dir.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    def hasDataFile: Boolean = {
+      val it = fs.listFiles(dir, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next().getPath.getName
+        found = !f.startsWith("_") && !f.startsWith(".") &&
+          f.endsWith(".parquet")
+      }
+      found
+    }
+    if (!fs.exists(dir) || !hasDataFile)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema)
+    else spark.read.parquet(dir.toString).select("id_a", "id_b")
+  }
 
-  /** Compaction accounting: the epochs folded away and the partition
-    * they were folded into.
+  /** Compaction accounting: the epoch partitions folded away, the
+    * (reserved, negative) partition they were folded into, and how
+    * many stored pair rows the optional retirement anti-join removed.
     */
   case class CompactReport(modality: String, folded: Seq[Long],
-                           into: Long)
+                           into: Long, retired: Long = 0L)
 
-  /** Fold every epoch partition ≤ `upTo` into ONE partition at
-    * `__epoch=upTo` (C135 — the A18 small-file discipline on the
-    * ledger: a long crawl accrues one partition per epoch, each
-    * result-sized or empty; at 10k epochs the ledger read pays 10k
-    * directory listings for KBs of pairs). The fold is
-    * WRITE-TEMP-THEN-SWAP: the merged partition lands beside the live
-    * tree, then the folded partitions are dropped and the merged one
-    * renamed in — a crash before the swap leaves the live tree
-    * untouched. Epochs > `upTo` are never read or touched (the
-    * in-flight tail keeps arriving under D8).
+  /** Test-only failpoints for the two crash windows of the swap: after
+    * the merged temp is written but BEFORE it renames in (the live
+    * tree must be untouched), and after the rename but BEFORE the
+    * folded partitions are deleted (duplicates, never loss). The spec
+    * plants a throw at each and asserts the readable pair set.
+    */
+  private[graft] var beforeSwapHook: () => Unit = () => ()
+  private[graft] var afterSwapHook: () => Unit = () => ()
+
+  /** Fold every epoch partition ≤ `upTo` — prior merged partitions
+    * (negative epochs) included — into ONE partition at a fresh
+    * RESERVED epoch below every existing one (C135 — the A18
+    * small-file discipline on the ledger: a long crawl accrues one
+    * partition per epoch, each result-sized or empty; at 10k epochs
+    * the ledger read pays 10k directory listings for KBs of pairs).
     *
-    * A post-compaction REPLAY of a folded epoch re-lands its own
-    * partition beside the merged one; every ledger consumer is
-    * doc/pair-distinct downstream, so verdicts are UNCHANGED, and the
-    * next compaction folds the straggler away again — replay
-    * converges, it never corrupts.
+    * Crash-safe ORDER (the r16 advice's two high findings): the merged
+    * partition is written to an underscore-hidden temp, RENAMED INTO
+    * THE LIVE TREE FIRST, and only then are the folded partitions
+    * deleted — a crash before the rename leaves the live tree
+    * untouched; a crash after it leaves transient DUPLICATES (merged +
+    * not-yet-deleted folded partitions), which every ledger consumer
+    * (doc/pair-distinct) absorbs and the next fold — distinct by
+    * construction — retires. At no instant is the only copy of a pair
+    * under a path partition discovery ignores. The merged partition's
+    * RESERVED negative epoch can never collide with a deliverable
+    * epoch ([[appendPairsEpoch]] requires epoch ≥ 0), so a
+    * post-compaction D8 redelivery of any real epoch re-lands BESIDE
+    * the merged history and can never overwrite it.
+    *
+    * The fold is DISTINCT: epochs append each undirected pair once (a
+    * pair is decided at its later endpoint's arrival), so on a clean
+    * ledger distinct == the stored multiset, and it is exactly what
+    * makes crash/straggler duplicates converge instead of accreting.
+    *
+    * `retire` (optional): doc/media endpoint ids whose documents were
+    * deleted (A33/A36 — the C136 governance hook); pairs with EITHER
+    * endpoint in the set are dropped from the merged partition, so
+    * the ledger SHRINKS when the corpus does. Physical retirement
+    * only — replay of a folded epoch re-lands retired pairs, so
+    * serving must stay tombstone-aware (the A36 merge-on-read
+    * contract); the next compaction retires the stragglers again.
+    *
+    * The merged partition is written size-targeted (the A18
+    * `targetFileBytes` discipline), NOT coalesce(1): at crawl scale
+    * the all-time dup-pair relation is the dup population — many GB —
+    * and one task/one file would bottleneck exactly the maintenance
+    * pass that exists to keep reads cheap.
+    *
+    * Epochs > `upTo` are never read or touched (the in-flight tail
+    * keeps arriving under D8).
     */
   def compactEpochs(spark: SparkSession, root: String, modality: String,
-                    upTo: Long): CompactReport = {
+                    upTo: Long, retire: Option[DataFrame] = None,
+                    targetFileBytes: Long = 128L << 20): CompactReport = {
     require(Modalities.contains(modality),
       s"unknown modality '$modality'")
     import org.apache.hadoop.fs.Path
@@ -97,25 +159,46 @@ object PairLedger {
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir)))
       return CompactReport(modality, Seq.empty, upTo)
-    val eligible = fs.listStatus(new Path(dir)).toSeq
+    val parts = fs.listStatus(new Path(dir)).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith("__epoch="))
       .map(n => n.stripPrefix("__epoch=").toLong)
-      .filter(_ <= upTo)
-      .sorted
-    if (eligible.size <= 1)
+    val eligible = parts.filter(_ <= upTo).sorted
+    if (eligible.size <= 1 && (eligible.isEmpty || retire.isEmpty))
       return CompactReport(modality, Seq.empty, upTo)
-    val merged = spark.read.parquet(
+    // the merged partition lands BELOW every existing epoch — reserved
+    // space no deliverable epoch (≥ 0 by contract) can ever overwrite
+    val sentinel = math.min(parts.min, 0L) - 1L
+    val inputBytes = eligible.map { e =>
+      fs.getContentSummary(new Path(s"$dir/__epoch=$e")).getLength
+    }.sum
+    val nFiles = math.max(1L,
+      (inputBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val all = spark.read.parquet(
         eligible.map(e => s"$dir/__epoch=$e"): _*)
-      .select("id_a", "id_b")
-      .coalesce(1)
+      .select("id_a", "id_b").distinct()
+    val (merged, retired) = retire match {
+      case None => (all, 0L)
+      case Some(ids) =>
+        val r = ids.select(ids.columns.head).toDF("__rid").distinct()
+        val kept = all
+          .join(r, col("id_a") === col("__rid"), "left_anti")
+          .join(r, col("id_b") === col("__rid"), "left_anti")
+        (kept, all.count() - kept.count())
+    }
     val tmp = s"$dir/__compact_tmp"
-    fs.delete(new Path(tmp), true)
-    merged.write.mode("overwrite").parquet(tmp)
+    fs.delete(new Path(tmp), true) // a pre-rename crash leftover: its
+    // contents still live in the (undeleted) folded partitions
+    merged.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    beforeSwapHook()
+    // swap order is the crash contract: merged VISIBLE first …
+    require(fs.rename(new Path(tmp), new Path(s"$dir/__epoch=$sentinel")),
+      s"compaction swap failed for $dir/__epoch=$sentinel")
+    afterSwapHook()
+    // … then drop the folded partitions (a crash mid-loop leaves
+    // duplicates, never a loss; the next distinct fold converges them)
     eligible.foreach(e => fs.delete(new Path(s"$dir/__epoch=$e"), true))
-    require(fs.rename(new Path(tmp), new Path(s"$dir/__epoch=$upTo")),
-      s"compaction swap failed for $dir/__epoch=$upTo")
-    CompactReport(modality, eligible.filter(_ != upTo), upTo)
+    CompactReport(modality, eligible, sentinel, retired)
   }
 }

@@ -249,15 +249,120 @@ class VerdictStreamSpec extends AnyFunSuite with SparkSpec {
     val before = all
     assert(parts.size === 4)
     val rep = PairLedger.compactEpochs(s, root, "text", 2L)
-    assert(rep.into === 2L && rep.folded === Seq(0L, 1L),
+    assert(rep.into === -1L && rep.folded === Seq(0L, 1L, 2L),
       s"fold accounting off: $rep")
-    assert(parts === Seq("__epoch=2", "__epoch=3"),
-      "epochs ≤ 2 fold into one partition; the in-flight tail survives")
-    assert(all === before, "compaction must preserve the pair multiset")
+    assert(parts === Seq("__epoch=-1", "__epoch=3"),
+      "epochs ≤ 2 fold into one RESERVED partition; the in-flight " +
+        "tail survives")
+    assert(all === before, "compaction must preserve the pair set")
     // idempotent: one eligible partition left at the watermark → no-op
     assert(PairLedger.compactEpochs(s, root, "text", 2L).folded.isEmpty)
     assert(all === before && parts.size === 2)
+    // a deliverable-epoch redelivery AFTER compaction (the r16 advice's
+    // collision finding): the D8 overwrite re-lands its OWN partition
+    // beside the reserved one — folded history is untouchable
+    PairLedger.appendPairsEpoch(pairsOf((1L, 2L)), root, "text", 0L)
+    assert(all.distinct === before,
+      "post-compaction redelivery must not change the readable pair SET " +
+        "(the straggler's rows duplicate until the next fold)")
+    assert(parts === Seq("__epoch=-1", "__epoch=0", "__epoch=3"),
+      "the straggler re-lands beside the merged history, never over it")
+    // … and the next fold retires the straggler duplicates (distinct)
+    val rep2 = PairLedger.compactEpochs(s, root, "text", 2L)
+    assert(rep2.into === -2L && rep2.folded === Seq(-1L, 0L))
+    assert(all === before && parts === Seq("__epoch=-2", "__epoch=3"))
     // a modality nothing has written yet is a quiet no-op
     assert(PairLedger.compactEpochs(s, root, "image", 5L).folded.isEmpty)
+    // deliverable epochs may never use the reserved range
+    intercept[IllegalArgumentException] {
+      PairLedger.appendPairsEpoch(pairsOf((1L, 2L)), root, "text", -1L)
+    }
+  }
+
+  test("c135b: a planted crash in EITHER swap window loses no pair — " +
+    "before the rename the live tree is untouched; after it the " +
+    "duplicates converge on the next fold") {
+    import graft.sources.PairLedger
+    val root = Files.createTempDirectory("graft_c135b").toString + "/ledger"
+    def pairsOf(xs: (Long, Long)*) = {
+      import s.implicits._
+      xs.toSeq.toDF("id_a", "id_b")
+    }
+    PairLedger.appendPairsEpoch(pairsOf((1L, 2L)), root, "text", 0L)
+    PairLedger.appendPairsEpoch(pairsOf((3L, 4L)), root, "text", 1L)
+    def all = PairLedger.readPairs(s, root, "text").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    def parts = new java.io.File(root + "/text").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__epoch="))
+      .map(_.getName).sorted.toSeq
+    val expect = Seq((1L, 2L), (3L, 4L))
+    // window 1: crash BEFORE the rename — the merged copy exists only
+    // under the underscore temp; the live tree must be untouched
+    PairLedger.beforeSwapHook = () => sys.error("planted pre-swap crash")
+    try intercept[RuntimeException] {
+      PairLedger.compactEpochs(s, root, "text", 1L)
+    } finally PairLedger.beforeSwapHook = () => ()
+    assert(parts === Seq("__epoch=0", "__epoch=1"),
+      "a pre-rename crash must leave the live tree untouched")
+    assert(all === expect)
+    // recovery is just running compaction again (the stale temp is
+    // swept; its contents still live in the folded partitions)
+    assert(PairLedger.compactEpochs(s, root, "text", 1L).into === -1L)
+    assert(all === expect && parts === Seq("__epoch=-1"))
+    // window 2: crash AFTER the rename, BEFORE the deletes — merged
+    // AND folded partitions are both visible (duplicates, never loss)
+    PairLedger.appendPairsEpoch(pairsOf((5L, 6L)), root, "text", 2L)
+    PairLedger.afterSwapHook = () => sys.error("planted post-swap crash")
+    try intercept[RuntimeException] {
+      PairLedger.compactEpochs(s, root, "text", 2L)
+    } finally PairLedger.afterSwapHook = () => ()
+    assert(parts === Seq("__epoch=-1", "__epoch=-2", "__epoch=2"),
+      "a post-rename crash leaves merged AND folded partitions visible")
+    assert(all.distinct === expect :+ (5L, 6L),
+      "the readable pair SET must survive the crash window (the " +
+        "distinct consumers absorb the duplicate copies)")
+    // the next fold converges the duplicates away
+    assert(PairLedger.compactEpochs(s, root, "text", 2L).into === -3L)
+    assert(all === expect :+ (5L, 6L) && parts === Seq("__epoch=-3"))
+  }
+
+  test("c136: compaction RETIRES pairs whose endpoints were deleted " +
+    "(the ledger shrinks when the corpus does), and readPairs " +
+    "distinguishes a missing tree from a broken one") {
+    import graft.sources.PairLedger
+    val root = Files.createTempDirectory("graft_c136u").toString + "/ledger"
+    def pairsOf(xs: (Long, Long)*) = {
+      import s.implicits._
+      xs.toSeq.toDF("id_a", "id_b")
+    }
+    PairLedger.appendPairsEpoch(pairsOf((1L, 2L), (3L, 4L)), root,
+      "text", 0L)
+    PairLedger.appendPairsEpoch(pairsOf((2L, 5L), (6L, 7L)), root,
+      "text", 1L)
+    import s.implicits._
+    val rep = PairLedger.compactEpochs(s, root, "text", 1L,
+      retire = Some(Seq(2L).toDF("doc_id")))
+    assert(rep.retired === 2L, s"pairs (1,2) and (2,5) must retire: $rep")
+    val left = PairLedger.readPairs(s, root, "text").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(left === Seq((3L, 4L), (6L, 7L)),
+      "every pair with a retired endpoint must be gone from the ledger")
+    // retirement works even on an already-compacted (single-partition)
+    // ledger — the governance event can arrive between folds
+    val rep2 = PairLedger.compactEpochs(s, root, "text", 1L,
+      retire = Some(Seq(4L).toDF("doc_id")))
+    assert(rep2.retired === 1L)
+    assert(PairLedger.readPairs(s, root, "text").count() === 1L)
+    // a missing tree reads as the typed empty relation …
+    assert(PairLedger.readPairs(s, root, "image").count() === 0L)
+    // … but a CORRUPT one propagates (the r16 advice: a broken ledger
+    // must not be indistinguishable from an empty crawl)
+    val bad = new java.io.File(root + "/audio/__epoch=0")
+    bad.mkdirs()
+    Files.writeString(new java.io.File(bad, "zz.parquet").toPath,
+      "not a parquet file")
+    intercept[Exception] {
+      PairLedger.readPairs(s, root, "audio").collect()
+    }
   }
 }
