@@ -305,6 +305,9 @@ object Bench {
     // r16: the compacted-ledger serve (lifecycle prepaid — serve-only
     // timing; rides c105's pair graph on the audio side, not probed)
     "c135_ledger_compaction",
+    // r17: retirement of RESOLVED pairs at the fold + tombstone-aware
+    // serve (lifecycle prepaid; rides c105's pair graph, not probed)
+    "c136_ledger_pair_retire",
     // r15: extents served from the digest store (the c125 argument on
     // the WHERE question — zero digest compute in the plan)
     "c132_extents_from_store",
@@ -702,7 +705,7 @@ object Bench {
     Set("c117_image_spec_rollover", "c122_audio_spec_rollover",
       "c126_text_sig_rollover", "c127_span_spec_rollover",
       "c130_verdict_store_serve", "c133_verdict_ledger_serve",
-      "c135_ledger_compaction")
+      "c135_ledger_compaction", "c136_ledger_pair_retire")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],
                            dir: String): Unit = {
     names.filter(rolloverLifecycleQueries).foreach { n =>

@@ -7298,6 +7298,92 @@ object SparkEntry {
       VerdictStore.loadCommitted(s, s"$root/verd").orderBy("doc_id")
     }),
 
+    // C136 RESOLVED-pair retirement — the governance loop the ledger
+    // was missing (the r16 verdict's ask #3): A33/A36 delete documents,
+    // but their pairs lived in the ledger forever — at crawl scale the
+    // ledger must SHRINK when the corpus does. The c133 corpus lands in
+    // three epochs; an A36 deletion-vector mark on the docs ledger
+    // tombstones the RTBF batch (originals ≡ 0,1 mod 30 plus the
+    // re-crawl copies of the ≡1 ones — copies of deleted content are
+    // deleted content); the compaction fold RETIRES every pair with a
+    // resolved endpoint (text: the tombstoned doc ids; image/audio:
+    // every media id that loses its last live link — owned by OR
+    // derived from a deleted doc); a folded epoch is then REPLAYED
+    // (the straggler re-lands its retired pairs), and the rebuild is
+    // TOMBSTONE-AWARE, so the committed verdicts are replay-stable —
+    // the A36 merge-on-read contract on the pair ledger. Oracle = the
+    // c123 trimodal replay over the LIVE corpus only: a pair retired
+    // too eagerly, a survivor dropped, or a resurrected straggler
+    // could not hash-match.
+    "c136_ledger_pair_retire" -> ((s, dir) => {
+      import graft.streaming.VerdictStream
+      import graft.sources.{DeletionVectors, PairLedger, VerdictStore}
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("c136_ret_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      lifecycleOncePerBenchJvm(s"c136:$dir") {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val r = VerdictStream.Roots(s"$root/sigs", s"$root/img",
+          s"$root/aud", s"$root/verd", s"$root/docs_seen")
+        VerdictStream.initStores(s, r)
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val withCopies = docs.unionByName(
+          docs.where(pmod(col("doc_id"), lit(3)) === 1)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        def slice(e: Int) =
+          withCopies.where(pmod(col("doc_id"), lit(3)) === e)
+        (0 until 3).foreach { e =>
+          require(VerdictStream.foldAndPublishLedger(s, slice(e),
+            e.toLong, r, s"$root/pairs").committed, s"epoch $e failed")
+        }
+        // the governance event: an A36 mark on the docs ledger — a
+        // request-sized target list (corpus/15 here; entity-sized in
+        // production, the A33/A36 maxTargets contract)
+        val maxId = docs.agg(max("doc_id")).head.getLong(0)
+        val delOrig = (0L to maxId).filter(d => d % 30 <= 1)
+        val targets = delOrig ++
+          delOrig.filter(_ % 30 == 1).map(_ + 1000000L)
+        val mark = DeletionVectors.markDeleted(s, r.docsSeen, "doc_id",
+          targets, "rtbf_batch_1")
+        require(mark.rowsMarked == targets.size,
+          s"every RTBF doc must mark exactly once: " +
+            s"${mark.rowsMarked} vs ${targets.size}")
+        // retirement at the compaction fold: the ledger SHRINKS
+        val reps = VerdictStream.compactRetiredEpochs(s, r,
+          s"$root/pairs", 2L)
+        reps.foreach(rep => require(rep.retired > 0 && rep.into < 0L,
+          s"every modality must physically retire pairs: $rep"))
+        // proof obligation: no pair with a resolved endpoint survives
+        val resolved = VerdictStream.retiredEndpoints(s, r)
+        PairLedger.Modalities.foreach { m =>
+          val ids = resolved(m).toDF("__rid")
+          val left = PairLedger.readPairs(s, s"$root/pairs", m)
+          val touching = left
+            .join(ids, col("id_a") === col("__rid"), "left_semi")
+            .unionByName(left
+              .join(ids, col("id_b") === col("__rid"), "left_semi"))
+            .count()
+          require(touching == 0,
+            s"$m still holds $touching pairs with resolved endpoints")
+        }
+        // straggler replay AFTER retirement: epoch 1 re-lands its
+        // ORIGINAL pairs (retired ones included) — watermark-skipped
+        require(VerdictStream.foldAndPublishLedger(s, slice(1), 1L, r,
+          s"$root/pairs").replaySkipped,
+          "replayed epoch must be watermark-skipped")
+        // the tombstone-aware rebuild absorbs the resurrected
+        // stragglers — the replay-stability half of the contract
+        require(VerdictStore.publishVerdicts(s, s"$root/verd",
+          VerdictStream.verdictsFromLedgerRetired(s, r, s"$root/pairs"),
+          batchId = Some(3L)).committed,
+          "post-retirement publish failed")
+      }
+      VerdictStore.loadCommitted(s, s"$root/verd").orderBy("doc_id")
+    }),
+
     // C118 CROSS-MODAL document-level dup verdict — the decision a
     // multimodal crawl actually ships (the r14 verdict's ask #4): the
     // TEXT dup family (c2's MinHash-LSH pairs over planted re-crawl
@@ -10504,6 +10590,64 @@ hist_${src}_$cent AS (
           |  UNION ALL
           |  SELECT a.doc_id, a.doc_id - 1 + 3000000 FROM documents a
           |  JOIN documents b ON b.doc_id = a.doc_id - 1
+          |  WHERE a.doc_id % 4 = 1 AND (a.doc_id - 1) % 28 = 0),
+          |axd AS (
+          |  SELECT oa.doc_id AS da, ob.doc_id AS db
+          |  FROM prf pp JOIN aown oa ON oa.media_id = pp.id_a
+          |              JOIN aown ob ON ob.media_id = pp.id_b
+          |  WHERE oa.doc_id <> ob.doc_id),
+          |audd AS (SELECT da AS doc_id FROM axd
+          |         UNION SELECT db FROM axd),
+          |alld AS (SELECT doc_id FROM td UNION SELECT doc_id FROM imgd
+          |         UNION SELECT doc_id FROM audd)
+          |SELECT al.doc_id,
+          |       t.doc_id IS NOT NULL AS text_dup,
+          |       i.doc_id IS NOT NULL AS image_dup,
+          |       u.doc_id IS NOT NULL AS audio_dup,
+          |       concat_ws('+',
+          |         CASE WHEN t.doc_id IS NOT NULL THEN 'text' END,
+          |         CASE WHEN i.doc_id IS NOT NULL THEN 'image' END,
+          |         CASE WHEN u.doc_id IS NOT NULL THEN 'audio' END)
+          |         AS verdict
+          |FROM alld al
+          |LEFT JOIN td t ON t.doc_id = al.doc_id
+          |LEFT JOIN imgd i ON i.doc_id = al.doc_id
+          |LEFT JOIN audd u ON u.doc_id = al.doc_id
+          |ORDER BY al.doc_id""".stripMargin),
+
+    // c136: the c123 trimodal replay restricted to the LIVE corpus —
+    // docs ≡ 0,1 (mod 30) are tombstoned (their re-crawl copies with
+    // them), so every ownership table derives from `liv` only: a pair
+    // whose media lost its last live link maps to no doc, exactly the
+    // engine's retire-at-compaction + tombstone-aware-serve semantics
+    "c136_ledger_pair_retire" ->
+      ("WITH " + c97ChainSql + ",\n" + c105PairSql + ",\n" +
+        """liv AS (SELECT doc_id FROM documents WHERE doc_id % 30 > 1),
+          |td AS (SELECT doc_id FROM liv WHERE doc_id % 3 = 1),
+          |iown AS (
+          |  SELECT doc_id, doc_id AS media_id FROM liv
+          |  UNION ALL
+          |  SELECT a.doc_id, a.doc_id - 5 + 2000000 FROM liv a
+          |  JOIN liv b ON b.doc_id = a.doc_id - 5
+          |  WHERE a.doc_id % 10 = 5
+          |  UNION ALL
+          |  SELECT a.doc_id, a.doc_id - 7 + 3000000 FROM liv a
+          |  JOIN liv b ON b.doc_id = a.doc_id - 7
+          |  WHERE a.doc_id % 10 = 7),
+          |ip AS (SELECT id_a, id_b FROM hm WHERE hamming <= 3),
+          |ixd AS (
+          |  SELECT oa.doc_id AS da, ob.doc_id AS db
+          |  FROM ip pp JOIN iown oa ON oa.media_id = pp.id_a
+          |             JOIN iown ob ON ob.media_id = pp.id_b
+          |  WHERE oa.doc_id <> ob.doc_id),
+          |imgd AS (SELECT da AS doc_id FROM ixd
+          |         UNION SELECT db FROM ixd),
+          |aown AS (
+          |  SELECT doc_id, doc_id AS media_id FROM liv
+          |  WHERE doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT a.doc_id, a.doc_id - 1 + 3000000 FROM liv a
+          |  JOIN liv b ON b.doc_id = a.doc_id - 1
           |  WHERE a.doc_id % 4 = 1 AND (a.doc_id - 1) % 28 = 0),
           |axd AS (
           |  SELECT oa.doc_id AS da, ob.doc_id AS db

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 import graft.operators.{Audio, CrossModal, Dedup, ImageDedup}
-import graft.sources.{AudioCodeStore, ImageCodeStore, PairLedger,
-  TextSigStore, VerdictStore}
+import graft.sources.{AudioCodeStore, DeletionVectors, ImageCodeStore,
+  PairLedger, TextSigStore, VerdictStore}
 
 /** D48: streaming VERDICT maintenance — the C130 table kept current
   * under arrival: each micro-batch of crawled documents (1) lands its
@@ -266,6 +266,88 @@ object VerdictStream {
     CrossModal.verdictTable(textDup, imgDup, audDup)
   }
 
+  // ------------------------------------------- C136: resolved-pair pruning
+
+  /** The tombstoned doc ids: every key an A36 [[DeletionVectors]] mark
+    * on the docs ledger names (the governance flow's own artifact —
+    * nothing c136-specific is invented). Key-based, not file-based: a
+    * D8 epoch replay rewrites partition FILES, but the marked keys
+    * stay the durable truth.
+    */
+  def tombstonedDocs(s: SparkSession, r: Roots): DataFrame =
+    DeletionVectors.deletes(s, r.docsSeen)
+      .select(col("key").as("doc_id")).distinct()
+
+  /** Per-modality ledger endpoint ids a tombstone set resolves: for
+    * text, the tombstoned doc ids themselves; for image/audio, every
+    * media id that loses its LAST live link — computed as
+    * links(all docs) \ links(live docs), which is BY CONSTRUCTION the
+    * exact id set the tombstone-aware serve can no longer map to a
+    * doc (media owned by a deleted doc AND media whose content
+    * derives from one — the RTBF copies-too semantics).
+    */
+  def retiredEndpoints(s: SparkSession, r: Roots)
+      : Map[String, DataFrame] = {
+    val tomb = tombstonedDocs(s, r)
+    val allIds = s.read.parquet(r.docsSeen)
+      .where(col("doc_id") < 1000000L).select("doc_id")
+    val liveIds = allIds.join(tomb, Seq("doc_id"), "left_anti")
+    Map(
+      "text" -> tomb,
+      "image" -> CrossModal.imageLinks(allIds).select("media_id")
+        .except(CrossModal.imageLinks(liveIds).select("media_id")),
+      "audio" -> CrossModal.audioLinks(allIds).select("media_id")
+        .except(CrossModal.audioLinks(liveIds).select("media_id")))
+  }
+
+  /** C136: the C135 fold with the RESOLVED pairs retired — pairs whose
+    * endpoints an A33/A36 deletion resolved are dropped from the
+    * merged partition, so the ledger SHRINKS when the corpus does
+    * (the r16 verdict's ask #3: without this, deleted docs' pairs
+    * live in the ledger forever). Physical retirement only: a replay
+    * of a folded epoch re-lands its retired pairs beside the merged
+    * history, so serving stays tombstone-aware
+    * ([[verdictsFromLedgerRetired]]) and the next fold retires the
+    * stragglers again — the A36 merge-on-read contract on the ledger.
+    */
+  def compactRetiredEpochs(s: SparkSession, r: Roots, pairsRoot: String,
+                           upTo: Long): Seq[PairLedger.CompactReport] = {
+    val retire = retiredEndpoints(s, r)
+    PairLedger.Modalities.map(m =>
+      PairLedger.compactEpochs(s, pairsRoot, m, upTo,
+        retire = Some(retire(m))))
+  }
+
+  /** [[verdictsFromLedger]] under tombstones — the serve the C136
+    * governance flow requires for replay stability: text pairs with a
+    * tombstoned endpoint are anti-joined away; image/audio pairs drop
+    * in the ownership join because the link tables derive from LIVE
+    * docs only (a media id that lost its last live link maps to no
+    * doc). Still result-sized end to end — the tombstone set is
+    * deletion-request-sized.
+    */
+  def verdictsFromLedgerRetired(s: SparkSession, r: Roots,
+                                pairsRoot: String): DataFrame = {
+    val tomb = tombstonedDocs(s, r)
+    val textDup = PairLedger.readPairs(s, pairsRoot, "text")
+      .join(tomb.select(col("doc_id").as("id_a")), Seq("id_a"),
+        "left_anti")
+      .join(tomb.select(col("doc_id").as("id_b")), Seq("id_b"),
+        "left_anti")
+      .where(col("id_b") - col("id_a") === 1000000L)
+      .select(col("id_a").as("doc_id")).distinct()
+    val liveIds = s.read.parquet(r.docsSeen)
+      .where(col("doc_id") < 1000000L).select("doc_id")
+      .join(tomb, Seq("doc_id"), "left_anti")
+    val imgDup = CrossModal.crossDocDups(
+      PairLedger.readPairs(s, pairsRoot, "image"),
+      CrossModal.imageLinks(liveIds))
+    val audDup = CrossModal.crossDocDups(
+      PairLedger.readPairs(s, pairsRoot, "audio"),
+      CrossModal.audioLinks(liveIds))
+    CrossModal.verdictTable(textDup, imgDup, audDup)
+  }
+
   /** Wire the ledger unit under a streaming query.
     *
     * @param compactEvery when > 0, every `compactEvery`-th epoch also
@@ -278,20 +360,29 @@ object VerdictStream {
     *        straggler partition; the doc-distinct verdict consumers
     *        absorb it and the next fold retires it (the C135 replay
     *        contract).
+    * @param retireResolved when true, each compaction pass also
+    *        retires the RESOLVED pairs ([[compactRetiredEpochs]]) —
+    *        the C136 governance hook under arrival: A36 marks on the
+    *        docs ledger shrink the pair ledger at the next fold.
     */
   def ledgerMaintenanceSink(stream: DataFrame, r: Roots,
                             pairsRoot: String,
                             checkpoint: String,
-                            compactEvery: Int = 0): StreamingQuery =
+                            compactEvery: Int = 0,
+                            retireResolved: Boolean = false)
+      : StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         foldAndPublishLedger(b.sparkSession, b, id, r, pairsRoot)
-        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
-          PairLedger.Modalities.foreach(m =>
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          if (retireResolved)
+            compactRetiredEpochs(b.sparkSession, r, pairsRoot, id - 1)
+          else PairLedger.Modalities.foreach(m =>
             PairLedger.compactEpochs(b.sparkSession, pairsRoot, m,
               id - 1))
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
