@@ -1088,8 +1088,11 @@ object Bench {
     emit(Map.empty, Map.empty, Map.empty)
     // Build both replicas BEFORE any measurement fork: children find the
     // marker and skip straight to clean-JVM timing. The build JVM (this
-    // one) times nothing.
-    if (probesOn) {
+    // one) times nothing. Under a tight budget (the 900 s driver
+    // default) the scale phases can't fit anyway — skip the build and
+    // spend the whole window on headline chunks (a scale child that
+    // does run self-builds and drains before timing).
+    if (probesOn && remainingSec.forall(_ > 1200)) {
       val spark = makeSession("replica-build")
       ScaleReplica.ensure(spark, sfDir, copies = 10)
       ScaleReplica.ensure(spark, sfDir, copies = 100, tables = scale100Tables)

@@ -312,6 +312,13 @@ object VerdictStream {
     */
   def compactRetiredEpochs(s: SparkSession, r: Roots, pairsRoot: String,
                            upTo: Long): Seq[PairLedger.CompactReport] = {
+    // no tombstones → a plain C135 fold (retire=Some always rewrites,
+    // even on a single already-compacted partition; under the
+    // maintenance sink this runs every compactEvery-th epoch, so the
+    // common no-deletions case must stay a cheap no-op)
+    if (tombstonedDocs(s, r).isEmpty)
+      return PairLedger.Modalities.map(m =>
+        PairLedger.compactEpochs(s, pairsRoot, m, upTo))
     val retire = retiredEndpoints(s, r)
     PairLedger.Modalities.map(m =>
       PairLedger.compactEpochs(s, pairsRoot, m, upTo,

@@ -365,4 +365,99 @@ class VerdictStreamSpec extends AnyFunSuite with SparkSpec {
       PairLedger.readPairs(s, root, "audio").collect()
     }
   }
+
+  test("c136s: streamed retirement (retireResolved) — an A36 mark " +
+    "between epochs shrinks the ledger at the next fold, the published " +
+    "verdicts are clean one epoch later through the plain serve, and a " +
+    "fresh-checkpoint redelivery converges") {
+    import graft.sources.{DeletionVectors, PairLedger}
+    val docs = Tables(s, sfDir(), "documents").select("doc_id", "text")
+      .limit(60).cache()
+    val copies = docs.where(pmod(col("doc_id"), lit(3)) === 1)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    // two post-governance arrivals: disjoint doc slices (fresh crawl
+    // tail) — the retirement fold fires while the crawl keeps moving
+    val all = Tables(s, sfDir(), "documents").select("doc_id", "text")
+    val ep2 = all.where(col("doc_id") >= 60 && col("doc_id") < 66)
+    val ep3 = all.where(col("doc_id") >= 66 && col("doc_id") < 72)
+    val staged = Files.createTempDirectory("graft_c136s_src")
+    def stage(ep: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_c136s_ep$i")
+      ep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, staged.resolve(f"ep$i%02d.parquet"))
+      ()
+    }
+    stage(docs, 0); stage(copies, 1)
+    val r = freshRoots("retire")
+    val pairsRoot =
+      Files.createTempDirectory("graft_c136s_pairs").toString + "/ledger"
+    VerdictStream.initStores(s, r)
+    def runSink(ck: String): Unit = {
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val q = VerdictStream.ledgerMaintenanceSink(src, r, pairsRoot, ck,
+        compactEvery = 1, retireResolved = true)
+      q.awaitTermination(240000)
+      ()
+    }
+    val ck = Files.createTempDirectory("graft_c136s_ck").toString
+    runSink(ck)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(2),
+          x.getBoolean(3), x.getString(4))).toSeq
+    val pre = rows(VerdictStore.loadCommitted(s, r.verdicts))
+    // doc 1 is text-dup via its copy; doc 0 is image-dup (doc 5 embeds
+    // its hero)
+    assert(pre.exists(v => v._1 === 1L && v._2),
+      s"fixture precondition: doc 1 text-dup, got $pre")
+    assert(pre.exists(v => v._1 === 0L && v._3),
+      s"fixture precondition: doc 0 image-dup, got $pre")
+    // the governance event: doc 1 (and its re-crawl copy) tombstoned
+    val mark = DeletionVectors.markDeleted(s, r.docsSeen, "doc_id",
+      Seq(1L, 1000001L), "rtbf_stream_1")
+    assert(mark.rowsMarked === 2L, s"mark landed wrong: $mark")
+    // the crawl continues: two more arrivals; the id=2 fold retires
+    stage(ep2, 2); stage(ep3, 3)
+    runSink(ck)
+    // fold the tail too (the sink's last fold stopped at upTo=2, so
+    // epoch 3 is still in-flight) — then NOTHING touching doc 1 (or
+    // the media that lost their live links) survives in any ledger
+    VerdictStream.compactRetiredEpochs(s, r, pairsRoot, 3L)
+    val resolved = VerdictStream.retiredEndpoints(s, r)
+    PairLedger.Modalities.foreach { m =>
+      val ids = resolved(m).toDF("__rid")
+      val left = PairLedger.readPairs(s, pairsRoot, m)
+      val n = left.join(ids, col("id_a") === col("__rid"), "left_semi")
+        .unionByName(
+          left.join(ids, col("id_b") === col("__rid"), "left_semi"))
+        .count()
+      assert(n === 0L, s"$m still holds $n resolved pairs")
+    }
+    // the epoch AFTER the retiring fold publishes clean through the
+    // PLAIN serve — physical retirement propagates without the
+    // tombstone-aware read
+    val post = rows(VerdictStore.loadCommitted(s, r.verdicts))
+    assert(!post.exists(_._1 === 1L),
+      s"deleted doc 1 must leave the verdicts: $post")
+    // live docs keep their verdicts (doc 0's audio flag is allowed to
+    // stay: the synthetic wavs form LCG phase FAMILIES, so doc 0 has
+    // audio pairs beyond the retired doc-1 remaster — retirement must
+    // remove exactly the resolved pairs, nothing else)
+    assert(post.exists(v => v._1 === 0L && v._3),
+      s"live doc 0 must keep its image verdict: $post")
+    // fresh-checkpoint redelivery: stragglers re-land retired pairs,
+    // every publish is watermark-skipped, the re-fold re-retires —
+    // committed verdicts byte-stable
+    runSink(Files.createTempDirectory("graft_c136s_ck2").toString)
+    assert(rows(VerdictStore.loadCommitted(s, r.verdicts)) === post,
+      "redelivery must not change the committed verdicts")
+    // … and the tombstone-aware serve gives the same table even when
+    // asked mid-straggler (before any re-fold)
+    assert(rows(VerdictStream.verdictsFromLedgerRetired(s, r, pairsRoot)
+        .orderBy("doc_id")) === post,
+      "the tombstone-aware serve must match the committed table")
+  }
 }
