@@ -284,7 +284,15 @@ object VerdictStream {
     * links(all docs) \ links(live docs), which is BY CONSTRUCTION the
     * exact id set the tombstone-aware serve can no longer map to a
     * doc (media owned by a deleted doc AND media whose content
-    * derives from one — the RTBF copies-too semantics).
+    * derives from one — the RTBF copies-too semantics), and stays
+    * correct for multiply-linked media (retire only when the LAST
+    * live link goes — an owner-semi-join shortcut would over-retire).
+    *
+    * Cost note for 100 TB: the except is ONE shuffle of the
+    * column-pruned (doc_id, media_id) long-pair relation — corpus-ID-
+    * sized, not payload-sized — paid once per retirement pass (a
+    * governance event, not a query); everything downstream of it is
+    * deletion-request-sized.
     */
   def retiredEndpoints(s: SparkSession, r: Roots)
       : Map[String, DataFrame] = {
