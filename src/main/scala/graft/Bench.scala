@@ -309,9 +309,11 @@ object Bench {
     // serve (lifecycle prepaid; rides c105's pair graph, not probed)
     "c136_ledger_pair_retire",
     // r17 promotions (spec-only → oracle rows): catalog-stats CBO flip,
-    // state-store counters, in-flight observed metrics — all metadata/
-    // single-pass rows, headline only, nothing to scale-probe
+    // state-store counters, in-flight observed metrics, the D8
+    // idempotent sink, the orphan vacuum — metadata/single-pass rows,
+    // headline only, nothing to scale-probe
     "a26_cbo_stats", "d7_state_metrics", "d11_observed_metrics",
+    "a15_idempotent_append", "a21_orphan_vacuum",
     // r15: extents served from the digest store (the c125 argument on
     // the WHERE question — zero digest compute in the plan)
     "c132_extents_from_store",

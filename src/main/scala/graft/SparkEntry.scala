@@ -7698,6 +7698,81 @@ object SparkEntry {
         .orderBy("source", "band", "bin")
     }),
 
+    // A15 idempotent append sink — PROMOTED from spec-only: the D8
+    // dynamic-partition-overwrite rule gated end to end. Two epoch
+    // slices land, the second is REDELIVERED verbatim (the
+    // exactly-once failure case a crashed-and-retried batch job
+    // exhibits), and the read-back per-partition counts + integer-cent
+    // sums must equal the source slices computed by DuckDB — an
+    // append-instead-of-overwrite replay doubles a partition and
+    // breaks rows AND hash; a replay that leaked into the OTHER
+    // partition breaks its cents.
+    "a15_idempotent_append" -> ((s, dir) => {
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("a15_idem_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      def slice(k: Int) =
+        ord.where(pmod(col("o_orderkey"), lit(3)) === k)
+      graft.streaming.EventStreams.epochIdempotentSink(slice(0), 0L, root)
+      graft.streaming.EventStreams.epochIdempotentSink(slice(1), 1L, root)
+      // the D8 replay: bit-identical overwrite of its OWN partition
+      graft.streaming.EventStreams.epochIdempotentSink(slice(1), 1L, root)
+      s.read.parquet(root)
+        .groupBy(col("__epoch").cast("long").as("epoch"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("epoch")
+    }),
+
+    // A21 orphan-file vacuum — PROMOTED from spec-only: the log-less
+    // delta-VACUUM pass gated end to end. A partitioned table is
+    // written, three aborted-write orphans are planted (job-level
+    // `_temporary`, partition-level `_temporary`, a stray hidden
+    // file), and the oracle locks BOTH directions: the vacuum
+    // accounting (3 found / 0 removed dry / 0 removed young / 3
+    // removed at retention 0, `_SUCCESS` kept) rides the output as
+    // columns, and the per-partition row counts recomputed by DuckDB
+    // prove no visible data file was touched.
+    "a21_orphan_vacuum" -> ((s, dir) => {
+      import graft.sources.Compaction
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("a21_vac_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        .write.partitionBy("o_orderstatus").mode("overwrite").parquet(root)
+      def plant(rel: String): Unit = {
+        val p = new Path(s"$root/$rel")
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        out.write("aborted-task bytes".getBytes("UTF-8")); out.close()
+      }
+      plant("_temporary/0/task_000/part-0.parquet")
+      plant("o_orderstatus=F/_temporary/0/part-1.parquet")
+      plant(".stray-hidden-file")
+      val dry = Compaction.vacuum(s, root, dryRun = true)
+      val young = Compaction.vacuum(s, root) // 7-day retention guard
+      val swept = Compaction.vacuum(s, root, retentionMs = 0L)
+      val successKept = fs.exists(new Path(s"$root/_SUCCESS"))
+      s.read.parquet(root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("orphans_found", lit(dry.orphansFound.size.toLong))
+        .withColumn("dry_removed", lit(dry.removed.size.toLong))
+        .withColumn("young_removed", lit(young.removed.size.toLong))
+        .withColumn("swept_removed", lit(swept.removed.size.toLong))
+        .withColumn("success_kept", lit(successKept))
+        .orderBy("o_orderstatus")
+    }),
+
     // A26 catalog statistics / CBO — PROMOTED from spec-only (the r16
     // verdict's ask #6): the oracle now gates (1) the recorded stats
     // themselves — ANALYZE's rowCount and per-column min/max must be
@@ -10851,6 +10926,30 @@ hist_${src}_$cent AS (
           |LEFT JOIN imgd i ON i.doc_id = al.doc_id
           |LEFT JOIN audd u ON u.doc_id = al.doc_id
           |ORDER BY al.doc_id""".stripMargin),
+
+    // a15: the D8 overwrite rule — a replayed epoch must leave the
+    // read-back identical to the source slices (an append-style
+    // replay doubles partition 1's rows and cents)
+    "a15_idempotent_append" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS epoch,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 3 <= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a21: the vacuum accounting as literal columns (3 planted
+    // orphans found; dry and young sweeps remove nothing; retention-0
+    // removes all 3; _SUCCESS survives) + per-partition counts that
+    // prove no visible data file was touched
+    "a21_orphan_vacuum" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(3 AS BIGINT) AS orphans_found,
+        |       CAST(0 AS BIGINT) AS dry_removed,
+        |       CAST(0 AS BIGINT) AS young_removed,
+        |       CAST(3 AS BIGINT) AS swept_removed,
+        |       TRUE AS success_kept
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // a26: ANALYZE must record EXACT rowCount and column min/max
     // (DuckDB recomputes them); ndv is HLL-approximate so it ships as
