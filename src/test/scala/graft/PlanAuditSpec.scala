@@ -238,10 +238,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "every level's flag join must be shuffled")
   }
 
-  test("c133/c135: the ledger-built verdict SERVE is a result-sized " +
-    "committed-version read — no banding, census, signature, digest, " +
-    "or decode compute anywhere in the serving plan") {
-    Seq("c133_verdict_ledger_serve", "c135_ledger_compaction").foreach {
+  test("c133/c135/c136: the ledger-built verdict SERVE is a " +
+    "result-sized committed-version read — no banding, census, " +
+    "signature, digest, or decode compute anywhere in the serving " +
+    "plan (c136's retirement anti-joins live in the PUBLISH, never " +
+    "the serve)") {
+    Seq("c133_verdict_ledger_serve", "c135_ledger_compaction",
+      "c136_ledger_pair_retire").foreach {
       n =>
         val p = plan(n)
         val lower = p.toLowerCase
