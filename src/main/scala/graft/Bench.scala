@@ -314,6 +314,9 @@ object Bench {
     // headline only, nothing to scale-probe
     "a26_cbo_stats", "d7_state_metrics", "d11_observed_metrics",
     "a15_idempotent_append", "a21_orphan_vacuum",
+    // r17: interval coalescing — one window pass per key, no self-join
+    // (events-table row: headline only, the replica scales other tables)
+    "b65_interval_coalesce",
     // r15: extents served from the digest store (the c125 argument on
     // the WHERE question — zero digest compute in the plan)
     "c132_extents_from_store",

@@ -3774,6 +3774,38 @@ object SparkEntry {
     // history per day; the scalable identity: a user contributes from
     // their FIRST day onward, so cumulative-distinct = running sum of
     // first-appearance counts — two keyed aggs + one dim-sized window.
+    // B65 interval COALESCING (gaps-and-islands): merge each user's
+    // overlapping [st, en] event intervals into maximal islands — the
+    // classic the naive formulation solves with a range SELF-join
+    // (quadratic per key); here ONE window pass per key: running max
+    // of prior interval ends, a new island exactly when st jumps past
+    // it, then a keyed rollup. One shuffle on user_id, codegen'd
+    // windows, no join — the plan that survives 100 TB. Ties are
+    // order-stable: equal (st, en) rows agree on the island flag
+    // whichever sorts first. floor(value) on BOTH sides (Spark's
+    // double→long cast truncates; DuckDB's rounds).
+    "b65_interval_coalesce" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("value") >= 0)
+        .select(col("user_id"),
+          col("ts").cast("long").as("st"),
+          (col("ts").cast("long") +
+            floor(col("value")).cast("long")).as("en"))
+      val w = Window.partitionBy("user_id").orderBy("st", "en")
+      val prevMax = max("en").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+      val flagged = iv.withColumn("__new_island",
+        when(prevMax.isNull || col("st") > prevMax, 1).otherwise(0))
+      flagged
+        .withColumn("island",
+          sum("__new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(min("st").as("island_start"), max("en").as("island_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "island")
+    }),
+
     "b60_cumulative_distinct" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"),
@@ -10966,6 +10998,34 @@ hist_${src}_$cent AS (
         |       TRUE, TRUE, TRUE
         |FROM orders
         |ORDER BY tbl""".stripMargin,
+
+    // b65: the same one-window-pass islands formulation — DuckDB's
+    // window semantics match Spark's exactly here (running max over
+    // ROWS UNBOUNDED..1 PRECEDING, running sum of the island flag);
+    // epoch()/floor() keep the long arithmetic bit-identical
+    "b65_interval_coalesce" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS st,
+        |         CAST(floor(epoch(ts)) AS BIGINT) +
+        |           CAST(floor(value) AS BIGINT) AS en
+        |  FROM events WHERE user_id IS NOT NULL AND value >= 0),
+        |m AS (
+        |  SELECT user_id, st, en,
+        |         max(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_max
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, st, en,
+        |         sum(CASE WHEN prev_max IS NULL OR st > prev_max
+        |             THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY st, en
+        |             ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |       min(st) AS island_start, max(en) AS island_end,
+        |       count(*) AS n_events
+        |FROM isl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // d7: one AvailableNow batch through a keyed streaming aggregate —
     // the state store must hold exactly one row per distinct key, all
