@@ -59,51 +59,41 @@ object PairLedger {
   }
 
   /** All ledger epochs for one modality as one undirected pair frame.
-    * A missing tree, or a tree whose epochs hold no data files yet
-    * (every written epoch was empty), reads as the typed empty
-    * relation — an empty crawl has no dup pairs, not a missing table.
-    * Any OTHER read failure (corrupt footer, permissions, schema
-    * drift) PROPAGATES: the r16 advice's finding was that a blanket
-    * Try(...).getOrElse(empty) made a broken ledger indistinguishable
-    * from an empty crawl and silently shipped all-false verdicts.
+    * A missing tree, or a tree whose VISIBLE paths hold no data files
+    * yet (every written epoch was empty; hidden leftovers like a
+    * pre-rename `__compact_tmp` don't count — the r17 advice), reads
+    * as the typed empty relation — an empty crawl has no dup pairs,
+    * not a missing table. Any OTHER read failure (corrupt footer,
+    * permissions, schema drift) PROPAGATES: the r16 advice's finding
+    * was that a blanket Try(...).getOrElse(empty) made a broken ledger
+    * indistinguishable from an empty crawl and silently shipped
+    * all-false verdicts.
     */
   def readPairs(spark: SparkSession, root: String,
-                modality: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val dir = new Path(s"$root/$modality")
-    val fs = org.apache.hadoop.fs.FileSystem.get(dir.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    def hasDataFile: Boolean = {
-      val it = fs.listFiles(dir, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val f = it.next().getPath.getName
-        found = !f.startsWith("_") && !f.startsWith(".") &&
-          f.endsWith(".parquet")
-      }
-      found
-    }
-    if (!fs.exists(dir) || !hasDataFile)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema)
-    else spark.read.parquet(dir.toString).select("id_a", "id_b")
-  }
+                modality: String): DataFrame =
+    LedgerFold.readKeys(spark, s"$root/$modality", pairSchema,
+      Seq("id_a", "id_b"))
+
+  /** [[readPairs]] restricted to pairs whose ARRIVAL epoch is ≥
+    * `retainFrom` — the age-aware serve of the C138 TTL contract:
+    * deliverable partitions filter on the D8 partition key, the merged
+    * partition on the `arr_epoch` column [[compactEpochs]] persists,
+    * so a replayed folded epoch can never resurrect an expired pair
+    * in the serve (the next fold re-expires the straggler physically).
+    */
+  def readPairsRetained(spark: SparkSession, root: String,
+                        modality: String, retainFrom: Long): DataFrame =
+    LedgerFold.readRetained(spark, s"$root/$modality", pairSchema,
+      Seq("id_a", "id_b"), retainFrom)
 
   /** Compaction accounting: the epoch partitions folded away, the
-    * (reserved, negative) partition they were folded into, and how
-    * many stored pair rows the optional retirement anti-join removed.
+    * (reserved, negative) partition they were folded into, how many
+    * stored pair rows the optional retirement flag removed, and how
+    * many the optional age watermark expired.
     */
   case class CompactReport(modality: String, folded: Seq[Long],
-                           into: Long, retired: Long = 0L)
-
-  /** Test-only failpoints for the two crash windows of the swap: after
-    * the merged temp is written but BEFORE it renames in (the live
-    * tree must be untouched), and after the rename but BEFORE the
-    * folded partitions are deleted (duplicates, never loss). The spec
-    * plants a throw at each and asserts the readable pair set.
-    */
-  private[graft] var beforeSwapHook: () => Unit = () => ()
-  private[graft] var afterSwapHook: () => Unit = () => ()
+                           into: Long, retired: Long = 0L,
+                           expired: Long = 0L)
 
   /** Fold every epoch partition ≤ `upTo` — prior merged partitions
     * (negative epochs) included — into ONE partition at a fresh
@@ -139,66 +129,48 @@ object PairLedger {
     * serving must stay tombstone-aware (the A36 merge-on-read
     * contract); the next compaction retires the stragglers again.
     *
+    * `olderThan` (optional, C138): an age watermark — pairs whose
+    * ARRIVAL epoch (preserved across folds as the merged partition's
+    * `arr_epoch` column) is strictly below it are dropped, so a long
+    * crawl's ledger stops growing with the ALL-TIME dup population
+    * once old epochs stop mattering for serving. Physical only, same
+    * replay contract as `retire`: [[readPairsRetained]] keeps the
+    * serve age-aware.
+    *
     * The merged partition is written size-targeted (the A18
     * `targetFileBytes` discipline), NOT coalesce(1): at crawl scale
     * the all-time dup-pair relation is the dup population — many GB —
     * and one task/one file would bottleneck exactly the maintenance
-    * pass that exists to keep reads cheap.
+    * pass that exists to keep reads cheap. Retired/expired accounting
+    * rides an Observation on the merged write's own job — ONE ledger
+    * scan per fold (the r17 verdict's ask #4).
     *
     * Epochs > `upTo` are never read or touched (the in-flight tail
-    * keeps arriving under D8).
+    * keeps arriving under D8). The swap machinery (crash windows,
+    * reserved sentinel, size targeting) is [[LedgerFold.fold]] — the
+    * one audited implementation every ledger tree shares.
     */
   def compactEpochs(spark: SparkSession, root: String, modality: String,
                     upTo: Long, retire: Option[DataFrame] = None,
+                    olderThan: Option[Long] = None,
                     targetFileBytes: Long = 128L << 20): CompactReport = {
     require(Modalities.contains(modality),
       s"unknown modality '$modality'")
-    import org.apache.hadoop.fs.Path
-    val dir = s"$root/$modality"
-    val fs = org.apache.hadoop.fs.FileSystem.get(new Path(dir).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(dir)))
-      return CompactReport(modality, Seq.empty, upTo)
-    val parts = fs.listStatus(new Path(dir)).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("__epoch="))
-      .map(n => n.stripPrefix("__epoch=").toLong)
-    val eligible = parts.filter(_ <= upTo).sorted
-    if (eligible.size <= 1 && (eligible.isEmpty || retire.isEmpty))
-      return CompactReport(modality, Seq.empty, upTo)
-    // the merged partition lands BELOW every existing epoch — reserved
-    // space no deliverable epoch (≥ 0 by contract) can ever overwrite
-    val sentinel = math.min(parts.min, 0L) - 1L
-    val inputBytes = eligible.map { e =>
-      fs.getContentSummary(new Path(s"$dir/__epoch=$e")).getLength
-    }.sum
-    val nFiles = math.max(1L,
-      (inputBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val all = spark.read.parquet(
-        eligible.map(e => s"$dir/__epoch=$e"): _*)
-      .select("id_a", "id_b").distinct()
-    val (merged, retired) = retire match {
-      case None => (all, 0L)
-      case Some(ids) =>
-        val r = ids.select(ids.columns.head).toDF("__rid").distinct()
-        val kept = all
-          .join(r, col("id_a") === col("__rid"), "left_anti")
-          .join(r, col("id_b") === col("__rid"), "left_anti")
-        (kept, all.count() - kept.count())
+    // endpoint retirement: a pair goes when EITHER endpoint is resolved
+    val flag = retire.map { ids =>
+      val r = ids.select(ids.columns.head).toDF("__rid").distinct()
+      (df: DataFrame) => df
+        .join(r.select(col("__rid").as("__ra_id")),
+          col("id_a") === col("__ra_id"), "left")
+        .join(r.select(col("__rid").as("__rb_id")),
+          col("id_b") === col("__rb_id"), "left")
+        .withColumn("__retired",
+          col("__ra_id").isNotNull || col("__rb_id").isNotNull)
+        .drop("__ra_id", "__rb_id")
     }
-    val tmp = s"$dir/__compact_tmp"
-    fs.delete(new Path(tmp), true) // a pre-rename crash leftover: its
-    // contents still live in the (undeleted) folded partitions
-    merged.repartition(nFiles).write.mode("overwrite").parquet(tmp)
-    beforeSwapHook()
-    // swap order is the crash contract: merged VISIBLE first …
-    require(fs.rename(new Path(tmp), new Path(s"$dir/__epoch=$sentinel")),
-      s"compaction swap failed for $dir/__epoch=$sentinel")
-    afterSwapHook()
-    // … then drop the folded partitions (a crash mid-loop leaves
-    // duplicates, never a loss; the next distinct fold converges them)
-    eligible.foreach(e => fs.delete(new Path(s"$dir/__epoch=$e"), true))
-    CompactReport(modality, eligible, sentinel, retired)
+    val rep = LedgerFold.fold(spark, s"$root/$modality",
+      Seq("id_a", "id_b"), upTo, flag, olderThan, targetFileBytes)
+    CompactReport(modality, rep.folded, rep.into, rep.retired,
+      rep.expired)
   }
 }

@@ -39,6 +39,15 @@ import graft.sources.{AudioCodeStore, DeletionVectors, ImageCodeStore,
   */
 object VerdictStream {
 
+  /** The corpus convention for re-crawled copies, declared ONCE (the
+    * r17 verdict's ask #6): a re-crawl copy of doc d carries id
+    * d + RecrawlOffset, so `doc_id < RecrawlOffset` selects originals
+    * and `id_b - id_a === RecrawlOffset` selects (original, copy)
+    * text pairs. Every serve helper below reads the convention from
+    * here; a corpus with a different id scheme changes one constant.
+    */
+  val RecrawlOffset = 1000000L
+
   /** The store roots one verdict pipeline maintains. */
   case class Roots(sigs: String, images: String, audio: String,
                    verdicts: String, docsSeen: String)
@@ -67,7 +76,7 @@ object VerdictStream {
     // 2. delta-sized artifact ingest into the three stores
     TextSigStore.appendSigsEpoch(
       Dedup.minhashSigRows(batch, "text", "doc_id"), r.sigs, 1, epochId)
-    val originals = batch.where(col("doc_id") < 1000000L)
+    val originals = batch.where(col("doc_id") < RecrawlOffset)
       .select("doc_id")
     ImageCodeStore.appendCodesEpoch(
       ImageDedup.blockhashCodes(s,
@@ -97,13 +106,13 @@ object VerdictStream {
     val docsSeen = s.read.parquet(r.docsSeen)
     val textDup = Dedup.minhashPairsFromSigs(
         TextSigStore.readSigs(s, r.sigs, 1), docsSeen, "text", "doc_id")
-      .where(col("id_b") - col("id_a") === 1000000L)
+      .where(col("id_b") - col("id_a") === RecrawlOffset)
       .select(col("id_a").as("doc_id")).distinct()
     val ip = ImageDedup.perceptualPairs(
         ImageCodeStore.readCodes(s, r.images, 1),
         maxHamming = 3, hotBucketCap = 64)
       .select("id_a", "id_b")
-    val ids = docsSeen.where(col("doc_id") < 1000000L)
+    val ids = docsSeen.where(col("doc_id") < RecrawlOffset)
       .select(col("doc_id"))
     val imgDup = CrossModal.crossDocDups(ip, CrossModal.imageLinks(ids))
     val stored = AudioCodeStore.readCodes(s, r.audio, 1)
@@ -171,7 +180,7 @@ object VerdictStream {
     // 2. delta artifacts, persisted: each feeds BOTH its store append
     //    and the delta pair joins below — decode/tokenize once per epoch
     val sigs = Dedup.minhashSigRows(batch, "text", "doc_id").persist()
-    val originals = batch.where(col("doc_id") < 1000000L)
+    val originals = batch.where(col("doc_id") < RecrawlOffset)
       .select("doc_id")
     val imgCodes = ImageDedup.blockhashCodes(s,
       ImageDedup.packImageVariants(s, originals, "doc_id")).persist()
@@ -253,9 +262,9 @@ object VerdictStream {
                          pairsRoot: String): DataFrame = {
     val docsSeen = s.read.parquet(r.docsSeen)
     val textDup = PairLedger.readPairs(s, pairsRoot, "text")
-      .where(col("id_b") - col("id_a") === 1000000L)
+      .where(col("id_b") - col("id_a") === RecrawlOffset)
       .select(col("id_a").as("doc_id")).distinct()
-    val ids = docsSeen.where(col("doc_id") < 1000000L)
+    val ids = docsSeen.where(col("doc_id") < RecrawlOffset)
       .select(col("doc_id"))
     val imgDup = CrossModal.crossDocDups(
       PairLedger.readPairs(s, pairsRoot, "image"),
@@ -295,10 +304,18 @@ object VerdictStream {
     * deletion-request-sized.
     */
   def retiredEndpoints(s: SparkSession, r: Roots)
-      : Map[String, DataFrame] = {
-    val tomb = tombstonedDocs(s, r)
+      : Map[String, DataFrame] =
+    retiredEndpointsOf(s, r, tombstonedDocs(s, r))
+
+  /** [[retiredEndpoints]] with the tombstone frame passed through — the
+    * r17 verdict's tidiness finding: [[compactRetiredEpochs]] already
+    * read the deletes ledger for its cheap-no-op probe and must not
+    * re-read it here.
+    */
+  private def retiredEndpointsOf(s: SparkSession, r: Roots,
+                                 tomb: DataFrame): Map[String, DataFrame] = {
     val allIds = s.read.parquet(r.docsSeen)
-      .where(col("doc_id") < 1000000L).select("doc_id")
+      .where(col("doc_id") < RecrawlOffset).select("doc_id")
     val liveIds = allIds.join(tomb, Seq("doc_id"), "left_anti")
     Map(
       "text" -> tomb,
@@ -323,11 +340,14 @@ object VerdictStream {
     // no tombstones → a plain C135 fold (retire=Some always rewrites,
     // even on a single already-compacted partition; under the
     // maintenance sink this runs every compactEvery-th epoch, so the
-    // common no-deletions case must stay a cheap no-op)
-    if (tombstonedDocs(s, r).isEmpty)
+    // common no-deletions case must stay a cheap no-op). The probe's
+    // frame is PASSED THROUGH to the endpoint computation — the
+    // deletes ledger is read once per retirement pass.
+    val tomb = tombstonedDocs(s, r)
+    if (tomb.isEmpty)
       return PairLedger.Modalities.map(m =>
         PairLedger.compactEpochs(s, pairsRoot, m, upTo))
-    val retire = retiredEndpoints(s, r)
+    val retire = retiredEndpointsOf(s, r, tomb)
     PairLedger.Modalities.map(m =>
       PairLedger.compactEpochs(s, pairsRoot, m, upTo,
         retire = Some(retire(m))))
@@ -349,10 +369,10 @@ object VerdictStream {
         "left_anti")
       .join(tomb.select(col("doc_id").as("id_b")), Seq("id_b"),
         "left_anti")
-      .where(col("id_b") - col("id_a") === 1000000L)
+      .where(col("id_b") - col("id_a") === RecrawlOffset)
       .select(col("id_a").as("doc_id")).distinct()
     val liveIds = s.read.parquet(r.docsSeen)
-      .where(col("doc_id") < 1000000L).select("doc_id")
+      .where(col("doc_id") < RecrawlOffset).select("doc_id")
       .join(tomb, Seq("doc_id"), "left_anti")
     val imgDup = CrossModal.crossDocDups(
       PairLedger.readPairs(s, pairsRoot, "image"),

@@ -298,10 +298,10 @@ class VerdictStreamSpec extends AnyFunSuite with SparkSpec {
     val expect = Seq((1L, 2L), (3L, 4L))
     // window 1: crash BEFORE the rename — the merged copy exists only
     // under the underscore temp; the live tree must be untouched
-    PairLedger.beforeSwapHook = () => sys.error("planted pre-swap crash")
+    graft.sources.LedgerFold.beforeSwapHook = () => sys.error("planted pre-swap crash")
     try intercept[RuntimeException] {
       PairLedger.compactEpochs(s, root, "text", 1L)
-    } finally PairLedger.beforeSwapHook = () => ()
+    } finally graft.sources.LedgerFold.beforeSwapHook = () => ()
     assert(parts === Seq("__epoch=0", "__epoch=1"),
       "a pre-rename crash must leave the live tree untouched")
     assert(all === expect)
@@ -312,10 +312,10 @@ class VerdictStreamSpec extends AnyFunSuite with SparkSpec {
     // window 2: crash AFTER the rename, BEFORE the deletes — merged
     // AND folded partitions are both visible (duplicates, never loss)
     PairLedger.appendPairsEpoch(pairsOf((5L, 6L)), root, "text", 2L)
-    PairLedger.afterSwapHook = () => sys.error("planted post-swap crash")
+    graft.sources.LedgerFold.afterSwapHook = () => sys.error("planted post-swap crash")
     try intercept[RuntimeException] {
       PairLedger.compactEpochs(s, root, "text", 2L)
-    } finally PairLedger.afterSwapHook = () => ()
+    } finally graft.sources.LedgerFold.afterSwapHook = () => ()
     assert(parts === Seq("__epoch=-1", "__epoch=-2", "__epoch=2"),
       "a post-rename crash leaves merged AND folded partitions visible")
     assert(all.distinct === expect :+ (5L, 6L),
@@ -399,7 +399,8 @@ class VerdictStreamSpec extends AnyFunSuite with SparkSpec {
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
       val q = VerdictStream.ledgerMaintenanceSink(src, r, pairsRoot, ck,
         compactEvery = 1, retireResolved = true)
-      q.awaitTermination(240000)
+      assert(q.awaitTermination(240000),
+        "sink did not drain in 240s")
       ()
     }
     val ck = Files.createTempDirectory("graft_c136s_ck").toString
