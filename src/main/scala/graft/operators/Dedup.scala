@@ -621,24 +621,91 @@ object Dedup {
     * per-document gaps-and-islands sweep are IDENTICAL to the one-shot
     * path.
     */
-  def spanExtentsFromDigests(spans: DataFrame, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // only the DUPLICATED vocabulary rides the join build side —
-    // filtered before the join, and still shuffle_hash (the c27 sf1
-    // rule: a pathological template corpus makes even this table
-    // corpus-sized; never trust the optimizer's broadcast estimate
-    // for an aggregate output)
+  def spanExtentsFromDigests(spans: DataFrame, w: Int): DataFrame =
+    extentsFromFired(firedWindows(spans), w)
+
+  /** The FIRED windows of a digest set — the (id, pos) of every window
+    * whose digest occurs ≥ 2 times (the duplicated-coverage relation
+    * both the extent sweep and the C137 span ledger store). Only the
+    * DUPLICATED vocabulary rides the join build side — filtered before
+    * the join, and still shuffle_hash (the c27 sf1 rule: a
+    * pathological template corpus makes even this table corpus-sized;
+    * never trust the optimizer's broadcast estimate for an aggregate
+    * output).
+    */
+  def firedWindows(spans: DataFrame): DataFrame = {
     val dupHashes = spans.groupBy("h")
       .agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") > 1)
       .select("h")
-    val fired = spans.join(dupHashes.hint("shuffle_hash"), "h")
-      .select(col("id"), col("pos").cast("long").as("pos"),
-        (col("pos") + lit(w - 1)).cast("long").as("end"))
+    spans.join(dupHashes.hint("shuffle_hash"), "h")
+      .select(col("id"), col("pos").cast("long").as("pos"))
+  }
+
+  /** C137: the windows NEWLY fired by one ingest epoch — the span
+    * family's delta-pair shape (the C121/C128/C129 incremental
+    * contract carried to sub-document granularity). A window (id, pos)
+    * is fired once its digest's GLOBAL multiplicity reaches 2; at the
+    * epoch where that first happens it belongs to the epoch's delta:
+    *
+    *   - a REF occurrence (an earlier epoch's window) fires now iff
+    *     its digest had multiplicity EXACTLY 1 before this epoch and
+    *     the delta re-mints it — the 1→≥2 transition;
+    *   - a DELTA occurrence fires on arrival iff its digest repeats
+    *     within the delta (`n_inc ≥ 2`) or exists in the ref at all
+    *     (its own occurrence makes the total ≥ 2 either way).
+    *
+    * Union over epochs of these deltas ≡ [[firedWindows]] of the full
+    * digest table, by induction on epochs — the SpanLedgerSpec locks
+    * the identity on a corpus whose arrivals interleave both cases.
+    * Replay-stable: both inputs are bounded frames the caller derives
+    * from epochs strictly before / exactly at the replayed epoch, so a
+    * redelivery recomputes the identical delta.
+    *
+    * Scale shape: the ref side is immediately join-pruned to the
+    * delta's hash vocabulary (delta×corpus-intersection — the
+    * stored-digest serving cost, never corpus×corpus), then backs two
+    * result-subtrees (the 1→2 transition filter and the existence
+    * probe); every join is hash-keyed and shuffle_hash-hinted (the
+    * house rule for aggregate-output build sides).
+    */
+  def firedWindowDeltas(refSpans: DataFrame, incSpans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val incH = incSpans.groupBy("h").agg(count(lit(1)).as("__n_inc"))
+    // ref occurrences of hashes the delta touches — the only ref rows
+    // whose fired status can change at this epoch
+    val refRel = refSpans.join(incH.select("h").hint("shuffle_hash"), "h")
+    val refNew = refRel
+      .withColumn("__n_ref", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("__n_ref") === 1)
+      .select(col("id"), col("pos").cast("long").as("pos"))
+    val refHashes = refRel.select("h").distinct()
+      .withColumn("__in_ref", lit(1))
+    val incNew = incSpans
+      .join(incH.hint("shuffle_hash"), "h")
+      .join(refHashes.hint("shuffle_hash"), Seq("h"), "left")
+      .where(col("__n_inc") >= 2 || col("__in_ref").isNotNull)
+      .select(col("id"), col("pos").cast("long").as("pos"))
+    refNew.unionByName(incNew)
+  }
+
+  /** [[spanExtents]]' gaps-and-islands half, fed by fired windows
+    * ((id, pos) — [[firedWindows]] live, or the C137
+    * [[graft.sources.SpanLedger]] stored): identical to the one-shot
+    * sweep. Tolerates duplicate (id, pos) rows (a compaction-crash
+    * straggler's transient copies): a duplicate always lands inside
+    * the covered run its first copy opened, so the merged extents are
+    * unchanged — the ledger consumers' absorb rule at window grain.
+    */
+  def extentsFromFired(fired: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withEnd = fired.select(col("id"),
+      col("pos").cast("long").as("pos"),
+      (col("pos") + lit(w - 1)).cast("long").as("end"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val prevMax = max(col("end"))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = fired
+    val islands = withEnd
       // a window starting within (or directly after) the covered run
       // extends it; a gap of ≥ 1 uncovered token starts a new extent
       .withColumn("new_ext",

@@ -141,6 +141,20 @@ object SpanStore {
     spark.read.parquet(s"$root/$DigestsTable/pv$specVersion/w$w")
       .select("id", "pos", "h")
 
+  /** The digest epochs STRICTLY BEFORE `epochExclusive` at one
+    * (spec version, width) — the C137 incremental contract's ref side:
+    * partition pruning on the D8 epoch key bounds a delta computation
+    * to "the corpus as it stood when this epoch arrived", which is
+    * also what makes a redelivered epoch recompute the identical
+    * delta (later epochs that landed in the meantime are invisible).
+    */
+  def readDigestsBefore(spark: SparkSession, root: String,
+                        specVersion: Int, w: Int,
+                        epochExclusive: Long): DataFrame =
+    spark.read.parquet(s"$root/$DigestsTable/pv$specVersion/w$w")
+      .where(col("__epoch") < epochExclusive)
+      .select("id", "pos", "h")
+
   /** [[vacuumRetiredDigests]] accounting. */
   case class DigestsVacuumReport(committed: Int, removed: Seq[Int],
                                  kept: Seq[Int])
