@@ -367,6 +367,60 @@ object SparkEntry {
     spanDigestsRoot(s, dir); ()
   }
 
+  private val spanLedgerRootsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The C137 fired-window LEDGER root for `dir` — the spanDigestsRoot
+    * discipline carried to the incremental-pair arc: the c76 corpus
+    * arrives in two ingest epochs (by doc-id parity, so the planted
+    * +1e6 re-crawl copies land WITH their originals — the within-delta
+    * case — while the corpus's natural cross-document repetitions
+    * exercise the ref-side 1→2 transitions), epoch 1 is REPLAYED after
+    * landing (D8 convergence), every width's ledger is FOLDED
+    * (LedgerFold's crash-safe swap), and epoch 1 re-lands once more as
+    * a post-compaction straggler the serving sweep must absorb. Every
+    * serving query reads stored fired windows only; the digest, count,
+    * and flag-join passes — what c132 still paid per query — are paid
+    * here, per epoch, never per question.
+    */
+  private def spanLedgerRoot(s: SparkSession, dir: String): String =
+    spanLedgerRootsMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.{SpanLedger, SpanStore}
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("span_ledger_" +
+        new java.io.File(dir).getName + "_" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val widths = Seq(8, 16, 32)
+      val rep = SpanStore.publishSpec(s, s"$root/store", "span_md5",
+        widths)
+      require(rep.committed,
+        s"c137 span spec publish failed: ${rep.failures}")
+      val corpus = spanDupCorpus(s, dir)
+      def ingest(e: Long): Unit = SpanLedger.ingestEpoch(s,
+        s"$root/store", 1, s"$root/ledger",
+        corpus.where(pmod(col("doc_id"), lit(2)) === e),
+        "text", "doc_id", e)
+      ingest(0L); ingest(1L)
+      ingest(1L) // at-least-once redelivery — the D8 rule converges it
+      widths.foreach { w =>
+        val r = SpanLedger.compactEpochs(s, s"$root/ledger", w, 1L)
+        require(r.into < 0L && r.folded == Seq(0L, 1L),
+          s"c137 fold failed at w$w: $r")
+      }
+      ingest(1L) // post-compaction straggler: absorbed by the sweep,
+      // retired by the next fold — the C135 replay contract
+      root
+    })
+
+  /** Bench hook for the c137 serving path. */
+  def prewarmSpanLedger(s: SparkSession, dir: String): Unit = {
+    spanLedgerRoot(s, dir); ()
+  }
+
   /** The c87 corpus: every ≡0 mod 10 original DEGRADED with a junk
     * tail while its +1e6 re-crawl copy stays clean — the planted
     * direction that makes quality decisive in the canonical election.
@@ -7438,6 +7492,179 @@ object SparkEntry {
       VerdictStore.loadCommitted(s, s"$root/verd").orderBy("doc_id")
     }),
 
+    // C137 span extents via the INCREMENTAL fired-window LEDGER — the
+    // r17 verdict's ask #1, closing the stores→ledger→retirement arc
+    // on the LAST dedup family that recomputed per query: c132 still
+    // paid the duplicated-vocabulary count aggregate + the hinted flag
+    // join over the FULL stored digest table on every question (the
+    // span family's measured-majority 100x shuffle — 4.3 GB in the
+    // c76 stage dumps). The ledger stores the FIRED WINDOW (id, pos)
+    // per ladder width — extents don't compose across epochs (adjacent
+    // arrivals must coalesce), fired windows compose as plain union —
+    // and each ingest epoch appends only the windows NEWLY fired by
+    // its arrivals: within-delta dups plus the ref-side 1→2
+    // multiplicity transitions (Dedup.firedWindowDeltas), at
+    // delta×corpus-intersection cost. The serve is the per-document
+    // island sweep over stored fired windows: NO tokenizer, digest,
+    // count, or corpus-scale join anywhere in the plan (PlanAuditSpec
+    // locks it). Fixture: two parity epochs over the c76 corpus, D8
+    // replay of epoch 1, a LedgerFold compaction per width, and a
+    // post-compaction straggler re-land the sweep must absorb. Oracle
+    // = the c76b extent replay UNCHANGED — a window lost at an epoch
+    // boundary, a re-added ref window, or a resurrected straggler
+    // could not hash-match.
+    "c137_span_ledger_serve" -> ((s, dir) => {
+      import graft.sources.SpanLedger
+      val root = spanLedgerRoot(s, dir)
+      val (_, widths) = graft.sources.SpanStore.loadSpecAt(s,
+        s"$root/store", 1)
+      SpanLedger.extentsFromLedger(s, s"$root/ledger", widths)
+        .orderBy("id", "w", "start_tok")
+    }),
+
+    // C138 ledger AGE/TTL retention — the r17 verdict's ask #3, the
+    // retention leg c136's tombstone path left open: without it a
+    // long crawl's ledger grows with the ALL-TIME dup population even
+    // when old epochs stop mattering for serving. The compaction fold
+    // now PRESERVES each pair's arrival epoch across folds (the
+    // merged partition's arr_epoch column — LedgerFold) and an
+    // `olderThan` watermark expires pairs below it; the serve
+    // (readPairsRetained) filters deliverable partitions by the D8
+    // key and merged partitions by the persisted column, so a
+    // replayed folded epoch re-lands its expired pairs physically but
+    // can NEVER resurrect them in the serve — the A36 merge-on-read
+    // contract, age edition. Fixture: the c2 planted relation across
+    // FOUR arrival epochs (epoch = doc_id mod 4; the +1e6 re-crawl
+    // offset is ≡ 0 mod 4, so every planted pair arrives WITH its
+    // original — a per-pair arrival the oracle restates exactly); a
+    // provenance-preserving fold, then the TTL fold (epochs 0-1
+    // expire), then the epoch-1 straggler replay. Oracle = the
+    // planted band restricted to the retained arrival window.
+    "c138_ledger_ttl_retire" -> ((s, dir) => {
+      import graft.operators.Dedup
+      import graft.sources.{PairLedger, TextSigStore}
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("c138_ttl_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      lifecycleOncePerBenchJvm(s"c138:$dir") {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        require(TextSigStore.publishSpec(s, s"$root/sigs", "minhash",
+          64, 16, 3).committed, "c138 sig spec publish failed")
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val withCopies = docs.unionByName(
+          docs.where(pmod(col("doc_id"), lit(3)) === 1)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        // the text arm of foldAndPublishLedger, four arrival epochs
+        def ingest(e: Long): Unit = {
+          val b = withCopies.where(pmod(col("doc_id"), lit(4)) === e)
+          graft.streaming.EventStreams.epochIdempotentSink(
+            b.select("doc_id", "text"), e, s"$root/docs")
+          val sigs = Dedup.minhashSigRows(b, "text", "doc_id")
+          TextSigStore.appendSigsEpoch(sigs, s"$root/sigs", 1, e)
+          val refSigs = TextSigStore.readSigsBefore(s, s"$root/sigs", 1, e)
+          val refDocs = s.read.parquet(s"$root/docs")
+            .where(col("__epoch") < e).select("doc_id", "text")
+          val cross = Dedup.minhashCrossPairsFromSigs(
+              refSigs, refDocs, b, "text", "doc_id")
+            .select(col("ref_id").as("id_a"), col("inc_id").as("id_b"))
+          val within = Dedup.minhashPairsFromSigs(sigs, b,
+              "text", "doc_id")
+            .select("id_a", "id_b")
+          PairLedger.appendPairsEpoch(cross.unionByName(within),
+            s"$root/pairs", "text", e)
+        }
+        (0L to 3L).foreach(ingest)
+        // fold 1 (no watermark): arrival provenance must SURVIVE the
+        // fold — the TTL below reads it off the merged column, not a
+        // live partition key
+        val r1 = PairLedger.compactEpochs(s, s"$root/pairs", "text", 3L)
+        require(r1.into == -1L && r1.folded == Seq(0L, 1L, 2L, 3L),
+          s"c138 provenance fold failed: $r1")
+        // fold 2: the age watermark — epochs 0-1 expire physically
+        val r2 = PairLedger.compactEpochs(s, s"$root/pairs", "text", 3L,
+          olderThan = Some(2L))
+        require(r2.expired > 0L,
+          s"the watermark must expire old pairs: $r2")
+        // straggler replay: epoch 1 re-lands its EXPIRED pairs beside
+        // the merged history; the raw read must see them (positive
+        // control) and the retained serve below must not
+        ingest(1L)
+        val raw = PairLedger.readPairs(s, s"$root/pairs", "text").count()
+        val ret = PairLedger.readPairsRetained(s, s"$root/pairs",
+          "text", 2L).count()
+        require(raw > ret,
+          s"the straggler must be visible raw ($raw) but filtered " +
+            s"from the retained serve ($ret)")
+      }
+      PairLedger.readPairsRetained(s, s"$root/pairs", "text", 2L)
+        .where(col("id_b") - col("id_a") === 1000000L)
+        .select(col("id_a").as("doc_id")).distinct()
+        .orderBy("doc_id")
+    }),
+
+    // D17 stream-fed incremental materialized view — PROMOTED from
+    // spec-only (the r17 verdict's ask #5): the D10 streaming merge
+    // sink's CHANGE FEED advances a B26 aggregate view epoch by epoch
+    // (applyChanges' signed-delta arithmetic — the view is NEVER
+    // rebuilt from the snapshot), and the final table is
+    // SQL-expressible: last-writer-wins per key across arrival epochs
+    // (max value within an epoch — the merge sink's max-struct
+    // in-batch compaction), then one aggregate per group. Fixture:
+    // the events table keyed by user, three file-arrival waves
+    // (epoch = event_id mod 3) each drained by an AvailableNow run of
+    // the merge sink against ONE checkpoint, so batch ids advance
+    // 0→1→2 and the feed carries insert/update_preimage/postimage
+    // rows the fold must net out. LONG columns only (the float-canon
+    // rule).
+    "d17_stream_mv" -> ((s, dir) => {
+      import graft.operators.MaterializedView
+      import graft.streaming.EventStreams
+      import org.apache.hadoop.fs.Path
+      val root = Tables.scratch("d17_mv_" + new java.io.File(dir).getName +
+        "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir)))
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("long").as("k"),
+        pmod(col("user_id"), lit(7)).cast("long").as("g"),
+        col("event_id").cast("long").as("v"),
+        pmod(col("event_id"), lit(3)).cast("long").as("e"))
+      lifecycleOncePerBenchJvm(s"d17:$dir") {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new Path(root).toUri,
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        (0L to 2L).foreach { e =>
+          ev.where(col("e") === e).drop("e")
+            .write.mode("append").parquet(s"$root/arrivals")
+          val src = s.readStream
+            .schema("k LONG, g LONG, v LONG")
+            .parquet(s"$root/arrivals")
+          val q = EventStreams.mergeSink(src, s"$root/table",
+            s"$root/cdf", Seq("k"), s"$root/ckpt")
+          require(q.awaitTermination(240000),
+            s"d17 wave $e did not drain")
+        }
+      }
+      // the D17 surface: the view advanced from the FEED alone
+      val feed = s.read.parquet(s"$root/cdf")
+      val epochs = feed.select(col("__epoch").cast("long")).distinct()
+        .orderBy("__epoch").collect().map(_.getLong(0)) // bounded: one
+      // row per micro-batch, the D8 epoch census — never row data
+      require(epochs.length >= 3, s"expected >=3 epochs: ${epochs.toSeq}")
+      var view = MaterializedView.build(
+        ev.drop("e").limit(0), Seq("g"), Seq("v"))
+      epochs.foreach { e =>
+        view = MaterializedView.applyChanges(view,
+          feed.where(col("__epoch") === e).drop("__epoch"),
+          Seq("g"), Seq("v"))
+      }
+      view.select(col("g"), col("__mv_n").as("n_keys"),
+          col("__mv_sum_v").cast("long").as("sum_v"))
+        .orderBy("g")
+    }),
+
     // C118 CROSS-MODAL document-level dup verdict — the decision a
     // multimodal crawl actually ships (the r14 verdict's ask #4): the
     // TEXT dup family (c2's MinHash-LSH pairs over planted re-crawl
@@ -7808,8 +8035,9 @@ object SparkEntry {
     // A26 catalog statistics / CBO — PROMOTED from spec-only (the r16
     // verdict's ask #6): the oracle now gates (1) the recorded stats
     // themselves — ANALYZE's rowCount and per-column min/max must be
-    // EXACT (DuckDB recomputes them), ndv is approximate (HLL) so it
-    // ships as a ±5% boolean — and (2) the plan flip the stats exist
+    // EXACT (DuckDB recomputes them), ndv is approximate (HLL++ at
+    // rsd 0.05) so it ships as a ±15% boolean (~3σ of the estimator's
+    // worst case) — and (2) the plan flip the stats exist
     // for: the same filtered-dim join plans SortMergeJoin on the cold
     // catalog (file-size estimate over the threshold) and
     // BroadcastHashJoin after ANALYZE (rowCount/ndv estimate of the
@@ -7856,7 +8084,7 @@ object SparkEntry {
             math.abs(ndv - exactNdv) <= 0.15 * exactNdv,
             smjCold, bhjStats)
         }
-        // exact NDV truth for the ±5% HLL bound: two scalar aggregates
+        // exact NDV truth for the ±15% HLL bound: two scalar aggregates
         val custNdv = t(s, dir, "customer")
           .agg(countDistinct(col("c_custkey"))).head.getLong(0)
         val ordNdv = t(s, dir, "orders")
@@ -8141,6 +8369,12 @@ object SparkEntry {
       // c132 serves c76b's exact extents with every level fed from the
       // stored digest tables — the same merge, zero digest compute
       "c132_extents_from_store" -> base("c76b_span_extents"),
+      // c137 serves c76b's exact extents from the incremental
+      // fired-window LEDGER across two arrival epochs, a D8 replay, a
+      // compaction fold, and a post-compaction straggler — a window
+      // lost at an epoch boundary, a ref window re-added past its 1→2
+      // transition, or a resurrected straggler could not hash-match
+      "c137_span_ledger_serve" -> base("c76b_span_extents"),
       // c129: the c105 synthesis→WHT→landmark chain restricted to the
       // REF × INC slice, shared-count threshold and duration block
       // replayed
@@ -10959,6 +11193,35 @@ hist_${src}_$cent AS (
           |LEFT JOIN audd u ON u.doc_id = al.doc_id
           |ORDER BY al.doc_id""".stripMargin),
 
+    // c138: the planted re-crawl band restricted to the RETAINED
+    // arrival window — epoch = doc_id mod 4 (the +1e6 offset is ≡ 0
+    // mod 4, so each planted pair arrives with its original), TTL
+    // watermark at 2: a pair expired too eagerly drops a row, a
+    // resurrected epoch-1 straggler adds one — either breaks the hash
+    "c138_ledger_ttl_retire" ->
+      """SELECT DISTINCT doc_id FROM documents
+        |WHERE doc_id % 3 = 1 AND doc_id % 4 >= 2
+        |ORDER BY doc_id""".stripMargin,
+
+    // d17: the streaming merge sink's final snapshot is
+    // last-writer-wins per key across arrival epochs (epoch =
+    // event_id mod 3) with max-value in-batch compaction; the MV the
+    // feed-fold maintains equals one aggregate over that snapshot
+    "d17_stream_mv" ->
+      """WITH ev AS (
+        |  SELECT user_id AS k, user_id % 7 AS g, event_id AS v,
+        |         event_id % 3 AS e
+        |  FROM events),
+        |pe AS (SELECT k, g, e, max(v) AS v FROM ev GROUP BY 1, 2, 3),
+        |snap AS (
+        |  SELECT k, g, v FROM (
+        |    SELECT pe.*,
+        |           row_number() OVER (PARTITION BY k ORDER BY e DESC)
+        |             AS rn
+        |    FROM pe) WHERE rn = 1)
+        |SELECT g, count(*) AS n_keys, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM snap GROUP BY g ORDER BY g""".stripMargin,
+
     // a15: the D8 overwrite rule — a replayed epoch must leave the
     // read-back identical to the source slices (an append-style
     // replay doubles partition 1's rows and cents)
@@ -10985,7 +11248,8 @@ hist_${src}_$cent AS (
 
     // a26: ANALYZE must record EXACT rowCount and column min/max
     // (DuckDB recomputes them); ndv is HLL-approximate so it ships as
-    // a ±5% boolean; the plan-flip booleans are deterministic at
+    // a ±15% boolean (~3σ at rsd 0.05 — matching the Spark side's
+    // gate); the plan-flip booleans are deterministic at
     // every SF (cold file-size estimate > 4096 threshold → SMJ;
     // stats estimate of the o_custkey equality ~ rows/ndv → BHJ)
     "a26_cbo_stats" ->

@@ -259,6 +259,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("c137: the span-ledger serve is the island sweep over stored " +
+    "fired windows ONLY — no digest pass, no count aggregate over the " +
+    "digest table, no join of ANY kind, and no digest-store scan " +
+    "anywhere in the plan (what c132 still paid per query is prepaid " +
+    "at ingest)") {
+    val p = plan("c137_span_ledger_serve")
+    val lower = p.toLowerCase
+    assert(!lower.contains("spanmd5"),
+      "a digest pass leaked into the ledger serving plan")
+    assert(!p.contains("HashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the ledger serve must not join — the flag join's work is " +
+        "prepaid into the stored fired windows")
+    assert(!lower.contains("span_digests"),
+      "the digest store must not be scanned at serve time")
+    assert(lower.contains("/ledger/"),
+      "the serve must scan the fired-window ledger")
+    assert("RunningWindowFunction|Window".r.findFirstIn(p).isDefined,
+      "the per-document island sweep must be in the plan")
+  }
+
+  test("c138: the TTL-retained serve is one ledger scan with the age " +
+    "filter — no signature compute, no join, no docs scan") {
+    val p = plan("c138_ledger_ttl_retire")
+    val lower = p.toLowerCase
+    assert(!lower.contains("minhashsig"),
+      "a signature pass leaked into the retained serving plan")
+    assert(!p.contains("HashJoin") && !p.contains("SortMergeJoin"),
+      "the retained serve must read stored pairs, never re-join")
+    assert(lower.contains("/pairs/"),
+      "the serve must scan the pair ledger")
+  }
+
   test("c76c/c84/c87: the strip family serves its digests from the " +
     "span store — NO digest compute anywhere in the rewrite plans (the " +
     "rebuild's own token read stays; the digest pass must not leak " +
