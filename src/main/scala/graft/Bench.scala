@@ -75,7 +75,17 @@ object Bench {
       case Some(v) =>
         scala.util.Try(v.trim.toDouble).toOption.filter(_ > 0)
     }
-  private def remainingSec: Option[Double] = budgetSec.map(_ - elapsedSec)
+  /** r18 (the r17 verdict's ask #2): under a tight budget a slice is
+    * RESERVED for the priority 10x probes so the driver artifact
+    * carries scaling evidence, not just headline totals — BENCH_r17
+    * parsed but shipped n_probes10=0 because headline chunks spent the
+    * whole window. Headline phases see remaining − reserve (they skip
+    * or truncate earlier); the probe phase releases the reserve for
+    * itself.
+    */
+  private var reserveSec: Double = 0.0
+  private def remainingSec: Option[Double] =
+    budgetSec.map(_ - elapsedSec - reserveSec)
 
   // ---- r17 tail armor (the r16 verdict's ask #1) ------------------------
   //
@@ -320,6 +330,14 @@ object Bench {
     // r15: extents served from the digest store (the c125 argument on
     // the WHERE question — zero digest compute in the plan)
     "c132_extents_from_store",
+    // r18: extents served from the FIRED-WINDOW ledger (lifecycle —
+    // two ingest epochs + fold — prepaid; the row times the joinless
+    // island sweep over stored windows, the c132 delta IS the win)
+    "c137_span_ledger_serve",
+    // r18: the TTL-retained pair serve (lifecycle prepaid; one ledger
+    // scan with the age filter) and the stream-fed MV fold (the CDF
+    // fold is feed-sized; the sink lifecycle is prepaid)
+    "c138_ledger_ttl_retire", "d17_stream_mv",
     // a31 is headline but NOT probed: its in-plan v2 derivation shifts
     // added keys by +2e9, which lands inside the replica's per-copy
     // key bands (i·1e9) — statuses would change, timings wouldn't
@@ -574,6 +592,10 @@ object Bench {
       // the same docs-scaled write/read-back shape as c131
       "c131_shard_export", "c132_extents_from_store",
       "c134_packed_export",
+      // r18: c137 serves the same extent question from STORED fired
+      // windows — duplicated-volume-bounded sweep, its 10x row is the
+      // joinless complement of c132's (lifecycle prepaid)
+      "c137_span_ledger_serve",
       // c114 sweeps three banded joins over the STORED codes (decode
       // prepaid by the c104 prewarm) — candidate volume is banding-
       // bounded by the hot-bucket cap, the c3/c97 contract per point
@@ -606,6 +628,26 @@ object Bench {
 
   private[graft] val scale100Tables = Seq("lineitem", "orders", "customer",
     "region", "nation", "documents", "embeddings")
+
+  /** The PRIORITY 10x probes (the r17 verdict's ask #2): the five rows
+    * whose sub-linearity the driver artifact must always carry — the
+    * scan-agg and star-join representatives plus the three heaviest
+    * dedup shapes (the c27/c76 span machinery carries the
+    * shuffle_hash-vs-broadcast fix whose 100x evidence mattered most).
+    * Under a tight budget these run in their own reserved slice
+    * against a replica restricted to the tables they actually read
+    * (no embeddings/events — the build is the slice's dominant cost).
+    */
+  val priorityProbe: Seq[String] = restrict(Seq(
+    "q1_agg", "q5_star_join", "c2_minhash_lsh", "c27_span_dedup",
+    "c76_multiscale_spans"))
+  private[graft] val priorityTables = Seq("lineitem", "orders",
+    "customer", "region", "nation", "documents")
+  /** Reserved wall-clock for the priority slice: replica build of the
+    * six priority tables + five best-of-2 probes + session startup
+    * (measured locally; see BENCH_local_r18 notes).
+    */
+  private val probeReserveSec = 420.0
 
   /** The probes whose r8 driver-run ratios contradicted the builder's
     * artifact (23.33x vs 3.35x class gaps): the image/GIF codec family,
@@ -714,7 +756,12 @@ object Bench {
     Set("c117_image_spec_rollover", "c122_audio_spec_rollover",
       "c126_text_sig_rollover", "c127_span_spec_rollover",
       "c130_verdict_store_serve", "c133_verdict_ledger_serve",
-      "c135_ledger_compaction", "c136_ledger_pair_retire")
+      "c135_ledger_compaction", "c136_ledger_pair_retire",
+      // r18: the span-ledger build (two ingest epochs + fold), the
+      // TTL fixture's four-epoch text ledger, and the d17 merge-sink
+      // waves are all lifecycle — serve-only timing per the same rule
+      "c137_span_ledger_serve", "c138_ledger_ttl_retire",
+      "d17_stream_mv")
   private def maybePrewarm(spark: SparkSession, names: Seq[String],
                            dir: String): Unit = {
     names.filter(rolloverLifecycleQueries).foreach { n =>
@@ -833,6 +880,13 @@ object Bench {
         runList(headline, sfDir, _ => 3, gcFirst = false)
       case HeadlineChunkRe(i) =>
         runList(headlineChunk(i.toInt), sfDir, _ => 3, gcFirst = false)
+      case "scale10p" =>
+        // the reserved-slice child self-builds the restricted replica
+        // (the parent never pre-builds under a tight budget)
+        val dir = ScaleReplica.ensure(spark, sfDir, copies = 10,
+          tables = priorityTables, dirTag = "p")
+        ScaleReplica.drainBuildState(spark)
+        runList(priorityProbe, dir, _ => 2, gcFirst = true)
       case "scale10" =>
         val dir = ScaleReplica.ensure(spark, sfDir, copies = 10)
         ScaleReplica.drainBuildState(spark)
@@ -912,6 +966,7 @@ object Bench {
 
   private def defaultLimitSec(phase: String): Long = phase match {
     case p if p.startsWith("sf1") => 90L * 60
+    case "scale10p"              => 15L * 60
     case "scale10" | "scale100"  => 45L * 60
     case _                       => 20L * 60 // one headline chunk
   }
@@ -1031,6 +1086,10 @@ object Bench {
     "c119_text_sig_serve", "c120_text_sigs_vacuum",
     "c121_text_sig_incremental", "d44_stream_packing",
     "c124_lpt_shards", "c125_span_store_serve",
+    // r18 (the r10 rule): the fired-window ledger serve at the second
+    // decade — the joinless sweep whose shuffle is duplicated-volume-
+    // bounded (the lifecycle prewarm pays the two-epoch build)
+    "c137_span_ledger_serve",
     // r16 (the r10 rule): the packed-bin export — the c106 fold + a
     // docs-scaled partitioned JSONL write + the read-back scan at the
     // second decade. c133/c135 are NOT sf1-probed: they ride c105's
@@ -1091,6 +1150,13 @@ object Bench {
     // a parsed (empty) line exists from the first instant — a kill
     // during the replica build or the first chunk still leaves one
     emit(Map.empty, Map.empty, Map.empty)
+    // a budget too tight for the full scale phases (pre-build alone
+    // needs ~20 min) flips to PRIORITY mode: arm the probe reserve
+    // BEFORE the headline chunks so they stop early enough to leave it
+    val priorityMode = probesOn && budgetSec.isDefined &&
+      remainingSec.exists(_ < 3000)
+    if (priorityMode) reserveSec = math.min(probeReserveSec,
+      budgetSec.get * 0.5)
     // Build both replicas BEFORE any measurement fork: children find the
     // marker and skip straight to clean-JVM timing. The build JVM (this
     // one) times nothing. Under a tight budget (the 900 s driver
@@ -1118,20 +1184,36 @@ object Bench {
     }
 
     if (probesOn) {
-      // no silent caps: name the headline queries WITHOUT a scaling
-      // number (events-table queries — the replica scales the TPC-H +
-      // documents + embeddings tables — and the cheap long tail)
-      val notProbed = headline.filterNot(scalingProbe.contains)
-      System.err.println(
-        s"[bench] scaling probe covers ${scalingProbe.size} of " +
-          s"${headline.size} headline queries; not probed: " +
-          notProbed.mkString(", "))
-      val t10 = runPhaseArmored("scale10", "target/bench_scale10.tsv",
-        scalingProbe)
-      emit(base, t10, Map.empty)
-      val t100 = runPhaseArmored("scale100", "target/bench_scale100.tsv",
-        scaling100Probe)
-      emit(base, t10, t100)
+      if (priorityMode) {
+        // the reserved slice (ask #2): release the reserve and run the
+        // five priority probes in their own fork; the full scale
+        // phases are named as skipped — no silent caps
+        reserveSec = 0.0
+        System.err.println(
+          s"[bench] tight budget: running the ${priorityProbe.size} " +
+            "priority 10x probes in the reserved slice; full " +
+            "scale10/scale100 skipped")
+        skippedPhases += "scale10_full"
+        skippedPhases += "scale100"
+        val t10 = runPhaseArmored("scale10p",
+          "target/bench_scale10p.tsv", priorityProbe)
+        emit(base, t10, Map.empty)
+      } else {
+        // no silent caps: name the headline queries WITHOUT a scaling
+        // number (events-table queries — the replica scales the TPC-H +
+        // documents + embeddings tables — and the cheap long tail)
+        val notProbed = headline.filterNot(scalingProbe.contains)
+        System.err.println(
+          s"[bench] scaling probe covers ${scalingProbe.size} of " +
+            s"${headline.size} headline queries; not probed: " +
+            notProbed.mkString(", "))
+        val t10 = runPhaseArmored("scale10", "target/bench_scale10.tsv",
+          scalingProbe)
+        emit(base, t10, Map.empty)
+        val t100 = runPhaseArmored("scale100", "target/bench_scale100.tsv",
+          scaling100Probe)
+        emit(base, t10, t100)
+      }
     }
   }
 
@@ -1286,8 +1368,12 @@ object ScaleReplica {
   }
 
   def ensure(spark: SparkSession, baseDir: String, copies: Int,
-             tables: Seq[String] = defaultTables): String = {
-    val dir = s"/root/repo/target/scale${copies}_${new java.io.File(baseDir).getName}"
+             tables: Seq[String] = defaultTables,
+             dirTag: String = ""): String = {
+    // dirTag separates the priority slice's RESTRICTED replica from
+    // the full one: both are copies=10 over the same base, and sharing
+    // the directory would make the table-set markers thrash
+    val dir = s"/root/repo/target/scale${copies}${dirTag}_${new java.io.File(baseDir).getName}"
     // marker records WHICH tables the replica holds — adding a table to a
     // probe invalidates a stale replica instead of failing on a missing file
     val marker = new java.io.File(s"$dir/_GRAFT_OK")
