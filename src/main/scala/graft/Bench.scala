@@ -643,11 +643,14 @@ object Bench {
     "c76_multiscale_spans"))
   private[graft] val priorityTables = Seq("lineitem", "orders",
     "customer", "region", "nation", "documents")
-  /** Reserved wall-clock for the priority slice: replica build of the
-    * six priority tables + five best-of-2 probes + session startup
-    * (measured locally; see BENCH_local_r18 notes).
+  /** Reserved wall-clock for the priority slice. Measured cold on the
+    * build box (r18): the whole phase — sbt+session startup, the
+    * six-table 10x replica SELF-BUILD, five best-of-2 probes — is
+    * 75 s wall; 240 s is a 3x margin for a loaded driver box (the c76
+    * arbitration showed 3-10x GC inflation there), and a child that
+    * still overruns has its partial rows merged, never discarded.
     */
-  private val probeReserveSec = 420.0
+  private val probeReserveSec = 240.0
 
   /** The probes whose r8 driver-run ratios contradicted the builder's
     * artifact (23.33x vs 3.35x class gaps): the image/GIF codec family,

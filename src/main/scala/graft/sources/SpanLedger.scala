@@ -88,8 +88,13 @@ object SpanLedger {
     * by an A33/A36 deletion — every stored window of a retired
     * document is dropped (span truth lives inside the document; when
     * the document goes, its extents go — there is no multi-link
-    * subtlety here, unlike media endpoints). `olderThan` (optional):
-    * the C138 age watermark on the span surface.
+    * subtlety here, unlike media endpoints). A retired doc's PARTNERS
+    * keep their fired status: a fired window records "was duplicated
+    * when it arrived" — the same never-retracted monotonicity the pair
+    * ledger's census contract ships — and RTBF obliges removing the
+    * deleted document's own data, not rewriting others' history.
+    * `olderThan` (optional): the C138 age watermark on the span
+    * surface.
     */
   def compactEpochs(spark: SparkSession, root: String, w: Int,
                     upTo: Long, retire: Option[DataFrame] = None,

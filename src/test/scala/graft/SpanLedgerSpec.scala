@@ -138,4 +138,29 @@ class SpanLedgerSpec extends AnyFunSuite with SparkSpec {
     assert(rep2.into < rep.into, s"$rep2")
     assert(extents(ledger) === extBefore)
   }
+
+  test("c137: document retirement and the age watermark hold on the " +
+    "span tree too — a retired doc's windows go entirely, expired " +
+    "windows stay raw-visible as stragglers but never serve retained") {
+    val (store, ledger) = freshRoots()
+    (0 to 2).foreach(e => ingest(store, ledger, e))
+    // retire doc 3: every one of its stored windows goes (span truth
+    // lives inside the document); its B-partner doc 4 keeps firing
+    val rep = SpanLedger.compactEpochs(s, ledger, W, 2L,
+      retire = Some(Seq(3L).toDF("doc_id")))
+    assert(rep.retired > 0L, s"$rep")
+    val ids = firedSet(ledger).map(_._1)
+    assert(!ids.contains(3L) && ids.contains(4L),
+      s"retirement must drop doc 3's windows only: $ids")
+    // age watermark: epoch-0 arrivals (docs 3/4's within-delta fire)
+    // expire; the epoch-1 transition and epoch-2 arrivals stay
+    val rep2 = SpanLedger.compactEpochs(s, ledger, W, 2L,
+      olderThan = Some(1L))
+    assert(rep2.expired > 0L, s"$rep2")
+    assert(firedSet(ledger).map(_._1) === Set(1L, 2L, 5L),
+      "only the A-family (fired at epochs 1 and 2) survives the TTL")
+    assert(SpanLedger.readFiredRetained(s, ledger, W, 1L).distinct()
+      .count() === SpanLedger.readFired(s, ledger, W).distinct().count(),
+      "post-TTL the retained serve equals the physical ledger")
+  }
 }
