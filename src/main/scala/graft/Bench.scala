@@ -75,17 +75,7 @@ object Bench {
       case Some(v) =>
         scala.util.Try(v.trim.toDouble).toOption.filter(_ > 0)
     }
-  /** r18 (the r17 verdict's ask #2): under a tight budget a slice is
-    * RESERVED for the priority 10x probes so the driver artifact
-    * carries scaling evidence, not just headline totals — BENCH_r17
-    * parsed but shipped n_probes10=0 because headline chunks spent the
-    * whole window. Headline phases see remaining − reserve (they skip
-    * or truncate earlier); the probe phase releases the reserve for
-    * itself.
-    */
-  private var reserveSec: Double = 0.0
-  private def remainingSec: Option[Double] =
-    budgetSec.map(_ - elapsedSec - reserveSec)
+  private def remainingSec: Option[Double] = budgetSec.map(_ - elapsedSec)
 
   // ---- r17 tail armor (the r16 verdict's ask #1) ------------------------
   //
@@ -643,14 +633,6 @@ object Bench {
     "c76_multiscale_spans"))
   private[graft] val priorityTables = Seq("lineitem", "orders",
     "customer", "region", "nation", "documents")
-  /** Reserved wall-clock for the priority slice. Measured cold on the
-    * build box (r18): the whole phase — sbt+session startup, the
-    * six-table 10x replica SELF-BUILD, five best-of-2 probes — is
-    * 75 s wall; 240 s is a 3x margin for a loaded driver box (the c76
-    * arbitration showed 3-10x GC inflation there), and a child that
-    * still overruns has its partial rows merged, never discarded.
-    */
-  private val probeReserveSec = 240.0
 
   /** The probes whose r8 driver-run ratios contradicted the builder's
     * artifact (23.33x vs 3.35x class gaps): the image/GIF codec family,
@@ -883,9 +865,16 @@ object Bench {
         runList(headline, sfDir, _ => 3, gcFirst = false)
       case HeadlineChunkRe(i) =>
         runList(headlineChunk(i.toInt), sfDir, _ => 3, gcFirst = false)
+      case "scale10pb" =>
+        // the priority probes' BASE rows (tight-budget mode): measured
+        // in their own fork so every priority ratio has a denominator
+        // even when the base key's headline chunk is budget-skipped
+        // (the r18 demo: c76's base lives in a skipped chunk)
+        runList(priorityProbe, sfDir, _ => 2, gcFirst = false)
       case "scale10p" =>
-        // the reserved-slice child self-builds the restricted replica
-        // (the parent never pre-builds under a tight budget)
+        // the priority child self-builds its restricted replica (the
+        // parent never pre-builds under a tight budget); measured cold
+        // on the build box: 75 s wall for build + five best-of-2 rows
         val dir = ScaleReplica.ensure(spark, sfDir, copies = 10,
           tables = priorityTables, dirTag = "p")
         ScaleReplica.drainBuildState(spark)
@@ -1154,19 +1143,20 @@ object Bench {
     // during the replica build or the first chunk still leaves one
     emit(Map.empty, Map.empty, Map.empty)
     // a budget too tight for the full scale phases (pre-build alone
-    // needs ~20 min) flips to PRIORITY mode: arm the probe reserve
-    // BEFORE the headline chunks so they stop early enough to leave it
+    // needs ~20 min) flips to PRIORITY mode (the r17 verdict's ask
+    // #2): the five priority probes run FIRST — base rows then the
+    // restricted-replica 10x rows, ~130 s cold, ~2x that loaded — so
+    // whatever instant the budget fires, the artifact carries scaling
+    // evidence; the headline chunks spend everything that remains
     val priorityMode = probesOn && budgetSec.isDefined &&
       remainingSec.exists(_ < 3000)
-    if (priorityMode) reserveSec = math.min(probeReserveSec,
-      budgetSec.get * 0.5)
     // Build both replicas BEFORE any measurement fork: children find the
     // marker and skip straight to clean-JVM timing. The build JVM (this
     // one) times nothing. Under a tight budget (the 900 s driver
     // default) the scale phases can't fit anyway — skip the build and
     // spend the whole window on headline chunks (a scale child that
     // does run self-builds and drains before timing).
-    if (probesOn && remainingSec.forall(_ > 1200)) {
+    if (probesOn && !priorityMode && remainingSec.forall(_ > 1200)) {
       val spark = makeSession("replica-build")
       ScaleReplica.ensure(spark, sfDir, copies = 10)
       ScaleReplica.ensure(spark, sfDir, copies = 100, tables = scale100Tables)
@@ -1179,44 +1169,57 @@ object Bench {
     // re-emit after EVERY chunk and phase (ask #1c): whatever instant an
     // outer timeout fires, the last stdout line parses.
     var base = Map.empty[String, Double]
+    var t10 = Map.empty[String, Double]
+    if (priorityMode) {
+      System.err.println(
+        s"[bench] tight budget: running the ${priorityProbe.size} " +
+          "priority probes (base + 10x) FIRST; full scale10/scale100 " +
+          "skipped")
+      skippedPhases += "scale10_full"
+      skippedPhases += "scale100"
+      // the restricted replica builds in the PARENT's throwaway
+      // session, never in the probe fork — an in-process build
+      // inflates the very next probes ~3x even through
+      // drainBuildState (the r5→r6 finding, re-measured on q5 in the
+      // r18 calibration: self-built 9.1 s vs pre-built ~3 s)
+      locally {
+        val spark = makeSession("replica-build-p")
+        ScaleReplica.ensure(spark, sfDir, copies = 10,
+          tables = priorityTables, dirTag = "p")
+        spark.stop()
+      }
+      base = runPhaseArmored("scale10pb", "target/bench_scale10pb.tsv",
+        priorityProbe)
+      emit(base, Map.empty, Map.empty)
+      t10 = runPhaseArmored("scale10p", "target/bench_scale10p.tsv",
+        priorityProbe)
+      emit(base, t10, Map.empty)
+    }
     (0 until headlineChunkCount).foreach { i =>
       val names = headlineChunk(i)
+      // headline re-measures of a priority key override its pb row —
+      // the ratio then mixes a headline base with the probe fork's
+      // x10, exactly the normal path's convention
       base = base ++ runPhaseArmored(s"headline$i",
         s"target/bench_headline_$i.tsv", names)
-      emit(base, Map.empty, Map.empty)
+      emit(base, t10, Map.empty)
     }
 
-    if (probesOn) {
-      if (priorityMode) {
-        // the reserved slice (ask #2): release the reserve and run the
-        // five priority probes in their own fork; the full scale
-        // phases are named as skipped — no silent caps
-        reserveSec = 0.0
-        System.err.println(
-          s"[bench] tight budget: running the ${priorityProbe.size} " +
-            "priority 10x probes in the reserved slice; full " +
-            "scale10/scale100 skipped")
-        skippedPhases += "scale10_full"
-        skippedPhases += "scale100"
-        val t10 = runPhaseArmored("scale10p",
-          "target/bench_scale10p.tsv", priorityProbe)
-        emit(base, t10, Map.empty)
-      } else {
-        // no silent caps: name the headline queries WITHOUT a scaling
-        // number (events-table queries — the replica scales the TPC-H +
-        // documents + embeddings tables — and the cheap long tail)
-        val notProbed = headline.filterNot(scalingProbe.contains)
-        System.err.println(
-          s"[bench] scaling probe covers ${scalingProbe.size} of " +
-            s"${headline.size} headline queries; not probed: " +
-            notProbed.mkString(", "))
-        val t10 = runPhaseArmored("scale10", "target/bench_scale10.tsv",
-          scalingProbe)
-        emit(base, t10, Map.empty)
-        val t100 = runPhaseArmored("scale100", "target/bench_scale100.tsv",
-          scaling100Probe)
-        emit(base, t10, t100)
-      }
+    if (probesOn && !priorityMode) {
+      // no silent caps: name the headline queries WITHOUT a scaling
+      // number (events-table queries — the replica scales the TPC-H +
+      // documents + embeddings tables — and the cheap long tail)
+      val notProbed = headline.filterNot(scalingProbe.contains)
+      System.err.println(
+        s"[bench] scaling probe covers ${scalingProbe.size} of " +
+          s"${headline.size} headline queries; not probed: " +
+          notProbed.mkString(", "))
+      t10 = runPhaseArmored("scale10", "target/bench_scale10.tsv",
+        scalingProbe)
+      emit(base, t10, Map.empty)
+      val t100 = runPhaseArmored("scale100", "target/bench_scale100.tsv",
+        scaling100Probe)
+      emit(base, t10, t100)
     }
   }
 
