@@ -90,4 +90,42 @@ class LedgerTtlSpec extends AnyFunSuite with SparkSpec {
     assert(all(root) === Seq((5L, 6L), (5L, 9L)), s"${all(root)}")
     assert(retained(root, 5L) === Seq((5L, 6L), (5L, 9L)))
   }
+
+  test("c136/c138: a retire+TTL fold is ONE dataset action — the " +
+    "merged write, with the accounting riding its Observation (the " +
+    "r17 finding: the count-the-anti-join formulation paid three full " +
+    "ledger passes per retirement)") {
+    val root = freshRoot()
+    (0 to 2).foreach { e =>
+      PairLedger.appendPairsEpoch(
+        pairsOf((10L * e, 10L * e + 1)), root, "text", e.toLong)
+    }
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { n.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      val rep = PairLedger.compactEpochs(s, root, "text", 2L,
+        retire = Some(Seq(10L).toDF("doc_id")),
+        olderThan = Some(1L))
+      assert(rep.retired === 1L && rep.expired === 1L, s"$rep")
+      // the listener bus is async: wait for quiescence, then assert
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        if (n.get == last) stable += 1 else { stable = 0; last = n.get }
+      }
+      assert(n.get === 1,
+        s"a retire+TTL fold must pay exactly one ledger action " +
+          s"(the merged write), saw ${n.get}")
+    } finally s.listenerManager.unregister(listener)
+  }
 }
