@@ -249,8 +249,67 @@ object ClassifierTrain {
       // one exchange for the whole k-class loop (see featurize)
       .repartition(col("doc_id"))
 
+  /** One JOINT gradient step for ALL classes over an already-featurized
+    * label-agnostic batch ([[featurizeMulti]] shape): one margin
+    * aggregation computes every class's margin (one `sum(x·w_c[b])`
+    * column per class — the weights ride as k array literals), one
+    * residual frame carries every class's r_c, and one gradient
+    * aggregation collapses to nBuckets rows with k gradient columns.
+    *
+    * Classes are INDEPENDENT (separate weight vectors over the same
+    * docs), and every quantity is an exact LONG sum — order-independent
+    * — so per class this is bit-identical to the binary [[step]] on
+    * `y_c = (cls = c)`: same groups (doc_id determines cls, so grouping
+    * by (doc_id, cls) IS grouping by (doc_id, y_c)), same integer
+    * arithmetic. What changes is only the JOB COUNT: k classes cost the
+    * same 2 jobs per step as one class, instead of 2k — the r18
+    * optimization that took c79 from 20 per-class steps (5 classes x 4
+    * mini-batches, ~60 jobs) to 4 joint steps (~12 jobs).
+    *
+    * Returns (n, per-class (loss, gradient)) in `classes` order.
+    */
+  def stepMulti(batch: DataFrame, classes: Seq[String],
+                ws: Seq[Array[Long]])
+      : (Long, Seq[(Long, Map[Int, Long])]) = {
+    val k = classes.size
+    val marginAggs = ws.zipWithIndex.map { case (w, i) =>
+      sum(col("x") *
+        element_at(typedlit(w.toSeq), (col("b") + 1).cast("int")))
+        .as(s"__m_$i")
+    }
+    // residuals PERSIST for the step (doc-count-sized, small) — the
+    // binary step's rationale: without the cache the gradient job
+    // recomputes the margin aggregation
+    val resid = batch
+      .groupBy("doc_id", "cls")
+      .agg(marginAggs.head, marginAggs.tail: _*)
+      .select(col("doc_id") +: classes.zipWithIndex.map { case (c, i) =>
+        (p1024(col(s"__m_$i")) -
+          (col("cls") <=> lit(c)).cast("int").cast("long") * lit(1024L))
+          .as(s"__r_$i")
+      }: _*)
+      .persist()
+    try {
+      val lossAggs = count(lit(1)).as("__n") +:
+        (0 until k).map(i =>
+          sum(col(s"__r_$i") * col(s"__r_$i")).as(s"__loss_$i"))
+      val st = resid.agg(lossAggs.head, lossAggs.tail: _*).head()
+      val n = st.getLong(0)
+      require(n > 0, "empty mini-batch — fewer docs than batches?")
+      val gradAggs = (0 until k).map(i =>
+        sum(col(s"__r_$i") * col("x")).as(s"__g_$i"))
+      val gradRows = batch.join(resid, "doc_id")
+        .groupBy("b").agg(gradAggs.head, gradAggs.tail: _*)
+        .collect()
+      val grads = (0 until k).map { i =>
+        gradRows.map(r => r.getLong(0).toInt -> r.getLong(i + 1)).toMap
+      }
+      (n, (0 until k).map(i => (st.getLong(i + 1), grads(i))))
+    } finally { resid.unpersist(); () }
+  }
+
   /** One-vs-rest multi-class training (C79) — the C75 binary descent
-    * run once per class over the SHARED featurized frame, label
+    * run for every class over the SHARED featurized frame, label
     * `y_c = (cls = c)` (Joulin et al. 2016's fastText shape for flat
     * label sets; one-vs-rest rather than softmax because the softmax
     * normalizer needs a cross-class transcendental — the hard-sigmoid
@@ -260,17 +319,32 @@ object ClassifierTrain {
     * model shape data-dependent; unknown class values train every
     * binary problem as a negative, which is exactly right.
     * Driver state: k weight vectors (k·nBuckets longs).
+    *
+    * Execution is the JOINT step ([[stepMulti]]): every (epoch, batch)
+    * runs once with all k classes' margins/gradients in the same two
+    * jobs — per class bit-identical to the sequential per-class loop
+    * (independent integer trajectories), k times fewer jobs.
     */
   def trainMulticlass(feats: DataFrame, classes: Seq[String],
                       nBuckets: Int, epochs: Int, nBatches: Int,
                       lrDiv: Long): Seq[(String, TrainResult)] = {
     require(classes.nonEmpty && classes.distinct == classes,
       s"classes must be distinct, got $classes")
-    classes.map { c =>
-      val bin = feats.select(col("doc_id"),
-        (col("cls") <=> lit(c)).cast("int").cast("long").as("y"),
-        col("batch"), col("b"), col("x"))
-      c -> train(bin, nBuckets, epochs, nBatches, lrDiv)
+    require(epochs >= 1 && nBatches >= 1 && lrDiv >= 1, "bad hyperparams")
+    val ws = classes.map(_ => Array.fill(nBuckets)(0L))
+    val traces = classes.map(_ => Seq.newBuilder[IterStat])
+    var iter = 0
+    for (e <- 0 until epochs; t <- 0 until nBatches) {
+      iter += 1
+      val (n, perClass) =
+        stepMulti(feats.where(col("batch") === t), classes, ws)
+      perClass.zipWithIndex.foreach { case ((loss, grad), i) =>
+        applyStep(ws(i), grad, n, lrDiv)
+        traces(i) += IterStat(iter, e, t, n, loss)
+      }
+    }
+    classes.zipWithIndex.map { case (c, i) =>
+      c -> TrainResult(ws(i), traces(i).result())
     }
   }
 
@@ -323,23 +397,46 @@ object ClassifierTrain {
                                     lrDiv: Long) extends Serializable {
     require(classes.nonEmpty && classes.distinct == classes,
       s"classes must be distinct, got $classes")
-    private val states: Map[String, OnlineClassifierState] =
-      classes.map(c => c -> new OnlineClassifierState(nBuckets, lrDiv)).toMap
+    private val ws: Seq[Array[Long]] =
+      classes.map(_ => Array.fill(nBuckets)(0L))
+    private val byClass: Map[String, Array[Long]] =
+      classes.zip(ws).toMap
+    // every class folds the same epoch sequence in lockstep (the joint
+    // step), so ONE epoch id carries the per-class contiguity/replay
+    // discipline the binary state documents — a gap or an older id
+    // fails loudly exactly as before, for every class at once
+    private var lastFolded: Long = -1L
+    private var lastReport: Seq[(String, (Long, Long))] = _
 
-    def weights(c: String): Array[Long] = states(c).weights
+    def weights(c: String): Array[Long] = byClass(c)
 
     /** Fold one arriving epoch of label-agnostic features
       * ([[featurizeMulti]] shape) into every class; returns the
-      * per-class (n, loss) reports in class order.
+      * per-class (n, loss) reports in class order. One [[stepMulti]]
+      * — two jobs for all k classes — instead of k binary steps; per
+      * class the integer trajectory is bit-identical (independent
+      * exact-long arithmetic, see [[stepMulti]]).
       */
     def foldEpoch(epoch: Long,
-                  feats: DataFrame): Seq[(String, (Long, Long))] =
-      classes.map { c =>
-        val bin = feats.select(col("doc_id"),
-          (col("cls") <=> lit(c)).cast("int").cast("long").as("y"),
-          col("batch"), col("b"), col("x"))
-        c -> states(c).foldEpoch(epoch, bin)
+                  feats: DataFrame): Seq[(String, (Long, Long))] = {
+      require(epoch >= 0, s"epoch $epoch < 0: ids are batch ids from 0")
+      if (epoch == lastFolded) lastReport
+      else {
+        require(epoch == lastFolded + 1,
+          s"epoch $epoch is not ${lastFolded + 1} (last folded " +
+            s"$lastFolded): non-contiguous delivery — an older epoch is " +
+            "lost ordering, a NEWER one means this state missed epochs " +
+            "(e.g. a checkpoint resumed at k>0 against fresh weights)")
+        val (n, perClass) = stepMulti(feats, classes, ws)
+        lastReport = classes.zip(perClass.zip(ws).map {
+          case ((loss, grad), w) =>
+            applyStep(w, grad, n, lrDiv)
+            (n, loss)
+        })
+        lastFolded = epoch
+        lastReport
       }
+    }
   }
 
   /** The oracle-shaped multi-class report: long-form (cls, kind, k, v)
