@@ -6133,9 +6133,17 @@ object SparkEntry {
     "c105_audio_dup_clusters" -> ((s, dir) => {
       import graft.operators.{Audio, Dedup}
       val corpus = audioDupCorpus(s, dir)
+      // r18: ONE decode pass — chainedLandmarkRows carries the decoded
+      // clip length on its META rows (anchor = -1, one per decodable
+      // clip; every packWav clip has >= 800 samples so the META set IS
+      // decodeWav's id set), so both the duration-blocking lens AND
+      // the landmark pairs derive from a single decode+WHT pass where
+      // this query previously paid the WAV decode twice (decodeWav for
+      // lens + chainedFingerprintPairs' own decode).
+      val rows = Audio.chainedLandmarkRows(s, corpus).persist()
       // REAL decoded clip lengths — used twice: the duration-blocking
       // filter below and the canonical election
-      val lens = Audio.decodeWav(s, corpus)
+      val lens = rows.where(col("anchor") === -1)
         .select(col("media_id").as("id"),
           col("n_samples").cast("long").as("n_samples"))
         .localCheckpoint(true)
@@ -6148,7 +6156,7 @@ object SparkEntry {
       // b32-class corpus artifact, here cut at the operator's own
       // contract instead of excluded). The length frame is KB-sized —
       // AQE broadcasts the join-backs.
-      val rawPairs = Audio.chainedFingerprintPairs(s, corpus, minShared = 4)
+      val rawPairs = Audio.chainedPairsFromCodes(rows, minShared = 4)
       // localCheckpoint BEFORE the propagation loop (the c97b lesson):
       // the pair plan is deep (WAV decode mapPartitions + WHT + chain
       // join) and each CC round re-nests its input plan
@@ -6159,6 +6167,7 @@ object SparkEntry {
           col("n_samples").as("__nb")), "id_b")
         .where(col("__na") === col("__nb"))
         .select("id_a", "id_b").localCheckpoint(true)
+      rows.unpersist() // lens + pairs are both checkpointed — decode done
       // maxIter 96: phase-coincident LCG families can CHAIN (the c97b
       // diameter lesson on the audio surface); propagation is
       // O(diameter) rounds over the checkpointed KB pair set
@@ -6933,17 +6942,21 @@ object SparkEntry {
     "c112_audio_canonical_keep" -> ((s, dir) => {
       import graft.operators.{Audio, Dedup}
       val corpus = audioDupCorpus(s, dir)
-      val lens = Audio.decodeWav(s, corpus)
+      // r18: ONE decode pass (the c105 rewrite) — lens from the META
+      // rows, pairs from the code rows of the same landmark table
+      val rows = Audio.chainedLandmarkRows(s, corpus).persist()
+      val lens = rows.where(col("anchor") === -1)
         .select(col("media_id").as("id"),
           col("n_samples").cast("long").as("n_samples"))
         .localCheckpoint(true)
-      val pairs = Audio.chainedFingerprintPairs(s, corpus, minShared = 4)
+      val pairs = Audio.chainedPairsFromCodes(rows, minShared = 4)
         .join(lens.select(col("id").as("id_a"),
           col("n_samples").as("__na")), "id_a")
         .join(lens.select(col("id").as("id_b"),
           col("n_samples").as("__nb")), "id_b")
         .where(col("__na") === col("__nb"))
         .select("id_a", "id_b").localCheckpoint(true)
+      rows.unpersist() // lens + pairs are both checkpointed — decode done
       val labels = Dedup.dupClusters(pairs, maxIter = 96)
       val canon = labels.join(lens, "id")
         .groupBy("cluster_id")

@@ -449,11 +449,31 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nbr")), "dst")
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
+      // r18: POINTER JUMP (path halving) on top of the neighbor min —
+      // after propagating min(label, neighbor labels), each node also
+      // chases its candidate's OWN label from the previous round
+      // (label values are always member ids, so `labels` resolves
+      // them; the previous round's frame is already checkpointed — the
+      // jump is one extra node-sized join, no extra materialization).
+      // Convergence drops from O(diameter) to O(log diameter) rounds
+      // on chain-shaped components (c97b/c105 measured >20 rounds at
+      // the 10x replica) while the fixpoint is unchanged: the jump is
+      // monotone (labels only decrease, never below the component
+      // min), and a state stable under neighbor-min alone is already
+      // the per-component min-id labeling — the same argument, same
+      // output, fewer synchronization barriers at 100 TB.
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("__l1"))
       // carry prev alongside so the convergence count reuses this
       // checkpointed frame instead of a second join against old labels
-      val next = checkpointRound(labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
+      val next = checkpointRound(prop
+        .join(labels.select(col("id").as("__l1"), col("label").as("__jl")),
+          Seq("__l1"), "left")
+        .select(col("id"), col("prev"),
+          least(col("__l1"), coalesce(col("__jl"), col("__l1")))
+            .as("label")))
       changed = next.where(col("label") =!= col("prev")).count()
       freeState(persisted)
       persisted = next
@@ -461,6 +481,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    System.err.println(s"[dupClusters] converged in $iter rounds")
     if (changed > 0)
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIter rounds " +

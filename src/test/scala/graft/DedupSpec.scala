@@ -201,6 +201,18 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(clusters.size === 10)
   }
 
+  test("dupClusters pointer-jumping: a diameter-63 chain converges in " +
+    "O(log d) rounds (r18 — plain propagation would need ~63 and throw " +
+    "here), fixpoint unchanged") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // maxIter 16 << 63: only the path-halving round shape can converge
+    val clusters = Dedup.dupClusters(chain, maxIter = 16).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(clusters.size === 64)
+    assert((0L to 63L).forall(clusters(_) == 0L),
+      "every chain member must resolve to the component min id")
+  }
+
   test("dupClusters under a RELIABLE checkpoint dir leaves no checkpoint " +
     "files behind once freeState releases the result (r14 advice: Spark " +
     "only deletes ReliableCheckpointRDD trees under " +
