@@ -74,6 +74,25 @@ object ImageDedup {
       .encoderFor(outSchema)
     val in = df.select(col(idCol).cast("long").as("media_id"))
     in.mapPartitions { rows =>
+      // r18: the packImagesBatched codec amortizations applied to the
+      // variant packer — no ImageIO temp-file cache, ONE writer per
+      // (partition, format) instead of a registry scan + fresh writer
+      // per call, pixels written straight into the TYPE_INT_RGB backing
+      // int[] (setRGB stores the same int — payloads bit-identical).
+      javax.imageio.ImageIO.setUseCache(false)
+      val writers = scala.collection.mutable.Map.empty[
+        String, javax.imageio.ImageWriter]
+      def encodeAs(img: java.awt.image.BufferedImage,
+                   fmt: String): Array[Byte] = {
+        val writer = writers.getOrElseUpdate(fmt,
+          javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next())
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.close()
+        bos.toByteArray
+      }
       rows.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
           val id = r.getLong(0)
@@ -93,26 +112,23 @@ object ImageDedup {
           def render(delta: Int): java.awt.image.BufferedImage = {
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val px = img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferInt].getData
             var y = 0
             while (y < h) {
               var x = 0
+              val row = y * w
               while (x < w) {
                 val v = (id * 1103515245L + x * 31L + y * 131L) & 0xFFFFFF
                 val rr = shiftClamp(((v >> 16) & 255).toInt, delta)
                 val gg = shiftClamp(((v >> 8) & 255).toInt, delta)
                 val bb = shiftClamp((v & 255).toInt, delta)
-                img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+                px(row + x) = (rr << 16) | (gg << 8) | bb
                 x += 1
               }
               y += 1
             }
             img
-          }
-          def encodeAs(img: java.awt.image.BufferedImage,
-                       fmt: String): Array[Byte] = {
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, fmt, bos)
-            bos.toByteArray
           }
           val base = render(0)
           val out = Seq.newBuilder[Row]
@@ -155,6 +171,15 @@ object ImageDedup {
       .encoderFor(outSchema)
     val in = packed.select(col("media_id").cast("long"), col("media"))
     in.mapPartitions { rows =>
+      // r18: decodeImagesBatched's codec amortizations — no ImageIO
+      // temp-file cache, and the per-pixel channel sum taken straight
+      // off the decoded raster's backing array where the layout is the
+      // JDK codec's TYPE_3BYTE_BGR / TYPE_INT_RGB (these PNGs/BMPs
+      // carry no ICC profile, so getRGB's sRGB conversion is the
+      // identity on the stored 8-bit channels — same g per pixel, one
+      // virtual call + color-model conversion per IMAGE instead of per
+      // PIXEL). Any other layout falls back to one bulk getRGB.
+      javax.imageio.ImageIO.setUseCache(false)
       rows.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
           val id = r.getLong(0)
@@ -179,12 +204,36 @@ object ImageDedup {
               val sums = new Array[Long](nCells)
               var total = 0L
               var pixsum = 0L
+              // per-pixel grey sum g(x, y), layout-specialized
+              val gAt: (Int, Int) => Int = img.getRaster.getDataBuffer match {
+                case db: java.awt.image.DataBufferByte
+                    if img.getType ==
+                      java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+                  val a = db.getData
+                  (x, y) => {
+                    val i = (y * w + x) * 3
+                    (a(i) & 0xFF) + (a(i + 1) & 0xFF) + (a(i + 2) & 0xFF)
+                  }
+                case db: java.awt.image.DataBufferInt
+                    if img.getType ==
+                      java.awt.image.BufferedImage.TYPE_INT_RGB =>
+                  val a = db.getData
+                  (x, y) => {
+                    val p = a(y * w + x)
+                    ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+                  }
+                case _ =>
+                  val a = img.getRGB(0, 0, w, h, null, 0, w)
+                  (x, y) => {
+                    val p = a(y * w + x)
+                    ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+                  }
+              }
               var y = 0
               while (y < h) {
                 var x = 0
                 while (x < w) {
-                  val v = img.getRGB(x, y)
-                  val g = ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)
+                  val g = gAt(x, y)
                   pixsum += g.toLong * (x + 1) * (y + 3)
                   if (x < w8 && y < h8) {
                     val cell = (y / bh) * grid + (x / bw)
