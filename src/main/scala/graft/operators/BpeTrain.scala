@@ -116,11 +116,13 @@ object BpeTrain {
                                     numMerges: Int): (Seq[Merge], DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
     require(fromRank >= 1, s"fromRank $fromRank < 1")
-    var words = words0
+    var words = words0       // last CHECKPOINTED state (or words0)
+    var plan = words0        // current state, possibly un-checkpointed
+    var pending = 0          // replace-projections stacked since `words`
     val merges = Seq.newBuilder[Merge]
     for (r <- fromRank to fromRank + numMerges - 1) {
       val t = filter(split(col("s"), D), x => length(x) > 0)
-      val top = words
+      val top = plan
         .where(size(t) >= 2)
         .select(col("cnt"), explode(zip_with(
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
@@ -139,11 +141,22 @@ object BpeTrain {
       // split/zip_with/replace lineage blow up analysis long before
       // data size matters (measured: OOM at 24 rounds on a 31-word
       // vocabulary). The c13 lesson applied to a training loop —
-      // truncate lineage every round, eagerly.
-      val next = words.select(merged.as("s"), col("cnt"))
-        .localCheckpoint(true)
-      freeState(words)
-      words = next
+      // truncate lineage every round... r18: every THIRD round (the
+      // applyMerges chunking applied to the trainer): between
+      // checkpoints the top-pair job re-evaluates at most 2 stacked
+      // vocabulary-sized replace projections — map-only, far cheaper
+      // than the extra materialization job per round it replaces
+      // (merge SELECTION depends only on the words STATE, which is
+      // identical under any checkpoint cadence — same merges out).
+      plan = plan.select(merged.as("s"), col("cnt"))
+      pending += 1
+      if (pending == 3 || r == fromRank + numMerges - 1) {
+        val next = plan.localCheckpoint(true)
+        freeState(words)
+        words = next
+        plan = next
+        pending = 0
+      }
     }
     // caller owns the returned frame — release it with freeState when done
     (merges.result(), words)
