@@ -3294,8 +3294,16 @@ object SparkEntry {
     "c38_dsir_score" -> ((s, dir) => {
       import graft.operators.Dsir
       val docs = t(s, dir, "documents")
-      val lr = Dsir.logRatiosByFlag(docs, col("lang") === "en", "text")
-      Dsir.score(docs, "text", lr.toSeq)
+      // r18: featurize ONCE — the model build and the scoring pass both
+      // need the hashed feature bag; bucketize into a persisted frame
+      // so tokenize+md5 runs one corpus pass instead of two (transform
+      // preserves feature order, so logw's fp summation is unchanged)
+      val bucketed = docs.select(col("doc_id"),
+          (col("lang") === "en").as("__is_t"),
+          Dsir.bucketize(col("text")).as("__bs"))
+        .persist()
+      val lr = Dsir.logRatiosFromBuckets(bucketed, "__bs", "__is_t")
+      Dsir.scoreBuckets(bucketed, "__bs", lr.toSeq)
         .select(col("doc_id"), col("n_feats"),
           round(col("logw"), 4).as("logw"), col("keep"))
         .orderBy("doc_id")

@@ -107,6 +107,57 @@ object Dsir {
       .withColumn("keep", col("logw") > 0.0)
   }
 
+  /** r18 featurize-once: the bucket ids of a doc's feature bag as an
+    * ordered array column — `transform` preserves the feature order, so
+    * summing log-ratios over this array is bit-identical (same fp
+    * order) to [[score]]'s aggregate over the features themselves.
+    * Computing it once into a persisted frame lets the model build and
+    * the scoring pass share ONE tokenize+md5 pass (c38's shape: both
+    * run over the same corpus).
+    */
+  def bucketize(textCol: Column, nBuckets: Int = 4096): Column =
+    transform(HashedClassifier.features(textCol),
+      f => HashedClassifier.bucket(f, nBuckets).cast("int"))
+
+  /** [[logRatiosByFlag]] over a pre-bucketed frame ([[bucketize]]
+    * output) — identical counts (the exploded bucket multiset is the
+    * same), no second featurization.
+    */
+  def logRatiosFromBuckets(bucketed: DataFrame, bucketsCol: String,
+                           isTargetCol: String, nBuckets: Int = 4096,
+                           alpha: Double = 0.5): Array[Double] = {
+    val rows = bucketed
+      .select(explode(col(bucketsCol)).as("b"), col(isTargetCol).as("is_t"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val ct = Array.fill(nBuckets)(0L); val cr = Array.fill(nBuckets)(0L)
+    var nt = 0L; var nr = 0L
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      cr(b) = r.getLong(1); nr += r.getLong(1)
+      ct(b) = r.getLong(2); nt += r.getLong(2)
+    }
+    ratios(ct, nt, cr, nr, nBuckets, alpha)
+  }
+
+  /** [[score]] over a pre-bucketed frame — same n_feats (array size),
+    * same logw (same per-doc summation order through the ordered
+    * bucket array), same keep verdict.
+    */
+  def scoreBuckets(df: DataFrame, bucketsCol: String,
+                   logRatio: Seq[Double],
+                   nBuckets: Int = 4096): DataFrame = {
+    require(logRatio.length == nBuckets,
+      s"logRatio.length=${logRatio.length} must equal nBuckets=$nBuckets")
+    val w = typedlit(logRatio)
+    df.withColumn("n_feats", size(col(bucketsCol)))
+      .withColumn("logw", aggregate(col(bucketsCol), lit(0.0),
+        (acc, b) => acc + element_at(w, b + 1)))
+      .withColumn("keep", col("logw") > 0.0)
+  }
+
   /** Gumbel-top-k importance resampling: keeping the k largest
     * `logw + Gumbel(seed, id)` samples k docs WITHOUT replacement with
     * probability ∝ exp(logw) — the DSIR selection step, exactly. The
