@@ -3716,9 +3716,13 @@ object SparkEntry {
       val withHeader = docs.select(col("doc_id"), col("source"),
         concat(array(concat(lit("from "), col("source"),
           lit(" crawl header"))), lineArr).as("lines"))
+      // r18: persisted — the exploded line table feeds BOTH the
+      // frequency pass and the join's left side; without the cache the
+      // regex-normalize + line-slice transform runs twice per doc
       val exploded = withHeader
         .select(col("doc_id"), col("source"), posexplode(col("lines")))
         .toDF("doc_id", "source", "idx", "line")
+        .persist()
       val stats = exploded.groupBy("source", "line")
         .agg(countDistinct("doc_id").as("df"))
       val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
@@ -4197,8 +4201,15 @@ object SparkEntry {
         // diverge cross-engine. Entropy of zero characters is
         // undefined anyway — excluded on BOTH sides.
         .where(length(col("text")) > 0)
-        .withColumn("i", explode(sequence(lit(1), length(col("text")))))
-        .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+        // r18: explode the split-array directly — the previous
+        // explode(sequence) + substring(text, i, 1) shape re-sliced the
+        // whole text per character (O(len²) string work per doc); one
+        // split per doc emits the same character rows in O(len).
+        // (A fully map-only run-length rewrite over sort_array was
+        // tried and REVERTED: nested array lambdas defeat
+        // subexpression elimination — every element_at re-evaluated
+        // the sort, >1200 s at sf0.1. Recorded in OPTIMIZATION_r18.md.)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
         .groupBy("doc_id", "ch").agg(count(lit(1)).as("nc"))
         .groupBy("doc_id")
         .agg(sum("nc").as("n_chars"),
