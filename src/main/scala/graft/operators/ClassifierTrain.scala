@@ -123,28 +123,32 @@ object ClassifierTrain {
   def step(batch: DataFrame, w: Array[Long])
       : (Long, Long, Map[Int, Long]) = {
     val wLit = typedlit(w.toSeq)
-    // residuals PERSIST for the step (doc-count-sized, small): without
-    // the cache the gradient job recomputes the margin aggregation —
-    // the expensive feats scan + shuffle — a second time, doubling
-    // every step's cost (measured: c79's 20-step run 26.7 s → the
-    // cached form's; values are unchanged, caching is not arithmetic)
+    // r18: ONE job per step — (n, loss) ride the gradient action as an
+    // Observation on the residual subtree (exact long count/sum, same
+    // aggregates the separate head() job computed), so the margin
+    // aggregation is evaluated exactly once inside the single job and
+    // the per-step persist/unpersist pair disappears with the second
+    // job. Values unchanged: observation metrics are computed from the
+    // same rows the gradient join consumes.
+    val obs = org.apache.spark.sql.Observation()
     val resid = batch
       .groupBy("doc_id", "y")
       .agg(sum(col("x") *
         element_at(wLit, (col("b") + 1).cast("int"))).as("m"))
       .select(col("doc_id"),
         (p1024(col("m")) - col("y") * lit(1024L)).as("r"))
-      .persist()
-    try {
-      val st = resid.agg(count(lit(1)).as("n"),
-        sum(col("r") * col("r")).as("loss")).head()
-      val n = st.getLong(0)
-      require(n > 0, "empty mini-batch — fewer docs than batches?")
-      val grad = batch.join(resid, "doc_id")
-        .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
-        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-      (n, st.getLong(1), grad)
-    } finally { resid.unpersist() }
+      .observe(obs, count(lit(1)).as("n"),
+        sum(col("r") * col("r")).as("loss"))
+    val gradRows = batch.join(resid, "doc_id")
+      .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
+      .collect()
+    // guard BEFORE obs.get: an all-empty batch can prune the observe
+    // node out of the plan (no metrics ever fire) — and gradRows is
+    // empty iff the batch is (every resid doc comes from batch rows)
+    require(gradRows.nonEmpty, "empty mini-batch — fewer docs than batches?")
+    val grad = gradRows.map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val m = obs.get
+    (m("n").asInstanceOf[Long], m("loss").asInstanceOf[Long], grad)
   }
 
   /** Apply one collected gradient to `w` in place (exact floor-div). */
@@ -277,9 +281,16 @@ object ClassifierTrain {
         element_at(typedlit(w.toSeq), (col("b") + 1).cast("int")))
         .as(s"__m_$i")
     }
-    // residuals PERSIST for the step (doc-count-sized, small) — the
-    // binary step's rationale: without the cache the gradient job
-    // recomputes the margin aggregation
+    // r18: ONE job per joint step — n and the k per-class losses ride
+    // the gradient action as an Observation on the residual subtree
+    // (the binary step's rationale; exact long counts/sums, identical
+    // aggregates), so the k-margin aggregation evaluates exactly once
+    // inside the single job and the persist/unpersist pair disappears
+    // with the second job.
+    val obs = org.apache.spark.sql.Observation()
+    val lossAggs = count(lit(1)).as("__n") +:
+      (0 until k).map(i =>
+        sum(col(s"__r_$i") * col(s"__r_$i")).as(s"__loss_$i"))
     val resid = batch
       .groupBy("doc_id", "cls")
       .agg(marginAggs.head, marginAggs.tail: _*)
@@ -288,24 +299,21 @@ object ClassifierTrain {
           (col("cls") <=> lit(c)).cast("int").cast("long") * lit(1024L))
           .as(s"__r_$i")
       }: _*)
-      .persist()
-    try {
-      val lossAggs = count(lit(1)).as("__n") +:
-        (0 until k).map(i =>
-          sum(col(s"__r_$i") * col(s"__r_$i")).as(s"__loss_$i"))
-      val st = resid.agg(lossAggs.head, lossAggs.tail: _*).head()
-      val n = st.getLong(0)
-      require(n > 0, "empty mini-batch — fewer docs than batches?")
-      val gradAggs = (0 until k).map(i =>
-        sum(col(s"__r_$i") * col("x")).as(s"__g_$i"))
-      val gradRows = batch.join(resid, "doc_id")
-        .groupBy("b").agg(gradAggs.head, gradAggs.tail: _*)
-        .collect()
-      val grads = (0 until k).map { i =>
-        gradRows.map(r => r.getLong(0).toInt -> r.getLong(i + 1)).toMap
-      }
-      (n, (0 until k).map(i => (st.getLong(i + 1), grads(i))))
-    } finally { resid.unpersist(); () }
+      .observe(obs, lossAggs.head, lossAggs.tail: _*)
+    val gradAggs = (0 until k).map(i =>
+      sum(col(s"__r_$i") * col("x")).as(s"__g_$i"))
+    val gradRows = batch.join(resid, "doc_id")
+      .groupBy("b").agg(gradAggs.head, gradAggs.tail: _*)
+      .collect()
+    // guard BEFORE obs.get (the binary step's rule): an all-empty batch
+    // can prune the observe node out of the plan entirely
+    require(gradRows.nonEmpty, "empty mini-batch — fewer docs than batches?")
+    val grads = (0 until k).map { i =>
+      gradRows.map(r => r.getLong(0).toInt -> r.getLong(i + 1)).toMap
+    }
+    val m = obs.get
+    (m("__n").asInstanceOf[Long], (0 until k).map(i =>
+      (m(s"__loss_$i").asInstanceOf[Long], grads(i))))
   }
 
   /** One-vs-rest multi-class training (C79) — the C75 binary descent
