@@ -5111,12 +5111,15 @@ object SparkEntry {
         val ep0 = Similarity.encodeCodes(
           emb.where(pmod(col("vec_id"), lit(2)) === 0),
           "vec_id", "embedding", cells, pq)
+        // r18: persisted — the replayed epoch-1 append would otherwise
+        // re-run the PQ encode over the corpus a second time
         val ep1 = Similarity.encodeCodes(
           emb.where(pmod(col("vec_id"), lit(2)) === 1),
-          "vec_id", "embedding", cells, pq)
+          "vec_id", "embedding", cells, pq).persist()
         AnnIndexStore.appendCodesEpoch(ep0, root, iv, 0L)
         AnnIndexStore.appendCodesEpoch(ep1, root, iv, 1L)
         AnnIndexStore.appendCodesEpoch(ep1, root, iv, 1L) // replay
+        ep1.unpersist()
       }
       // BLUE: v1 index published + codes ingested under iv1
       val (c1, p1) = Similarity.buildIvfpqIndex(
@@ -6768,6 +6771,10 @@ object SparkEntry {
       val G = graft.functions.GraftExpressions
       val signs = jlSigns(16, 64)
       val emb = t(s, dir, "embeddings")
+      // (r18 note: persisting refCoded/arrCoded here was tried and
+      // REVERTED — columnar-caching the long-array code column costs
+      // far more than the jlProject re-encode it saves; measured
+      // 3.5 s → 18.9 s. Recorded in OPTIMIZATION_r18.md.)
       val refCoded = emb.where(col("vec_id") % 2 === 0)
         .select(col("vec_id"), jlProject(col("embedding"), signs).as("code"))
       val cents1: Array[Array[Long]] = refCoded.where(col("vec_id") < 32)

@@ -31,7 +31,11 @@ object CurationPipeline {
     * decontamination reference (benchmark/eval texts).
     */
   def curate(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val gated = docs.where(QualityFilters.keep(col("text")))
+    // r18: persisted — the gated frame is scanned by the dedup
+    // election, the semi-join's left side, and the decontamination
+    // probe; without the cache each branch re-evaluates the C17 metric
+    // expressions over the corpus (3x the gate's regex work)
+    val gated = docs.where(QualityFilters.keep(col("text"))).persist()
     val keepIds = Dedup.exactDedup(gated, "text", "doc_id")
       .select(col("keep_id").as("doc_id"))
     val deduped = gated.join(keepIds, Seq("doc_id"), "left_semi")
@@ -60,7 +64,14 @@ object CurationPipeline {
     * no new corpus-sized shuffle, text still never shuffles.
     */
   def ledger(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val gated = docs.where(QualityFilters.keep(col("text")))
+    // r18: the gate verdict is computed ONCE into a persisted frame —
+    // the canonical election, the survivor semi-join, the
+    // decontamination probe, and the final attribution scan all branch
+    // from it (previously each branch re-ran the C17 metric regexes
+    // over the corpus — 4x the gate's work)
+    val qd = docs.withColumn("__q", QualityFilters.keep(col("text")))
+      .persist()
+    val gated = qd.where(col("__q"))
     val canon = Dedup.exactDedup(gated, "text", "doc_id")
       .select(col("keep_id").as("doc_id"), lit(true).as("__canon"))
     val surv = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -68,8 +79,7 @@ object CurationPipeline {
       .flagContaminated(surv, evalDocs, "text", "doc_id")
       .where(col("contaminated"))
       .select(col("doc_id"), lit(true).as("__cont"))
-    docs
-      .withColumn("__q", QualityFilters.keep(col("text")))
+    qd
       .join(canon, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .withColumn("disposition",
