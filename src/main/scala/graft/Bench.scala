@@ -716,7 +716,11 @@ object Bench {
   private val imageServingQueries =
     Set("c104_image_code_serve", "c114_image_banding_curve",
       "c118_crossmodal_dup", "c123_trimodal_dup",
-      "c128_image_incremental_pairs", "c130_verdict_store_serve")
+      "c128_image_incremental_pairs", "c130_verdict_store_serve",
+      // r19 (the r18 verdict's ask #5): c97b now resolves clusters from
+      // the stored codes — the decode+publish is prepaid like every
+      // other store-fed row; c97 keeps the in-query decode
+      "c97b_image_dup_clusters")
   private val audioServingQueries =
     Set("c115_audio_code_serve", "c123_trimodal_dup",
       "c129_audio_incremental_pairs", "c130_verdict_store_serve")
@@ -1156,7 +1160,9 @@ object Bench {
     // default) the scale phases can't fit anyway — skip the build and
     // spend the whole window on headline chunks (a scale child that
     // does run self-builds and drains before timing).
-    if (probesOn && !priorityMode && remainingSec.forall(_ > 1200)) {
+    if (probesOn && !priorityMode && remainingSec.forall(_ > 1200) &&
+        !(ScaleReplica.ready(sfDir, 10) &&
+          ScaleReplica.ready(sfDir, 100, scale100Tables))) {
       val spark = makeSession("replica-build")
       ScaleReplica.ensure(spark, sfDir, copies = 10)
       ScaleReplica.ensure(spark, sfDir, copies = 100, tables = scale100Tables)
@@ -1182,7 +1188,10 @@ object Bench {
       // inflates the very next probes ~3x even through
       // drainBuildState (the r5→r6 finding, re-measured on q5 in the
       // r18 calibration: self-built 9.1 s vs pre-built ~3 s)
-      locally {
+      // skip even the build session when the replica is already on disk
+      // (the ready() marker check needs no SparkSession) — on a warm box
+      // the slice's fixed cost is then just the two measurement forks
+      if (!ScaleReplica.ready(sfDir, 10, priorityTables, "p")) {
         val spark = makeSession("replica-build-p")
         ScaleReplica.ensure(spark, sfDir, copies = 10,
           tables = priorityTables, dirTag = "p")
@@ -1300,6 +1309,17 @@ object Bench {
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, full + "\n")
+    // r19 (the r18 verdict's ask #1): the driver re-runs the bench at a
+    // lower core count, and that second run OVERWROTE target/bench.json —
+    // PERF_r18 lost the entire per-query round-over-round table
+    // (per_query:{}, n_common:0). Every run now ALSO writes its full
+    // artifact to a core-count-keyed path and points its own
+    // queries_full there, so the 32-cpu map survives the 8-cpu rerun
+    // and each run's summary line names the map that belongs to it.
+    val cpusTag = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val perRunPath = s"target/bench_c$cpusTag.json"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(perRunPath), full + "\n")
 
     def ratios(probe: Seq[String], t: Map[String, Double]): Seq[(String, Double)] =
       probe.flatMap { name =>
@@ -1334,12 +1354,12 @@ object Bench {
       .map("," + _).mkString
     def compactLine(worstK: Int): String = {
       val worst = jmap(r10.sortBy(-_._2).take(worstK))
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_probes10":${r10.size},"n_sublinear10":${r10.count(_._2 < 10.0)},"r10":$summary10,"worst10":$worst,"ratios100":${jmap(r100)},"var100":${jmap(v100)}$armorCompact,"queries_full":"target/bench.json"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_probes10":${r10.size},"n_sublinear10":${r10.count(_._2 < 10.0)},"r10":$summary10,"worst10":$worst,"ratios100":${jmap(r100)},"var100":${jmap(v100)}$armorCompact,"queries_full":"$perRunPath"}"""
     }
     // 1500-char hard cap (driver tail 2000 minus sbt's trailer, with
     // margin); degrade by shrinking the worst-list, never by growing
     val line = Seq(12, 6, 0).map(compactLine).find(_.length <= 1500)
-      .getOrElse(s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_full":"target/bench.json"}""")
+      .getOrElse(s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_full":"$perRunPath"}""")
     lastCompactLine = line
     println(line)
   }
@@ -1373,20 +1393,42 @@ object ScaleReplica {
     System.gc()
   }
 
+  private def replicaDir(baseDir: String, copies: Int,
+                         dirTag: String): String =
+    s"/root/repo/target/scale${copies}${dirTag}_${new java.io.File(baseDir).getName}"
+
+  private def markerWant(tables: Seq[String]): String =
+    "v2:" + tables.sorted.mkString(",") + "\n"
+
+  /** True when the replica is already on disk with the wanted table set —
+    * checkable WITHOUT a SparkSession, so an orchestrating parent can
+    * skip the ~10 s replica-build session entirely on a warm box (r19,
+    * the r18 verdict's ask #4: the priority slice's fixed costs starve
+    * the headline chunks under a tight budget).
+    */
+  def ready(baseDir: String, copies: Int,
+            tables: Seq[String] = defaultTables,
+            dirTag: String = ""): Boolean = {
+    val marker = new java.io.File(
+      s"${replicaDir(baseDir, copies, dirTag)}/_GRAFT_OK")
+    marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath) == markerWant(tables)
+  }
+
   def ensure(spark: SparkSession, baseDir: String, copies: Int,
              tables: Seq[String] = defaultTables,
              dirTag: String = ""): String = {
     // dirTag separates the priority slice's RESTRICTED replica from
     // the full one: both are copies=10 over the same base, and sharing
     // the directory would make the table-set markers thrash
-    val dir = s"/root/repo/target/scale${copies}${dirTag}_${new java.io.File(baseDir).getName}"
+    val dir = replicaDir(baseDir, copies, dirTag)
     // marker records WHICH tables the replica holds — adding a table to a
     // probe invalidates a stale replica instead of failing on a missing file
     val marker = new java.io.File(s"$dir/_GRAFT_OK")
     // v2: c_name gets a per-copy tag (see customer builder) — the
     // version prefix invalidates v1 replicas whose identical cross-copy
     // names made the b25 self-join quadratic in the copy count
-    val want = "v2:" + tables.sorted.mkString(",") + "\n"
+    val want = markerWant(tables)
     if (marker.exists() &&
         java.nio.file.Files.readString(marker.toPath) == want) return dir
 
@@ -1442,7 +1484,19 @@ object ScaleReplica {
       "embeddings" -> (() => replicate("embeddings",
         (df, i) => df.withColumn("vec_id", col("vec_id") + lit(i * docShift)))))
 
-    tables.foreach(t => builders(t)())
+    // r19 (the r18 verdict's ask #4, guide §2.6 "overlap independent
+    // jobs"): the per-table builds are independent tiny scan+union+write
+    // jobs that each leave most of the machine idle — submitting them
+    // from a small thread pool makes the build's wall cost the slowest
+    // table, not the sum (measured 42.6 s → 17.9 s cold for the
+    // 6-table priority replica on this box).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(tables.size, 6))
+    try {
+      val futs = tables.map(t => pool.submit(
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = builders(t)() }))
+      futs.foreach(_.get())
+    } finally { pool.shutdown() }
     marker.getParentFile.mkdirs()
     java.nio.file.Files.writeString(marker.toPath, want)
     dir

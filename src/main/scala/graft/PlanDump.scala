@@ -22,17 +22,27 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
-    names.foreach { name =>
+    // failures are collected and FAIL the run (r18 ADVICE: a silently
+    // missing before/after file is exactly what an evidence check would
+    // overlook) — every failure is still printed per query first
+    val failed = names.filter { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
         println(s"[plandump] wrote $name ($suffix)")
+        false
       } catch { case e: Throwable =>
         System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+        true
       }
     }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[plandump] ${failed.size} plan(s) FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -5619,12 +5619,22 @@ object SparkEntry {
     // one mis-clustered image anywhere breaks the hash.
     "c97b_image_dup_clusters" -> ((s, dir) => {
       import graft.operators.ImageDedup
-      val docs = t(s, dir, "documents")
-      val packed = ImageDedup.packImageVariants(s, docs, "doc_id")
-      val codes = ImageDedup.blockhashCodes(s, packed)
+      import graft.sources.ImageCodeStore
+      // r19 (the r18 verdict's ask #5): the cluster resolution reads the
+      // STORED blockhash codes (the same committed ImageCodeStore table
+      // c104/c128 serve from — decode paid once per corpus at publish,
+      // never per query) instead of re-decoding the whole image corpus
+      // inside every invocation. Pairs-from-stored-codes hash-equal
+      // pairs-from-decode (c104's oracle pins exactly that identity with
+      // the same maxHamming/hotBucketCap), so the clusters — hence this
+      // query's declared output — are unchanged; the c97 row keeps the
+      // in-query decode and stays the measure of what the store saves.
+      val root = imageCodesRoot(s, dir)
+      val v = ImageCodeStore.committedSpecVersion(s, root)
+      val codes = ImageCodeStore.readCodes(s, root, v)
       // localCheckpoint BEFORE the propagation loop: each CC round
       // re-nests its input plan, and the pair plan here is deep
-      // (decode mapPartitions + band explode + self-join) — without
+      // (band explode + self-join over the stored scan) — without
       // lineage truncation the per-round analyzer plan grows
       // multiplicatively and OOMs the driver (the c77/c13 lesson).
       // maxIter 96: the synthetic gradient images chain into

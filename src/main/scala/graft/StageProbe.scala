@@ -46,8 +46,17 @@ object StageProbe {
       .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = ScaleReplica.ensure(spark, sf, copies = 100,
-      tables = Bench.scale100Tables)
+    // r19: SPARK_GRAFT_STAGE_COPIES picks the data scale — 0 probes the
+    // BASE sf dir (stage attribution for rows whose cost question is
+    // "where do the sf0.1 seconds go", e.g. the tokenizer lifecycle
+    // family), 10/100 the replicas; default stays the 100-copy replica
+    // (the original c76-arbitration protocol).
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STAGE_COPIES", "100").toInt
+    val dir =
+      if (copies <= 1) sf
+      else ScaleReplica.ensure(spark, sf, copies = copies,
+        tables = if (copies >= 100) Bench.scale100Tables
+                 else ScaleReplica.defaultTables)
     ScaleReplica.drainBuildState(spark)
 
     val buf = new scala.collection.mutable.ArrayBuffer[StageRow]()
@@ -102,7 +111,7 @@ object StageProbe {
         s""""n_stages":${rows.size},"stages":$stages}"""
     }
     val json =
-      s"""{"metric":"stage_probe","unit":"ms","sf":"$sf","copies":100,""" +
+      s"""{"metric":"stage_probe","unit":"ms","sf":"$sf","copies":$copies,""" +
         s""""queries":{${blocks.mkString(",")}}}"""
     val out = java.nio.file.Paths.get("target/stage_probe.json")
     java.nio.file.Files.createDirectories(out.getParent)

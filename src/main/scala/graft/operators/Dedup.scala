@@ -467,7 +467,15 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("__l1"))
       // carry prev alongside so the convergence count reuses this
-      // checkpointed frame instead of a second join against old labels
+      // checkpointed frame instead of a second join against old labels.
+      // Skew note (r18 ADVICE): this jump join is keyed on the CANDIDATE
+      // label (__l1), so once a giant component collapses all its members
+      // share one key and its partition goes hot. The right side is
+      // node-sized (not edge-sized) and the session runs with AQE skew
+      // handling on, which splits oversized sort-merge partitions at
+      // runtime; if stragglers still appear at 100 TB, salt the right
+      // side k ways and explode the probe — the join is a plain lookup,
+      // so salting changes nothing semantically.
       val next = checkpointRound(prop
         .join(labels.select(col("id").as("__l1"), col("label").as("__jl")),
           Seq("__l1"), "left")
@@ -481,7 +489,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    System.err.println(s"[dupClusters] converged in $iter rounds")
+    // round-count instrumentation at DEBUG (r18 ADVICE: an unconditional
+    // stderr print is debug output in a library operator) — the r18
+    // pointer-jump evidence (12-vs-20+ rounds) is locked by the
+    // diameter-63 chain spec, which asserts the bound structurally
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .debug(s"[dupClusters] converged in $iter rounds")
     if (changed > 0)
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIter rounds " +

@@ -79,13 +79,32 @@ object ImageDedup {
       // (partition, format) instead of a registry scan + fresh writer
       // per call, pixels written straight into the TYPE_INT_RGB backing
       // int[] (setRGB stores the same int — payloads bit-identical).
+      // setUseCache is JVM-global (r18 ADVICE): flipping it off from a
+      // task is idempotent and the only sane setting for byte-array
+      // round trips — every executor task wants the no-temp-file path,
+      // so the global flip is safe here (and it is how decodeImages*
+      // already behaves); noting it because it IS cross-task state.
       javax.imageio.ImageIO.setUseCache(false)
       val writers = scala.collection.mutable.Map.empty[
         String, javax.imageio.ImageWriter]
+      // native codec resources are released when the task ends, not
+      // left to GC (r18 ADVICE): the iterator below is lazy, so a
+      // task-completion listener is the only hook that runs after it
+      // is exhausted (or the task dies)
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        writers.values.foreach(w => scala.util.Try(w.dispose())); ()
+      }
       def encodeAs(img: java.awt.image.BufferedImage,
                    fmt: String): Array[Byte] = {
-        val writer = writers.getOrElseUpdate(fmt,
-          javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next())
+        val writer = writers.getOrElseUpdate(fmt, {
+          val found = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+          // a missing codec must fail with the format named, not with
+          // an iterator NoSuchElementException (r18 ADVICE)
+          require(found.hasNext,
+            s"packImageVariants: no ImageIO writer for format '$fmt'")
+          found.next()
+        })
         val bos = new java.io.ByteArrayOutputStream()
         val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         writer.setOutput(ios)

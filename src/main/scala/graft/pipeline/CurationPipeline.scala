@@ -29,6 +29,18 @@ object CurationPipeline {
 
   /** docs → the kept corpus with its split column. `evalDocs` is the
     * decontamination reference (benchmark/eval texts).
+    *
+    * Cache ownership (r18 ADVICE): the returned lazy frame DEPENDS on an
+    * internal corpus-sized persist of the gate verdict (it is what makes
+    * the three consuming branches share one scan). The caller owns the
+    * result's lifetime: after materializing every derived result, release
+    * the pipeline's cache with `spark.sqlContext.clearCache()` or by
+    * unpersisting through [[graft.operators.Dedup.freeState]]-style
+    * handling of the returned frame's cached ancestors. In the declared
+    * queries this is moot — each bench/verify invocation runs in a
+    * bounded session and the timed run pays the cache build (nothing
+    * crosses runs) — but a long-lived session calling curate() in a loop
+    * must release between calls or cached RDDs accumulate.
     */
   def curate(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
     // r18: persisted — the gated frame is scanned by the dedup
@@ -62,6 +74,10 @@ object CurationPipeline {
     * filters. Cost over C39: the same three bounded shuffles, plus two
     * dim-sized id sets (canonicals, contaminated) joined back id-keyed —
     * no new corpus-sized shuffle, text still never shuffles.
+    *
+    * Cache ownership: same contract as [[curate]] — the returned frame
+    * rides an internal persist of the per-doc gate verdict; the caller
+    * releases it after materialization (see curate's note).
     */
   def ledger(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
     // r18: the gate verdict is computed ONCE into a persisted frame —
